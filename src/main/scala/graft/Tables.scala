@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed loaders for the driver-generated test tables (see TESTDATA.md).
+  *
+  * All read-side access funnels through here: one place for source options
+  * and, on a real cluster, for bucketing / locality hints. Reads are plain
+  * parquet scans so Catalyst pushes filters and prunes columns into the scan.
+  */
+object Tables {
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  def region(s: SparkSession, dir: String): DataFrame   = load(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame   = load(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = load(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = load(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = load(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame   = load(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    * nanosecond Long behind this legacy flag (set defensively here in case
+    * the session builder didn't). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, dir, "events")
+  }
+  def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.OracleParity.xsum
+
+/** Event-time queries (SURVEY.md §2A, events table).
+  *
+  * The events parquet carries TIMESTAMP(NANOS) which Spark reads as a
+  * nanosecond Long (spark.sql.legacy.parquet.nanosAsLong). Both engines
+  * truncate to epoch microseconds up front (Spark `ts div 1000`, DuckDB
+  * `epoch_us(ts)` — verified identical floor semantics) and all logic runs
+  * on exact integers, so results are engine-independent.
+  */
+object Events {
+
+  /** events with ts_us (epoch microseconds, exact long). */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+
+  private val UsPerHour = 3600000000L
+
+  /** As-of join: each purchase matched to the latest prior click of the same
+    * user. Spark-first plan: instead of a per-row range probe, tag both
+    * streams, single shuffle on user_id, and carry the last click via a
+    * running window — one sort-merge pass, scales to any event volume.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("event_id"), lit(1).as("kind"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id"), lit(0).as("kind"))
+    // clicks sort before purchases at equal ts_us => `>=` as-of semantics
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("prior_click",
+        last(when(col("kind") === 0, struct(col("ts_us"), col("event_id"))), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("prior_click").isNotNull)
+      .select(
+        col("event_id"), col("user_id"),
+        col("prior_click.event_id").as("prior_click_id"),
+        (col("ts_us") - col("prior_click.ts_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT p.event_id AS event_id, p.user_id AS user_id,
+      |  c.event_id AS prior_click_id, epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Hourly event-time bucketing (integer bucket arithmetic, exact). */
+  def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("hour_bucket", expr(s"ts_us div $UsPerHour"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), xsum(col("value")).as("sum_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+
+  val qEventsHourlySql: String =
+    s"""SELECT epoch_us(ts) // $UsPerHour AS hour_bucket, event_type, COUNT(*) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
+
+  /** Gap-based sessionization: a >30 min silence starts a new session.
+    * Classic two-window formulation — one shuffle on user_id, both windows
+    * share the same sort. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, dir)
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(wOrd) > gapUs, 1)
+          .otherwise(when(lag(col("ts_us"), 1).over(wOrd).isNull, 1).otherwise(0)))
+      .withColumn("session_idx", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        xsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val qSessionizeSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1
+      |         WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), u AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM t
+      |)
+      |SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM u GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin
+
+  /** JSON property extraction from the props column. */
+  def qEventsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k_bucket", col("k") % 10)
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("n"), xsum(col("value")).as("sum_value"))
+      .orderBy(col("k_bucket"))
+
+  val qEventsJsonSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join"     -> qAsofJoin _,
+    "q_events_hourly" -> qEventsHourly _,
+    "q_sessionize"    -> qSessionize _,
+    "q_events_json"   -> qEventsJson _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_asof_join"     -> qAsofJoinSql,
+    "q_events_hourly" -> qEventsHourlySql,
+    "q_sessionize"    -> qSessionizeSql,
+    "q_events_json"   -> qEventsJsonSql,
+  )
+}

@@ -1,0 +1,345 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampNTZType}
+
+import graft.Tables
+import graft.functions.OracleParity.{xsum, xavg}
+
+/** Relational query core (SURVEY.md §2A).
+  *
+  * Shapes follow the public TPC-H queries adapted to the driver's test
+  * schema. Each query is written Catalyst-first: filters early (parquet
+  * pushdown), dimensions broadcast, aggregates declarative so partial
+  * aggregation happens map-side. Money arithmetic follows the
+  * [[graft.functions.OracleParity]] convention so results are bitwise
+  * reproducible across engines and partition orders.
+  */
+object Relational {
+
+  private def ts(s: String): Column = lit(s).cast(TimestampNTZType)
+  private val Dec = DecimalType(18, 6)
+
+  /** TPC-H Q1: pricing summary report. One scan, one shuffle on the 6-value
+    * grouping key; all aggregates partial map-side. */
+  def q1(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        xsum(col("l_quantity")).as("sum_qty"),
+        xsum(col("l_extendedprice")).as("sum_base_price"),
+        xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        xavg(col("l_quantity")).as("avg_qty"),
+        xavg(col("l_extendedprice")).as("avg_price"),
+        xavg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3: shipping priority. customer is the small side -> broadcast;
+    * the orders/lineitem join shuffles on orderkey only. */
+  def q3(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, dir).filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    val li   = Tables.lineitem(s, dir).filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5: local supplier volume. region/nation/supplier/customer all
+    * broadcast; the fact table shuffles once (orderkey join). */
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") && col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    Tables.lineitem(s, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6: forecasting revenue change — the pushdown showcase: all three
+    * predicates reach the parquet scan, projection prunes to 4 columns. */
+  def q6(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(xsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10: returned items — join + group + top-k revenue. */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") && col("o_orderdate") < ts("1996-04-01 00:00:00"))
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q18: large-volume orders — self-aggregated semi-join (HAVING). */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val big = li.groupBy(col("l_orderkey")).agg(xsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 170.0)
+    big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  o_totalprice, sum_qty
+      |FROM customer, orders,
+      |  (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      |   FROM lineitem GROUP BY l_orderkey HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 170.0) big
+      |WHERE big.l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** Running-sum window frame per supplier. (l_orderkey, l_linenumber) is
+    * NOT unique in this data, so the window order tiebreaks through every
+    * discriminating column; rows identical in all of them carry equal
+    * quantity, so the running values are order-independent as a multiset and
+    * the final sort includes running_qty to pin their positions. */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_extendedprice"), col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast(Dec)).over(w).cast(DoubleType).as("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+      |      l_partkey, l_extendedprice, l_quantity
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin
+
+  /** Top-3 orders by totalprice per priority class (row_number). */
+  def qTopnPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  val qTopnPerGroupSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** Pivot wide on l_returnflag (values known up front -> no extra pass). */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(xsum(col("l_quantity")))
+      .orderBy(col("l_linestatus"))
+
+  val qPivotSql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS A,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS N,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS R
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** ROLLUP over (returnflag, linestatus): subtotals + grand total. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), xsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Set ops: BUILDING customers ∩ big-order customers, minus negative
+    * balances, ∪ FURNITURE customers with an order over 400k. */
+  def qSetops(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ord  = Tables.orders(s, dir)
+    val building = cust.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bigOrder = ord.filter(col("o_totalprice") > 300000.0).select(col("o_custkey").as("c_custkey"))
+    val negative = cust.filter(col("c_acctbal") < 0.0).select(col("c_custkey"))
+    val furniture400 = cust.filter(col("c_mktsegment") === "FURNITURE").select(col("c_custkey"))
+      .intersect(ord.filter(col("o_totalprice") > 400000.0).select(col("o_custkey").as("c_custkey")))
+    building.intersect(bigOrder).except(negative).union(furniture400).distinct()
+      .orderBy(col("c_custkey"))
+  }
+
+  val qSetopsSql: String =
+    """SELECT DISTINCT c_custkey FROM (
+      |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |   INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+      |  EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 0.0
+      |  UNION
+      |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+      |   INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+      |) ORDER BY c_custkey""".stripMargin
+
+  /** EXISTS + NOT EXISTS: customers with a 1995 order but none in 2001+. */
+  def qExistsAnti(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val in95 = ord.filter(col("o_orderdate") < ts("1996-01-01 00:00:00")).select(col("o_custkey"))
+    val in01 = ord.filter(col("o_orderdate") >= ts("2001-01-01 00:00:00")).select(col("o_custkey"))
+    Tables.customer(s, dir)
+      .join(in95, col("c_custkey") === in95("o_custkey"), "left_semi")
+      .join(in01, col("c_custkey") === in01("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qExistsAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |              AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |              AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Multiple COUNT(DISTINCT) over one scan (Spark expands, one shuffle set). */
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderdate").cast("date")).as("n_days"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  val qDistinctAggSql: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust,
+      |  COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days, COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** HLL sketch distinct (approx; oracle is rows-only by design). */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"   -> q1 _,
+    "q3_shipping_priority" -> q3 _,
+    "q5_local_supplier"    -> q5 _,
+    "q6_forecast_revenue"  -> q6 _,
+    "q10_returned_items"   -> q10 _,
+    "q18_large_orders"     -> q18 _,
+    "q_window_running"     -> qWindowRunning _,
+    "q_topn_per_group"     -> qTopnPerGroup _,
+    "q_pivot"              -> qPivot _,
+    "q_rollup"             -> qRollup _,
+    "q_setops"             -> qSetops _,
+    "q_exists_anti"        -> qExistsAnti _,
+    "q_distinct_agg"       -> qDistinctAgg _,
+    "q_approx_distinct"    -> qApproxDistinct _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary"   -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier"    -> q5Sql,
+    "q6_forecast_revenue"  -> q6Sql,
+    "q10_returned_items"   -> q10Sql,
+    "q18_large_orders"     -> q18Sql,
+    "q_window_running"     -> qWindowRunningSql,
+    "q_topn_per_group"     -> qTopnPerGroupSql,
+    "q_pivot"              -> qPivotSql,
+    "q_rollup"             -> qRollupSql,
+    "q_setops"             -> qSetopsSql,
+    "q_exists_anti"        -> qExistsAntiSql,
+    "q_distinct_agg"       -> qDistinctAggSql,
+  )
+}

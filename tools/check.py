@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (SURVEY.md §6).
+
+Runs each oracle SQL from verify-out/oracle_sql.json in DuckDB against the
+raw test tables and compares with the Spark parquet dumps written by
+graft.Verify. Compares schema (column names sorted), row count, and values
+(exact for ints/strings, bitwise for doubles since both engines follow the
+decimal-sum convention).
+
+Usage: python3 tools/check.py <sfdir> <verify_out_dir>
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    results = {}
+    for name in sorted(os.listdir(outdir)):
+        d = os.path.join(outdir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            results[name] = "EMPTY-DIR"
+            continue
+        got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchdf()
+        if name not in oracle:
+            results[name] = f"rows-only: {len(got)} rows" + (" OK" if len(got) > 0 else " FAIL(0 rows)")
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE-SQL-ERROR: {str(e)[:200]}"
+            continue
+        gcols, ecols = sorted(got.columns), sorted(exp.columns)
+        if gcols != ecols:
+            results[name] = f"SCHEMA-MISMATCH spark={gcols} oracle={ecols}"
+            continue
+        if len(got) != len(exp):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(got)} oracle={len(exp)}"
+            continue
+        got, exp = got[gcols].reset_index(drop=True), exp[ecols].reset_index(drop=True)
+        bad = []
+        for c in gcols:
+            gv, ev = got[c], exp[c]
+            try:
+                eq = (gv.isna() & ev.isna()) | (gv == ev)
+                if not eq.all():
+                    i = int((~eq).idxmax())
+                    bad.append(f"{c}[row{i}]: spark={gv[i]!r} oracle={ev[i]!r}")
+            except Exception as e:
+                bad.append(f"{c}: compare-error {str(e)[:100]}")
+        results[name] = "OK" if not bad else "VALUE-MISMATCH " + "; ".join(bad[:3])
+    n_ok = sum(1 for v in results.values() if v.startswith("OK") or v.endswith("OK"))
+    for k, v in sorted(results.items()):
+        print(f"{'PASS' if v.startswith('OK') or v.endswith('OK') else 'FAIL'}  {k}: {v}")
+    print(f"\n{n_ok}/{len(results)} pass")
+    missing = set(oracle) - set(results)
+    if missing:
+        print(f"oracle keys with no spark output: {sorted(missing)}")
+        return 1
+    return 0 if n_ok == len(results) else 1
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
