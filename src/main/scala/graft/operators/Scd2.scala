@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD-2 interval building from a change stream.
+  *
+  * The reference tracks when each record version was first/last seen
+  * (first_imported / last_imported) — the streaming generalization is
+  * slowly-changing-dimension type 2: each (entity, value) change opens a
+  * validity interval that closes when the next change arrives.
+  *
+  * One shuffle on the entity key; both the lead() and the is_current flag
+  * share the same window sort.
+  */
+object Scd2 {
+  /** @param changes  change stream: one row per observed (entity, value, ts)
+    * @param entity   entity key column
+    * @param orderCol monotonically increasing event-time column (exact type,
+    *                 e.g. epoch micros)
+    * @param tieCol   unique tiebreak column for deterministic ordering */
+  def intervals(changes: DataFrame, entity: String, orderCol: String, tieCol: String,
+      attrs: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(entity)).orderBy(col(orderCol), col(tieCol))
+    changes
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((Seq(entity) ++ attrs ++ Seq("valid_from", "valid_to", "is_current")).map(col): _*)
+  }
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators._
+
+/** ETL-surface queries (SURVEY.md §2B) — the reference's store_* semantics
+  * exercised on the test schema. Each binds a generic operator from
+  * [[graft.operators]] to concrete tables with deterministic derived
+  * batches, so merge/diff behavior is verifiable against a DuckDB oracle
+  * without a live database.
+  */
+object Etl {
+
+  /** e_stable_id: content-hash surrogate keys on customer. */
+  def eStableId(s: SparkSession, dir: String): DataFrame =
+    StableId.withStableId(Tables.customer(s, dir),
+      Seq("c_name", "c_nationkey", "c_mktsegment"), "sk")
+      .select(col("c_custkey"), col("sk"))
+      .orderBy(col("c_custkey"))
+
+  val eStableIdSql: String = {
+    val e = StableId.oracleExpr(Seq("c_name", "c_nationkey", "c_mktsegment"))
+    s"SELECT c_custkey, $e AS sk FROM customer ORDER BY c_custkey"
+  }
+
+  /** e_validate: one-pass rule report on orders. */
+  def eValidate(s: SparkSession, dir: String): DataFrame =
+    Validate.report(Tables.orders(s, dir), Seq(
+      Validate.Rule("custkey_nonnull", col("o_custkey").isNotNull),
+      Validate.Rule("date_range",
+        col("o_orderdate") >= lit("1990-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("2005-01-01").cast("timestamp_ntz")),
+      Validate.Rule("priority_format", col("o_orderpriority").rlike("^[1-5]-")),
+      Validate.Rule("status_domain", col("o_orderstatus").isin("O", "F", "P")),
+      Validate.Rule("totalprice_positive", col("o_totalprice") > 0.0)))
+
+  val eValidateSql: String =
+    """SELECT rule, n_violations, (SELECT COUNT(*) FROM orders) AS n_rows FROM (
+      |  SELECT 'custkey_nonnull' AS rule, COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n_violations FROM orders
+      |  UNION ALL SELECT 'date_range', COUNT(*) FILTER (WHERE NOT coalesce(o_orderdate >= TIMESTAMP '1990-01-01' AND o_orderdate < TIMESTAMP '2005-01-01', FALSE)) FROM orders
+      |  UNION ALL SELECT 'priority_format', COUNT(*) FILTER (WHERE NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)) FROM orders
+      |  UNION ALL SELECT 'status_domain', COUNT(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE)) FROM orders
+      |  UNION ALL SELECT 'totalprice_positive', COUNT(*) FILTER (WHERE NOT coalesce(o_totalprice > 0.0, FALSE)) FROM orders
+      |) ORDER BY rule""".stripMargin
+
+  /** e_check_unique: duplicated natural keys in lineitem. */
+  def eCheckUnique(s: SparkSession, dir: String): DataFrame =
+    Checks.duplicates(Tables.lineitem(s, dir), Seq("l_orderkey", "l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val eCheckUniqueSql: String =
+    """SELECT l_orderkey, l_linenumber, COUNT(*) AS n FROM lineitem
+      |GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** e_check_fk: lineitem parts missing from the "active" part subset. */
+  def eCheckFk(s: SparkSession, dir: String): DataFrame = {
+    val activeParts = Tables.part(s, dir).filter(col("p_retailprice") > 1200.0)
+    Checks.fkOrphans(Tables.lineitem(s, dir), activeParts, "l_partkey", "p_partkey")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_orphan_rows"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val eCheckFkSql: String =
+    """SELECT l_partkey, COUNT(*) AS n_orphan_rows FROM lineitem l
+      |WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_retailprice > 1200.0 AND p.p_partkey = l.l_partkey)
+      |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+
+  /** e_dim_normalize: extract the market-segment dimension from a
+    * denormalized orders⋈customer feed; facts compute their surrogate key
+    * locally (no join-back — it's a content hash). */
+  def eDimNormalize(s: SparkSession, dir: String): DataFrame = {
+    val denorm = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+    val (_, fact) = DimNormalize.split(denorm,
+      dimCols = Seq("c_mktsegment"), factCols = Seq("o_orderkey"), skCol = "seg_sk")
+    fact.orderBy(col("o_orderkey"))
+  }
+
+  val eDimNormalizeSql: String = {
+    val e = StableId.oracleExpr(Seq("c_mktsegment"))
+    s"""SELECT o_orderkey, $e AS seg_sk FROM orders JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
+  /** e_upsert_merge: deterministic staged batch against customer —
+    * custkey%10==0 re-segmented (update), 50 brand-new keys (insert),
+    * custkey%17==0 absent from batch (keep). */
+  def eUpsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val updates = cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_mktsegment", lit("PROMO"))
+    val inserts = cust.filter(col("c_custkey") < 50)
+      .select((col("c_custkey") + 1000000).as("c_custkey"),
+        concat(lit("new_"), col("c_custkey").cast("string")).as("c_name"),
+        lit("BUILDING").as("c_mktsegment"))
+    val source = cust.filter(col("c_custkey") % 10 =!= 0 && col("c_custkey") % 17 =!= 0)
+      .unionByName(updates, allowMissingColumns = false)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .unionByName(inserts)
+    UpsertMerge.merge(cust, source, Seq("c_custkey"), Seq("c_name", "c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val eUpsertMergeSql: String =
+    """WITH source AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE WHEN c_custkey % 10 = 0 THEN 'PROMO' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 17 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'new_' || CAST(c_custkey AS VARCHAR), 'BUILDING'
+      |  FROM customer WHERE c_custkey < 50
+      |)
+      |SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+      |  coalesce(s.c_name, t.c_name) AS c_name,
+      |  coalesce(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+      |  CASE WHEN t.c_custkey IS NULL THEN 'insert'
+      |       WHEN s.c_custkey IS NULL THEN 'keep'
+      |       WHEN t.c_name = s.c_name AND t.c_mktsegment = s.c_mktsegment THEN 'keep'
+      |       ELSE 'update' END AS action
+      |FROM customer t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** e_scd2: validity intervals from the purchase-event change stream. */
+  def eScd2(s: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("ts_us", expr("ts div 1000"))
+    Scd2.intervals(changes, "user_id", "ts_us", "event_id", Seq("value"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  val eScd2Sql: String =
+    """SELECT user_id, value, epoch_us(ts) AS valid_from,
+      |  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to,
+      |  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id, valid_from""".stripMargin
+
+  /** e_link_diff: membership reconciliation between two periods. */
+  def eLinkDiff(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val cutoff = lit("1998-01-01").cast("timestamp_ntz")
+    val current = ord.filter(col("o_orderdate") < cutoff)
+      .select(col("o_custkey"), col("o_orderpriority"))
+    val incoming = ord.filter(col("o_orderdate") >= cutoff)
+      .select(col("o_custkey"), col("o_orderpriority"))
+    LinkDiff.diff(current, incoming, Seq("o_custkey", "o_orderpriority"))
+      .orderBy(col("o_custkey"), col("o_orderpriority"))
+  }
+
+  val eLinkDiffSql: String =
+    """WITH cur AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+      |             WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+      |     inc AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+      |             WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+      |SELECT coalesce(cur.o_custkey, inc.o_custkey) AS o_custkey,
+      |  coalesce(cur.o_orderpriority, inc.o_orderpriority) AS o_orderpriority,
+      |  CASE WHEN cur.o_custkey IS NULL THEN 'added'
+      |       WHEN inc.o_custkey IS NULL THEN 'removed' ELSE 'kept' END AS action
+      |FROM cur FULL OUTER JOIN inc
+      |  ON cur.o_custkey = inc.o_custkey AND cur.o_orderpriority = inc.o_orderpriority
+      |ORDER BY o_custkey, o_orderpriority""".stripMargin
+
+  /** e_import_stamp: first/last-imported bookkeeping per entity. */
+  def eImportStamp(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts_us")).as("first_imported_us"),
+        max(col("ts_us")).as("last_imported_us"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val eImportStampSql: String =
+    """SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_imported_us,
+      |  MAX(epoch_us(ts)) AS last_imported_us, COUNT(*) AS n_rows
+      |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_stable_id"     -> eStableId _,
+    "e_validate"      -> eValidate _,
+    "e_check_unique"  -> eCheckUnique _,
+    "e_check_fk"      -> eCheckFk _,
+    "e_dim_normalize" -> eDimNormalize _,
+    "e_upsert_merge"  -> eUpsertMerge _,
+    "e_scd2"          -> eScd2 _,
+    "e_link_diff"     -> eLinkDiff _,
+    "e_import_stamp"  -> eImportStamp _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e_stable_id"     -> eStableIdSql,
+    "e_validate"      -> eValidateSql,
+    "e_check_unique"  -> eCheckUniqueSql,
+    "e_check_fk"      -> eCheckFkSql,
+    "e_dim_normalize" -> eDimNormalizeSql,
+    "e_upsert_merge"  -> eUpsertMergeSql,
+    "e_scd2"          -> eScd2Sql,
+    "e_link_diff"     -> eLinkDiffSql,
+    "e_import_stamp"  -> eImportStampSql,
+  )
+}
