@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+class EtlOperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("StableId is deterministic, order-sensitive, and null-safe") {
+    val df = Seq(("a", Some("b")), ("b", Some("a")), ("a", None), ("ab", Some(""))).toDF("x", "y")
+    val ids = StableId.withStableId(df, Seq("x", "y"), "sk").select("sk").as[String].collect()
+    assert(ids.distinct.length == 4, "all four keys must hash differently")
+    val again = StableId.withStableId(df, Seq("x", "y"), "sk").select("sk").as[String].collect()
+    assert(ids.sameElements(again))
+  }
+
+  test("Validate.report counts violations in one pass, nulls count as violations") {
+    val df = Seq(Some(5), Some(-1), None, Some(10)).toDF("v")
+    val rep = Validate.report(df, Seq(
+      Validate.Rule("positive", col("v") > 0),
+      Validate.Rule("nonnull", col("v").isNotNull)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap // rule -> n_violations
+    assert(rep == Map("positive" -> 2L, "nonnull" -> 1L))
+  }
+
+  test("Checks.duplicates finds multiplicities > 1 only") {
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), (2, "a")).toDF("k1", "k2")
+    val d = Checks.duplicates(df, Seq("k1", "k2")).collect()
+    assert(d.length == 1 && d(0).getInt(0) == 1 && d(0).getString(1) == "a" && d(0).getLong(2) == 2)
+  }
+
+  test("Checks.fkOrphans is an anti-join") {
+    val child = Seq((1, 10), (2, 20), (3, 30)).toDF("id", "fk")
+    val parent = Seq(10, 30).toDF("pk")
+    val orphans = Checks.fkOrphans(child, parent, "fk", "pk").select("id").as[Int].collect()
+    assert(orphans.toSet == Set(2))
+  }
+
+  test("UpsertMerge classifies insert/update/keep and merges attributes") {
+    val target = Seq((1, "x", "A"), (2, "y", "B"), (3, "z", "C")).toDF("k", "n", "seg")
+    val source = Seq((2, "y", "B2"), (4, "w", "D")).toDF("k", "n", "seg")
+    val out = UpsertMerge.merge(target, source, Seq("k"), Seq("n", "seg"))
+      .collect().map(r => r.getInt(0) -> (r.getString(2), r.getString(3))).toMap
+    assert(out(1) == ("A", "keep"))    // absent from batch -> kept
+    assert(out(2) == ("B2", "update")) // attr changed -> updated to source value
+    assert(out(3) == ("C", "keep"))
+    assert(out(4) == ("D", "insert"))
+  }
+
+  test("Scd2.intervals chains validity, exactly one current row per entity") {
+    val changes = Seq((1, 100L, 1L, "v1"), (1, 200L, 2L, "v2"), (2, 150L, 3L, "w1"))
+      .toDF("ent", "ts", "id", "v")
+    val out = Scd2.intervals(changes, "ent", "ts", "id", Seq("v"))
+    val cur = out.filter(col("is_current")).select("ent", "v").as[(Int, String)].collect().toSet
+    assert(cur == Set((1, "v2"), (2, "w1")))
+    val closed = out.filter(!col("is_current")).select("v", "valid_to").as[(String, Long)].collect()
+    assert(closed.toSeq == Seq(("v1", 200L)))
+  }
+
+  test("LinkDiff emits added/removed/kept") {
+    val cur = Seq((1, "a"), (2, "b")).toDF("k", "g")
+    val inc = Seq((2, "b"), (3, "c")).toDF("k", "g")
+    val out = LinkDiff.diff(cur, inc, Seq("k", "g"))
+      .collect().map(r => (r.getInt(0), r.getString(2))).toMap
+    assert(out == Map(1 -> "removed", 2 -> "kept", 3 -> "added"))
+  }
+
+  test("DimNormalize: fact surrogate keys match dim surrogate keys without a join") {
+    val denorm = Seq((1, "seg1"), (2, "seg1"), (3, "seg2")).toDF("fid", "seg")
+    val (dim, fact) = DimNormalize.split(denorm, Seq("seg"), Seq("fid"), "sk")
+    assert(dim.count() == 2)
+    val dimSk = dim.select("seg", "sk").as[(String, String)].collect().toMap
+    val factSk = fact.select("fid", "sk").as[(Int, String)].collect().toMap
+    assert(factSk(1) == dimSk("seg1") && factSk(3) == dimSk("seg2"))
+  }
+}
