@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions (SURVEY.md §2C) — all composed from
+  * codegen'd Spark SQL functions (no UDFs), with DuckDB-expressible
+  * semantics so every operator has an exact oracle.
+  *
+  * Conventions shared with the oracle SQL:
+  *  - tokens = lowercase, trim, split on \s+
+  *  - shingles are word 3-grams (partial shingle when the doc is shorter)
+  *  - hashes derive from md5 hex; numeric hashes take 15 hex chars (60
+  *    bits, sign-safe in a 64-bit long in both engines)
+  */
+object TextFunctions {
+
+  /** Large prime modulus for Carter–Wegman minhash permutations (< 2^31 so
+    * (h1 + i*h2) never overflows a 64-bit long). */
+  val P: Long = 2147483647L
+
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Word 3-gram shingles, distinct. 0-based `get` mirrors DuckDB's 1-based
+    * list indexing with null-skipping concat_ws on both sides. */
+  def shingles3(toks: Column): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+      i => concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))))
+
+  /** (h1, h2) base hashes of a shingle for Carter–Wegman permutations. */
+  def baseHashes(s: Column): Column = {
+    val m = md5(s)
+    struct(
+      (conv(substring(m, 1, 15), 16, 10).cast("long") % P).as("h1"),
+      (conv(substring(m, 16, 15), 16, 10).cast("long") % P).as("h2"))
+  }
+
+  /** i-th minhash over a pre-hashed shingle array (array of (h1,h2)). */
+  def minhash(hashed: Column, i: Int): Column =
+    array_min(transform(hashed, h => (h.getField("h1") + lit(i.toLong) * h.getField("h2")) % P))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation (non-word, non-space) characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9_\\s]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+  def stopwordRatio(toks: Column): Column =
+    size(filter(toks, t => t.isin(Stopwords.map(x => x: Any): _*))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]; fixed operation order so the double
+    * result is bitwise identical to the oracle's. */
+  def qualityScore(text: Column, toks: Column): Column =
+    lit(0.4) * least(lit(1.0), size(toks).cast("double") / 100.0) +
+      lit(0.4) * stopwordRatio(toks) +
+      lit(0.2) * (lit(1.0) - punctRatio(text))
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "los", "las", "y", "que", "por", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我"))
+
+  def langHits(toks: Column, profile: Seq[String]): Column =
+    size(filter(toks, t => t.isin(profile.map(x => x: Any): _*)))
+
+  /** Deterministic argmax over profiles: first language (in LangProfiles
+    * order) whose hit count equals the maximum. Mirrors the oracle's CASE
+    * chain exactly, including ties. */
+  def langId(toks: Column): Column = {
+    val hits = LangProfiles.map { case (l, p) => l -> langHits(toks, p) }
+    val maxHits = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("und")) { case ((l, h), acc) => when(h === maxHits && maxHits > 0, lit(l)).otherwise(acc) }
+  }
+
+  /** Document fingerprint: minimum md5 over 8-char shingles (winnowing-style
+    * content signature, stable under doc reordering of equal content). */
+  def charFingerprint(text: Column, k: Int = 8): Column =
+    array_min(transform(
+      sequence(lit(0), greatest(length(text) - k, lit(0))),
+      i => md5(substring(text, i + 1, lit(k)))))
+
+  /** Word bigrams (non-distinct — frequency-carrying). */
+  def bigrams(toks: Column): Column =
+    transform(sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ", get(toks, i), get(toks, i + 1)))
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries (SURVEY.md §2C) over the documents table. Oracle
+  * SQL strings are generated from the same constants as the Spark side so
+  * stopword lists / profiles cannot drift. */
+object Text {
+
+  /** DuckDB token expression — must mirror TextFunctions.tokens. */
+  private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  /** t_tokens: whitespace + BPE-ish token counting. */
+  def tTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tTokensSql: String =
+    s"""SELECT doc_id, len($toksSql) AS n_ws_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t_quality: length/punct/stopword quality scoring. */
+  def tQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
+    d.select(col("doc_id"),
+      size(col("toks")).as("n_tokens"),
+      punctRatio(col("text")).as("punct_ratio"),
+      stopwordRatio(col("toks")).as("stopword_ratio"),
+      qualityScore(col("text"), col("toks")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tQualitySql: String = {
+    val punct = """CAST(length(regexp_replace(text, '[a-zA-Z0-9_\s]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"""
+    val stop = s"CAST(len(list_filter(toks, t -> t IN (${inList(Stopwords)}))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)"
+    s"""SELECT doc_id, len(toks) AS n_tokens, $punct AS punct_ratio, $stop AS stopword_ratio,
+       |  0.4::DOUBLE * least(1.0::DOUBLE, CAST(len(toks) AS DOUBLE) / 100.0::DOUBLE)
+       |    + 0.4::DOUBLE * ($stop)
+       |    + 0.2::DOUBLE * (1.0::DOUBLE - ($punct)) AS quality
+       |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) ORDER BY doc_id""".stripMargin
+  }
+
+  /** t_langid: stopword-profile language identification. */
+  def tLangid(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
+    d.select(col("doc_id"), langId(col("toks")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tLangidSql: String = {
+    val hits = LangProfiles.map { case (l, p) =>
+      l -> s"len(list_filter(toks, t -> t IN (${inList(p)})))" }
+    val mx = s"greatest(${hits.map(_._2).mkString(", ")})"
+    val cases = hits.map { case (l, h) => s"WHEN $h = __mx AND __mx > 0 THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, toks, $mx AS __mx
+       |      FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** t_fingerprint: winnowing-style min-hash char-shingle fingerprint. */
+  def tFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), charFingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val tFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_min([md5(substring(text, i + 1, 8)) for i in range(0, greatest(length(text) - 8 + 1, 1))]) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t_ngrams: global top-20 bigrams (explode → count → top-k). */
+  def tNgrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(bigrams(tokens(col("text")))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  val tNgramsSql: String =
+    s"""SELECT bigram, COUNT(*) AS n FROM (
+       |  SELECT unnest([concat_ws(' ', toks[i+1], toks[i+2]) for i in range(0, greatest(len(toks)-1, 1))]) AS bigram
+       |  FROM (SELECT $toksSql AS toks FROM documents))
+       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_tokens"      -> tTokens _,
+    "t_quality"     -> tQuality _,
+    "t_langid"      -> tLangid _,
+    "t_fingerprint" -> tFingerprint _,
+    "t_ngrams"      -> tNgrams _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t_tokens"      -> tTokensSql,
+    "t_quality"     -> tQualitySql,
+    "t_langid"      -> tLangidSql,
+    "t_fingerprint" -> tFingerprintSql,
+    "t_ngrams"      -> tNgramsSql,
+  )
+}
