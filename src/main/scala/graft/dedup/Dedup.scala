@@ -1,0 +1,35 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Exact + verified fuzzy dedup operators (SURVEY.md §2D). */
+object Dedup {
+
+  /** Exact dedup by normalized-content hash: one groupBy on the hash.
+    * Output: one row per content group with multiplicity and canonical id
+    * (min id — deterministic survivor pick). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn("content_hash",
+      md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+
+  /** Exact word-3-gram-shingle Jaccard for a set of candidate pairs.
+    * Only ever run on LSH candidates — the cross product never materializes.
+    * Works on pre-tokenized distinct shingle arrays; intersection via
+    * array_intersect (set semantics on distinct inputs, same as DuckDB's
+    * list_intersect), union by inclusion–exclusion so no concat allocs. */
+  def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = docs.select(col(idCol), shingles3(tokens(col(textCol))).as("sh"))
+    val aSh = sh.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
+    val bSh = sh.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
+    pairs.join(aSh, "a_id").join(bSh, "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("a_sh")) + size(col("b_sh")) - col("inter")).cast("double"))
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** SimHash near-duplicate detection (SURVEY.md §2D).
+  *
+  * Each document folds its token hashes into one 64-bit signature (native
+  * codegen'd SimHash64 expression — single pass, no shuffle). Candidate
+  * retrieval uses the pigeonhole banding trick: split the signature into 4
+  * 16-bit chunks; any pair within Hamming distance ≤ 3 must agree on at
+  * least one chunk, so an equality self-join on (chunk_idx, chunk_value)
+  * finds all of them without an O(n²) comparison. The final Hamming check
+  * is a codegen'd bit_count(xor).
+  */
+object SimHashDedup {
+  val Chunks = 4
+  val MaxHamming = 3
+
+  def signatures(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    VectorExpressions.register(spark)
+    docs.select(col(idCol),
+      expr(s"simhash64(transform(split(lower(trim($textCol)), '\\\\s+'), t -> xxhash64(t)))").as("simhash"))
+  }
+
+  def pairs(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sigs = signatures(spark, docs, idCol, textCol)
+    val chunked = sigs.select(col(idCol), col("simhash"),
+      explode(array((0 until Chunks).map(j =>
+        struct(lit(j).as("ci"), shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("ch"))
+    val a = chunked.select(col(idCol).as("a_id"), col("simhash").as("a_sh"), col("ch"))
+    val b = chunked.select(col(idCol).as("b_id"), col("simhash").as("b_sh"), col("ch"))
+    a.join(b, "ch").filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+      .filter(col("hamming") <= MaxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming")).distinct()
+  }
+}

@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector / hashing hot paths
+  * (SURVEY.md §2E). Higher-order functions (zip_with + aggregate) would
+  * evaluate their lambdas interpreted per element — at 100 TB that is the
+  * difference between a codegen'd tight loop over primitive arrays and a
+  * per-element virtual call. These expressions generate straight-line Java
+  * inside whole-stage codegen.
+  *
+  * Summation order is a deterministic left fold per accumulator, matching
+  * the oracle's list_reduce, so doubles stay bitwise-comparable.
+  */
+object VectorExpressions {
+
+  private def elemGetter(et: DataType): String = et match {
+    case FloatType => "getFloat"
+    case DoubleType => "getDouble"
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+
+  /** Cosine similarity between two float/double arrays; one pass, three
+    * accumulators (dot, |a|², |b|²). */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with Serializable {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private def elemType(e: Expression): DataType =
+      e.dataType.asInstanceOf[ArrayType].elementType
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val n = math.min(x.numElements(), y.numElements())
+      val (lt, rt) = (elemType(left), elemType(right))
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val (lg, rg) = (elemGetter(elemType(left)), elemGetter(elemType(right)))
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val den = ctx.freshName("den")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double xv = (double) $a.$lg($i);
+           |  double yv = (double) $b.$rg($i);
+           |  $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+           |}
+           |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |if ($den == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $den; }
+           |""".stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Dot product (same conventions as CosineSim). */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with Serializable {
+    override def dataType: DataType = DoubleType
+    private def elemType(e: Expression): DataType =
+      e.dataType.asInstanceOf[ArrayType].elementType
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val n = math.min(x.numElements(), y.numElements())
+      val (lt, rt) = (elemType(left), elemType(right))
+      var dot = 0.0; var i = 0
+      while (i < n) {
+        val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+        dot += xv * yv; i += 1
+      }
+      java.lang.Double.valueOf(dot)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val (lg, rg) = (elemGetter(elemType(left)), elemGetter(elemType(right)))
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += ((double) $a.$lg($i)) * ((double) $b.$rg($i));
+           |}
+           |${ev.value} = $dot;
+           |""".stripMargin
+      })
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** 64-bit SimHash over an array of 64-bit token hashes: bit b of the
+    * result is set when at least half the tokens have bit b set. */
+  case class SimHash64(child: Expression) extends UnaryExpression with Serializable {
+    override def dataType: DataType = LongType
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new Array[Int](64)
+      var i = 0
+      var m = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = arr.getLong(i); m += 1
+          var b = 0
+          while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+        }
+        i += 1
+      }
+      var r = 0L; var b = 0
+      while (b < 64) { if (counts(b) * 2 >= m) r |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(r)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      nullSafeCodeGen(ctx, ev, c => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val b = ctx.freshName("b")
+        val counts = ctx.freshName("counts"); val m = ctx.freshName("m")
+        val h = ctx.freshName("h"); val r = ctx.freshName("r")
+        s"""
+           |int $n = $c.numElements();
+           |int[] $counts = new int[64];
+           |int $m = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$c.isNullAt($i)) {
+           |    long $h = $c.getLong($i); $m++;
+           |    for (int $b = 0; $b < 64; $b++) { $counts[$b] += (int) (($h >>> $b) & 1L); }
+           |  }
+           |}
+           |long $r = 0L;
+           |for (int $b = 0; $b < 64; $b++) { if ($counts[$b] * 2 >= $m) $r |= (1L << $b); }
+           |${ev.value} = $r;
+           |""".stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Register the expressions as SQL functions on a session, then use them
+    * via `expr("cosine_sim(a, b)")` — keeps call sites independent of the
+    * Column constructor's visibility. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+  }
+
+  def cosineSim(a: String, b: String): Column = expr(s"cosine_sim($a, $b)")
+  def dotProduct(a: String, b: String): Column = expr(s"dot_product($a, $b)")
+  def simhash64(c: String): Column = expr(s"simhash64($c)")
+}

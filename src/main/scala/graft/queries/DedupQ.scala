@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.{Dedup, MinHashLsh, SimHashDedup}
+import graft.functions.TextFunctions.P
+
+/** Deduplication queries (SURVEY.md §2D). The MinHash oracle SQL is
+  * *generated* from the same band/row/prime constants as the Spark
+  * implementation — both engines compute the identical signature, so the
+  * candidate pair set matches exactly (determinism, not luck). */
+object DedupQ {
+
+  /** Shared oracle CTEs: tokenized shingles and Carter–Wegman base hashes. */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, list_distinct([concat_ws(' ', l[i+1], l[i+2], l[i+3])
+      |    for i in range(0, greatest(len(l)-2, 1))]) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l FROM documents))""".stripMargin
+
+  private val hpCte =
+    s"""hp AS (
+       |  SELECT doc_id, [{'h1': ('0x' || substr(md5(s), 1, 15))::BIGINT % $P,
+       |                   'h2': ('0x' || substr(md5(s), 16, 15))::BIGINT % $P} for s in sh] AS hp
+       |  FROM sh)""".stripMargin
+
+  private val sigsCte = {
+    val sigs = (0 until MinHashLsh.NumHashes)
+      .map(i => s"list_min([(x.h1 + $i * x.h2) % $P for x in hp]) AS sig_$i").mkString(",\n    ")
+    s"sigs AS (\n  SELECT doc_id, $sigs\n  FROM hp)"
+  }
+
+  private val bandsCte = {
+    val keys = (0 until MinHashLsh.Bands).map { j =>
+      val cols = (j * MinHashLsh.Rows until (j + 1) * MinHashLsh.Rows).map(i => s"sig_$i")
+      s"concat_ws(',', '$j', ${cols.mkString(", ")})"
+    }.mkString(", ")
+    s"bands AS (\n  SELECT doc_id, unnest([$keys]) AS bk FROM sigs)"
+  }
+
+  private val candSelect =
+    """SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
+
+  /** d_exact: exact dedup groups by normalized content hash. */
+  def dExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("content_hash"))
+
+  val dExactSql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  /** d_minhash_pairs: LSH banding candidate pairs. */
+  def dMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    MinHashLsh.candidatePairs(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("a_id"), col("b_id"))
+
+  val dMinhashPairsSql: String =
+    s"WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte\n$candSelect\nORDER BY a_id, b_id"
+
+  /** d_jaccard: exact shingle Jaccard, verified on the LSH candidates only. */
+  def dJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text")
+    Dedup.jaccardOnPairs(cands, docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val dJaccardSql: String =
+    s"""WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte,
+       |cand AS ($candSelect)
+       |SELECT * FROM (
+       |  SELECT a_id, b_id,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |    CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+       |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
+
+  /** d_simhash: 64-bit SimHash pairs within Hamming ≤ 3 (rows-only oracle —
+    * xxhash64 has no DuckDB counterpart; the SimHashSpec pins semantics). */
+  def dSimhash(s: SparkSession, dir: String): DataFrame =
+    SimHashDedup.pairs(s, Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** d_embed_neardup: embedding near-dups — sign-bucket blocking (first 8
+    * dims), exact cosine inside buckets only. */
+  def dEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val bucket = (0 until 8).map(i =>
+      when(get(col("embedding"), lit(i)) > lit(0f), lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_e"), col("bucket"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_e"), col("bucket"))
+    a.join(b, "bucket").filter(col("a_id") < col("b_id"))
+      .withColumn("cos", expr("cosine_sim(a_e, b_e)"))
+      .filter(col("cos") >= 0.3)
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** DuckDB cosine with the same left-fold summation order as CosineSim. */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce([CAST($x[i+1] AS DOUBLE) * CAST($y[i+1] AS DOUBLE) for i in range(0, len($x))], (p, q) -> p + q)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  val dEmbedNeardupSql: String = {
+    val bucket = (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+       |SELECT a_id, b_id FROM (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${cosSql("a.embedding", "b.embedding")} AS cos
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |WHERE cos >= 0.3 ORDER BY a_id, b_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact"         -> dExact _,
+    "d_minhash_pairs" -> dMinhashPairs _,
+    "d_jaccard"       -> dJaccard _,
+    "d_simhash"       -> dSimhash _,
+    "d_embed_neardup" -> dEmbedNeardup _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d_exact"         -> dExactSql,
+    "d_minhash_pairs" -> dMinhashPairsSql,
+    "d_jaccard"       -> dJaccardSql,
+    "d_embed_neardup" -> dEmbedNeardupSql,
+  )
+}

@@ -1,0 +1,57 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.similarity.Knn
+
+/** Similarity-search queries (SURVEY.md §2E). Output is (q_id, n_id, rank)
+  * — ids only, because ranks are stable across engines (cosine is computed
+  * with the identical fold order on both sides, and ties break on n_id)
+  * while raw floats in output would be fragile for no benefit. */
+object Similarity {
+
+  private def queriesSubset(e: DataFrame): DataFrame = e.filter(col("vec_id") % 50 === 0)
+
+  /** s_knn_brute: exact top-5 cosine neighbors per query vector. */
+  def sKnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Knn.bruteForce(s, e, queriesSubset(e), "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def dotSql(x: String, y: String) =
+    s"list_reduce([CAST($x[i+1] AS DOUBLE) * CAST($y[i+1] AS DOUBLE) for i in range(0, len($x))], (p, q) -> p + q)"
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  val sKnnBruteSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q_id, e.vec_id AS n_id, ${cosSql("qe", "e.embedding")} AS cos
+       |  FROM q, embeddings e WHERE e.vec_id <> q_id)
+       |SELECT q_id, n_id, rnk FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** s_knn_ivf: IVF-bucketed ANN — centroid seeds are every 97th vector,
+    * nprobe=2. Approximate by construction → rows-only oracle; IvfSpec
+    * checks recall against brute force. */
+  def sKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val centroids = e.filter(col("vec_id") % 97 === 0)
+    Knn.ivf(s, e, queriesSubset(e), centroids, "vec_id", "embedding", k = 5, nprobe = 2)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_knn_brute" -> sKnnBrute _,
+    "s_knn_ivf"   -> sKnnIvf _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s_knn_brute" -> sKnnBruteSql,
+  )
+}
