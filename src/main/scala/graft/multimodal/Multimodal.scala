@@ -1,0 +1,60 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2F).
+  *
+  * Media payloads ride as opaque `binary` columns next to typed metadata —
+  * the schema pattern that scales: parquet stores blobs page-compressed,
+  * predicates prune on the metadata columns, and only matching rows'
+  * blobs are ever decoded.
+  *
+  * Decode is per-partition batched (`mapPartitions` over a typed Dataset —
+  * the Scala analogue of mapInPandas): the expensive decoder/codec init
+  * happens once per partition, then streams through the iterator without
+  * materializing the partition in memory.
+  *
+  * The actual media decode is STUBBED (container has no image/audio libs)
+  * with a deterministic frame-splitter + md5 "feature extractor"; the Spark
+  * plumbing — schema, batching, partitioning — is real and tested.
+  */
+object Multimodal {
+
+  final case class Blob(doc_id: Long, media_type: String, n_bytes: Long, payload: Array[Byte])
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_md5: String)
+
+  /** Wrap documents as (metadata, binary payload) rows — the ingest shape. */
+  def asBlobs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("text/plain;fake-video").as("media_type"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decoder: split a payload into fixed-size "frames", keep every
+    * `stride`-th frame, emit per-frame features. Deterministic stand-in for
+    * an image/video decode — replace the body, keep the signature. */
+  def sampleFrames(blobs: Dataset[Blob], frameSize: Int = 64, stride: Int = 4): Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition init (a real decoder would load its codec here, once)
+      val digest = MessageDigest.getInstance("MD5")
+      it.flatMap { b =>
+        val n = b.payload.length
+        (0 until (n + frameSize - 1) / frameSize).iterator
+          .filter(_ % stride == 0)
+          .map { fi =>
+            val from = fi * frameSize
+            val until = math.min(from + frameSize, n)
+            digest.reset()
+            val hex = digest.digest(java.util.Arrays.copyOfRange(b.payload, from, until))
+              .map("%02x".format(_)).mkString
+            Frame(b.doc_id, fi, until - from, hex)
+          }
+      }
+    }
+  }
+}

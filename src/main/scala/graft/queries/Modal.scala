@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.streaming.Streaming
+
+/** Multimodal + streaming query bindings (SURVEY.md §2F/§2G). */
+object Modal {
+
+  /** m_blob_stats: binary payloads + typed metadata, grouped stats. */
+  def mBlobStats(s: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.asBlobs(Tables.documents(s, dir))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+    blobs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        countDistinct(md5(col("payload"))).as("n_distinct_payloads"))
+      .orderBy(col("source"))
+  }
+
+  val mBlobStatsSql: String =
+    """SELECT source, COUNT(*) AS n_blobs, SUM(octet_length(text::BLOB)) AS total_bytes,
+      |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** m_frame_sample: per-partition batched frame decode (stubbed). The
+    * oracle reproduces the frame math on the text (payloads are pure-ASCII
+    * UTF-8, so byte offsets == char offsets — asserted in MultimodalSpec). */
+  def mFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Multimodal.asBlobs(Tables.documents(s, dir)).as[Multimodal.Blob]
+    Multimodal.sampleFrames(blobs).toDF()
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_bytes").cast("long").as("frame_bytes"), col("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val mFrameSampleSql: String =
+    """SELECT doc_id, fi AS frame_idx,
+      |  least(64, length(text) - fi*64) AS frame_bytes,
+      |  md5(substring(text, fi*64 + 1, least(64, length(text) - fi*64))) AS frame_md5
+      |FROM (SELECT doc_id, text,
+      |        unnest([i for i in range(0, (length(text)+63)//64) if i % 4 = 0]) AS fi
+      |      FROM documents)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** st_hourly: the streaming windowed aggregation, batch-applied (the same
+    * transformation runs under a watermark in StreamingSpec). */
+  def stHourly(s: SparkSession, dir: String): DataFrame =
+    Streaming.hourlyAgg(Tables.events(s, dir), withWatermark = false)
+      .orderBy(col("hour_start_us"), col("event_type"))
+
+  val stHourlySql: String =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us, event_type,
+      |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start_us, event_type""".stripMargin
+
+  /** st_stateful: typed sessionization (same per-group logic as the
+    * flatMapGroupsWithState streaming path) — oracled by the window-based
+    * SQL formulation, proving the two formulations agree. */
+  def stStateful(s: SparkSession, dir: String): DataFrame =
+    Streaming.sessionizeBatch(s, Tables.events(s, dir)).toDF()
+      .orderBy(col("user_id"), col("session_idx"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_blob_stats"   -> mBlobStats _,
+    "m_frame_sample" -> mFrameSample _,
+    "st_hourly"      -> stHourly _,
+    "st_stateful"    -> stStateful _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m_blob_stats"   -> mBlobStatsSql,
+    "m_frame_sample" -> mFrameSampleSql,
+    "st_hourly"      -> stHourlySql,
+    "st_stateful"    -> Events.qSessionizeSql,
+  )
+}

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.math.{BigDecimal => JBigDecimal}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2G).
+  *
+  * Both operators are written as transformations applicable to a batch OR
+  * streaming DataFrame — the Structured Streaming contract — so the driver's
+  * batch oracle validates the same code the streaming specs run with
+  * watermarks + memory sinks.
+  */
+object Streaming {
+
+  /** Watermarked hourly windowed aggregation. `ts` arrives as nanosecond
+    * longs; event time is derived micros-exact. Works unchanged on a
+    * readStream source (append mode after watermark). */
+  def hourlyAgg(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val withTs = events
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val wm = if (withWatermark) withTs.withWatermark("event_time", "2 hours") else withTs
+    wm.groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_start_us"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  final case class Ev(user_id: Long, ts_us: Long, value: Double,
+      event_time: java.sql.Timestamp = null)
+  final case class St(idx: Long, buffer: List[Ev])
+  final case class Session(user_id: Long, session_idx: Long, n_events: Long,
+      start_us: Long, end_us: Long, sum_value: Double)
+
+  val GapUs: Long = 30L * 60 * 1000000
+
+  /** Session accumulator shared by the batch and streaming paths. Sums run
+    * in DECIMAL(18,6) (BigDecimal) in event order, matching the engine-wide
+    * decimal summation convention bit-for-bit. */
+  private def sessionsOf(events: Iterator[Ev], firstIdx: Long): Iterator[Session] = {
+    val sorted = events.toSeq.sortBy(e => (e.ts_us, e.user_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = Seq.newBuilder[Session]
+      var idx = firstIdx; var start = sorted.head.ts_us; var last = start
+      var n = 0L; var sum = JBigDecimal.ZERO
+      def emit(uid: Long): Unit =
+        out += Session(uid, idx, n, start, last, sum.doubleValue())
+      for (e <- sorted) {
+        if (n > 0 && e.ts_us - last > GapUs) {
+          emit(e.user_id); idx += 1
+          start = e.ts_us; n = 0; sum = JBigDecimal.ZERO
+        }
+        n += 1; last = e.ts_us
+        sum = sum.add(new JBigDecimal(e.value).setScale(6, java.math.RoundingMode.HALF_UP))
+      }
+      emit(sorted.head.user_id)
+      out.result().iterator
+    }
+  }
+
+  /** Batch path: gap-based sessionization via typed groups. One shuffle on
+    * user_id; per-group logic identical to the stateful streaming path. */
+  def sessionizeBatch(spark: SparkSession, events: DataFrame): Dataset[Session] = {
+    import spark.implicits._
+    events.withColumn("ts_us", expr("ts div 1000"))
+      .select(col("user_id"), col("ts_us"), col("value"),
+        lit(null).cast("timestamp").as("event_time")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroups((_: Long, it: Iterator[Ev]) => sessionsOf(it, firstIdx = 1L))
+  }
+
+  /** Streaming path: flatMapGroupsWithState with EVENT-time timeout.
+    * Gap-closed sessions flush as soon as the closing event arrives; the
+    * trailing open session stays in state until the watermark passes its
+    * (end + gap) deadline, then flushes via timeout — the textbook
+    * watermark-driven sessionization, deterministic and replay-safe. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame): Dataset[Session] = {
+    import spark.implicits._
+    events.withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "30 minutes")
+      .select(col("user_id"), col("ts_us"), col("value"), col("event_time")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[St, Session](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[St]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's deadline: it is final
+            val st = state.get
+            state.remove()
+            sessionsOf(st.buffer.iterator, st.idx)
+          } else {
+            val st = state.getOption.getOrElse(St(1L, Nil))
+            val sorted = (st.buffer ++ it.toList).sortBy(_.ts_us)
+            val closedAt = sorted.zip(sorted.drop(1))
+              .lastIndexWhere { case (a, b) => b.ts_us - a.ts_us > GapUs }
+            val (emitted, open) =
+              if (closedAt < 0) (Nil, sorted)
+              else {
+                val (c, o) = sorted.splitAt(closedAt + 1)
+                (sessionsOf(c.iterator, st.idx).toList, o)
+              }
+            state.update(St(st.idx + emitted.size, open))
+            state.setTimeoutTimestamp(open.last.ts_us / 1000 + GapUs / 1000 + 1)
+            emitted.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("payloads are pure ASCII (byte offsets == char offsets, oracle precondition)") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+    val nonAscii = d.filter(length(col("text")) =!= length(encode(col("text"), "UTF-8"))).count()
+    assert(nonAscii == 0)
+  }
+
+  test("sampleFrames: frame math, determinism, partition independence") {
+    val blobs = Seq(
+      Multimodal.Blob(1L, "t", 200L, Array.tabulate(200)(_.toByte)),
+      Multimodal.Blob(2L, "t", 10L, Array.tabulate(10)(_.toByte))).toDS()
+    val frames = Multimodal.sampleFrames(blobs, frameSize = 64, stride = 4).collect()
+    // doc 1: 200 bytes -> frames 0..3, stride 4 keeps frame 0 (64B)
+    // doc 2: 10 bytes -> frame 0 only (10B)
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc(1L).map(f => (f.frame_idx, f.frame_bytes)).toSet == Set((0, 64)))
+    assert(byDoc(2L).map(f => (f.frame_idx, f.frame_bytes)).toSet == Set((0, 10)))
+    val repart = Multimodal.sampleFrames(blobs.repartition(7), 64, 4).collect()
+    assert(frames.map(f => (f.doc_id, f.frame_idx, f.frame_md5)).toSet ==
+      repart.map(f => (f.doc_id, f.frame_idx, f.frame_md5)).toSet)
+  }
+
+  test("sampleFrames stride keeps every 4th frame on long payloads") {
+    val blobs = Seq(Multimodal.Blob(1L, "t", 1000L, Array.tabulate(1000)(_.toByte))).toDS()
+    val idx = Multimodal.sampleFrames(blobs, 64, 4).collect().map(_.frame_idx).sorted
+    // 1000 bytes -> 16 frames (0..15), stride 4 -> 0, 4, 8, 12
+    assert(idx.toSeq == Seq(0, 4, 8, 12))
+  }
+}

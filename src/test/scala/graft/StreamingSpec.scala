@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming
+
+/** Runs the §2G operators as REAL streaming queries (file source → memory
+  * sink) and checks them against their batch formulations. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  /** File streaming sources need a directory; stage the single events file. */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  test("watermarked hourly window agg: streaming result == batch result") {
+    val stream = spark.readStream.schema(eventsSchema).parquet(streamDir)
+    val q = Streaming.hourlyAgg(stream, withWatermark = true)
+      .writeStream.outputMode("append").format("memory").queryName("hourly_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    // append mode only emits windows the watermark has passed; with one
+    // micro-batch that is every window except those within the 2h watermark
+    // of max event time — compare on the emitted subset
+    val streamed = spark.table("hourly_out")
+      .select("hour_start_us", "event_type", "n", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = Streaming.hourlyAgg(Tables.events(spark, dir), withWatermark = false)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty, "watermark must have closed some windows")
+    assert(streamed.subsetOf(batch), "every emitted window must match the batch result")
+  }
+
+  test("flatMapGroupsWithState sessionization: closed sessions match batch") {
+    val stream = spark.readStream.schema(eventsSchema).parquet(streamDir)
+    val q = Streaming.sessionizeStream(spark, stream)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("sess_out")
+      .as[Streaming.Session].collect().map(s => (s.user_id, s.session_idx) -> s).toMap
+    val batch = Streaming.sessionizeBatch(spark, Tables.events(spark, dir))
+      .collect().map(s => (s.user_id, s.session_idx) -> s).toMap
+    // gap-closed sessions emit on data; trailing open sessions emit when the
+    // watermark (max event_time - 30min) passes their end+gap deadline
+    val wmUs = Tables.events(spark, dir).agg(max(expr("ts div 1000"))).head().getLong(0) -
+      Streaming.GapUs
+    val lastIdx = batch.keys.groupBy(_._1).map { case (u, ks) => u -> ks.map(_._2).max }
+    val expected = batch.filter { case ((u, i), s) =>
+      i < lastIdx(u) || (s.end_us + Streaming.GapUs) / 1000 + 1 <= wmUs / 1000 }
+    assert(streamed == expected, s"streamed=${streamed.size} expected=${expected.size}")
+    assert(streamed.nonEmpty)
+  }
+}
