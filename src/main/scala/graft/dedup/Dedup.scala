@@ -12,7 +12,8 @@ object Dedup {
     * Output: one row per content group with multiplicity and canonical id
     * (min id — deterministic survivor pick). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.withColumn("content_hash",
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .withColumn("content_hash",
       md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
@@ -23,7 +24,14 @@ object Dedup {
     * array_intersect (set semantics on distinct inputs, same as DuckDB's
     * list_intersect), union by inclusion–exclusion so no concat allocs. */
   def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = docs.select(col(idCol), shingles3(tokens(col(textCol))).as("sh"))
+    // shingle only the docs that appear in a candidate pair (semi-join
+    // pushdown): at scale the candidate set is a sliver of the corpus and
+    // feature extraction is the expensive part
+    val ids = pairs.select(col("a_id").as(idCol))
+      .union(pairs.select(col("b_id").as(idCol))).distinct()
+    val sh = docs.join(ids, Seq(idCol), "left_semi")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), shingles3(tokens(col(textCol))).as("sh"))
     val aSh = sh.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
     val bSh = sh.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
     pairs.join(aSh, "a_id").join(bSh, "b_id")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
+import graft.functions.VectorExpressions
 
 /** MinHash + LSH banding near-duplicate detection (SURVEY.md §2D).
   *
@@ -22,11 +23,18 @@ object MinHashLsh {
   val Rows = 6
   val NumHashes: Int = Bands * Rows
 
-  /** doc_id + sig_0..sig_{n-1} minhash signature columns. */
+  /** doc_id + sig_0..sig_{n-1} minhash signature columns. All signatures
+    * come from ONE codegen'd pass (MinHashSigs) over the hashed shingles. */
   def signatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // CPU-bound narrow map: spread across all cores even when the input is
+    // one small parquet split (the tiny row shuffle is free by comparison)
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
     val hashed = transform(shingles3(tokens(col(textCol))), s => baseHashes(s))
-    val sigCols = (0 until NumHashes).map(i => minhash(col("__hp"), i).as(s"sig_$i"))
-    docs.withColumn("__hp", hashed)
+    val sigCols = (0 until NumHashes).map(i => get(col("__sigs"), lit(i)).as(s"sig_$i"))
+    spread.withColumn("__sigs",
+      org.apache.spark.sql.graftshim.ColumnBridge.column(VectorExpressions.MinHashSigs(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(hashed), NumHashes, P)))
       .select(col(idCol) +: sigCols: _*)
   }
 

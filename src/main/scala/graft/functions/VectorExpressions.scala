@@ -157,6 +157,64 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** All `numHashes` Carter–Wegman minhashes in ONE pass over the hashed
+    * shingle array (input: array<struct<h1:long, h2:long>>). The naive
+    * formulation — numHashes separate array_min(transform(...)) — walks the
+    * array through interpreted lambdas n times; this is the single biggest
+    * cost in the LSH pipeline at scale, and here it collapses into one
+    * codegen'd nested loop. Same algorithm bit-for-bit, so the DuckDB
+    * oracle is unchanged. */
+  case class MinHashSigs(child: Expression, numHashes: Int, p: Long)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sigs = Array.fill[Long](numHashes)(p)
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val row = arr.getStruct(j, 2)
+          val h1 = row.getLong(0); val h2 = row.getLong(1)
+          var i = 0
+          while (i < numHashes) {
+            val v = (h1 + i * h2) % p
+            if (v < sigs(i)) sigs(i) = v
+            i += 1
+          }
+        }
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(sigs)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      nullSafeCodeGen(ctx, ev, c => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val sigs = ctx.freshName("sigs"); val row = ctx.freshName("row")
+        val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2"); val v = ctx.freshName("v")
+        s"""
+           |int $n = $c.numElements();
+           |long[] $sigs = new long[$numHashes];
+           |java.util.Arrays.fill($sigs, ${p}L);
+           |for (int $j = 0; $j < $n; $j++) {
+           |  if (!$c.isNullAt($j)) {
+           |    org.apache.spark.sql.catalyst.InternalRow $row = $c.getStruct($j, 2);
+           |    long $h1 = $row.getLong(0); long $h2 = $row.getLong(1);
+           |    for (int $i = 0; $i < $numHashes; $i++) {
+           |      long $v = ($h1 + $i * $h2) % ${p}L;
+           |      if ($v < $sigs[$i]) $sigs[$i] = $v;
+           |    }
+           |  }
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($sigs);
+           |""".stripMargin
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Register the expressions as SQL functions on a session, then use them
     * via `expr("cosine_sim(a, b)")` — keeps call sites independent of the
     * Column constructor's visibility. */

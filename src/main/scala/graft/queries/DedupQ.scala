@@ -65,7 +65,9 @@ object DedupQ {
   /** d_jaccard: exact shingle Jaccard, verified on the LSH candidates only. */
   def dJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text")
+    // candidates feed three consumers (a-ids, b-ids, the pair join):
+    // persist the tiny pair set instead of recomputing the LSH subtree
+    val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text").persist()
     Dedup.jaccardOnPairs(cands, docs, "doc_id", "text")
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("a_id"), col("b_id"))

@@ -68,9 +68,12 @@ object Text {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** t_fingerprint: winnowing-style min-hash char-shingle fingerprint. */
+  /** t_fingerprint: winnowing-style min-hash char-shingle fingerprint.
+    * Repartitioned first: ~n_chars md5 calls per doc are CPU-bound and the
+    * input is a single parquet split. */
   def tFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), charFingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
@@ -82,6 +85,7 @@ object Text {
   /** t_ngrams: global top-20 bigrams (explode → count → top-k). */
   def tNgrams(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(explode(bigrams(tokens(col("text")))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
