@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries._
+
+/** Guards the physical-plan properties the engine's 100 TB story depends
+  * on: predicate pushdown into the parquet scan, column pruning, broadcast
+  * joins for dimensions, and whole-stage codegen coverage. A regression
+  * here is a scale bug even when results stay correct. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.execution.debug._
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q6: all three predicates push into the parquet scan; schema pruned to 4 columns") {
+    val f = formatted(Relational.q6(spark, dir))
+    assert(f.contains("PushedFilters:") && f.contains("l_shipdate"), f)
+    assert(f.contains("l_discount") && f.contains("l_quantity"))
+    // projection pruning: the scan must NOT read unused wide columns
+    assert(!f.split("ReadSchema")(1).split("\n")(0).contains("l_returnflag"))
+  }
+
+  test("q3/q5/q10: dimension joins broadcast — the fact table never shuffles for them") {
+    for (q <- Seq(Relational.q3 _, Relational.q5 _, Relational.q10 _)) {
+      val p = plan(q(spark, dir))
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    }
+    // q5: star join over 6 tables must broadcast every dimension — the only
+    // SortMergeJoin allowed is the orders⋈lineitem fact join
+    val p5 = plan(Relational.q5(spark, dir))
+    assert(p5.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") <= 1)
+  }
+
+  test("q1: single shuffle (partial aggregation map-side)") {
+    val p = plan(Relational.q1(spark, dir))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(p.contains("HashAggregate"), "partial agg expected")
+    // one shuffle for the groupBy; the orderBy on 6 rows may add a range
+    // exchange — nothing else
+    assert(exchanges <= 2, s"unexpected shuffles:\n$p")
+  }
+
+  test("s_knn_brute: corpus side joins via broadcast of queries, no corpus shuffle before scoring") {
+    val p = plan(Similarity.sKnnBrute(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("whole-stage codegen covers the q1 aggregation") {
+    val df = Relational.q1(spark, dir)
+    df.collect() // finalize the adaptive plan — codegen applies at execution
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the final AQE plan
+    assert(p.contains("*(") && p.contains("HashAggregate"), p.take(1000))
+  }
+
+  test("e_upsert_merge: exactly one shuffle join on the key") {
+    val p = plan(Etl.eUpsertMerge(spark, dir))
+    val smj = p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin")
+    val bhj = p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin")
+    assert(smj + bhj >= 1, "merge must be a single join")
+  }
+}
