@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -25,12 +26,27 @@ object VectorExpressions {
     case other => throw new IllegalArgumentException(s"unsupported element type $other")
   }
 
+  /** Vector args must be array<float|double> — reject anything else at
+    * analysis time (SQL literals like array(1.0) arrive as decimal arrays). */
+  private def checkVectorArgs(name: String, exprs: Seq[Expression]): TypeCheckResult = {
+    val ok = exprs.forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<float> or array<double> arguments, got " +
+        exprs.map(_.dataType.simpleString).mkString(", "))
+  }
+
   /** Cosine similarity between two float/double arrays; one pass, three
     * accumulators (dot, |a|², |b|²). */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression with Serializable {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVectorArgs("cosine_sim", Seq(left, right))
     private def elemType(e: Expression): DataType =
       e.dataType.asInstanceOf[ArrayType].elementType
 
@@ -75,6 +91,8 @@ object VectorExpressions {
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression with Serializable {
     override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVectorArgs("dot_product", Seq(left, right))
     private def elemType(e: Expression): DataType =
       e.dataType.asInstanceOf[ArrayType].elementType
 
@@ -113,6 +131,11 @@ object VectorExpressions {
     * result is set when at least half the tokens have bit b set. */
   case class SimHash64(child: Expression) extends UnaryExpression with Serializable {
     override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires array<bigint>, got ${other.simpleString}")
+    }
 
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]

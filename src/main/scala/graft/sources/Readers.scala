@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Schema-enforced ingest readers.
+  *
+  * The reference validates every incoming data.frame's columns/types before
+  * touching the database; the Spark equivalent is reading with an EXPLICIT
+  * schema (never inferSchema — a schema inference pass reads the data twice
+  * and guesses, both wrong at 100 TB) plus a hard FAILFAST parse mode so a
+  * malformed batch dies loudly instead of nulling out.
+  */
+object Readers {
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("mode", "FAILFAST")
+      .option("enforceSchema", "true")
+      .csv(path)
+
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
+
+  def parquet(spark: SparkSession, path: String, expected: StructType): DataFrame = {
+    val df = spark.read.parquet(path)
+    val missing = expected.fields.filterNot(f => df.schema.fieldNames.contains(f.name))
+    require(missing.isEmpty,
+      s"parquet at $path missing expected columns: ${missing.map(_.name).mkString(", ")}")
+    df
+  }
+}
