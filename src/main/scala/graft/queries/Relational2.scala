@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+import graft.Tables
+import graft.functions.OracleParity.xsum
+
+/** Second wave of relational coverage (SURVEY.md §2A continued): outer
+  * joins with null semantics, correlated-subquery shapes, string/date
+  * function surface, nation-pair volume (TPC-H Q7 shape), and event
+  * funnels. */
+object Relational2 {
+
+  private def ts(s: String) = lit(s).cast(TimestampNTZType)
+
+  /** q_outer_join: LEFT join keeps order-less customers with zero counts. */
+  def qOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir).filter(col("o_totalprice") > 250000.0)
+    Tables.customer(s, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_big_orders"),
+        xsum(coalesce(col("o_totalprice"), lit(0.0))).as("big_total"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qOuterJoinSql: String =
+    """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_big_orders,
+      |  CAST(SUM(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS big_total
+      |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000.0) o
+      |  ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  /** q7_nation_volume: revenue flow between nation pairs (TPC-H Q7 shape;
+    * both nation dims broadcast, fact shuffles once). */
+  def q7(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") && col("l_shipdate") < ts("1999-01-01 00:00:00"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .filter(col("supp_nation") < col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS INT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |  AND n1.n_name < n2.n_name
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** q_corr_subquery: orders priced above their priority class average —
+    * the correlated-subquery shape, decorrelated Spark-side into a window
+    * average (one shuffle, no per-row subquery execution). */
+  def qCorrSubquery(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+    Tables.orders(s, dir)
+      .withColumn("class_avg",
+        sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+      .filter(col("o_totalprice") > col("class_avg") * 2.0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qCorrSubquerySql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+      |      / CAST(COUNT(*) OVER w AS DOUBLE) AS class_avg
+      |  FROM orders WINDOW w AS (PARTITION BY o_orderpriority))
+      |WHERE o_totalprice > class_avg * 2.0 ORDER BY o_orderkey""".stripMargin
+
+  /** q_string_funcs: LIKE / substring / upper / length surface. */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_name").like("%re%"))
+      .groupBy(substring(col("p_brand"), 1, 6).as("brand_prefix"),
+        upper(col("p_type")).as("type_upper"))
+      .agg(count(lit(1)).as("n"),
+        max(length(col("p_name"))).as("max_name_len"))
+      .orderBy(col("brand_prefix"), col("type_upper"))
+
+  val qStringFuncsSql: String =
+    """SELECT substring(p_brand, 1, 6) AS brand_prefix, upper(p_type) AS type_upper,
+      |  COUNT(*) AS n, MAX(length(p_name)) AS max_name_len
+      |FROM part WHERE p_name LIKE '%re%'
+      |GROUP BY 1, 2 ORDER BY brand_prefix, type_upper""".stripMargin
+
+  /** q_date_funcs: calendar breakdown via year/month/quarter extraction. */
+  def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_quarter"))
+      .agg(count(lit(1)).as("n_orders"),
+        xsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_year"), col("o_quarter"))
+
+  val qDateFuncsSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year, CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_quarter""".stripMargin
+
+  /** q_funnel: signup→purchase conversion per user cohort (first signup
+    * hour-bucket), classic event funnel in one pass. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_us"))).as("first_signup_us"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("first_purchase_us"))
+      .filter(col("first_signup_us").isNotNull)
+      .select(col("user_id"), col("first_signup_us"),
+        (col("first_purchase_us").isNotNull &&
+          col("first_purchase_us") > col("first_signup_us")).as("converted"))
+      .orderBy(col("user_id"))
+
+  val qFunnelSql: String =
+    """SELECT user_id, first_signup_us,
+      |  (first_purchase_us IS NOT NULL AND first_purchase_us > first_signup_us) AS converted
+      |FROM (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup_us,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+      |  FROM events GROUP BY user_id)
+      |WHERE first_signup_us IS NOT NULL ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outer_join"    -> qOuterJoin _,
+    "q7_nation_volume" -> q7 _,
+    "q_corr_subquery" -> qCorrSubquery _,
+    "q_string_funcs"  -> qStringFuncs _,
+    "q_date_funcs"    -> qDateFuncs _,
+    "q_funnel"        -> qFunnel _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_outer_join"    -> qOuterJoinSql,
+    "q7_nation_volume" -> q7Sql,
+    "q_corr_subquery" -> qCorrSubquerySql,
+    "q_string_funcs"  -> qStringFuncsSql,
+    "q_date_funcs"    -> qDateFuncsSql,
+    "q_funnel"        -> qFunnelSql,
+  )
+}
