@@ -141,7 +141,29 @@ object Relational2 {
       |  FROM events GROUP BY user_id)
       |WHERE first_signup_us IS NOT NULL ORDER BY user_id""".stripMargin
 
+  /** q_quantiles: exact percentiles per group (linear interpolation — same
+    * formula both engines). At 100 TB you'd reach for approx_percentile;
+    * the exact form is the oracle-checkable baseline. */
+  def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        expr("percentile(l_extendedprice, 0.9)").as("price_q90"))
+      .orderBy(col("l_returnflag"))
+
+  val qQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.5) AS q50,
+      |  quantile_cont(l_quantity, 0.75) AS q75,
+      |  quantile_cont(l_extendedprice, 0.9) AS price_q90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantiles"     -> qQuantiles _,
     "q_outer_join"    -> qOuterJoin _,
     "q7_nation_volume" -> q7 _,
     "q_corr_subquery" -> qCorrSubquery _,
@@ -151,6 +173,7 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_quantiles"     -> qQuantilesSql,
     "q_outer_join"    -> qOuterJoinSql,
     "q7_nation_volume" -> q7Sql,
     "q_corr_subquery" -> qCorrSubquerySql,
