@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.OracleParity.xsum
+import graft.sources.Readers
+
+/** Third relational wave: window-function zoo, CUBE, order-stable list
+  * aggregation, and a CSV ingest round-trip through the schema-enforced
+  * readers. */
+object Relational3 {
+
+  /** q_window_funcs: lag/lead/dense_rank/ntile over one shared sort. */
+  def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 350000.0)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"))
+      .orderBy(col("o_orderpriority"), col("drnk"), col("o_orderkey"))
+  }
+
+  val qWindowFuncsSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile,
+      |  LAG(o_orderkey, 1) OVER w AS prev_key, LEAD(o_orderkey, 1) OVER w AS next_key
+      |FROM orders WHERE o_totalprice > 350000.0
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderpriority, drnk, o_orderkey""".stripMargin
+
+  /** q_cube: full CUBE over two dimensions. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), xsum(col("l_extendedprice")).as("total"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** q_collect_list: order-stable list aggregation — collect_list is
+    * unordered by contract, so the deterministic form sorts the collected
+    * array and serializes it (same convention as DuckDB's list_sort). */
+  def qCollectList(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey"))
+
+  val qCollectListSql: String =
+    """SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS nations,
+      |  COUNT(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  /** io_csv_roundtrip: region → csv (deterministic single file) → read back
+    * through the schema-enforced FAILFAST reader → aggregate. Exercises the
+    * ingest path inside the correctness gate; the oracle reads the same
+    * logical data from parquet. */
+  def ioCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
+    val src = Tables.region(s, dir)
+    src.coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+    Readers.csv(s, out, src.schema)
+      .agg(count(lit(1)).as("n_regions"),
+        sum(length(col("r_name"))).as("total_name_len"))
+  }
+
+  val ioCsvRoundtripSql: String =
+    "SELECT COUNT(*) AS n_regions, SUM(length(r_name)) AS total_name_len FROM region"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_funcs"   -> qWindowFuncs _,
+    "q_cube"           -> qCube _,
+    "q_collect_list"   -> qCollectList _,
+    "io_csv_roundtrip" -> ioCsvRoundtrip _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_funcs"   -> qWindowFuncsSql,
+    "q_cube"           -> qCubeSql,
+    "q_collect_list"   -> qCollectListSql,
+    "io_csv_roundtrip" -> ioCsvRoundtripSql,
+  )
+}
