@@ -25,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => VectorExpressions.DotProduct(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
       (es: Seq[Expression]) => VectorExpressions.SimHash64(es.head)))
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

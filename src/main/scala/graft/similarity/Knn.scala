@@ -19,7 +19,12 @@ import graft.functions.VectorExpressions
   */
 object Knn {
 
-  /** Exact top-k cosine neighbors for each query vector. */
+  /** Exact top-k cosine neighbors for each query vector. The top-k runs
+    * through the custom partial-TopK operator (graft.plans.TopK): each
+    * corpus partition forwards at most k rows per query, so the shuffle
+    * carries O(partitions·|Q|·k) rows instead of every scored pair — the
+    * difference between shuffling kilobytes and the whole corpus at 100 TB.
+    * Ranks are then assigned by a window over the tiny survivor set. */
   def bruteForce(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     VectorExpressions.register(spark)
@@ -28,9 +33,11 @@ object Knn {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", expr("cosine_sim(q_vec, n_vec)"))
+      .select(col("q_id"), col("n_id"), col("cos"))
+    val top = graft.plans.TopK.perKey(scored, Seq("q_id"),
+      Seq(col("cos").desc, col("n_id").asc), k)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    top.withColumn("rnk", row_number().over(w))
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 
