@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.OracleParity
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("langId picks the profile with most hits; deterministic tie-break; und on zero hits") {
+    val df = Seq(
+      "the cat is on the mat and the dog",   // en
+      "le chat et la souris et les autres",  // fr
+      "der hund und die katze ist da",       // de
+      "xyzzy qwerty plugh")                  // none
+      .toDF("text").withColumn("toks", tokens(col("text")))
+    val got = df.select(langId(col("toks"))).as[String].collect().toSeq
+    assert(got == Seq("en", "fr", "de", "und"))
+  }
+
+  test("shingles3 handles docs shorter than the shingle width") {
+    val df = Seq("one two", "solo", "a b c d").toDF("text")
+    val sizes = df.select(size(shingles3(tokens(col("text"))))).as[Int].collect().toSeq
+    assert(sizes == Seq(1, 1, 2))
+  }
+
+  test("charFingerprint is stable and order-sensitive") {
+    val df = Seq(("abcdefghij", "abcdefghij"), ("abcdefghij", "jihgfedcba")).toDF("a", "b")
+    val eq = df.select(charFingerprint(col("a")) === charFingerprint(col("b"))).as[Boolean].collect()
+    assert(eq(0) && !eq(1))
+  }
+
+  test("quality score stays within [0, 1]") {
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("toks", tokens(col("text")))
+    val mm = d.select(min(qualityScore(col("text"), col("toks"))),
+      max(qualityScore(col("text"), col("toks")))).as[(Double, Double)].head()
+    assert(mm._1 >= 0.0 && mm._2 <= 1.0)
+  }
+
+  test("property: xsum is invariant under partitioning (the oracle-parity cornerstone)") {
+    val values = (1 to 997).map(i => math.round(((i * 7919 % 1000) / 7.0) * 100) / 100.0)
+    val base = values.toDF("v")
+    val expected = base.coalesce(1).agg(OracleParity.xsum(col("v"))).as[Double].head()
+    for (parts <- Seq(2, 7, 32)) {
+      val got = base.repartition(parts).agg(OracleParity.xsum(col("v"))).as[Double].head()
+      assert(got == expected, s"xsum drifted at $parts partitions")
+    }
+    // plain double sum typically DOES drift — document why xsum exists
+    val plain1 = base.coalesce(1).agg(sum(col("v"))).as[Double].head()
+    val plain32 = base.repartition(32).agg(sum(col("v"))).as[Double].head()
+    info(s"plain sum drift: ${math.abs(plain1 - plain32)}")
+  }
+}
