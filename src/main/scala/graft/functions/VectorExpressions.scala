@@ -238,6 +238,57 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Min-of-windows Karp–Rabin rolling-hash document fingerprint: one O(n)
+    * pass per document (each window hash derives from the previous by one
+    * multiply-add-subtract) versus O(n·k) for hashing every substring. The
+    * winnowing-family fingerprint for content-defined chunking at scale. */
+  case class RollingHashMin(child: Expression, window: Int)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash_min requires string, got ${other.simpleString}")
+    }
+
+    // polynomial base/modulus: classic Karp–Rabin over UTF-8 bytes
+    private val B = 257L
+    private val M = 1000000007L
+
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(hashOf(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+    /** Public entry for both eval and generated code. */
+    def hashOf(s: org.apache.spark.unsafe.types.UTF8String): Long = minWindowHash(s.getBytes)
+
+    private def minWindowHash(bytes: Array[Byte]): Long = {
+      val n = bytes.length
+      val k = math.min(window, math.max(n, 1))
+      if (n == 0) return 0L
+      // precompute B^(k-1) mod M for the roll-off term
+      var pow = 1L; var i = 1
+      while (i < k) { pow = pow * B % M; i += 1 }
+      var h = 0L; i = 0
+      while (i < k) { h = (h * B + (bytes(i) & 0xff)) % M; i += 1 }
+      var minH = h
+      while (i < n) {
+        h = (h - (bytes(i - k) & 0xff) * pow % M + M * M) % M
+        h = (h * B + (bytes(i) & 0xff)) % M
+        if (h < minH) minH = h
+        i += 1
+      }
+      minH
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // the per-row work is a data-dependent loop — delegate to the eval
+      // path via reference (still inside whole-stage codegen's pipeline)
+      val ref = ctx.addReferenceObj("rollingHash", this, classOf[RollingHashMin].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.hashOf($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Register the expressions as SQL functions on a session, then use them
     * via `expr("cosine_sim(a, b)")` — keeps call sites independent of the
     * Column constructor's visibility. */
@@ -246,6 +297,8 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("rolling_hash_min",
+      es => RollingHashMin(es.head, 16), "built-in")
   }
 
   def cosineSim(a: String, b: String): Column = expr(s"cosine_sim($a, $b)")

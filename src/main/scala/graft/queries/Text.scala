@@ -97,7 +97,19 @@ object Text {
        |  FROM (SELECT $toksSql AS toks FROM documents))
        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  /** t_rolling_fp: O(n) Karp–Rabin min-window rolling-hash fingerprint
+    * (native expression; rows-only oracle — the spec pins it against a
+    * naive reference implementation). */
+  def tRollingFp(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), expr("rolling_hash_min(text)").as("rfp"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_rolling_fp"  -> tRollingFp _,
     "t_tokens"      -> tTokens _,
     "t_quality"     -> tQuality _,
     "t_langid"      -> tLangid _,

@@ -41,6 +41,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(mm._1 >= 0.0 && mm._2 <= 1.0)
   }
 
+  test("RollingHashMin matches a naive per-window Karp–Rabin reference") {
+    graft.functions.VectorExpressions.register(spark)
+    def naive(s: String, k: Int): Long = {
+      val bytes = s.getBytes("UTF-8"); val n = bytes.length
+      val kk = math.min(k, math.max(n, 1))
+      val B = 257L; val M = 1000000007L
+      (0 to n - kk).map { i =>
+        bytes.slice(i, i + kk).foldLeft(0L)((h, b) => (h * B + (b & 0xff)) % M)
+      }.min
+    }
+    val texts = Seq("hello world this is a rolling hash test", "short", "a",
+      "the quick brown fox jumps over the lazy dog")
+    val got = texts.toDF("text").select(expr("rolling_hash_min(text)")).as[Long].collect()
+    assert(got.toSeq == texts.map(naive(_, 16)))
+  }
+
   test("property: xsum is invariant under partitioning (the oracle-parity cornerstone)") {
     val values = (1 to 997).map(i => math.round(((i * 7919 % 1000) / 7.0) * 100) / 100.0)
     val base = values.toDF("v")
