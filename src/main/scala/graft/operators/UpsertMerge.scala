@@ -39,7 +39,10 @@ object UpsertMerge {
       .when(col("__s").isNull, Keep) // absent from batch: reference keeps rows, flags despawn separately
       .when(col("__t_hash") === col("__s_hash"), Keep)
       .otherwise(Update)
-    val outAttrs = attrs.map(c => coalesce(col(s"__s_$c"), col(c)).as(c))
+    // branch on batch PRESENCE (__s flag), never on attribute nullity —
+    // coalesce(source, target) would silently block updating a field to NULL
+    val outAttrs = attrs.map(c =>
+      when(col("__s").isNull, col(c)).otherwise(col(s"__s_$c")).as(c))
     joined.select(keyCols.map(col) ++ outAttrs :+ action.as("action"): _*)
   }
 }

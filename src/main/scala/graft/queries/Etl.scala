@@ -115,8 +115,8 @@ object Etl {
       |  FROM customer WHERE c_custkey < 50
       |)
       |SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
-      |  coalesce(s.c_name, t.c_name) AS c_name,
-      |  coalesce(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment,
+      |  CASE WHEN s.c_custkey IS NULL THEN t.c_name ELSE s.c_name END AS c_name,
+      |  CASE WHEN s.c_custkey IS NULL THEN t.c_mktsegment ELSE s.c_mktsegment END AS c_mktsegment,
       |  CASE WHEN t.c_custkey IS NULL THEN 'insert'
       |       WHEN s.c_custkey IS NULL THEN 'keep'
       |       WHEN t.c_name = s.c_name AND t.c_mktsegment = s.c_mktsegment THEN 'keep'

@@ -50,6 +50,13 @@ class EtlOperatorsSpec extends AnyFunSuite {
     assert(out(4) == ("D", "insert"))
   }
 
+  test("UpsertMerge: an update can null out an attribute (presence beats nullity)") {
+    val target = Seq((1, Option("x"))).toDF("k", "n")
+    val source = Seq((1, Option.empty[String])).toDF("k", "n")
+    val out = UpsertMerge.merge(target, source, Seq("k"), Seq("n")).collect()
+    assert(out.length == 1 && out(0).isNullAt(1) && out(0).getString(2) == "update")
+  }
+
   test("Scd2.intervals chains validity, exactly one current row per entity") {
     val changes = Seq((1, 100L, 1L, "v1"), (1, 200L, 2L, "v2"), (2, 150L, 3L, "w1"))
       .toDF("ent", "ts", "id", "v")
