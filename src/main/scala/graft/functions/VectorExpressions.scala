@@ -298,7 +298,8 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("rolling_hash_min",
-      es => RollingHashMin(es.head, 16), "built-in")
+      es => RollingHashMin(es.head, es.lift(1)
+        .map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(16)), "built-in")
   }
 
   def cosineSim(a: String, b: String): Column = expr(s"cosine_sim($a, $b)")

@@ -17,18 +17,28 @@ import org.apache.spark.sql.functions._
   * with (null, "a") across column boundaries.
   */
 object StableId {
-  val NullSentinel = "__NULL__"
   val Sep = "|"
 
-  /** Expression form: md5 over the sentinel-encoded natural key columns. */
+  /** Escape a value so the concatenation is injective: backslashes double,
+    * separators escape — so no value can fake a column boundary. After
+    * escaping, a lone backslash can't occur, which makes "\N" a null
+    * sentinel no real value collides with. */
+  private def esc(c: Column): Column =
+    regexp_replace(regexp_replace(c.cast("string"), "\\\\", "\\\\\\\\"), "\\|", "\\\\|")
+
+  /** Expression form: md5 over the escaped, sentinel-encoded key columns. */
   def stableId(cols: Seq[Column]): Column =
-    md5(concat_ws(Sep, cols.map(c => coalesce(c.cast("string"), lit(NullSentinel))): _*))
+    md5(concat_ws(Sep, cols.map(c => coalesce(esc(c), lit("\\N"))): _*))
 
   /** Append a surrogate-key column derived from `keyCols`. */
   def withStableId(df: DataFrame, keyCols: Seq[String], outCol: String = "sk"): DataFrame =
     df.withColumn(outCol, stableId(keyCols.map(col)))
 
   /** The same expression as DuckDB SQL, for oracle queries. */
-  def oracleExpr(cols: Seq[String]): String =
-    s"md5(concat_ws('$Sep', ${cols.map(c => s"coalesce(CAST($c AS VARCHAR), '$NullSentinel')").mkString(", ")}))"
+  def oracleExpr(cols: Seq[String]): String = {
+    val parts = cols.map { c =>
+      s"coalesce(replace(replace(CAST($c AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N')"
+    }
+    s"md5(concat_ws('$Sep', ${parts.mkString(", ")}))"
+  }
 }

@@ -56,12 +56,21 @@ object StorePipeline {
     Result(report, dims, merged)
   }
 
-  /** store + write: changed rows land in the target table via the staged
-    * transactional JDBC upsert; dimension tables upsert first (FK order,
-    * like the reference's store_* call graph). */
+  /** store + write: dimension tables upsert FIRST (FK order, like the
+    * reference's store_* call graph — facts must never reference dimension
+    * rows that aren't committed yet), then the changed fact rows land via
+    * the staged transactional JDBC upsert.
+    *
+    * @param dimTables sk column -> existing JDBC dimension table (keyed by
+    *                  the sk column); dims without an entry are computed but
+    *                  not written. */
   def storeAndWrite(spark: SparkSession, current: DataFrame, incoming: DataFrame,
-      spec: Spec, jdbcUrl: String, table: String): Result = {
+      spec: Spec, jdbcUrl: String, table: String,
+      dimTables: Map[String, String] = Map.empty): Result = {
     val r = store(spark, current, incoming, spec)
+    for ((sk, dimTable) <- dimTables; dim <- r.dims.get(sk)) {
+      JdbcUpsertSink.upsertViaStaging(dim, Config(jdbcUrl, dimTable, Seq(sk)))
+    }
     val changed = r.merged.filter(col("action").isin(UpsertMerge.Insert, UpsertMerge.Update))
       .drop("action")
     JdbcUpsertSink.upsertViaStaging(changed, Config(jdbcUrl, table, spec.keyCols))

@@ -28,6 +28,15 @@ object Validate {
     * false OR null (null comparisons must count as violations, like the
     * reference's NA checks). */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    if (rules.isEmpty) {
+      // empty rule set -> empty report with the right schema, not a crash
+      return df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rule", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_violations", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType))))
+    }
     val aggs = rules.map(r =>
       sum(when(coalesce(r.predicate, lit(false)), 0).otherwise(1)).as(r.name))
     val total = count(lit(1)).as("__n_rows")

@@ -22,6 +22,12 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * Logical node + planner strategy are registered through
   * [[graft.GraftExtensions]]; EnsureRequirements inserts the hash exchange
   * between the partial and final execs automatically.
+  *
+  * Memory contract: partial state is an in-heap map of ≤ k rows per
+  * DISTINCT KEY PER PARTITION, with no spill path — sized for workloads
+  * where keys-per-partition is bounded (top-k per query, per category).
+  * For millions of distinct keys per partition, prefer the spillable
+  * window formulation; a SizeTracking spill fallback is future work.
   */
 case class TopKPerKeyNode(
     keys: Seq[Expression],

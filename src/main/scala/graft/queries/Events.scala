@@ -34,8 +34,9 @@ object Events {
       .select(col("user_id"), col("ts_us"), col("event_id"), lit(1).as("kind"))
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts_us"), col("event_id"), lit(0).as("kind"))
-    // clicks sort before purchases at equal ts_us => `>=` as-of semantics
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("kind"))
+    // clicks sort before purchases at equal ts_us => `>=` as-of semantics;
+    // event_id tiebreaks equal-timestamp clicks deterministically
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     purchases.unionByName(clicks)
       .withColumn("prior_click",

@@ -46,10 +46,11 @@ object JdbcUpsertSink {
   }
 
   /** CREATE TABLE DDL for a dataframe's schema (used for target + staging). */
-  def ddl(table: String, schema: StructType, keyCols: Seq[String]): String = {
+  def ddl(table: String, schema: StructType, keyCols: Seq[String],
+      extraCols: String = ""): String = {
     val cols = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
     val pk = if (keyCols.nonEmpty) s", PRIMARY KEY (${keyCols.mkString(", ")})" else ""
-    s"CREATE TABLE $table ($cols$pk)"
+    s"CREATE TABLE $table ($cols$extraCols$pk)"
   }
 
   private def bind(ps: PreparedStatement, i: Int, dt: DataType, row: Row, field: Int): Unit = {
@@ -66,29 +67,39 @@ object JdbcUpsertSink {
   }
 
   /** Executor-parallel batched INSERT of every partition into `table`
-    * (staging step; table must exist). */
+    * (staging step; table must exist and carry a `graft_part INT` column).
+    *
+    * Idempotent under task retry/speculation: each partition's transaction
+    * first deletes its own prior rows (keyed by the stable partition id)
+    * before inserting, so a re-executed attempt replaces instead of
+    * duplicating — the staging table never holds duplicate source keys
+    * when the single MERGE runs. */
   def stage(df: DataFrame, cfg: Config): Unit = {
     val schema = df.schema
     val colNames = schema.fieldNames.toSeq
     val insertSql =
-      s"INSERT INTO ${cfg.table} (${colNames.mkString(", ")}) VALUES (${colNames.map(_ => "?").mkString(", ")})"
+      s"INSERT INTO ${cfg.table} (${colNames.mkString(", ")}, graft_part) " +
+        s"VALUES (${colNames.map(_ => "?").mkString(", ")}, ?)"
+    val deleteSql = s"DELETE FROM ${cfg.table} WHERE graft_part = ?"
     val (url, batch) = (cfg.url, cfg.batchSize)
     df.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.nonEmpty) {
-        val conn = DriverManager.getConnection(url)
-        try {
-          conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(insertSql)
-          var n = 0
-          rows.foreach { r =>
-            schema.fields.zipWithIndex.foreach { case (f, i) => bind(ps, i + 1, f.dataType, r, i) }
-            ps.addBatch(); n += 1
-            if (n % batch == 0) ps.executeBatch()
-          }
-          ps.executeBatch()
-          conn.commit()
-        } finally conn.close()
-      }
+      val part = org.apache.spark.TaskContext.getPartitionId()
+      val conn = DriverManager.getConnection(url)
+      try {
+        conn.setAutoCommit(false)
+        val del = conn.prepareStatement(deleteSql)
+        del.setInt(1, part); del.executeUpdate()
+        val ps = conn.prepareStatement(insertSql)
+        var n = 0
+        rows.foreach { r =>
+          schema.fields.zipWithIndex.foreach { case (f, i) => bind(ps, i + 1, f.dataType, r, i) }
+          ps.setInt(schema.fields.length + 1, part)
+          ps.addBatch(); n += 1
+          if (n % batch == 0) ps.executeBatch()
+        }
+        ps.executeBatch()
+        conn.commit()
+      } finally conn.close()
     }
   }
 
@@ -119,7 +130,8 @@ object JdbcUpsertSink {
     val conn = DriverManager.getConnection(cfg.url)
     try {
       try conn.createStatement().executeUpdate(s"DROP TABLE $staging") catch { case _: Exception => () }
-      conn.createStatement().executeUpdate(ddl(staging, df.schema, Nil))
+      conn.createStatement().executeUpdate(
+        ddl(staging, df.schema, Nil, extraCols = ", graft_part INT"))
     } finally conn.close()
     stage(df, cfg.copy(table = staging))
     mergeStagingIntoTarget(cfg.url, staging, cfg.table, df.schema, cfg.keyCols)
@@ -137,6 +149,10 @@ object JdbcUpsertSink {
     val schema = df.schema
     val colNames = schema.fieldNames.toSeq
     val attrs = colNames.filterNot(cfg.keyCols.contains)
+    require(attrs.nonEmpty,
+      "upsert needs at least one non-key column (all-key link tables have " +
+        "nothing to UPDATE — use upsertViaStaging, whose MERGE skips the " +
+        "matched clause)")
     val updateSql =
       s"UPDATE ${cfg.table} SET ${attrs.map(a => s"$a = ?").mkString(", ")} " +
         s"WHERE ${cfg.keyCols.map(k => s"$k = ?").mkString(" AND ")}"
