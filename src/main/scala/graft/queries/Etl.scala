@@ -180,7 +180,32 @@ object Etl {
       |  MAX(epoch_us(ts)) AS last_imported_us, COUNT(*) AS n_rows
       |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
 
+  /** e_cdc_apply: changelog compaction — events as an I/U/D stream, last
+    * change per user wins, deletes drop out. */
+  def eCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val changelog = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("op",
+        when(col("event_type") === "signup", CdcApply.Insert)
+          .when(col("event_type") === "purchase", CdcApply.Update)
+          .when(col("event_type") === "error", CdcApply.Delete))
+    CdcApply(changelog, Seq("user_id"), "op", "ts_us", "event_id", Seq("value"))
+      .orderBy(col("user_id"))
+  }
+
+  val eCdcApplySql: String =
+    """SELECT user_id, value, ts_us FROM (
+      |  SELECT user_id, value, ts_us, op,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+      |  FROM (SELECT user_id, value, event_id, epoch_us(ts) AS ts_us,
+      |          CASE event_type WHEN 'signup' THEN 'I' WHEN 'purchase' THEN 'U'
+      |               WHEN 'error' THEN 'D' END AS op
+      |        FROM events)
+      |  WHERE op IS NOT NULL)
+      |WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_cdc_apply"     -> eCdcApply _,
     "e_stable_id"     -> eStableId _,
     "e_validate"      -> eValidate _,
     "e_check_unique"  -> eCheckUnique _,
@@ -193,6 +218,7 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_cdc_apply"     -> eCdcApplySql,
     "e_stable_id"     -> eStableIdSql,
     "e_validate"      -> eValidateSql,
     "e_check_unique"  -> eCheckUniqueSql,

@@ -46,9 +46,28 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** s_kmeans: deterministic Lloyd clustering (decimal-sum centroids) —
+    * cluster-size profile after 3 iterations; rows-only oracle, KmeansSpec
+    * checks convergence properties. */
+  def sKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val centroids = graft.similarity.Kmeans.fit(s, e, "vec_id", "embedding", k = 8, iters = 3)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_id")).orderBy(col("d").asc, col("c_id"))
+    e.select(col("vec_id").as("p_id"), col("embedding").cast("array<double>").as("p_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d",
+        expr("dot_product(p_vec, p_vec) - 2 * dot_product(p_vec, c_vec) + dot_product(c_vec, c_vec)"))
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("c_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_knn_brute" -> sKnnBrute _,
     "s_knn_ivf"   -> sKnnIvf _,
+    "s_kmeans"    -> sKmeans _,
   )
 
   val oracle: Map[String, String] = Map(

@@ -1,0 +1,46 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** DataFrame-native Lloyd's k-means over embedding columns — the centroid
+  * trainer for the IVF index (SURVEY.md §2E).
+  *
+  * Deterministic throughout: seeds are the first k vectors by id (k-means++
+  * would add per-run randomness), assignment ties break on centroid id.
+  * Each iteration is one broadcast cross-score + one groupBy — no collect
+  * of the corpus; only the k centroids ever return to the driver.
+  */
+object Kmeans {
+
+  /** @return (centroidId, centroid) dataframe: columns c_id, c_vec. */
+  def fit(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    VectorExpressions.register(spark)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    var centroids = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("c_vec"))
+    val points = corpus.select(col(idCol).as("p_id"), col(vecCol).cast("array<double>").as("p_vec"))
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy(col("p_id")).orderBy(col("d").asc, col("c_id"))
+      val assigned = points.crossJoin(broadcast(centroids))
+        // squared euclidean via the codegen'd dot products: |p|²-2p·c+|c|²
+        .withColumn("d",
+          expr("dot_product(p_vec, p_vec) - 2 * dot_product(p_vec, c_vec) + dot_product(c_vec, c_vec)"))
+        .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+      // mean per cluster, dimension-wise: aggregate arrays without exploding;
+      // decimal sums keep centroids bitwise-identical under any partitioning
+      val sumVec = (0 until dim).map(i =>
+        sum(expr(s"p_vec[$i]").cast("decimal(28,12)")).cast("double").as(s"s_$i"))
+      val newCentroids = assigned.groupBy(col("c_id"))
+        .agg(count(lit(1)).as("n"), sumVec: _*)
+        .select(col("c_id"),
+          array((0 until dim).map(i => col(s"s_$i") / col("n")): _*).as("c_vec"))
+      centroids = newCentroids
+    }
+    centroids
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CdcApply
+import graft.similarity.Kmeans
+
+class KmeansCdcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("CdcApply: last change wins, deletes drop out, other ops ignored") {
+    val log = Seq(
+      (1L, "I", 10L, 1L, 1.0), (1L, "U", 20L, 2L, 2.0),          // final U -> 2.0
+      (2L, "I", 10L, 3L, 5.0), (2L, "D", 30L, 4L, 0.0),          // deleted
+      (3L, "I", 10L, 5L, 7.0), (3L, "X", 99L, 6L, 9.9),          // X ignored
+      (4L, "U", 15L, 7L, 4.0), (4L, "U", 15L, 8L, 6.0))          // tie -> higher id
+      .toDF("k", "op", "ts", "id", "v")
+    val out = CdcApply(log, Seq("k"), "op", "ts", "id", Seq("v"))
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 2.0, 3L -> 7.0, 4L -> 6.0))
+  }
+
+  test("Kmeans: separable clusters recovered, partitioning-invariant centroids") {
+    val pts = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Array(base + (i % 7) * 0.01f, base - (i % 5) * 0.01f))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val c1 = Kmeans.fit(spark, df.repartition(1), "vec_id", "embedding", k = 2, iters = 5)
+      .orderBy("c_id").select("c_vec").as[Array[Double]].collect()
+    val c2 = Kmeans.fit(spark, df.repartition(7), "vec_id", "embedding", k = 2, iters = 5)
+      .orderBy("c_id").select("c_vec").as[Array[Double]].collect()
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq,
+      "decimal-sum centroids must not depend on partitioning")
+    val centers = c1.map(_.head).sorted
+    assert(math.abs(centers(0) - 0.03) < 0.1 && math.abs(centers(1) - 10.03) < 0.1,
+      s"clusters not recovered: ${centers.toSeq}")
+  }
+}
