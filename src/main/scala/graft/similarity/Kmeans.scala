@@ -39,7 +39,11 @@ object Kmeans {
         .agg(count(lit(1)).as("n"), sumVec: _*)
         .select(col("c_id"),
           array((0 until dim).map(i => col(s"s_$i") / col("n")): _*).as("c_vec"))
-      centroids = newCentroids
+      // materialize the k centroid rows per iteration — otherwise the lazy
+      // plans nest and every iteration recomputes all previous ones
+      val rows = newCentroids.collect().toSeq
+      centroids = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), newCentroids.schema)
     }
     centroids
   }
