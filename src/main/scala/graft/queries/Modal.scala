@@ -65,7 +65,37 @@ object Modal {
     Streaming.sessionizeBatch(s, Tables.events(s, dir)).toDF()
       .orderBy(col("user_id"), col("session_idx"))
 
+  /** st_session_window: Spark's NATIVE session_window operator (streaming-
+    * capable gap sessionization) — oracled against the window-function
+    * formulation, proving the two agree. */
+  def stSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+
+  /** The lag/sum formulation of the same sessions (gap semantics of
+    * session_window: a session extends while consecutive gaps are < 30min —
+    * note STRICT inequality, unlike q_sessionize's `> gap` split). */
+  val stSessionWindowSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+      |         WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), u AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM t
+      |)
+      |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, COUNT(*) AS n_events
+      |FROM u GROUP BY user_id, session_idx ORDER BY user_id, start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_session_window" -> stSessionWindow _,
     "m_blob_stats"   -> mBlobStats _,
     "m_frame_sample" -> mFrameSample _,
     "st_hourly"      -> stHourly _,
@@ -73,6 +103,7 @@ object Modal {
   )
 
   val oracle: Map[String, String] = Map(
+    "st_session_window" -> stSessionWindowSql,
     "m_blob_stats"   -> mBlobStatsSql,
     "m_frame_sample" -> mFrameSampleSql,
     "st_hourly"      -> stHourlySql,

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Readers, Writers}
+
+class WritersReadersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("partitionedParquet: reads on the partition column prune to matching directories") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .withColumn("o_year", year(col("o_orderdate")))
+    Writers.partitionedParquet(orders, out, Seq("o_year"))
+    val filtered = spark.read.parquet(out).filter(col("o_year") === 1997)
+    filtered.collect()
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("o_year"), scan.take(1500))
+    // pruning must not lose rows
+    val expected = orders.filter(year(col("o_orderdate")) === 1997).count()
+    assert(filtered.count() == expected)
+  }
+
+  test("Readers.csv FAILFAST dies loudly on malformed rows instead of nulling") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-badcsv")
+    java.nio.file.Files.writeString(dir.resolve("bad.csv"),
+      "k,v\n1,ok\nnot_a_number,boom\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Readers.csv(spark, dir.toString, schema).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("malformed") ||
+      ex.getCause != null, ex.getMessage.take(300))
+  }
+
+  test("Readers.parquet rejects files missing expected columns") {
+    val ex = intercept[IllegalArgumentException] {
+      Readers.parquet(spark, "/root/testdata/sf0.001/region.parquet",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("missing_col", org.apache.spark.sql.types.StringType))))
+    }
+    assert(ex.getMessage.contains("missing_col"))
+  }
+}
