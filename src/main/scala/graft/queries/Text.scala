@@ -108,7 +108,32 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** t_vocab: corpus vocabulary with frequency-ranked ids — the
+    * tokenizer-training precursor (explode → filter stopwords → count →
+    * rank). Top 100 terms. */
+  def tVocab(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n").desc, col("token"))
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(!col("token").isin(Stopwords.map(x => x: Any): _*) && col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .withColumn("vocab_id", row_number().over(w))
+      .filter(col("vocab_id") <= 100)
+      .orderBy(col("vocab_id"))
+  }
+
+  val tVocabSql: String =
+    s"""SELECT token, n, vocab_id FROM (
+       |  SELECT token, COUNT(*) AS n,
+       |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS vocab_id
+       |  FROM (SELECT unnest($toksSql) AS token FROM documents)
+       |  WHERE token NOT IN (${inList(Stopwords)}) AND token <> ''
+       |  GROUP BY token)
+       |WHERE vocab_id <= 100 ORDER BY vocab_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_vocab"       -> tVocab _,
     "t_rolling_fp"  -> tRollingFp _,
     "t_tokens"      -> tTokens _,
     "t_quality"     -> tQuality _,
@@ -118,6 +143,7 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_vocab"       -> tVocabSql,
     "t_tokens"      -> tTokensSql,
     "t_quality"     -> tQualitySql,
     "t_langid"      -> tLangidSql,
