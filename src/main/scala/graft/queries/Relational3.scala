@@ -79,7 +79,22 @@ object Relational3 {
   val ioCsvRoundtripSql: String =
     "SELECT COUNT(*) AS n_regions, SUM(length(r_name)) AS total_name_len FROM region"
 
+  /** io_json_roundtrip: nation → json lines → schema-enforced FAILFAST read
+    * → join-back aggregate. */
+  def ioJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_json_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
+    val src = Tables.nation(s, dir)
+    src.coalesce(1).write.mode("overwrite").json(out)
+    Readers.json(s, out, src.schema)
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n_nations"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val ioJsonRoundtripSql: String =
+    "SELECT n_regionkey, COUNT(*) AS n_nations FROM nation GROUP BY 1 ORDER BY n_regionkey"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_json_roundtrip" -> ioJsonRoundtrip _,
     "q_window_funcs"   -> qWindowFuncs _,
     "q_cube"           -> qCube _,
     "q_collect_list"   -> qCollectList _,
@@ -87,6 +102,7 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "io_json_roundtrip" -> ioJsonRoundtripSql,
     "q_window_funcs"   -> qWindowFuncsSql,
     "q_cube"           -> qCubeSql,
     "q_collect_list"   -> qCollectListSql,
