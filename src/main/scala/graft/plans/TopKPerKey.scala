@@ -23,11 +23,13 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * [[graft.GraftExtensions]]; EnsureRequirements inserts the hash exchange
   * between the partial and final execs automatically.
   *
-  * Memory contract: partial state is an in-heap map of ≤ k rows per
-  * DISTINCT KEY PER PARTITION, with no spill path — sized for workloads
-  * where keys-per-partition is bounded (top-k per query, per category).
-  * For millions of distinct keys per partition, prefer the spillable
-  * window formulation; a SizeTracking spill fallback is future work.
+  * Memory contract: partial state holds ≤ k rows per distinct key, and the
+  * key map itself is bounded — when a partition sees more than
+  * `maxKeysInMemory` distinct keys, the buffered survivors flush to the
+  * output and the map resets. Flushing is safe because partial output is
+  * allowed to carry more than k rows per key: the final exec re-reduces
+  * after the shuffle. Worst case degrades toward the plain shuffle, never
+  * OOM. Final mode is bounded by construction (k rows per key per reducer).
   */
 case class TopKPerKeyNode(
     keys: Seq[Expression],
@@ -43,7 +45,8 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    maxKeysInMemory: Int = 1 << 20) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
@@ -57,16 +60,24 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     val childOutput = child.output
+    val isPartial = partial
+    val maxKeys = maxKeysInMemory
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrdering = new LazilyGeneratedOrdering(sortOrder, childOutput)
       // per-key bounded "heap" as a sorted buffer: k is small by contract,
       // so insertion into an array beats heap constant factors
       val heaps = new java.util.HashMap[UnsafeRow, java.util.ArrayList[UnsafeRow]]()
+      val flushed = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+      def drainHeaps(): Unit = {
+        heaps.values.forEach { h => h.forEach(r => flushed += r) }
+        heaps.clear()
+      }
       iter.foreach { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          if (isPartial && heaps.size >= maxKeys) drainHeaps() // bound memory
           heap = new java.util.ArrayList[UnsafeRow](limit + 1)
           heaps.put(key.copy(), heap)
         }
@@ -82,9 +93,8 @@ case class TopKPerKeyExec(
           if (heap.size > limit) heap.remove(limit)
         }
       }
-      val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
-      heaps.values.forEach { h => h.forEach(r => out += r) }
-      out.iterator
+      drainHeaps()
+      flushed.iterator
     }, preservesPartitioning = true)
   }
 

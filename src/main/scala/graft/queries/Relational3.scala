@@ -93,7 +93,55 @@ object Relational3 {
   val ioJsonRoundtripSql: String =
     "SELECT n_regionkey, COUNT(*) AS n_nations FROM nation GROUP BY 1 ORDER BY n_regionkey"
 
+  /** q_window_funcs2: value-window functions — first/last value over
+    * frames, percent_rank, cume_dist. */
+  def qWindowFuncs2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        first(col("o_orderkey")).over(wFrame).as("cheapest_key"),
+        last(col("o_orderkey")).over(wFrame).as("priciest_key"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  val qWindowFuncs2Sql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  FIRST_VALUE(o_orderkey) OVER wf AS cheapest_key,
+      |  LAST_VALUE(o_orderkey) OVER wf AS priciest_key,
+      |  PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+      |FROM orders WHERE o_totalprice > 400000.0
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+      |  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  /** q_setops_all: multiset set operations (UNION/EXCEPT/INTERSECT ALL). */
+  def qSetopsAll(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val a = li.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    val b = li.filter(col("l_linestatus") === "F").select(col("l_orderkey"))
+    a.unionAll(b).exceptAll(a.intersectAll(b))
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val qSetopsAllSql: String =
+    """WITH a AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+      |     b AS (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'),
+      |     u AS (SELECT l_orderkey FROM a UNION ALL SELECT l_orderkey FROM b),
+      |     i AS (SELECT l_orderkey FROM a INTERSECT ALL SELECT l_orderkey FROM b)
+      |SELECT l_orderkey, COUNT(*) AS n
+      |FROM (SELECT l_orderkey FROM u EXCEPT ALL SELECT l_orderkey FROM i)
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_funcs2"   -> qWindowFuncs2 _,
+    "q_setops_all"      -> qSetopsAll _,
     "io_json_roundtrip" -> ioJsonRoundtrip _,
     "q_window_funcs"   -> qWindowFuncs _,
     "q_cube"           -> qCube _,
@@ -102,6 +150,8 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_funcs2"   -> qWindowFuncs2Sql,
+    "q_setops_all"      -> qSetopsAllSql,
     "io_json_roundtrip" -> ioJsonRoundtripSql,
     "q_window_funcs"   -> qWindowFuncsSql,
     "q_cube"           -> qCubeSql,

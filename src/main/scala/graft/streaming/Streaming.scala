@@ -74,6 +74,15 @@ object Streaming {
       .flatMapGroups((_: Long, it: Iterator[Ev]) => sessionsOf(it, firstIdx = 1L))
   }
 
+  /** Streaming exact dedup: event-time watermarked duplicate drop by id.
+    * State holds one entry per id only within the watermark horizon — the
+    * streaming half of the exact-dedup operator (§2D). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Streaming path: flatMapGroupsWithState with EVENT-time timeout.
     * Gap-closed sessions flush as soon as the closing event arrives; the
     * trailing open session stays in state until the watermark passes its

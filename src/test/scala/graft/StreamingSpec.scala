@@ -43,6 +43,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch), "every emitted window must match the batch result")
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    // stage the same file twice -> every event arrives duplicated
+    val d = java.nio.file.Files.createTempDirectory("events-dup")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("a.parquet"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      d.resolve("b.parquet"))
+    val stream = spark.readStream.schema(eventsSchema).parquet(d.toString)
+    val q = Streaming.dedupStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val n = spark.table("dedup_out").count()
+    val expected = Tables.events(spark, dir).count()
+    assert(n == expected, s"got $n, want $expected (duplicates must collapse)")
+  }
+
   test("flatMapGroupsWithState sessionization: closed sessions match batch") {
     val stream = spark.readStream.schema(eventsSchema).parquet(streamDir)
     val q = Streaming.sessionizeStream(spark, stream)
