@@ -139,7 +139,31 @@ object Relational3 {
       |FROM (SELECT l_orderkey FROM u EXCEPT ALL SELECT l_orderkey FROM i)
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  /** q_null_semantics: null-handling parity torture — COUNT skips nulls,
+    * null-safe equality, nulls in arithmetic and grouping. */
+  def qNullSemantics(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("maybe", when(col("o_orderkey") % 3 === 0, col("o_totalprice")))
+      .withColumn("grp", when(col("o_orderkey") % 7 === 0, col("o_orderstatus")))
+      .groupBy(col("grp"))
+      .agg(count(col("maybe")).as("n_nonnull"),
+        count(lit(1)).as("n_all"),
+        xsum(coalesce(col("maybe"), lit(0.0))).as("sum_coalesced"),
+        sum(when(col("maybe").isNull, 1).otherwise(0)).as("n_null"),
+        count(when(col("maybe") <=> lit(null), 1)).as("n_nullsafe_eq"))
+      .orderBy(asc_nulls_first("grp"))
+
+  val qNullSemanticsSql: String =
+    """SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_orderstatus END AS grp,
+      |  COUNT(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END) AS n_nonnull,
+      |  COUNT(*) AS n_all,
+      |  CAST(SUM(CAST(coalesce(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS sum_coalesced,
+      |  SUM(CASE WHEN (CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END) IS NULL THEN 1 ELSE 0 END) AS n_null,
+      |  COUNT(CASE WHEN (CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END) IS NOT DISTINCT FROM NULL THEN 1 END) AS n_nullsafe_eq
+      |FROM orders GROUP BY 1 ORDER BY grp ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_null_semantics"  -> qNullSemantics _,
     "q_window_funcs2"   -> qWindowFuncs2 _,
     "q_setops_all"      -> qSetopsAll _,
     "io_json_roundtrip" -> ioJsonRoundtrip _,
@@ -150,6 +174,7 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_null_semantics"  -> qNullSemanticsSql,
     "q_window_funcs2"   -> qWindowFuncs2Sql,
     "q_setops_all"      -> qSetopsAllSql,
     "io_json_roundtrip" -> ioJsonRoundtripSql,

@@ -132,7 +132,47 @@ object Text {
        |  GROUP BY token)
        |WHERE vocab_id <= 100 ORDER BY vocab_id""".stripMargin
 
+  /** t_tfidf: term relevance per document — tf·N/df (log-free idf variant:
+    * ln() is not guaranteed bit-identical between libm implementations, and
+    * exact integer-ratio scoring preserves the ranking). Top-3 terms per
+    * doc for the first 100 docs. */
+  def tTfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(!col("token").isin(Stopwords.map(x => x: Any): _*))
+    val tf = terms.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.count().toDouble
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(df_), "token")
+      .withColumn("score", col("tf").cast("double") * lit(n) / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("token"), col("score"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val tTfidfSql: String =
+    s"""WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
+       |terms AS (
+       |  SELECT doc_id, unnest($toksSql) AS token FROM docs),
+       |ft AS (SELECT doc_id, token FROM terms WHERE token NOT IN (${inList(Stopwords)})),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ft GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM ft) GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM docs)
+       |SELECT doc_id, token, score, rnk FROM (
+       |  SELECT doc_id, token,
+       |    CAST(tf AS DOUBLE) * n.n / CAST(df AS DOUBLE) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY CAST(tf AS DOUBLE) * n.n / CAST(df AS DOUBLE) DESC, token) AS rnk
+       |  FROM tf JOIN df USING (token), n)
+       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_tfidf"       -> tTfidf _,
     "t_vocab"       -> tVocab _,
     "t_rolling_fp"  -> tRollingFp _,
     "t_tokens"      -> tTokens _,
@@ -143,6 +183,7 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_tfidf"       -> tTfidfSql,
     "t_vocab"       -> tVocabSql,
     "t_tokens"      -> tTokensSql,
     "t_quality"     -> tQualitySql,
