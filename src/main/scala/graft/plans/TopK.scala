@@ -19,7 +19,8 @@ object TopK {
     * plan so the Dataset API performs the Column→Expression conversion
     * (building them via the raw column-node bridge leaves lazy unresolved
     * wrappers in the tree). */
-  def perKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+  def perKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column], k: Int,
+      maxKeysInMemory: Int = 1 << 20): DataFrame = {
     // usable from any session: extraStrategies is the runtime-injectable
     // twin of the extensions-registered strategy
     val exp = df.sparkSession.experimental
@@ -31,6 +32,6 @@ object TopK {
       .getOrElse(throw new IllegalArgumentException("sort plan not found"))
     val keys = keyCols.map(UnresolvedAttribute.quoted)
     PlanBridge.ofRows(df.sparkSession,
-      TopKPerKeyNode(keys, sortNode.order, k, sortNode.child))
+      TopKPerKeyNode(keys, sortNode.order, k, sortNode.child, maxKeysInMemory))
   }
 }

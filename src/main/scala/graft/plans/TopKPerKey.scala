@@ -35,7 +35,8 @@ case class TopKPerKeyNode(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxKeysInMemory: Int = 1 << 20) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): LogicalPlan = copy(child = c)
 }
@@ -68,33 +69,62 @@ case class TopKPerKeyExec(
       // per-key bounded "heap" as a sorted buffer: k is small by contract,
       // so insertion into an array beats heap constant factors
       val heaps = new java.util.HashMap[UnsafeRow, java.util.ArrayList[UnsafeRow]]()
-      val flushed = new scala.collection.mutable.ArrayBuffer[InternalRow]()
-      def drainHeaps(): Unit = {
-        heaps.values.forEach { h => h.forEach(r => flushed += r) }
-        heaps.clear()
-      }
-      iter.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          if (isPartial && heaps.size >= maxKeys) drainHeaps() // bound memory
-          heap = new java.util.ArrayList[UnsafeRow](limit + 1)
-          heaps.put(key.copy(), heap)
+      // lazily-draining iterator: when the key map passes the bound, its
+      // survivors stream OUT before more input streams in, so resident
+      // rows never exceed ~2 * maxKeys * k (map + one draining batch)
+      new scala.collection.AbstractIterator[InternalRow] {
+        private var draining: java.util.Iterator[UnsafeRow] =
+          java.util.Collections.emptyIterator()
+        private var inputDone = false
+
+        private def drain(): Unit = {
+          val batch = new java.util.ArrayList[UnsafeRow]()
+          heaps.values.forEach { h => batch.addAll(h) }
+          heaps.clear()
+          draining = batch.iterator()
         }
-        if (heap.size < limit ||
-            rowOrdering.compare(row, heap.get(heap.size - 1)) < 0) {
-          val copied = row.copy().asInstanceOf[UnsafeRow]
-          var i = heap.size
-          heap.add(copied) // placeholder slot
-          while (i > 0 && rowOrdering.compare(copied, heap.get(i - 1)) < 0) {
-            heap.set(i, heap.get(i - 1)); i -= 1
+
+        private def insert(row: InternalRow): Boolean = {
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          val needsDrain = heap == null && isPartial && heaps.size >= maxKeys
+          if (heap == null && !needsDrain) {
+            heap = new java.util.ArrayList[UnsafeRow](limit + 1)
+            heaps.put(key.copy(), heap)
           }
-          heap.set(i, copied)
-          if (heap.size > limit) heap.remove(limit)
+          if (needsDrain) {
+            drain()
+            heap = new java.util.ArrayList[UnsafeRow](limit + 1)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < limit ||
+              rowOrdering.compare(row, heap.get(heap.size - 1)) < 0) {
+            val copied = row.copy().asInstanceOf[UnsafeRow]
+            var i = heap.size
+            heap.add(copied) // placeholder slot
+            while (i > 0 && rowOrdering.compare(copied, heap.get(i - 1)) < 0) {
+              heap.set(i, heap.get(i - 1)); i -= 1
+            }
+            heap.set(i, copied)
+            if (heap.size > limit) heap.remove(limit)
+          }
+          needsDrain
         }
+
+        private def pump(): Unit = {
+          while (!draining.hasNext && !inputDone) {
+            if (iter.hasNext) {
+              insert(iter.next()) // sets `draining` when a flush fires
+            } else {
+              inputDone = true
+              drain() // final drain of whatever remains buffered
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { pump(); draining.hasNext }
+        override def next(): InternalRow = { pump(); draining.next() }
       }
-      drainHeaps()
-      flushed.iterator
     }, preservesPartitioning = true)
   }
 
@@ -105,9 +135,10 @@ case class TopKPerKeyExec(
   * final. */
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
+    case TopKPerKeyNode(keys, order, k, child, maxKeys) =>
       TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child), maxKeys),
+        maxKeys) :: Nil
     case _ => Nil
   }
 }

@@ -63,12 +63,20 @@ object Relational3 {
       |  COUNT(*) AS n
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** Collision-free staging path for ingest round-trips: distinct dataset
+    * dirs must never map to the same tmp location (digit-stripping did). */
+  private def roundtripPath(dir: String, fmt: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"/tmp/graft_${fmt}_roundtrip_$h"
+  }
+
   /** io_csv_roundtrip: region → csv (deterministic single file) → read back
     * through the schema-enforced FAILFAST reader → aggregate. Exercises the
     * ingest path inside the correctness gate; the oracle reads the same
     * logical data from parquet. */
   def ioCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_csv_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
+    val out = roundtripPath(dir, "csv")
     val src = Tables.region(s, dir)
     src.coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
     Readers.csv(s, out, src.schema)
@@ -82,7 +90,7 @@ object Relational3 {
   /** io_json_roundtrip: nation → json lines → schema-enforced FAILFAST read
     * → join-back aggregate. */
   def ioJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_json_roundtrip_${dir.replaceAll("[^0-9.]", "")}"
+    val out = roundtripPath(dir, "json")
     val src = Tables.nation(s, dir)
     src.coalesce(1).write.mode("overwrite").json(out)
     Readers.json(s, out, src.schema)

@@ -52,14 +52,9 @@ object Similarity {
   def sKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val centroids = graft.similarity.Kmeans.fit(s, e, "vec_id", "embedding", k = 8, iters = 3)
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("p_id")).orderBy(col("d").asc, col("c_id"))
-    e.select(col("vec_id").as("p_id"), col("embedding").cast("array<double>").as("p_vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d",
-        expr("dot_product(p_vec, p_vec) - 2 * dot_product(p_vec, c_vec) + dot_product(c_vec, c_vec)"))
-      .withColumn("r", org.apache.spark.sql.functions.row_number().over(wAssign))
-      .filter(col("r") === 1)
+    val points = e.select(col("vec_id").as("p_id"),
+      col("embedding").cast("array<double>").as("p_vec"))
+    graft.similarity.Kmeans.assign(s, points, centroids)
       .groupBy(col("c_id")).agg(count(lit(1)).as("n"))
       .orderBy(col("c_id"))
   }

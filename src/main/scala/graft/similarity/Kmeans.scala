@@ -16,6 +16,21 @@ import graft.functions.VectorExpressions
   */
 object Kmeans {
 
+  /** Nearest-centroid assignment (squared euclidean, ties on c_id) — the
+    * single definition used by both the fit loop and downstream queries so
+    * training and serving can never diverge. Input points need columns
+    * (p_id, p_vec:array<double>); centroids (c_id, c_vec:array<double>). */
+  def assign(spark: SparkSession, points: DataFrame, centroids: DataFrame): DataFrame = {
+    VectorExpressions.register(spark)
+    val w = Window.partitionBy(col("p_id")).orderBy(col("d").asc, col("c_id"))
+    points.crossJoin(broadcast(centroids))
+      // squared euclidean via the codegen'd dot products: |p|²-2p·c+|c|²
+      .withColumn("d",
+        expr("dot_product(p_vec, p_vec) - 2 * dot_product(p_vec, c_vec) + dot_product(c_vec, c_vec)"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .drop("r")
+  }
+
   /** @return (centroidId, centroid) dataframe: columns c_id, c_vec. */
   def fit(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
@@ -25,12 +40,7 @@ object Kmeans {
       .select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("c_vec"))
     val points = corpus.select(col(idCol).as("p_id"), col(vecCol).cast("array<double>").as("p_vec"))
     for (_ <- 0 until iters) {
-      val wAssign = Window.partitionBy(col("p_id")).orderBy(col("d").asc, col("c_id"))
-      val assigned = points.crossJoin(broadcast(centroids))
-        // squared euclidean via the codegen'd dot products: |p|²-2p·c+|c|²
-        .withColumn("d",
-          expr("dot_product(p_vec, p_vec) - 2 * dot_product(p_vec, c_vec) + dot_product(c_vec, c_vec)"))
-        .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+      val assigned = assign(spark, points, centroids)
       // mean per cluster, dimension-wise: aggregate arrays without exploding;
       // decimal sums keep centroids bitwise-identical under any partitioning
       val sumVec = (0 until dim).map(i =>

@@ -43,25 +43,19 @@ class TopKSpec extends AnyFunSuite {
   }
 
   test("partial-mode key flush keeps results correct under a tiny memory bound") {
-    // force flushing by planning the exec directly with maxKeysInMemory=2
-    import graft.plans.{TopKPerKeyExec, TopK}
+    // maxKeysInMemory=2 over ~150 distinct custkeys per partition forces
+    // dozens of drains; the final exec must still reduce to the right set.
+    // (Plumbed through the logical node — transforming executedPlan would
+    // silently no-op under AQE's AdaptiveSparkPlanExec leaf.)
     val orders = Tables.orders(spark, dir).repartition(3)
     val normal = TopK.perKey(orders, Seq("o_custkey"),
       Seq(col("o_totalprice").desc, col("o_orderkey").asc), 2)
       .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
-    // rebuild the same plan but with the partial exec memory-starved
-    val df = TopK.perKey(orders, Seq("o_custkey"),
-      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 2)
-    val starved = df.queryExecution.executedPlan.transform {
-      case e: TopKPerKeyExec if e.partial => e.copy(maxKeysInMemory = 2)
-    }
-    val rows = starved.executeCollect()
-    // final exec is above: re-run result equality through a fresh comparison
-    val starvedSet = rows.map { r =>
-      val s = df.schema
-      (r.getLong(s.fieldIndex("o_custkey")), r.getLong(s.fieldIndex("o_orderkey")))
-    }.toSet
-    assert(starvedSet == normal, "flushing partial heaps must not change the result")
+    val starved = TopK.perKey(orders, Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 2, maxKeysInMemory = 2)
+      .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
+    assert(normal.nonEmpty && starved == normal,
+      "flushing partial heaps must not change the result")
   }
 
   test("top-1 per key with duplicate order values is still size-correct") {
