@@ -94,7 +94,29 @@ object Modal {
       |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, COUNT(*) AS n_events
       |FROM u GROUP BY user_id, session_idx ORDER BY user_id, start_us""".stripMargin
 
+  /** st_interval_join: the stream-stream interval join, batch-applied
+    * (StreamingSpec runs it with watermarks on two real streams). */
+  def stIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Streaming.purchaseClickJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"),
+      withWatermark = false)
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
+  val stIntervalJoinSql: String =
+    """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+      | AND epoch_us(c.ts) <= epoch_us(p.ts)
+      |ORDER BY p_id, c_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_interval_join"  -> stIntervalJoin _,
     "st_session_window" -> stSessionWindow _,
     "m_blob_stats"   -> mBlobStats _,
     "m_frame_sample" -> mFrameSample _,
@@ -103,6 +125,7 @@ object Modal {
   )
 
   val oracle: Map[String, String] = Map(
+    "st_interval_join"  -> stIntervalJoinSql,
     "st_session_window" -> stSessionWindowSql,
     "m_blob_stats"   -> mBlobStatsSql,
     "m_frame_sample" -> mFrameSampleSql,

@@ -74,6 +74,29 @@ object Streaming {
       .flatMapGroups((_: Long, it: Iterator[Ev]) => sessionsOf(it, firstIdx = 1L))
   }
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks in the preceding hour. Works on batch AND streaming inputs —
+    * with watermarks, Spark bounds both join states by the interval, so
+    * state never grows past (watermark delay + interval) per side. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      withWatermark: Boolean): DataFrame = {
+    def prep(df: DataFrame, prefix: String): DataFrame = {
+      val t = df.withColumn(s"${prefix}_ts_us", expr("ts div 1000"))
+        .withColumn(s"${prefix}_time", timestamp_micros(col(s"${prefix}_ts_us")))
+        .select(col("user_id").as(s"${prefix}_user"), col("event_id").as(s"${prefix}_id"),
+          col(s"${prefix}_ts_us"), col(s"${prefix}_time"))
+      if (withWatermark) t.withWatermark(s"${prefix}_time", "30 minutes") else t
+    }
+    val p = prep(purchases, "p")
+    val c = prep(clicks, "c")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_time") >= col("p_time") - expr("INTERVAL 1 HOUR") &&
+        col("c_time") <= col("p_time"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        (col("p_ts_us") - col("c_ts_us")).as("gap_us"))
+  }
+
   /** Streaming exact dedup: event-time watermarked duplicate drop by id.
     * State holds one entry per id only within the watermark horizon — the
     * streaming half of the exact-dedup operator (§2D). */

@@ -43,6 +43,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch), "every emitted window must match the batch result")
   }
 
+  test("stream-stream interval join matches the batch formulation") {
+    val p = spark.readStream.schema(eventsSchema).parquet(streamDir)
+      .filter(col("event_type") === "purchase")
+    val c = spark.readStream.schema(eventsSchema).parquet(streamDir)
+      .filter(col("event_type") === "click")
+    val q = Streaming.purchaseClickJoin(p, c, withWatermark = true)
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("ssj_out")
+      .select("p_id", "c_id", "gap_us").as[(Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, dir)
+    val batch = Streaming.purchaseClickJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"), withWatermark = false)
+      .select("p_id", "c_id", "gap_us").as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     // stage the same file twice -> every event arrives duplicated
     val d = java.nio.file.Files.createTempDirectory("events-dup")
