@@ -171,7 +171,37 @@ object Text {
        |  FROM tf JOIN df USING (token), n)
        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  /** PII patterns shared by the Spark and oracle sides (RE2/Java-portable
+    * subset: no backrefs or lookaround). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "url"   -> "https?://[^\\s]+",
+    "phone" -> "\\+?[0-9][0-9()\\-. ]{7,}[0-9]",
+    "digits" -> "[0-9]{6,}")
+
+  /** t_redact: PII scrubbing — replace each pattern class with a typed
+    * placeholder, report per-doc match counts and the scrubbed hash. */
+  def tRedact(s: SparkSession, dir: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, p) =>
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).as(s"n_$name") }
+    val redacted = PiiPatterns.foldLeft(col("text")) { case (c, (name, p)) =>
+      regexp_replace(c, p, s"<$name>") }
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: counts :+ md5(redacted).as("redacted_hash"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val tRedactSql: String = {
+    val counts = PiiPatterns.map { case (name, p) =>
+      s"len(regexp_extract_all(text, '$p')) AS n_$name" }.mkString(",\n  ")
+    val redacted = PiiPatterns.foldLeft("text") { case (c, (name, p)) =>
+      s"regexp_replace($c, '$p', '<$name>', 'g')" }
+    s"""SELECT doc_id, $counts, md5($redacted) AS redacted_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_redact"      -> tRedact _,
     "t_tfidf"       -> tTfidf _,
     "t_vocab"       -> tVocab _,
     "t_rolling_fp"  -> tRollingFp _,
@@ -183,6 +213,7 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_redact"      -> tRedactSql,
     "t_tfidf"       -> tTfidfSql,
     "t_vocab"       -> tVocabSql,
     "t_tokens"      -> tTokensSql,

@@ -57,6 +57,21 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got.toSeq == texts.map(naive(_, 16)))
   }
 
+  test("PII patterns match and redact real emails/urls/phones (corpus has none)") {
+    val df = Seq("mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567, " +
+      "see https://example.com/a?b=c and id 1234567890").toDF("text")
+    val counts = graft.queries.Text.PiiPatterns.map { case (name, p) =>
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).as(name) }
+    val r = df.select(counts: _*).collect()(0)
+    assert(r.getInt(0) == 1, "email")
+    assert(r.getInt(1) == 1, "url")
+    assert(r.getInt(2) >= 1, "phone")
+    val redacted = graft.queries.Text.PiiPatterns.foldLeft(col("text")) {
+      case (c, (name, p)) => regexp_replace(c, p, s"<$name>") }
+    val out = df.select(redacted).as[String].head()
+    assert(out.contains("<email>") && out.contains("<url>") && !out.contains("example.co.uk"))
+  }
+
   test("property: xsum is invariant under partitioning (the oracle-parity cornerstone)") {
     val values = (1 to 997).map(i => math.round(((i * 7919 % 1000) / 7.0) * 100) / 100.0)
     val base = values.toDF("v")
