@@ -15,9 +15,11 @@ object Text {
   private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
-  /** t_tokens: whitespace + BPE-ish token counting. */
+  /** t_tokens: whitespace + BPE-ish token counting (regex-heavy narrow map
+    * — repartition off the single parquet split). */
   def tTokens(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     d.select(col("doc_id"),
       size(tokens(col("text"))).as("n_ws_tokens"),
       bpeTokenCount(col("text")).as("n_bpe_tokens"))
@@ -187,6 +189,7 @@ object Text {
     val redacted = PiiPatterns.foldLeft(col("text")) { case (c, (name, p)) =>
       regexp_replace(c, p, s"<$name>") }
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id") +: counts :+ md5(redacted).as("redacted_hash"): _*)
       .orderBy(col("doc_id"))
   }
