@@ -115,13 +115,16 @@ object Text {
     * rank). Top 100 terms. */
   def tVocab(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // top-k FIRST (distributed TakeOrdered), then the unpartitioned
+    // ranking window only ever sees 100 rows — a global window over the
+    // full vocabulary would single-thread millions of terms at scale
     val w = Window.orderBy(col("n").desc, col("token"))
     Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .filter(!col("token").isin(Stopwords.map(x => x: Any): _*) && col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(100)
       .withColumn("vocab_id", row_number().over(w))
-      .filter(col("vocab_id") <= 100)
       .orderBy(col("vocab_id"))
   }
 
