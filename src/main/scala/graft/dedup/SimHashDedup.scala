@@ -19,10 +19,18 @@ object SimHashDedup {
   val Chunks = 4
   val MaxHamming = 3
 
+  /** Token hash: md5-derived 60 bits (15 hex chars), the same construction
+    * as TextFunctions.baseHashes — engine-independent, so the whole SimHash
+    * pipeline is DuckDB-expressible and gets an exact SQL oracle. Bits
+    * 60-63 of every token hash are zero, so the effective signature is 60
+    * bits wide; Hamming distances are unaffected. */
+  val TokenHashSql = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+
   def signatures(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     VectorExpressions.register(spark)
-    docs.select(col(idCol),
-      expr(s"simhash64(transform(split(lower(trim($textCol)), '\\\\s+'), t -> xxhash64(t)))").as("simhash"))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol),
+        expr(s"simhash64(transform(split(lower(trim($textCol)), '\\\\s+'), t -> $TokenHashSql))").as("simhash"))
   }
 
   def pairs(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -66,8 +66,10 @@ object DedupQ {
   def dJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // candidates feed three consumers (a-ids, b-ids, the pair join):
-    // persist the tiny pair set instead of recomputing the LSH subtree
-    val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text").persist()
+    // localCheckpoint materializes the tiny pair set once and truncates the
+    // LSH lineage; unlike persist(), the blocks are released by the context
+    // cleaner when the plan is GC'd instead of pinned for the session
+    val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text").localCheckpoint()
     Dedup.jaccardOnPairs(cands, docs, "doc_id", "text")
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("a_id"), col("b_id"))
@@ -83,11 +85,32 @@ object DedupQ {
        |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
        |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
 
-  /** d_simhash: 64-bit SimHash pairs within Hamming ≤ 3 (rows-only oracle —
-    * xxhash64 has no DuckDB counterpart; the SimHashSpec pins semantics). */
+  /** d_simhash: SimHash pairs within Hamming ≤ 3. Token hashes are
+    * md5-derived (SimHashDedup.TokenHashSql), so the oracle recomputes the
+    * identical signatures in SQL; the oracle retrieves pairs brute-force,
+    * which equals the pigeonhole retrieval (provably complete for ≤ 3). */
   def dSimhash(s: SparkSession, dir: String): DataFrame =
     SimHashDedup.pairs(s, Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("a_id"), col("b_id"))
+
+  /** DuckDB SimHash: same tie rule as SimHash64 (bit set when
+    * 2·count ≥ m); only bits 0-59 can be set (60-bit token hashes). */
+  val dSimhashSql: String = {
+    val bitTerms = (0 until 60).map { b =>
+      s"(CASE WHEN 2 * list_sum([(h >> $b) & 1 for h in hs]) >= len(hs) THEN (1::BIGINT << $b) ELSE 0 END)"
+    }.mkString(" + ")
+    """WITH th AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(t), 1, 15))::BIGINT for t in string_split_regex(lower(trim(text)), '\s+')] AS hs
+      |  FROM documents),
+      |""".stripMargin +
+      s"sim AS (SELECT doc_id, $bitTerms AS simhash FROM th)\n" +
+      """SELECT a_id, b_id, hamming FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
+  }
 
   /** d_embed_neardup: embedding near-dups — sign-bucket blocking (first 8
     * dims), exact cosine inside buckets only. */
@@ -135,6 +158,7 @@ object DedupQ {
     "d_exact"         -> dExactSql,
     "d_minhash_pairs" -> dMinhashPairsSql,
     "d_jaccard"       -> dJaccardSql,
+    "d_simhash"       -> dSimhashSql,
     "d_embed_neardup" -> dEmbedNeardupSql,
   )
 }

@@ -22,7 +22,7 @@ object Modal {
   }
 
   val mBlobStatsSql: String =
-    """SELECT source, COUNT(*) AS n_blobs, SUM(octet_length(text::BLOB)) AS total_bytes,
+    """SELECT source, COUNT(*) AS n_blobs, CAST(SUM(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
       |  COUNT(DISTINCT md5(text)) AS n_distinct_payloads
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 

@@ -196,14 +196,19 @@ object Relational {
       |FROM lineitem
       |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin
 
-  /** Top-3 orders by totalprice per priority class (row_number). */
+  /** Top-3 orders by totalprice per priority class. Routed through the
+    * custom TopKPerKey operator: each input partition forwards at most k
+    * rows per key, so the shuffle is k-bounded — a row_number window over 5
+    * priority classes would funnel 20% of the table through each of 5
+    * reducers and sort it. The rank window runs on the ≤ 15 survivors. */
   def qTopnPerGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(s, dir)
-      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-        row_number().over(w).as("rn"))
-      .filter(col("rn") <= 3)
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.TopK.perKey(base, Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .withColumn("rn", row_number().over(w))
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 

@@ -85,7 +85,7 @@ object Relational3 {
   }
 
   val ioCsvRoundtripSql: String =
-    "SELECT COUNT(*) AS n_regions, SUM(length(r_name)) AS total_name_len FROM region"
+    "SELECT COUNT(*) AS n_regions, CAST(SUM(length(r_name)) AS BIGINT) AS total_name_len FROM region"
 
   /** io_json_roundtrip: nation → json lines → schema-enforced FAILFAST read
     * → join-back aggregate. */
@@ -166,7 +166,7 @@ object Relational3 {
       |  COUNT(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END) AS n_nonnull,
       |  COUNT(*) AS n_all,
       |  CAST(SUM(CAST(coalesce(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS sum_coalesced,
-      |  SUM(CASE WHEN (CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END) IS NULL THEN 1 ELSE 0 END) AS n_null,
+      |  CAST(SUM(CASE WHEN (CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
       |  COUNT(CASE WHEN (CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END) IS NOT DISTINCT FROM NULL THEN 1 END) AS n_nullsafe_eq
       |FROM orders GROUP BY 1 ORDER BY grp ASC NULLS FIRST""".stripMargin
 

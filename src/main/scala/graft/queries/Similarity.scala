@@ -36,12 +36,13 @@ object Similarity {
        |  FROM scored)
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
-  /** s_knn_ivf: IVF-bucketed ANN — centroid seeds are every 97th vector,
-    * nprobe=2. Approximate by construction → rows-only oracle; IvfSpec
-    * checks recall against brute force. */
+  /** s_knn_ivf: IVF-bucketed ANN with TRAINED coarse centroids (Kmeans.fit
+    * — the two halves of the ANN story composed), nprobe=2. Approximate by
+    * construction → rows-only oracle; the IVF spec checks recall against
+    * brute force. */
   def sKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val centroids = e.filter(col("vec_id") % 97 === 0)
+    val centroids = graft.similarity.Kmeans.fit(s, e, "vec_id", "embedding", k = 8, iters = 2)
     Knn.ivf(s, e, queriesSubset(e), centroids, "vec_id", "embedding", k = 5, nprobe = 2)
       .orderBy(col("q_id"), col("rnk"))
   }

@@ -149,11 +149,14 @@ object Text {
     val tf = terms.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val df_ = terms.select(col("doc_id"), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val n = docs.count().toDouble
+    // corpus size as a 1-row cross join (broadcast nested loop), not a
+    // driver-side count(): no extra job, no driver-dependent literal in the
+    // plan; df_ joins without a hint — AQE broadcasts it when it fits
+    val nDf = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token"))
-    tf.join(broadcast(df_), "token")
-      .withColumn("score", col("tf").cast("double") * lit(n) / col("df").cast("double"))
+    tf.join(df_, "token").crossJoin(nDf)
+      .withColumn("score", col("tf").cast("double") * col("__n_docs") / col("df").cast("double"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("token"), col("score"), col("rnk"))

@@ -41,31 +41,49 @@ object Knn {
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 
-  /** IVF-style ANN: coarse centroids, bucket assignment, nprobe probing. */
+  /** One-time IVF bucket assignment: every corpus vector → its nearest
+    * centroid. Argmax via `max_by` over a struct, NOT a row_number window:
+    * partial aggregation collapses the N·C scored rows to one row per
+    * vector map-side, so the shuffle carries N rows and nothing sorts — a
+    * window here would shuffle and sort all N·C rows. Ties break on the
+    * smallest centroid id (the negated id inside the ordering struct).
+    * Centroids must have columns (c_id, c_vec). */
+  def assignBuckets(spark: SparkSession, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    VectorExpressions.register(spark)
+    corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_cos", expr("cosine_sim(n_vec, c_vec)"))
+      .groupBy(col("n_id"))
+      .agg(max_by(struct(col("c_id"), col("n_vec")),
+        struct(col("c_cos"), negate(col("c_id")))).as("b"))
+      .select(col("n_id"), col("b.n_vec").as("n_vec"), col("b.c_id").as("bucket"))
+  }
+
+  /** IVF-style ANN: coarse (trained) centroids, aggregation-based bucket
+    * assignment, nprobe probing, and the k-bounded TopKPerKey shuffle for
+    * the final neighbor selection. Centroids must have columns
+    * (c_id, c_vec) — e.g. the output of Kmeans.fit. */
   def ivf(spark: SparkSession, corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     VectorExpressions.register(spark)
-    val cent = centroids.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-    // one-time bucket assignment: every corpus vector -> nearest centroid
-    val wAssign = Window.partitionBy(col("n_id")).orderBy(col("c_cos").desc, col("c_id"))
-    val buckets = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-      .crossJoin(broadcast(cent))
-      .withColumn("c_cos", expr("cosine_sim(n_vec, c_vec)"))
-      .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
-      .select(col("n_id"), col("n_vec"), col("c_id").as("bucket"))
-    // each query probes its nprobe nearest centroids' buckets only
+    val buckets = assignBuckets(spark, corpus, centroids, idCol, vecCol)
+    // each query probes its nprobe nearest centroids' buckets only; the
+    // window is fine here — it only ever sees |Q|·C rows and |Q| ≪ N
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
     val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .crossJoin(broadcast(cent))
+      .crossJoin(broadcast(centroids))
       .withColumn("c_cos", expr("cosine_sim(q_vec, c_vec)"))
       .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("c_id").as("bucket"))
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    probes.join(buckets, "bucket")
+    val scored = probes.join(buckets, "bucket")
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", expr("cosine_sim(q_vec, n_vec)"))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"))
+    val top = graft.plans.TopK.perKey(scored, Seq("q_id"),
+      Seq(col("cos").desc, col("n_id").asc), k)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    top.withColumn("rnk", row_number().over(w))
       .select(col("q_id"), col("n_id"), col("rnk"))
   }
 }

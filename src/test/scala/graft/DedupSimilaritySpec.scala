@@ -67,16 +67,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r(0) == 0.0 && math.abs(r(1) - 1.0) < 1e-12)
   }
 
-  test("IVF ANN achieves nonzero recall against brute force and never exceeds k") {
+  test("IVF ANN with trained centroids achieves recall against brute force, never exceeds k") {
     val dir = "/root/testdata/sf0.001"
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") % 50 === 0)
     val brute = Knn.bruteForce(spark, e, q, "vec_id", "embedding", 5)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
-    val ivf = Knn.ivf(spark, e, q, e.filter(col("vec_id") % 97 === 0), "vec_id", "embedding", 5, 2)
+    val cent = graft.similarity.Kmeans.fit(spark, e, "vec_id", "embedding", k = 8, iters = 2)
+    val ivf = Knn.ivf(spark, e, q, cent, "vec_id", "embedding", 5, 2)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     assert(recall > 0.2, s"recall $recall too low")
     assert(ivf.groupBy(_._1).values.forall(_.size <= 5))
+  }
+
+  test("IVF bucket assignment plan has no window sort — argmax via partial aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, dir)
+    val cent = e.limit(8).select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("c_vec"))
+    val p = Knn.assignBuckets(spark, e, cent, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"window in assignment subtree:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"), p)
   }
 }

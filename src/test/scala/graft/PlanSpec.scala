@@ -61,6 +61,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(") && p.contains("HashAggregate"), p.take(1000))
   }
 
+  test("q_topn_per_group executes through the k-bounded TopKPerKey operator") {
+    val p = plan(Relational.qTopnPerGroup(spark, dir))
+    assert(p.contains("TopKPerKey"), p.take(2000))
+  }
+
   test("e_upsert_merge: exactly one shuffle join on the key") {
     val p = plan(Etl.eUpsertMerge(spark, dir))
     val smj = p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin")
