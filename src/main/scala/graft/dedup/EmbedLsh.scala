@@ -1,0 +1,89 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+import graft.functions.VectorExpressions
+
+/** Random-hyperplane LSH blocking for embedding near-duplicates
+  * (SURVEY.md §2D) — the scale path for cosine-similarity candidate
+  * generation.
+  *
+  * Each vector gets `NumPlanes` sign bits (does it fall left or right of a
+  * random hyperplane); the bits split into `NumBands` band tables of
+  * `BitsPerBand` bits, and candidates are pairs agreeing on ALL bits of at
+  * least one band. Two vectors at angle θ share a bit with probability
+  * 1 − θ/π, so a band matches with p^r and the candidate recall is
+  * 1 − (1 − p^r)^b — tuned here (b=10, r=12) so true near-dups
+  * (cos ≥ 0.9, p ≈ 0.86 → ~87% recall) collide while random vectors
+  * (p ≈ 0.5 → ~2⁻¹² per band) almost never do. The expected in-bucket
+  * comparison load is O(n²·b/2^r) ≈ n²/410 for uncorrelated data, versus
+  * O(n²/256) with skew-prone fixed sign buckets — and unlike data-dependent
+  * buckets, the hyperplanes cannot collapse dense regions into one bucket
+  * key, because every band re-rolls 12 independent projections.
+  *
+  * Hyperplane components are ±1 derived from md5("hp:i:j"), so the oracle
+  * SQL regenerates the identical matrix and both engines compute each dot
+  * product with the same left-fold order — candidate sets match exactly.
+  */
+object EmbedLsh {
+  val Dim = 64
+  val BitsPerBand = 12
+  val NumBands = 10
+  val NumPlanes: Int = BitsPerBand * NumBands
+  val Threshold = 0.3
+
+  /** Deterministic ±1 hyperplane component (md5 parity). */
+  def sign(i: Int, j: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp:$i:$j".getBytes("UTF-8"))
+    if ((d(0) & 1) == 1) 1 else -1
+  }
+
+  lazy val signs: Array[Array[Double]] =
+    Array.tabulate(NumPlanes, Dim)((i, j) => sign(i, j).toDouble)
+
+  /** array<string> of NumBands band keys "band:bitstring" for a vector. */
+  def bandKeys(vec: Column): Column =
+    ColumnBridge.column(VectorExpressions.HyperplaneBandKeys(
+      ColumnBridge.expression(vec), signs, BitsPerBand))
+
+  /** Candidate pairs (a_id < b_id) via band-table self-join — never O(n²).
+    * Input needs columns (vec_id, embedding). */
+  def candidatePairs(e: DataFrame): DataFrame = {
+    val spread = e.repartition(
+      e.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+    val bk = spread.select(col("vec_id"), explode(bandKeys(col("embedding"))).as("bk"))
+    val a = bk.select(col("vec_id").as("a_id"), col("bk"))
+    val b = bk.select(col("vec_id").as("b_id"), col("bk"))
+    a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+  }
+
+  // ---- oracle SQL generation (same constants, same fold order) ----
+
+  private def signListSql(i: Int): String =
+    (0 until Dim).map(j => sign(i, j).toString).mkString("[", ",", "]")
+
+  /** '1'/'0' sign bit of hyperplane i — list_reduce is a left fold, the
+    * same order as the expression's ascending-j loop. */
+  def bitSql(i: Int): String =
+    s"CASE WHEN list_reduce([(${signListSql(i)})[j+1] * CAST(embedding[j+1] AS DOUBLE) " +
+      s"for j in range(0, $Dim)], (p, q) -> p + q) > 0 THEN '1' ELSE '0' END"
+
+  /** bits CTE + band-key unnest, shared by the d_embed_neardup oracle. */
+  def bandsCteSql: String = {
+    val bits = (0 until NumPlanes).map(bitSql).mkString(",\n    ")
+    val keys = (0 until NumBands).map { b =>
+      val parts = (b * BitsPerBand until (b + 1) * BitsPerBand).map(i => s"bits[${i + 1}]")
+      s"'$b:' || ${parts.mkString(" || ")}"
+    }.mkString(",\n    ")
+    s"""bits AS (
+       |  SELECT vec_id, [
+       |    $bits] AS bits
+       |  FROM embeddings),
+       |bk AS (SELECT vec_id, unnest([
+       |    $keys]) AS bk FROM bits)""".stripMargin
+  }
+}

@@ -238,6 +238,69 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Random-hyperplane LSH band keys for an embedding vector: computes all
+    * `signs.length` hyperplane dot products in one pass (signs are ±1, so
+    * each dot is a signed left-fold sum — bitwise-identical to the oracle's
+    * list_reduce), thresholds them to sign bits, and packs the bits into
+    * `numPlanes / bitsPerBand` band-key strings "band:bitstring". One
+    * expression call per row replaces a 7000-node column-expression tree
+    * that would blow up codegen at plan-build time. */
+  case class HyperplaneBandKeys(child: Expression, signs: Array[Array[Double]], bitsPerBand: Int)
+      extends UnaryExpression with Serializable {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_band_keys requires array<float|double>, got ${other.simpleString}")
+    }
+    // lazy: the child is unresolved at construction time (ColumnBridge)
+    @transient private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      keysOf(input.asInstanceOf[ArrayData])
+
+    /** Public entry for both eval and generated code. */
+    def keysOf(arr: ArrayData): ArrayData = {
+      val numPlanes = signs.length
+      val bits = new Array[Boolean](numPlanes)
+      var i = 0
+      while (i < numPlanes) {
+        val w = signs(i)
+        val n = math.min(arr.numElements(), w.length)
+        var dot = 0.0; var j = 0
+        while (j < n) {
+          val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+          dot += w(j) * x; j += 1
+        }
+        bits(i) = dot > 0.0
+        i += 1
+      }
+      val numBands = numPlanes / bitsPerBand
+      val keys = new Array[org.apache.spark.unsafe.types.UTF8String](numBands)
+      var b = 0
+      while (b < numBands) {
+        val sb = new java.lang.StringBuilder(bitsPerBand + 4)
+        sb.append(b).append(':')
+        var r = 0
+        while (r < bitsPerBand) { sb.append(if (bits(b * bitsPerBand + r)) '1' else '0'); r += 1 }
+        keys(b) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        b += 1
+      }
+      ArrayData.toArrayData(keys)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // data-dependent loops over the sign matrix — delegate to the eval
+      // path via reference (stays inside the whole-stage pipeline)
+      val ref = ctx.addReferenceObj("hyperplaneLsh", this, classOf[HyperplaneBandKeys].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.keysOf($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Min-of-windows Karp–Rabin rolling-hash document fingerprint: one O(n)
     * pass per document (each window hash derives from the previous by one
     * multiply-add-subtract) versus O(n·k) for hashing every substring. The

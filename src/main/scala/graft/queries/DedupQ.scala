@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.dedup.{Dedup, MinHashLsh, SimHashDedup}
+import graft.dedup.{Dedup, EmbedLsh, MinHashLsh, SimHashDedup}
 import graft.functions.TextFunctions.P
 
 /** Deduplication queries (SURVEY.md §2D). The MinHash oracle SQL is
@@ -112,19 +112,19 @@ object DedupQ {
         |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
   }
 
-  /** d_embed_neardup: embedding near-dups — sign-bucket blocking (first 8
-    * dims), exact cosine inside buckets only. */
+  /** d_embed_neardup: embedding near-dups — random-hyperplane LSH band
+    * blocking (EmbedLsh), exact cosine only on band-collision candidates.
+    * The candidate join is band-key equality, so the in-bucket comparison
+    * load is O(n²·b/2^r), never an unblocked O(n²). */
   def dEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val bucket = (0 until 8).map(i =>
-      when(get(col("embedding"), lit(i)) > lit(0f), lit(1 << i)).otherwise(lit(0)))
-      .reduce(_ + _)
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"), bucket.as("bucket"))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_e"), col("bucket"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_e"), col("bucket"))
-    a.join(b, "bucket").filter(col("a_id") < col("b_id"))
+    val e = Tables.embeddings(s, dir)
+    val cands = EmbedLsh.candidatePairs(e.select(col("vec_id"), col("embedding")))
+    val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
+    val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))
+    cands.join(ea, "a_id").join(eb, "b_id")
       .withColumn("cos", expr("cosine_sim(a_e, b_e)"))
-      .filter(col("cos") >= 0.3)
+      .filter(col("cos") >= EmbedLsh.Threshold)
       .select(col("a_id"), col("b_id"))
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -136,15 +136,15 @@ object DedupQ {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
-  val dEmbedNeardupSql: String = {
-    val bucket = (0 until 8).map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+  val dEmbedNeardupSql: String =
+    s"""WITH ${graft.dedup.EmbedLsh.bandsCteSql},
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |         FROM bk a JOIN bk b ON a.bk = b.bk AND a.vec_id < b.vec_id)
        |SELECT a_id, b_id FROM (
-       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       |    ${cosSql("a.embedding", "b.embedding")} AS cos
-       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       |WHERE cos >= 0.3 ORDER BY a_id, b_id""".stripMargin
-  }
+       |  SELECT a_id, b_id, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand JOIN embeddings ea ON ea.vec_id = a_id
+       |            JOIN embeddings eb ON eb.vec_id = b_id)
+       |WHERE cos >= ${graft.dedup.EmbedLsh.Threshold} ORDER BY a_id, b_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact"         -> dExact _,
