@@ -14,7 +14,7 @@ object Dedup {
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .withColumn("content_hash",
-      md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      md5(regexp_replace(lower(trim(col(textCol))), s"${graft.functions.TextFunctions.Ws}+", " ")))
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
 

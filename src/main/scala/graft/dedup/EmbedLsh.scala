@@ -32,6 +32,16 @@ object EmbedLsh {
   val BitsPerBand = 12
   val NumBands = 10
   val NumPlanes: Int = BitsPerBand * NumBands
+
+  /** Post-blocking cosine cutoff. NOTE the band tuning (b=10, r=12)
+    * targets the cos ≥ 0.9 near-dup regime (~87% recall); at cos ≈ 0.3
+    * band-collision recall is ~2%, so pairs near this cutoff are a
+    * band-filtered SAMPLE, not an exhaustive list. The cutoff sits below
+    * the tuned regime only because the synthetic test embeddings are
+    * near-random (max pairwise cos ≈ 0.46 at sf0.01 — no pair would ever
+    * pass 0.9); the oracle mirrors the same blocking, so the gate still
+    * compares exactly. Production near-dup use should treat results as
+    * meaningful for high-similarity pairs only. */
   val Threshold = 0.3
 
   /** Deterministic ±1 hyperplane component (md5 parity). */
@@ -67,9 +77,12 @@ object EmbedLsh {
     (0 until Dim).map(j => sign(i, j).toString).mkString("[", ",", "]")
 
   /** '1'/'0' sign bit of hyperplane i — list_reduce is a left fold, the
-    * same order as the expression's ascending-j loop. */
+    * same order as the expression's ascending-j loop. Each element is
+    * coalesced to 0.0 so short vectors (out-of-range index → NULL in
+    * DuckDB) and NULL slots match the expression's clamp-and-skip
+    * behavior instead of silently nulling the whole sum. */
   def bitSql(i: Int): String =
-    s"CASE WHEN list_reduce([(${signListSql(i)})[j+1] * CAST(embedding[j+1] AS DOUBLE) " +
+    s"CASE WHEN list_reduce([(${signListSql(i)})[j+1] * coalesce(CAST(embedding[j+1] AS DOUBLE), 0.0) " +
       s"for j in range(0, $Dim)], (p, q) -> p + q) > 0 THEN '1' ELSE '0' END"
 
   /** bits CTE + band-key unnest, shared by the d_embed_neardup oracle. */

@@ -28,9 +28,12 @@ object SimHashDedup {
 
   def signatures(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     VectorExpressions.register(spark)
+    // Spark SQL string literals unescape \\ → \, so double the class's
+    // backslashes to land the same [ \t\n\r\f]+ regex as the oracle side
+    val ws = graft.functions.TextFunctions.Ws.replace("\\", "\\\\")
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol),
-        expr(s"simhash64(transform(split(lower(trim($textCol)), '\\\\s+'), t -> $TokenHashSql))").as("simhash"))
+        expr(s"simhash64(transform(split(lower(trim($textCol)), '$ws+'), t -> $TokenHashSql))").as("simhash"))
   }
 
   def pairs(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {

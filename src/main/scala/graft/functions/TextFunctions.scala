@@ -19,7 +19,15 @@ object TextFunctions {
     * (h1 + i*h2) never overflows a 64-bit long). */
   val P: Long = 2147483647L
 
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Explicit whitespace class used wherever text is tokenized or
+    * normalized, on BOTH engines. Never write `\s` in a paired regex: Java's
+    * `\s` includes \x0B (vertical tab) while RE2's (DuckDB) does not, so a
+    * document containing \x0B would tokenize differently per engine and
+    * break the exact-hash oracles. The same Scala string embeds correctly
+    * as a Java regex and inside a SQL string literal. */
+  val Ws = "[ \\t\\n\\r\\f]"
+
+  def tokens(text: Column): Column = split(lower(trim(text)), s"$Ws+")
 
   /** Word 3-gram shingles, distinct. 0-based `get` mirrors DuckDB's 1-based
     * list indexing with null-skipping concat_ws on both sides. */
@@ -42,11 +50,11 @@ object TextFunctions {
 
   /** BPE-ish token count: letter runs, digit runs, single punctuation. */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(lower(text), lit(s"[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]"), lit(0)))
 
   /** Ratio of punctuation (non-word, non-space) characters. */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[a-zA-Z0-9_\\s]", "")).cast("double") /
+    length(regexp_replace(text, "[a-zA-Z0-9_ \\t\\n\\r\\f]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")

@@ -272,8 +272,13 @@ object VectorExpressions {
         val n = math.min(arr.numElements(), w.length)
         var dot = 0.0; var j = 0
         while (j < n) {
-          val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
-          dot += w(j) * x; j += 1
+          // null slots contribute 0 — mirrored by coalesce(...,0.0) in the
+          // generated oracle SQL so both engines agree on malformed vectors
+          if (!arr.isNullAt(j)) {
+            val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+            dot += w(j) * x
+          }
+          j += 1
         }
         bits(i) = dot > 0.0
         i += 1

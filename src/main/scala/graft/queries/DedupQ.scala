@@ -18,7 +18,7 @@ object DedupQ {
     """sh AS (
       |  SELECT doc_id, list_distinct([concat_ws(' ', l[i+1], l[i+2], l[i+3])
       |    for i in range(0, greatest(len(l)-2, 1))]) AS sh
-      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l FROM documents))""".stripMargin
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\r\f]+') AS l FROM documents))""".stripMargin
 
   private val hpCte =
     s"""hp AS (
@@ -50,7 +50,7 @@ object DedupQ {
       .orderBy(col("content_hash"))
 
   val dExactSql: String =
-    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+    """SELECT md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f]+', ' ', 'g')) AS content_hash,
       |  COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
@@ -101,7 +101,7 @@ object DedupQ {
     }.mkString(" + ")
     """WITH th AS (
       |  SELECT doc_id,
-      |    [('0x' || substr(md5(t), 1, 15))::BIGINT for t in string_split_regex(lower(trim(text)), '\s+')] AS hs
+      |    [('0x' || substr(md5(t), 1, 15))::BIGINT for t in string_split_regex(lower(trim(text)), '[ \t\n\r\f]+')] AS hs
       |  FROM documents),
       |""".stripMargin +
       s"sim AS (SELECT doc_id, $bitTerms AS simhash FROM th)\n" +

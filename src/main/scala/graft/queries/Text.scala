@@ -11,8 +11,9 @@ import graft.functions.TextFunctions._
   * stopword lists / profiles cannot drift. */
 object Text {
 
-  /** DuckDB token expression — must mirror TextFunctions.tokens. */
-  private val toksSql = """string_split_regex(lower(trim(text)), '\s+')"""
+  /** DuckDB token expression — must mirror TextFunctions.tokens (explicit
+    * whitespace class, see TextFunctions.Ws for why never `\s`). */
+  private val toksSql = s"string_split_regex(lower(trim(text)), '${graft.functions.TextFunctions.Ws}+')"
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
   /** t_tokens: whitespace + BPE-ish token counting (regex-heavy narrow map
@@ -28,7 +29,7 @@ object Text {
 
   val tTokensSql: String =
     s"""SELECT doc_id, len($toksSql) AS n_ws_tokens,
-       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]')) AS n_bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** t_quality: length/punct/stopword quality scoring. */
@@ -43,7 +44,7 @@ object Text {
   }
 
   val tQualitySql: String = {
-    val punct = """CAST(length(regexp_replace(text, '[a-zA-Z0-9_\s]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"""
+    val punct = """CAST(length(regexp_replace(text, '[a-zA-Z0-9_ \t\n\r\f]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"""
     val stop = s"CAST(len(list_filter(toks, t -> t IN (${inList(Stopwords)}))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)"
     s"""SELECT doc_id, len(toks) AS n_tokens, $punct AS punct_ratio, $stop AS stopword_ratio,
        |  0.4::DOUBLE * least(1.0::DOUBLE, CAST(len(toks) AS DOUBLE) / 100.0::DOUBLE)

@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorExpressions
@@ -19,16 +18,26 @@ object Kmeans {
   /** Nearest-centroid assignment (squared euclidean, ties on c_id) — the
     * single definition used by both the fit loop and downstream queries so
     * training and serving can never diverge. Input points need columns
-    * (p_id, p_vec:array<double>); centroids (c_id, c_vec:array<double>). */
+    * (p_id, p_vec:array<double>); centroids (c_id, c_vec:array<double>).
+    *
+    * Argmin via `min_by` over a lexicographic (distance, c_id) struct, NOT a
+    * row_number window: partial aggregation collapses the N·C scored rows to
+    * one row per point map-side, so the shuffle carries N rows and nothing
+    * sorts — a window here would shuffle and sort all N·C rows every Lloyd
+    * iteration. A NULL distance (degenerate vector) is coalesced to +∞ so
+    * the row still lands in a deterministic bucket instead of being dropped
+    * by min_by's NULL-skipping. */
   def assign(spark: SparkSession, points: DataFrame, centroids: DataFrame): DataFrame = {
     VectorExpressions.register(spark)
-    val w = Window.partitionBy(col("p_id")).orderBy(col("d").asc, col("c_id"))
     points.crossJoin(broadcast(centroids))
       // squared euclidean via the codegen'd dot products: |p|²-2p·c+|c|²
       .withColumn("d",
         expr("dot_product(p_vec, p_vec) - 2 * dot_product(p_vec, c_vec) + dot_product(c_vec, c_vec)"))
-      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .drop("r")
+      .groupBy(col("p_id"))
+      .agg(min_by(struct(col("p_vec"), col("c_id"), col("c_vec"), col("d")),
+        struct(coalesce(col("d"), lit(Double.MaxValue)), col("c_id"))).as("b"))
+      .select(col("p_id"), col("b.p_vec").as("p_vec"), col("b.c_id").as("c_id"),
+        col("b.c_vec").as("c_vec"), col("b.d").as("d"))
   }
 
   /** @return (centroidId, centroid) dataframe: columns c_id, c_vec. */

@@ -53,7 +53,10 @@ object Knn {
     VectorExpressions.register(spark)
     corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
       .crossJoin(broadcast(centroids))
-      .withColumn("c_cos", expr("cosine_sim(n_vec, c_vec)"))
+      // coalesce: a zero-norm vector scores NULL against every centroid and
+      // max_by skips NULL orderings — it would silently vanish from all
+      // buckets; -1 keeps it, deterministically in the smallest-id bucket
+      .withColumn("c_cos", coalesce(expr("cosine_sim(n_vec, c_vec)"), lit(-1.0)))
       .groupBy(col("n_id"))
       .agg(max_by(struct(col("c_id"), col("n_vec")),
         struct(col("c_cos"), negate(col("c_id")))).as("b"))
@@ -76,7 +79,10 @@ object Knn {
       .withColumn("c_cos", expr("cosine_sim(q_vec, c_vec)"))
       .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("c_id").as("bucket"))
-    val scored = probes.join(buckets, "bucket")
+    // probes are |Q|·nprobe rows — broadcast them EXPLICITLY: if this join
+    // ever shuffled instead, the corpus-sized bucket table would hash on a
+    // C-valued key (a guaranteed skew scale-killer at 100 TB)
+    val scored = buckets.join(broadcast(probes), "bucket")
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", expr("cosine_sim(q_vec, n_vec)"))
       .select(col("q_id"), col("n_id"), col("cos"))

@@ -74,11 +74,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val brute = Knn.bruteForce(spark, e, q, "vec_id", "embedding", 5)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet
     val cent = graft.similarity.Kmeans.fit(spark, e, "vec_id", "embedding", k = 8, iters = 2)
-    val ivf = Knn.ivf(spark, e, q, cent, "vec_id", "embedding", 5, 2)
-      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
-    val recall = brute.intersect(ivf).size.toDouble / brute.size
-    assert(recall > 0.2, s"recall $recall too low")
-    assert(ivf.groupBy(_._1).values.forall(_.size <= 5))
+    // the synthetic embeddings are near-random (no cluster structure), so
+    // true neighbors scatter across buckets and recall is structurally
+    // bounded by the probed fraction; bars are measured-minus-slack for each
+    // config (nprobe=2 → 0.42 measured, nprobe=4 → 0.82 measured) so a
+    // regression in the composed fit→assign→probe path fails loudly
+    def recallAt(np: Int): Double = {
+      val ivf = Knn.ivf(spark, e, q, cent, "vec_id", "embedding", 5, np)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      assert(ivf.groupBy(_._1).values.forall(_.size <= 5))
+      brute.intersect(ivf).size.toDouble / brute.size
+    }
+    val r2 = recallAt(2)
+    assert(r2 >= 0.35, s"nprobe=2 recall $r2 too low")
+    val r4 = recallAt(4)
+    assert(r4 >= 0.6, s"nprobe=4 recall $r4 too low")
+    assert(r4 >= r2, "recall must be monotone in nprobe")
   }
 
   test("IVF bucket assignment plan has no window sort — argmax via partial aggregation") {
@@ -91,5 +102,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window in assignment subtree:\n$p")
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate") ||
       p.contains("SortAggregate"), p)
+  }
+
+  test("Kmeans.assign plan has no window sort — argmin via partial aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, dir)
+    val points = e.select(col("vec_id").as("p_id"),
+      col("embedding").cast("array<double>").as("p_vec"))
+    val cent = e.limit(4).select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("c_vec"))
+    val p = graft.similarity.Kmeans.assign(spark, points, cent)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"window in assign subtree:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"), p)
+  }
+
+  test("IVF probe join broadcasts the probes — the corpus never sort-merge or shuffle-hash joins") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val cent = e.limit(8).select(col("vec_id").as("c_id"),
+      col("embedding").cast("array<double>").as("c_vec"))
+    val p = Knn.ivf(spark, e, q, cent, "vec_id", "embedding", 5, 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join in IVF probe:\n$p")
+  }
+
+  test("approx_count_distinct estimate is within the documented error bound of exact") {
+    // Spark's approx_count_distinct defaults to HLL++ with rsd = 0.05 (a
+    // standard deviation, not a max — measured error on these keys reaches
+    // 2.7% at the default). q_approx_distinct pins rsd = 0.02, where the
+    // measured max error is 1.03%; bound at 2% (≈2× slack) so a regression
+    // in the approximate path fails loudly
+    val dir = "/root/testdata/sf0.1"
+    val li = Tables.lineitem(spark, dir)
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (a, x) = (r.getAs[Long]("approx").toDouble, r.getAs[Long]("exact").toDouble)
+      val err = math.abs(a - x) / x
+      assert(err < 0.02, s"flag ${r.get(0)}: approx $a vs exact $x (err $err)")
+    }
   }
 }
