@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.JdbcUpsertSink
@@ -32,10 +32,19 @@ object StorePipeline {
 
   /** Validate, key, normalize and merge `incoming` against `current`.
     * Throws when a validation rule fails and `strict` is set (the
-    * reference's stop-on-invalid behavior). */
+    * reference's stop-on-invalid behavior).
+    *
+    * @param stamp when set, the import runs with full reference
+    *              bookkeeping: first/last-imported stamps are maintained
+    *              and rows absent from the batch are despawned
+    *              (soft-deleted). `current` must then carry the
+    *              first_imported/last_imported/despawned columns a previous
+    *              stamped import wrote. */
   def store(spark: SparkSession, current: DataFrame, incoming: DataFrame, spec: Spec,
-      strict: Boolean = true): Result = {
+      strict: Boolean = true, stamp: Option[Column] = None): Result = {
     Validate.requireColumns(incoming, spec.keyCols ++ spec.attrCols)
+    if (stamp.isDefined)
+      Validate.requireColumns(current, Seq("first_imported", "last_imported", "despawned"))
     val report = Validate.report(incoming, spec.rules)
     if (strict && spec.rules.nonEmpty) {
       val bad = report.filter(col("n_violations") > 0).collect()
@@ -52,7 +61,10 @@ object StorePipeline {
       df.withColumn(sk, StableId.stableId(cols.map(col)))
     }
     val attrs = spec.attrCols ++ spec.dims.map(_._1)
-    val merged = UpsertMerge.merge(curWithSks, withSks, spec.keyCols, attrs)
+    val merged = stamp match {
+      case Some(st) => UpsertMerge.stampedMerge(curWithSks, withSks, spec.keyCols, attrs, st)
+      case None     => UpsertMerge.merge(curWithSks, withSks, spec.keyCols, attrs)
+    }
     Result(report, dims, merged)
   }
 
@@ -66,13 +78,24 @@ object StorePipeline {
     *                  not written. */
   def storeAndWrite(spark: SparkSession, current: DataFrame, incoming: DataFrame,
       spec: Spec, jdbcUrl: String, table: String,
-      dimTables: Map[String, String] = Map.empty): Result = {
-    val r = store(spark, current, incoming, spec)
+      dimTables: Map[String, String] = Map.empty,
+      stamp: Option[Column] = None): Result = {
+    val r = store(spark, current, incoming, spec, strict = true, stamp)
     for ((sk, dimTable) <- dimTables; dim <- r.dims.get(sk)) {
       JdbcUpsertSink.upsertViaStaging(dim, Config(jdbcUrl, dimTable, Seq(sk)))
     }
-    val changed = r.merged.filter(col("action").isin(UpsertMerge.Insert, UpsertMerge.Update))
-      .drop("action")
+    // despawned rows land as UPDATES setting the soft-delete flag + stamps —
+    // rows are never dropped from the store (the reference's contract).
+    // Stamped imports must ALSO write present-but-unchanged rows: their
+    // last_imported refreshes every import (the reference pays this write
+    // too — it IS the bookkeeping). Only long-dead rows (kept AND
+    // despawned) skip the write, so a dead row costs nothing per import.
+    val changed = (stamp match {
+      case Some(_) => r.merged.filter(
+        col("action") =!= UpsertMerge.Keep || !col("despawned"))
+      case None => r.merged.filter(
+        col("action").isin(UpsertMerge.Insert, UpsertMerge.Update))
+    }).drop("action")
     JdbcUpsertSink.upsertViaStaging(changed, Config(jdbcUrl, table, spec.keyCols))
     r
   }

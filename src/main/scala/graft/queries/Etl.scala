@@ -86,33 +86,40 @@ object Etl {
        |ORDER BY o_orderkey""".stripMargin
   }
 
-  /** e_upsert_merge: deterministic staged batch against customer —
-    * custkey%10==0 re-segmented (update), 50 brand-new keys (insert),
-    * custkey%17==0 absent from batch (keep). */
-  def eUpsertMerge(s: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(s, dir)
+  /** Deterministic staged batch against customer, shared by the merge-family
+    * gates: custkey%10==0 re-segmented (update), 50 brand-new keys (insert),
+    * custkey%17==0 (and not %10) absent from batch (keep/despawn). */
+  private def custBatch(cust: DataFrame): DataFrame = {
     val updates = cust.filter(col("c_custkey") % 10 === 0)
       .withColumn("c_mktsegment", lit("PROMO"))
     val inserts = cust.filter(col("c_custkey") < 50)
       .select((col("c_custkey") + 1000000).as("c_custkey"),
         concat(lit("new_"), col("c_custkey").cast("string")).as("c_name"),
         lit("BUILDING").as("c_mktsegment"))
-    val source = cust.filter(col("c_custkey") % 10 =!= 0 && col("c_custkey") % 17 =!= 0)
+    cust.filter(col("c_custkey") % 10 =!= 0 && col("c_custkey") % 17 =!= 0)
       .unionByName(updates, allowMissingColumns = false)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .unionByName(inserts)
-    UpsertMerge.merge(cust, source, Seq("c_custkey"), Seq("c_name", "c_mktsegment"))
-      .orderBy(col("c_custkey"))
   }
 
-  val eUpsertMergeSql: String =
-    """WITH source AS (
-      |  SELECT c_custkey, c_name,
+  private val custBatchSql =
+    """SELECT c_custkey, c_name,
       |    CASE WHEN c_custkey % 10 = 0 THEN 'PROMO' ELSE c_mktsegment END AS c_mktsegment
       |  FROM customer WHERE c_custkey % 10 = 0 OR c_custkey % 17 <> 0
       |  UNION ALL
       |  SELECT c_custkey + 1000000, 'new_' || CAST(c_custkey AS VARCHAR), 'BUILDING'
-      |  FROM customer WHERE c_custkey < 50
+      |  FROM customer WHERE c_custkey < 50""".stripMargin
+
+  /** e_upsert_merge: insert/update/keep classification. */
+  def eUpsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    UpsertMerge.merge(cust, custBatch(cust), Seq("c_custkey"), Seq("c_name", "c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val eUpsertMergeSql: String =
+    s"""WITH source AS (
+      |  $custBatchSql
       |)
       |SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
       |  CASE WHEN s.c_custkey IS NULL THEN t.c_name ELSE s.c_name END AS c_name,
@@ -122,6 +129,71 @@ object Etl {
       |       WHEN t.c_name = s.c_name AND t.c_mktsegment = s.c_mktsegment THEN 'keep'
       |       ELSE 'update' END AS action
       |FROM customer t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** e_despawn: the reference's signature soft-delete — rows absent from
+    * the batch get action `despawn` instead of `keep` (same single
+    * full-outer merge join, flag-gated). */
+  def eDespawn(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    UpsertMerge.merge(cust, custBatch(cust), Seq("c_custkey"), Seq("c_name", "c_mktsegment"),
+        despawnMissing = true)
+      .orderBy(col("c_custkey"))
+  }
+
+  val eDespawnSql: String =
+    s"""WITH source AS (
+      |  $custBatchSql
+      |)
+      |SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+      |  CASE WHEN s.c_custkey IS NULL THEN t.c_name ELSE s.c_name END AS c_name,
+      |  CASE WHEN s.c_custkey IS NULL THEN t.c_mktsegment ELSE s.c_mktsegment END AS c_mktsegment,
+      |  CASE WHEN t.c_custkey IS NULL THEN 'insert'
+      |       WHEN s.c_custkey IS NULL THEN 'despawn'
+      |       WHEN t.c_name = s.c_name AND t.c_mktsegment = s.c_mktsegment THEN 'keep'
+      |       ELSE 'update' END AS action
+      |FROM customer t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** e_store_stamps: full import bookkeeping through stampedMerge — the
+    * current state carries first/last-imported stamps from a synthetic
+    * previous import (stamp 100; customers %13==0 already despawned), the
+    * batch lands at stamp 200. Covers insert (both stamps 200), update and
+    * keep-present (last refreshed), respawn (%13 present again →
+    * reclassified update, flag cleared), newly despawned (%17, stamps
+    * preserved) and dead rows staying despawned as keep. */
+  def eStoreStamps(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val current = cust
+      .withColumn("first_imported", lit(100L))
+      .withColumn("last_imported", lit(100L))
+      .withColumn("despawned", col("c_custkey") % 13 === 0)
+    UpsertMerge.stampedMerge(current, custBatch(cust),
+        Seq("c_custkey"), Seq("c_name", "c_mktsegment"), lit(200L))
+      .orderBy(col("c_custkey"))
+  }
+
+  val eStoreStampsSql: String =
+    s"""WITH source AS (
+      |  $custBatchSql
+      |),
+      |cur AS (SELECT c_custkey, c_name, c_mktsegment,
+      |          CAST(100 AS BIGINT) AS first_imported, CAST(100 AS BIGINT) AS last_imported,
+      |          (c_custkey % 13 = 0) AS despawned
+      |        FROM customer)
+      |SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+      |  CASE WHEN s.c_custkey IS NULL THEN t.c_name ELSE s.c_name END AS c_name,
+      |  CASE WHEN s.c_custkey IS NULL THEN t.c_mktsegment ELSE s.c_mktsegment END AS c_mktsegment,
+      |  CASE WHEN t.c_custkey IS NULL THEN CAST(200 AS BIGINT) ELSE t.first_imported END AS first_imported,
+      |  CASE WHEN s.c_custkey IS NOT NULL THEN CAST(200 AS BIGINT) ELSE t.last_imported END AS last_imported,
+      |  (s.c_custkey IS NULL) AS despawned,
+      |  CASE WHEN t.c_custkey IS NULL THEN 'insert'
+      |       WHEN s.c_custkey IS NULL AND t.despawned THEN 'keep'
+      |       WHEN s.c_custkey IS NULL THEN 'despawn'
+      |       WHEN t.despawned THEN 'update'
+      |       WHEN t.c_name = s.c_name AND t.c_mktsegment = s.c_mktsegment THEN 'keep'
+      |       ELSE 'update' END AS action
+      |FROM cur t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
       |ORDER BY c_custkey""".stripMargin
 
   /** e_scd2: validity intervals from the purchase-event change stream. */
@@ -212,6 +284,8 @@ object Etl {
     "e_check_fk"      -> eCheckFk _,
     "e_dim_normalize" -> eDimNormalize _,
     "e_upsert_merge"  -> eUpsertMerge _,
+    "e_despawn"       -> eDespawn _,
+    "e_store_stamps"  -> eStoreStamps _,
     "e_scd2"          -> eScd2 _,
     "e_link_diff"     -> eLinkDiff _,
     "e_import_stamp"  -> eImportStamp _,
@@ -225,6 +299,8 @@ object Etl {
     "e_check_fk"      -> eCheckFkSql,
     "e_dim_normalize" -> eDimNormalizeSql,
     "e_upsert_merge"  -> eUpsertMergeSql,
+    "e_despawn"       -> eDespawnSql,
+    "e_store_stamps"  -> eStoreStampsSql,
     "e_scd2"          -> eScd2Sql,
     "e_link_diff"     -> eLinkDiffSql,
     "e_import_stamp"  -> eImportStampSql,

@@ -66,4 +66,50 @@ class StorePipelineSpec extends AnyFunSuite {
     StorePipeline.storeAndWrite(spark, populated, incoming, spec, url, "cust_t")
     assert(rows() == Seq((1L, "a"), (2L, "b")))
   }
+
+  test("stamped store: despawn soft-deletes in the database, stamps maintained, respawn clears") {
+    val conn = DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().executeUpdate("DROP TABLE cust_s") catch { case _: Exception => () }
+      conn.createStatement().executeUpdate(
+        """CREATE TABLE cust_s (c_custkey BIGINT PRIMARY KEY, c_name VARCHAR(100),
+          |  seg_sk VARCHAR(64), first_imported BIGINT, last_imported BIGINT,
+          |  despawned BOOLEAN)""".stripMargin.replace("\n", " "))
+    } finally conn.close()
+
+    def dbRows(): Map[Long, (String, Long, Long, Boolean)] = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT c_custkey, c_name, first_imported, last_imported, despawned FROM cust_s")
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => r.getLong(1) -> ((r.getString(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+          .toMap
+      } finally c.close()
+    }
+
+    // import 1: two fresh rows at stamp 1
+    val empty = Seq.empty[(Long, String, String, Long, Long, Boolean)]
+      .toDF("c_custkey", "c_name", "c_mktsegment", "first_imported", "last_imported", "despawned")
+    val in1 = Seq((1L, "a", "BUILDING"), (2L, "b", "AUTO")).toDF("c_custkey", "c_name", "c_mktsegment")
+    StorePipeline.storeAndWrite(spark, empty, in1, spec, url, "cust_s", stamp = Some(lit(1L)))
+    assert(dbRows() == Map(1L -> (("a", 1L, 1L, false)), 2L -> (("b", 1L, 1L, false))))
+
+    // import 2 at stamp 2: key 1 absent from the batch → soft-deleted in
+    // the DB (NOT dropped), its stamps frozen; key 2 present unchanged →
+    // last_imported refreshed
+    val cur2 = Seq((1L, "a", "BUILDING", 1L, 1L, false), (2L, "b", "AUTO", 1L, 1L, false))
+      .toDF("c_custkey", "c_name", "c_mktsegment", "first_imported", "last_imported", "despawned")
+    val in2 = Seq((2L, "b", "AUTO")).toDF("c_custkey", "c_name", "c_mktsegment")
+    val r2 = StorePipeline.storeAndWrite(spark, cur2, in2, spec, url, "cust_s", stamp = Some(lit(2L)))
+    assert(r2.merged.filter(col("action") === UpsertMerge.Despawn).count() == 1)
+    assert(dbRows() == Map(1L -> (("a", 1L, 1L, true)), 2L -> (("b", 1L, 2L, false))))
+
+    // import 3 at stamp 3: key 1 reappears unchanged → respawn must reach
+    // the DB (flag cleared, last refreshed) even though attributes are equal
+    val cur3 = Seq((1L, "a", "BUILDING", 1L, 1L, true), (2L, "b", "AUTO", 1L, 2L, false))
+      .toDF("c_custkey", "c_name", "c_mktsegment", "first_imported", "last_imported", "despawned")
+    StorePipeline.storeAndWrite(spark, cur3, in1, spec, url, "cust_s", stamp = Some(lit(3L)))
+    assert(dbRows() == Map(1L -> (("a", 1L, 3L, false)), 2L -> (("b", 1L, 3L, false))))
+  }
 }
