@@ -1,0 +1,67 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a dedup pair graph — the step that turns a
+  * pair list (MinHash/SimHash/embedding candidates, Jaccard-verified) into
+  * the (doc_id, canonical_id) assignment a training-data pipeline actually
+  * consumes: one survivor per duplicate cluster, everything else mapped to
+  * it.
+  *
+  * Algorithm: iterative min-label propagation, DataFrame-only. Every vertex
+  * starts labeled with its own id; each round takes the min of its own and
+  * its neighbors' labels; convergence when no label changes. Each round is
+  * two key-shuffles (edge join + groupBy vertex) over data proportional to
+  * |E|, and rounds = graph diameter. Dedup graphs are near-clique clusters
+  * with tiny diameter (a pair graph at Jaccard ≥ 0.5 is dense within a
+  * cluster), so this converges in a handful of rounds at any corpus size —
+  * the pathological long-path graphs that need O(log n) star-contraction
+  * variants do not arise from similarity blocking. The loop state is
+  * localCheckpoint'ed each round so lineage stays flat, and the driver only
+  * ever sees one scalar (the changed-count) per round.
+  */
+object Components {
+
+  /** (id, lbl) for every vertex of the pair graph: lbl = min id of the
+    * vertex's connected component. Input needs columns (aCol, bCol). */
+  def labels(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
+      maxIters: Int = 50): DataFrame = {
+    // symmetric orientation of an a<b pair list is already duplicate-free,
+    // and duplicate edges would not change a min anyway — no distinct
+    val p = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
+    val edges = p.union(p.select(col("d").as("s"), col("s").as("d")))
+      .localCheckpoint()
+    // seed with the ONE-HOP min (self + direct neighbors) in a single
+    // aggregation: dedup clusters are near-cliques, so most vertices are
+    // already final after the seed and the loop is one verification round
+    var lbl = edges.groupBy(col("s").as("id"))
+      .agg(min(least(col("s"), col("d"))).as("lbl")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(lbl.select(col("id").as("d"), col("lbl").as("nlbl")), Seq("d"))
+        .groupBy(col("s").as("id")).agg(min(col("nlbl")).as("nbr_min"))
+      val upd = lbl.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("new_lbl"))
+        .localCheckpoint()
+      changed = upd.filter(col("new_lbl") < col("lbl")).count()
+      lbl = upd.select(col("id"), col("new_lbl").as("lbl"))
+      it += 1
+    }
+    require(changed == 0, s"components did not converge within $maxIters rounds")
+    lbl
+  }
+
+  /** (idCol, canonical_id) for EVERY row of `docs`: members of a duplicate
+    * cluster map to the cluster's min id, singletons map to themselves. */
+  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val lbl = labels(pairs, aCol, bCol)
+    docs.select(col(idCol))
+      .join(lbl.select(col("id").as(idCol), col("lbl")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("canonical_id"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.dedup.{Dedup, EmbedLsh, MinHashLsh, SimHashDedup}
+import graft.dedup.{Components, Dedup, EmbedLsh, MinHashLsh, SimHashDedup}
 import graft.functions.TextFunctions.P
 
 /** Deduplication queries (SURVEY.md §2D). The MinHash oracle SQL is
@@ -85,6 +85,45 @@ object DedupQ {
        |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
        |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
 
+  /** d_components: the dedup endgame — LSH candidates → exact-Jaccard
+    * verification → connected components → (doc_id, canonical_id) for every
+    * document (cluster members map to the cluster min id, singletons to
+    * themselves). This is the assignment a training-data pipeline consumes;
+    * the pair list alone is not. */
+  def dComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text").localCheckpoint()
+    val verified = Dedup.jaccardOnPairs(cands, docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    Components.canonicalize(docs, "doc_id", verified)
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle: same pair pipeline, then a recursive transitive-closure
+    * CTE labeled by MIN over each closure set — exact ground truth for the
+    * iterative min-label propagation. */
+  val dComponentsSql: String =
+    s"""WITH RECURSIVE $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte,
+       |cand AS ($candSelect),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id,
+       |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |      CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
+       |    FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |          UNION SELECT b_id AS s, a_id AS d FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+       |lbl AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)
+       |SELECT d.doc_id, coalesce(l.canonical_id, d.doc_id) AS canonical_id
+       |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** d_simhash: SimHash pairs within Hamming ≤ 3. Token hashes are
     * md5-derived (SimHashDedup.TokenHashSql), so the oracle recomputes the
     * identical signatures in SQL; the oracle retrieves pairs brute-force,
@@ -150,6 +189,7 @@ object DedupQ {
     "d_exact"         -> dExact _,
     "d_minhash_pairs" -> dMinhashPairs _,
     "d_jaccard"       -> dJaccard _,
+    "d_components"    -> dComponents _,
     "d_simhash"       -> dSimhash _,
     "d_embed_neardup" -> dEmbedNeardup _,
   )
@@ -158,6 +198,7 @@ object DedupQ {
     "d_exact"         -> dExactSql,
     "d_minhash_pairs" -> dMinhashPairsSql,
     "d_jaccard"       -> dJaccardSql,
+    "d_components"    -> dComponentsSql,
     "d_simhash"       -> dSimhashSql,
     "d_embed_neardup" -> dEmbedNeardupSql,
   )

@@ -42,6 +42,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(j((0L, 2L)) == 0.0)
   }
 
+  test("Components: min-label propagation crosses path graphs, splits components, keeps singletons") {
+    // path 1-2-3-4 forces multi-round propagation (diameter 3); {10,11} is a
+    // separate component; doc 99 appears in no pair
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val got = graft.dedup.Components.canonicalize(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
   test("SimHash: identical texts get distance 0; near-dups small; unrelated large") {
     val sigs = SimHashDedup.signatures(spark, docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
