@@ -36,14 +36,27 @@ object Similarity {
        |  FROM scored)
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
-  /** s_knn_ivf: IVF-bucketed ANN with TRAINED coarse centroids (Kmeans.fit
-    * — the two halves of the ANN story composed), nprobe=2. Approximate by
-    * construction → rows-only oracle; the IVF spec checks recall against
-    * brute force. */
+  /** Collision-free per-dataset index location (same convention as the
+    * ingest round-trip staging paths). */
+  private def ivfPath(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"/tmp/graft_ivf_$h"
+  }
+
+  /** s_knn_ivf: ANN through the PERSISTED IVF index — build once (trained
+    * centroids, bucket-partitioned corpus on disk), then probe with static
+    * partition pruning; nprobe=2. Approximate by construction → rows-only
+    * oracle; IvfIndexSpec checks pruning, idempotency and recall. C is
+    * pinned to 8 here (not the √N default) so the gate result is stable
+    * across scale factors. */
   def sKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val centroids = graft.similarity.Kmeans.fit(s, e, "vec_id", "embedding", k = 8, iters = 2)
-    Knn.ivf(s, e, queriesSubset(e), centroids, "vec_id", "embedding", k = 5, nprobe = 2)
+    val path = ivfPath(dir)
+    graft.similarity.IvfIndex.build(s, e, "vec_id", "embedding", path,
+      numCentroids = Some(8), iters = 2)
+    graft.similarity.IvfIndex.probe(s, path, queriesSubset(e), "vec_id", "embedding",
+        k = 5, nprobe = 2)
       .orderBy(col("q_id"), col("rnk"))
   }
 

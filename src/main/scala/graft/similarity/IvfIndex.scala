@@ -1,0 +1,69 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** Persisted IVF index — the 100 TB ANN shape: the expensive parts
+  * (centroid training, corpus bucket assignment) run ONCE at build time and
+  * land on disk partitioned by bucket; every subsequent query probes only
+  * its `nprobe` buckets, and because the probed bucket ids are known before
+  * the scan (|Q|·nprobe ints collected from the centroid comparison — a
+  * driver-side list the size of the query set, never the corpus), they push
+  * into the read as a STATIC partition filter. The scan physically reads
+  * nprobe/C of the corpus — partition pruning is the disk-level analogue of
+  * the inverted file.
+  *
+  * Centroid count defaults to C ≈ √N (the classical IVF balance point:
+  * per-query work C + k·N/C minimizes at C = √(kN), and probe cost grows
+  * with C), so the index keeps its shape as the corpus scales.
+  */
+object IvfIndex {
+
+  /** Train centroids and persist the bucket-partitioned corpus layout.
+    * Build once; probe many. */
+  def build(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, numCentroids: Option[Int] = None, iters: Int = 2): Unit = {
+    VectorExpressions.register(spark)
+    val c = numCentroids.getOrElse {
+      val n = corpus.count()
+      math.max(2, math.round(math.sqrt(n.toDouble)).toInt)
+    }
+    val centroids = Kmeans.fit(spark, corpus, idCol, vecCol, c, iters)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    Knn.assignBuckets(spark, corpus, centroids, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/buckets")
+  }
+
+  /** ANN top-k against a built index. Queries need (idCol, vecCol). */
+  def probe(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    VectorExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    // nprobe nearest centroids per query — the window sees |Q|·C rows only
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_cos", coalesce(expr("cosine_sim(q_vec, c_vec)"), lit(-1.0)))
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("c_id").as("bucket"))
+      .localCheckpoint()
+    // the probed bucket ids ARE the partition filter: collecting them is
+    // O(|Q|·nprobe) scalars, and isin() prunes the scan to those directories
+    val bucketIds = probes.select(col("bucket")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val corpus = spark.read.parquet(s"$path/buckets")
+      .filter(col("bucket").isin(bucketIds: _*))
+    val scored = corpus.join(broadcast(probes), "bucket")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", expr("cosine_sim(q_vec, n_vec)"))
+      .select(col("q_id"), col("n_id"), col("cos"))
+    val top = graft.plans.TopK.perKey(scored, Seq("q_id"),
+      Seq(col("cos").desc, col("n_id").asc), k)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("q_id"), col("n_id"), col("rnk"))
+  }
+}

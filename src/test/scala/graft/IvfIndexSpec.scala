@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.{IvfIndex, Knn}
+
+/** The index contract: expensive work at build time, bounded work at probe
+  * time. The decisive assert is partition pruning — a probe must READ only
+  * its nprobe buckets, not scan-then-filter the corpus. */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val path = "/tmp/graft_ivf_spec"
+
+  test("build once, probe twice: identical results, and the probe scan prunes to the probed buckets") {
+    val e = Tables.embeddings(spark, dir)
+    IvfIndex.build(spark, e, "vec_id", "embedding", path, iters = 2)
+    // C defaults to ~sqrt(N)
+    val c = spark.read.parquet(s"$path/centroids").count()
+    val n = e.count()
+    assert(math.abs(c - math.round(math.sqrt(n.toDouble))) <= 1, s"C=$c for N=$n")
+    // every corpus vector landed in exactly one bucket
+    assert(spark.read.parquet(s"$path/buckets").count() == n)
+
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val p1 = IvfIndex.probe(spark, path, q, "vec_id", "embedding", 5, 2)
+    val r1 = p1.orderBy("q_id", "rnk").as[(Long, Long, Int)].collect().toSeq
+    assert(r1.nonEmpty && r1.groupBy(_._1).values.forall(_.size <= 5))
+
+    val p2 = IvfIndex.probe(spark, path, q, "vec_id", "embedding", 5, 2)
+    val r2 = p2.orderBy("q_id", "rnk").as[(Long, Long, Int)].collect().toSeq
+    assert(r2 == r1, "probing a built index must be deterministic")
+
+    // the scan carries a static partition filter on bucket — pruning, not
+    // scan-then-filter; with C≈22 and nprobe=2 the probed set is a strict
+    // subset so the filter is a genuine IN list
+    val plan = p2.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"no partition filter on the probe scan:\n${plan.take(3000)}")
+    val pruned = "PartitionFilters: \\[[^\\]]*bucket[^\\]]*IN".r
+    assert(pruned.findFirstIn(plan).isDefined,
+      s"bucket IN pruning missing:\n${plan.take(3000)}")
+  }
+
+  test("index probe recall matches the inline IVF path (same centroids, same assignment)") {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val cent = spark.read.parquet(s"$path/centroids")
+    val inline = Knn.ivf(spark, e, q, cent, "vec_id", "embedding", 5, 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val indexed = IvfIndex.probe(spark, path, q, "vec_id", "embedding", 5, 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(indexed == inline, "persisted index must agree with the inline composition")
+  }
+}
