@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampNTZType
 
@@ -64,14 +63,17 @@ object Relational2 {
       |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
   /** q_corr_subquery: orders priced above their priority class average —
-    * the correlated-subquery shape, decorrelated Spark-side into a window
-    * average (one shuffle, no per-row subquery execution). */
+    * the correlated-subquery shape, decorrelated Spark-side into a 5-row
+    * aggregate broadcast back onto the table. A window on the 5-value class
+    * key would funnel every row through 5 reducers; this way the table
+    * never shuffles at all (partial aggregation collapses map-side, the
+    * tiny average table broadcasts). */
   def qCorrSubquery(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-    Tables.orders(s, dir)
-      .withColumn("class_avg",
-        sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double") /
-          count(lit(1)).over(w).cast("double"))
+    val ord = Tables.orders(s, dir)
+    val classAvg = ord.groupBy(col("o_orderpriority"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("class_avg"))
+    ord.join(broadcast(classAvg), "o_orderpriority")
       .filter(col("o_totalprice") > col("class_avg") * 2.0)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))

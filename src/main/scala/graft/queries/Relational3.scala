@@ -13,27 +13,31 @@ import graft.sources.Readers
   * readers. */
 object Relational3 {
 
-  /** q_window_funcs: lag/lead/dense_rank/ntile over one shared sort. */
+  /** q_window_funcs: lag/lead/dense_rank/ntile over one shared sort.
+    * Partitioned by o_custkey — a high-cardinality key, so at any scale the
+    * window work spreads across all reducers instead of funneling the table
+    * through ≤5 of them (the per-customer order history is the natural
+    * bounded unit here). */
   def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
+    val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(s, dir)
       .filter(col("o_totalprice") > 350000.0)
-      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         dense_rank().over(w).as("drnk"),
         ntile(4).over(w).as("quartile"),
         lag(col("o_orderkey"), 1).over(w).as("prev_key"),
         lead(col("o_orderkey"), 1).over(w).as("next_key"))
-      .orderBy(col("o_orderpriority"), col("drnk"), col("o_orderkey"))
+      .orderBy(col("o_custkey"), col("drnk"), col("o_orderkey"))
   }
 
   val qWindowFuncsSql: String =
-    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+    """SELECT o_custkey, o_orderkey, o_totalprice,
       |  DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile,
       |  LAG(o_orderkey, 1) OVER w AS prev_key, LEAD(o_orderkey, 1) OVER w AS next_key
       |FROM orders WHERE o_totalprice > 350000.0
-      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
-      |ORDER BY o_orderpriority, drnk, o_orderkey""".stripMargin
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_custkey, drnk, o_orderkey""".stripMargin
 
   /** q_cube: full CUBE over two dimensions. */
   def qCube(s: SparkSession, dir: String): DataFrame =
@@ -102,31 +106,32 @@ object Relational3 {
     "SELECT n_regionkey, COUNT(*) AS n_nations FROM nation GROUP BY 1 ORDER BY n_regionkey"
 
   /** q_window_funcs2: value-window functions — first/last value over
-    * frames, percent_rank, cume_dist. */
+    * frames, percent_rank, cume_dist. High-cardinality partition key
+    * (o_custkey) for the same scale reason as q_window_funcs. */
   def qWindowFuncs2(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
+    val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.orders(s, dir)
       .filter(col("o_totalprice") > 400000.0)
-      .select(col("o_orderpriority"), col("o_orderkey"),
+      .select(col("o_custkey"), col("o_orderkey"),
         first(col("o_orderkey")).over(wFrame).as("cheapest_key"),
         last(col("o_orderkey")).over(wFrame).as("priciest_key"),
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"))
-      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   val qWindowFuncs2Sql: String =
-    """SELECT o_orderpriority, o_orderkey,
+    """SELECT o_custkey, o_orderkey,
       |  FIRST_VALUE(o_orderkey) OVER wf AS cheapest_key,
       |  LAST_VALUE(o_orderkey) OVER wf AS priciest_key,
       |  PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
       |FROM orders WHERE o_totalprice > 400000.0
-      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
-      |  wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   /** q_setops_all: multiset set operations (UNION/EXCEPT/INTERSECT ALL). */
   def qSetopsAll(s: SparkSession, dir: String): DataFrame = {
