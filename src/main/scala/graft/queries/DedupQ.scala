@@ -13,12 +13,16 @@ import graft.functions.TextFunctions.P
   * candidate pair set matches exactly (determinism, not luck). */
 object DedupQ {
 
-  /** Shared oracle CTEs: tokenized shingles and Carter–Wegman base hashes. */
-  private val shingleCte =
-    """sh AS (
+  /** Shared oracle CTEs: tokenized shingles and Carter–Wegman base hashes.
+    * The shingle source is parameterized so the curation pipeline can run
+    * the identical machinery over a filtered subset. */
+  private def shingleCteFor(src: String) =
+    s"""sh AS (
       |  SELECT doc_id, list_distinct([concat_ws(' ', l[i+1], l[i+2], l[i+3])
       |    for i in range(0, greatest(len(l)-2, 1))]) AS sh
-      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\r\f]+') AS l FROM documents))""".stripMargin
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\r\f]+') AS l FROM $src))""".stripMargin
+
+  private val shingleCte = shingleCteFor("documents")
 
   private val hpCte =
     s"""hp AS (
@@ -124,6 +128,68 @@ object DedupQ {
        |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Curation quality cutoff (keeps ~77% of the synthetic corpus). */
+  val CurateQuality = 0.35
+
+  /** d_curate: the training-data curation pipeline END-TO-END — quality
+    * scoring → threshold filter → fuzzy dedup (LSH candidates, exact
+    * Jaccard, connected components) → canonical survivors only. The cheap
+    * narrow quality filter runs FIRST so the expensive shingle/signature
+    * machinery only ever sees surviving documents — the ordering that
+    * matters at 100 TB. Output: one row per kept document. */
+  def dCurate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val scored = docs
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), col("text"), size(col("toks")).as("n_tokens"),
+        TextFunctions.qualityScore(col("text"), col("toks")).as("quality"))
+    // good docs feed four consumers (pair gen, jaccard, components, final
+    // join) — materialize once, truncate the scoring lineage
+    val good = scored.filter(col("quality") >= CurateQuality).localCheckpoint()
+    val gdocs = good.select(col("doc_id"), col("text"))
+    val cands = MinHashLsh.candidatePairs(gdocs, "doc_id", "text").localCheckpoint()
+    val verified = Dedup.jaccardOnPairs(cands, gdocs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    val canon = Components.canonicalize(good.select(col("doc_id")), "doc_id", verified)
+    good.join(canon, "doc_id")
+      .filter(col("canonical_id") === col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dCurateSql: String =
+    s"""WITH RECURSIVE tk AS (SELECT doc_id, text, ${Text.toksSql} AS toks FROM documents),
+       |q AS (SELECT doc_id, text, len(toks) AS n_tokens,
+       |        ${Text.qualitySqlExpr} AS quality
+       |      FROM tk),
+       |qdocs AS (SELECT doc_id, text FROM q WHERE quality >= $CurateQuality),
+       |${shingleCteFor("qdocs")},
+       |$hpCte,
+       |$sigsCte,
+       |$bandsCte,
+       |cand AS ($candSelect),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id,
+       |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+       |      CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
+       |    FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+       |  WHERE jaccard >= 0.5),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |          UNION SELECT b_id AS s, a_id AS d FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+       |lbl AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)
+       |SELECT q.doc_id, q.n_tokens, q.quality
+       |FROM q LEFT JOIN lbl ON lbl.id = q.doc_id
+       |WHERE q.quality >= $CurateQuality AND coalesce(lbl.canonical_id, q.doc_id) = q.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** d_simhash: SimHash pairs within Hamming ≤ 3. Token hashes are
     * md5-derived (SimHashDedup.TokenHashSql), so the oracle recomputes the
     * identical signatures in SQL; the oracle retrieves pairs brute-force,
@@ -190,6 +256,7 @@ object DedupQ {
     "d_minhash_pairs" -> dMinhashPairs _,
     "d_jaccard"       -> dJaccard _,
     "d_components"    -> dComponents _,
+    "d_curate"        -> dCurate _,
     "d_simhash"       -> dSimhash _,
     "d_embed_neardup" -> dEmbedNeardup _,
   )
@@ -199,6 +266,7 @@ object DedupQ {
     "d_minhash_pairs" -> dMinhashPairsSql,
     "d_jaccard"       -> dJaccardSql,
     "d_components"    -> dComponentsSql,
+    "d_curate"        -> dCurateSql,
     "d_simhash"       -> dSimhashSql,
     "d_embed_neardup" -> dEmbedNeardupSql,
   )

@@ -12,8 +12,9 @@ import graft.functions.TextFunctions._
 object Text {
 
   /** DuckDB token expression — must mirror TextFunctions.tokens (explicit
-    * whitespace class, see TextFunctions.Ws for why never `\s`). */
-  private val toksSql = s"string_split_regex(lower(trim(text)), '${graft.functions.TextFunctions.Ws}+')"
+    * whitespace class, see TextFunctions.Ws for why never `\s`). Shared
+    * with the curation pipeline oracle in DedupQ. */
+  private[queries] val toksSql = s"string_split_regex(lower(trim(text)), '${graft.functions.TextFunctions.Ws}+')"
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
 
   /** t_tokens: whitespace + BPE-ish token counting (regex-heavy narrow map
@@ -43,15 +44,21 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
-  val tQualitySql: String = {
-    val punct = """CAST(length(regexp_replace(text, '[a-zA-Z0-9_ \t\n\r\f]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"""
-    val stop = s"CAST(len(list_filter(toks, t -> t IN (${inList(Stopwords)}))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)"
-    s"""SELECT doc_id, len(toks) AS n_tokens, $punct AS punct_ratio, $stop AS stopword_ratio,
-       |  0.4::DOUBLE * least(1.0::DOUBLE, CAST(len(toks) AS DOUBLE) / 100.0::DOUBLE)
-       |    + 0.4::DOUBLE * ($stop)
-       |    + 0.2::DOUBLE * (1.0::DOUBLE - ($punct)) AS quality
+  /** Shared quality-score SQL over columns (text, toks) — mirrors
+    * TextFunctions.qualityScore with the identical operation order. */
+  private[queries] val punctSql =
+    """CAST(length(regexp_replace(text, '[a-zA-Z0-9_ \t\n\r\f]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"""
+  private[queries] val stopSql =
+    s"CAST(len(list_filter(toks, t -> t IN (${inList(Stopwords)}))) AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE)"
+  private[queries] val qualitySqlExpr =
+    s"""0.4::DOUBLE * least(1.0::DOUBLE, CAST(len(toks) AS DOUBLE) / 100.0::DOUBLE)
+       |    + 0.4::DOUBLE * ($stopSql)
+       |    + 0.2::DOUBLE * (1.0::DOUBLE - ($punctSql))""".stripMargin
+
+  val tQualitySql: String =
+    s"""SELECT doc_id, len(toks) AS n_tokens, $punctSql AS punct_ratio, $stopSql AS stopword_ratio,
+       |  $qualitySqlExpr AS quality
        |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) ORDER BY doc_id""".stripMargin
-  }
 
   /** t_langid: stopword-profile language identification. */
   def tLangid(s: SparkSession, dir: String): DataFrame = {
