@@ -1,0 +1,112 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.math.{BigDecimal => JBigDecimal, BigInteger, RoundingMode}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Decimal-exact per-dimension vector sum — ONE aggregate column for the
+  * whole embedding instead of `dim` separate decimal sums.
+  *
+  * Why it exists: k-means centroid updates need partitioning-invariant
+  * summation (doubles are order-sensitive; decimals are exact, so any
+  * partitioning/merge order yields bit-identical centroids). Expressing
+  * that as `dim` separate `sum(cast(vec[i] as decimal))` columns works at
+  * dim=64 but generates `dim` aggregate expressions — at real embedding
+  * widths (768–4096) that bloats the plan and blows past codegen limits.
+  * This TypedImperativeAggregate keeps one buffer of exact decimals per
+  * group, updates in a tight loop over the array, and merges
+  * associatively+commutatively, so the result is invariant to partitioning
+  * at ANY width with O(1) plan size.
+  *
+  * Each element is rounded to scale 12 on entry (same as a cast to
+  * DECIMAL(38,12)); sums are arbitrary-precision so they cannot overflow.
+  * Output is array<double> of the exact sums.
+  */
+case class VectorDecimalSum(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[JBigDecimal]] with UnaryLike[Expression] {
+
+  private val Scale = 12
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vector_decimal_sum requires array<float|double>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def createAggregationBuffer(): Array[JBigDecimal] =
+    Array.fill(dim)(JBigDecimal.ZERO)
+
+  override def update(buffer: Array[JBigDecimal], input: InternalRow): Array[JBigDecimal] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), dim)
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+          buffer(j) = buffer(j).add(
+            JBigDecimal.valueOf(x).setScale(Scale, RoundingMode.HALF_UP))
+        }
+        j += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(a: Array[JBigDecimal], b: Array[JBigDecimal]): Array[JBigDecimal] = {
+    var j = 0
+    while (j < dim) { a(j) = a(j).add(b(j)); j += 1 }
+    a
+  }
+
+  override def eval(buffer: Array[JBigDecimal]): Any =
+    new GenericArrayData(buffer.map(_.doubleValue()))
+
+  override def serialize(buffer: Array[JBigDecimal]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    var j = 0
+    while (j < dim) {
+      // fixed scale — only the unscaled integer needs to travel
+      val bytes = buffer(j).setScale(Scale).unscaledValue().toByteArray
+      out.writeInt(bytes.length); out.write(bytes)
+      j += 1
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(storageFormat: Array[Byte]): Array[JBigDecimal] = {
+    val in = new DataInputStream(new ByteArrayInputStream(storageFormat))
+    Array.fill(dim) {
+      val bytes = new Array[Byte](in.readInt()); in.readFully(bytes)
+      new JBigDecimal(new BigInteger(bytes), Scale)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorDecimalSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorDecimalSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorDecimalSum =
+    copy(child = newChild)
+}

@@ -48,16 +48,19 @@ object Kmeans {
     var centroids = corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("c_vec"))
     val points = corpus.select(col(idCol).as("p_id"), col(vecCol).cast("array<double>").as("p_vec"))
+    // ONE decimal-exact vector-sum aggregate for the whole embedding:
+    // partitioning-invariant centroids (decimal summation) with O(1) plan
+    // size at any dimension — `dim` separate sum columns would bloat the
+    // plan and break codegen at real embedding widths
+    val sumVec = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.VectorDecimalSum(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(col("p_vec")), dim)
+        .toAggregateExpression())
     for (_ <- 0 until iters) {
       val assigned = assign(spark, points, centroids)
-      // mean per cluster, dimension-wise: aggregate arrays without exploding;
-      // decimal sums keep centroids bitwise-identical under any partitioning
-      val sumVec = (0 until dim).map(i =>
-        sum(expr(s"p_vec[$i]").cast("decimal(28,12)")).cast("double").as(s"s_$i"))
       val newCentroids = assigned.groupBy(col("c_id"))
-        .agg(count(lit(1)).as("n"), sumVec: _*)
-        .select(col("c_id"),
-          array((0 until dim).map(i => col(s"s_$i") / col("n")): _*).as("c_vec"))
+        .agg(count(lit(1)).as("n"), sumVec.as("s"))
+        .select(col("c_id"), transform(col("s"), x => x / col("n")).as("c_vec"))
       // materialize the k centroid rows per iteration — otherwise the lazy
       // plans nest and every iteration recomputes all previous ones
       val rows = newCentroids.collect().toSeq

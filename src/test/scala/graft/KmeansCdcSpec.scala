@@ -22,6 +22,32 @@ class KmeansCdcSpec extends AnyFunSuite {
     assert(out == Map(1L -> 2.0, 3L -> 7.0, 4L -> 6.0))
   }
 
+  test("VectorDecimalSum: exact vs BigDecimal reference, partitioning-invariant, one agg column at dim=512") {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val dim = 512
+    val rows = (0 until 300).map { i =>
+      (i % 7).toLong -> Array.tabulate(dim)(j => ((i * 31 + j * 17) % 1000) / 7.0)
+    }
+    val df = rows.toDF("g", "v")
+    def sums(parts: Int): Map[Long, Seq[Double]] = {
+      val c = ColumnBridge.column(graft.functions.VectorDecimalSum(
+        ColumnBridge.expression(col("v")), dim).toAggregateExpression())
+      df.repartition(parts).groupBy(col("g")).agg(c.as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    }
+    val s1 = sums(1); val s13 = sums(13)
+    assert(s1 == s13, "decimal vector sum must not depend on partitioning")
+    // exact reference via BigDecimal with the same entry rounding
+    val ref = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> (0 until dim).map { j =>
+        vs.map(v => java.math.BigDecimal.valueOf(v._2(j))
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+          .reduce(_.add(_)).doubleValue()
+      }
+    }
+    assert(s1 == ref)
+  }
+
   test("Kmeans: separable clusters recovered, partitioning-invariant centroids") {
     val pts = (0 until 60).map { i =>
       val base = if (i % 2 == 0) 0.0f else 10.0f
