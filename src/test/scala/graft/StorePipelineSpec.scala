@@ -112,4 +112,49 @@ class StorePipelineSpec extends AnyFunSuite {
     StorePipeline.storeAndWrite(spark, cur3, in1, spec, url, "cust_s", stamp = Some(lit(3L)))
     assert(dbRows() == Map(1L -> (("a", 1L, 3L, false)), 2L -> (("b", 1L, 3L, false))))
   }
+
+  test("snapshot-stream ingestion: foreachBatch drives stamped imports, batch id as the import stamp") {
+    // each micro-batch is a FULL snapshot export (the import shape despawn
+    // semantics are defined for) — the current DB state reads back through
+    // JDBC inside each batch, so the stream is its own feedback loop
+    val conn = DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().executeUpdate("DROP TABLE snap_t") catch { case _: Exception => () }
+      conn.createStatement().executeUpdate(
+        """CREATE TABLE snap_t (user_id BIGINT PRIMARY KEY, amount DOUBLE,
+          |  first_imported BIGINT, last_imported BIGINT, despawned BOOLEAN)""".stripMargin.replace("\n", " "))
+    } finally conn.close()
+
+    val snapSpec = StorePipeline.Spec(keyCols = Seq("user_id"), attrCols = Seq("amount"))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    val q = ms.toDF().toDF("user_id", "amount").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val raw = spark.read.format("jdbc")
+          .option("url", url).option("dbtable", "snap_t").load()
+        val current = raw.toDF(raw.columns.map(_.toLowerCase): _*) // Derby upcases identifiers
+        StorePipeline.storeAndWrite(spark, current, batch, snapSpec, url, "snap_t",
+          stamp = Some(lit(id)))
+        ()
+      }.start()
+    def rows(): Map[Long, (Double, Long, Long, Boolean)] = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT user_id, amount, first_imported, last_imported, despawned FROM snap_t")
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => r.getLong(1) -> ((r.getDouble(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+          .toMap
+      } finally c.close()
+    }
+    try {
+      ms.addData((1L, 10.0), (2L, 20.0))   // snapshot 0: two users
+      q.processAllAvailable()
+      assert(rows() == Map(1L -> ((10.0, 0L, 0L, false)), 2L -> ((20.0, 0L, 0L, false))))
+      ms.addData((2L, 25.0))               // snapshot 1: user 1 gone, user 2 changed
+      q.processAllAvailable()
+      assert(rows() == Map(1L -> ((10.0, 0L, 0L, true)), 2L -> ((25.0, 0L, 1L, false))))
+    } finally q.stop()
+  }
 }
