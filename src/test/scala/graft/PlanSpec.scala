@@ -72,4 +72,13 @@ class PlanSpec extends AnyFunSuite {
     val bhj = p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin")
     assert(smj + bhj >= 1, "merge must be a single join")
   }
+
+  test("e_store_stamps: despawn + stamp bookkeeping adds NO join or shuffle over the plain merge") {
+    val p = plan(Etl.eStoreStamps(spark, dir))
+    val smj = p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin")
+    val bhj = p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin")
+    assert(smj + bhj == 1, s"stamped merge must stay a single join:\n${p.take(2000)}")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 3, s"only the join's two sides (+ output sort) may shuffle:\n${p.take(2000)}")
+  }
 }
