@@ -39,7 +39,9 @@ object Bench {
             None
         }
       }
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      // ANY failed run reports -1 — a flaky query must never surface as a
+      // plausible-looking min time
+      name -> (if (times.size < runs) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

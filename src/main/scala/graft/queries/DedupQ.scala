@@ -48,6 +48,34 @@ object DedupQ {
     """SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
       |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
 
+  /** Jaccard cutoff for verified near-dup pairs — ONE constant feeding the
+    * Spark filters and every generated oracle (d_jaccard, d_components,
+    * d_curate), so the threshold cannot drift between engines or queries. */
+  val JaccardThreshold = 0.5
+
+  private val jaccardExprSql =
+    """CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |    CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)""".stripMargin
+
+  /** Verified pairs CTE (needs cand + sh in scope). */
+  private val pairsCte =
+    s"""pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id, $jaccardExprSql AS jaccard
+       |    FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+       |  WHERE jaccard >= $JaccardThreshold)""".stripMargin
+
+  /** Transitive closure over the pair graph → per-vertex component-min
+    * label (needs pairs in scope; requires WITH RECURSIVE). */
+  private val closureCtes =
+    """edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+      |          UNION SELECT b_id AS s, a_id AS d FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
+      |lbl AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)""".stripMargin
+
   /** d_exact: exact dedup groups by normalized content hash. */
   def dExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
@@ -75,7 +103,7 @@ object DedupQ {
     // cleaner when the plan is GC'd instead of pinned for the session
     val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text").localCheckpoint()
     Dedup.jaccardOnPairs(cands, docs, "doc_id", "text")
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -83,11 +111,9 @@ object DedupQ {
     s"""WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte,
        |cand AS ($candSelect)
        |SELECT * FROM (
-       |  SELECT a_id, b_id,
-       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-       |    CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
+       |  SELECT a_id, b_id, $jaccardExprSql AS jaccard
        |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
-       |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
+       |WHERE jaccard >= $JaccardThreshold ORDER BY a_id, b_id""".stripMargin
 
   /** d_components: the dedup endgame — LSH candidates → exact-Jaccard
     * verification → connected components → (doc_id, canonical_id) for every
@@ -98,7 +124,7 @@ object DedupQ {
     val docs = Tables.documents(s, dir)
     val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text").localCheckpoint()
     val verified = Dedup.jaccardOnPairs(cands, docs, "doc_id", "text")
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= JaccardThreshold)
       .select(col("a_id"), col("b_id")).localCheckpoint()
     Components.canonicalize(docs, "doc_id", verified)
       .orderBy(col("doc_id"))
@@ -110,20 +136,8 @@ object DedupQ {
   val dComponentsSql: String =
     s"""WITH RECURSIVE $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte,
        |cand AS ($candSelect),
-       |pairs AS (
-       |  SELECT a_id, b_id FROM (
-       |    SELECT a_id, b_id,
-       |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-       |      CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
-       |    FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
-       |  WHERE jaccard >= 0.5),
-       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
-       |          UNION SELECT b_id AS s, a_id AS d FROM pairs),
-       |reach(id, r) AS (
-       |  SELECT s, s FROM edges
-       |  UNION
-       |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
-       |lbl AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)
+       |$pairsCte,
+       |$closureCtes
        |SELECT d.doc_id, coalesce(l.canonical_id, d.doc_id) AS canonical_id
        |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
        |ORDER BY doc_id""".stripMargin
@@ -151,7 +165,7 @@ object DedupQ {
     val gdocs = good.select(col("doc_id"), col("text"))
     val cands = MinHashLsh.candidatePairs(gdocs, "doc_id", "text").localCheckpoint()
     val verified = Dedup.jaccardOnPairs(cands, gdocs, "doc_id", "text")
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= JaccardThreshold)
       .select(col("a_id"), col("b_id")).localCheckpoint()
     val canon = Components.canonicalize(good.select(col("doc_id")), "doc_id", verified)
     good.join(canon, "doc_id")
@@ -171,20 +185,8 @@ object DedupQ {
        |$sigsCte,
        |$bandsCte,
        |cand AS ($candSelect),
-       |pairs AS (
-       |  SELECT a_id, b_id FROM (
-       |    SELECT a_id, b_id,
-       |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-       |      CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
-       |    FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
-       |  WHERE jaccard >= 0.5),
-       |edges AS (SELECT a_id AS s, b_id AS d FROM pairs
-       |          UNION SELECT b_id AS s, a_id AS d FROM pairs),
-       |reach(id, r) AS (
-       |  SELECT s, s FROM edges
-       |  UNION
-       |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d),
-       |lbl AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)
+       |$pairsCte,
+       |$closureCtes
        |SELECT q.doc_id, q.n_tokens, q.quality
        |FROM q LEFT JOIN lbl ON lbl.id = q.doc_id
        |WHERE q.quality >= $CurateQuality AND coalesce(lbl.canonical_id, q.doc_id) = q.doc_id

@@ -41,7 +41,9 @@ object Similarity {
   private def ivfPath(dir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"/tmp/graft_ivf_$h"
+    // pid-scoped: a concurrent gate + bench run over the same dataset must
+    // not overwrite-build the index files the other process is probing
+    s"/tmp/graft_ivf_${h}_${ProcessHandle.current().pid()}"
   }
 
   /** s_knn_ivf: ANN through the PERSISTED IVF index — build once (trained

@@ -48,6 +48,10 @@ class IvfIndexSpec extends AnyFunSuite {
   test("index probe recall matches the inline IVF path (same centroids, same assignment)") {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") % 50 === 0)
+    // self-contained: build into an own path so this test neither depends on
+    // the other test's ordering nor on stale /tmp state from a prior session
+    val path = s"${this.path}_inline"
+    IvfIndex.build(spark, e, "vec_id", "embedding", path, iters = 2)
     val cent = spark.read.parquet(s"$path/centroids")
     val inline = Knn.ivf(spark, e, q, cent, "vec_id", "embedding", 5, 2)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet

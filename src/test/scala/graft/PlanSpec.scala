@@ -41,7 +41,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("q1: single shuffle (partial aggregation map-side)") {
     val p = plan(Relational.q1(spark, dir))
-    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    val exchanges = p.linesIterator.count(_.contains("+- Exchange"))
     assert(p.contains("HashAggregate"), "partial agg expected")
     // one shuffle for the groupBy; the orderBy on 6 rows may add a range
     // exchange — nothing else
@@ -78,7 +78,9 @@ class PlanSpec extends AnyFunSuite {
     val smj = p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin")
     val bhj = p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin")
     assert(smj + bhj == 1, s"stamped merge must stay a single join:\n${p.take(2000)}")
-    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    // contains(), not startsWith(): left-branch Exchanges render behind a
+    // ':' tree prefix and a startsWith count would miss them
+    val exchanges = p.linesIterator.count(_.contains("+- Exchange"))
     assert(exchanges <= 3, s"only the join's two sides (+ output sort) may shuffle:\n${p.take(2000)}")
   }
 }
