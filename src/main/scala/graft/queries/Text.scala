@@ -217,7 +217,37 @@ object Text {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Split fractions: cumulative percentage bounds for train/val/test. */
+  val SplitBounds: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 90, "test" -> 100)
+
+  /** t_split: deterministic train/val/test assignment by CONTENT hash —
+    * the reproducible splitting a training pipeline needs at any scale: no
+    * RNG (identical across engines, runs and cluster sizes), keyed on
+    * content rather than id so exact duplicates always land in the same
+    * split (no train/test leakage through copies). Pure narrow map. */
+  def tSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long") % 100).as("bucket")
+    val split = SplitBounds.foldRight(lit(null).cast("string")) { case ((name, bound), acc) =>
+      when(col("bucket") < bound, lit(name)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), bucket)
+      .withColumn("split", split)
+      .orderBy(col("doc_id"))
+  }
+
+  val tSplitSql: String = {
+    val cases = SplitBounds.map { case (name, bound) =>
+      s"WHEN bucket < $bound THEN '$name'" }.mkString(" ")
+    s"""SELECT doc_id, bucket, CASE $cases END AS split
+       |FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS bucket
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_split"       -> tSplit _,
     "t_redact"      -> tRedact _,
     "t_tfidf"       -> tTfidf _,
     "t_vocab"       -> tVocab _,
@@ -230,6 +260,7 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_split"       -> tSplitSql,
     "t_redact"      -> tRedactSql,
     "t_tfidf"       -> tTfidfSql,
     "t_vocab"       -> tVocabSql,
