@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.OracleParity.xsum
 import graft.operators._
 
 /** ETL-surface queries (SURVEY.md §2B) — the reference's store_* semantics
@@ -276,7 +277,31 @@ object Etl {
       |  WHERE op IS NOT NULL)
       |WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin
 
+  /** e_salted_join: the skew-busting salted join must be RESULT-IDENTICAL
+    * to the plain join — salting only changes the shuffle layout. The
+    * oracle is the unsalted SQL join, so any salt-induced row loss or
+    * duplication (the classic salting bugs: missing replication on the
+    * small side, non-deterministic salt under retry) fails the gate. */
+  def eSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val hot = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+    Salting.saltedJoin(li, hot, "l_orderkey", factor = 8)
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n"), xsum(col("l_extendedprice")).as("total"))
+      .orderBy(col("o_year"))
+  }
+
+  val eSaltedJoinSql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_salted_join"   -> eSaltedJoin _,
     "e_cdc_apply"     -> eCdcApply _,
     "e_stable_id"     -> eStableId _,
     "e_validate"      -> eValidate _,
@@ -292,6 +317,7 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_salted_join"   -> eSaltedJoinSql,
     "e_cdc_apply"     -> eCdcApplySql,
     "e_stable_id"     -> eStableIdSql,
     "e_validate"      -> eValidateSql,
