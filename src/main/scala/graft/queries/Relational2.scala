@@ -164,7 +164,21 @@ object Relational2 {
       |  quantile_cont(l_extendedprice, 0.9) AS price_q90
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q_approx_quantiles: the 100 TB percentile path — percentile_approx
+    * (KLL-style mergeable sketch, one pass, bounded memory) where
+    * q_quantiles' exact form needs the full per-group sort. Approximate by
+    * construction → rows-only oracle; ApproxQuantilesSpec bounds the error
+    * against the exact values. accuracy=10000 → rank error ≤ N/10000. */
+  def qApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("qs"),
+        expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("price_q90"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_quantiles" -> qApproxQuantiles _,
     "q_quantiles"     -> qQuantiles _,
     "q_outer_join"    -> qOuterJoin _,
     "q7_nation_volume" -> q7 _,

@@ -141,6 +141,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"corpus-side shuffle join in IVF probe:\n$p")
   }
 
+  test("percentile_approx lands within 1% relative error of exact percentiles at sf0.1") {
+    // accuracy=10000 bounds RANK error at N/10000; on these distributions
+    // that translates to well under 1% relative VALUE error — pin that so a
+    // sketch regression fails loudly
+    val dir = "/root/testdata/sf0.1"
+    val li = Tables.lineitem(spark, dir)
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("approx"),
+        expr("percentile(l_extendedprice, 0.9)").as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (a, x) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a - x) / x < 0.01, s"flag ${r.get(0)}: approx $a vs exact $x")
+    }
+  }
+
   test("approx_count_distinct estimate is within the documented error bound of exact") {
     // Spark's approx_count_distinct defaults to HLL++ with rsd = 0.05 (a
     // standard deviation, not a max — measured error on these keys reaches
