@@ -25,6 +25,7 @@ object Multimodal {
 
   final case class Blob(doc_id: Long, media_type: String, n_bytes: Long, payload: Array[Byte])
   final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_md5: String)
+  final case class Feature(doc_id: Long, features: Array[Double])
 
   /** Wrap documents as (metadata, binary payload) rows — the ingest shape. */
   def asBlobs(docs: DataFrame): DataFrame =
@@ -33,6 +34,25 @@ object Multimodal {
       lit("text/plain;fake-video").as("media_type"),
       length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
       encode(col("text"), "UTF-8").as("payload"))
+
+  /** REAL feature extraction (no codec needed): L1-normalized 16-bin byte
+    * histogram per payload — a genuine content feature over any binary
+    * column, batched per partition like the decode path. Counts divide by
+    * the payload length in one double division, so the features are
+    * bit-deterministic and (for ASCII payloads) exactly reproducible from
+    * the character codes SQL-side. Bin = byte >> 4. */
+  def byteHistogram(blobs: Dataset[Blob]): Dataset[Feature] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val counts = new Array[Long](16)
+        var i = 0
+        while (i < b.payload.length) { counts((b.payload(i) & 0xff) >> 4) += 1; i += 1 }
+        val n = math.max(b.payload.length, 1).toDouble
+        Feature(b.doc_id, counts.map(_ / n))
+      }
+    }
+  }
 
   /** STUB decoder: split a payload into fixed-size "frames", keep every
     * `stride`-th frame, emit per-frame features. Deterministic stand-in for

@@ -47,6 +47,46 @@ object Modal {
       |      FROM documents)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** m_features_knn: multimodal × similarity composed END-TO-END — binary
+    * payloads → REAL per-partition feature extraction (L1-normalized byte
+    * histogram, no codec stub) → cosine top-3 neighbors via the k-bounded
+    * KNN path. The oracle recomputes the histogram from character codes
+    * (payloads are pure-ASCII UTF-8, so bytes == ords) and the cosine with
+    * the same left-fold order. */
+  def mFeaturesKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Multimodal.asBlobs(Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      .as[Multimodal.Blob]
+    val feats = Multimodal.byteHistogram(blobs).toDF()
+    val queries = feats.filter(col("doc_id") % 100 === 0)
+    graft.similarity.Knn.bruteForce(s, feats, queries, "doc_id", "features", k = 3)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private def dotSql(x: String, y: String) =
+    s"list_reduce([CAST($x[i+1] AS DOUBLE) * CAST($y[i+1] AS DOUBLE) for i in range(0, len($x))], (p, q) -> p + q)"
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  val mFeaturesKnnSql: String =
+    s"""WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents),
+       |h AS (SELECT doc_id, ord(c) // 16 AS bin, COUNT(*) AS cnt FROM ch WHERE c <> '' GROUP BY 1, 2),
+       |dense AS (
+       |  SELECT d.doc_id, gs.bin, coalesce(h.cnt, 0) AS cnt, greatest(length(d.text), 1) AS n
+       |  FROM documents d CROSS JOIN (SELECT unnest(range(16)) AS bin) gs
+       |  LEFT JOIN h ON h.doc_id = d.doc_id AND h.bin = gs.bin),
+       |feat AS (SELECT doc_id, list(CAST(cnt AS DOUBLE) / n ORDER BY bin) AS f
+       |         FROM dense GROUP BY doc_id, n),
+       |q AS (SELECT doc_id AS q_id, f AS qf FROM feat WHERE doc_id % 100 = 0),
+       |scored AS (
+       |  SELECT q_id, c.doc_id AS n_id, ${cosSql("qf", "c.f")} AS cos
+       |  FROM q, feat c WHERE c.doc_id <> q_id)
+       |SELECT q_id, n_id, rnk FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   /** st_hourly: the streaming windowed aggregation, batch-applied (the same
     * transformation runs under a watermark in StreamingSpec). */
   def stHourly(s: SparkSession, dir: String): DataFrame =
@@ -120,6 +160,7 @@ object Modal {
     "st_session_window" -> stSessionWindow _,
     "m_blob_stats"   -> mBlobStats _,
     "m_frame_sample" -> mFrameSample _,
+    "m_features_knn" -> mFeaturesKnn _,
     "st_hourly"      -> stHourly _,
     "st_stateful"    -> stStateful _,
   )
@@ -129,6 +170,7 @@ object Modal {
     "st_session_window" -> stSessionWindowSql,
     "m_blob_stats"   -> mBlobStatsSql,
     "m_frame_sample" -> mFrameSampleSql,
+    "m_features_knn" -> mFeaturesKnnSql,
     "st_hourly"      -> stHourlySql,
     "st_stateful"    -> Events.qSessionizeSql,
   )

@@ -30,6 +30,18 @@ class MultimodalSpec extends AnyFunSuite {
       repart.map(f => (f.doc_id, f.frame_idx, f.frame_md5)).toSet)
   }
 
+  test("byteHistogram: 16 L1-normalized bins, exact vs reference, partition-independent") {
+    val payload = "AAAa 01!".getBytes("UTF-8") // bins: 'A'=0x41>>4=4, 'a'=0x61>>4=6, ' '=2, '0','1'=3, '!'=2
+    val blobs = Seq(Multimodal.Blob(1L, "t", payload.length.toLong, payload)).toDS()
+    val f = Multimodal.byteHistogram(blobs).collect().head.features.toSeq
+    assert(f.length == 16 && math.abs(f.sum - 1.0) < 1e-12)
+    assert(f(4) == 3.0 / 8 && f(6) == 1.0 / 8 && f(2) == 2.0 / 8 && f(3) == 2.0 / 8)
+    val many = Seq.tabulate(20)(i => Multimodal.Blob(i.toLong, "t", 5L, s"doc$i!".getBytes)).toDS()
+    val a = Multimodal.byteHistogram(many).collect().map(x => x.doc_id -> x.features.toSeq).toMap
+    val b = Multimodal.byteHistogram(many.repartition(7)).collect().map(x => x.doc_id -> x.features.toSeq).toMap
+    assert(a == b)
+  }
+
   test("sampleFrames stride keeps every 4th frame on long payloads") {
     val blobs = Seq(Multimodal.Blob(1L, "t", 1000L, Array.tabulate(1000)(_.toByte))).toDS()
     val idx = Multimodal.sampleFrames(blobs, 64, 4).collect().map(_.frame_idx).sorted
