@@ -110,3 +110,106 @@ case class VectorDecimalSum(
   override protected def withNewChildInternal(newChild: Expression): VectorDecimalSum =
     copy(child = newChild)
 }
+
+/** Misra–Gries frequent-items sketch over a string column — the bounded-
+  * memory pass-1 of the two-pass heavy-hitters pattern: each partial
+  * aggregation keeps at most k counters regardless of cardinality, merges
+  * are the mergeable-summaries combine (sum, then subtract the (k+1)-th
+  * largest count and drop non-positives), and the output is the candidate
+  * token set plus the exact total item count. GUARANTEE (order- and
+  * partitioning-independent): every item with true frequency > N/(k+1)
+  * survives in the candidate set — counter VALUES are order-dependent, so
+  * only candidates + total are exposed; an exact re-count over the (≤ k)
+  * candidates then yields a deterministic final answer.
+  */
+case class FreqSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FreqSketch.Buffer] with UnaryLike[Expression] {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_total", LongType, nullable = false),
+    StructField("cands", ArrayType(StringType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"freq_sketch requires string, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): FreqSketch.Buffer = new FreqSketch.Buffer()
+
+  override def update(b: FreqSketch.Buffer, input: InternalRow): FreqSketch.Buffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val tok = v.toString
+      b.total += 1L
+      val cur = b.counts.getOrElse(tok, 0L)
+      if (cur > 0L || b.counts.size < k) b.counts.update(tok, cur + 1L)
+      else {
+        // classic MG decrement-all step; amortized O(1) per item
+        val dead = b.counts.iterator.flatMap { case (t, c) =>
+          if (c == 1L) Some(t) else { b.counts.update(t, c - 1L); None }
+        }.toList
+        dead.foreach(b.counts.remove)
+      }
+    }
+    b
+  }
+
+  override def merge(a: FreqSketch.Buffer, b: FreqSketch.Buffer): FreqSketch.Buffer = {
+    a.total += b.total
+    b.counts.foreach { case (t, c) => a.counts.update(t, a.counts.getOrElse(t, 0L) + c) }
+    if (a.counts.size > k) {
+      val cut = a.counts.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val dead = a.counts.iterator.flatMap { case (t, c) =>
+        if (c - cut <= 0L) Some(t) else { a.counts.update(t, c - cut); None }
+      }.toList
+      dead.foreach(a.counts.remove)
+    }
+    a
+  }
+
+  override def eval(b: FreqSketch.Buffer): Any = {
+    val toks = b.counts.keysIterator.toArray.sorted
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](b.total, ArrayData.toArrayData(toks)))
+  }
+
+  override def serialize(b: FreqSketch.Buffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(b.total); out.writeInt(b.counts.size)
+    b.counts.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): FreqSketch.Buffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new FreqSketch.Buffer()
+    b.total = in.readLong()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { b.counts.update(in.readUTF(), in.readLong()); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): FreqSketch =
+    copy(child = newChild)
+}
+
+object FreqSketch {
+  final class Buffer {
+    var total: Long = 0L
+    val counts: scala.collection.mutable.HashMap[String, Long] =
+      scala.collection.mutable.HashMap.empty
+  }
+}

@@ -246,7 +246,48 @@ object Text {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Heavy-hitter knobs: φ = 3% (as the integer ratio 3/100 so the
+    * threshold compare is integer-exact on both engines) and k = 40
+    * sketch counters — the MG guarantee needs φ > 1/(k+1) = 1/41. */
+  val HeavyHitterPct = 3
+  val HeavyHitterK = 40
+
+  /** t_heavy_hitters: two-pass heavy hitters at scale — pass 1 is the
+    * bounded-memory Misra–Gries sketch (≤ k counters per partial, ONE row
+    * leaves the aggregation), pass 2 exactly re-counts only the ≤ k
+    * candidate tokens via a broadcast semi-join. The MG guarantee makes the
+    * FINAL output deterministic and exactly equal to the true > φ·N set,
+    * even though sketch internals are order-dependent — so this gets a
+    * plain GROUP BY/HAVING oracle. The pattern replaces a full-vocabulary
+    * shuffle with a k-bounded one at 100 TB. */
+  def tHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val toks = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(tokens(col("text"))).as("token"))
+    val sketch = ColumnBridge.column(graft.functions.FreqSketch(
+      ColumnBridge.expression(col("token")), HeavyHitterK).toAggregateExpression())
+    val sk = toks.agg(sketch.as("sk"))
+      .select(col("sk.n_total").as("n_total"), col("sk.cands").as("cands"))
+      .localCheckpoint() // one row; truncates the sketch pass out of pass 2
+    val cands = sk.select(explode(col("cands")).as("token"))
+    toks.join(broadcast(cands), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(sk.select(col("n_total"))))
+      .filter(col("cnt") * 100 > col("n_total") * HeavyHitterPct)
+      .select(col("token"), col("cnt"), col("n_total"))
+      .orderBy(col("token"))
+  }
+
+  val tHeavyHittersSql: String =
+    s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
+       |n AS (SELECT COUNT(*) AS n_total FROM t)
+       |SELECT token, COUNT(*) AS cnt, n_total FROM t, n
+       |GROUP BY token, n_total HAVING COUNT(*) * 100 > n_total * $HeavyHitterPct
+       |ORDER BY token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_heavy_hitters" -> tHeavyHitters _,
     "t_split"       -> tSplit _,
     "t_redact"      -> tRedact _,
     "t_tfidf"       -> tTfidf _,
@@ -260,6 +301,7 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_heavy_hitters" -> tHeavyHittersSql,
     "t_split"       -> tSplitSql,
     "t_redact"      -> tRedactSql,
     "t_tfidf"       -> tTfidfSql,

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnBridge
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.OracleParity
@@ -84,5 +85,25 @@ class TextFunctionsSpec extends AnyFunSuite {
     val plain1 = base.coalesce(1).agg(sum(col("v"))).as[Double].head()
     val plain32 = base.repartition(32).agg(sum(col("v"))).as[Double].head()
     info(s"plain sum drift: ${math.abs(plain1 - plain32)}")
+  }
+
+  test("FreqSketch: candidates ⊇ true heavy hitters, ≤ k counters, exact total, any partitioning") {
+    import spark.implicits._
+    // hot 500 + warm 120 + 400 distinct singletons: N=1020, k=9 →
+    // guarantee retains every token with freq > N/(k+1) = 102
+    val data = (Seq.fill(500)("hot") ++ Seq.fill(120)("warm") ++
+      (0 until 400).map(i => s"rare_$i"))
+    val df = data.toDF("token")
+    for (parts <- Seq(1, 13)) {
+      val r = df.repartition(parts).agg(ColumnBridge.column(
+          graft.functions.FreqSketch(ColumnBridge.expression(col("token")), 9)
+            .toAggregateExpression()).as("sk"))
+        .select(col("sk.n_total"), col("sk.cands")).head()
+      assert(r.getLong(0) == 1020L)
+      val cands = r.getSeq[String](1)
+      assert(cands.size <= 9, s"sketch exceeded k: $cands")
+      assert(cands.contains("hot") && cands.contains("warm"),
+        s"guaranteed heavy hitters missing at $parts partitions: $cands")
+    }
   }
 }
