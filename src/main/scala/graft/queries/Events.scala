@@ -118,7 +118,47 @@ object Events {
       |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
 
+  /** q_gapfill: time-series resample + forward fill — the feature-pipeline
+    * shape: per-user hourly aggregate, a generated dense hour spine between
+    * each user's first and last activity (sequence+explode — no driver
+    * loop, spine generation is a narrow map), left join, and last-non-null
+    * carry-forward via an IGNORE NULLS running window. One shuffle for the
+    * hourly agg, one for the spine join, one user-keyed window sort. */
+  def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    // integer `div`, never `/` (double division + cast can floor-drift at
+    // exact hour boundaries vs DuckDB's integer `//`)
+    val hours = ev(s, dir)
+      .withColumn("hour", expr(s"ts_us div $UsPerHour"))
+    val hourly = hours.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), xsum(col("value")).as("v"))
+    val spine = hours.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  val qGapfillSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour, value FROM events),
+      |hourly AS (SELECT user_id, hour, COUNT(*) AS n_events,
+      |             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |           FROM e GROUP BY 1, 2),
+      |spine AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hour
+      |          FROM (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM e GROUP BY user_id)),
+      |j AS (SELECT s.user_id, s.hour, coalesce(h.n_events, 0) AS n_events, h.v
+      |      FROM spine s LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hour = s.hour)
+      |SELECT user_id, hour, n_events,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM j ORDER BY user_id, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gapfill"      -> qGapfill _,
     "q_asof_join"     -> qAsofJoin _,
     "q_events_hourly" -> qEventsHourly _,
     "q_sessionize"    -> qSessionize _,
@@ -126,6 +166,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_gapfill"      -> qGapfillSql,
     "q_asof_join"     -> qAsofJoinSql,
     "q_events_hourly" -> qEventsHourlySql,
     "q_sessionize"    -> qSessionizeSql,
