@@ -157,7 +157,37 @@ object Events {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
       |FROM j ORDER BY user_id, hour""".stripMargin
 
+  private val UsPerDay = 86400000000L
+
+  /** q_cohort_retention: weekly signup cohorts × weeks-since-signup active
+    * user counts — the retention matrix. One aggregation for the per-user
+    * signup anchor (broadcastable: one row per user), one shuffle for the
+    * cohort/week rollup with an exact distinct count. */
+  def qCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).withColumn("day", expr(s"ts_us div $UsPerDay"))
+    val signup = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    // filter on day >= d0 BEFORE the week bucket: Spark `div` truncates
+    // toward zero while DuckDB `//` floors, so a negative (day - d0) for
+    // pre-signup activity would bucket differently per engine
+    e.join(signup, "user_id")
+      .filter(col("day") >= col("d0"))
+      .withColumn("week", expr("(day - d0) div 7"))
+      .groupBy(expr("d0 div 7").as("cohort_week"), col("week"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week"))
+  }
+
+  val qCohortRetentionSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+      |signup AS (SELECT user_id, MIN(day) AS d0 FROM e WHERE event_type = 'signup' GROUP BY user_id)
+      |SELECT d0 // 7 AS cohort_week, (day - d0) // 7 AS week, COUNT(DISTINCT e.user_id) AS n_active
+      |FROM e JOIN signup USING (user_id)
+      |WHERE day >= d0
+      |GROUP BY 1, 2 ORDER BY cohort_week, week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> qCohortRetention _,
     "q_gapfill"      -> qGapfill _,
     "q_asof_join"     -> qAsofJoin _,
     "q_events_hourly" -> qEventsHourly _,
@@ -166,6 +196,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cohort_retention" -> qCohortRetentionSql,
     "q_gapfill"      -> qGapfillSql,
     "q_asof_join"     -> qAsofJoinSql,
     "q_events_hourly" -> qEventsHourlySql,
