@@ -131,7 +131,11 @@ object Events {
       .withColumn("hour", expr(s"ts_us div $UsPerHour"))
     val hourly = hours.groupBy(col("user_id"), col("hour"))
       .agg(count(lit(1)).as("n_events"), xsum(col("value")).as("v"))
-    val spine = hours.groupBy(col("user_id"))
+    // spine bounds come from HOURLY, not the raw events: semantically
+    // identical (hourly holds every (user,hour)), aggregates |user×hour|
+    // rows instead of |events|, and the repeated hourly subplan lets
+    // ReuseExchange serve both branches from one shuffle
+    val spine = hourly.groupBy(col("user_id"))
       .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
       .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))

@@ -58,7 +58,9 @@ object Modal {
     val blobs = Multimodal.asBlobs(Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
       .as[Multimodal.Blob]
-    val feats = Multimodal.byteHistogram(blobs).toDF()
+    // corpus and query branches both consume the extraction — materialize
+    // once (same reuse pattern as t_heavy_hitters' sketch row)
+    val feats = Multimodal.byteHistogram(blobs).toDF().localCheckpoint()
     val queries = feats.filter(col("doc_id") % 100 === 0)
     graft.similarity.Knn.bruteForce(s, feats, queries, "doc_id", "features", k = 3)
       .orderBy(col("q_id"), col("rnk"))

@@ -15,6 +15,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nonAscii == 0)
   }
 
+  test("no empty payloads (zero-norm feature precondition: Spark NULL cosine vs DuckDB NaN diverge)") {
+    // an all-zero histogram would rank last in Spark (NULL under cos DESC)
+    // but FIRST in the DuckDB oracle (0/0 = NaN sorts above all reals) —
+    // m_features_knn's oracle is valid only while every payload is non-empty
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val d = Tables.documents(spark, s"/root/testdata/$sf")
+      assert(d.filter(length(col("text")) === 0).count() == 0, s"empty doc in $sf")
+    }
+  }
+
   test("sampleFrames: frame math, determinism, partition independence") {
     val blobs = Seq(
       Multimodal.Blob(1L, "t", 200L, Array.tabulate(200)(_.toByte)),
