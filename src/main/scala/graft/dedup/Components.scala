@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * variants do not arise from similarity blocking. The loop state is
   * localCheckpoint'ed each round so lineage stays flat, and the driver only
   * ever sees one scalar (the changed-count) per round.
+  *
+  * Fault-tolerance note: localCheckpoint trades executor-loss recovery for
+  * speed (blocks are not replicated; a lost executor fails the job, which
+  * then restarts from the source). For long-running 100 TB jobs, configure
+  * `spark.sparkContext.setCheckpointDir` and swap in reliable
+  * `checkpoint()` for the loop state — the algorithm is unchanged.
   */
 object Components {
 
