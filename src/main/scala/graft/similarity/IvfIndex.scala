@@ -37,6 +37,19 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/buckets")
   }
 
+  /** Append new vectors to a built index WITHOUT retraining: assign against
+    * the persisted centroids, append to the bucket-partitioned layout —
+    * ingestion stays O(|new|) while probes keep pruning. Centroids drift as
+    * the corpus distribution shifts; rebuild when bucket imbalance or the
+    * recall SLO degrades (the classic IVF maintenance contract). */
+  def append(spark: SparkSession, path: String, newCorpus: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    VectorExpressions.register(spark)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    Knn.assignBuckets(spark, newCorpus, centroids, idCol, vecCol)
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/buckets")
+  }
+
   /** ANN top-k against a built index. Queries need (idCol, vecCol). */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {

@@ -45,6 +45,25 @@ class IvfIndexSpec extends AnyFunSuite {
       s"bucket IN pruning missing:\n${plan.take(3000)}")
   }
 
+  test("append ingests without retraining: appended vectors are probeable, corpus count grows") {
+    val e = Tables.embeddings(spark, dir)
+    val path = s"${this.path}_append"
+    val base = e.filter(col("vec_id") < 400)
+    val extra = e.filter(col("vec_id") >= 400)
+    IvfIndex.build(spark, base, "vec_id", "embedding", path, iters = 2)
+    IvfIndex.append(spark, path, extra, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$path/buckets").count() == e.count())
+    // probe with an appended vector under a foreign id: the appended row
+    // itself must come back as the top hit (cosine 1 with itself)
+    val probeVec = extra.orderBy(col("vec_id")).limit(1)
+      .select(lit(-1L).as("vec_id"), col("embedding"))
+    val wantedId = extra.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id")).as[Long].head()
+    val top = IvfIndex.probe(spark, path, probeVec, "vec_id", "embedding", 1, 2)
+      .select("n_id").as[Long].head()
+    assert(top == wantedId, s"appended vector $wantedId not retrieved (got $top)")
+  }
+
   test("index probe recall matches the inline IVF path (same centroids, same assignment)") {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") % 50 === 0)
