@@ -192,6 +192,49 @@ object DedupQ {
        |WHERE q.quality >= $CurateQuality AND coalesce(lbl.canonical_id, q.doc_id) = q.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** d_contamination: train/test DECONTAMINATION — find test-split
+    * documents that near-duplicate a train-split document (the leakage an
+    * eval pipeline must catch). Composes t_split's content-hash assignment
+    * with the MinHash band machinery: ONE signature pass over the whole
+    * corpus, band self-join for candidates, cross-split filter on the tiny
+    * candidate set, exact Jaccard only on survivors. At 100 TB this is the
+    * same cost as fuzzy dedup — no extra corpus pass for the split check. */
+  def dContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // train = bucket < 80, test = bucket >= 90 (t_split's bounds)
+    val tags = docs.select(col("doc_id"),
+      Text.splitBucket(col("text")).as("bucket"))
+    val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text").localCheckpoint()
+    val aTag = tags.select(col("doc_id").as("a_id"), col("bucket").as("a_b"))
+    val bTag = tags.select(col("doc_id").as("b_id"), col("bucket").as("b_b"))
+    val cross = cands.join(aTag, "a_id").join(bTag, "b_id")
+      .filter((col("a_b") < 80 && col("b_b") >= 90) || (col("a_b") >= 90 && col("b_b") < 80))
+      .select(col("a_id"), col("b_id"),
+        when(col("a_b") >= 90, col("a_id")).otherwise(col("b_id")).as("test_id"),
+        when(col("a_b") >= 90, col("b_id")).otherwise(col("a_id")).as("train_id"))
+      .localCheckpoint()
+    Dedup.jaccardOnPairs(cross.select(col("a_id"), col("b_id")), docs, "doc_id", "text")
+      .filter(col("jaccard") >= JaccardThreshold)
+      .join(cross, Seq("a_id", "b_id"))
+      .select(col("test_id"), col("train_id"), col("jaccard"))
+      .orderBy(col("test_id"), col("train_id"))
+  }
+
+  val dContaminationSql: String =
+    s"""WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte,
+       |cand AS ($candSelect),
+       |tags AS (SELECT doc_id, ${Text.splitBucketSql} AS bucket FROM documents),
+       |cross_cand AS (
+       |  SELECT a_id, b_id,
+       |    CASE WHEN ta.bucket >= 90 THEN a_id ELSE b_id END AS test_id,
+       |    CASE WHEN ta.bucket >= 90 THEN b_id ELSE a_id END AS train_id
+       |  FROM cand JOIN tags ta ON ta.doc_id = a_id JOIN tags tb ON tb.doc_id = b_id
+       |  WHERE (ta.bucket < 80 AND tb.bucket >= 90) OR (ta.bucket >= 90 AND tb.bucket < 80))
+       |SELECT test_id, train_id, jaccard FROM (
+       |  SELECT test_id, train_id, $jaccardExprSql AS jaccard
+       |  FROM cross_cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+       |WHERE jaccard >= $JaccardThreshold ORDER BY test_id, train_id""".stripMargin
+
   /** d_simhash: SimHash pairs within Hamming ≤ 3. Token hashes are
     * md5-derived (SimHashDedup.TokenHashSql), so the oracle recomputes the
     * identical signatures in SQL; the oracle retrieves pairs brute-force,
@@ -259,6 +302,7 @@ object DedupQ {
     "d_jaccard"       -> dJaccard _,
     "d_components"    -> dComponents _,
     "d_curate"        -> dCurate _,
+    "d_contamination" -> dContamination _,
     "d_simhash"       -> dSimhash _,
     "d_embed_neardup" -> dEmbedNeardup _,
   )
@@ -269,6 +313,7 @@ object DedupQ {
     "d_jaccard"       -> dJaccardSql,
     "d_components"    -> dComponentsSql,
     "d_curate"        -> dCurateSql,
+    "d_contamination" -> dContaminationSql,
     "d_simhash"       -> dSimhashSql,
     "d_embed_neardup" -> dEmbedNeardupSql,
   )

@@ -225,14 +225,19 @@ object Text {
     * RNG (identical across engines, runs and cluster sizes), keyed on
     * content rather than id so exact duplicates always land in the same
     * split (no train/test leakage through copies). Pure narrow map. */
+  /** Content-hash split bucket in [0,100) — shared by t_split and the
+    * contamination check (both sides MUST use the identical assignment). */
+  private[queries] def splitBucket(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(text), 1, 15), 16, 10).cast("long") % 100
+  private[queries] val splitBucketSql = "('0x' || substr(md5(text), 1, 15))::BIGINT % 100"
+
   def tSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket = (conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long") % 100).as("bucket")
     val split = SplitBounds.foldRight(lit(null).cast("string")) { case ((name, bound), acc) =>
       when(col("bucket") < bound, lit(name)).otherwise(acc)
     }
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), bucket)
+      .select(col("doc_id"), splitBucket(col("text")).as("bucket"))
       .withColumn("split", split)
       .orderBy(col("doc_id"))
   }
@@ -241,7 +246,7 @@ object Text {
     val cases = SplitBounds.map { case (name, bound) =>
       s"WHEN bucket < $bound THEN '$name'" }.mkString(" ")
     s"""SELECT doc_id, bucket, CASE $cases END AS split
-       |FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS bucket
+       |FROM (SELECT doc_id, $splitBucketSql AS bucket
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
   }
