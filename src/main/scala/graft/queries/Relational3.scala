@@ -52,6 +52,26 @@ object Relational3 {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** q_grouping_sets: explicit GROUPING SETS — two independent rollup
+    * axes in ONE scan (cube would pay 4 grouping combinations; this pays
+    * exactly the 2 requested), plus grouping() to disambiguate the
+    * all-NULL rows from genuine NULL groups. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), xsum(col("l_extendedprice")).as("total"),
+        grouping(col("l_returnflag")).cast("int").as("g_rf"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf
+      |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** q_collect_list: order-stable list aggregation — collect_list is
     * unordered by contract, so the deterministic form sorts the collected
     * array and serializes it (same convention as DuckDB's list_sort). */
@@ -181,6 +201,7 @@ object Relational3 {
     "q_setops_all"      -> qSetopsAll _,
     "io_json_roundtrip" -> ioJsonRoundtrip _,
     "q_window_funcs"   -> qWindowFuncs _,
+    "q_grouping_sets"  -> qGroupingSets _,
     "q_cube"           -> qCube _,
     "q_collect_list"   -> qCollectList _,
     "io_csv_roundtrip" -> ioCsvRoundtrip _,
@@ -192,6 +213,7 @@ object Relational3 {
     "q_setops_all"      -> qSetopsAllSql,
     "io_json_roundtrip" -> ioJsonRoundtripSql,
     "q_window_funcs"   -> qWindowFuncsSql,
+    "q_grouping_sets"  -> qGroupingSetsSql,
     "q_cube"           -> qCubeSql,
     "q_collect_list"   -> qCollectListSql,
     "io_csv_roundtrip" -> ioCsvRoundtripSql,
