@@ -54,6 +54,27 @@ object Multimodal {
     }
   }
 
+  final case class Resized(doc_id: Long, orig_bytes: Long, resized_bytes: Long, resized_md5: String)
+
+  /** REAL byte-domain "resize": strided downsampling of the payload (keep
+    * every `stride`-th byte) — the batched-transform shape a pixel-domain
+    * resize plugs into (swap the loop body for the interpolation kernel;
+    * schema, batching and partitioning stay identical). */
+  def resize(blobs: Dataset[Blob], stride: Int = 4): Dataset[Resized] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      val digest = MessageDigest.getInstance("MD5")
+      it.map { b =>
+        val out = new Array[Byte]((b.payload.length + stride - 1) / stride)
+        var i = 0
+        while (i < out.length) { out(i) = b.payload(i * stride); i += 1 }
+        digest.reset()
+        val hex = digest.digest(out).map("%02x".format(_)).mkString
+        Resized(b.doc_id, b.payload.length.toLong, out.length.toLong, hex)
+      }
+    }
+  }
+
   /** STUB decoder: split a payload into fixed-size "frames", keep every
     * `stride`-th frame, emit per-frame features. Deterministic stand-in for
     * an image/video decode — replace the body, keep the signature. */

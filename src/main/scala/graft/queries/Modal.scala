@@ -47,6 +47,28 @@ object Modal {
       |      FROM documents)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** m_resize: strided byte-domain downsample through the batched
+    * per-partition transform (the resize plumbing; a pixel kernel swaps in
+    * for the loop body). Oracle rebuilds the strided byte selection from
+    * the ASCII text char-by-char. */
+  def mResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Multimodal.asBlobs(Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      .as[Multimodal.Blob]
+    Multimodal.resize(blobs, stride = 4).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val mResizeSql: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes,
+      |  CAST((length(text) + 3) // 4 AS BIGINT) AS resized_bytes,
+      |  md5(string_agg(c, '' ORDER BY i)) AS resized_md5
+      |FROM (
+      |  SELECT doc_id, text, i, substring(text, CAST(i * 4 + 1 AS INT), 1) AS c
+      |  FROM (SELECT doc_id, text, unnest(range((length(text) + 3) // 4)) AS i FROM documents))
+      |GROUP BY doc_id, text ORDER BY doc_id""".stripMargin
+
   /** m_features_knn: multimodal × similarity composed END-TO-END — binary
     * payloads → REAL per-partition feature extraction (L1-normalized byte
     * histogram, no codec stub) → cosine top-3 neighbors via the k-bounded
@@ -163,6 +185,7 @@ object Modal {
     "m_blob_stats"   -> mBlobStats _,
     "m_frame_sample" -> mFrameSample _,
     "m_features_knn" -> mFeaturesKnn _,
+    "m_resize" -> mResize _,
     "st_hourly"      -> stHourly _,
     "st_stateful"    -> stStateful _,
   )
@@ -173,6 +196,7 @@ object Modal {
     "m_blob_stats"   -> mBlobStatsSql,
     "m_frame_sample" -> mFrameSampleSql,
     "m_features_knn" -> mFeaturesKnnSql,
+    "m_resize" -> mResizeSql,
     "st_hourly"      -> stHourlySql,
     "st_stateful"    -> Events.qSessionizeSql,
   )
