@@ -291,7 +291,37 @@ object Text {
        |GROUP BY token, n_total HAVING COUNT(*) * 100 > n_total * $HeavyHitterPct
        |ORDER BY token""".stripMargin
 
+  /** t_mix: weighted dataset mixing — the training-mixture op: each source
+    * gets a deterministic sampling rate (25/50/75/100% here, derived from
+    * the source id), membership decided by a SALTED content hash so the
+    * mix is independent of t_split's bucket (same doc can be in the mix
+    * and any split; the two hashes are uncorrelated). RNG-free: the same
+    * mixture reproduces on any cluster at any scale. Output is the
+    * realized per-source mixture report. */
+  def tMix(s: SparkSession, dir: String): DataFrame = {
+    val srcnum = regexp_extract(col("source"), "[0-9]+", 0).cast("int")
+    val pct = (srcnum % 4 + 1) * 25
+    val bucket = conv(substring(md5(concat(lit("mix:"), col("text"))), 1, 15), 16, 10)
+      .cast("long") % 100
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("source"), pct.as("pct"), bucket.as("b"))
+      .groupBy(col("source"), col("pct"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("b") < col("pct"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val tMixSql: String =
+    """SELECT source, (CAST(regexp_extract(source, '[0-9]+') AS INT) % 4 + 1) * 25 AS pct,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN ('0x' || substr(md5('mix:' || text), 1, 15))::BIGINT % 100
+      |                     < (CAST(regexp_extract(source, '[0-9]+') AS INT) % 4 + 1) * 25
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents GROUP BY 1, 2 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_mix"         -> tMix _,
     "t_heavy_hitters" -> tHeavyHitters _,
     "t_split"       -> tSplit _,
     "t_redact"      -> tRedact _,
@@ -306,6 +336,7 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_mix"         -> tMixSql,
     "t_heavy_hitters" -> tHeavyHittersSql,
     "t_split"       -> tSplitSql,
     "t_redact"      -> tRedactSql,
