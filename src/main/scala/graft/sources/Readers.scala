@@ -28,6 +28,23 @@ object Readers {
       .option("mode", "FAILFAST")
       .json(path)
 
+  /** Quarantine ingest: PERMISSIVE parse that routes malformed rows into a
+    * `_corrupt_record` column instead of dying — the ingest shape for feeds
+    * where a bad row must not sink a 100 TB batch. Callers split on
+    * `_corrupt_record IS NULL` (clean) vs NOT NULL (quarantine) and land
+    * the quarantine rows for replay; the FAILFAST readers above stay the
+    * default for validated store flows. */
+  def jsonQuarantine(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
   def parquet(spark: SparkSession, path: String, expected: StructType): DataFrame = {
     val df = spark.read.parquet(path)
     val missing = expected.fields.filterNot(f => df.schema.fieldNames.contains(f.name))

@@ -37,6 +37,27 @@ class WritersReadersSpec extends AnyFunSuite {
       ex.getCause != null, ex.getMessage.take(300))
   }
 
+  test("Readers.jsonQuarantine routes malformed rows to _corrupt_record, keeps clean rows typed") {
+    val dir = java.nio.file.Files.createTempDirectory("quarantine")
+    java.nio.file.Files.writeString(dir.resolve("feed.json"),
+      """{"k": 1, "v": "ok"}
+        |{not json at all
+        |{"k": 2, "v": "fine"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    // caching first is the documented Spark contract for reading the
+    // corrupt-record column (the raw record must be retained)
+    val df = graft.sources.Readers.jsonQuarantine(spark, dir.toString, schema).cache()
+    val clean = df.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+    val quarantined = df.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull)
+    assert(clean.select("k").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    assert(quarantined.count() == 1)
+    assert(quarantined.select("_corrupt_record").as[String].head().contains("not json"))
+    df.unpersist()
+  }
+
   test("Readers.parquet rejects files missing expected columns") {
     val ex = intercept[IllegalArgumentException] {
       Readers.parquet(spark, "/root/testdata/sf0.001/region.parquet",
