@@ -83,4 +83,25 @@ class EtlOperatorsSpec extends AnyFunSuite {
     val factSk = fact.select("fid", "sk").as[(Int, String)].collect().toMap
     assert(factSk(1) == dimSk("seg1") && factSk(3) == dimSk("seg2"))
   }
+
+  test("stampedMerge truth table: keep/update/despawn/dead/respawn/insert in one pass") {
+    // target state after a previous import at stamp 5
+    val target = Seq(
+      (1L, "a", 5L, 5L, false), // present unchanged  → keep, last refreshed
+      (2L, "b", 5L, 5L, false), // present changed    → update
+      (3L, "c", 5L, 5L, false), // absent             → despawn, stamps frozen
+      (4L, "d", 5L, 5L, true),  // absent, already dead → keep, stays despawned
+      (5L, "e", 5L, 5L, true)   // present again      → respawn (update), flag cleared
+    ).toDF("k", "v", "first_imported", "last_imported", "despawned")
+    val source = Seq((1L, "a"), (2L, "B"), (5L, "e"), (6L, "f")).toDF("k", "v")
+    val out = UpsertMerge.stampedMerge(target, source, Seq("k"), Seq("v"), lit(9L))
+      .select("k", "v", "first_imported", "last_imported", "despawned", "action")
+      .as[(Long, String, Long, Long, Boolean, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "a", 5L, 9L, false, "keep")))
+    assert(out(2L) == ((2L, "B", 5L, 9L, false, "update")))
+    assert(out(3L) == ((3L, "c", 5L, 5L, true, "despawn")))
+    assert(out(4L) == ((4L, "d", 5L, 5L, true, "keep")))
+    assert(out(5L) == ((5L, "e", 5L, 9L, false, "update")))
+    assert(out(6L) == ((6L, "f", 9L, 9L, false, "insert")))
+  }
 }
