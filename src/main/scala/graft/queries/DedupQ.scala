@@ -201,10 +201,16 @@ object DedupQ {
     * same cost as fuzzy dedup — no extra corpus pass for the split check. */
   def dContamination(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // train = bucket < 80, test = bucket >= 90 (t_split's bounds)
-    val tags = docs.select(col("doc_id"),
-      Text.splitBucket(col("text")).as("bucket"))
     val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text").localCheckpoint()
+    // split tags computed ONLY for candidate docs (semi-join pushdown, the
+    // same trick jaccardOnPairs uses) — tagging the whole corpus would add
+    // two full md5 passes; train = bucket < 80, test = bucket >= 90
+    // (t_split's bounds)
+    val candIds = cands.select(col("a_id").as("doc_id"))
+      .union(cands.select(col("b_id").as("doc_id"))).distinct()
+    val tags = docs.join(candIds, "doc_id")
+      .select(col("doc_id"), Text.splitBucket(col("text")).as("bucket"))
+      .localCheckpoint()
     val aTag = tags.select(col("doc_id").as("a_id"), col("bucket").as("a_b"))
     val bTag = tags.select(col("doc_id").as("b_id"), col("bucket").as("b_b"))
     val cross = cands.join(aTag, "a_id").join(bTag, "b_id")

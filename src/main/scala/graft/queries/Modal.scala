@@ -53,8 +53,12 @@ object Modal {
     * the ASCII text char-by-char. */
   def mResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // empty payloads are excluded on BOTH sides: the oracle's range-unnest
+    // yields no rows for length 0 while the Scala path would emit one —
+    // the filter pins identical semantics (and resizing nothing is no-op)
     val blobs = Multimodal.asBlobs(Tables.documents(s, dir)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      .filter(col("n_bytes") > 0)
       .as[Multimodal.Blob]
     Multimodal.resize(blobs, stride = 4).toDF()
       .orderBy(col("doc_id"))
@@ -66,7 +70,8 @@ object Modal {
       |  md5(string_agg(c, '' ORDER BY i)) AS resized_md5
       |FROM (
       |  SELECT doc_id, text, i, substring(text, CAST(i * 4 + 1 AS INT), 1) AS c
-      |  FROM (SELECT doc_id, text, unnest(range((length(text) + 3) // 4)) AS i FROM documents))
+      |  FROM (SELECT doc_id, text, unnest(range((length(text) + 3) // 4)) AS i
+      |        FROM documents WHERE length(text) > 0))
       |GROUP BY doc_id, text ORDER BY doc_id""".stripMargin
 
   /** m_features_knn: multimodal × similarity composed END-TO-END — binary

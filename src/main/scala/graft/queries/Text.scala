@@ -220,17 +220,17 @@ object Text {
   /** Split fractions: cumulative percentage bounds for train/val/test. */
   val SplitBounds: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 90, "test" -> 100)
 
-  /** t_split: deterministic train/val/test assignment by CONTENT hash —
-    * the reproducible splitting a training pipeline needs at any scale: no
-    * RNG (identical across engines, runs and cluster sizes), keyed on
-    * content rather than id so exact duplicates always land in the same
-    * split (no train/test leakage through copies). Pure narrow map. */
   /** Content-hash split bucket in [0,100) — shared by t_split and the
     * contamination check (both sides MUST use the identical assignment). */
   private[queries] def splitBucket(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(text), 1, 15), 16, 10).cast("long") % 100
   private[queries] val splitBucketSql = "('0x' || substr(md5(text), 1, 15))::BIGINT % 100"
 
+  /** t_split: deterministic train/val/test assignment by CONTENT hash —
+    * the reproducible splitting a training pipeline needs at any scale: no
+    * RNG (identical across engines, runs and cluster sizes), keyed on
+    * content rather than id so exact duplicates always land in the same
+    * split (no train/test leakage through copies). Pure narrow map. */
   def tSplit(s: SparkSession, dir: String): DataFrame = {
     val split = SplitBounds.foldRight(lit(null).cast("string")) { case ((name, bound), acc) =>
       when(col("bucket") < bound, lit(name)).otherwise(acc)

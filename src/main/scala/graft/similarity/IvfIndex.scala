@@ -39,14 +39,21 @@ object IvfIndex {
 
   /** Append new vectors to a built index WITHOUT retraining: assign against
     * the persisted centroids, append to the bucket-partitioned layout —
-    * ingestion stays O(|new|) while probes keep pruning. Centroids drift as
-    * the corpus distribution shifts; rebuild when bucket imbalance or the
-    * recall SLO degrades (the classic IVF maintenance contract). */
+    * ingestion stays O(|new|) while probes keep pruning. Ids already in the
+    * index are skipped (anti-join on the column-pruned id read), so a
+    * re-submitted batch cannot duplicate vectors. Parquet append is not
+    * atomic across files — for exactly-once production ingestion, write the
+    * batch to a fresh subdirectory and commit via rename, or rebuild.
+    * Centroids drift as the corpus distribution shifts; rebuild when bucket
+    * imbalance or the recall SLO degrades (the classic IVF contract). */
   def append(spark: SparkSession, path: String, newCorpus: DataFrame,
       idCol: String, vecCol: String): Unit = {
     VectorExpressions.register(spark)
     val centroids = spark.read.parquet(s"$path/centroids")
-    Knn.assignBuckets(spark, newCorpus, centroids, idCol, vecCol)
+    val existing = spark.read.parquet(s"$path/buckets")
+      .select(col("n_id").as(idCol))
+    val fresh = newCorpus.join(existing, Seq(idCol), "left_anti")
+    Knn.assignBuckets(spark, fresh, centroids, idCol, vecCol)
       .write.mode("append").partitionBy("bucket").parquet(s"$path/buckets")
   }
 

@@ -33,7 +33,11 @@ object Readers {
     * where a bad row must not sink a 100 TB batch. Callers split on
     * `_corrupt_record IS NULL` (clean) vs NOT NULL (quarantine) and land
     * the quarantine rows for replay; the FAILFAST readers above stay the
-    * default for validated store flows. */
+    * default for validated store flows.
+    *
+    * Spark contract: `.cache()` the returned frame BEFORE filtering on the
+    * corrupt column — a query referencing only `_corrupt_record` over raw
+    * JSON throws AnalysisException by design. */
   def jsonQuarantine(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val withCorrupt = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField("_corrupt_record",
