@@ -46,7 +46,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver's stdout capture has truncated mid-line before (BENCH_r03
+    // parsed:null) — persist the JSON to a file as the canonical copy and
+    // mirror it on stderr, so any single stream being cut still leaves two
+    // intact copies.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
+    println(line)
+    System.err.println(line)
     spark.stop()
   }
 }

@@ -306,16 +306,32 @@ object Relational {
       |  COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days, COUNT(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** HLL sketch distinct (approx; oracle is rows-only by design). */
+  /** HLL sketch distinct. The estimate itself has no SQL oracle, so the
+    * gate row hashes the DETERMINISTIC part: exact distinct counts plus
+    * in-query booleans asserting the HLL estimate lands within 5% of exact
+    * (the oracle emits TRUE literals — a drifting sketch flips the bit and
+    * fails the hash). HLL register-merge is max(): the estimate is
+    * partitioning-invariant, so the booleans are deterministic too. The
+    * tight 2% bound at sf0.1 lives in DedupSimilaritySpec. */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        // rsd pinned to 0.02 (default 0.05): the ApproxDistinctSpec bounds
-        // the estimate within 2% of exact at sf0.1 under this setting
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        // rsd pinned to 0.02 (default 0.05): measured max error 1.03% at sf0.1
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("ap_supps"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+        (abs(col("ap_parts") - col("n_parts")) <= col("n_parts") * 0.05).as("parts_est_ok"),
+        (abs(col("ap_supps") - col("n_supps")) <= col("n_supps") * 0.05).as("supps_est_ok"))
       .orderBy(col("l_returnflag"))
+
+  val qApproxDistinctSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  TRUE AS parts_est_ok, TRUE AS supps_est_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"   -> q1 _,
@@ -348,5 +364,6 @@ object Relational {
     "q_setops"             -> qSetopsSql,
     "q_exists_anti"        -> qExistsAntiSql,
     "q_distinct_agg"       -> qDistinctAggSql,
+    "q_approx_distinct"    -> qApproxDistinctSql,
   )
 }

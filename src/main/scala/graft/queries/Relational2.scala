@@ -168,13 +168,21 @@ object Relational2 {
     * (KLL-style mergeable sketch, one pass, bounded memory) where
     * q_quantiles' exact form needs the full per-group sort. Approximate by
     * construction → rows-only oracle; ApproxQuantilesSpec bounds the error
-    * against the exact values. accuracy=10000 → rank error ≤ N/10000. */
+    * against the exact values. accuracy=10000 → rank error ≤ N/10000.
+    * Output is flattened to scalar columns (q25/q50/q75/price_q90) — the
+    * driver's comparator sorts rows pandas-side and cannot hash array
+    * cells, so every gate query must emit an all-scalar schema. */
   def qApproxQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("qs"),
         expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("price_q90"))
+      .select(col("l_returnflag"),
+        expr("get(qs, 0)").as("q25"),
+        expr("get(qs, 1)").as("q50"),
+        expr("get(qs, 2)").as("q75"),
+        col("price_q90"))
       .orderBy(col("l_returnflag"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -108,8 +108,12 @@ object Text {
        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
   /** t_rolling_fp: O(n) Karp–Rabin min-window rolling-hash fingerprint
-    * (native expression; rows-only oracle — the spec pins it against a
-    * naive reference implementation). */
+    * (native expression). The DuckDB oracle recomputes each window hash
+    * naively (O(n·k), fine at gate scale) over per-char code points — the
+    * corpus is pure ASCII so code points == UTF-8 bytes; the engine result
+    * is exact, not approximate, so this gate is hash-checked. The spec
+    * additionally pins the expression against a naive Scala reference on
+    * adversarial short strings. */
   def tRollingFp(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     Tables.documents(s, dir)
@@ -117,6 +121,22 @@ object Text {
       .select(col("doc_id"), expr("rolling_hash_min(text)").as("rfp"))
       .orderBy(col("doc_id"))
   }
+
+  /** Karp–Rabin parity: B=257, M=1e9+7, window 16 (clamped to len), min
+    * over all window hashes; empty text → 0 — mirrors RollingHashMin. */
+  val tRollingFpSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(text) = 0 THEN 0::BIGINT
+      |  ELSE list_min([
+      |    list_reduce([0::BIGINT] || list_slice(cs, i, i + k - 1),
+      |                (a, b) -> (a * 257 + b) % 1000000007)
+      |    for i in range(1, length(text) - k + 2)])
+      |  END AS rfp
+      |FROM (SELECT doc_id, text,
+      |        [unicode(c)::BIGINT for c in string_split(text, '')] AS cs,
+      |        least(16, greatest(length(text), 1)) AS k
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
 
   /** t_vocab: corpus vocabulary with frequency-ranked ids — the
     * tokenizer-training precursor (explode → filter stopwords → count →
@@ -342,6 +362,7 @@ object Text {
     "t_redact"      -> tRedactSql,
     "t_tfidf"       -> tTfidfSql,
     "t_vocab"       -> tVocabSql,
+    "t_rolling_fp"  -> tRollingFpSql,
     "t_tokens"      -> tTokensSql,
     "t_quality"     -> tQualitySql,
     "t_langid"      -> tLangidSql,
