@@ -68,22 +68,28 @@ object StorePipeline {
     Result(report, dims, merged)
   }
 
-  /** store + write: dimension tables upsert FIRST (FK order, like the
+  /** store + write: dimension tables merge FIRST (FK order, like the
     * reference's store_* call graph — facts must never reference dimension
-    * rows that aren't committed yet), then the changed fact rows land via
-    * the staged transactional JDBC upsert.
+    * rows that aren't committed yet), then the changed fact rows — ALL in
+    * ONE database transaction, matching the reference's contract of
+    * wrapping the whole store in a single DBI transaction. Staging loads
+    * run executor-parallel outside the transaction (idempotent scratch);
+    * only the final driver-side merge set is atomic, so a crash at any
+    * point leaves either no batch or the whole batch visible, and a plain
+    * retry of this call converges (StorePipelineSpec injects a death
+    * between the dim and fact merges to prove it).
     *
     * @param dimTables sk column -> existing JDBC dimension table (keyed by
     *                  the sk column); dims without an entry are computed but
-    *                  not written. */
+    *                  not written.
+    * @param onMergeStepForTest crash-injection seam (see
+    *                  JdbcUpsertSink.mergeAllStagedAtomically). */
   def storeAndWrite(spark: SparkSession, current: DataFrame, incoming: DataFrame,
       spec: Spec, jdbcUrl: String, table: String,
       dimTables: Map[String, String] = Map.empty,
-      stamp: Option[Column] = None): Result = {
+      stamp: Option[Column] = None,
+      onMergeStepForTest: Int => Unit = _ => ()): Result = {
     val r = store(spark, current, incoming, spec, strict = true, stamp)
-    for ((sk, dimTable) <- dimTables; dim <- r.dims.get(sk)) {
-      JdbcUpsertSink.upsertViaStaging(dim, Config(jdbcUrl, dimTable, Seq(sk)))
-    }
     // despawned rows land as UPDATES setting the soft-delete flag + stamps —
     // rows are never dropped from the store (the reference's contract).
     // Stamped imports must ALSO write present-but-unchanged rows: their
@@ -96,7 +102,11 @@ object StorePipeline {
       case None => r.merged.filter(
         col("action").isin(UpsertMerge.Insert, UpsertMerge.Update))
     }).drop("action")
-    JdbcUpsertSink.upsertViaStaging(changed, Config(jdbcUrl, table, spec.keyCols))
+    val dimWrites = for ((sk, dimTable) <- dimTables.toSeq; dim <- r.dims.get(sk))
+      yield dim -> Config(jdbcUrl, dimTable, Seq(sk))
+    JdbcUpsertSink.upsertAllViaStaging(
+      dimWrites :+ (changed -> Config(jdbcUrl, table, spec.keyCols)),
+      onMergeStepForTest)
     r
   }
 }

@@ -103,41 +103,96 @@ object JdbcUpsertSink {
     }
   }
 
-  /** One atomic set-based MERGE from staging into target (driver side,
-    * single transaction — the whole batch lands or none of it). */
-  def mergeStagingIntoTarget(url: String, staging: String, target: String,
-      schema: StructType, keyCols: Seq[String]): Unit = {
-    val attrs = schema.fieldNames.filterNot(keyCols.contains)
-    val on = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
+  /** One table's staged-merge description (staging → target). */
+  final case class MergeStep(staging: String, target: String,
+      schema: StructType, keyCols: Seq[String])
+
+  private def mergeSql(st: MergeStep): String = {
+    val attrs = st.schema.fieldNames.filterNot(st.keyCols.contains)
+    val on = st.keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
     val setClause = attrs.map(a => s"t.$a = s.$a").mkString(", ")
-    val insCols = schema.fieldNames.mkString(", ")
-    val insVals = schema.fieldNames.map(c => s"s.$c").mkString(", ")
+    val insCols = st.schema.fieldNames.mkString(", ")
+    val insVals = st.schema.fieldNames.map(c => s"s.$c").mkString(", ")
     val matched = if (attrs.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setClause " else ""
-    val sql =
-      s"""MERGE INTO $target t USING $staging s ON $on
-         |${matched}WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin
+    s"""MERGE INTO ${st.target} t USING ${st.staging} s ON $on
+       |${matched}WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin
+  }
+
+  /** All merges on ONE connection in ONE transaction — the cross-table
+    * atomicity the reference's store functions get from wrapping dims +
+    * facts in a single DBI transaction. A failure at any step rolls the
+    * whole batch back; no table ever shows a partial import.
+    *
+    * @param onStepForTest crash-injection seam for specs: invoked after
+    *                      each merge statement executes, BEFORE commit —
+    *                      throwing simulates a death mid-transaction. */
+  def mergeAllStagedAtomically(url: String, steps: Seq[MergeStep],
+      onStepForTest: Int => Unit = _ => ()): Unit = {
     val conn = DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
-      conn.createStatement().executeUpdate(sql)
-      conn.commit()
+      try {
+        steps.zipWithIndex.foreach { case (st, i) =>
+          conn.createStatement().executeUpdate(mergeSql(st))
+          onStepForTest(i)
+        }
+        conn.commit()
+      } catch {
+        case e: Throwable =>
+          try conn.rollback() catch { case _: Exception => () }
+          throw e
+      }
     } finally conn.close()
   }
 
-  /** Full staged upsert: create staging, parallel-load it, merge, drop. */
-  def upsertViaStaging(df: DataFrame, cfg: Config): Unit = {
-    val staging = s"${cfg.table}_staging"
-    val conn = DriverManager.getConnection(cfg.url)
-    try {
-      try conn.createStatement().executeUpdate(s"DROP TABLE $staging") catch { case _: Exception => () }
-      conn.createStatement().executeUpdate(
-        ddl(staging, df.schema, Nil, extraCols = ", graft_part INT"))
-    } finally conn.close()
-    stage(df, cfg.copy(table = staging))
-    mergeStagingIntoTarget(cfg.url, staging, cfg.table, df.schema, cfg.keyCols)
-    val conn2 = DriverManager.getConnection(cfg.url)
-    try conn2.createStatement().executeUpdate(s"DROP TABLE $staging") finally conn2.close()
+  /** One atomic set-based MERGE from staging into target (driver side,
+    * single transaction — the whole batch lands or none of it). */
+  def mergeStagingIntoTarget(url: String, staging: String, target: String,
+      schema: StructType, keyCols: Seq[String]): Unit =
+    mergeAllStagedAtomically(url, Seq(MergeStep(staging, target, schema, keyCols)))
+
+  private def withConn[A](url: String)(f: Connection => A): A = {
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
   }
+
+  private def dropIfExists(conn: Connection, table: String): Unit =
+    try { conn.createStatement().executeUpdate(s"DROP TABLE $table"); () }
+    catch { case _: Exception => () }
+
+  /** Multi-table staged upsert with cross-table atomicity: every frame is
+    * staged executor-parallel first (outside any transaction — staging is
+    * scratch, and each partition load is delete-own-rows-then-insert
+    * idempotent), then ALL merges run in one driver transaction in the
+    * given order (dims before facts for FK safety). Crash recovery is
+    * retry-to-completion: rerunning the whole call re-stages and re-merges
+    * the same content — MERGE is idempotent, leftover staging tables are
+    * dropped and rebuilt — so the target only ever shows no-batch or
+    * whole-batch. */
+  def upsertAllViaStaging(writes: Seq[(DataFrame, Config)],
+      onStepForTest: Int => Unit = _ => ()): Unit = {
+    require(writes.nonEmpty, "nothing to write")
+    val url = writes.head._2.url
+    require(writes.forall(_._2.url == url),
+      "cross-table atomicity needs all writes on one database/connection")
+    val steps = writes.map { case (df, cfg) =>
+      MergeStep(s"${cfg.table}_staging", cfg.table, df.schema, cfg.keyCols)
+    }
+    for (((df, cfg), st) <- writes.zip(steps)) {
+      withConn(url) { conn =>
+        dropIfExists(conn, st.staging)
+        conn.createStatement().executeUpdate(
+          ddl(st.staging, df.schema, Nil, extraCols = ", graft_part INT"))
+      }
+      stage(df, cfg.copy(table = st.staging))
+    }
+    mergeAllStagedAtomically(url, steps, onStepForTest)
+    withConn(url)(conn => steps.foreach(st => dropIfExists(conn, st.staging)))
+  }
+
+  /** Full staged upsert: create staging, parallel-load it, merge, drop. */
+  def upsertViaStaging(df: DataFrame, cfg: Config): Unit =
+    upsertAllViaStaging(Seq(df -> cfg))
 
   /** Direct per-partition upsert (no staging table) via the portable
     * UPDATE-then-INSERT pattern — Derby's MERGE only accepts base tables as

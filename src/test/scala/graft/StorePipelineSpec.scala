@@ -113,6 +113,60 @@ class StorePipelineSpec extends AnyFunSuite {
     assert(dbRows() == Map(1L -> (("a", 1L, 3L, false)), 2L -> (("b", 1L, 3L, false))))
   }
 
+  test("cross-table atomicity: a death between the dim and fact merges leaves NOTHING visible; retry converges") {
+    // the reference wraps dims + facts in ONE DBI transaction — prove the
+    // Spark-side flow keeps that contract under a mid-transaction crash
+    val conn = DriverManager.getConnection(url)
+    try {
+      for (t <- Seq("seg_d", "cust_x"))
+        try conn.createStatement().executeUpdate(s"DROP TABLE $t") catch { case _: Exception => () }
+      conn.createStatement().executeUpdate(
+        "CREATE TABLE seg_d (c_mktsegment VARCHAR(100), seg_sk VARCHAR(64) PRIMARY KEY)")
+      conn.createStatement().executeUpdate(
+        "CREATE TABLE cust_x (c_custkey BIGINT PRIMARY KEY, c_name VARCHAR(100), seg_sk VARCHAR(64))")
+    } finally conn.close()
+
+    def count(table: String): Int = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(s"SELECT COUNT(*) FROM $table")
+        rs.next(); rs.getInt(1)
+      } finally c.close()
+    }
+
+    val current = Seq.empty[(Long, String, String)].toDF("c_custkey", "c_name", "c_mktsegment")
+    val incoming = Seq((1L, "a", "BUILDING"), (2L, "b", "AUTO")).toDF("c_custkey", "c_name", "c_mktsegment")
+    val dimTables = Map("seg_sk" -> "seg_d")
+
+    // crash AFTER the dim merge statement ran, BEFORE the fact merge/commit
+    val ex = intercept[RuntimeException] {
+      StorePipeline.storeAndWrite(spark, current, incoming, spec, url, "cust_x",
+        dimTables = dimTables,
+        onMergeStepForTest = i => if (i == 0) throw new RuntimeException("injected crash"))
+    }
+    assert(ex.getMessage == "injected crash")
+    // rollback must have erased the already-executed dim merge too: no
+    // partial import is ever visible in EITHER table
+    assert(count("seg_d") == 0 && count("cust_x") == 0)
+
+    // plain retry of the same call (the recovery story) converges
+    StorePipeline.storeAndWrite(spark, current, incoming, spec, url, "cust_x", dimTables = dimTables)
+    assert(count("seg_d") == 2 && count("cust_x") == 2)
+    // staging scratch is cleaned up after the commit
+    val c2 = DriverManager.getConnection(url)
+    try {
+      for (st <- Seq("seg_d_staging", "cust_x_staging")) {
+        val rs = c2.getMetaData.getTables(null, null, st.toUpperCase, null)
+        assert(!rs.next(), s"$st still exists after commit")
+      }
+    } finally c2.close()
+
+    // and replaying the converged import is a no-op (idempotent recovery)
+    val populated = incoming
+    StorePipeline.storeAndWrite(spark, populated, incoming, spec, url, "cust_x", dimTables = dimTables)
+    assert(count("seg_d") == 2 && count("cust_x") == 2)
+  }
+
   test("snapshot-stream ingestion: foreachBatch drives stamped imports, batch id as the import stamp") {
     // each micro-batch is a FULL snapshot export (the import shape despawn
     // semantics are defined for) — the current DB state reads back through
