@@ -38,23 +38,51 @@ object IvfIndex {
   }
 
   /** Append new vectors to a built index WITHOUT retraining: assign against
-    * the persisted centroids, append to the bucket-partitioned layout —
-    * ingestion stays O(|new|) while probes keep pruning. Ids already in the
-    * index are skipped (anti-join on the column-pruned id read), so a
-    * re-submitted batch cannot duplicate vectors. Parquet append is not
-    * atomic across files — for exactly-once production ingestion, write the
-    * batch to a fresh subdirectory and commit via rename, or rebuild.
+    * the persisted centroids and land them in the bucket-partitioned layout
+    * — ingestion stays O(|new|) while probes keep pruning. Ids already in
+    * the index are skipped (anti-join on the column-pruned id read), so a
+    * re-submitted batch cannot duplicate vectors.
+    *
+    * Crash-safe rename commit: the batch is first written (with its own
+    * job-level commit + _SUCCESS) to a staging subdir, and only then are
+    * the finished files MOVED into `buckets/` — a per-file atomic rename,
+    * so the live layout never holds a torn file. A death mid-move leaves
+    * some complete files placed and the rest in staging; rerunning the
+    * same append clears the stale staging dir, anti-joins away the ids
+    * that made it in, and lands the remainder — converging with neither
+    * duplicates nor holes (IvfIndexSpec simulates exactly this).
     * Centroids drift as the corpus distribution shifts; rebuild when bucket
     * imbalance or the recall SLO degrades (the classic IVF contract). */
   def append(spark: SparkSession, path: String, newCorpus: DataFrame,
       idCol: String, vecCol: String): Unit = {
     VectorExpressions.register(spark)
+    import org.apache.hadoop.fs.Path
+    val staging = new Path(s"$path/_staging_append")
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(staging, true) // clear any crashed prior attempt's leftovers
     val centroids = spark.read.parquet(s"$path/centroids")
     val existing = spark.read.parquet(s"$path/buckets")
       .select(col("n_id").as(idCol))
     val fresh = newCorpus.join(existing, Seq(idCol), "left_anti")
     Knn.assignBuckets(spark, fresh, centroids, idCol, vecCol)
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/buckets")
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    commitStaged(fs, staging, new Path(s"$path/buckets"))
+  }
+
+  /** Move every staged bucket file into the live layout. File names carry
+    * the writing job's UUID, so renames cannot collide with resident files;
+    * each rename is atomic at the filesystem level. */
+  private def commitStaged(fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path, live: org.apache.hadoop.fs.Path): Unit = {
+    for (b <- fs.listStatus(staging) if b.isDirectory && b.getPath.getName.startsWith("bucket=")) {
+      val dest = new org.apache.hadoop.fs.Path(live, b.getPath.getName)
+      fs.mkdirs(dest)
+      for (f <- fs.listStatus(b.getPath) if f.getPath.getName.startsWith("part-")) {
+        val to = new org.apache.hadoop.fs.Path(dest, f.getPath.getName)
+        require(fs.rename(f.getPath, to), s"rename ${f.getPath} -> $to failed")
+      }
+    }
+    fs.delete(staging, true)
   }
 
   /** ANN top-k against a built index. Queries need (idCol, vecCol). */

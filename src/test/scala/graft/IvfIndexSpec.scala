@@ -64,6 +64,48 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(top == wantedId, s"appended vector $wantedId not retrieved (got $top)")
   }
 
+  test("append survives a crash mid-commit: partial rename + stale staging converge on retry") {
+    import org.apache.hadoop.fs.Path
+    val e = Tables.embeddings(spark, dir)
+    val path = s"${this.path}_crash"
+    val base = e.filter(col("vec_id") < 400)
+    val extra = e.filter(col("vec_id") >= 400)
+    IvfIndex.build(spark, base, "vec_id", "embedding", path, iters = 2)
+
+    // reproduce the crashed state by hand: phase 1 (staging write) done,
+    // phase 2 (rename into live) died after moving exactly ONE bucket
+    val staging = new Path(s"$path/_staging_append")
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    val cent = spark.read.parquet(s"$path/centroids")
+    Knn.assignBuckets(spark, extra, cent, "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    val firstBucket = fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket=")).head.getPath
+    val dest = new Path(s"$path/buckets/${firstBucket.getName}")
+    fs.mkdirs(dest)
+    for (f <- fs.listStatus(firstBucket) if f.getPath.getName.startsWith("part-"))
+      assert(fs.rename(f.getPath, new Path(dest, f.getPath.getName)))
+    val placedSoFar = spark.read.parquet(s"$path/buckets").count()
+    assert(placedSoFar > base.count() && placedSoFar < e.count(),
+      "crash simulation should leave a strictly partial append visible")
+
+    // recovery story = rerun the same append call
+    IvfIndex.append(spark, path, extra, "vec_id", "embedding")
+    val ids = spark.read.parquet(s"$path/buckets").select("n_id")
+    assert(ids.count() == e.count(), "holes after recovery")
+    assert(ids.distinct().count() == e.count(), "duplicates after recovery")
+    assert(!fs.exists(staging), "staging left behind after commit")
+    // and the live layout never held a torn file: a full read succeeds with
+    // every vector probeable
+    val probeVec = extra.orderBy(col("vec_id")).limit(1)
+      .select(lit(-1L).as("vec_id"), col("embedding"))
+    val wantedId = extra.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id")).as[Long].head()
+    val top = IvfIndex.probe(spark, path, probeVec, "vec_id", "embedding", 1, 2)
+      .select("n_id").as[Long].head()
+    assert(top == wantedId)
+  }
+
   test("index probe recall matches the inline IVF path (same centroids, same assignment)") {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") % 50 === 0)
