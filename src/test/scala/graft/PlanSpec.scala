@@ -73,6 +73,38 @@ class PlanSpec extends AnyFunSuite {
     assert(smj + bhj >= 1, "merge must be a single join")
   }
 
+  test("AQE splits a skewed join partition at runtime (the 100 TB hot-key story, demonstrated)") {
+    // one key carries ~100x the rows of every other; with broadcast off the
+    // join is a sort-merge whose hot partition AQE must split. Production
+    // thresholds are 256MB — scale them down so the same mechanism triggers
+    // at test size, then assert the executed plan marks the join skew=true.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 200000)
+        .select((when(col("id") % 2 === 0, lit(7L)).otherwise(col("id") % 1000)).as("k"),
+          concat(lit("payload-"), col("id")).as(("v")))
+      val right = spark.range(0, 1000).select(col("id").as("k"), col("id").cast("string").as("w"))
+      val joined = left.join(right, "k")
+      joined.collect() // AQE re-plans at runtime; skew handling shows post-execution
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(p.contains("skew=true"),
+        s"AQE did not split the hot-key partition:\n${p.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("e_store_stamps: despawn + stamp bookkeeping adds NO join or shuffle over the plain merge") {
     val p = plan(Etl.eStoreStamps(spark, dir))
     val smj = p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin")
