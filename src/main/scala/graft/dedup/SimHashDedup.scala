@@ -36,8 +36,19 @@ object SimHashDedup {
         expr(s"simhash64(transform(split(lower(trim($textCol)), '$ws+'), t -> $TokenHashSql))").as("simhash"))
   }
 
-  def pairs(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sigs = signatures(spark, docs, idCol, textCol)
+  /** Candidate retrieval + exact Hamming filter over precomputed
+    * signatures (idCol, simhash). COMPLETE, not approximate: with c chunks
+    * and Hamming ≤ h where h < c, the h flipped bits touch at most h < c
+    * chunks, so at least one chunk matches exactly and the equality join
+    * retrieves the pair — (Chunks=4, MaxHamming=3) satisfies h ≤ c-1, and
+    * DedupSimilaritySpec pins the guarantee against a brute-force oracle.
+    *
+    * Scaling rule: expected in-bucket pair load is Σ n_b² over buckets ≈
+    * c·n²/2^w for chunk width w = 64/c bits — with 16-bit chunks that's
+    * ~n/65536 docs per bucket, quadratic in n beyond ~10⁸ docs. Grow the
+    * signature (e.g. 128-bit → w=32 at c=4) or raise c (keeping h ≤ c-1,
+    * which widens retrieval but shrinks w) to hold bucket sizes flat. */
+  def pairsFromSignatures(sigs: DataFrame, idCol: String): DataFrame = {
     val chunked = sigs.select(col(idCol), col("simhash"),
       explode(array((0 until Chunks).map(j =>
         struct(lit(j).as("ci"), shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("ch"))
@@ -48,4 +59,7 @@ object SimHashDedup {
       .filter(col("hamming") <= MaxHamming)
       .select(col("a_id"), col("b_id"), col("hamming")).distinct()
   }
+
+  def pairs(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    pairsFromSignatures(signatures(spark, docs, idCol, textCol), idCol)
 }

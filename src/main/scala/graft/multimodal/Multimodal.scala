@@ -75,27 +75,49 @@ object Multimodal {
     }
   }
 
-  /** STUB decoder: split a payload into fixed-size "frames", keep every
-    * `stride`-th frame, emit per-frame features. Deterministic stand-in for
-    * an image/video decode — replace the body, keep the signature. */
-  def sampleFrames(blobs: Dataset[Blob], frameSize: Int = 64, stride: Int = 4): Dataset[Frame] = {
-    import blobs.sparkSession.implicits._
-    blobs.mapPartitions { it =>
-      // per-partition init (a real decoder would load its codec here, once)
-      val digest = MessageDigest.getInstance("MD5")
-      it.flatMap { b =>
-        val n = b.payload.length
-        (0 until (n + frameSize - 1) / frameSize).iterator
-          .filter(_ % stride == 0)
-          .map { fi =>
-            val from = fi * frameSize
-            val until = math.min(from + frameSize, n)
-            digest.reset()
-            val hex = digest.digest(java.util.Arrays.copyOfRange(b.payload, from, until))
-              .map("%02x".format(_)).mkString
-            Frame(b.doc_id, fi, until - from, hex)
-          }
-      }
+  /** Injectable media codec: the stub/real swap is a constructor argument,
+    * not a code edit. Instances ship serialized to executors; `open()` runs
+    * once per partition on the executor (load the native codec, allocate
+    * scratch buffers) before any blob decodes — the contract MultimodalSpec
+    * pins with a second implementation. */
+  trait FrameDecoder extends Serializable {
+    /** Once-per-partition executor-side init. Default: nothing. */
+    def open(): Unit = ()
+    def decode(blob: Blob): Iterator[Frame]
+  }
+
+  /** Deterministic STUB codec (container has no media libs): split the
+    * payload into fixed-size "frames", keep every `stride`-th, md5 as the
+    * stand-in feature. Replace with a real decoder class, same trait. */
+  final class StubFrameDecoder(frameSize: Int = 64, stride: Int = 4) extends FrameDecoder {
+    @transient private var digest: MessageDigest = _
+    override def open(): Unit = { digest = MessageDigest.getInstance("MD5") }
+    override def decode(b: Blob): Iterator[Frame] = {
+      val n = b.payload.length
+      (0 until (n + frameSize - 1) / frameSize).iterator
+        .filter(_ % stride == 0)
+        .map { fi =>
+          val from = fi * frameSize
+          val until = math.min(from + frameSize, n)
+          digest.reset()
+          val hex = digest.digest(java.util.Arrays.copyOfRange(b.payload, from, until))
+            .map("%02x".format(_)).mkString
+          Frame(b.doc_id, fi, until - from, hex)
+        }
     }
   }
+
+  /** Decode every blob through `decoder`, per-partition batched: open()
+    * once per partition, then stream — no partition materialization. */
+  def decodeFrames(blobs: Dataset[Blob], decoder: FrameDecoder): Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      decoder.open()
+      it.flatMap(decoder.decode)
+    }
+  }
+
+  /** Frame sampling through the stub codec (the m_frame_sample gate path). */
+  def sampleFrames(blobs: Dataset[Blob], frameSize: Int = 64, stride: Int = 4): Dataset[Frame] =
+    decodeFrames(blobs, new StubFrameDecoder(frameSize, stride))
 }

@@ -141,6 +141,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"corpus-side shuffle join in IVF probe:\n$p")
   }
 
+  test("SimHash pigeonhole is COMPLETE for (Chunks=4, MaxHamming=3): adversarial bit placements all retrieved") {
+    // 3 flipped bits can touch at most 3 of the 4 chunks, so one chunk
+    // always agrees — including the worst placements: all-in-one-chunk,
+    // straddling a chunk boundary, maximally spread, and in the top chunk
+    val base = 0x0123456789ABCDEFL
+    def flip(bits: Int*): Long = bits.foldLeft(base)((s, b) => s ^ (1L << b))
+    val sigs = Seq(
+      0L -> base,
+      1L -> flip(0, 1, 2),    // hamming 3, all inside chunk 0
+      2L -> flip(15, 16, 17), // hamming 3, straddles the chunk 0/1 boundary
+      3L -> flip(0, 21, 42),  // hamming 3, three different chunks
+      4L -> flip(5, 59),      // hamming 2, low + top chunk
+      5L -> flip(0, 16, 32, 48) // hamming 4, one flip in EVERY chunk
+    ).toDF("doc_id", "simhash")
+    val got = SimHashDedup.pairsFromSignatures(sigs, "doc_id")
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.contains((0L, 1L)) && got((0L, 1L)) == 3)
+    assert(got.contains((0L, 2L)) && got((0L, 2L)) == 3)
+    assert(got.contains((0L, 3L)) && got((0L, 3L)) == 3)
+    assert(got.contains((0L, 4L)) && got((0L, 4L)) == 2)
+    // hamming 4 exceeds MaxHamming: correctly absent even though the
+    // every-chunk-differs placement is also the one banding cannot retrieve
+    assert(!got.contains((0L, 5L)))
+  }
+
+  test("SimHash pigeonhole matches a brute-force O(n²) oracle on random signatures (completeness, no misses)") {
+    val rnd = new scala.util.Random(42)
+    val bases = Seq.tabulate(120)(i => i.toLong -> rnd.nextLong())
+    // derive near-neighbors by flipping 1-3 random bits — the pairs at risk
+    val derived = Seq.tabulate(60) { i =>
+      val (bid, b) = bases(rnd.nextInt(bases.size))
+      val flips = 1 + rnd.nextInt(3)
+      (1000L + i, (0 until flips).foldLeft(b)((s, _) => s ^ (1L << rnd.nextInt(64))))
+    }
+    val all = bases ++ derived
+    val expect = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= SimHashDedup.MaxHamming
+    } yield (ia, ib, h)).toSet
+    val got = SimHashDedup.pairsFromSignatures(all.toDF("doc_id", "simhash"), "doc_id")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expect, s"banding retrieval diverged from brute force: " +
+      s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
+
   test("percentile_approx lands within 1% relative error of exact percentiles at sf0.1") {
     // accuracy=10000 bounds RANK error at N/10000; on these distributions
     // that translates to well under 1% relative VALUE error — pin that so a

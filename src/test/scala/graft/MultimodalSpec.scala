@@ -5,6 +5,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.Multimodal
 
+/** Second codec for the swap test: one frame per blob, byte count as the
+  * "feature". Top-level so serializing it does not drag the spec along. */
+class CountingDecoder extends Multimodal.FrameDecoder {
+  @transient private var opened = false
+  override def open(): Unit = { opened = true }
+  override def decode(b: Multimodal.Blob): Iterator[Multimodal.Frame] = {
+    require(opened, "decode before open(): per-partition init contract broken")
+    Iterator.single(Multimodal.Frame(b.doc_id, 0, b.payload.length, s"len-${b.payload.length}"))
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
@@ -50,6 +61,24 @@ class MultimodalSpec extends AnyFunSuite {
     val a = Multimodal.byteHistogram(many).collect().map(x => x.doc_id -> x.features.toSeq).toMap
     val b = Multimodal.byteHistogram(many.repartition(7)).collect().map(x => x.doc_id -> x.features.toSeq).toMap
     assert(a == b)
+  }
+
+  test("FrameDecoder is swappable: a second codec runs through the same pipeline, open() runs per partition") {
+    // CountingDecoder (top of file) is a different decode entirely, same
+    // plumbing. open() must have run executor-side before any decode (the
+    // per-partition-init contract a real codec's native-lib load depends on).
+    val blobs = Seq(
+      Multimodal.Blob(1L, "t", 200L, Array.tabulate(200)(_.toByte)),
+      Multimodal.Blob(2L, "t", 10L, Array.tabulate(10)(_.toByte))).toDS()
+    val out = Multimodal.decodeFrames(blobs.repartition(5), new CountingDecoder)
+      .collect().map(f => (f.doc_id, f.frame_bytes, f.frame_md5)).toSet
+    assert(out == Set((1L, 200, "len-200"), (2L, 10, "len-10")))
+    // and the stub path is literally the same pipeline under the trait
+    val viaTrait = Multimodal.decodeFrames(blobs, new Multimodal.StubFrameDecoder(64, 4))
+      .collect().map(f => (f.doc_id, f.frame_idx, f.frame_md5)).toSet
+    val viaHelper = Multimodal.sampleFrames(blobs, 64, 4)
+      .collect().map(f => (f.doc_id, f.frame_idx, f.frame_md5)).toSet
+    assert(viaTrait == viaHelper)
   }
 
   test("sampleFrames stride keeps every 4th frame on long payloads") {
