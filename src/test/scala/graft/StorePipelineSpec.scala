@@ -167,6 +167,63 @@ class StorePipelineSpec extends AnyFunSuite {
     assert(count("seg_d") == 2 && count("cust_x") == 2)
   }
 
+  test("curated-corpus manifest: d_curate output flows through a stamped store into JDBC end-to-end") {
+    // pillars composed: text quality + fuzzy dedup (C/D) produce the
+    // curated set, the store flow (B) lands it as a stamped manifest table;
+    // a re-curation that drops documents soft-deletes them, never deletes
+    val conn = DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().executeUpdate("DROP TABLE manifest_t") catch { case _: Exception => () }
+      conn.createStatement().executeUpdate(
+        """CREATE TABLE manifest_t (doc_id BIGINT PRIMARY KEY, n_tokens INT,
+          |  quality DOUBLE, first_imported BIGINT, last_imported BIGINT,
+          |  despawned BOOLEAN)""".stripMargin.replace("\n", " "))
+    } finally conn.close()
+
+    val mSpec = StorePipeline.Spec(
+      keyCols = Seq("doc_id"), attrCols = Seq("n_tokens", "quality"),
+      rules = Seq(Validate.Rule("quality_above_cutoff",
+        col("quality") >= graft.queries.DedupQ.CurateQuality)))
+    def manifest(): Map[Long, (Long, Boolean)] = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT doc_id, last_imported, despawned FROM manifest_t")
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => r.getLong(1) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+      } finally c.close()
+    }
+    def readBack(): org.apache.spark.sql.DataFrame = {
+      val raw = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "manifest_t").load()
+      raw.toDF(raw.columns.map(_.toLowerCase): _*) // Derby upcases identifiers
+    }
+
+    // import 1: the real curation pipeline output at sf0.001
+    val curated = graft.queries.DedupQ.dCurate(spark, "/root/testdata/sf0.001").localCheckpoint()
+    val nCurated = curated.count()
+    assert(nCurated > 0)
+    val empty = Seq.empty[(Long, Int, Double, Long, Long, Boolean)]
+      .toDF("doc_id", "n_tokens", "quality", "first_imported", "last_imported", "despawned")
+    StorePipeline.storeAndWrite(spark, empty, curated, mSpec, url, "manifest_t",
+      stamp = Some(lit(1L)))
+    assert(manifest().size == nCurated.toInt)
+    assert(manifest().values.forall(_ == ((1L, false))))
+
+    // import 2: re-curation dropped the docs with doc_id >= 400 (corpus
+    // shrank) — those become despawned manifest rows, survivors refresh
+    val curated2 = curated.filter(col("doc_id") < 400)
+    val dropped = nCurated - curated2.count()
+    assert(dropped > 0, "test needs a non-empty drop set")
+    StorePipeline.storeAndWrite(spark, readBack(), curated2, mSpec, url, "manifest_t",
+      stamp = Some(lit(2L)))
+    val m2 = manifest()
+    assert(m2.size == nCurated.toInt, "despawn must keep rows, not drop them")
+    assert(m2.count(_._2._2) == dropped.toInt)
+    assert(m2.filter(!_._2._2).values.forall(_ == ((2L, false))))
+    assert(m2.filter(_._2._2).values.forall(_ == ((1L, true))), "despawned stamps frozen")
+  }
+
   test("snapshot-stream ingestion: foreachBatch drives stamped imports, batch id as the import stamp") {
     // each micro-batch is a FULL snapshot export (the import shape despawn
     // semantics are defined for) — the current DB state reads back through
