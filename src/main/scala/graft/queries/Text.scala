@@ -340,7 +340,84 @@ object Text {
       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM documents GROUP BY 1, 2 ORDER BY source""".stripMargin
 
+  /** Sequence budget for t_pack (tokens per training sequence). */
+  val PackBudget = 512
+
+  /** t_pack: concat-and-chunk sequence packing — the LLM-pretraining data
+    * layout step. Documents concatenate in (source, doc_id) order into
+    * fixed-budget token sequences; each doc reports the sequence its first
+    * token lands in and the offset inside it (docs may straddle sequence
+    * boundaries, as real packing does). The running sum is windowed PER
+    * SOURCE, so at 100 TB each shard packs in parallel — a single global
+    * order would funnel the corpus through one reducer. All-integer
+    * arithmetic → exact oracle parity. */
+  def tPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"start_tok div $PackBudget").as("seq_id"),
+        (col("start_tok") % PackBudget).as("offset_in_seq"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val tPackSql: String =
+    s"""SELECT source, doc_id, n_tokens,
+       |  start_tok // $PackBudget AS seq_id, start_tok % $PackBudget AS offset_in_seq
+       |FROM (SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |        COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |      FROM (SELECT source, doc_id, $toksSql AS toks FROM documents))
+       |ORDER BY source, doc_id""".stripMargin
+
+  /** t_lm_score: corpus character-trigram frequency scoring — the
+    * perplexity-proxy quality filter. Pass 1 builds the corpus trigram
+    * model (an aggregation bounded by charset³, broadcastable at ANY
+    * corpus size); pass 2 scores each document by its mean trigram corpus
+    * frequency — rare-trigram documents (mojibake, boilerplate noise) score
+    * low. Frequency domain instead of log-probability keeps every
+    * aggregate an exact integer (log10's last-ulp differences between
+    * libm implementations would break cross-engine hashes); the single
+    * final division of two exact longs is bit-identical everywhere. */
+  def tLmScore(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val tris = base.filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("tri"))
+    val model = tris.groupBy(col("tri")).agg(count(lit(1)).as("tri_n"))
+    val scored = tris.join(broadcast(model), "tri")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tris"), sum(col("tri_n")).as("tri_count_sum"))
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tris"), lit(0L)).as("n_tris"),
+        coalesce(col("tri_count_sum"), lit(0L)).as("tri_count_sum"),
+        (coalesce(col("tri_count_sum"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_tris"), lit(0L)), lit(1L)).cast("double")).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tLmScoreSql: String =
+    """WITH tri AS (
+      |  SELECT doc_id, unnest([substring(text, i, 3) for i in range(1, length(text)-1)]) AS tri
+      |  FROM documents WHERE length(text) >= 3),
+      |cnt AS (SELECT tri, COUNT(*) AS tri_n FROM tri GROUP BY tri),
+      |sc AS (SELECT t.doc_id, COUNT(*) AS n_tris, CAST(SUM(c.tri_n) AS BIGINT) AS tri_count_sum
+      |       FROM tri t JOIN cnt c USING (tri) GROUP BY t.doc_id)
+      |SELECT d.doc_id AS doc_id, COALESCE(sc.n_tris, 0) AS n_tris,
+      |  COALESCE(sc.tri_count_sum, 0) AS tri_count_sum,
+      |  CAST(COALESCE(sc.tri_count_sum, 0) AS DOUBLE) /
+      |    CAST(greatest(COALESCE(sc.n_tris, 0), 1) AS DOUBLE) AS lm_score
+      |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_pack"        -> tPack _,
+    "t_lm_score"    -> tLmScore _,
     "t_mix"         -> tMix _,
     "t_heavy_hitters" -> tHeavyHitters _,
     "t_split"       -> tSplit _,
@@ -356,6 +433,8 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_pack"        -> tPackSql,
+    "t_lm_score"    -> tLmScoreSql,
     "t_mix"         -> tMixSql,
     "t_heavy_hitters" -> tHeavyHittersSql,
     "t_split"       -> tSplitSql,

@@ -105,6 +105,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t_lm_score: the trigram model joins back via broadcast — the corpus-side trigram stream never shuffles for it") {
+    val df = Text.tLmScore(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("t_pack: packing parallelizes per source — no single-partition global window") {
+    val df = Text.tPack(spark, dir)
+    df.collect()
+    val p = plan(df)
+    // the running sum must hash-partition on source; a window with an empty
+    // partitionBy would plan Exchange SinglePartition and single-thread the
+    // corpus at scale (the final presentation orderBy may range-shuffle)
+    assert(p.contains("hashpartitioning(source"), p.take(3000))
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && !p.substring(0, winIdx).contains("SinglePartition"),
+      s"global window detected:\n${p.take(3000)}")
+  }
+
   test("e_store_stamps: despawn + stamp bookkeeping adds NO join or shuffle over the plain merge") {
     val p = plan(Etl.eStoreStamps(spark, dir))
     val smj = p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin")
