@@ -195,7 +195,29 @@ object Relational3 {
       |  COUNT(CASE WHEN (CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END) IS NOT DISTINCT FROM NULL THEN 1 END) AS n_nullsafe_eq
       |FROM orders GROUP BY 1 ORDER BY grp ASC NULLS FIRST""".stripMargin
 
+  /** q_mode: per-group mode (most frequent value) via count + max_by —
+    * two partial-aggregatable passes, no window over the raw table; ties
+    * break to the greatest value so the result is deterministic. */
+  def qMode(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_year"))
+      .agg(max_by(struct(col("o_orderpriority").as("mode_priority"), col("n")),
+        struct(col("n"), col("o_orderpriority"))).as("m"))
+      .select(col("o_year"), col("m.mode_priority").as("mode_priority"), col("m.n").as("n"))
+      .orderBy(col("o_year"))
+
+  val qModeSql: String =
+    """SELECT o_year, o_orderpriority AS mode_priority, n FROM (
+      |  SELECT o_year, o_orderpriority, n,
+      |    ROW_NUMBER() OVER (PARTITION BY o_year ORDER BY n DESC, o_orderpriority DESC) AS r
+      |  FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority, COUNT(*) AS n
+      |        FROM orders GROUP BY 1, 2))
+      |WHERE r = 1 ORDER BY o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mode"            -> qMode _,
     "q_null_semantics"  -> qNullSemantics _,
     "q_window_funcs2"   -> qWindowFuncs2 _,
     "q_setops_all"      -> qSetopsAll _,
@@ -208,6 +230,7 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mode"            -> qModeSql,
     "q_null_semantics"  -> qNullSemanticsSql,
     "q_window_funcs2"   -> qWindowFuncs2Sql,
     "q_setops_all"      -> qSetopsAllSql,

@@ -271,6 +271,37 @@ object Text {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Eval-set size per stratum for t_sample_stratified. */
+  val SamplePerSource = 5
+
+  /** t_sample_stratified: exact-k per-stratum sampling — eval/holdout set
+    * construction. Rank key is a SALTED content hash ("sample:" prefix
+    * decorrelates it from t_split/t_mix assignments), so the sample is
+    * RNG-free, engine- and cluster-size-independent, and reproducible;
+    * row_number windows run per source, so strata sample in parallel and
+    * Spark's window-group-limit pushes the k cutoff below the sort. */
+  def tSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("rank_key"), col("doc_id"))
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("source"), col("doc_id"),
+        conv(substring(md5(concat(lit("sample:"), col("text"))), 1, 15), 16, 10)
+          .cast("long").as("rank_key"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SamplePerSource)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val tSampleStratifiedSql: String =
+    s"""SELECT source, doc_id, rank_key, CAST(rk AS INT) AS rk FROM (
+       |  SELECT source, doc_id, rank_key,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY rank_key, doc_id) AS rk
+       |  FROM (SELECT source, doc_id,
+       |          ('0x' || substr(md5('sample:' || text), 1, 15))::BIGINT AS rank_key
+       |        FROM documents))
+       |WHERE rk <= $SamplePerSource ORDER BY source, rk""".stripMargin
+
   /** Heavy-hitter knobs: φ = 3% (as the integer ratio 3/100 so the
     * threshold compare is integer-exact on both engines) and k = 40
     * sketch counters — the MG guarantee needs φ > 1/(k+1) = 1/41. */
@@ -417,6 +448,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_pack"        -> tPack _,
+    "t_sample_stratified" -> tSampleStratified _,
     "t_lm_score"    -> tLmScore _,
     "t_mix"         -> tMix _,
     "t_heavy_hitters" -> tHeavyHitters _,
@@ -434,6 +466,7 @@ object Text {
 
   val oracle: Map[String, String] = Map(
     "t_pack"        -> tPackSql,
+    "t_sample_stratified" -> tSampleStratifiedSql,
     "t_lm_score"    -> tLmScoreSql,
     "t_mix"         -> tMixSql,
     "t_heavy_hitters" -> tHeavyHittersSql,
