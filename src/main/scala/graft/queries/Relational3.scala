@@ -125,6 +125,25 @@ object Relational3 {
   val ioJsonRoundtripSql: String =
     "SELECT n_regionkey, COUNT(*) AS n_nations FROM nation GROUP BY 1 ORDER BY n_regionkey"
 
+  /** io_orc_roundtrip: supplier → ORC (zstd) → schema-checked read back →
+    * aggregate. ORC is the second columnar format the engine speaks; the
+    * oracle reads the same logical data from parquet, so result equality
+    * proves the roundtrip lost nothing. */
+  def ioOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripPath(dir, "orc")
+    val src = Tables.supplier(s, dir)
+    src.write.mode("overwrite").option("compression", "zstd").orc(out)
+    Readers.orc(s, out, src.schema)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_suppliers"),
+        sum(length(col("s_name"))).as("total_name_len"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val ioOrcRoundtripSql: String =
+    """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+      |  CAST(SUM(length(s_name)) AS BIGINT) AS total_name_len
+      |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin
+
   /** q_window_funcs2: value-window functions — first/last value over
     * frames, percent_rank, cume_dist. High-cardinality partition key
     * (o_custkey) for the same scale reason as q_window_funcs. */
@@ -222,6 +241,7 @@ object Relational3 {
     "q_window_funcs2"   -> qWindowFuncs2 _,
     "q_setops_all"      -> qSetopsAll _,
     "io_json_roundtrip" -> ioJsonRoundtrip _,
+    "io_orc_roundtrip"  -> ioOrcRoundtrip _,
     "q_window_funcs"   -> qWindowFuncs _,
     "q_grouping_sets"  -> qGroupingSets _,
     "q_cube"           -> qCube _,
@@ -235,6 +255,7 @@ object Relational3 {
     "q_window_funcs2"   -> qWindowFuncs2Sql,
     "q_setops_all"      -> qSetopsAllSql,
     "io_json_roundtrip" -> ioJsonRoundtripSql,
+    "io_orc_roundtrip"  -> ioOrcRoundtripSql,
     "q_window_funcs"   -> qWindowFuncsSql,
     "q_grouping_sets"  -> qGroupingSetsSql,
     "q_cube"           -> qCubeSql,

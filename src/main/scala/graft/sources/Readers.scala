@@ -49,6 +49,17 @@ object Readers {
       .json(path)
   }
 
+  /** ORC with the same explicit-schema contract as parquet: columnar,
+    * self-describing, so enforcement is a field-presence check (ORC readers
+    * project by name; a type mismatch dies at scan time). */
+  def orc(spark: SparkSession, path: String, expected: StructType): DataFrame = {
+    val df = spark.read.orc(path)
+    val missing = expected.fields.filterNot(f => df.schema.fieldNames.contains(f.name))
+    require(missing.isEmpty,
+      s"orc at $path missing expected columns: ${missing.map(_.name).mkString(", ")}")
+    df.select(expected.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+  }
+
   def parquet(spark: SparkSession, path: String, expected: StructType): DataFrame = {
     val df = spark.read.parquet(path)
     val missing = expected.fields.filterNot(f => df.schema.fieldNames.contains(f.name))
