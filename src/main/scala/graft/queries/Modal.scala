@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.OracleParity.xsum
 import graft.multimodal.Multimodal
 import graft.streaming.Streaming
 
@@ -184,7 +185,29 @@ object Modal {
       | AND epoch_us(c.ts) <= epoch_us(p.ts)
       |ORDER BY p_id, c_id""".stripMargin
 
+  /** st_dedup: exact dedup of an at-least-once event feed — 10% of events
+    * "redelivered" (unioned back in), then one-row-per-event_id dedup must
+    * restore the original stream exactly. Batch face of
+    * Streaming.dedupStream (watermarked state dedup, spec'd in
+    * StreamingSpec); the oracle aggregates the ORIGINAL table, so equality
+    * proves the dedup removed precisely the duplicates. */
+  def stDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val atLeastOnce = ev.unionAll(ev.filter(col("event_id") % 10 === 0))
+    Streaming.dedupBatch(atLeastOnce)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        xsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val stDedupSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_dedup"          -> stDedup _,
     "st_interval_join"  -> stIntervalJoin _,
     "st_session_window" -> stSessionWindow _,
     "m_blob_stats"   -> mBlobStats _,
@@ -196,6 +219,7 @@ object Modal {
   )
 
   val oracle: Map[String, String] = Map(
+    "st_dedup"          -> stDedupSql,
     "st_interval_join"  -> stIntervalJoinSql,
     "st_session_window" -> stSessionWindowSql,
     "m_blob_stats"   -> mBlobStatsSql,

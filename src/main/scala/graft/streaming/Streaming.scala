@@ -106,6 +106,13 @@ object Streaming {
       .withWatermark("event_time", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Batch equivalent of dedupStream for an at-least-once feed whose
+    * redeliveries are bit-identical copies: one row per event_id. (With
+    * identical copies the kept-row choice cannot affect the result, so
+    * this is deterministic — the st_dedup gate relies on it.) */
+  def dedupBatch(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
   /** Streaming path: flatMapGroupsWithState with EVENT-time timeout.
     * Gap-closed sessions flush as soon as the closing event arrives; the
     * trailing open session stays in state until the watermark passes its
