@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => VectorExpressions.DotProduct(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
       (es: Seq[Expression]) => VectorExpressions.SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("rolling_hash_min"), info("rolling_hash_min"),
+      (es: Seq[Expression]) => VectorExpressions.RollingHashMin(es.head, es.lift(1)
+        .map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(16))))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

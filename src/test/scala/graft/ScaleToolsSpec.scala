@@ -12,6 +12,24 @@ class ScaleToolsSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  test("GraftExtensions injects every native function: pure SQL works with no Scala registration") {
+    // a brand-new session sharing only the extension config — proves the
+    // spark.sql.extensions path alone provides the functions
+    val s2 = spark.newSession()
+    val r = s2.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |  dot_product(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d,
+        |  simhash64(array(1L)) AS sh,
+        |  rolling_hash_min('abc') AS rh""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 23.0)
+    // simhash of one hash h: bit i set iff bit i of h set -> simhash(1)=1
+    assert(r.getLong(2) == 1L)
+    // 'abc' shorter than the 16-byte window: one window over the whole
+    // string, h = ((97*257+98)*257+99) mod 1e9+7
+    assert(r.getLong(3) == ((97L * 257 + 98) * 257 + 99) % 1000000007L)
+  }
+
   test("saltedJoin returns exactly the plain join's rows") {
     val big = (1 to 1000).map(i => (if (i % 10 == 0) 1 else i, s"v$i")).toDF("k", "payload")
     val small = Seq((1, "hot"), (2, "cold"), (555, "x")).toDF("k", "attr")
