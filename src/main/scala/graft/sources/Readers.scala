@@ -67,4 +67,22 @@ object Readers {
       s"parquet at $path missing expected columns: ${missing.map(_.name).mkString(", ")}")
     df
   }
+
+  /** Range-partitioned parallel JDBC read — the scale path for pulling a
+    * big database table (the reference reads its current DB state before
+    * every merge): `numPartitions` executors each issue a bounded-range
+    * query on `partCol` instead of one connection streaming the whole
+    * table. Bounds outside [lb, ub] still land (Spark makes the first and
+    * last partitions unbounded), so the read is complete regardless of the
+    * bound estimates; stale bounds only skew balance, never correctness. */
+  def jdbcPartitioned(spark: SparkSession, url: String, table: String,
+      partCol: String, lb: Long, ub: Long, numPartitions: Int): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partCol)
+      .option("lowerBound", lb.toString)
+      .option("upperBound", ub.toString)
+      .option("numPartitions", numPartitions.toString)
+      .load()
 }

@@ -23,6 +23,26 @@ class WritersReadersSpec extends AnyFunSuite {
     assert(filtered.count() == expected)
   }
 
+  test("Readers.jdbcPartitioned: parallel range read is complete, including rows outside the bound estimates") {
+    val url = "jdbc:derby:memory:jdbcpart;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().executeUpdate("DROP TABLE wide_t") catch { case _: Exception => () }
+      conn.createStatement().executeUpdate(
+        "CREATE TABLE wide_t (id BIGINT PRIMARY KEY, v VARCHAR(20))")
+      val ps = conn.prepareStatement("INSERT INTO wide_t VALUES (?, ?)")
+      for (i <- 1L to 1000L) { ps.setLong(1, i); ps.setString(2, s"row$i"); ps.addBatch() }
+      ps.executeBatch()
+    } finally conn.close()
+    // bounds deliberately WRONG (cover only 200..800): first/last partition
+    // ranges are unbounded, so every row must still arrive
+    val df = Readers.jdbcPartitioned(spark, url, "wide_t", "id", 200L, 800L, 4)
+    assert(df.rdd.getNumPartitions == 4, "read must split into the requested ranges")
+    assert(df.count() == 1000)
+    val ids = df.agg(min(col("ID")), max(col("ID"))).as[(Long, Long)].head()
+    assert(ids == ((1L, 1000L)))
+  }
+
   test("Readers.csv FAILFAST dies loudly on malformed rows instead of nulling") {
     val dir = java.nio.file.Files.createTempDirectory("graft-badcsv")
     java.nio.file.Files.writeString(dir.resolve("bad.csv"),
