@@ -43,20 +43,22 @@ object Bench {
       // plausible-looking min time
       name -> (if (times.size < runs) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision: full-precision doubles made the line ~2.9 KB
+    // and the driver's bounded TAIL capture cut its head (BENCH_r03/r04
+    // parsed:null). ~1.6 KB fits the capture window with room to spare.
+    def f(v: Double): String = if (v < 0) "-1" else "%.3f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver's stdout capture has truncated mid-line before (BENCH_r03
-    // parsed:null) — persist the JSON to a file as the canonical copy and
-    // mirror it on stderr, so any single stream being cut still leaves two
-    // intact copies.
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
+    // stop() BEFORE printing: the JSON stays the final stdout line, so a
+    // tail capture keeps it intact; the file above is the canonical copy.
+    spark.stop()
     println(line)
     System.err.println(line)
-    spark.stop()
   }
 }

@@ -165,25 +165,43 @@ object Relational2 {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q_approx_quantiles: the 100 TB percentile path — percentile_approx
-    * (KLL-style mergeable sketch, one pass, bounded memory) where
-    * q_quantiles' exact form needs the full per-group sort. Approximate by
-    * construction → rows-only oracle; ApproxQuantilesSpec bounds the error
-    * against the exact values. accuracy=10000 → rank error ≤ N/10000.
-    * Output is flattened to scalar columns (q25/q50/q75/price_q90) — the
-    * driver's comparator sorts rows pandas-side and cannot hash array
-    * cells, so every gate query must emit an all-scalar schema. */
+    * (GK-style mergeable sketch, one pass, bounded memory) where
+    * q_quantiles' exact form needs the full per-group sort. The estimate
+    * itself has no SQL oracle, so the gate row hashes the DETERMINISTIC
+    * part (same pattern as q_approx_distinct): exact percentiles plus
+    * in-query booleans asserting each sketch value lands inside the exact
+    * ±0.02-rank window — 200× the guaranteed rank error (accuracy=10000 →
+    * ε ≤ N/10000), so the bit is deterministic; a drifting sketch flips it
+    * and fails the hash. The tight 1%-relative bound at sf0.1 lives in
+    * DedupSimilaritySpec. */
   def qApproxQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("qs"),
-        expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("price_q90"))
+        expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("aq"),
+        expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("ap90"),
+        expr("percentile(l_quantity, array(0.23, 0.25, 0.27, 0.48, 0.5, 0.52, 0.73, 0.75, 0.77))").as("eq"),
+        expr("percentile(l_extendedprice, array(0.88, 0.9, 0.92))").as("ep"))
       .select(col("l_returnflag"),
-        expr("get(qs, 0)").as("q25"),
-        expr("get(qs, 1)").as("q50"),
-        expr("get(qs, 2)").as("q75"),
-        col("price_q90"))
+        expr("get(eq, 1)").as("q25"),
+        expr("get(eq, 4)").as("q50"),
+        expr("get(eq, 7)").as("q75"),
+        expr("get(ep, 1)").as("price_q90"),
+        expr("get(aq, 0) BETWEEN get(eq, 0) AND get(eq, 2)").as("q25_est_ok"),
+        expr("get(aq, 1) BETWEEN get(eq, 3) AND get(eq, 5)").as("q50_est_ok"),
+        expr("get(aq, 2) BETWEEN get(eq, 6) AND get(eq, 8)").as("q75_est_ok"),
+        expr("ap90 BETWEEN get(ep, 0) AND get(ep, 2)").as("price_q90_est_ok"))
       .orderBy(col("l_returnflag"))
+
+  val qApproxQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.5) AS q50,
+      |  quantile_cont(l_quantity, 0.75) AS q75,
+      |  quantile_cont(l_extendedprice, 0.9) AS price_q90,
+      |  TRUE AS q25_est_ok, TRUE AS q50_est_ok, TRUE AS q75_est_ok,
+      |  TRUE AS price_q90_est_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_quantiles" -> qApproxQuantiles _,
@@ -197,6 +215,7 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_approx_quantiles" -> qApproxQuantilesSql,
     "q_quantiles"     -> qQuantilesSql,
     "q_outer_join"    -> qOuterJoinSql,
     "q7_nation_volume" -> q7Sql,

@@ -399,8 +399,8 @@ object Text {
     s"""SELECT source, doc_id, n_tokens,
        |  start_tok // $PackBudget AS seq_id, start_tok % $PackBudget AS offset_in_seq
        |FROM (SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-       |        COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+       |        CAST(COALESCE(SUM(CAST(len(toks) AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
        |      FROM (SELECT source, doc_id, $toksSql AS toks FROM documents))
        |ORDER BY source, doc_id""".stripMargin
 
