@@ -190,7 +190,52 @@ object Events {
       |WHERE day >= d0
       |GROUP BY 1, 2 ORDER BY cohort_week, week""".stripMargin
 
+  /** q_range_join: pure range (non-equi) join — every event matched to the
+    * "flash-sale windows" it falls into, where a window is ±30 min around
+    * each of the top-20 purchases by value. There is NO equi-key, the case
+    * Spark's hash joins can't serve directly; the naive plan is a
+    * cross-product with a range filter (O(|events|·|windows|)).
+    *
+    * Spark-first scale shape: bucketize time by the maximum window length
+    * (1 h), explode each window onto the buckets it overlaps (≤2 here —
+    * interval length / bucket width + 1 in general), and equi-join on the
+    * bucket id before refining with the exact range predicate. Per-event
+    * work drops from |windows| to |windows overlapping its bucket|. The
+    * tiny expanded side broadcasts (zero shuffle); with millions of
+    * windows the same plan degrades gracefully to ONE shuffle on the
+    * bucket key — the structure, not the broadcast, is what scales.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val halfUs = 30L * 60 * 1000000
+    val e = ev(s, dir)
+    val windows = e.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .orderBy(col("value").desc_nulls_last, col("event_id"))
+      .limit(20)
+      .select(col("event_id").as("window_id"),
+        (col("ts_us") - halfUs).as("w_start"), (col("ts_us") + halfUs).as("w_end"))
+    val expanded = windows.withColumn("bucket",
+      explode(expr(s"sequence(w_start div $UsPerHour, (w_end - 1) div $UsPerHour)")))
+    e.withColumn("bucket", expr(s"ts_us div $UsPerHour"))
+      .join(broadcast(expanded), Seq("bucket"))
+      .filter(col("ts_us") >= col("w_start") && col("ts_us") < col("w_end"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"), xsum(col("value")).as("sum_value"))
+      .orderBy(col("window_id"))
+  }
+
+  val qRangeJoinSql: String =
+    """WITH w AS (
+      |  SELECT event_id AS window_id,
+      |    epoch_us(ts) - 1800000000 AS w_start, epoch_us(ts) + 1800000000 AS w_end
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      |  ORDER BY value DESC NULLS LAST, event_id LIMIT 20)
+      |SELECT w.window_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN w ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) < w.w_end
+      |GROUP BY w.window_id ORDER BY window_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join"   -> qRangeJoin _,
     "q_cohort_retention" -> qCohortRetention _,
     "q_gapfill"      -> qGapfill _,
     "q_asof_join"     -> qAsofJoin _,
@@ -200,6 +245,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_range_join"   -> qRangeJoinSql,
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_gapfill"      -> qGapfillSql,
     "q_asof_join"     -> qAsofJoinSql,
