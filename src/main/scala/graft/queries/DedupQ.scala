@@ -302,7 +302,63 @@ object DedupQ {
        |            JOIN embeddings eb ON eb.vec_id = b_id)
        |WHERE cos >= ${graft.dedup.EmbedLsh.Threshold} ORDER BY a_id, b_id""".stripMargin
 
+  /** d_paragraph: CCNet-style sub-document dedup — duplicated sentences
+    * (the boilerplate unit here; paragraphs in a corpus with newlines) are
+    * removed CORPUS-WIDE, keeping only the first occurrence in
+    * (doc_id, position) order, and each document is reassembled from its
+    * surviving sentences. Catches shared headers/footers/disclaimers that
+    * doc-level dedup never sees.
+    *
+    * Scale shape: two unavoidable shuffles — re-key exploded sentences by
+    * content hash (md5, so the shuffle carries a fixed-width key instead
+    * of the sentence text) to pick the global first occurrence, then
+    * re-key survivors by doc_id to reassemble. Per-group state is one
+    * row_number window over each hash bucket; no corpus-wide structure is
+    * ever materialized on one node.
+    */
+  def dParagraph(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val sents = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+      .toDF("doc_id", "pos", "sent")
+      .filter(length(trim(col("sent"))) > 0)
+      .withColumn("h", md5(lower(trim(col("sent")))))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val kept = sents.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("sent")))), x => x("sent")),
+          ". ").as("clean_text"))
+    docs.select(col("doc_id"), size(split(col("text"), "\\. ")).as("n_sents"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sents"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dParagraphSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, u.pos AS pos, u.sent AS sent, md5(lower(trim(u.sent))) AS h
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(sents) + 1),
+      |            i -> struct_pack(pos := i, sent := sents[i]))) AS u
+      |        FROM (SELECT doc_id, string_split(text, '. ') AS sents FROM documents))
+      |  WHERE length(trim(u.sent)) > 0),
+      |kept AS (
+      |  SELECT doc_id, COUNT(*) AS n_kept, string_agg(sent, '. ' ORDER BY pos) AS clean_text
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM s)
+      |  WHERE rn = 1 GROUP BY doc_id)
+      |SELECT d.doc_id, len(string_split(d.text, '. ')) AS n_sents,
+      |  COALESCE(k.n_kept, 0) AS n_kept, COALESCE(k.clean_text, '') AS clean_text
+      |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_paragraph"     -> dParagraph _,
     "d_exact"         -> dExact _,
     "d_minhash_pairs" -> dMinhashPairs _,
     "d_jaccard"       -> dJaccard _,
@@ -314,6 +370,7 @@ object DedupQ {
   )
 
   val oracle: Map[String, String] = Map(
+    "d_paragraph"     -> dParagraphSql,
     "d_exact"         -> dExactSql,
     "d_minhash_pairs" -> dMinhashPairsSql,
     "d_jaccard"       -> dJaccardSql,

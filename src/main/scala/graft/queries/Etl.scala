@@ -300,7 +300,44 @@ object Etl {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY 1 ORDER BY o_year""".stripMargin
 
+  /** e_agg_refresh: incremental aggregate maintenance — the per-customer
+    * order summary is maintained as a mergeable partial-aggregate state
+    * (count / exact decimal sum / day-int watermarks); arriving orders are
+    * folded in through IncrementalAgg.merge without rescanning history.
+    * The gate splits orders at a cutoff into "state so far" + "delta
+    * batch", refreshes, and the oracle recomputes the summary from scratch
+    * — merge(partial(A), partial(B)) must equal partial(A ∪ B) exactly,
+    * which the decimal-sum convention guarantees. */
+  def eAggRefresh(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1997-01-01").cast("timestamp_ntz")
+    val epoch = lit("1970-01-01").cast("date")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).as("spend_dec"),
+          min(datediff(col("o_orderdate").cast("date"), epoch)).as("first_day"),
+          max(datediff(col("o_orderdate").cast("date"), epoch)).as("last_day"))
+    val ord = Tables.orders(s, dir)
+    val state = partial(ord.filter(col("o_orderdate") < cutoff))
+    val delta = partial(ord.filter(col("o_orderdate") >= cutoff))
+    IncrementalAgg.merge(state, delta, Seq("o_custkey"), Seq(
+      "n_orders" -> "sum", "spend_dec" -> "sum",
+      "first_day" -> "min", "last_day" -> "max"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("spend_dec").cast("double").as("spend"),
+        col("first_day"), col("last_day"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val eAggRefreshSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend,
+      |  MIN(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS first_day,
+      |  MAX(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS last_day
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_agg_refresh"   -> eAggRefresh _,
     "e_salted_join"   -> eSaltedJoin _,
     "e_cdc_apply"     -> eCdcApply _,
     "e_stable_id"     -> eStableId _,
@@ -317,6 +354,7 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_agg_refresh"   -> eAggRefreshSql,
     "e_salted_join"   -> eSaltedJoinSql,
     "e_cdc_apply"     -> eCdcApplySql,
     "e_stable_id"     -> eStableIdSql,

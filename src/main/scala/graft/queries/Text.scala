@@ -446,7 +446,92 @@ object Text {
       |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // t_rep_filter thresholds (Gopher-style repetition cutoffs) — shared
+  // into the oracle SQL so engine and oracle cannot drift.
+  private val RepTopBigramMax = 0.20
+  private val RepDupTrigramMax = 0.30
+  private val RepDupSentMax = 0.30
+
+  /** t_rep_filter: repetition-based quality filters — the Gopher/C4-style
+    * cuts that catch boilerplate and degenerate generations exact dedup
+    * misses: fraction of tokens covered by the single most frequent
+    * bigram, fraction of tokens inside duplicated trigrams (capped at 1 —
+    * overlapping grams overcount), and duplicate-sentence fraction.
+    *
+    * Scale shape: sentence dedup is per-row narrow (array_distinct inside
+    * the row). Both gram metrics ride ONE posexplode and one
+    * (doc_id, n, gram) count — map-side partial aggregation collapses the
+    * repeats that matter before the shuffle — then a doc_id-keyed rollup.
+    * Never a corpus-wide gram table: state is bounded per doc.
+    */
+  def tRepFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        split(col("text"), "\\. ").as("sents"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("dup_sent_frac",
+        (size(col("sents")) - size(array_distinct(col("sents")))).cast("double")
+          / size(col("sents")).cast("double"))
+    // typed empty arrays: bare array() is array<null> and won't unify with
+    // the struct arrays under concat
+    val noGrams = array().cast("array<struct<n:int,g:string>>")
+    val grams = d.select(col("doc_id"), explode(concat(
+      when(col("n_tokens") >= 2,
+        expr("transform(sequence(0, n_tokens - 2), i -> struct(2 AS n, concat_ws(' ', get(toks, i), get(toks, i + 1)) AS g))"))
+        .otherwise(noGrams),
+      when(col("n_tokens") >= 3,
+        expr("transform(sequence(0, n_tokens - 3), i -> struct(3 AS n, concat_ws(' ', get(toks, i), get(toks, i + 1), get(toks, i + 2)) AS g))"))
+        .otherwise(noGrams))).as("x"))
+    val rep = grams
+      .groupBy(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("n") === 2, col("c"))).as("max_big"),
+        sum(when(col("n") === 3 && col("c") >= 2, col("c"))).as("dup_tri"))
+    d.join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") >= 2,
+          (col("max_big") * 2).cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"),
+        least(lit(1.0),
+          (coalesce(col("dup_tri"), lit(0L)) * 3).cast("double") / col("n_tokens").cast("double"))
+          .as("dup_trigram_frac"),
+        col("dup_sent_frac"))
+      .withColumn("keep",
+        col("top_bigram_frac") < RepTopBigramMax &&
+          col("dup_trigram_frac") < RepDupTrigramMax &&
+          col("dup_sent_frac") < RepDupSentMax)
+      .orderBy(col("doc_id"))
+  }
+
+  val tRepFilterSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, toks, len(toks) AS n_tokens,
+       |    CAST(len(sents) - len(list_distinct(sents)) AS DOUBLE)
+       |      / CAST(len(sents) AS DOUBLE) AS dup_sent_frac,
+       |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bigs,
+       |    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tris
+       |  FROM (SELECT doc_id, $toksSql AS toks, string_split(text, '. ') AS sents FROM documents)),
+       |ba AS (SELECT doc_id, MAX(c) AS max_big FROM (
+       |         SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, unnest(bigs) AS g FROM b)
+       |         GROUP BY doc_id, g) GROUP BY doc_id),
+       |ta AS (SELECT doc_id, SUM(c) AS dup_tri FROM (
+       |         SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, unnest(tris) AS g FROM b)
+       |         GROUP BY doc_id, g) WHERE c >= 2 GROUP BY doc_id)
+       |SELECT b.doc_id, n_tokens,
+       |  CASE WHEN n_tokens >= 2 THEN CAST(2 * max_big AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       |       ELSE 0.0 END AS top_bigram_frac,
+       |  least(1.0, CAST(3 * COALESCE(dup_tri, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS dup_trigram_frac,
+       |  dup_sent_frac,
+       |  (CASE WHEN n_tokens >= 2 THEN CAST(2 * max_big AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END < $RepTopBigramMax
+       |   AND least(1.0, CAST(3 * COALESCE(dup_tri, 0) AS DOUBLE) / CAST(n_tokens AS DOUBLE)) < $RepDupTrigramMax
+       |   AND dup_sent_frac < $RepDupSentMax) AS keep
+       |FROM b LEFT JOIN ba USING (doc_id) LEFT JOIN ta USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_rep_filter"  -> tRepFilter _,
     "t_pack"        -> tPack _,
     "t_sample_stratified" -> tSampleStratified _,
     "t_lm_score"    -> tLmScore _,
@@ -465,6 +550,7 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_rep_filter"  -> tRepFilterSql,
     "t_pack"        -> tPackSql,
     "t_sample_stratified" -> tSampleStratifiedSql,
     "t_lm_score"    -> tLmScoreSql,
