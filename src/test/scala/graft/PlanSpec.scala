@@ -125,6 +125,37 @@ class PlanSpec extends AnyFunSuite {
       s"global window detected:\n${p.take(3000)}")
   }
 
+  test("runtime bloom filter prunes the fact side of a shuffle join before the shuffle") {
+    // The 100 TB shape: a selectively-filtered dim side seeds a bloom
+    // filter that is pushed into the fact scan, so most fact rows die
+    // before paying the shuffle. Production thresholds (10 GB application
+    // side) are scaled down so the same optimizer rule fires at test size.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom")
+    try {
+      val fact = s"$tmp/fact"; val dim = s"$tmp/dim"
+      spark.range(0, 100000).select(col("id").as("k"),
+        concat(lit("p"), col("id")).as("v")).write.parquet(fact)
+      spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") % 7).as("cat")).write.parquet(dim)
+      val joined = spark.read.parquet(fact)
+        .join(spark.read.parquet(dim).filter(col("cat") === 3), "k")
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter was not injected:\n${p.take(3000)}")
+      assert(joined.count() == 143)
+    } finally {
+      saved.foreach { case (k, Some(v)) => spark.conf.set(k, v); case (k, None) => spark.conf.unset(k) }
+    }
+  }
+
   test("e_store_stamps: despawn + stamp bookkeeping adds NO join or shuffle over the plain merge") {
     val p = plan(Etl.eStoreStamps(spark, dir))
     val smj = p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin")

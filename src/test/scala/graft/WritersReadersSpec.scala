@@ -78,6 +78,29 @@ class WritersReadersSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("Writers.compact: shrinks a many-small-files layout without changing content, leaving no staging residue") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").resolve("t").toString
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    orders.repartition(64).write.parquet(dir)
+    def dataFiles() = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(dataFiles() == 64)
+    val before = spark.read.parquet(dir).agg(
+      count(lit(1)), sum(col("o_orderkey")), sum(col("o_custkey"))).head()
+
+    val n = Writers.compact(spark, dir, targetBytes = 1024L * 1024 * 1024)
+    assert(n == 1 && dataFiles() == 1, s"expected 1 compacted file, got ${dataFiles()}")
+    assert(spark.read.parquet(dir).agg(
+      count(lit(1)), sum(col("o_orderkey")), sum(col("o_custkey"))).head() == before)
+    // no staging residue after a clean swap
+    val parent = new java.io.File(dir).getParentFile.listFiles.map(_.getName).toSet
+    assert(!parent.exists(_.contains("_compact_")), parent.toString)
+
+    // re-clustered variant keeps content and sorts within the file
+    Writers.compact(spark, dir, targetBytes = 1024L * 1024 * 1024, sortCols = Seq("o_orderkey"))
+    val keys = spark.read.parquet(dir).select("o_orderkey").as[Long].collect()
+    assert(keys.sameElements(keys.sorted), "sortCols compaction must leave keys ordered")
+  }
+
   test("Readers.parquet rejects files missing expected columns") {
     val ex = intercept[IllegalArgumentException] {
       Readers.parquet(spark, "/root/testdata/sf0.001/region.parquet",
