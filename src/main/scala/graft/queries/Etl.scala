@@ -336,7 +336,35 @@ object Etl {
       |  MAX(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS last_day
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  private val ProfileCols = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** e_profile: data-quality profiling — per-column null and exact distinct
+    * counts for the orders table in ONE scan (the n2kupdate-style sanity
+    * report before a store run). All metrics ride a single aggregate; the
+    * multi-distinct is Spark's expand rewrite, which at 100 TB trades one
+    * scan for a 6× shuffle fan-out — the right trade when the scan is the
+    * dominant cost (switch to approx_count_distinct when ±2% suffices). */
+  def eProfile(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val aggs = ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_distinct"))) :+ count(lit(1)).as("n_rows")
+    val stackArgs = ProfileCols.map(c => s"'$c', ${c}_nulls, ${c}_distinct").mkString(", ")
+    ord.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${ProfileCols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+      .orderBy(col("col_name"))
+  }
+
+  val eProfileSql: String = ProfileCols.map(c =>
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+       |  COUNT(*) FILTER ($c IS NULL) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct
+       |FROM orders""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_profile"       -> eProfile _,
     "e_agg_refresh"   -> eAggRefresh _,
     "e_salted_join"   -> eSaltedJoin _,
     "e_cdc_apply"     -> eCdcApply _,
@@ -354,6 +382,7 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_profile"       -> eProfileSql,
     "e_agg_refresh"   -> eAggRefreshSql,
     "e_salted_join"   -> eSaltedJoinSql,
     "e_cdc_apply"     -> eCdcApplySql,

@@ -75,13 +75,48 @@ object Similarity {
       .orderBy(col("c_id"))
   }
 
+  /** s_quantize: int8 embedding quantization — the storage-compression step
+    * that makes 100 TB-scale ANN tractable (4× smaller vectors, SIMD-able
+    * int dot products). Symmetric per-vector scheme: scale = max |x|,
+    * q = floor(127·x/scale + 0.5) (half-up in both engines, unlike
+    * round()'s half-even ambiguity). Entirely narrow — no shuffle; every
+    * arithmetic step runs in double on both engines so the gate hashes the
+    * full quantized sequence via a fingerprint plus exact scalar probes. */
+  def sQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .withColumn("m", expr("aggregate(embedding, 0.0D, (a, x) -> greatest(a, abs(cast(x AS double))))"))
+      .withColumn("q8", expr(
+        """CASE WHEN m = 0.0D THEN transform(embedding, x -> 0L)
+          |ELSE transform(embedding, x -> cast(floor(cast(x AS double) * 127 / m + 0.5D) AS bigint)) END""".stripMargin))
+      .select(col("vec_id"), size(col("embedding")).as("n_dims"),
+        col("m").as("scale"),
+        expr("aggregate(q8, 0L, (a, x) -> a + x)").as("sum_q8"),
+        md5(concat_ws(",", expr("transform(q8, x -> cast(x AS string))"))).as("q8_fp"))
+      .orderBy(col("vec_id"))
+
+  val sQuantizeSql: String =
+    """SELECT vec_id, n_dims, CAST(m AS DOUBLE) AS scale,
+      |  CAST(list_sum(q8) AS BIGINT) AS sum_q8,
+      |  md5(array_to_string(q8, ',')) AS q8_fp
+      |FROM (
+      |  SELECT vec_id, len(embedding) AS n_dims, m,
+      |    CASE WHEN m = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+      |         ELSE list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127 / m + 0.5) AS BIGINT)) END AS q8
+      |  FROM (SELECT vec_id, embedding,
+      |          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+      |        FROM embeddings))
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_quantize"  -> sQuantize _,
     "s_knn_brute" -> sKnnBrute _,
     "s_knn_ivf"   -> sKnnIvf _,
     "s_kmeans"    -> sKmeans _,
   )
 
   val oracle: Map[String, String] = Map(
+    "s_quantize"  -> sQuantizeSql,
     "s_knn_brute" -> sKnnBruteSql,
   )
 }

@@ -530,7 +530,47 @@ object Text {
        |FROM b LEFT JOIN ba USING (doc_id) LEFT JOIN ta USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** t_encode: tokenizer application — every document encoded to vocab ids
+    * (the t_vocab top-100 table; OOV → 0), the step that turns a curated
+    * corpus into trainer input. The vocab broadcasts (a real tokenizer is
+    * ~100k entries — still broadcast-sized), so the exploded token stream
+    * never shuffles for the lookup; the only shuffle is the doc_id regroup
+    * that reassembles ids in position order. The gate emits a fingerprint
+    * of the id sequence (md5 over the comma-joined ids) plus token/OOV
+    * counts — scalar columns, full-sequence coverage. */
+  def tEncode(s: SparkSession, dir: String): DataFrame = {
+    val vocab = tVocab(s, dir).select(col("token"), col("vocab_id"))
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "token")
+      .join(broadcast(vocab), Seq("token"), "left")
+      .withColumn("id", coalesce(col("vocab_id"), lit(0)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0, 1L).otherwise(0L)).as("n_unk"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            x => x("id").cast("string")))).as("ids_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tEncodeSql: String =
+    s"""WITH v AS (SELECT token, vocab_id FROM ($tVocabSql)),
+       |tok AS (
+       |  SELECT doc_id, u.pos AS pos, u.t AS token
+       |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |          i -> struct_pack(pos := i, t := toks[i]))) AS u
+       |        FROM (SELECT doc_id, $toksSql AS toks FROM documents))),
+       |e AS (SELECT doc_id, pos, COALESCE(vocab_id, 0) AS id
+       |      FROM tok LEFT JOIN v USING (token))
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  COUNT(*) FILTER (id = 0) AS n_unk,
+       |  md5(string_agg(id::VARCHAR, ',' ORDER BY pos)) AS ids_fp
+       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_encode"      -> tEncode _,
     "t_rep_filter"  -> tRepFilter _,
     "t_pack"        -> tPack _,
     "t_sample_stratified" -> tSampleStratified _,
@@ -550,6 +590,7 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_encode"      -> tEncodeSql,
     "t_rep_filter"  -> tRepFilterSql,
     "t_pack"        -> tPackSql,
     "t_sample_stratified" -> tSampleStratifiedSql,
