@@ -84,6 +84,30 @@ class EtlOperatorsSpec extends AnyFunSuite {
     assert(factSk(1) == dimSk("seg1") && factSk(3) == dimSk("seg2"))
   }
 
+  test("IncrementalAgg.merge is associative: fold order over delta batches cannot change the state") {
+    val rows = (1 to 300).map(i => (i % 7L, i.toLong, i * 1.5))
+    def partial(xs: Seq[(Long, Long, Double)]) =
+      xs.toDF("k", "n", "v").groupBy("k").agg(
+        sum(col("n")).as("n"),
+        sum(col("v").cast("decimal(18,6)")).as("v"),
+        min(col("n")).as("lo"), max(col("n")).as("hi"))
+    val spec = Seq("n" -> "sum", "v" -> "sum", "lo" -> "min", "hi" -> "max")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(_.toSeq).toSeq
+    val (a, b, c) = (rows.filter(_._2 <= 100), rows.filter(x => x._2 > 100 && x._2 <= 200), rows.filter(_._2 > 200))
+    val full = canon(partial(rows))
+    // ((a+b)+c) and (a+(b+c)) both equal the from-scratch partial
+    assert(canon(IncrementalAgg.merge(IncrementalAgg.merge(partial(a), partial(b), Seq("k"), spec), partial(c), Seq("k"), spec)) == full)
+    assert(canon(IncrementalAgg.merge(partial(a), IncrementalAgg.merge(partial(b), partial(c), Seq("k"), spec), Seq("k"), spec)) == full)
+    // a delta introducing brand-new keys merges in, untouched keys unchanged
+    val novel = Seq((99L, 1L, 2.0))
+    assert(canon(IncrementalAgg.merge(partial(rows), partial(novel), Seq("k"), spec)) ==
+      canon(partial(rows ++ novel)))
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.merge(partial(a), partial(b), Seq("k"), Seq("n" -> "median"))
+    }
+  }
+
   test("stampedMerge truth table: keep/update/despawn/dead/respawn/insert in one pass") {
     // target state after a previous import at stamp 5
     val target = Seq(

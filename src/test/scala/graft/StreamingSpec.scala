@@ -78,6 +78,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == expected, s"got $n, want $expected (duplicates must collapse)")
   }
 
+  test("foreachBatch + IncrementalAgg: streamed micro-batch refreshes converge to the batch aggregate") {
+    // the streaming face of e_agg_refresh: per-user (count, exact decimal
+    // sum, max ts) state folded batch-by-batch, never rescanning history
+    val d = java.nio.file.Files.createTempDirectory("events-incr")
+    val ev = Tables.events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$d/f1")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$d/f2")
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("v"),
+        max(col("ts_us")).as("hi"))
+    val spec = Seq("n" -> "sum", "v" -> "sum", "hi" -> "max")
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var batches = 0
+    val q = spark.readStream.schema(
+      StructType(eventsSchema.fields :+ StructField("ts_us", LongType)))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d.toString + "/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val p = partial(batch)
+        state = Some(state.fold(p)(st =>
+          graft.operators.IncrementalAgg.merge(st, p, Seq("user_id"), spec))
+          .localCheckpoint())
+        batches += 1
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val got = state.get.orderBy("user_id").collect().map(_.toSeq).toSeq
+    val want = partial(ev).orderBy("user_id").collect().map(_.toSeq).toSeq
+    assert(got == want, s"incremental state diverged: got=${got.take(3)} want=${want.take(3)}")
+  }
+
   test("flatMapGroupsWithState sessionization: closed sessions match batch") {
     val stream = spark.readStream.schema(eventsSchema).parquet(streamDir)
     val q = Streaming.sessionizeStream(spark, stream)
