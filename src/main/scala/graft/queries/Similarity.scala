@@ -48,8 +48,10 @@ object Similarity {
 
   /** s_knn_ivf: ANN through the PERSISTED IVF index — build once (trained
     * centroids, bucket-partitioned corpus on disk), then probe with static
-    * partition pruning; nprobe=2. Approximate by construction → rows-only
-    * oracle; IvfIndexSpec checks pruning, idempotency and recall. C is
+    * partition pruning; nprobe=2. Approximation lives in the algorithm, not
+    * the execution: the full build+probe is deterministic and hash-checked
+    * against sKnnIvfSql; IvfIndexSpec checks pruning, idempotency and
+    * recall. C is
     * pinned to 8 here (not the √N default) so the gate result is stable
     * across scale factors. */
   def sKnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -63,8 +65,9 @@ object Similarity {
   }
 
   /** s_kmeans: deterministic Lloyd clustering (decimal-sum centroids) —
-    * cluster-size profile after 3 iterations; rows-only oracle, KmeansSpec
-    * checks convergence properties. */
+    * cluster-size profile after 3 iterations, hash-checked against the
+    * unrolled-iteration DuckDB oracle (sKmeansSql); KmeansSpec checks
+    * convergence properties. */
   def sKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val centroids = graft.similarity.Kmeans.fit(s, e, "vec_id", "embedding", k = 8, iters = 3)
@@ -108,6 +111,72 @@ object Similarity {
       |        FROM embeddings))
       |ORDER BY vec_id""".stripMargin
 
+  /** DuckDB oracle for s_kmeans: the THREE Lloyd iterations unrolled as CTE
+    * pairs (assign → recenter), then the gate's final assignment counted.
+    * Exact parity holds because every step of Kmeans.fit is deterministic:
+    * id-ordered seeds, the same left-fold dot products (dotSql — parity
+    * proven by s_knn_brute), row_number(d, c_id) = min_by's lexicographic
+    * argmin, and DECIMAL(38,12) entry-rounded sums = VectorDecimalSum's
+    * scale-12 HALF_UP buffer, cast to double before the /n division in
+    * both engines. Dim is pinned to 64 (the embeddings table width). */
+  private def kmAssignCte(pts: String, cs: String, out: String): String =
+    s"""$out AS (
+       |  SELECT p_id, pv, c_id FROM (
+       |    SELECT p.p_id, p.pv, c.c_id,
+       |      row_number() OVER (PARTITION BY p.p_id ORDER BY
+       |        ${dotSql("p.pv", "p.pv")} - 2 * ${dotSql("p.pv", "c.cv")} + ${dotSql("c.cv", "c.cv")}, c.c_id) AS rn
+       |    FROM $pts p CROSS JOIN $cs c) WHERE rn = 1)""".stripMargin
+
+  private def kmRecenterCte(a: String, out: String): String =
+    s"""$out AS (
+       |  SELECT c_id, list(sd ORDER BY d) AS cv FROM (
+       |    SELECT c_id, d, CAST(SUM(CAST(pv[d] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS sd
+       |    FROM (SELECT c_id, pv, unnest(range(1, 65)) AS d FROM $a)
+       |    GROUP BY c_id, d)
+       |  GROUP BY c_id)""".stripMargin
+
+  val sKmeansSql: String = {
+    val iters = (1 to 3).flatMap(i => Seq(
+      kmAssignCte("pts", s"c${i - 1}", s"a$i"), kmRecenterCte(s"a$i", s"c$i")))
+    s"""WITH pts AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding] AS pv FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding] AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+       |${iters.mkString(",\n")},
+       |${kmAssignCte("pts", "c3", "a4")}
+       |SELECT c_id, COUNT(*) AS n FROM a4 GROUP BY c_id ORDER BY c_id""".stripMargin
+  }
+
+  /** DuckDB oracle for s_knn_ivf: the whole IVF pipeline replayed in SQL —
+    * the gate's index build (k=8 Lloyd, TWO iterations, same CTEs as the
+    * s_kmeans oracle), cosine bucket assignment (max_by ties → smallest
+    * c_id ⇒ row_number(c_cos DESC, c_id)), nprobe=2 probes, in-bucket
+    * scoring with self-exclusion, and the k=5 rank window. Approximation
+    * lives in the ALGORITHM (probed buckets), not the execution, so the
+    * result is exactly reproducible and hash-checkable. */
+  val sKnnIvfSql: String = {
+    val iters = (1 to 2).flatMap(i => Seq(
+      kmAssignCte("pts", s"c${i - 1}", s"a$i"), kmRecenterCte(s"a$i", s"c$i")))
+    s"""WITH pts AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding] AS pv FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding] AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+       |${iters.mkString(",\n")},
+       |bk AS (
+       |  SELECT n_id, nv, bucket FROM (
+       |    SELECT p.p_id AS n_id, p.pv AS nv, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY p.p_id ORDER BY COALESCE(${cosSql("p.pv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM pts p CROSS JOIN c2 c) WHERE rn = 1),
+       |q AS (SELECT p_id AS q_id, pv AS qv FROM pts WHERE p_id % 50 = 0),
+       |pr AS (
+       |  SELECT q_id, qv, bucket FROM (
+       |    SELECT q.q_id, q.qv, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY COALESCE(${cosSql("q.qv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM q CROSS JOIN c2 c) WHERE rn <= 2),
+       |sc AS (
+       |  SELECT pr.q_id, bk.n_id, ${cosSql("pr.qv", "bk.nv")} AS cs
+       |  FROM bk JOIN pr USING (bucket) WHERE bk.n_id <> pr.q_id)
+       |SELECT q_id, n_id, rnk FROM (
+       |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC NULLS LAST, n_id) AS rnk FROM sc)
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_quantize"  -> sQuantize _,
     "s_knn_brute" -> sKnnBrute _,
@@ -118,5 +187,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "s_quantize"  -> sQuantizeSql,
     "s_knn_brute" -> sKnnBruteSql,
+    "s_kmeans"    -> sKmeansSql,
+    "s_knn_ivf"   -> sKnnIvfSql,
   )
 }
