@@ -35,6 +35,36 @@ object Multimodal {
       length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  final case class ShardItem(doc_id: Long, n_bytes: Long)
+  final case class Sharded(source: String, doc_id: Long, n_bytes: Long,
+      shard_idx: Long, offset_bytes: Long)
+
+  /** Webdataset-style shard assignment: blobs are packed FIRST-FIT into
+    * byte-budgeted shard files, in (group, doc_id) order, and — unlike
+    * token packing (t_pack) — a blob is never split: one that would cross
+    * the budget starts the next shard, and an oversized blob gets a shard
+    * to itself. The fold is inherently sequential per group (each placement
+    * depends on the previous one), so it runs through
+    * `flatMapSortedGroups`: groups execute in parallel across the cluster,
+    * the runtime feeds each group's rows already sorted (no per-group
+    * buffering of unsorted input), and only the running (shard, offset)
+    * pair is held per group. At 100 TB the group key IS the parallelism
+    * unit — shard by (source, date, ...) buckets, never one global key. */
+  def shardAssign(blobs: DataFrame, groupCol: String, budgetBytes: Long): Dataset[Sharded] = {
+    import blobs.sparkSession.implicits._
+    blobs.select(col(groupCol).as("g"), col("doc_id"), col("n_bytes"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("doc_id")) { (g, it) =>
+        var shard = 0L; var end = 0L
+        it.map { case (_, id, n) =>
+          val (s, off) = if (end > 0 && end + n > budgetBytes) (shard + 1, 0L) else (shard, end)
+          shard = s; end = off + n
+          Sharded(g, id, n, s, off)
+        }
+      }
+  }
+
   /** REAL feature extraction (no codec needed): L1-normalized 16-bin byte
     * histogram per payload — a genuine content feature over any binary
     * column, batched per partition like the decode path. Counts divide by

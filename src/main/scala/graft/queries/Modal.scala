@@ -206,7 +206,43 @@ object Modal {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  private val ShardBudget = 8192L
+
+  /** m_shard: webdataset-style shard packing — blobs first-fit into
+    * byte-budgeted shards per source, never split across shards (the tar-
+    * shard contract; t_pack is the splitting, token-level counterpart).
+    * Runs through Multimodal.shardAssign's flatMapSortedGroups fold; the
+    * oracle replays the same recurrence as a per-source recursive CTE. */
+  def mShard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val blobs = Multimodal.asBlobs(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    Multimodal.shardAssign(blobs, "source", ShardBudget).toDF()
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val mShardSql: String =
+    s"""WITH RECURSIVE b AS (
+       |  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |pl AS (
+       |  SELECT source, doc_id, n_bytes, rn, 0::BIGINT AS shard_idx, 0::BIGINT AS offset_bytes
+       |  FROM b WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.source, b.doc_id, b.n_bytes, b.rn,
+       |    CASE WHEN p.offset_bytes + p.n_bytes > 0
+       |           AND p.offset_bytes + p.n_bytes + b.n_bytes > $ShardBudget
+       |         THEN p.shard_idx + 1 ELSE p.shard_idx END,
+       |    CASE WHEN p.offset_bytes + p.n_bytes > 0
+       |           AND p.offset_bytes + p.n_bytes + b.n_bytes > $ShardBudget
+       |         THEN 0 ELSE p.offset_bytes + p.n_bytes END
+       |  FROM b JOIN pl p ON b.source = p.source AND b.rn = p.rn + 1)
+       |SELECT source, doc_id, n_bytes, shard_idx, offset_bytes
+       |FROM pl ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_shard"           -> mShard _,
     "st_dedup"          -> stDedup _,
     "st_interval_join"  -> stIntervalJoin _,
     "st_session_window" -> stSessionWindow _,
@@ -219,6 +255,7 @@ object Modal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m_shard"           -> mShardSql,
     "st_dedup"          -> stDedupSql,
     "st_interval_join"  -> stIntervalJoinSql,
     "st_session_window" -> stSessionWindowSql,

@@ -81,6 +81,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaTrait == viaHelper)
   }
 
+  test("shardAssign: first-fit without splitting; oversized blob gets its own shard") {
+    val blobs = Seq(
+      ("a", 1L, 60L), ("a", 2L, 30L),   // fit together in shard 0 (90 ≤ 100)
+      ("a", 3L, 20L),                   // 90+20 > 100 → opens shard 1
+      ("a", 4L, 250L),                  // oversized → alone in shard 2, offset 0
+      ("a", 5L, 10L),                   // 250 > 0 and 250+10 > 100 → shard 3
+      ("b", 9L, 40L)                    // independent group restarts at shard 0
+    ).toDF("source", "doc_id", "n_bytes")
+    val got = Multimodal.shardAssign(blobs, "source", budgetBytes = 100L)
+      .collect().map(s => s.doc_id -> ((s.shard_idx, s.offset_bytes))).toMap
+    assert(got(1L) == ((0L, 0L)) && got(2L) == ((0L, 60L)))
+    assert(got(3L) == ((1L, 0L)))
+    assert(got(4L) == ((2L, 0L)), "a blob over budget must still be placed, alone")
+    assert(got(5L) == ((3L, 0L)))
+    assert(got(9L) == ((0L, 0L)))
+  }
+
   test("sampleFrames stride keeps every 4th frame on long payloads") {
     val blobs = Seq(Multimodal.Blob(1L, "t", 1000L, Array.tabulate(1000)(_.toByte))).toDS()
     val idx = Multimodal.sampleFrames(blobs, 64, 4).collect().map(_.frame_idx).sorted
