@@ -235,7 +235,30 @@ object Relational3 {
       |        FROM orders GROUP BY 1, 2))
       |WHERE r = 1 ORDER BY o_year""".stripMargin
 
+  /** q_histogram: fixed-width numeric binning of order values — the
+    * data-profiling distribution sketch (one scan, one groupBy on the bin
+    * id; at 100 TB the bin table is width-bounded regardless of rows).
+    * Bin = floor(x / 25000): a double division + floor is IEEE-identical
+    * in both engines, unlike width_bucket (absent in DuckDB). */
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.OracleParity.x6
+    Tables.orders(s, dir)
+      .withColumn("bin", floor(col("o_totalprice") / 25000.0).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        x6(min(col("o_totalprice"))).as("lo"),
+        x6(max(col("o_totalprice"))).as("hi"))
+      .orderBy(col("bin"))
+  }
+
+  val qHistogramSql: String =
+    """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin, COUNT(*) AS n,
+      |  CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,6)) AS DOUBLE) AS lo,
+      |  CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,6)) AS DOUBLE) AS hi
+      |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram"       -> qHistogram _,
     "q_mode"            -> qMode _,
     "q_null_semantics"  -> qNullSemantics _,
     "q_window_funcs2"   -> qWindowFuncs2 _,
@@ -250,6 +273,7 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_histogram"       -> qHistogramSql,
     "q_mode"            -> qModeSql,
     "q_null_semantics"  -> qNullSemanticsSql,
     "q_window_funcs2"   -> qWindowFuncs2Sql,

@@ -569,7 +569,63 @@ object Text {
        |  md5(string_agg(id::VARCHAR, ',' ORDER BY pos)) AS ids_fp
        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t_dup_spans: exact substring-level duplication measurement — the
+    * "duplicated training spans" signal (à la the dedup-improves-LMs
+    * line of work), at token 5-gram granularity: a span is duplicated if
+    * the same 5-gram occurs in MORE THAN ONE document. Per doc: total
+    * 5-grams, how many are cross-doc duplicated, and the duplicated
+    * fraction. Distinct from MinHash similarity — this measures verbatim
+    * overlap anywhere in the corpus, not whole-doc near-duplication.
+    *
+    * Scale shape: one explode → global (gram → doc-count) aggregation
+    * keyed by a fixed-width md5 (map-side partials collapse within-doc
+    * repeats) → semi-join-style broadcast-back is wrong at corpus scale,
+    * so the dup set re-joins the exploded grams on the hash key (one
+    * shuffle each side); per-doc rollup closes it. The dup-gram table is
+    * the only corpus-sized intermediate and it's 2 narrow columns. */
+  def tDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(when(size(col("toks")) >= 5,
+        expr("transform(sequence(0, size(toks) - 5), i -> md5(concat_ws(' ', get(toks, i), get(toks, i+1), get(toks, i+2), get(toks, i+3), get(toks, i+4))))"))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val dupGrams = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"))
+    val perDoc = grams.join(dupGrams.withColumn("dup", lit(1L)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_grams"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        col("n_dup_grams").cast("double") / greatest(col("n_grams"), lit(1L)).cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tDupSpansSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+       |    i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS g
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |dup AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY g)
+       |        WHERE nd >= 2),
+       |pd AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+       |         COUNT(*) FILTER (dup.g IS NOT NULL) AS n_dup_grams
+       |       FROM g LEFT JOIN dup ON g.g = dup.g GROUP BY g.doc_id)
+       |SELECT d.doc_id, COALESCE(pd.n_grams, 0) AS n_grams,
+       |  COALESCE(pd.n_dup_grams, 0) AS n_dup_grams,
+       |  CAST(COALESCE(pd.n_dup_grams, 0) AS DOUBLE)
+       |    / CAST(greatest(COALESCE(pd.n_grams, 0), 1) AS DOUBLE) AS dup_frac
+       |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_dup_spans"   -> tDupSpans _,
     "t_encode"      -> tEncode _,
     "t_rep_filter"  -> tRepFilter _,
     "t_pack"        -> tPack _,
@@ -590,6 +646,7 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_dup_spans"   -> tDupSpansSql,
     "t_encode"      -> tEncodeSql,
     "t_rep_filter"  -> tRepFilterSql,
     "t_pack"        -> tPackSql,
