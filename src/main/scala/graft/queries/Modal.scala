@@ -128,6 +128,23 @@ object Modal {
       |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start_us, event_type""".stripMargin
 
+  /** st_sliding: sliding-window aggregation (2 h windows advancing hourly)
+    * — every event lands in two windows; the oracle materializes both
+    * window starts per event and re-aggregates. Streaming parity in
+    * StreamingSpec. */
+  def stSliding(s: SparkSession, dir: String): DataFrame =
+    Streaming.slidingAgg(Tables.events(s, dir), withWatermark = false)
+      .orderBy(col("win_start_us"), col("event_type"))
+
+  val stSlidingSql: String =
+    """SELECT ws AS win_start_us, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM (SELECT event_type, value,
+      |        unnest([(epoch_us(ts) // 3600000000 - 1) * 3600000000,
+      |                (epoch_us(ts) // 3600000000) * 3600000000]) AS ws
+      |      FROM events)
+      |GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin
+
   /** st_stateful: typed sessionization (same per-group logic as the
     * flatMapGroupsWithState streaming path) — oracled by the window-based
     * SQL formulation, proving the two formulations agree. */
@@ -243,6 +260,7 @@ object Modal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_shard"           -> mShard _,
+    "st_sliding"        -> stSliding _,
     "st_dedup"          -> stDedup _,
     "st_interval_join"  -> stIntervalJoin _,
     "st_session_window" -> stSessionWindow _,
@@ -256,6 +274,7 @@ object Modal {
 
   val oracle: Map[String, String] = Map(
     "m_shard"           -> mShardSql,
+    "st_sliding"        -> stSlidingSql,
     "st_dedup"          -> stDedupSql,
     "st_interval_join"  -> stIntervalJoinSql,
     "st_session_window" -> stSessionWindowSql,

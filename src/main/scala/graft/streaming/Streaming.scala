@@ -30,6 +30,22 @@ object Streaming {
         col("n"), col("sum_value"))
   }
 
+  /** Sliding-window aggregation (2 h windows advancing hourly): every
+    * event contributes to TWO windows — the smoothing shape for rate/
+    * trend monitors. Streaming-capable exactly like hourlyAgg (append
+    * mode once the watermark passes window end). */
+  def slidingAgg(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val withTs = events
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+    val wm = if (withWatermark) withTs.withWatermark("event_time", "2 hours") else withTs
+    wm.groupBy(window(col("event_time"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, value: Double,
       event_time: java.sql.Timestamp = null)
   final case class St(idx: Long, buffer: List[Ev])

@@ -43,6 +43,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch), "every emitted window must match the batch result")
   }
 
+  test("watermarked sliding window agg: every emitted window matches batch") {
+    val stream = spark.readStream.schema(eventsSchema).parquet(streamDir)
+    val q = Streaming.slidingAgg(stream, withWatermark = true)
+      .writeStream.outputMode("append").format("memory").queryName("sliding_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("sliding_out")
+      .select("win_start_us", "event_type", "n", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = Streaming.slidingAgg(Tables.events(spark, dir), withWatermark = false)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty, "watermark must have closed some windows")
+    assert(streamed.subsetOf(batch), "every emitted window must match the batch result")
+  }
+
   test("stream-stream interval join matches the batch formulation") {
     val p = spark.readStream.schema(eventsSchema).parquet(streamDir)
       .filter(col("event_type") === "purchase")
