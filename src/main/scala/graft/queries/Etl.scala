@@ -363,7 +363,48 @@ object Etl {
        |  COUNT(*) FILTER ($c IS NULL) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct
        |FROM orders""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** Collision-free staging path (same convention as the io_* roundtrips). */
+  private def evolvePath(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"/tmp/graft_evolve_$h"
+  }
+
+  /** e_schema_evolve: schema-evolution ingest — an old batch written with
+    * 3 columns and a new batch with a 4th (o_totalprice) land in the same
+    * dataset; the mergeSchema read unions the schemas and old rows surface
+    * NULL for the added column. The gate aggregates per orderstatus with
+    * an explicit null count on the evolved column, proving the widened
+    * read loses nothing and backfills nothing silently. At 100 TB this is
+    * the additive-column contract every long-lived dataset needs (renames/
+    * type changes still require a migration job). */
+  def eSchemaEvolve(s: SparkSession, dir: String): DataFrame = {
+    val out = evolvePath(dir)
+    val ord = Tables.orders(s, dir)
+    val cutoff = lit("1997-01-01").cast("timestamp_ntz")
+    ord.filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$out/old")
+    ord.filter(col("o_orderdate") >= cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$out/new")
+    s.read.option("mergeSchema", "true").parquet(s"$out/old", s"$out/new")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        xsum(coalesce(col("o_totalprice"), lit(0.0))).as("new_total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val eSchemaEvolveSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  COUNT(*) FILTER (o_orderdate < TIMESTAMP '1997-01-01') AS n_legacy,
+      |  CAST(SUM(CAST(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+      |                     THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS new_total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_schema_evolve" -> eSchemaEvolve _,
     "e_profile"       -> eProfile _,
     "e_agg_refresh"   -> eAggRefresh _,
     "e_salted_join"   -> eSaltedJoin _,
@@ -382,6 +423,7 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_schema_evolve" -> eSchemaEvolveSql,
     "e_profile"       -> eProfileSql,
     "e_agg_refresh"   -> eAggRefreshSql,
     "e_salted_join"   -> eSaltedJoinSql,

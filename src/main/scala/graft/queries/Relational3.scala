@@ -257,7 +257,31 @@ object Relational3 {
       |  CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,6)) AS DOUBLE) AS hi
       |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** q_unpivot: wide → long melt (the inverse of q_pivot) — lineitem's four
+    * measure columns unpivoted to (measure, value) rows via the stack
+    * generator (narrow, codegen'd; 4× row fan-out but no shuffle), then a
+    * per-measure rollup. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .selectExpr("""stack(4,
+        'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice,
+        'l_discount', l_discount, 'l_tax', l_tax) AS (measure, v)""")
+      .groupBy(col("measure"))
+      .agg(count(col("v")).as("n"), xsum(col("v")).as("total"))
+      .orderBy(col("measure"))
+
+  val qUnpivotSql: String =
+    """SELECT measure, COUNT(v) AS n,
+      |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+      |GROUP BY measure ORDER BY measure""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot"         -> qUnpivot _,
     "q_histogram"       -> qHistogram _,
     "q_mode"            -> qMode _,
     "q_null_semantics"  -> qNullSemantics _,
@@ -274,6 +298,7 @@ object Relational3 {
 
   val oracle: Map[String, String] = Map(
     "q_histogram"       -> qHistogramSql,
+    "q_unpivot"         -> qUnpivotSql,
     "q_mode"            -> qModeSql,
     "q_null_semantics"  -> qNullSemanticsSql,
     "q_window_funcs2"   -> qWindowFuncs2Sql,
