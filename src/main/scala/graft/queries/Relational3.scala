@@ -280,7 +280,37 @@ object Relational3 {
       |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
       |GROUP BY measure ORDER BY measure""".stripMargin
 
+  /** q_nested: nested-data processing through higher-order functions — per
+    * order, the sorted array of its line quantities, then HOF surface over
+    * it: filter (quantities above the order mean·½), transform (scaled),
+    * exists, and an aggregate fold — all narrow once the per-order array is
+    * built (ONE shuffle for the collect_list groupBy). Integer quantities
+    * keep every HOF result exact cross-engine. */
+  def qNested(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qs"))
+      .filter(size(col("qs")) >= 4)
+      .select(col("l_orderkey"), size(col("qs")).as("n_lines"),
+        expr("aggregate(qs, 0L, (a, x) -> a + x)").as("total_qty"),
+        expr("size(filter(qs, x -> x * size(qs) * 2 > aggregate(qs, 0L, (a, y) -> a + y)))").as("n_above_half_mean"),
+        expr("exists(qs, x -> x >= 50)").as("has_bulk_line"),
+        expr("aggregate(zip_with(qs, reverse(qs), (a, b) -> a * b), 0L, (a, x) -> a + x)").as("palindrome_dot"))
+      .orderBy(col("l_orderkey"))
+
+  val qNestedSql: String =
+    """SELECT l_orderkey, len(qs) AS n_lines,
+      |  CAST(list_sum(qs) AS BIGINT) AS total_qty,
+      |  CAST(len(list_filter(qs, x -> x * len(qs) * 2 > list_sum(qs))) AS BIGINT) AS n_above_half_mean,
+      |  len(list_filter(qs, x -> x >= 50)) > 0 AS has_bulk_line,
+      |  CAST(list_sum(list_transform(range(1, len(qs) + 1),
+      |    i -> qs[i] * qs[len(qs) - i + 1])) AS BIGINT) AS palindrome_dot
+      |FROM (SELECT l_orderkey, list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+      |      FROM lineitem GROUP BY l_orderkey)
+      |WHERE len(qs) >= 4 ORDER BY l_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nested"          -> qNested _,
     "q_unpivot"         -> qUnpivot _,
     "q_histogram"       -> qHistogram _,
     "q_mode"            -> qMode _,
@@ -299,6 +329,7 @@ object Relational3 {
   val oracle: Map[String, String] = Map(
     "q_histogram"       -> qHistogramSql,
     "q_unpivot"         -> qUnpivotSql,
+    "q_nested"          -> qNestedSql,
     "q_mode"            -> qModeSql,
     "q_null_semantics"  -> qNullSemanticsSql,
     "q_window_funcs2"   -> qWindowFuncs2Sql,

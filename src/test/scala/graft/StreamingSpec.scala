@@ -43,6 +43,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch), "every emitted window must match the batch result")
   }
 
+  test("checkpoint restart: state recovers, windows emit exactly once across runs") {
+    val ev = Tables.events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val mid = ev.agg(expr("percentile(ts_us, 0.5)")).head().getDouble(0).toLong
+    val d = java.nio.file.Files.createTempDirectory("events-restart")
+    val ckpt = java.nio.file.Files.createTempDirectory("events-ckpt").toString
+    val schema = StructType(eventsSchema.fields :+ StructField("ts_us", LongType))
+    ev.filter(col("ts_us") <= mid).coalesce(1).write.parquet(s"$d/f1")
+
+    val emitted = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    def run(): Unit = {
+      val q = Streaming.hourlyAgg(
+        spark.readStream.schema(schema).parquet(s"$d/f*"), withWatermark = true)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          emitted ++= b.collect().map(_.toSeq); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val afterRun1 = emitted.size
+    assert(afterRun1 > 0, "first run must close some windows")
+    // second half arrives while the query is DOWN; restart from checkpoint
+    ev.filter(col("ts_us") > mid).coalesce(1).write.parquet(s"$d/f2")
+    run()
+    assert(emitted.size > afterRun1, "restarted run must close more windows")
+    val keys = emitted.map(r => (r.head, r(1)))
+    assert(keys.distinct.size == keys.size,
+      "a window emitted twice across restart — checkpoint state was lost")
+    val batch = Streaming.hourlyAgg(Tables.events(spark, dir), withWatermark = false)
+      .collect().map(_.toSeq).toSet
+    assert(emitted.forall(batch.contains), "every emitted window must match batch")
+  }
+
   test("watermarked sliding window agg: every emitted window matches batch") {
     val stream = spark.readStream.schema(eventsSchema).parquet(streamDir)
     val q = Streaming.slidingAgg(stream, withWatermark = true)
