@@ -46,7 +46,10 @@ object Bench {
     // 3-decimal (ms) precision: full-precision doubles made the line ~2.9 KB
     // and the driver's bounded TAIL capture cut its head (BENCH_r03/r04
     // parsed:null). ~1.6 KB fits the capture window with room to spare.
-    def f(v: Double): String = if (v < 0) "-1" else "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would format "0,123"
+    // and corrupt the JSON
+    def f(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

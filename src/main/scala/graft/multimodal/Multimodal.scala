@@ -35,7 +35,6 @@ object Multimodal {
       length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
       encode(col("text"), "UTF-8").as("payload"))
 
-  final case class ShardItem(doc_id: Long, n_bytes: Long)
   final case class Sharded(source: String, doc_id: Long, n_bytes: Long,
       shard_idx: Long, offset_bytes: Long)
 

@@ -363,11 +363,13 @@ object Etl {
        |  COUNT(*) FILTER ($c IS NULL) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct
        |FROM orders""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
-  /** Collision-free staging path (same convention as the io_* roundtrips). */
+  /** Collision-free staging path — pid-scoped like Similarity.ivfPath: a
+    * concurrent gate + bench over the same dataset must not overwrite the
+    * staged batches the other process is mid-read on. */
   private def evolvePath(dir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"/tmp/graft_evolve_$h"
+    s"/tmp/graft_evolve_${h}_${ProcessHandle.current().pid()}"
   }
 
   /** e_schema_evolve: schema-evolution ingest — an old batch written with

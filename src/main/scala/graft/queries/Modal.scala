@@ -231,9 +231,11 @@ object Modal {
     * Runs through Multimodal.shardAssign's flatMapSortedGroups fold; the
     * oracle replays the same recurrence as a per-source recursive CTE. */
   def mShard(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val blobs = Multimodal.asBlobs(docs)
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    // one scan: shardAssign only needs (group, doc_id, n_bytes) — joining
+    // asBlobs back to documents for `source` would pay a second scan plus
+    // a join carrying the payload column for nothing
+    val blobs = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
     Multimodal.shardAssign(blobs, "source", ShardBudget).toDF()
       .orderBy(col("source"), col("doc_id"))
   }

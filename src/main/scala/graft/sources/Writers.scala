@@ -57,7 +57,14 @@ object Writers {
     fs.delete(tmp, true); fs.delete(old, true)
     shaped.write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
     if (!fs.rename(hPath, old)) sys.error(s"compact: cannot stage out $path")
-    if (!fs.rename(tmp, hPath)) { fs.rename(old, hPath); sys.error(s"compact: swap failed for $path") }
+    if (!fs.rename(tmp, hPath)) {
+      // the recovery rename can itself fail — say so, or the caller
+      // believes the original is intact when it sits in _compact_old
+      val restored = fs.rename(old, hPath)
+      sys.error(s"compact: swap failed for $path" +
+        (if (restored) " (original restored)"
+         else s" AND restore failed — data is in ${old}"))
+    }
     fs.delete(old, true)
     nFiles
   }

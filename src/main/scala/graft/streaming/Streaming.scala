@@ -15,36 +15,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
-  /** Watermarked hourly windowed aggregation. `ts` arrives as nanosecond
-    * longs; event time is derived micros-exact. Works unchanged on a
-    * readStream source (append mode after watermark). */
-  def hourlyAgg(events: DataFrame, withWatermark: Boolean): DataFrame = {
+  /** Shared windowed-aggregation core: `ts` arrives as nanosecond longs;
+    * event time is derived micros-exact; sums follow the decimal
+    * convention. Works unchanged on a readStream source (append mode after
+    * watermark). One definition serves tumbling and sliding so batch/
+    * stream parity cannot diverge between them. */
+  private def windowedAgg(events: DataFrame, duration: String, slide: String,
+      outCol: String, withWatermark: Boolean): DataFrame = {
     val withTs = events
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("event_time", timestamp_micros(col("ts_us")))
     val wm = if (withWatermark) withTs.withWatermark("event_time", "2 hours") else withTs
-    wm.groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+    wm.groupBy(window(col("event_time"), duration, slide), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-      .select(unix_micros(col("window.start")).as("hour_start_us"), col("event_type"),
+      .select(unix_micros(col("window.start")).as(outCol), col("event_type"),
         col("n"), col("sum_value"))
   }
 
+  /** Watermarked hourly (tumbling) windowed aggregation. */
+  def hourlyAgg(events: DataFrame, withWatermark: Boolean): DataFrame =
+    windowedAgg(events, "1 hour", "1 hour", "hour_start_us", withWatermark)
+
   /** Sliding-window aggregation (2 h windows advancing hourly): every
     * event contributes to TWO windows — the smoothing shape for rate/
-    * trend monitors. Streaming-capable exactly like hourlyAgg (append
-    * mode once the watermark passes window end). */
-  def slidingAgg(events: DataFrame, withWatermark: Boolean): DataFrame = {
-    val withTs = events
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("event_time", timestamp_micros(col("ts_us")))
-    val wm = if (withWatermark) withTs.withWatermark("event_time", "2 hours") else withTs
-    wm.groupBy(window(col("event_time"), "2 hours", "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-      .select(unix_micros(col("window.start")).as("win_start_us"), col("event_type"),
-        col("n"), col("sum_value"))
-  }
+    * trend monitors. */
+  def slidingAgg(events: DataFrame, withWatermark: Boolean): DataFrame =
+    windowedAgg(events, "2 hours", "1 hour", "win_start_us", withWatermark)
 
   final case class Ev(user_id: Long, ts_us: Long, value: Double,
       event_time: java.sql.Timestamp = null)
