@@ -257,18 +257,23 @@ object Relational3 {
       |  CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,6)) AS DOUBLE) AS hi
       |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
 
-  /** q_unpivot: wide → long melt (the inverse of q_pivot) — lineitem's four
-    * measure columns unpivoted to (measure, value) rows via the stack
-    * generator (narrow, codegen'd; 4× row fan-out but no shuffle), then a
-    * per-measure rollup. */
-  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+  /** q_unpivot: wide → long melt (the inverse of q_pivot) — per-measure
+    * rollup of lineitem's four measure columns presented in long form.
+    * Aggregate FIRST, melt the one result row after: stacking raw rows
+    * would fan the fact table 4× before the shuffle (2.4M generated rows
+    * here, 4× the corpus at 100 TB), while the aggregate-then-stack plan
+    * scans once, reduces map-side, and stacks exactly one row. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val m = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     Tables.lineitem(s, dir)
-      .selectExpr("""stack(4,
-        'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice,
-        'l_discount', l_discount, 'l_tax', l_tax) AS (measure, v)""")
-      .groupBy(col("measure"))
-      .agg(count(col("v")).as("n"), xsum(col("v")).as("total"))
+      .agg(count(col(m.head)).as(s"n_0"),
+        (xsum(col(m.head)).as(s"t_0") +:
+          m.tail.zipWithIndex.flatMap { case (c, i) =>
+            Seq(count(col(c)).as(s"n_${i + 1}"), xsum(col(c)).as(s"t_${i + 1}")) }): _*)
+      .selectExpr(s"""stack(4, ${m.zipWithIndex.map { case (c, i) =>
+          s"'$c', n_$i, t_$i" }.mkString(", ")}) AS (measure, n, total)""")
       .orderBy(col("measure"))
+  }
 
   val qUnpivotSql: String =
     """SELECT measure, COUNT(v) AS n,
@@ -291,9 +296,12 @@ object Relational3 {
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qs"))
       .filter(size(col("qs")) >= 4)
+      // hoist the fold OUT of the filter lambda: an aggregate() inside the
+      // predicate re-folds the whole array per element (O(n²) per row)
+      .withColumn("total_qty", expr("aggregate(qs, 0L, (a, x) -> a + x)"))
       .select(col("l_orderkey"), size(col("qs")).as("n_lines"),
-        expr("aggregate(qs, 0L, (a, x) -> a + x)").as("total_qty"),
-        expr("size(filter(qs, x -> x * size(qs) * 2 > aggregate(qs, 0L, (a, y) -> a + y)))").as("n_above_half_mean"),
+        col("total_qty"),
+        expr("size(filter(qs, x -> x * size(qs) * 2 > total_qty))").as("n_above_half_mean"),
         expr("exists(qs, x -> x >= 50)").as("has_bulk_line"),
         expr("aggregate(zip_with(qs, reverse(qs), (a, b) -> a * b), 0L, (a, x) -> a + x)").as("palindrome_dot"))
       .orderBy(col("l_orderkey"))
