@@ -24,7 +24,15 @@ object Bench {
     // individual queries across rounds; the per-query min is a far better
     // estimate of the plan's cost than any single sample.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b limits the run for local perf
+    // iteration (same contract as Verify's SPARK_GRAFT_ONLY; driver never
+    // sets it, so the round bench always measures the full surface)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // toRdd.count() materializes every output row of the optimized plan —
       // .count() would let Catalyst prune unfiltered windows/sorts away.
       // Failures report as -1, never as a plausible-looking time.
