@@ -1,0 +1,72 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Components, Dedup, MinHashLsh}
+import graft.functions.TextFunctions
+
+/** One-call training-data curation — the library façade over the
+  * gate-verified operators (each step is individually oracled in
+  * SparkEntry: t_quality, d_minhash_pairs, d_jaccard, d_components,
+  * d_curate, t_split). A user of the reference-style API gets the whole
+  * quality → fuzzy-dedup → canonicalize → split path without wiring the
+  * pieces, and the pieces stay independently usable.
+  *
+  * Scale shape is the same as d_curate's (SURVEY.md §5.1): the quality
+  * filter is narrow and runs FIRST so signatures are computed only for
+  * survivors; candidate generation is band-bucketed (never all-pairs);
+  * exact Jaccard touches candidates only; component labeling shuffles
+  * edge-sized data; the split is a per-row content hash.
+  */
+object Curation {
+
+  /** @param qualityMin   keep docs scoring at or above this (t_quality scale)
+    * @param jaccardMin   near-dup verification threshold on candidate pairs
+    * @param splitBounds  cumulative content-hash-percent bounds, e.g.
+    *                     train<80, val<90, test<100 — content-keyed, so
+    *                     exact duplicates can never straddle a split */
+  final case class Config(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      qualityMin: Double = 0.5,
+      jaccardMin: Double = 0.5,
+      splitBounds: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 90, "test" -> 100)) {
+    require(splitBounds.nonEmpty && splitBounds.last._2 == 100,
+      "splitBounds must be cumulative percents ending at 100")
+  }
+
+  /** Annotates EVERY input document (no rows dropped — downstream decides
+    * what to materialize): quality score + keep flag, canonical id and
+    * survivor flag from fuzzy dedup over the quality-kept subset, and the
+    * deterministic content-hash split. Curated corpus =
+    * `filter(keep_quality AND is_survivor)`. */
+  def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val id = col(cfg.idCol)
+    val scored = docs
+      .withColumn("__toks", TextFunctions.tokens(col(cfg.textCol)))
+      .withColumn("n_tokens", size(col("__toks")))
+      .withColumn("quality", TextFunctions.qualityScore(col(cfg.textCol), col("__toks")))
+      .withColumn("keep_quality", col("quality") >= cfg.qualityMin)
+      .drop("__toks")
+    // good docs feed pair gen, jaccard and the final join — materialize once
+    val good = scored.filter(col("keep_quality"))
+      .select(id, col(cfg.textCol)).localCheckpoint()
+    val cands = MinHashLsh.candidatePairs(good, cfg.idCol, cfg.textCol)
+    val verified = Dedup.jaccardOnPairs(cands, good, cfg.idCol, cfg.textCol)
+      .filter(col("jaccard") >= cfg.jaccardMin)
+      .select(col("a_id"), col("b_id"))
+    val canon = Components.canonicalize(good.select(id), cfg.idCol, verified)
+    val bucket: Column =
+      conv(substring(md5(col(cfg.textCol)), 1, 15), 16, 10).cast("long") % 100
+    val split = cfg.splitBounds.foldRight(lit(null).cast("string")) {
+      case ((name, bound), acc) => when(col("__bucket") < bound, lit(name)).otherwise(acc)
+    }
+    scored.join(canon, Seq(cfg.idCol), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), id))
+      .withColumn("is_survivor", col("keep_quality") && col("canonical_id") === id)
+      .withColumn("__bucket", bucket)
+      .withColumn("split", split)
+      .drop("__bucket")
+  }
+}

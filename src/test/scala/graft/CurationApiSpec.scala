@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Curation
+
+/** The façade must agree with the individually-oracled gate queries it
+  * composes — same survivors as d_curate, same split as t_split — and hold
+  * the pipeline invariants (leakage safety, annotation totality). */
+class CurationApiSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, dir)
+  // same thresholds as the d_curate gate so the survivor sets must agree
+  private lazy val out = Curation.run(docs,
+    Curation.Config(qualityMin = graft.queries.DedupQ.CurateQuality,
+      jaccardMin = graft.queries.DedupQ.JaccardThreshold)).cache()
+
+  test("annotates every input row exactly once") {
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+  }
+
+  test("survivor set matches the gate-verified d_curate result") {
+    val facade = out.filter(col("is_survivor"))
+      .select("doc_id", "n_tokens", "quality")
+      .collect().map(_.toSeq).toSet
+    val gate = graft.queries.DedupQ.dCurate(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(facade == gate, s"facade=${facade.size} gate=${gate.size}")
+  }
+
+  test("split assignment matches t_split and exact duplicates never straddle splits") {
+    val facade = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val gate = graft.queries.Text.tSplit(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(facade == gate)
+    // content-keyed split: identical text ⇒ identical split (leakage-safe)
+    val perText = out.groupBy(md5(col("text"))).agg(countDistinct(col("split")).as("k"))
+    assert(perText.agg(max(col("k"))).head().getLong(0) == 1L)
+  }
+
+  test("quality-rejected docs are never survivors but keep their annotations") {
+    val rejected = out.filter(!col("keep_quality"))
+    assert(rejected.filter(col("is_survivor")).count() == 0)
+    assert(rejected.filter(col("split").isNull || col("quality").isNull).count() == 0)
+  }
+}
