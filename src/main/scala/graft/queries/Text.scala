@@ -624,7 +624,100 @@ object Text {
        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  private val BpeMerges = 10
+
+  /** t_bpe_train: tokenizer TRAINING — the first `BpeMerges` BPE merge
+    * rules learned from the frequency-weighted vocabulary (t_vocab's
+    * top-100 alphanumeric words), the canonical subword-tokenizer
+    * construction. Each round counts adjacent symbol pairs weighted by
+    * word frequency, picks the max (ties: lexicographic pair), and merges
+    * its non-overlapping occurrences left-to-right. Pairs with t_encode
+    * (application of a trained vocab).
+    *
+    * Scale shape: the word-frequency dict is the training input (bounded:
+    * millions of rows at any corpus size, weights carry the volume). Each
+    * round is ONE pair-count aggregation over the dict plus a collect of
+    * exactly one winning row; the merge itself is a narrow per-word fold.
+    * 2·K jobs for K merges, never a corpus rescan.
+    *
+    * The oracle replays the same K rounds unrolled; its merge uses the
+    * gaps-and-islands formulation (odd ranks within each run of
+    * consecutive candidate positions) — equivalent to the left-to-right
+    * greedy fold, so the two independent constructions cross-check. */
+  def tBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    var words = tVocab(s, dir)
+      .filter(col("token").rlike("^[a-z0-9]+$"))
+      .select(expr("filter(split(token, ''), x -> x <> '')").as("syms"), col("n"))
+      .localCheckpoint()
+    val out = (1 to BpeMerges).map { rank =>
+      val pairs = words.select(col("n"), explode(
+        expr("transform(sequence(0, size(syms) - 2), i -> struct(get(syms, i) AS p1, get(syms, i + 1) AS p2))")).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum(col("n")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("p1"), col("p2")).limit(1).head()
+      val (p1, p2, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      words = words.select(expr(
+        s"""aggregate(syms, cast(array() as array<string>),
+           |  (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$p1' AND x = '$p2'
+           |              THEN concat(slice(acc, 1, size(acc) - 1), array('$p1$p2'))
+           |              ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"), col("n"))
+        .localCheckpoint()
+      (rank, p1, p2, p1 + p2, cnt)
+    }
+    import s.implicits._
+    out.toDF("merge_rank", "p1", "p2", "merged", "pair_count").orderBy(col("merge_rank"))
+  }
+
+  /** One oracle round: pair-count + argmax + islands merge over w{i-1}. */
+  private def bpeRoundSql(i: Int): String = {
+    val (prev, cur) = (s"w${i - 1}", s"w$i")
+    s"""b$i AS MATERIALIZED (
+       |  SELECT u.p1 AS p1, u.p2 AS p2, CAST(SUM(n) AS BIGINT) AS cnt
+       |  FROM (SELECT n, unnest(list_transform(range(1, len(syms)),
+       |          i -> struct_pack(p1 := syms[i], p2 := syms[i + 1]))) AS u
+       |        FROM $prev)
+       |  GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2 LIMIT 1),
+       |m$i AS MATERIALIZED (
+       |  SELECT wid, pos, sym,
+       |    CASE WHEN cand THEN ROW_NUMBER() OVER (PARTITION BY wid, island ORDER BY pos) % 2 = 1
+       |         ELSE FALSE END AS merge_here,
+       |    b.p1 AS p1, b.p2 AS p2
+       |  FROM (
+       |    SELECT wid, pos, sym, cand,
+       |      CASE WHEN cand THEN pos - ROW_NUMBER() OVER (PARTITION BY wid, cand ORDER BY pos) END AS island
+       |    FROM (
+       |      SELECT wid, pos, sym, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt,
+       |        sym = (SELECT p1 FROM b$i) AND
+       |        coalesce(lead(sym) OVER (PARTITION BY wid ORDER BY pos) = (SELECT p2 FROM b$i), FALSE) AS cand
+       |      FROM (SELECT wid, u.pos AS pos, u.sym AS sym
+       |            FROM (SELECT wid, unnest(list_transform(range(1, len(syms) + 1),
+       |                    i -> struct_pack(pos := i, sym := syms[i]))) AS u FROM $prev)))) c
+       |  CROSS JOIN b$i b),
+       |$cur AS MATERIALIZED (
+       |  SELECT w.wid, w.n, m.syms FROM $prev w JOIN (
+       |    SELECT wid, list(CASE WHEN merge_here THEN p1 || p2 ELSE sym END ORDER BY pos) AS syms
+       |    FROM (
+       |      SELECT wid, pos, sym, merge_here, p1, p2,
+       |        coalesce(lag(merge_here) OVER (PARTITION BY wid ORDER BY pos), FALSE) AS consumed
+       |      FROM m$i)
+       |    WHERE NOT consumed GROUP BY wid) m ON m.wid = w.wid)""".stripMargin
+  }
+
+  val tBpeTrainSql: String = {
+    val rounds = (1 to BpeMerges).map(bpeRoundSql).mkString(",\n")
+    val results = (1 to BpeMerges).map { i =>
+      s"SELECT $i AS merge_rank, p1, p2, p1 || p2 AS merged, cnt AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY token) AS wid, n, string_split(token, '') AS syms
+       |  FROM ($tVocabSql) WHERE regexp_matches(token, '^[a-z0-9]+$$')),
+       |$rounds
+       |$results
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_bpe_train"   -> tBpeTrain _,
     "t_dup_spans"   -> tDupSpans _,
     "t_encode"      -> tEncode _,
     "t_rep_filter"  -> tRepFilter _,
@@ -646,6 +739,7 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_bpe_train"   -> tBpeTrainSql,
     "t_dup_spans"   -> tDupSpansSql,
     "t_encode"      -> tEncodeSql,
     "t_rep_filter"  -> tRepFilterSql,
