@@ -39,4 +39,27 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Join-based refresh for BUCKETED state tables: `merge`'s union+groupBy
+    * re-shuffles the state too, but a full-outer join keyed on the
+    * bucketing columns lets a bucketed state side skip its Exchange
+    * entirely — only the (small) delta shuffles. Same result as `merge`
+    * (spec-pinned); per-column combine is null-safe: a key present on one
+    * side keeps that side's partial unchanged. */
+  def mergeOuter(state: DataFrame, delta: DataFrame, keys: Seq[String],
+                 spec: MergeSpec): DataFrame = {
+    require(spec.nonEmpty, "merge spec must name at least one state column")
+    def ren(df: DataFrame, suf: String) =
+      spec.foldLeft(df) { case (d, (c, _)) => d.withColumnRenamed(c, c + suf) }
+    ren(state, "__s").join(ren(delta, "__d"), keys, "full_outer")
+      .select(keys.map(col) ++ spec.map { case (c, fn) =>
+        val (a, b) = (col(c + "__s"), col(c + "__d"))
+        (fn match {
+          case "sum" => coalesce(a + b, a, b) // a+b is null iff a side is absent
+          case "min" => least(a, b)           // least/greatest skip nulls
+          case "max" => greatest(a, b)
+          case other => throw new IllegalArgumentException(s"$c: unknown merge fn $other")
+        }).as(c)
+      }: _*)
+  }
 }

@@ -108,6 +108,20 @@ class EtlOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IncrementalAgg.mergeOuter agrees with merge, including keys present on only one side") {
+    val spec = Seq("n" -> "sum", "v" -> "sum", "lo" -> "min", "hi" -> "max")
+    def partial(xs: Seq[(Long, Long, Double)]) =
+      xs.toDF("k", "n", "v").groupBy("k").agg(
+        sum(col("n")).as("n"), sum(col("v").cast("decimal(18,6)")).as("v"),
+        min(col("n")).as("lo"), max(col("n")).as("hi"))
+    val state = partial((1 to 200).map(i => (i % 5L, i.toLong, i * 0.5)))
+    val delta = partial(Seq((0L, 7L, 1.0), (99L, 2L, 3.0))) // 99 is state-absent
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(_.toSeq).toSeq
+    assert(canon(IncrementalAgg.mergeOuter(state, delta, Seq("k"), spec)) ==
+      canon(IncrementalAgg.merge(state, delta, Seq("k"), spec)))
+  }
+
   test("stampedMerge truth table: keep/update/despawn/dead/respawn/insert in one pass") {
     // target state after a previous import at stamp 5
     val target = Seq(

@@ -156,6 +156,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IncrementalAgg.mergeOuter on a bucketed state table shuffles ONLY the delta") {
+    import org.apache.spark.sql.functions._
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS incr_state_bkt")
+      spark.range(0, 1000).selectExpr("id % 50 AS k", "id AS n")
+        .groupBy("k").agg(sum(col("n")).as("n"))
+        .write.bucketBy(4, "k").sortBy("k").saveAsTable("incr_state_bkt")
+      val state = spark.table("incr_state_bkt")
+      val delta = spark.range(0, 100).selectExpr("id % 7 AS k", "id AS n")
+        .groupBy("k").agg(sum(col("n")).as("n"))
+      val merged = graft.operators.IncrementalAgg.mergeOuter(
+        state, delta, Seq("k"), Seq("n" -> "sum"))
+      merged.collect()
+      // AQE renders Final AND Initial plans — count only the final section
+      // or every Exchange is seen twice
+      val p = merged.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      // the join must see exactly ONE Exchange (the delta side re-keying);
+      // the bucketed state feeds the sort-merge join shuffle-free
+      val exchanges = p.linesIterator.count(_.contains("+- Exchange"))
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(p.contains("Bucketed: true"), s"state scan must be bucketed:\n${p.take(3000)}")
+      assert(exchanges == 1, s"bucketed state must not re-shuffle:\n${p.take(3000)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS incr_state_bkt")
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("e_store_stamps: despawn + stamp bookkeeping adds NO join or shuffle over the plain merge") {
     val p = plan(Etl.eStoreStamps(spark, dir))
     val smj = p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin")
