@@ -213,3 +213,93 @@ object FreqSketch {
       scala.collection.mutable.HashMap.empty
   }
 }
+
+/** KMV (k-minimum-values) distinct sketch — bounded-state approximate
+  * COUNT(DISTINCT) whose sketches MERGE (union = merge, so per-partition /
+  * per-day sketches roll up without touching raw data, the property
+  * approx_count_distinct shares but an exact distinct lacks).
+  *
+  * The aggregate keeps the k smallest DISTINCT hash values seen (input is a
+  * pre-hashed long — hashing stays in the query layer, md5-based, so the
+  * DuckDB oracle reproduces the sketch exactly; no RNG anywhere). With
+  * hashes uniform on [0, 2^60) (15 md5 hex digits), the k-th smallest value
+  * v estimates the distinct count as (k-1)·2^60 / v; fewer than k distinct
+  * hashes means the sketch IS the exact distinct set. Standard error
+  * ≈ 1/√(k−2).
+  *
+  * State is O(k) under any partitioning; update is O(log k) (sorted set
+  * with early reject against the current k-th). eval returns the sorted
+  * sketch itself so callers derive estimates, set unions, or Jaccard
+  * overlaps (|KMV(A∪B) ∩ KMV(A) ∩ KMV(B)| / k) from it.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] with UnaryLike[Expression] {
+
+  require(k >= 2, s"kmv_sketch needs k >= 2, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch requires a long hash column, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(b: java.util.TreeSet[java.lang.Long], h: Long): Unit =
+    if (b.size < k) { b.add(h); () }
+    else if (h < b.last()) { if (b.add(h)) { b.remove(b.last()); () } }
+
+  override def update(b: java.util.TreeSet[java.lang.Long], input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(b, v.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long], b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) insert(a, it.next())
+    a
+  }
+
+  override def eval(b: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](b.size)
+    val it = b.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  override def serialize(b: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.size)
+    val it = b.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new java.util.TreeSet[java.lang.Long]()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { b.add(in.readLong()); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketch =
+    copy(child = newChild)
+  override def prettyName: String = "kmv_sketch"
+}

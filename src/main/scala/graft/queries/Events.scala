@@ -234,7 +234,55 @@ object Events {
       |FROM events e JOIN w ON epoch_us(e.ts) >= w.w_start AND epoch_us(e.ts) < w.w_end
       |GROUP BY w.window_id ORDER BY window_id""".stripMargin
 
+  private val KmvK = 64
+  // (k-1)·2^60: 255·2^60 has 8 significant bits — exactly representable in
+  // double, so both engines fold the identical constant
+  private val KmvScale = (KmvK - 1).toDouble * 1152921504606846976.0d
+
+  /** q_kmv_distinct: KMV distinct sketch per event type — bounded-state
+    * approximate COUNT(DISTINCT) whose per-partition sketches MERGE (the
+    * rollup property exact distinct lacks). Hashing is md5-derived in the
+    * query layer, so the sketch is fully deterministic and the oracle
+    * reproduces it EXACTLY: the k smallest distinct hash values and the
+    * (k-1)·2^60/v_k estimate hash-match, not just bound-check. Exact
+    * distinct counts ride along for the error story. */
+  def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val sk = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.KmvSketch(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(col("h")), KmvK)
+        .toAggregateExpression())
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("h", conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"), sk.as("kmv"))
+      .select(col("event_type"), col("n_exact"),
+        size(col("kmv")).cast("long").as("m"),
+        when(size(col("kmv")) < KmvK, size(col("kmv")).cast("double"))
+          .otherwise(lit(KmvScale) / get(col("kmv"), lit(KmvK - 1)).cast("double")).as("kmv_est"))
+      .orderBy(col("event_type"))
+  }
+
+  val qKmvDistinctSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       |st AS (SELECT event_type, COUNT(*) AS m,
+       |         MAX(CASE WHEN rn = $KmvK THEN h END) AS kth
+       |       FROM r WHERE rn <= $KmvK GROUP BY event_type),
+       |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       |       FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+       |SELECT ex.event_type, n_exact, CAST(m AS BIGINT) AS m,
+       |  CASE WHEN m < $KmvK THEN CAST(m AS DOUBLE)
+       |       ELSE ($KmvScale) / CAST(kth AS DOUBLE) END AS kmv_est
+       |FROM ex JOIN st ON st.event_type = ex.event_type
+       |ORDER BY ex.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct" -> qKmvDistinct _,
     "q_range_join"   -> qRangeJoin _,
     "q_cohort_retention" -> qCohortRetention _,
     "q_gapfill"      -> qGapfill _,
@@ -245,6 +293,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_kmv_distinct" -> qKmvDistinctSql,
     "q_range_join"   -> qRangeJoinSql,
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_gapfill"      -> qGapfillSql,

@@ -223,4 +223,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(err < 0.02, s"flag ${r.get(0)}: approx $a vs exact $x (err $err)")
     }
   }
+
+  test("KmvSketch: partitioning-invariant, exact below k, bounded error above k") {
+    import org.apache.spark.sql.functions._
+    def sketch(df: org.apache.spark.sql.DataFrame, k: Int) =
+      df.agg(org.apache.spark.sql.graftshim.ColumnBridge.column(
+        graft.functions.KmvSketch(
+          org.apache.spark.sql.graftshim.ColumnBridge.expression(col("h")), k)
+          .toAggregateExpression()).as("kmv"))
+        .select(expr("kmv")).head().getSeq[Long](0)
+    val n = 5000
+    val hashed = spark.range(0, n * 3).selectExpr("id % " + n + " AS v") // heavy dups
+      .select(conv(substring(md5(col("v").cast("string")), 1, 15), 16, 10).cast("long").as("h"))
+    // same sketch no matter how the data is partitioned (mergeability)
+    val a = sketch(hashed.repartition(1), 128)
+    val b = sketch(hashed.repartition(16), 128)
+    assert(a == b, "sketch must be partitioning-invariant")
+    assert(a.size == 128 && a == a.sorted)
+    // k-th smallest estimator within 3/sqrt(k-2) of truth on this data
+    val est = 127.0 * 1152921504606846976.0 / a.last.toDouble
+    assert(math.abs(est - n) / n < 3.0 / math.sqrt(126.0), s"est $est vs $n")
+    // below k the sketch IS the distinct set
+    val tiny = spark.range(0, 40)
+      .select(conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long").as("h"))
+    assert(sketch(tiny, 128).size == 40)
+  }
 }
