@@ -34,6 +34,8 @@ object Curation {
       splitBounds: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 90, "test" -> 100)) {
     require(splitBounds.nonEmpty && splitBounds.last._2 == 100,
       "splitBounds must be cumulative percents ending at 100")
+    require(splitBounds.map(_._2) == splitBounds.map(_._2).sorted.distinct,
+      s"splitBounds must be strictly ascending, got ${splitBounds.map(_._2)}")
   }
 
   /** Annotates EVERY input document (no rows dropped — downstream decides
@@ -43,22 +45,25 @@ object Curation {
     * `filter(keep_quality AND is_survivor)`. */
   def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val id = col(cfg.idCol)
+    // checkpoint the SCORED corpus, not just the kept subset: the final
+    // annotate join consumes it too, and an un-cached lineage would re-run
+    // tokenize+score over every document a second time
     val scored = docs
       .withColumn("__toks", TextFunctions.tokens(col(cfg.textCol)))
       .withColumn("n_tokens", size(col("__toks")))
       .withColumn("quality", TextFunctions.qualityScore(col(cfg.textCol), col("__toks")))
       .withColumn("keep_quality", col("quality") >= cfg.qualityMin)
       .drop("__toks")
-    // good docs feed pair gen, jaccard and the final join — materialize once
-    val good = scored.filter(col("keep_quality"))
-      .select(id, col(cfg.textCol)).localCheckpoint()
+      .localCheckpoint()
+    val good = scored.filter(col("keep_quality")).select(id, col(cfg.textCol))
     val cands = MinHashLsh.candidatePairs(good, cfg.idCol, cfg.textCol)
     val verified = Dedup.jaccardOnPairs(cands, good, cfg.idCol, cfg.textCol)
       .filter(col("jaccard") >= cfg.jaccardMin)
       .select(col("a_id"), col("b_id"))
     val canon = Components.canonicalize(good.select(id), cfg.idCol, verified)
-    val bucket: Column =
-      conv(substring(md5(col(cfg.textCol)), 1, 15), 16, 10).cast("long") % 100
+    // THE shared split assignment (Text.splitBucket) — t_split and
+    // d_contamination use the same formula; never fork it
+    val bucket: Column = graft.queries.Text.splitBucket(col(cfg.textCol))
     val split = cfg.splitBounds.foldRight(lit(null).cast("string")) {
       case ((name, bound), acc) => when(col("__bucket") < bound, lit(name)).otherwise(acc)
     }

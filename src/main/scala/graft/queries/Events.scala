@@ -235,8 +235,9 @@ object Events {
       |GROUP BY w.window_id ORDER BY window_id""".stripMargin
 
   private val KmvK = 64
-  // (k-1)·2^60: 255·2^60 has 8 significant bits — exactly representable in
-  // double, so both engines fold the identical constant
+  // (k-1)·2^60: 63·2^60 has 6 significant bits — exactly representable in
+  // double, so both engines fold the identical constant (standard error
+  // ≈ 1/√(k−2) ≈ 12.7% at k=64)
   private val KmvScale = (KmvK - 1).toDouble * 1152921504606846976.0d
 
   /** q_kmv_distinct: KMV distinct sketch per event type — bounded-state

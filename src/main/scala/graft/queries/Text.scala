@@ -242,7 +242,7 @@ object Text {
 
   /** Content-hash split bucket in [0,100) — shared by t_split and the
     * contamination check (both sides MUST use the identical assignment). */
-  private[queries] def splitBucket(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def splitBucket(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(text), 1, 15), 16, 10).cast("long") % 100
   private[queries] val splitBucketSql = "('0x' || substr(md5(text), 1, 15))::BIGINT % 100"
 
@@ -650,7 +650,9 @@ object Text {
       .select(expr("filter(split(token, ''), x -> x <> '')").as("syms"), col("n"))
       .localCheckpoint()
     val out = (1 to BpeMerges).map { rank =>
-      val pairs = words.select(col("n"), explode(
+      // guard: sequence(0, -1) is DESCENDING for 1-symbol words and would
+      // emit spurious (sym, null)/(null, sym) pairs the oracle never sees
+      val pairs = words.filter(size(col("syms")) >= 2).select(col("n"), explode(
         expr("transform(sequence(0, size(syms) - 2), i -> struct(get(syms, i) AS p1, get(syms, i + 1) AS p2))")).as("p"))
         .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
         .agg(sum(col("n")).as("cnt"))
