@@ -405,7 +405,23 @@ object Etl {
       |                     THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS new_total
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** e_anomaly: statistical anomaly report — the reference's `anomaly` fact
+    * concept computed from the data: events whose value sits more than 3σ
+    * from their event_type cohort mean (the exponential-ish value column
+    * makes the tail real). Two-pass: one moment aggregation, then the
+    * |groups|-row stats table broadcasts onto the fact scan — the event
+    * stream never shuffles for scoring. */
+  def eAnomaly(s: SparkSession, dir: String): DataFrame =
+    Anomaly.flag(Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+      Anomaly.Spec(Seq("event_type"), "value", k = 3.0))
+      .select(col("event_id"), col("event_type"), col("value"), col("zscore"))
+      .orderBy(col("event_id"))
+
+  val eAnomalySql: String = Anomaly.oracleSql("events", Seq("event_type"), "value",
+    k = 3.0, outCols = Seq("event_id", "event_type", "value"), orderBy = "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_anomaly"       -> eAnomaly _,
     "e_schema_evolve" -> eSchemaEvolve _,
     "e_profile"       -> eProfile _,
     "e_agg_refresh"   -> eAggRefresh _,
@@ -425,6 +441,7 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_anomaly"       -> eAnomalySql,
     "e_schema_evolve" -> eSchemaEvolveSql,
     "e_profile"       -> eProfileSql,
     "e_agg_refresh"   -> eAggRefreshSql,

@@ -122,6 +122,22 @@ class EtlOperatorsSpec extends AnyFunSuite {
       canon(IncrementalAgg.merge(state, delta, Seq("k"), spec)))
   }
 
+  test("Anomaly.flag: per-group z-scores, outliers only, constant groups flag nothing") {
+    // group "a": 20 values at 10.0 plus one 1000.0 spike — only the spike flags
+    // group "b": constant (σ=0) — z is NaN, nothing flags, no crash
+    val rows = (1 to 20).map(i => (i.toLong, "a", 10.0)) ++ Seq((21L, "a", 1000.0)) ++
+      (22 to 30).map(i => (i.toLong, "b", 7.0))
+    val out = Anomaly.flag(rows.toDF("id", "g", "v"), Anomaly.Spec(Seq("g"), "v", k = 3.0))
+      .select("id", "zscore").as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(21L))
+    assert(out.head._2 > 4.0, s"spike z-score should be extreme, got ${out.head._2}")
+    // two-sided: a deep low outlier flags with a negative z
+    val low = Anomaly.flag(
+      ((1 to 20).map(i => (i.toLong, 100.0)) :+ (21L, -900.0)).toDF("id", "v"),
+      Anomaly.Spec(Seq.empty, "v", k = 3.0)) // empty group = global stats
+    assert(low.select("zscore").as[Double].collect().forall(_ < -3.0))
+  }
+
   test("stampedMerge truth table: keep/update/despawn/dead/respawn/insert in one pass") {
     // target state after a previous import at stamp 5
     val target = Seq(
