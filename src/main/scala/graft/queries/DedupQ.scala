@@ -241,6 +241,47 @@ object DedupQ {
        |  FROM cross_cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
        |WHERE jaccard >= $JaccardThreshold ORDER BY test_id, train_id""".stripMargin
 
+  /** Collision-free per-dataset store location (same pid-scoped convention
+    * as Similarity.ivfPath: concurrent gate + bench must not clobber each
+    * other's store). */
+  private def storePath(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"/tmp/graft_dedupstore_${h}_${ProcessHandle.current().pid()}"
+  }
+
+  /** d_incremental: incremental dedup through the PERSISTED band-key store
+    * — corpus (doc_id % 5 ≠ 0) builds the store once; the new batch
+    * (doc_id % 5 = 0) is probed against it with O(|batch|) signature work,
+    * then exact Jaccard verifies the candidate pairs only. The ingest-time
+    * dedup shape: at 100 TB the corpus text is never re-read per batch. */
+  def dIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val path = storePath(dir)
+    graft.dedup.IncrementalDedup.buildStore(
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", path)
+    val cands = graft.dedup.IncrementalDedup.probe(
+        s, path, docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+      .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id"))
+      .localCheckpoint() // tiny pair set feeds the jaccard three-way join
+    Dedup.jaccardOnPairs(cands, docs, "doc_id", "text")
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a_id").as("batch_id"), col("b_id").as("corpus_id"), col("jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  /** Oracle: identical signatures from the shared CTEs over ALL documents;
+    * the store/batch split is the doc_id % 5 predicate on the band join. */
+  val dIncrementalSql: String =
+    s"""WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte,
+       |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |         FROM bands b JOIN bands c ON b.bk = c.bk
+       |         WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
+       |SELECT batch_id, corpus_id, jaccard FROM (
+       |  SELECT batch_id, corpus_id, $jaccardExprSql AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = batch_id JOIN sh sb ON sb.doc_id = corpus_id)
+       |WHERE jaccard >= $JaccardThreshold ORDER BY batch_id, corpus_id""".stripMargin
+
   /** d_simhash: SimHash pairs within Hamming ≤ 3. Token hashes are
     * md5-derived (SimHashDedup.TokenHashSql), so the oracle recomputes the
     * identical signatures in SQL; the oracle retrieves pairs brute-force,
@@ -365,6 +406,7 @@ object DedupQ {
     "d_components"    -> dComponents _,
     "d_curate"        -> dCurate _,
     "d_contamination" -> dContamination _,
+    "d_incremental"   -> dIncremental _,
     "d_simhash"       -> dSimhash _,
     "d_embed_neardup" -> dEmbedNeardup _,
   )
@@ -377,6 +419,7 @@ object DedupQ {
     "d_components"    -> dComponentsSql,
     "d_curate"        -> dCurateSql,
     "d_contamination" -> dContaminationSql,
+    "d_incremental"   -> dIncrementalSql,
     "d_simhash"       -> dSimhashSql,
     "d_embed_neardup" -> dEmbedNeardupSql,
   )

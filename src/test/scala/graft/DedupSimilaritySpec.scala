@@ -33,6 +33,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not collide")
   }
 
+  test("IncrementalDedup: probe finds batch-vs-corpus dups only; append is idempotent and crash-recoverable") {
+    import graft.dedup.IncrementalDedup
+    val path = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val corpus = docs.filter(col("doc_id") =!= 1L) // store holds 0, 2, 3
+    val batch = docs.filter(col("doc_id") === 1L)  // near-dup of 0/3 arrives later
+    IncrementalDedup.buildStore(corpus, "doc_id", "text", path)
+    val hits = IncrementalDedup.probe(spark, path, batch, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(hits.subsetOf(Set((1L, 0L), (1L, 3L))) && hits.nonEmpty,
+      s"batch near-dup must hit its corpus twins only, got $hits")
+    // simulate a crashed prior append: stale staging files must be cleared,
+    // and the append must converge (bands land exactly once)
+    val staging = new java.io.File(s"$path/_staging_append"); staging.mkdirs()
+    new java.io.File(staging, "part-stale").createNewFile()
+    IncrementalDedup.appendToStore(spark, path, batch, "doc_id", "text")
+    assert(!staging.exists(), "staging dir must be cleaned after commit")
+    val bandsPerDoc = spark.read.parquet(s"$path/bands")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(bandsPerDoc(1L) == MinHashLsh.Bands.toLong)
+    // re-append the same batch: anti-join keeps the store unchanged
+    IncrementalDedup.appendToStore(spark, path, batch, "doc_id", "text")
+    assert(spark.read.parquet(s"$path/bands").filter(col("doc_id") === 1L).count()
+      == MinHashLsh.Bands.toLong, "re-ingest must not duplicate bands")
+    // a batch doc already in the store never pairs with itself
+    assert(IncrementalDedup.probe(spark, path, batch, "doc_id", "text")
+      .filter(col("batch_id") === col("corpus_id")).count() == 0)
+  }
+
   test("jaccardOnPairs: exact dup has jaccard 1.0, near-dup high, and is deterministic") {
     val pairs = Seq((0L, 3L), (0L, 1L), (0L, 2L)).toDF("a_id", "b_id")
     val j = Dedup.jaccardOnPairs(pairs, docs, "doc_id", "text")
