@@ -583,13 +583,21 @@ object Text {
     * so the dup set re-joins the exploded grams on the hash key (one
     * shuffle each side); per-doc rollup closes it. The dup-gram table is
     * the only corpus-sized intermediate and it's 2 narrow columns. */
+  /** Hashed token 5-grams of a `toks` column — ONE definition feeding
+    * t_dup_spans and t_decontam_ngram on both engines (md5 so shuffles
+    * carry a fixed-width key, never the gram text). */
+  private val gram5Expr: org.apache.spark.sql.Column =
+    when(size(col("toks")) >= 5,
+      expr("transform(sequence(0, size(toks) - 5), i -> md5(concat_ws(' ', get(toks, i), get(toks, i+1), get(toks, i+2), get(toks, i+3), get(toks, i+4))))"))
+      .otherwise(array().cast("array<string>"))
+  private val gram5Sql =
+    "list_transform(range(1, len(toks) - 3), i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))"
+
   def tDupSpans(s: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(when(size(col("toks")) >= 5,
-        expr("transform(sequence(0, size(toks) - 5), i -> md5(concat_ws(' ', get(toks, i), get(toks, i+1), get(toks, i+2), get(toks, i+3), get(toks, i+4))))"))
-        .otherwise(array().cast("array<string>"))).as("g"))
+      .select(col("doc_id"), explode(gram5Expr).as("g"))
     val dupGrams = grams.select(col("doc_id"), col("g")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select(col("g"))
@@ -609,8 +617,7 @@ object Text {
 
   val tDupSpansSql: String =
     s"""WITH g AS (
-       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
-       |    i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS g
+       |  SELECT doc_id, unnest($gram5Sql) AS g
        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
        |dup AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY g)
        |        WHERE nd >= 2),
@@ -623,6 +630,53 @@ object Text {
        |    / CAST(greatest(COALESCE(pd.n_grams, 0), 1) AS DOUBLE) AS dup_frac
        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** t_decontam_ngram: exact n-gram decontamination — the GPT-3-style
+    * eval-leakage rule: a TEST-split document is contaminated if any of
+    * its token 5-grams appears verbatim anywhere in the TRAIN split.
+    * Complements d_contamination (MinHash near-dup, whole-doc) — this
+    * catches verbatim quotation of an eval item inside an otherwise
+    * unrelated training document, which whole-doc similarity never sees.
+    *
+    * Scale shape: both sides explode to hashed grams (narrow); the
+    * train-gram set is distinct-reduced (map-side partials collapse
+    * within-doc repeats) and the check is ONE equality join on the md5
+    * key followed by a per-doc rollup. The train gram table is 1 narrow
+    * column; at 100 TB put a bloom filter on it to pre-prune the probe
+    * side before the shuffle (the runtime-filter rule PlanSpec pins). */
+  def tDecontamNgram(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), splitBucket(col("text")).as("bucket"),
+        tokens(col("text")).as("toks"))
+    val testGrams = t.filter(col("bucket") >= 90)
+      .select(col("doc_id"), explode(gram5Expr).as("g"))
+    val trainGrams = t.filter(col("bucket") < 80)
+      .select(explode(gram5Expr).as("g")).distinct()
+    val perDoc = testGrams
+      .join(trainGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    t.filter(col("bucket") >= 90).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") > 0L)
+      .orderBy(col("doc_id"))
+  }
+
+  val tDecontamNgramSql: String =
+    s"""WITH t AS (SELECT doc_id, $splitBucketSql AS bucket, $toksSql AS toks FROM documents),
+       |tg AS (SELECT doc_id, unnest($gram5Sql) AS g FROM t WHERE bucket >= 90),
+       |tr AS (SELECT DISTINCT unnest($gram5Sql) AS g FROM t WHERE bucket < 80),
+       |pd AS (SELECT tg.doc_id, COUNT(*) AS n_grams,
+       |         COUNT(*) FILTER (tr.g IS NOT NULL) AS n_hit
+       |       FROM tg LEFT JOIN tr ON tg.g = tr.g GROUP BY tg.doc_id)
+       |SELECT t.doc_id, COALESCE(pd.n_grams, 0) AS n_grams,
+       |  COALESCE(pd.n_hit, 0) AS n_hit, COALESCE(pd.n_hit, 0) > 0 AS contaminated
+       |FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id
+       |WHERE t.bucket >= 90 ORDER BY t.doc_id""".stripMargin
 
   private val BpeMerges = 10
 
@@ -721,6 +775,7 @@ object Text {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_bpe_train"   -> tBpeTrain _,
     "t_dup_spans"   -> tDupSpans _,
+    "t_decontam_ngram" -> tDecontamNgram _,
     "t_encode"      -> tEncode _,
     "t_rep_filter"  -> tRepFilter _,
     "t_pack"        -> tPack _,
@@ -743,6 +798,7 @@ object Text {
   val oracle: Map[String, String] = Map(
     "t_bpe_train"   -> tBpeTrainSql,
     "t_dup_spans"   -> tDupSpansSql,
+    "t_decontam_ngram" -> tDecontamNgramSql,
     "t_encode"      -> tEncodeSql,
     "t_rep_filter"  -> tRepFilterSql,
     "t_pack"        -> tPackSql,
