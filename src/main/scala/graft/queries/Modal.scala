@@ -128,6 +128,26 @@ object Modal {
       |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start_us, event_type""".stripMargin
 
+  private val TopK = 3
+
+  /** st_topk: per-hour top-k event types — the trending-now shape. Batch
+    * face of Streaming.hourlyTopK (the streaming path ranks each
+    * watermark-closed window in foreachBatch; StreamingSpec proves parity). */
+  def stTopk(s: SparkSession, dir: String): DataFrame =
+    Streaming.hourlyTopK(
+      Streaming.hourlyAgg(Tables.events(s, dir), withWatermark = false), TopK)
+      .orderBy(col("hour_start_us"), col("rnk"))
+
+  val stTopkSql: String =
+    s"""WITH c AS (
+       |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us,
+       |    event_type, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT hour_start_us, event_type, n, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_start_us
+       |    ORDER BY n DESC, event_type) AS rnk FROM c)
+       |WHERE rnk <= $TopK ORDER BY hour_start_us, rnk""".stripMargin
+
   /** st_sliding: sliding-window aggregation (2 h windows advancing hourly)
     * — every event lands in two windows; the oracle materializes both
     * window starts per event and re-aggregates. Streaming parity in
@@ -263,6 +283,7 @@ object Modal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_shard"           -> mShard _,
     "st_sliding"        -> stSliding _,
+    "st_topk"           -> stTopk _,
     "st_dedup"          -> stDedup _,
     "st_interval_join"  -> stIntervalJoin _,
     "st_session_window" -> stSessionWindow _,
@@ -277,6 +298,7 @@ object Modal {
   val oracle: Map[String, String] = Map(
     "m_shard"           -> mShardSql,
     "st_sliding"        -> stSlidingSql,
+    "st_topk"           -> stTopkSql,
     "st_dedup"          -> stDedupSql,
     "st_interval_join"  -> stIntervalJoinSql,
     "st_session_window" -> stSessionWindowSql,

@@ -43,6 +43,21 @@ object Streaming {
   def slidingAgg(events: DataFrame, withWatermark: Boolean): DataFrame =
     windowedAgg(events, "2 hours", "1 hour", "win_start_us", withWatermark)
 
+  /** Per-window top-k event types: the rank step over the windowed-count
+    * aggregate (hourlyAgg's output shape). The aggregate is the stateful
+    * streaming part; ranking within an hour is stateless once that hour's
+    * counts exist — in streaming, ride it in foreachBatch over the
+    * watermark-closed windows (each hour emits exactly once, so ranking
+    * its final counts is replay-safe; StreamingSpec drives this). State
+    * stays bounded by the watermark; the rank window partitions by hour,
+    * so at 100 TB no single-partition global sort ever forms. */
+  def hourlyTopK(counts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_start_us")).orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("hour_start_us"), col("event_type"), col("n"), col("rnk"))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, value: Double,
       event_time: java.sql.Timestamp = null)
   final case class St(idx: Long, buffer: List[Ev])

@@ -43,6 +43,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch), "every emitted window must match the batch result")
   }
 
+  test("streaming hourly top-k: ranking watermark-closed windows matches batch") {
+    val stream = spark.readStream.schema(eventsSchema).parquet(streamDir)
+    val ranked = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = Streaming.hourlyAgg(stream, withWatermark = true)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // append mode emits each closed window exactly once and completely,
+        // so its final counts are all present in this batch — rank is safe
+        ranked ++= Streaming.hourlyTopK(b, 3).collect().map(_.toSeq); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = Streaming.hourlyTopK(
+      Streaming.hourlyAgg(Tables.events(spark, dir), withWatermark = false), 3)
+      .collect().map(_.toSeq).toSet
+    assert(ranked.nonEmpty, "watermark must have closed some windows")
+    assert(ranked.forall(batch.contains),
+      "every streamed window's top-k must match the batch ranking")
+    val keys = ranked.map(r => (r.head, r(3)))
+    assert(keys.distinct.size == keys.size, "no (hour, rank) may emit twice")
+  }
+
   test("checkpoint restart: state recovers, windows emit exactly once across runs") {
     val ev = Tables.events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
     val mid = ev.agg(expr("percentile(ts_us, 0.5)")).head().getDouble(0).toLong
