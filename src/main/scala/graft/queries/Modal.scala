@@ -128,6 +128,26 @@ object Modal {
       |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start_us, event_type""".stripMargin
 
+  /** st_enrich: stream-static enrichment — events joined to a static user
+    * dimension (derived deterministically here: segment = user_id % 4),
+    * then the hourly windowed rollup per segment. Batch face of
+    * Streaming.enrichedHourly; the streaming run (real stream + static
+    * parquet dim, broadcast join, watermarked agg) is spec'd in
+    * StreamingSpec. */
+  def stEnrich(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("seg_"), col("user_id") % 4))
+    Streaming.enrichedHourly(ev, dim, withWatermark = false)
+      .orderBy(col("hour_start_us"), col("segment"))
+  }
+
+  val stEnrichSql: String =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us,
+      |  'seg_' || (user_id % 4) AS segment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start_us, segment""".stripMargin
+
   private val TopK = 3
 
   /** st_topk: per-hour top-k event types — the trending-now shape. Batch
@@ -284,6 +304,7 @@ object Modal {
     "m_shard"           -> mShard _,
     "st_sliding"        -> stSliding _,
     "st_topk"           -> stTopk _,
+    "st_enrich"         -> stEnrich _,
     "st_dedup"          -> stDedup _,
     "st_interval_join"  -> stIntervalJoin _,
     "st_session_window" -> stSessionWindow _,
@@ -299,6 +320,7 @@ object Modal {
     "m_shard"           -> mShardSql,
     "st_sliding"        -> stSlidingSql,
     "st_topk"           -> stTopkSql,
+    "st_enrich"         -> stEnrichSql,
     "st_dedup"          -> stDedupSql,
     "st_interval_join"  -> stIntervalJoinSql,
     "st_session_window" -> stSessionWindowSql,

@@ -36,6 +36,50 @@ object Similarity {
        |  FROM scored)
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  /** Radius cutoff for s_range_search — kept at the EmbedLsh gate regime
+    * (see EmbedLsh.Threshold's note: the synthetic embeddings are
+    * near-random, so the tuned cos ≥ 0.9 regime would return nothing). */
+  private val RangeThreshold = graft.dedup.EmbedLsh.Threshold
+
+  /** s_range_search: RADIUS search — every corpus vector with cos ≥ θ of
+    * each query vector, not a fixed top-k (the "everything this similar"
+    * question retrieval dedup and blocklist matching ask). Scale path:
+    * hyperplane band keys block the candidate space exactly like
+    * d_embed_neardup, but query-vs-corpus instead of self-join — band
+    * collisions are the only pairs scored, so the work is
+    * O(|Q|·bucket), never |Q|·N. The oracle mirrors the blocking, so the
+    * gate compares exactly; recall semantics are the band tuning's. */
+  def sRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.EmbedLsh
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val bk = e.select(col("vec_id"), explode(EmbedLsh.bandKeys(col("embedding"))).as("bk"))
+    val cands = bk.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("bk"))
+      .join(bk.select(col("vec_id").as("n_id"), col("bk")), Seq("bk"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id")).distinct()
+    val eq = e.select(col("vec_id").as("q_id"), col("embedding").as("q_e"))
+    val ec = e.select(col("vec_id").as("n_id"), col("embedding").as("n_e"))
+    cands.join(eq, "q_id").join(ec, "n_id")
+      .withColumn("cos", expr("cosine_sim(q_e, n_e)"))
+      .filter(col("cos") >= RangeThreshold)
+      .select(col("q_id"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("n_id"))
+  }
+
+  val sRangeSearchSql: String =
+    s"""WITH ${graft.dedup.EmbedLsh.bandsCteSql},
+       |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+       |         FROM bk q JOIN bk c ON q.bk = c.bk
+       |         WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id)
+       |SELECT q_id, n_id, cos FROM (
+       |  SELECT q_id, n_id, ${cosSql("eq.embedding", "ec.embedding")} AS cos
+       |  FROM cand JOIN embeddings eq ON eq.vec_id = q_id
+       |            JOIN embeddings ec ON ec.vec_id = n_id)
+       |WHERE cos >= $RangeThreshold ORDER BY q_id, n_id""".stripMargin
+
   /** Collision-free per-dataset index location (same convention as the
     * ingest round-trip staging paths). */
   private def ivfPath(dir: String): String = {
@@ -180,6 +224,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_quantize"  -> sQuantize _,
     "s_knn_brute" -> sKnnBrute _,
+    "s_range_search" -> sRangeSearch _,
     "s_knn_ivf"   -> sKnnIvf _,
     "s_kmeans"    -> sKmeans _,
   )
@@ -187,6 +232,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "s_quantize"  -> sQuantizeSql,
     "s_knn_brute" -> sKnnBruteSql,
+    "s_range_search" -> sRangeSearchSql,
     "s_kmeans"    -> sKmeansSql,
     "s_knn_ivf"   -> sKnnIvfSql,
   )

@@ -58,6 +58,27 @@ object Streaming {
       .select(col("hour_start_us"), col("event_type"), col("n"), col("rnk"))
   }
 
+  /** Stream-static enrichment: events joined to a STATIC dimension (the
+    * stream-static join — stateless, re-planned per micro-batch so the
+    * dimension can be swapped between batches), then the watermarked
+    * hourly aggregate rolls up per segment. At scale the static side
+    * broadcasts — the stream never shuffles for the enrichment; the only
+    * stateful operator is the windowed aggregate, bounded by the
+    * watermark. Works identically on a batch DataFrame (the gate). */
+  def enrichedHourly(events: DataFrame, dim: DataFrame,
+      withWatermark: Boolean): DataFrame = {
+    val withTs = events
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .join(broadcast(dim), Seq("user_id")) // static side: broadcast, stateless
+    val wm = if (withWatermark) withTs.withWatermark("event_time", "2 hours") else withTs
+    wm.groupBy(window(col("event_time"), "1 hour"), col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("hour_start_us"), col("segment"),
+        col("n"), col("sum_value"))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, value: Double,
       event_time: java.sql.Timestamp = null)
   final case class St(idx: Long, buffer: List[Ev])

@@ -64,6 +64,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys.distinct.size == keys.size, "no (hour, rank) may emit twice")
   }
 
+  test("stream-static enrichment: broadcast dim join + windowed agg matches batch") {
+    val ev = Tables.events(spark, dir)
+    val dimDir = java.nio.file.Files.createTempDirectory("enrich-dim").toString
+    ev.select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("seg_"), col("user_id") % 4))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir) // STATIC side, from disk
+    val stream = spark.readStream.schema(eventsSchema).parquet(streamDir)
+    val q = Streaming.enrichedHourly(stream, dim, withWatermark = true)
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_out")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = Streaming.enrichedHourly(ev, dim, withWatermark = false)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty, "watermark must have closed some windows")
+    assert(streamed.subsetOf(batch), "every emitted enriched window must match batch")
+  }
+
   test("checkpoint restart: state recovers, windows emit exactly once across runs") {
     val ev = Tables.events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
     val mid = ev.agg(expr("percentile(ts_us, 0.5)")).head().getDouble(0).toLong
