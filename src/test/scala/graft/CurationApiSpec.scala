@@ -43,6 +43,43 @@ class CurationApiSpec extends AnyFunSuite {
     assert(perText.agg(max(col("k"))).head().getLong(0) == 1L)
   }
 
+  test("curated corpus manifests into the store flow: survivors land in JDBC, stamped and idempotent") {
+    // pillars C/D→B composed end-to-end: the curation output IS the staged
+    // batch for the reference-style transactional store (dims + manifest
+    // fact in one DB transaction), and a replayed import is a no-op
+    import graft.operators.{StorePipeline, Validate}
+    import java.sql.DriverManager
+    val url = "jdbc:derby:memory:curatedb;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().executeUpdate("DROP TABLE manifest_t") catch { case _: Exception => () }
+      conn.createStatement().executeUpdate(
+        """CREATE TABLE manifest_t (doc_id BIGINT PRIMARY KEY, quality DOUBLE,
+          |  split_sk VARCHAR(64))""".stripMargin.replace("\n", " "))
+    } finally conn.close()
+    val manifest = out.filter(col("is_survivor"))
+      .select(col("doc_id"), col("quality"), col("split"))
+    val spec = StorePipeline.Spec(
+      keyCols = Seq("doc_id"),
+      attrCols = Seq("quality"),
+      dims = Seq("split_sk" -> Seq("split")),
+      rules = Seq(Validate.Rule("id_nonnull", col("doc_id").isNotNull)))
+    val empty = manifest.filter(lit(false))
+    StorePipeline.storeAndWrite(spark, empty, manifest, spec, url, "manifest_t")
+    def dbCount(): Long = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM manifest_t")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+    val expected = out.filter(col("is_survivor")).count()
+    assert(dbCount() == expected, "every survivor must land exactly once")
+    // replay: the same curated batch against the populated table is a no-op
+    StorePipeline.storeAndWrite(spark, manifest, manifest, spec, url, "manifest_t")
+    assert(dbCount() == expected)
+  }
+
   test("quality-rejected docs are never survivors but keep their annotations") {
     val rejected = out.filter(!col("keep_quality"))
     assert(rejected.filter(col("is_survivor")).count() == 0)

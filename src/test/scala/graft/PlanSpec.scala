@@ -189,6 +189,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("e_anomaly: stats broadcast back onto the fact scan — events never shuffle for scoring") {
+    val p = plan(Etl.eAnomaly(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the only exchanges allowed: the moment aggregation's groupBy shuffle,
+    // the broadcast itself, and the final presentation sort
+    assert(!p.contains("SortMergeJoin"), "stats join must not shuffle the facts")
+  }
+
+  test("st_enrich: the static dimension broadcasts — the stream side never shuffles for it") {
+    val p = plan(Modal.stEnrich(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "static-dim join must broadcast")
+  }
+
   test("e_store_stamps: despawn + stamp bookkeeping adds NO join or shuffle over the plain merge") {
     val p = plan(Etl.eStoreStamps(spark, dir))
     val smj = p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin")
