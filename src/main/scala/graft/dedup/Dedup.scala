@@ -23,6 +23,27 @@ object Dedup {
     * Works on pre-tokenized distinct shingle arrays; intersection via
     * array_intersect (set semantics on distinct inputs, same as DuckDB's
     * list_intersect), union by inclusion–exclusion so no concat allocs. */
+  /** Asymmetric shingle CONTAINMENT for candidate pairs:
+    * c_ab = |A∩B| / |A| (how much of A lies inside B) and the mirror c_ba.
+    * Catches quotation/subset near-dups that Jaccard misses — a short doc
+    * fully contained in a long one has high containment but low Jaccard
+    * (|A∩B|/|A∪B| shrinks with the size gap). Same semi-join feature
+    * pushdown as jaccardOnPairs: shingles only for candidate docs. */
+  def containmentOnPairs(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ids = pairs.select(col("a_id").as(idCol))
+      .union(pairs.select(col("b_id").as(idCol))).distinct()
+    val sh = docs.join(ids, Seq(idCol), "left_semi")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), shingles3(tokens(col(textCol))).as("sh"))
+    val aSh = sh.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
+    val bSh = sh.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
+    pairs.join(aSh, "a_id").join(bSh, "b_id")
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))).cast("double"))
+      .withColumn("c_ab", col("inter") / size(col("a_sh")).cast("double"))
+      .withColumn("c_ba", col("inter") / size(col("b_sh")).cast("double"))
+      .select(col("a_id"), col("b_id"), col("c_ab"), col("c_ba"))
+  }
+
   def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // shingle only the docs that appear in a candidate pair (semi-join
     // pushdown): at scale the candidate set is a sliver of the corpus and

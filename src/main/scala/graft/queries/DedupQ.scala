@@ -241,6 +241,29 @@ object DedupQ {
        |  FROM cross_cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
        |WHERE jaccard >= $JaccardThreshold ORDER BY test_id, train_id""".stripMargin
 
+  /** d_containment: asymmetric overlap on the LSH candidates — per pair,
+    * the fraction of each side's shingles contained in the other
+    * (c_ab = |A∩B|/|A|, c_ba mirrored). The quotation/subset signal:
+    * containment stays high when a short doc sits inside a long one while
+    * Jaccard collapses with the size gap. Same scale shape as d_jaccard
+    * (candidates only, semi-join feature pushdown); emitted unfiltered so
+    * callers pick their own cutoff per direction. */
+  def dContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text").localCheckpoint()
+    Dedup.containmentOnPairs(cands, docs, "doc_id", "text")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val dContainmentSql: String =
+    s"""WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte,
+       |cand AS ($candSelect)
+       |SELECT a_id, b_id,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(sa.sh) AS DOUBLE) AS c_ab,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(sb.sh) AS DOUBLE) AS c_ba
+       |FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** Collision-free per-dataset store location (same pid-scoped convention
     * as Similarity.ivfPath: concurrent gate + bench must not clobber each
     * other's store). */
@@ -407,6 +430,7 @@ object DedupQ {
     "d_curate"        -> dCurate _,
     "d_contamination" -> dContamination _,
     "d_incremental"   -> dIncremental _,
+    "d_containment"   -> dContainment _,
     "d_simhash"       -> dSimhash _,
     "d_embed_neardup" -> dEmbedNeardup _,
   )
@@ -420,6 +444,7 @@ object DedupQ {
     "d_curate"        -> dCurateSql,
     "d_contamination" -> dContaminationSql,
     "d_incremental"   -> dIncrementalSql,
+    "d_containment"   -> dContainmentSql,
     "d_simhash"       -> dSimhashSql,
     "d_embed_neardup" -> dEmbedNeardupSql,
   )

@@ -372,6 +372,37 @@ object Etl {
     s"/tmp/graft_evolve_${h}_${ProcessHandle.current().pid()}"
   }
 
+  /** e_partition_overwrite: DYNAMIC partition overwrite — the
+    * reprocess-one-slice contract every partitioned 100 TB dataset needs:
+    * rewriting 1995's revision batch replaces ONLY the yr=1995 directory
+    * (mode=dynamic overwrites just the partitions present in the batch);
+    * every other year's files are untouched — no full-table rewrite, no
+    * read-modify-write cycle. The gate re-aggregates the evolved dataset:
+    * 1995 must show the revised (doubled) totals, other years the
+    * originals. */
+  def ePartitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${evolvePath(dir)}_po"
+    val ord = Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .select(col("o_orderkey"), col("o_totalprice"), col("yr"))
+    ord.write.mode("overwrite").partitionBy("yr").parquet(out)
+    ord.filter(col("yr") === 1995)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("yr").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n"), xsum(col("o_totalprice")).as("total"))
+      .orderBy(col("yr"))
+  }
+
+  val ePartitionOverwriteSql: String =
+    """SELECT year(o_orderdate) AS yr, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CASE WHEN year(o_orderdate) = 1995
+      |                     THEN o_totalprice * 2 ELSE o_totalprice END
+      |                AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
   /** e_schema_evolve: schema-evolution ingest — an old batch written with
     * 3 columns and a new batch with a 4th (o_totalprice) land in the same
     * dataset; the mergeSchema read unions the schemas and old rows surface
@@ -422,6 +453,7 @@ object Etl {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_anomaly"       -> eAnomaly _,
+    "e_partition_overwrite" -> ePartitionOverwrite _,
     "e_schema_evolve" -> eSchemaEvolve _,
     "e_profile"       -> eProfile _,
     "e_agg_refresh"   -> eAggRefresh _,
@@ -442,6 +474,7 @@ object Etl {
 
   val oracle: Map[String, String] = Map(
     "e_anomaly"       -> eAnomalySql,
+    "e_partition_overwrite" -> ePartitionOverwriteSql,
     "e_schema_evolve" -> eSchemaEvolveSql,
     "e_profile"       -> eProfileSql,
     "e_agg_refresh"   -> eAggRefreshSql,

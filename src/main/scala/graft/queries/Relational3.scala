@@ -291,6 +291,32 @@ object Relational3 {
     * exists, and an aggregate fold — all narrow once the per-order array is
     * built (ONE shuffle for the collect_list groupBy). Integer quantities
     * keep every HOF result exact cross-engine. */
+  /** q_lateral: correlated LATERAL subquery — the per-row dependent-subquery
+    * SQL surface (each customer's 2 highest-value orders via an ORDER BY +
+    * LIMIT subquery referencing the outer row). Catalyst decorrelates the
+    * lateral into a window-rank join, so the executed plan is the same
+    * scale-safe shape as q_topn_per_group — the feature here is the SQL
+    * surface, not a new execution path. Bounded output: ≤2 rows/customer. */
+  def qLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).filter(col("c_custkey") % 10 === 0)
+      .createOrReplaceTempView("customer_l")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_l")
+    s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+            |FROM customer_l c,
+            |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_l
+            |         WHERE o_custkey = c.c_custkey
+            |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+            |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  val qLateralSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM (SELECT * FROM customer WHERE c_custkey % 10 = 0) c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   def qNested(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
@@ -319,6 +345,7 @@ object Relational3 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_nested"          -> qNested _,
+    "q_lateral"         -> qLateral _,
     "q_unpivot"         -> qUnpivot _,
     "q_histogram"       -> qHistogram _,
     "q_mode"            -> qMode _,
@@ -338,6 +365,7 @@ object Relational3 {
     "q_histogram"       -> qHistogramSql,
     "q_unpivot"         -> qUnpivotSql,
     "q_nested"          -> qNestedSql,
+    "q_lateral"         -> qLateralSql,
     "q_mode"            -> qModeSql,
     "q_null_semantics"  -> qNullSemanticsSql,
     "q_window_funcs2"   -> qWindowFuncs2Sql,

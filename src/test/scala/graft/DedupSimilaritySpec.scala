@@ -61,6 +61,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .filter(col("batch_id") === col("corpus_id")).count() == 0)
   }
 
+  test("containmentOnPairs: a contained doc scores c_ab=1.0 while jaccard stays low") {
+    val quote = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // fully quoted inside 11
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((10L, 11L)).toDF("a_id", "b_id")
+    val r = Dedup.containmentOnPairs(pairs, quote, "doc_id", "text")
+      .select("c_ab", "c_ba").as[(Double, Double)].head()
+    assert(r._1 == 1.0, s"contained side must be 1.0, got ${r._1}")
+    assert(r._2 < 0.5, s"containing side must stay low, got ${r._2}")
+    val j = Dedup.jaccardOnPairs(pairs, quote, "doc_id", "text")
+      .select("jaccard").as[Double].head()
+    assert(j < 0.5, s"jaccard must miss the quotation relation, got $j")
+  }
+
   test("jaccardOnPairs: exact dup has jaccard 1.0, near-dup high, and is deterministic") {
     val pairs = Seq((0L, 3L), (0L, 1L), (0L, 2L)).toDF("a_id", "b_id")
     val j = Dedup.jaccardOnPairs(pairs, docs, "doc_id", "text")
