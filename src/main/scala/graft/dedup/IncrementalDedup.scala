@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * join shuffles only the batch side; the plain-parquet layout here still
   * never rescans corpus TEXT, which is the dominant cost.
   *
-  * Appends use the same staged rename-commit discipline as
-  * [[graft.similarity.IvfIndex.append]]: batch bands are written to a
-  * staging subdir with their own job commit, then moved file-atomically
-  * into the live layout, and a re-run after a crash anti-joins away the
-  * ids that made it in — convergent, no duplicates, no holes.
+  * Appends commit at DIRECTORY granularity: each batch's bands are written
+  * to a staging subdir with their own job commit, then ONE atomic rename
+  * moves the whole directory into the live layout as a `batch=<uuid>`
+  * partition. Either the entire batch's bands are visible or none are —
+  * no assumption that a document's band rows share a part file — and a
+  * re-run after a crash anti-joins away the ids that made it in, so
+  * retries converge with neither duplicates nor holes.
   */
 object IncrementalDedup {
 
@@ -28,9 +30,15 @@ object IncrementalDedup {
       .select(col(idCol).as("doc_id"),
         explode(array((0 until MinHashLsh.Bands).map(MinHashLsh.bandKey): _*)).as("bk"))
 
+  /** The live band table: part files under `bands/batch=&#42;` — the batch
+    * partition column is layout bookkeeping, never read. */
+  private def readBands(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/bands").select(col("doc_id"), col("bk"))
+
   /** Dedup store bootstrap: band keys for the existing corpus. */
   def buildStore(docs: DataFrame, idCol: String, textCol: String, path: String): Unit =
-    bandsOf(docs, idCol, textCol).write.mode("overwrite").parquet(s"$path/bands")
+    bandsOf(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/bands/batch=base")
 
   /** Ingest a batch's band keys into the store (crash-safe, idempotent).
     * Call AFTER probing the batch so a document never pairs with itself. */
@@ -40,15 +48,13 @@ object IncrementalDedup {
     val staging = new Path(s"$path/_staging_append")
     val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(staging, true) // clear any crashed prior attempt's leftovers
-    val existing = spark.read.parquet(s"$path/bands").select(col("doc_id").as(idCol)).distinct()
+    val existing = readBands(spark, path).select(col("doc_id").as(idCol)).distinct()
     val fresh = batch.join(existing, Seq(idCol), "left_anti")
+    if (fresh.isEmpty) return // fully-replayed batch: nothing fresh to land
     bandsOf(fresh, idCol, textCol).write.mode("overwrite").parquet(staging.toString)
-    val live = new Path(s"$path/bands")
-    for (f <- fs.listStatus(staging) if f.getPath.getName.startsWith("part-")) {
-      val to = new Path(live, f.getPath.getName) // job-UUID names cannot collide
-      require(fs.rename(f.getPath, to), s"rename ${f.getPath} -> $to failed")
-    }
-    fs.delete(staging, true)
+    // one atomic directory rename commits the WHOLE batch or nothing
+    val live = new Path(s"$path/bands/batch=${java.util.UUID.randomUUID()}")
+    require(fs.rename(staging, live), s"rename $staging -> $live failed")
   }
 
   /** Candidate near-dup pairs between a new batch and the stored corpus:
@@ -58,7 +64,7 @@ object IncrementalDedup {
     * filtered here so re-ingests are quiet. */
   def probe(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val stored = spark.read.parquet(s"$path/bands")
+    val stored = readBands(spark, path)
       .select(col("doc_id").as("corpus_id"), col("bk"))
     bandsOf(batch, idCol, textCol)
       .select(col("doc_id").as("batch_id"), col("bk"))

@@ -44,12 +44,15 @@ object Anomaly {
   }
 
   /** z-score expression shared by `flag` and the oracle SQL generator —
-    * ONE formula, (x - s1/n) / nullif(sqrt(s2/n - (s1/n)*(s1/n)), 0), so
-    * the engine and any SQL mirror cannot drift. The nullif keeps a σ=0
-    * group NULL (not flagged) instead of an ANSI divide-by-zero error. */
+    * ONE formula, (x - s1/n) / nullif(sqrt(greatest(s2/n - (s1/n)*(s1/n),
+    * 0)), 0), so the engine and any SQL mirror cannot drift. The greatest
+    * clamps the tiny NEGATIVE variance double rounding can produce for a
+    * constant group (DuckDB hard-errors on sqrt(<0); Spark yields NaN —
+    * both wrong); the nullif then keeps σ=0 NULL (not flagged) instead of
+    * an ANSI divide-by-zero error. */
   private def zOf(x: Column, n: Column, s1: Column, s2: Column): Column = {
     val mean = s1 / n
-    (x - mean) / nullif(sqrt(s2 / n - mean * mean), lit(0.0))
+    (x - mean) / nullif(sqrt(greatest(s2 / n - mean * mean, lit(0.0))), lit(0.0))
   }
 
   /** Rows exceeding the threshold, annotated with their z-score. Keeps the
@@ -69,15 +72,19 @@ object Anomaly {
     * identical decimal moments and the identical z expression shape. */
   def oracleSql(table: String, groupCols: Seq[String], valueCol: String,
       k: Double, outCols: Seq[String], orderBy: String): String = {
-    val g = groupCols.mkString(", ")
-    val z = s"(e.$valueCol - s1/n) / nullif(sqrt(s2/n - (s1/n)*(s1/n)), 0.0)"
+    val z = s"(e.$valueCol - s1/n) / nullif(sqrt(greatest(s2/n - (s1/n)*(s1/n), 0.0)), 0.0)"
+    val selG = if (groupCols.isEmpty) "" else groupCols.mkString("", ", ", ",")
+    val groupBy = if (groupCols.isEmpty) "" else groupCols.mkString(" GROUP BY ", ", ", "")
+    val join = // empty groupCols = global stats (1-row cross join), like flag()
+      if (groupCols.isEmpty) "CROSS JOIN st"
+      else s"JOIN st USING (${groupCols.mkString(", ")})"
     s"""WITH st AS (
-       |  SELECT $g, COUNT(*) AS n,
+       |  SELECT $selG COUNT(*) AS n,
        |    CAST(SUM(CAST($valueCol AS DECIMAL(18,6))) AS DOUBLE) AS s1,
        |    CAST(SUM(CAST($valueCol * $valueCol AS DECIMAL(24,6))) AS DOUBLE) AS s2
-       |  FROM $table GROUP BY $g)
+       |  FROM $table$groupBy)
        |SELECT ${outCols.mkString(", ")}, zscore FROM (
-       |  SELECT e.*, $z AS zscore FROM $table e JOIN st USING ($g))
+       |  SELECT e.*, $z AS zscore FROM $table e $join)
        |WHERE abs(zscore) > $k ORDER BY $orderBy""".stripMargin
   }
 }

@@ -397,7 +397,7 @@ object Etl {
   }
 
   val ePartitionOverwriteSql: String =
-    """SELECT year(o_orderdate) AS yr, COUNT(*) AS n,
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS n,
       |  CAST(SUM(CAST(CASE WHEN year(o_orderdate) = 1995
       |                     THEN o_totalprice * 2 ELSE o_totalprice END
       |                AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -645,23 +645,24 @@ object Text {
     * column; at 100 TB put a bloom filter on it to pre-prune the probe
     * side before the shuffle (the runtime-filter rule PlanSpec pins). */
   def tDecontamNgram(s: SparkSession, dir: String): DataFrame = {
+    // the tokenize+bucket scan feeds both splits — materialize it once
+    // (tiny at gate scale; at 100 TB prefer re-scanning over checkpointing
+    // a tokenized corpus copy — drop this localCheckpoint there)
     val t = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), splitBucket(col("text")).as("bucket"),
         tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    // explode_outer keeps <5-token test docs as a null-gram row, so the
+    // rollup covers every test doc without a third scan of the table
     val testGrams = t.filter(col("bucket") >= 90)
-      .select(col("doc_id"), explode(gram5Expr).as("g"))
+      .select(col("doc_id"), explode_outer(gram5Expr).as("g"))
     val trainGrams = t.filter(col("bucket") < 80)
       .select(explode(gram5Expr).as("g")).distinct()
-    val perDoc = testGrams
+    testGrams
       .join(trainGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-    t.filter(col("bucket") >= 90).select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .agg(count(col("g")).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .withColumn("contaminated", col("n_hit") > 0L)
       .orderBy(col("doc_id"))
   }
