@@ -372,6 +372,38 @@ object Etl {
     s"/tmp/graft_evolve_${h}_${ProcessHandle.current().pid()}"
   }
 
+  /** e_gdpr_purge: deletion-request propagation — subjects (customers with
+    * c_custkey ≡ 0 mod 97 here) are hard-deleted from the customer table
+    * and the delete CASCADES through orders via the FK, with a per-table
+    * audit of totals/purged/kept. The request list broadcasts; each table
+    * pays one narrow scan — nothing shuffles. The gate emits the audit
+    * plus an in-query orphan proof: orders surviving the purge must
+    * reference zero purged customers. */
+  def eGdprPurge(s: SparkSession, dir: String): DataFrame = {
+    val requests = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val tables: Seq[Retention.Table] = Seq(
+      ("customer", Tables.customer(s, dir), "c_custkey"),
+      ("orders", Tables.orders(s, dir), "o_custkey"))
+    val keptOrders = Retention.purge(Tables.orders(s, dir), "o_custkey", requests, "c_custkey")
+    val orphans = keptOrders
+      .join(requests.withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_orphans"))
+    Retention.audit(tables, requests, "c_custkey")
+      .crossJoin(broadcast(orphans))
+      .orderBy(col("table_name"))
+  }
+
+  val eGdprPurgeSql: String =
+    """SELECT table_name, n_total, n_purged, n_total - n_purged AS n_kept,
+      |  CAST(0 AS BIGINT) AS n_orphans FROM (
+      |  SELECT 'customer' AS table_name, COUNT(*) AS n_total,
+      |    COUNT(*) FILTER (c_custkey % 97 = 0) AS n_purged FROM customer
+      |  UNION ALL
+      |  SELECT 'orders', COUNT(*),
+      |    COUNT(*) FILTER (o_custkey % 97 = 0) FROM orders)
+      |ORDER BY table_name""".stripMargin
+
   /** e_partition_overwrite: DYNAMIC partition overwrite — the
     * reprocess-one-slice contract every partitioned 100 TB dataset needs:
     * rewriting 1995's revision batch replaces ONLY the yr=1995 directory
@@ -454,6 +486,7 @@ object Etl {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_anomaly"       -> eAnomaly _,
     "e_partition_overwrite" -> ePartitionOverwrite _,
+    "e_gdpr_purge"    -> eGdprPurge _,
     "e_schema_evolve" -> eSchemaEvolve _,
     "e_profile"       -> eProfile _,
     "e_agg_refresh"   -> eAggRefresh _,
@@ -475,6 +508,7 @@ object Etl {
   val oracle: Map[String, String] = Map(
     "e_anomaly"       -> eAnomalySql,
     "e_partition_overwrite" -> ePartitionOverwriteSql,
+    "e_gdpr_purge"    -> eGdprPurgeSql,
     "e_schema_evolve" -> eSchemaEvolveSql,
     "e_profile"       -> eProfileSql,
     "e_agg_refresh"   -> eAggRefreshSql,
