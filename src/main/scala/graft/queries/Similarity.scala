@@ -55,8 +55,10 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     val bk = e.select(col("vec_id"), explode(EmbedLsh.bandKeys(col("embedding"))).as("bk"))
-    val cands = bk.filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id").as("q_id"), col("bk"))
+    // the BOUNDED query set broadcasts; the corpus band table streams past
+    // it — at 100 TB the corpus side must never be the build side
+    val cands = broadcast(bk.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_id"), col("bk")))
       .join(bk.select(col("vec_id").as("n_id"), col("bk")), Seq("bk"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id")).distinct()

@@ -197,6 +197,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "stats join must not shuffle the facts")
   }
 
+  test("s_range_search: the query band table is the broadcast build side — the corpus streams") {
+    val p = plan(Similarity.sRangeSearch(spark, dir))
+    // the bk-key join must build from the bounded query side (BuildLeft:
+    // queries are the left input); building the corpus would ship the
+    // whole band table to every executor at 100 TB
+    assert(p.contains("BuildLeft"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "band probe must not shuffle both sides")
+  }
+
+  test("q_lateral: Catalyst decorrelates to a rank window with group-limit pushdown — no per-row subquery") {
+    val p = plan(Relational3.qLateral(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), "lateral must not execute as a cross product")
+  }
+
   test("st_enrich: the static dimension broadcasts — the stream side never shuffles for it") {
     val p = plan(Modal.stEnrich(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
