@@ -203,7 +203,55 @@ object Relational2 {
       |  TRUE AS price_q90_est_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q_corr: per-group Pearson correlation from decimal-exact moments —
+    * the bivariate-statistics surface (Spark's corr() sums doubles in
+    * partition order, so its last ulps wobble across cluster sizes; this
+    * form is the OracleParity convention applied to five moments, exactly
+    * reproducible anywhere). One aggregation shuffle; the correlation
+    * itself derives from the six scalars with a fixed IEEE expression
+    * shape mirrored in the oracle, clamped like Anomaly's variance. */
+  def qCorr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val (x, y) = (col("l_quantity"), col("l_extendedprice"))
+    val d18 = DecimalType(18, 6); val d24 = DecimalType(24, 6)
+    val m = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(d18)).cast(DoubleType).as("sx"),
+        sum(y.cast(d18)).cast(DoubleType).as("sy"),
+        sum((x * y).cast(d24)).cast(DoubleType).as("sxy"),
+        sum((x * x).cast(d24)).cast(DoubleType).as("sxx"),
+        sum((y * y).cast(d24)).cast(DoubleType).as("syy"))
+    val (n, sx, sy, sxy, sxx, syy) =
+      (col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
+    // the huge squared-sum moments exceed 2^53 in unscaled decimal units,
+    // where the two engines' decimal→double conversions round apart by an
+    // ulp — so the FINAL correlation is pinned to 6 decimals (x6), which
+    // both conversions agree on away from exact rounding boundaries
+    m.select(col("l_returnflag"), n,
+        graft.functions.OracleParity.x6((n * sxy - sx * sy) /
+          nullif(sqrt(greatest(n * sxx - sx * sx, lit(0.0))) *
+                 sqrt(greatest(n * syy - sy * sy, lit(0.0))), lit(0.0)))
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qCorrSql: String =
+    """SELECT l_returnflag, n,
+      |  CAST(CAST((n*sxy - sx*sy) / nullif(sqrt(greatest(n*sxx - sx*sx, 0.0))
+      |    * sqrt(greatest(n*syy - sy*sy, 0.0)), 0.0) AS DECIMAL(18,6)) AS DOUBLE) AS corr_qty_price
+      |FROM (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr"             -> qCorr _,
     "q_approx_quantiles" -> qApproxQuantiles _,
     "q_quantiles"     -> qQuantiles _,
     "q_outer_join"    -> qOuterJoin _,
@@ -215,6 +263,7 @@ object Relational2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_corr"             -> qCorrSql,
     "q_approx_quantiles" -> qApproxQuantilesSql,
     "q_quantiles"     -> qQuantilesSql,
     "q_outer_join"    -> qOuterJoinSql,

@@ -679,6 +679,79 @@ object Text {
        |FROM t LEFT JOIN pd ON pd.doc_id = t.doc_id
        |WHERE t.bucket >= 90 ORDER BY t.doc_id""".stripMargin
 
+  /** t_bm25's query terms and the standard BM25 constants. The constants
+    * are spelled as explicit DOUBLE casts because bare `1.2` parses as a
+    * DECIMAL literal in both SQL dialects, and decimal promotion rules
+    * differ between engines in the last ulp. The whole score expression
+    * is ONE template string evaluated by Spark's expr() and pasted into
+    * the oracle verbatim — the formula cannot drift. */
+  private val Bm25Terms = Seq("hash", "join", "filter")
+  private val Bm25K1 = "CAST(1.2 AS DOUBLE)"
+  private val Bm25B = "CAST(0.75 AS DOUBLE)"
+  private val Bm25Half = "CAST(0.5 AS DOUBLE)"
+  private val Bm25One = "CAST(1.0 AS DOUBLE)"
+
+  /** Score over columns (tf_i, dl) × broadcast stats (n_docs, sdl, df_i). */
+  private val bm25ScoreSql: String = Bm25Terms.indices.map { i =>
+    s"""((n_docs - df_$i + $Bm25Half) / (df_$i + $Bm25Half) *
+       | (tf_$i * ($Bm25K1 + $Bm25One) /
+       |  (tf_$i + $Bm25K1 * ($Bm25One - $Bm25B + $Bm25B * dl / (sdl / n_docs)))))""".stripMargin
+  }.mkString(" + ")
+
+  /** t_bm25: query-relevance scoring — the retrieval side of a corpus
+    * engine: rank documents against a term query with BM25 term
+    * saturation and length normalization (tf·(k1+1) / (tf + k1·(1−b+
+    * b·dl/avgdl))). The idf factor is the RATIONAL form
+    * (N−df+0.5)/(df+0.5) without the usual log — same deviation t_tfidf
+    * takes, because ln() is libm-implementation-dependent and would break
+    * bitwise oracle parity; it preserves the rare-term-beats-common-term
+    * ordering within each term (scores are not drop-in comparable to
+    * log-BM25 absolutes).
+    *
+    * Scale shape: per-doc tf/dl is one narrow pass; N/avgdl/df compress
+    * to ONE stats row broadcast back; top-20 rides the rank sort with
+    * LIMIT pushdown. Nothing corpus-sized shuffles. */
+  def tBm25(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+      .select(Seq(col("doc_id"), size(col("toks")).as("dl")) ++
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          size(expr(s"filter(toks, x -> x = '$t')")).as(s"tf_$i")
+        }: _*)
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("decimal(18,6)")).cast("double").as("sdl")) ++
+      Bm25Terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = perDoc.agg(aggs.head, aggs.tail: _*)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("score", expr(bm25ScoreSql))
+      .filter(col("score") > 0.0)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val tBm25Sql: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf_$i" }.mkString(",\n    ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(",\n    ")
+    val score = bm25ScoreSql
+    s"""WITH pd AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |st AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) AS sdl,
+       |    $dfCols
+       |  FROM pd)
+       |SELECT doc_id, score FROM (
+       |  SELECT doc_id, $score AS score FROM pd CROSS JOIN st)
+       |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   private val BpeMerges = 10
 
   /** t_bpe_train: tokenizer TRAINING — the first `BpeMerges` BPE merge
@@ -777,6 +850,7 @@ object Text {
     "t_bpe_train"   -> tBpeTrain _,
     "t_dup_spans"   -> tDupSpans _,
     "t_decontam_ngram" -> tDecontamNgram _,
+    "t_bm25"        -> tBm25 _,
     "t_encode"      -> tEncode _,
     "t_rep_filter"  -> tRepFilter _,
     "t_pack"        -> tPack _,
@@ -800,6 +874,7 @@ object Text {
     "t_bpe_train"   -> tBpeTrainSql,
     "t_dup_spans"   -> tDupSpansSql,
     "t_decontam_ngram" -> tDecontamNgramSql,
+    "t_bm25"        -> tBm25Sql,
     "t_encode"      -> tEncodeSql,
     "t_rep_filter"  -> tRepFilterSql,
     "t_pack"        -> tPackSql,
