@@ -87,6 +87,34 @@ class TextFunctionsSpec extends AnyFunSuite {
     info(s"plain sum drift: ${math.abs(plain1 - plain32)}")
   }
 
+  test("t_bm25 semantics: more query-term mass ranks higher; length normalization penalizes padding") {
+    val out = graft.queries.Text.tBm25(spark, "/root/testdata/sf0.001")
+      .as[(Long, Double)].collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // returned in descending score order, ties broken by doc_id
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) }, "rank order violated")
+    // every scored doc really contains a query term
+    val ids = out.map(_._1).toSet
+    val hasTerm = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .filter(lower(col("text")).rlike("\\b(hash|join|filter)\\b")).count()
+    assert(hasTerm == ids.size, "a scored doc lacks all query terms")
+  }
+
+  test("q_corr: sign and magnitude match a hand-built correlated dataset") {
+    // y = 2x exactly -> corr 1; y = -3x -> corr -1 (up to the 6-decimal pin)
+    val pos = (1 to 50).map(i => ("P", i.toDouble, 2.0 * i))
+    val neg = (1 to 50).map(i => ("N", i.toDouble, -3.0 * i))
+    val df = (pos ++ neg).toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val tmp = java.nio.file.Files.createTempDirectory("corr").toString
+    df.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val r = graft.queries.Relational2.qCorr(spark, tmp)
+      .select("l_returnflag", "corr_qty_price").as[(String, Double)].collect().toMap
+    assert(math.abs(r("P") - 1.0) < 1e-6, s"perfect positive, got ${r("P")}")
+    assert(math.abs(r("N") + 1.0) < 1e-6, s"perfect negative, got ${r("N")}")
+  }
+
   test("FreqSketch: candidates ⊇ true heavy hitters, ≤ k counters, exact total, any partitioning") {
     import spark.implicits._
     // hot 500 + warm 120 + 400 distinct singletons: N=1020, k=9 →
