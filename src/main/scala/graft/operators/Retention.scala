@@ -31,12 +31,16 @@ object Retention {
   /** One audit row per table — (table_name, n_total, n_purged, n_kept) —
     * each from a single scan (the broadcast left join marks hits; the
     * aggregate counts both sides at once). */
-  def audit(tables: Seq[Table], requests: DataFrame, reqKey: String): DataFrame =
+  def audit(tables: Seq[Table], requests: DataFrame, reqKey: String): DataFrame = {
+    require(tables.nonEmpty, "Retention.audit needs at least one table")
     tables.map { case (name, df, fk) =>
       df.select(col(fk))
         .join(reqKeys(requests, reqKey, fk).withColumn("__hit", lit(1L)), Seq(fk), "left")
-        .agg(count(lit(1)).as("n_total"), sum(coalesce(col("__hit"), lit(0L))).as("n_purged"))
+        // sum over ZERO rows is NULL — an empty table must still audit as 0
+        .agg(count(lit(1)).as("n_total"),
+          coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("n_purged"))
         .select(lit(name).as("table_name"), col("n_total"), col("n_purged"),
           (col("n_total") - col("n_purged")).as("n_kept"))
     }.reduce(_ unionAll _)
+  }
 }

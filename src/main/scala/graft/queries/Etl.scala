@@ -394,6 +394,10 @@ object Etl {
       .orderBy(col("table_name"))
   }
 
+  /** The orders leg counts purged rows by MEMBERSHIP in the customer-derived
+    * request set (EXISTS), exactly like Retention.purge — not by the bare
+    * `% 97` shortcut, which would silently bake an FK-integrity assumption
+    * into the oracle (an o_custkey with no customer row would diverge). */
   val eGdprPurgeSql: String =
     """SELECT table_name, n_total, n_purged, n_total - n_purged AS n_kept,
       |  CAST(0 AS BIGINT) AS n_orphans FROM (
@@ -401,7 +405,9 @@ object Etl {
       |    COUNT(*) FILTER (c_custkey % 97 = 0) AS n_purged FROM customer
       |  UNION ALL
       |  SELECT 'orders', COUNT(*),
-      |    COUNT(*) FILTER (o_custkey % 97 = 0) FROM orders)
+      |    COUNT(*) FILTER (EXISTS (SELECT 1 FROM customer c
+      |                             WHERE c.c_custkey % 97 = 0
+      |                               AND c.c_custkey = o_custkey)) FROM orders)
       |ORDER BY table_name""".stripMargin
 
   /** e_partition_overwrite: DYNAMIC partition overwrite — the

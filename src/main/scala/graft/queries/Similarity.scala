@@ -55,9 +55,12 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
     val bk = e.select(col("vec_id"), explode(EmbedLsh.bandKeys(col("embedding"))).as("bk"))
-    // the BOUNDED query set broadcasts; the corpus band table streams past
-    // it — at 100 TB the corpus side must never be the build side
-    val cands = broadcast(bk.filter(col("vec_id") % 10 === 0)
+    // the query set is BOUNDED by construction (≤200 ids at any corpus
+    // size), which is what justifies forcing it to be the broadcast build
+    // side — the corpus band table streams past it. A corpus-proportional
+    // query set must NOT take this hint: drop the broadcast and let the
+    // join degrade to a shuffle, which is then the correct plan.
+    val cands = broadcast(bk.filter(col("vec_id") % 10 === 0 && col("vec_id") < 2000)
         .select(col("vec_id").as("q_id"), col("bk")))
       .join(bk.select(col("vec_id").as("n_id"), col("bk")), Seq("bk"))
       .filter(col("q_id") =!= col("n_id"))
@@ -75,7 +78,7 @@ object Similarity {
     s"""WITH ${graft.dedup.EmbedLsh.bandsCteSql},
        |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
        |         FROM bk q JOIN bk c ON q.bk = c.bk
-       |         WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id)
+       |         WHERE q.vec_id % 10 = 0 AND q.vec_id < 2000 AND c.vec_id <> q.vec_id)
        |SELECT q_id, n_id, cos FROM (
        |  SELECT q_id, n_id, ${cosSql("eq.embedding", "ec.embedding")} AS cos
        |  FROM cand JOIN embeddings eq ON eq.vec_id = q_id

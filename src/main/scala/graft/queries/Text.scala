@@ -708,9 +708,12 @@ object Text {
     * ordering within each term (scores are not drop-in comparable to
     * log-BM25 absolutes).
     *
-    * Scale shape: per-doc tf/dl is one narrow pass; N/avgdl/df compress
-    * to ONE stats row broadcast back; top-20 rides the rank sort with
-    * LIMIT pushdown. Nothing corpus-sized shuffles. */
+    * Scale shape: per-doc tf/dl is computed in place (the repartition
+    * below is the local-split-spreading idiom for CPU-bound maps over a
+    * single parquet split — drop it on a real cluster, where it would be
+    * a corpus-sized shuffle); N/avgdl/df compress to ONE stats row
+    * broadcast back; top-20 rides the rank sort with LIMIT pushdown. The
+    * stats aggregation is the only inherent shuffle. */
   def tBm25(s: SparkSession, dir: String): DataFrame = {
     val perDoc = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))

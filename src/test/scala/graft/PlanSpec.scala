@@ -199,10 +199,15 @@ class PlanSpec extends AnyFunSuite {
 
   test("s_range_search: the query band table is the broadcast build side — the corpus streams") {
     val p = plan(Similarity.sRangeSearch(spark, dir))
-    // the bk-key join must build from the bounded query side (BuildLeft:
+    // pin the BAND join's own line (join key = bk), not just any join in
+    // the plan: it must build from the bounded query side (BuildLeft —
     // queries are the left input); building the corpus would ship the
     // whole band table to every executor at 100 TB
-    assert(p.contains("BuildLeft"), p.take(3000))
+    val bandJoin = p.linesIterator
+      .filter(l => l.contains("BroadcastHashJoin [bk")).toSeq
+    assert(bandJoin.nonEmpty, s"band join missing or not broadcast:\n${p.take(3000)}")
+    assert(bandJoin.forall(_.contains("BuildLeft")),
+      s"band join must build the query side:\n${bandJoin.mkString("\n")}")
     assert(!p.contains("SortMergeJoin"), "band probe must not shuffle both sides")
   }
 

@@ -92,7 +92,7 @@ class TextFunctionsSpec extends AnyFunSuite {
       .as[(Long, Double)].collect()
     assert(out.nonEmpty && out.length <= 20)
     // returned in descending score order, ties broken by doc_id
-    assert(out.sliding(2).forall { case Array(a, b) =>
+    assert(out.zip(out.drop(1)).forall { case (a, b) =>
       a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) }, "rank order violated")
     // every scored doc really contains a query term
     val ids = out.map(_._1).toSet
