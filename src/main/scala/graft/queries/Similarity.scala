@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.similarity.Knn
+import graft.similarity.{Kmeans, Knn}
 
 /** Similarity-search queries (SURVEY.md §2E). Output is (q_id, n_id, rank)
   * — ids only, because ranks are stable across engines (cosine is computed
@@ -176,11 +176,11 @@ object Similarity {
        |        ${dotSql("p.pv", "p.pv")} - 2 * ${dotSql("p.pv", "c.cv")} + ${dotSql("c.cv", "c.cv")}, c.c_id) AS rn
        |    FROM $pts p CROSS JOIN $cs c) WHERE rn = 1)""".stripMargin
 
-  private def kmRecenterCte(a: String, out: String): String =
+  private def kmRecenterCte(a: String, out: String, dim: Int = 64): String =
     s"""$out AS (
        |  SELECT c_id, list(sd ORDER BY d) AS cv FROM (
        |    SELECT c_id, d, CAST(SUM(CAST(pv[d] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS sd
-       |    FROM (SELECT c_id, pv, unnest(range(1, 65)) AS d FROM $a)
+       |    FROM (SELECT c_id, pv, unnest(range(1, ${dim + 1})) AS d FROM $a)
        |    GROUP BY c_id, d)
        |  GROUP BY c_id)""".stripMargin
 
@@ -226,7 +226,60 @@ object Similarity {
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** PQ shape: 64 dims → 4 subspaces × 16 dims, 4 codewords each, one
+    * Lloyd iteration from id-ordered seeds. */
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 4
+
+  /** s_pq: PRODUCT quantization — the vector-compression scheme real ANN
+    * stores run at 100 TB (a 64-dim float vector compresses to M=4 byte
+    * codes; distances approximate as sums of per-subspace codeword
+    * distances). Each subspace trains its own tiny codebook with the SAME
+    * deterministic Lloyd machinery as s_kmeans (id-ordered seeds,
+    * decimal-exact recentering, lexicographic argmin ties) and assigns
+    * every vector's subvector to its nearest codeword. Output: the code
+    * word per subspace per vector — the compressed representation itself.
+    *
+    * Scale shape: per subspace, training touches only 16 of 64 dims and
+    * the codebook is k rows (broadcast); assignment is one narrow
+    * cross-score + map-side argmin (no window). The M code columns join
+    * back on vec_id — same-key joins a real store would avoid by
+    * computing all M codes in one pass; at M=4 the join form keeps each
+    * subspace independently testable. */
+  def sPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val codes = (0 until PqM).map { m =>
+      val sub = e.select(col("vec_id"),
+        slice(col("embedding").cast("array<double>"), m * PqSubDim + 1, PqSubDim).as("emb"))
+      val centroids = Kmeans.fit(s, sub, "vec_id", "emb", PqK, iters = 1)
+      val points = sub.select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
+      Kmeans.assign(s, points, centroids)
+        .select(col("p_id").as("vec_id"), col("c_id").as(s"code_$m"))
+    }
+    codes.reduce(_.join(_, "vec_id")).orderBy(col("vec_id"))
+  }
+
+  val sPqSql: String = {
+    val sub = (0 until PqM).map { m =>
+      val (lo, hi) = (m * PqSubDim + 1, (m + 1) * PqSubDim)
+      s"""pts_$m AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding[$lo:$hi]] AS pv FROM embeddings),
+         |c0_$m AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding[$lo:$hi]] AS cv
+         |          FROM embeddings ORDER BY vec_id LIMIT $PqK),
+         |${kmAssignCte(s"pts_$m", s"c0_$m", s"a1_$m")},
+         |${kmRecenterCte(s"a1_$m", s"c1_$m", PqSubDim)},
+         |${kmAssignCte(s"pts_$m", s"c1_$m", s"f_$m")}""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 until PqM).map(m => s"JOIN f_$m ON f_$m.p_id = f_0.p_id").mkString(" ")
+    val outCols = (0 until PqM).map(m => s"f_$m.c_id AS code_$m").mkString(", ")
+    s"""WITH $sub
+       |SELECT f_0.p_id AS vec_id, $outCols
+       |FROM f_0 $joins
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_pq"        -> sPq _,
     "s_quantize"  -> sQuantize _,
     "s_knn_brute" -> sKnnBrute _,
     "s_range_search" -> sRangeSearch _,
@@ -235,6 +288,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s_pq"        -> sPqSql,
     "s_quantize"  -> sQuantizeSql,
     "s_knn_brute" -> sKnnBruteSql,
     "s_range_search" -> sRangeSearchSql,

@@ -61,6 +61,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .filter(col("batch_id") === col("corpus_id")).count() == 0)
   }
 
+  test("s_pq: every vector gets one code per subspace; codebooks actually partition the space") {
+    val out = graft.queries.Similarity.sPq(spark, "/root/testdata/sf0.001").cache()
+    val n = Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(out.count() == n, "one code row per vector")
+    for (m <- 0 until 4) {
+      val codes = out.select(s"code_$m").distinct().count()
+      assert(codes >= 2 && codes <= 4,
+        s"subspace $m must use between 2 and k=4 codewords, used $codes")
+    }
+    // compression is deterministic: a second run reproduces the codes
+    val again = graft.queries.Similarity.sPq(spark, "/root/testdata/sf0.001")
+    assert(out.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+  }
+
   test("containmentOnPairs: a contained doc scores c_ab=1.0 while jaccard stays low") {
     val quote = Seq(
       (10L, "alpha beta gamma delta epsilon"), // fully quoted inside 11
