@@ -247,39 +247,108 @@ object Similarity {
     * back on vec_id — same-key joins a real store would avoid by
     * computing all M codes in one pass; at M=4 the join form keeps each
     * subspace independently testable. */
-  def sPq(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val codes = (0 until PqM).map { m =>
+  /** Per-subspace (subvectors, trained codebook, code assignment) —
+    * shared by s_pq (emits the codes) and s_pq_search (scores through
+    * them). */
+  private def pqParts(s: SparkSession, e: DataFrame): Seq[(DataFrame, DataFrame, DataFrame)] =
+    (0 until PqM).map { m =>
       val sub = e.select(col("vec_id"),
         slice(col("embedding").cast("array<double>"), m * PqSubDim + 1, PqSubDim).as("emb"))
       val centroids = Kmeans.fit(s, sub, "vec_id", "emb", PqK, iters = 1)
       val points = sub.select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
-      Kmeans.assign(s, points, centroids)
+      val codes = Kmeans.assign(s, points, centroids)
         .select(col("p_id").as("vec_id"), col("c_id").as(s"code_$m"))
+      (sub, centroids, codes)
     }
-    codes.reduce(_.join(_, "vec_id")).orderBy(col("vec_id"))
-  }
+
+  def sPq(s: SparkSession, dir: String): DataFrame =
+    pqParts(s, Tables.embeddings(s, dir)).map(_._3)
+      .reduce(_.join(_, "vec_id")).orderBy(col("vec_id"))
+
+  /** Per-subspace training CTEs (pts_m, seed c0_m, one Lloyd round to
+    * c1_m, final assignment f_m) — the SQL mirror of pqParts. */
+  private val pqCtesSql: String = (0 until PqM).map { m =>
+    val (lo, hi) = (m * PqSubDim + 1, (m + 1) * PqSubDim)
+    s"""pts_$m AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding[$lo:$hi]] AS pv FROM embeddings),
+       |c0_$m AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding[$lo:$hi]] AS cv
+       |          FROM embeddings ORDER BY vec_id LIMIT $PqK),
+       |${kmAssignCte(s"pts_$m", s"c0_$m", s"a1_$m")},
+       |${kmRecenterCte(s"a1_$m", s"c1_$m", PqSubDim)},
+       |${kmAssignCte(s"pts_$m", s"c1_$m", s"f_$m")}""".stripMargin
+  }.mkString(",\n")
 
   val sPqSql: String = {
-    val sub = (0 until PqM).map { m =>
-      val (lo, hi) = (m * PqSubDim + 1, (m + 1) * PqSubDim)
-      s"""pts_$m AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding[$lo:$hi]] AS pv FROM embeddings),
-         |c0_$m AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding[$lo:$hi]] AS cv
-         |          FROM embeddings ORDER BY vec_id LIMIT $PqK),
-         |${kmAssignCte(s"pts_$m", s"c0_$m", s"a1_$m")},
-         |${kmRecenterCte(s"a1_$m", s"c1_$m", PqSubDim)},
-         |${kmAssignCte(s"pts_$m", s"c1_$m", s"f_$m")}""".stripMargin
-    }.mkString(",\n")
     val joins = (1 until PqM).map(m => s"JOIN f_$m ON f_$m.p_id = f_0.p_id").mkString(" ")
     val outCols = (0 until PqM).map(m => s"f_$m.c_id AS code_$m").mkString(", ")
-    s"""WITH $sub
+    s"""WITH $pqCtesSql
        |SELECT f_0.p_id AS vec_id, $outCols
        |FROM f_0 $joins
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** s_pq_search: ADC (asymmetric distance computation) top-k through the
+    * PQ codes — how a 100 TB ANN store actually scores: the corpus is
+    * touched ONLY as M byte codes per vector; each query precomputes an
+    * M×k lookup table of exact query-subvector↔codeword distances (|Q|·M·k
+    * rows — broadcastable by construction), and every vector's
+    * approximate distance is a k-bounded sum of LUT entries. The ranked
+    * result flows through the custom TopKPerKey operator, so the shuffle
+    * carries ≤ |Q|·k rows. Approximation lives in the PQ algorithm; the
+    * execution is deterministic and exactly mirrored by the oracle. */
+  def sPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val parts = pqParts(s, Tables.embeddings(s, dir))
+    val luts = parts.zipWithIndex.map { case ((sub, centroids, _), m) =>
+      sub.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_vec"))
+        .crossJoin(broadcast(centroids))
+        .withColumn(s"d_$m", expr(
+          "dot_product(q_vec, q_vec) - 2 * dot_product(q_vec, c_vec) + dot_product(c_vec, c_vec)"))
+        .select(col("q_id"), col("c_id").as(s"code_$m"), col(s"d_$m"))
+    }
+    val codes = parts.map(_._3).reduce(_.join(_, "vec_id"))
+    val scored = luts.zipWithIndex.foldLeft(codes) { case (df, (lut, m)) =>
+      val keys = if (m == 0) Seq(s"code_$m") else Seq("q_id", s"code_$m")
+      df.join(broadcast(lut), keys)
+    }
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (0 until PqM).map(m => col(s"d_$m")).reduce(_ + _).as("ad"))
+    val top = graft.plans.TopK.perKey(scored, Seq("q_id"),
+      Seq(col("ad").asc, col("n_id").asc), 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ad"), col("n_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("q_id"), col("n_id"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val sPqSearchSql: String = {
+    val luts = (0 until PqM).map { m =>
+      s"""lut_$m AS (
+         |  SELECT q.p_id AS q_id, c.c_id, ${dotSql("q.pv", "q.pv")} - 2 * ${dotSql("q.pv", "c.cv")} + ${dotSql("c.cv", "c.cv")} AS d_$m
+         |  FROM (SELECT p_id, pv FROM pts_$m WHERE p_id % 50 = 0) q CROSS JOIN c1_$m c)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until PqM).map(m => s"JOIN f_$m ON f_$m.p_id = f_0.p_id").mkString(" ")
+    val lutJoins = (0 until PqM).map { m =>
+      if (m == 0) s"JOIN lut_0 ON lut_0.c_id = f_0.c_id"
+      else s"JOIN lut_$m ON lut_$m.q_id = lut_0.q_id AND lut_$m.c_id = f_$m.c_id"
+    }.mkString(" ")
+    val adSum = (0 until PqM).map(m => s"lut_$m.d_$m").mkString(" + ")
+    s"""WITH $pqCtesSql,
+       |$luts,
+       |scored AS (
+       |  SELECT lut_0.q_id, f_0.p_id AS n_id, $adSum AS ad
+       |  FROM f_0 $codeJoins $lutJoins
+       |  WHERE f_0.p_id <> lut_0.q_id)
+       |SELECT q_id, n_id, rnk FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, n_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_pq"        -> sPq _,
+    "s_pq_search" -> sPqSearch _,
     "s_quantize"  -> sQuantize _,
     "s_knn_brute" -> sKnnBrute _,
     "s_range_search" -> sRangeSearch _,
@@ -289,6 +358,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s_pq"        -> sPqSql,
+    "s_pq_search" -> sPqSearchSql,
     "s_quantize"  -> sQuantizeSql,
     "s_knn_brute" -> sKnnBruteSql,
     "s_range_search" -> sRangeSearchSql,

@@ -75,6 +75,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
   }
 
+  test("s_pq_search: contiguous ranks from 1, at most k per query, never self") {
+    val out = graft.queries.Similarity.sPqSearch(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (q, n, _) => q != n }, "self-match leaked through")
+    for ((q, rows) <- out.groupBy(_._1)) {
+      val rnks = rows.map(_._3).sorted.toSeq
+      assert(rnks == (1 to rnks.size) && rnks.size <= 5, s"ranks broken for q=$q: $rnks")
+    }
+  }
+
   test("containmentOnPairs: a contained doc scores c_ab=1.0 while jaccard stays low") {
     val quote = Seq(
       (10L, "alpha beta gamma delta epsilon"), // fully quoted inside 11
