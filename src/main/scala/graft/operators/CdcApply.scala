@@ -20,13 +20,32 @@ object CdcApply {
     * @return the surviving final state: key + attrs of each key's last
     *         change, excluding keys whose last change is a delete. */
   def apply(changelog: DataFrame, keyCols: Seq[String], opCol: String,
-      orderCol: String, tieCol: String, attrs: Seq[String]): DataFrame = {
+      orderCol: String, tieCol: String, attrs: Seq[String]): DataFrame =
+    liveView(foldState(None, changelog, keyCols, opCol, orderCol, tieCol, attrs),
+      keyCols, opCol, orderCol, attrs)
+
+  /** Incremental micro-batch fold: compact state ∪ batch to each key's
+    * latest change, KEEPING delete tombstones in state — a delete must
+    * keep shadowing older changes that arrive late or already sit in
+    * state (dropping it would resurrect them on the next fold). The
+    * reduction keys on (orderCol, tieCol) max-wins, so it is insensitive
+    * to arrival order and batch boundaries — any micro-batching of the
+    * same changelog converges to the same state (StreamingSpec streams
+    * one). O(|state| + |batch|) per fold; one shuffle on the key. */
+  def foldState(state: Option[DataFrame], batch: DataFrame, keyCols: Seq[String],
+      opCol: String, orderCol: String, tieCol: String, attrs: Seq[String]): DataFrame = {
+    val cols = (keyCols ++ Seq(opCol, orderCol, tieCol) ++ attrs).map(col)
+    val incoming = batch.filter(col(opCol).isin(Insert, Update, Delete)).select(cols: _*)
+    val all = state.fold(incoming)(_.unionByName(incoming))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(orderCol).desc, col(tieCol).desc)
-    changelog
-      .filter(col(opCol).isin(Insert, Update, Delete))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col(opCol) =!= Delete)
-      .select((keyCols ++ attrs :+ orderCol).map(col): _*)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** The queryable face of a folded state: tombstones drop out. */
+  def liveView(state: DataFrame, keyCols: Seq[String], opCol: String,
+      orderCol: String, attrs: Seq[String]): DataFrame =
+    state.filter(col(opCol) =!= Delete)
+      .select((keyCols ++ attrs :+ orderCol).map(col): _*)
 }

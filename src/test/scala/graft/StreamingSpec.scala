@@ -83,6 +83,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch), "every emitted enriched window must match batch")
   }
 
+  test("streaming CDC: micro-batch foldState converges to the batch compaction, any batching") {
+    import graft.operators.CdcApply
+    val changelog = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("op",
+        when(col("event_type") === "signup", CdcApply.Insert)
+          .when(col("event_type") === "purchase", CdcApply.Update)
+          .when(col("event_type") === "error", CdcApply.Delete))
+      .select("user_id", "op", "ts_us", "event_id", "value")
+    // three files, streamed one per micro-batch (discovery order arbitrary
+    // — the fold's max-wins reduction must not care)
+    val d = java.nio.file.Files.createTempDirectory("cdc-stream")
+    changelog.filter(col("event_id") % 3 === 0).coalesce(1).write.parquet(s"$d/f0")
+    changelog.filter(col("event_id") % 3 === 1).coalesce(1).write.parquet(s"$d/f1")
+    changelog.filter(col("event_id") % 3 === 2).coalesce(1).write.parquet(s"$d/f2")
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = spark.readStream.schema(changelog.schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$d/f*")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // localCheckpoint truncates the per-fold lineage (same pattern as
+        // the IncrementalAgg foreachBatch spec)
+        state = Some(CdcApply.foldState(state, b,
+          Seq("user_id"), "op", "ts_us", "event_id", Seq("value")).localCheckpoint())
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = CdcApply.liveView(state.get, Seq("user_id"), "op", "ts_us", Seq("value"))
+      .collect().map(_.toSeq).toSet
+    val batch = CdcApply(changelog, Seq("user_id"), "op", "ts_us", "event_id", Seq("value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streamed CDC state diverged: ${streamed.size} vs ${batch.size} rows")
+  }
+
   test("streaming store: foreachBatch upserts windowed aggregates into JDBC, replay-safe") {
     // the streaming face of the reference's store flow: watermark-closed
     // hourly windows land in the database through the staged upsert sink;
