@@ -755,6 +755,62 @@ object Text {
        |WHERE score > 0.0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  private val FeatureHashDim = 64
+
+  /** t_feature_hash: the hashing-trick featurizer — every document maps to
+    * a FIXED 64-dim signed token-count vector (index = md5(token) mod dim,
+    * sign = one more md5 bit, à la Weinberger et al.) with no vocabulary
+    * pass and no driver state: the classic way to featurize unbounded text
+    * at 100 TB (collisions are the accepted trade). Bridges the text stack
+    * to the vector stack: the output dimension matches the embeddings
+    * width, so these vectors feed Knn/EmbedLsh/IvfIndex unchanged.
+    *
+    * Integer-exact end to end (signed counts), so the gate hashes the full
+    * vector fingerprint. Scale shape: explode → (doc, idx) partial-agg →
+    * per-doc assembly; shuffles carry (doc_id, idx, count) triples, never
+    * token text. Zero-token docs produce the zero vector (left join). */
+  def tFeatureHash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val idx = conv(substring(md5(col("token")), 1, 15), 16, 10)
+      .cast("long") % FeatureHashDim
+    val sv = when(conv(substring(md5(col("token")), 16, 1), 16, 10)
+      .cast("long") % 2 === 0, 1L).otherwise(-1L)
+    val entries = toks.select(col("doc_id"), idx.as("idx"), sv.as("sv"))
+      .groupBy(col("doc_id"), col("idx")).agg(sum(col("sv")).as("v"))
+      .groupBy(col("doc_id")).agg(collect_list(struct(col("idx"), col("v"))).as("es"))
+    docs.select(col("doc_id")).join(entries, Seq("doc_id"), "left")
+      .withColumn("es", coalesce(col("es"),
+        expr("cast(array() as array<struct<idx:bigint,v:bigint>>)")))
+      .withColumn("vec", expr(
+        s"transform(sequence(0, ${FeatureHashDim - 1}), i -> coalesce(aggregate(filter(es, e -> e.idx = i), 0L, (a, x) -> a + x.v), 0L))"))
+      .select(col("doc_id"),
+        size(expr("filter(vec, x -> x != 0)")).as("nnz"),
+        expr("aggregate(vec, 0L, (a, x) -> a + abs(x))").as("l1"),
+        md5(concat_ws(",", expr("transform(vec, x -> cast(x AS string))"))).as("vec_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tFeatureHashSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |e AS (
+       |  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT % $FeatureHashDim AS idx,
+       |    SUM(CASE WHEN ('0x' || substr(md5(token), 16, 1))::BIGINT % 2 = 0
+       |             THEN 1 ELSE -1 END) AS v
+       |  FROM tok GROUP BY doc_id, idx),
+       |g AS (SELECT doc_id, list(struct_pack(idx := idx, v := v)) AS es FROM e GROUP BY doc_id),
+       |vec AS (
+       |  SELECT d.doc_id,
+       |    [coalesce(list_sum([x.v for x in coalesce(g.es, []) if x.idx = i]), 0)
+       |     for i in range(0, $FeatureHashDim)] AS vec
+       |  FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(vec, x -> x <> 0)) AS INT) AS nnz,
+       |  CAST(list_sum(list_transform(vec, x -> abs(x))) AS BIGINT) AS l1,
+       |  md5(array_to_string(vec, ',')) AS vec_fp
+       |FROM vec ORDER BY doc_id""".stripMargin
+
   private val BpeMerges = 10
 
   /** t_bpe_train: tokenizer TRAINING — the first `BpeMerges` BPE merge
@@ -854,6 +910,7 @@ object Text {
     "t_dup_spans"   -> tDupSpans _,
     "t_decontam_ngram" -> tDecontamNgram _,
     "t_bm25"        -> tBm25 _,
+    "t_feature_hash" -> tFeatureHash _,
     "t_encode"      -> tEncode _,
     "t_rep_filter"  -> tRepFilter _,
     "t_pack"        -> tPack _,
@@ -878,6 +935,7 @@ object Text {
     "t_dup_spans"   -> tDupSpansSql,
     "t_decontam_ngram" -> tDecontamNgramSql,
     "t_bm25"        -> tBm25Sql,
+    "t_feature_hash" -> tFeatureHashSql,
     "t_encode"      -> tEncodeSql,
     "t_rep_filter"  -> tRepFilterSql,
     "t_pack"        -> tPackSql,
