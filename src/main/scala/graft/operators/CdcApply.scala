@@ -31,16 +31,26 @@ object CdcApply {
     * reduction keys on (orderCol, tieCol) max-wins, so it is insensitive
     * to arrival order and batch boundaries — any micro-batching of the
     * same changelog converges to the same state (StreamingSpec streams
-    * one). O(|state| + |batch|) per fold; one shuffle on the key. */
+    * one). O(|state| + |batch|) per fold; one shuffle on the key.
+    *
+    * Retention: without a horizon, state grows with ALL keys ever seen —
+    * on a high-churn 100 TB changelog the tombstone set dominates. Pass
+    * `tombstoneHorizon` = the source's replay watermark (no change older
+    * than it can still arrive): tombstones whose orderCol sits below it
+    * have nothing left to shadow and are dropped after the compaction,
+    * bounding state by |live keys| + |recent deletes|. */
   def foldState(state: Option[DataFrame], batch: DataFrame, keyCols: Seq[String],
-      opCol: String, orderCol: String, tieCol: String, attrs: Seq[String]): DataFrame = {
+      opCol: String, orderCol: String, tieCol: String, attrs: Seq[String],
+      tombstoneHorizon: Option[Column] = None): DataFrame = {
     val cols = (keyCols ++ Seq(opCol, orderCol, tieCol) ++ attrs).map(col)
     val incoming = batch.filter(col(opCol).isin(Insert, Update, Delete)).select(cols: _*)
     val all = state.fold(incoming)(_.unionByName(incoming))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(orderCol).desc, col(tieCol).desc)
-    all.withColumn("__rn", row_number().over(w))
+    val compacted = all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    tombstoneHorizon.fold(compacted)(h =>
+      compacted.filter(col(opCol) =!= Delete || col(orderCol) >= h))
   }
 
   /** The queryable face of a folded state: tombstones drop out. */

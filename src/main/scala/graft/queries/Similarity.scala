@@ -298,11 +298,10 @@ object Similarity {
   def sPqSearch(s: SparkSession, dir: String): DataFrame = {
     val parts = pqParts(s, Tables.embeddings(s, dir))
     val luts = parts.zipWithIndex.map { case ((sub, centroids, _), m) =>
-      sub.filter(col("vec_id") % 50 === 0)
+      queriesSubset(sub)
         .select(col("vec_id").as("q_id"), col("emb").as("q_vec"))
         .crossJoin(broadcast(centroids))
-        .withColumn(s"d_$m", expr(
-          "dot_product(q_vec, q_vec) - 2 * dot_product(q_vec, c_vec) + dot_product(c_vec, c_vec)"))
+        .withColumn(s"d_$m", Kmeans.sqEuclideanExpr("q_vec", "c_vec"))
         .select(col("q_id"), col("c_id").as(s"code_$m"), col(s"d_$m"))
     }
     val codes = parts.map(_._3).reduce(_.join(_, "vec_id"))

@@ -27,12 +27,17 @@ object Kmeans {
     * iteration. A NULL distance (degenerate vector) is coalesced to +∞ so
     * the row still lands in a deterministic bucket instead of being dropped
     * by min_by's NULL-skipping. */
+  /** Squared euclidean via the codegen'd dot products: |p|²−2p·c+|c|² —
+    * ONE definition of the term order, because every consumer's oracle
+    * parity (s_kmeans, s_knn_ivf, s_pq, s_pq_search) depends on all
+    * engine-side copies folding in exactly this shape. */
+  def sqEuclideanExpr(p: String, c: String): org.apache.spark.sql.Column =
+    expr(s"dot_product($p, $p) - 2 * dot_product($p, $c) + dot_product($c, $c)")
+
   def assign(spark: SparkSession, points: DataFrame, centroids: DataFrame): DataFrame = {
     VectorExpressions.register(spark)
     points.crossJoin(broadcast(centroids))
-      // squared euclidean via the codegen'd dot products: |p|²-2p·c+|c|²
-      .withColumn("d",
-        expr("dot_product(p_vec, p_vec) - 2 * dot_product(p_vec, c_vec) + dot_product(c_vec, c_vec)"))
+      .withColumn("d", sqEuclideanExpr("p_vec", "c_vec"))
       .groupBy(col("p_id"))
       .agg(min_by(struct(col("p_vec"), col("c_id"), col("c_vec"), col("d")),
         struct(coalesce(col("d"), lit(Double.MaxValue)), col("c_id"))).as("b"))

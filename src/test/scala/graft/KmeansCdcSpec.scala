@@ -22,6 +22,24 @@ class KmeansCdcSpec extends AnyFunSuite {
     assert(out == Map(1L -> 2.0, 3L -> 7.0, 4L -> 6.0))
   }
 
+  test("CdcApply.foldState: tombstones shadow late arrivals, then expire below the horizon") {
+    import org.apache.spark.sql.functions.lit
+    val b1 = Seq((1L, "I", 10L, 1L, 1.0), (2L, "D", 30L, 2L, 0.0)).toDF("k", "op", "ts", "id", "v")
+    val b2 = Seq((2L, "U", 20L, 3L, 9.0)).toDF("k", "op", "ts", "id", "v") // LATE: older than the delete
+    val s1 = CdcApply.foldState(None, b1, Seq("k"), "op", "ts", "id", Seq("v"))
+    val s2 = CdcApply.foldState(Some(s1), b2, Seq("k"), "op", "ts", "id", Seq("v"))
+    val live = CdcApply.liveView(s2, Seq("k"), "op", "ts", Seq("v"))
+      .select("k").as[Long].collect().toSet
+    assert(live == Set(1L), "the kept tombstone must shadow the late update")
+    // horizon at ts=31: no change older than 31 can still arrive, so the
+    // delete (ts=30) has nothing left to shadow and leaves state
+    val s3 = CdcApply.foldState(Some(s2),
+      b2.filter(lit(false)), Seq("k"), "op", "ts", "id", Seq("v"),
+      tombstoneHorizon = Some(lit(31L)))
+    assert(s3.filter($"op" === "D").count() == 0, "expired tombstone must drop")
+    assert(s3.count() == 1)
+  }
+
   test("VectorDecimalSum: exact vs BigDecimal reference, partitioning-invariant, one agg column at dim=512") {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val dim = 512
