@@ -20,6 +20,14 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("driver contract: every gate query has an oracle, every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+    assert((q -- o).isEmpty,
+      s"queries without an oracle (driver records only a weak rows-only check): ${(q -- o).toSeq.sorted}")
+  }
+
   test("q6: all three predicates push into the parquet scan; schema pruned to 4 columns") {
     val f = formatted(Relational.q6(spark, dir))
     assert(f.contains("PushedFilters:") && f.contains("l_shipdate"), f)
