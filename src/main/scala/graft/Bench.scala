@@ -19,11 +19,12 @@ object Bench {
     // measure the query, not first-use costs.
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => fn(spark, sfDir).queryExecution.toRdd.count())
-    // min over SPARK_GRAFT_BENCH_RUNS runs (default 2): this sandbox shares
+    // min over SPARK_GRAFT_BENCH_RUNS runs (default 3): this sandbox shares
     // CPUs, and one-shot timings have shown 2-4x contention inflation on
-    // individual queries across rounds; the per-query min is a far better
-    // estimate of the plan's cost than any single sample.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // individual queries across rounds (r5: d_components 15.7 s single-run
+    // vs 2.98 s min-of-3); the per-query min is a far better estimate of
+    // the plan's cost than any single sample.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b limits the run for local perf
     // iteration (same contract as Verify's SPARK_GRAFT_ONLY; driver never
     // sets it, so the round bench always measures the full surface)
@@ -55,27 +56,37 @@ object Bench {
       // plausible-looking min time
       name -> (if (times.size < runs) -1.0 else times.min)
     }
-    // 3-decimal (ms) precision: full-precision doubles made the line ~2.9 KB
-    // and the driver's bounded TAIL capture cut its head (BENCH_r03/r04
-    // parsed:null). ~1.6 KB fits the capture window with room to spare.
     // Locale.ROOT: a comma-decimal default locale would format "0,123"
     // and corrupt the JSON
     def f(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def jsonLine(rs: Seq[(String, Double)], extra: String): String = {
+      val qs = rs.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
+    }
+    // Full per-query map → the canonical FILE. The printed line keeps only
+    // the 40 most expensive queries and folds the rest into one "other"
+    // bucket: with 119 queries the full map is ~2.6 KB and the driver's
+    // bounded TAIL capture cut its head (BENCH_r03/r04/r05 parsed:null);
+    // the compact line stays well under 1.5 KB at any future surface size.
+    val fullLine = jsonLine(results, "")
+    val (top, rest) = results.sortBy { case (_, v) => -v }.splitAt(40)
+    val failed = rest.count(_._2 < 0)
+    val compactLine =
+      if (rest.isEmpty) fullLine
+      else jsonLine(top.sortBy(_._1),
+        s""","other":${f(rest.map(_._2).filter(_ >= 0).sum)},"other_n":${rest.size},"other_failed":$failed""")
     // a filtered run must never clobber the canonical full-surface file
     val defaultOut = if (only.isDefined) "/tmp/BENCH_FILTERED.json" else "BENCH_LOCAL.json"
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
     // stop() BEFORE printing: the JSON stays the final stdout line, so a
     // tail capture keeps it intact; the file above is the canonical copy.
     spark.stop()
-    println(line)
-    System.err.println(line)
+    println(compactLine)
+    System.err.println(compactLine)
   }
 }

@@ -40,14 +40,37 @@ object IncrementalDedup {
     bandsOf(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$path/bands/batch=base")
 
+  /** Crashed staging attempts older than this are garbage-collected by the
+    * next append — generous enough that no live writer's staging job still
+    * runs when its dir becomes eligible. */
+  val StagingGcMs: Long = 6 * 60 * 60 * 1000L
+
   /** Ingest a batch's band keys into the store (crash-safe, idempotent).
-    * Call AFTER probing the batch so a document never pairs with itself. */
+    * Call AFTER probing the batch so a document never pairs with itself.
+    *
+    * Concurrency: each attempt stages under its OWN uuid dir, so two
+    * concurrent appends never clobber each other's in-flight files; stale
+    * dirs from crashed attempts are GC'd by age instead of by name. Two
+    * concurrent appends that BOTH carry the same new doc_id can still each
+    * pass the anti-join and land duplicate band rows — harmless for
+    * retrieval (probe() distincts candidate pairs) and folded away by the
+    * next compact(); the anti-join guarantees exactly-once only per
+    * serialized replay, which is the crash-retry contract. */
   def appendToStore(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val staging = new Path(s"$path/_staging_append")
-    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(staging, true) // clear any crashed prior attempt's leftovers
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    // GC stale staging dirs (crashed append OR compact attempts) by age —
+    // never by name, a fixed name would race a live concurrent writer
+    if (fs.exists(base)) {
+      val cutoff = System.currentTimeMillis() - StagingGcMs
+      fs.listStatus(base).foreach { st =>
+        if (st.getPath.getName.startsWith("_staging_") &&
+            st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+      }
+    }
+    val staging = new Path(s"$path/_staging_append_${java.util.UUID.randomUUID()}")
     val existing = readBands(spark, path).select(col("doc_id").as(idCol)).distinct()
     val fresh = batch.join(existing, Seq(idCol), "left_anti")
     if (fresh.isEmpty) return // fully-replayed batch: nothing fresh to land
@@ -55,6 +78,65 @@ object IncrementalDedup {
     // one atomic directory rename commits the WHOLE batch or nothing
     val live = new Path(s"$path/bands/batch=${java.util.UUID.randomUUID()}")
     require(fs.rename(staging, live), s"rename $staging -> $live failed")
+  }
+
+  /** Fold the accreted `batch=<uuid>` partitions into ONE compacted batch —
+    * per-ingest appends otherwise accrete directories (and small files)
+    * forever, which at 100 TB means listing pressure and a task per sliver.
+    *
+    * The store stays READABLE at every instant: the folded rows land first
+    * as a new `batch=compact-<uuid>` partition through the same staging +
+    * atomic-rename commit as appendToStore, and the source partitions are
+    * deleted only afterwards. A crash before the rename leaves the old
+    * layout untouched (stale staging GC'd by age); a crash between the
+    * rename and the deletes leaves old+new visible — duplicate (doc_id, bk)
+    * rows, which probe() distincts away and the next compact() folds (the
+    * fold itself distincts). Only partitions present at snapshot time are
+    * folded, so a concurrent append's partition is never touched.
+    *
+    * @return number of source partitions folded (0 = nothing to do). */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.hadoop.fs.Path
+    val bandsDir = new Path(s"$path/bands")
+    val fs = bandsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(bandsDir)) return 0
+    val parts = fs.listStatus(bandsDir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (parts.length <= 1) return 0
+    val bytes = parts.map(st => fs.getContentSummary(st.getPath).getLength).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val folded = spark.read.parquet(parts.map(_.getPath.toString): _*)
+      .select(col("doc_id"), col("bk")).distinct()
+      .repartition(nFiles, col("bk")).sortWithinPartitions("bk")
+    val staging = new Path(s"$path/_staging_compact_${java.util.UUID.randomUUID()}")
+    folded.write.mode("overwrite").option("compression", "zstd").parquet(staging.toString)
+    val live = new Path(s"$path/bands/batch=compact-${java.util.UUID.randomUUID()}")
+    require(fs.rename(staging, live), s"rename $staging -> $live failed")
+    parts.foreach(st => fs.delete(st.getPath, true))
+    parts.length
+  }
+
+  /** Export the band table as a bucketBy(bk) CATALOG table — the README's
+    * scale lever: against a catalog-bucketed store, the probe join shuffles
+    * ONLY the batch side; the corpus side reads pre-bucketed on bk with no
+    * exchange (ScaleToolsSpec proves the shape for bucketed joins). Pair
+    * with probeTable. */
+  def compactToBucketedTable(spark: SparkSession, path: String,
+      table: String, buckets: Int): Unit =
+    readBands(spark, path).write.mode("overwrite")
+      .bucketBy(buckets, "bk").sortBy("bk")
+      .option("compression", "zstd").format("parquet").saveAsTable(table)
+
+  /** probe() against a bucketed catalog store (compactToBucketedTable). */
+  def probeTable(spark: SparkSession, table: String, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val stored = spark.table(table).select(col("doc_id").as("corpus_id"), col("bk"))
+    bandsOf(batch, idCol, textCol)
+      .select(col("doc_id").as("batch_id"), col("bk"))
+      .join(stored, Seq("bk"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
   }
 
   /** Candidate near-dup pairs between a new batch and the stored corpus:

@@ -56,7 +56,12 @@ object Anomaly {
   }
 
   /** Rows exceeding the threshold, annotated with their z-score. Keeps the
-    * input columns; adds `zscore`. */
+    * input columns; adds `zscore`. The THRESHOLD test runs on the raw
+    * double (symmetric boundary), but the EMITTED zscore is pinned to 6
+    * decimals (OracleParity.x6): z is derived from decimal moment sums
+    * whose double conversion can round apart by an ulp between engines
+    * once per-group Σx² outgrows 2^53 in 6-decimal units — the same
+    * rationale as qCorr's pinned moments. */
   def flag(df: DataFrame, spec: Spec): DataFrame = {
     val st = stats(df, spec)
     val joined = // empty groupCols = global stats (1-row broadcast)
@@ -65,6 +70,7 @@ object Anomaly {
     joined
       .withColumn("zscore", zOf(col(spec.valueCol), col("n"), col("s1"), col("s2")))
       .filter(abs(col("zscore")) > spec.k)
+      .withColumn("zscore", graft.functions.OracleParity.x6(col("zscore")))
       .drop("n", "s1", "s2")
   }
 
@@ -83,7 +89,8 @@ object Anomaly {
        |    CAST(SUM(CAST($valueCol AS DECIMAL(18,6))) AS DOUBLE) AS s1,
        |    CAST(SUM(CAST($valueCol * $valueCol AS DECIMAL(24,6))) AS DOUBLE) AS s2
        |  FROM $table$groupBy)
-       |SELECT ${outCols.mkString(", ")}, zscore FROM (
+       |SELECT ${outCols.mkString(", ")},
+       |  CAST(CAST(zscore AS DECIMAL(18,6)) AS DOUBLE) AS zscore FROM (
        |  SELECT e.*, $z AS zscore FROM $table e $join)
        |WHERE abs(zscore) > $k ORDER BY $orderBy""".stripMargin
   }

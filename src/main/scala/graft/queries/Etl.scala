@@ -376,9 +376,12 @@ object Etl {
     * c_custkey ≡ 0 mod 97 here) are hard-deleted from the customer table
     * and the delete CASCADES through orders via the FK, with a per-table
     * audit of totals/purged/kept. The request list broadcasts; each table
-    * pays one narrow scan — nothing shuffles. The gate emits the audit
-    * plus an in-query orphan proof: orders surviving the purge must
-    * reference zero purged customers. */
+    * pays one narrow scan — nothing shuffles. The orphan proof is derived
+    * from an INDEPENDENT path — kept orders anti-joined against the kept
+    * customer rows themselves, not against the request list the orders leg
+    * was purged with — so a cross-table inconsistency (the two legs purging
+    * different key sets) surfaces as n_orphans > 0 instead of being
+    * tautologically 0 by anti-join/semi-join symmetry. */
   def eGdprPurge(s: SparkSession, dir: String): DataFrame = {
     val requests = Tables.customer(s, dir)
       .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
@@ -386,8 +389,10 @@ object Etl {
       ("customer", Tables.customer(s, dir), "c_custkey"),
       ("orders", Tables.orders(s, dir), "o_custkey"))
     val keptOrders = Retention.purge(Tables.orders(s, dir), "o_custkey", requests, "c_custkey")
+    val keptCustomers = Retention.purge(Tables.customer(s, dir), "c_custkey", requests, "c_custkey")
     val orphans = keptOrders
-      .join(requests.withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"), "left_semi")
+      .join(broadcast(keptCustomers.select(col("c_custkey").as("o_custkey"))),
+        Seq("o_custkey"), "left_anti")
       .agg(count(lit(1)).as("n_orphans"))
     Retention.audit(tables, requests, "c_custkey")
       .crossJoin(broadcast(orphans))
@@ -397,10 +402,17 @@ object Etl {
   /** The orders leg counts purged rows by MEMBERSHIP in the customer-derived
     * request set (EXISTS), exactly like Retention.purge — not by the bare
     * `% 97` shortcut, which would silently bake an FK-integrity assumption
-    * into the oracle (an o_custkey with no customer row would diverge). */
+    * into the oracle (an o_custkey with no customer row would diverge).
+    * n_orphans is COMPUTED (kept orders with no surviving customer row),
+    * mirroring the independent cross-table check, not a literal 0. */
   val eGdprPurgeSql: String =
     """SELECT table_name, n_total, n_purged, n_total - n_purged AS n_kept,
-      |  CAST(0 AS BIGINT) AS n_orphans FROM (
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                     WHERE c.c_custkey % 97 = 0 AND c.c_custkey = o.o_custkey)
+      |     AND NOT EXISTS (SELECT 1 FROM customer c2
+      |                     WHERE c2.c_custkey % 97 <> 0 AND c2.c_custkey = o.o_custkey)
+      |  ) AS n_orphans FROM (
       |  SELECT 'customer' AS table_name, COUNT(*) AS n_total,
       |    COUNT(*) FILTER (c_custkey % 97 = 0) AS n_purged FROM customer
       |  UNION ALL

@@ -6,10 +6,15 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.similarity.{Kmeans, Knn}
 
-/** Similarity-search queries (SURVEY.md §2E). Output is (q_id, n_id, rank)
-  * — ids only, because ranks are stable across engines (cosine is computed
-  * with the identical fold order on both sides, and ties break on n_id)
-  * while raw floats in output would be fragile for no benefit. */
+/** Similarity-search queries (SURVEY.md §2E). Top-k queries emit
+  * (q_id, n_id, rank) — ids and ranks, stable across engines because
+  * cosine is computed with the identical fold order on both sides and
+  * ties break on n_id. Raw doubles ARE allowed in output when (and only
+  * when) the producing expression is fold-order-pinned on both engines —
+  * s_range_search's `cos` (left-fold CosineSim vs list_reduce) is the
+  * pattern; d_containment's integer-derived ratios are the other safe
+  * class. Unpinned float math (different reduction order, fma, etc.)
+  * stays out of output columns. */
 object Similarity {
 
   private def queriesSubset(e: DataFrame): DataFrame = e.filter(col("vec_id") % 50 === 0)

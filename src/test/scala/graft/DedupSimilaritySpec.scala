@@ -43,12 +43,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(hits.subsetOf(Set((1L, 0L), (1L, 3L))) && hits.nonEmpty,
       s"batch near-dup must hit its corpus twins only, got $hits")
-    // simulate a crashed prior append: stale staging files must be cleared,
-    // and the append must converge (bands land exactly once)
-    val staging = new java.io.File(s"$path/_staging_append"); staging.mkdirs()
-    new java.io.File(staging, "part-stale").createNewFile()
+    // simulate a crashed prior append (stale uuid staging dir): GC'd by
+    // AGE, while a fresh dir — a live concurrent writer — must survive
+    val stale = new java.io.File(s"$path/_staging_append_stale0000"); stale.mkdirs()
+    new java.io.File(stale, "part-stale").createNewFile()
+    stale.setLastModified(System.currentTimeMillis() - IncrementalDedup.StagingGcMs - 60000)
+    val fresh = new java.io.File(s"$path/_staging_append_live0000"); fresh.mkdirs()
     IncrementalDedup.appendToStore(spark, path, batch, "doc_id", "text")
-    assert(!staging.exists(), "staging dir must be cleaned after commit")
+    assert(!stale.exists(), "stale staging dir must be GC'd by age")
+    assert(fresh.exists(), "a fresh (possibly live concurrent) staging dir must survive")
+    assert(new java.io.File(path).listFiles().count(_.getName.startsWith("_staging_append_")) == 1,
+      "this append's own staging dir must be gone after commit; only the fresh one survives")
     val bandsPerDoc = spark.read.parquet(s"$path/bands")
       .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
     assert(bandsPerDoc(1L) == MinHashLsh.Bands.toLong)
@@ -59,6 +64,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // a batch doc already in the store never pairs with itself
     assert(IncrementalDedup.probe(spark, path, batch, "doc_id", "text")
       .filter(col("batch_id") === col("corpus_id")).count() == 0)
+  }
+
+  test("IncrementalDedup.compact: probe identical pre/post; crash mid-compact leaves store readable") {
+    import graft.dedup.IncrementalDedup
+    val path = java.nio.file.Files.createTempDirectory("graft_inccompact").toString
+    val corpus = docs.filter(col("doc_id") =!= 1L)
+    val batch = docs.filter(col("doc_id") === 1L)
+    IncrementalDedup.buildStore(corpus, "doc_id", "text", path)
+    IncrementalDedup.appendToStore(spark, path, batch, "doc_id", "text")
+    def probeSet() = IncrementalDedup.probe(spark, path,
+      docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val before = probeSet()
+    val bandsDir = new java.io.File(s"$path/bands")
+    assert(bandsDir.listFiles().count(_.getName.startsWith("batch=")) == 2)
+
+    // crash state A: staging written, rename never happened — live layout
+    // untouched, probe unaffected, and the next compact still works
+    val staging = new java.io.File(s"$path/_staging_compact_crashed0"); staging.mkdirs()
+    new java.io.File(staging, "part-junk").createNewFile()
+    assert(probeSet() == before, "staging leftovers must be invisible to probe")
+
+    // crash state B: compacted partition renamed in, source dirs NOT yet
+    // deleted (simulated by copying a batch dir) — duplicate band rows,
+    // probe must still return the identical pair set
+    val src = bandsDir.listFiles().filter(_.getName.startsWith("batch=")).head
+    val dup = new java.io.File(bandsDir, "batch=compact-dup0")
+    org.apache.commons.io.FileUtils.copyDirectory(src, dup)
+    assert(probeSet() == before, "duplicate band rows from a mid-compact crash must not change probe results")
+
+    // the real compact folds everything (incl. the crash debris) into ONE
+    // partition and probe is unchanged
+    val folded = IncrementalDedup.compact(spark, path)
+    assert(folded == 3, s"expected 3 source partitions folded, got $folded")
+    assert(bandsDir.listFiles().count(_.getName.startsWith("batch=")) == 1)
+    assert(probeSet() == before, "probe results must be identical post-compaction")
+    // compacting a compacted store is a no-op
+    assert(IncrementalDedup.compact(spark, path) == 0)
+  }
+
+  test("IncrementalDedup.compactToBucketedTable: bucketed catalog store probes identically, store side shuffle-free") {
+    import graft.dedup.IncrementalDedup
+    val path = java.nio.file.Files.createTempDirectory("graft_incbucket").toString
+    IncrementalDedup.buildStore(docs.filter(col("doc_id") =!= 1L), "doc_id", "text", path)
+    val batch = docs.filter(col("doc_id") === 1L)
+    val viaFiles = IncrementalDedup.probe(spark, path, batch, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the join shape
+    IncrementalDedup.compactToBucketedTable(s2, path, "inc_bands_bucketed", buckets = 4)
+    val probed = IncrementalDedup.probeTable(s2, "inc_bands_bucketed",
+      batch, "doc_id", "text")
+    assert(probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == viaFiles)
+    // the README lever made real: only the BATCH side may shuffle onto the
+    // store's bucketing — the corpus band scan reads pre-bucketed
+    val p = probed.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("Bucketed: true"), s"store scan must be bucketed:\n${p.take(1500)}")
   }
 
   test("s_pq: every vector gets one code per subspace; codebooks actually partition the space") {

@@ -138,6 +138,39 @@ class EtlOperatorsSpec extends AnyFunSuite {
     assert(low.select("zscore").as[Double].collect().forall(_ < -3.0))
   }
 
+  test("Anomaly.flag: emitted zscore is 6-decimal pinned (cross-engine ulp guard)") {
+    val rows = (1 to 50).map(i => (i.toLong, "a", 10.0 + (i % 7) * 0.013)) :+ (51L, "a", 5000.0)
+    val zs = Anomaly.flag(rows.toDF("id", "g", "v"), Anomaly.Spec(Seq("g"), "v", k = 3.0))
+      .select("zscore").as[Double].collect()
+    assert(zs.nonEmpty)
+    zs.foreach { z =>
+      val scaled = z * 1e6
+      assert(scaled == math.rint(scaled), s"zscore $z must carry at most 6 decimals")
+    }
+  }
+
+  test("Retention cross-table orphan check has teeth: inconsistent purges surface as n_orphans > 0") {
+    // e_gdpr_purge's proof shape: kept facts anti-joined against kept DIM
+    // rows (independent path), not against the request list. If the two
+    // legs purge DIFFERENT key sets, the count must go nonzero.
+    val customers = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("c_custkey", "name")
+    val orders = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("o_orderkey", "o_custkey")
+    val reqOrders = Seq(Tuple1(1L)).toDF("c_custkey")    // orders leg purges cust 1
+    val reqCustomers = Seq(Tuple1(2L)).toDF("c_custkey") // customer leg purges cust 2 (inconsistent!)
+    val keptOrders = Retention.purge(orders, "o_custkey", reqOrders, "c_custkey")
+    val keptCustomers = Retention.purge(customers, "c_custkey", reqCustomers, "c_custkey")
+    val orphans = keptOrders
+      .join(keptCustomers.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+      .count()
+    assert(orphans == 1L, "order 11 references purged customer 2 and must surface as an orphan")
+    // and the consistent purge (same requests both legs) proves 0
+    val consistent = Retention.purge(orders, "o_custkey", reqOrders, "c_custkey")
+      .join(Retention.purge(customers, "c_custkey", reqOrders, "c_custkey")
+        .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+      .count()
+    assert(consistent == 0L)
+  }
+
   test("stampedMerge truth table: keep/update/despawn/dead/respawn/insert in one pass") {
     // target state after a previous import at stamp 5
     val target = Seq(
