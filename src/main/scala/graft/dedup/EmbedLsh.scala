@@ -33,16 +33,24 @@ object EmbedLsh {
   val NumBands = 10
   val NumPlanes: Int = BitsPerBand * NumBands
 
-  /** Post-blocking cosine cutoff. NOTE the band tuning (b=10, r=12)
-    * targets the cos ≥ 0.9 near-dup regime (~87% recall); at cos ≈ 0.3
-    * band-collision recall is ~2%, so pairs near this cutoff are a
-    * band-filtered SAMPLE, not an exhaustive list. The cutoff sits below
-    * the tuned regime only because the synthetic test embeddings are
-    * near-random (max pairwise cos ≈ 0.46 at sf0.01 — no pair would ever
-    * pass 0.9); the oracle mirrors the same blocking, so the gate still
-    * compares exactly. Production near-dup use should treat results as
-    * meaningful for high-similarity pairs only. */
-  val Threshold = 0.3
+  /** Post-blocking cosine cutoff — IN the regime the band tuning
+    * (b=10, r=12) targets: at cos = 0.9, band-collision recall is
+    * 1-(1-p^12)^10 ≈ 0.82 (p = 1 - acos(0.9)/π ≈ 0.856) and climbs fast
+    * above it (≈ 0.98 at cos 0.96). The synthetic test embeddings are
+    * near-random (max pairwise cos ≈ 0.46), so the d_embed_neardup gate
+    * AUGMENTS the corpus with deterministic perturbed twins that land at
+    * cos ≈ 0.95-0.97 — real near-duplicates for the tuned operating
+    * point, mirrored exactly in the oracle. EmbedLshRecallSpec pins the
+    * measured recall against this collision-curve prediction. */
+  val Threshold = 0.9
+
+  /** Band-collision recall prediction for a pair at cosine `c`:
+    * 1 − (1 − p^r)^b with p = 1 − acos(c)/π — the curve the tuning
+    * targets and the recall spec asserts against. */
+  def predictedRecall(c: Double): Double = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, BitsPerBand), NumBands)
+  }
 
   /** Deterministic ±1 hyperplane component (md5 parity). */
   def sign(i: Int, j: Int): Int = {
@@ -85,8 +93,10 @@ object EmbedLsh {
     s"CASE WHEN list_reduce([(${signListSql(i)})[j+1] * coalesce(CAST(embedding[j+1] AS DOUBLE), 0.0) " +
       s"for j in range(0, $Dim)], (p, q) -> p + q) > 0 THEN '1' ELSE '0' END"
 
-  /** bits CTE + band-key unnest, shared by the d_embed_neardup oracle. */
-  def bandsCteSql: String = {
+  /** bits CTE + band-key unnest, shared by the d_embed_neardup and
+    * s_range_search oracles. `src` is the table/CTE holding
+    * (vec_id, embedding). */
+  def bandsCteSql(src: String = "embeddings"): String = {
     val bits = (0 until NumPlanes).map(bitSql).mkString(",\n    ")
     val keys = (0 until NumBands).map { b =>
       val parts = (b * BitsPerBand until (b + 1) * BitsPerBand).map(i => s"bits[${i + 1}]")
@@ -95,7 +105,7 @@ object EmbedLsh {
     s"""bits AS (
        |  SELECT vec_id, [
        |    $bits] AS bits
-       |  FROM embeddings),
+       |  FROM $src),
        |bk AS (SELECT vec_id, unnest([
        |    $keys]) AS bk FROM bits)""".stripMargin
   }

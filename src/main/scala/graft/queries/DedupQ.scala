@@ -332,20 +332,42 @@ object DedupQ {
         |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
   }
 
-  /** d_embed_neardup: embedding near-dups — random-hyperplane LSH band
-    * blocking (EmbedLsh), exact cosine only on band-collision candidates.
-    * The candidate join is band-key equality, so the in-bucket comparison
-    * load is O(n²·b/2^r), never an unblocked O(n²). */
+  /** d_embed_neardup: embedding near-dups AT THE TUNED OPERATING POINT —
+    * random-hyperplane LSH band blocking (EmbedLsh, b=10 bands × r=12
+    * bits targeting cos ≥ 0.9), exact cosine only on band-collision
+    * candidates. The candidate join is band-key equality, so the
+    * in-bucket comparison load is O(n²·b/2^r), never an unblocked O(n²).
+    *
+    * The raw synthetic embeddings are near-random (max pairwise
+    * cos ≈ 0.46) — nothing would ever pass the tuned cutoff — so the
+    * corpus is AUGMENTED with deterministic perturbed twins: every 20th
+    * vector gains a copy (vec_id + 1,000,000) with each component scaled
+    * by 1 ± 0.3 ((vec_id + j) parity picks the sign), landing twins at
+    * cos ≈ 0.95-0.97. The LSH must then actually retrieve high-cosine
+    * near-duplicates (collision-curve recall ≈ 0.97 per twin); the
+    * oracle regenerates the identical twins and banding, so whichever
+    * twins the bands retrieve match exactly. EmbedLshRecallSpec asserts
+    * measured recall ≥ the collision-curve prediction on ground truth. */
   def dEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val e = Tables.embeddings(s, dir)
-    val cands = EmbedLsh.candidatePairs(e.select(col("vec_id"), col("embedding")))
-    val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
-    val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))
+    // same double-cast + perturbation SHAPE as the oracle's aug CTE:
+    // every arithmetic step is the identical IEEE op on both engines
+    val base = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val twins = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("""transform(embedding, (x, j) ->
+                 CAST(x AS DOUBLE) * (1.0D + CASE WHEN (vec_id + j) % 2 = 0
+                                             THEN 0.3D ELSE -0.3D END))""").as("embedding"))
+    val aug = base.unionByName(twins)
+    val cands = EmbedLsh.candidatePairs(aug)
+    val ea = aug.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
+    val eb = aug.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))
     cands.join(ea, "a_id").join(eb, "b_id")
       .withColumn("cos", expr("cosine_sim(a_e, b_e)"))
       .filter(col("cos") >= EmbedLsh.Threshold)
-      .select(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id"), col("cos"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -356,14 +378,24 @@ object DedupQ {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
+  /** Oracle: identical twin augmentation (same IEEE double ops, same
+    * parity rule), then the shared band CTEs over the augmented set. */
   val dEmbedNeardupSql: String =
-    s"""WITH ${graft.dedup.EmbedLsh.bandsCteSql},
+    s"""WITH aug AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    [CAST(embedding[j+1] AS DOUBLE) * (1.0 + CASE WHEN (vec_id + j) % 2 = 0
+       |                                              THEN 0.3 ELSE -0.3 END)
+       |     for j in range(0, len(embedding))]
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |${graft.dedup.EmbedLsh.bandsCteSql("aug")},
        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |         FROM bk a JOIN bk b ON a.bk = b.bk AND a.vec_id < b.vec_id)
-       |SELECT a_id, b_id FROM (
+       |SELECT a_id, b_id, cos FROM (
        |  SELECT a_id, b_id, ${cosSql("ea.embedding", "eb.embedding")} AS cos
-       |  FROM cand JOIN embeddings ea ON ea.vec_id = a_id
-       |            JOIN embeddings eb ON eb.vec_id = b_id)
+       |  FROM cand JOIN aug ea ON ea.vec_id = a_id
+       |            JOIN aug eb ON eb.vec_id = b_id)
        |WHERE cos >= ${graft.dedup.EmbedLsh.Threshold} ORDER BY a_id, b_id""".stripMargin
 
   /** d_paragraph: CCNet-style sub-document dedup — duplicated sentences

@@ -41,10 +41,13 @@ object Similarity {
        |  FROM scored)
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
-  /** Radius cutoff for s_range_search — kept at the EmbedLsh gate regime
-    * (see EmbedLsh.Threshold's note: the synthetic embeddings are
-    * near-random, so the tuned cos ≥ 0.9 regime would return nothing). */
-  private val RangeThreshold = graft.dedup.EmbedLsh.Threshold
+  /** Radius cutoff for s_range_search — deliberately BELOW the band
+    * tuning's cos ≥ 0.9 near-dup regime (EmbedLsh.Threshold): the raw
+    * synthetic embeddings max out at cos ≈ 0.46, and radius search is the
+    * one query where a low-cos band-blocked SAMPLE is the documented
+    * semantics (the oracle mirrors the blocking, so the gate compares
+    * exactly). d_embed_neardup is the query at the tuned operating point. */
+  private val RangeThreshold = 0.3
 
   /** s_range_search: RADIUS search — every corpus vector with cos ≥ θ of
     * each query vector, not a fixed top-k (the "everything this similar"
@@ -80,7 +83,7 @@ object Similarity {
   }
 
   val sRangeSearchSql: String =
-    s"""WITH ${graft.dedup.EmbedLsh.bandsCteSql},
+    s"""WITH ${graft.dedup.EmbedLsh.bandsCteSql()},
        |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
        |         FROM bk q JOIN bk c ON q.bk = c.bk
        |         WHERE q.vec_id % 10 = 0 AND q.vec_id < 2000 AND c.vec_id <> q.vec_id)
