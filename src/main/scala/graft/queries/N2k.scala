@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.api.N2kBinding
+import graft.api.N2kBinding.{Graph, Table}
+import graft.operators.{AnalysisVersion, StableId}
+
+/** Gate queries for the concrete n2kresult binding (SURVEY.md §2B):
+  * e_store_n2k drives the reference's WHOLE table graph through two
+  * imports and compares the resulting per-row actions/stamps/hash-ids
+  * against a DuckDB replay of the same staged multi-table merge;
+  * e_analysis_version builds the store_analysis_version lineage chains. */
+object N2k {
+
+  private val Lo1 = "1996-01-01"; private val Hi1 = "1998-01-01"
+  private val Lo2 = "1997-01-01"; private val Hi2 = "1999-01-01"
+
+  /** e_store_n2k: import window 1 into a pristine store (stamp 1, all
+    * inserts), then the shifted window 2 (stamp 2) — the year the windows
+    * share yields keeps/updates, the dropped year despawns on the link
+    * and fact tables, the added year inserts. Output: every stored row of
+    * all seven tables with its natural key, md5 surrogate id, merge
+    * action and stamps. */
+  def eStoreN2k(s: SparkSession, dir: String): DataFrame = {
+    // each export window feeds 7 extracts + validations — materialize the
+    // staged export once (the reference stages it in the database; at
+    // 100 TB this is a staging-table write, not a localCheckpoint)
+    val w1 = N2kBinding.window(s, dir, Lo1, Hi1).localCheckpoint()
+    val w2 = N2kBinding.window(s, dir, Lo2, Hi2).localCheckpoint()
+    val st0 = Graph.map(t => t.name -> N2kBinding.emptyState(t, w1)).toMap
+    val st1 = N2kBinding.importAll(st0, w1, stamp = 1L)
+    val st2 = N2kBinding.importAll(st1, w2, stamp = 2L)
+    N2kBinding.summary(st2)
+  }
+
+  // ---- oracle: replay the staged two-import merge in DuckDB ----
+
+  private def windowSql(lo: String, hi: String): String =
+    s"""SELECT l_partkey, l_suppkey, l_returnflag, l_extendedprice, l_discount,
+       |  CAST(year(l_shipdate) AS INT) AS ship_yr, p_brand AS sg_brand, p_name, p_type, s_name
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE o_orderdate >= TIMESTAMP '$lo' AND o_orderdate < TIMESTAMP '$hi'""".stripMargin
+
+  /** Mirror of N2kBinding.extract for one window relation. */
+  private def extractSql(t: Table, w: String): String = t.name match {
+    case "language" =>
+      s"SELECT DISTINCT lower(string_split(p_type, ' ')[1]) AS lang_code, " +
+        s"string_split(p_type, ' ')[1] AS lang_desc FROM $w"
+    case "datasource" =>
+      s"SELECT DISTINCT l_suppkey AS ds_key, s_name AS ds_name FROM $w"
+    case "species" =>
+      s"SELECT DISTINCT l_partkey AS sp_key, p_name AS sp_name, p_type AS sp_type FROM $w"
+    case "species_group" =>
+      s"SELECT DISTINCT sg_brand FROM $w"
+    case "species_group_species" =>
+      s"SELECT DISTINCT sg_brand, l_partkey AS sp_key FROM $w"
+    case "analysis" =>
+      s"""SELECT sg_brand, ship_yr, COUNT(*) AS n_items,
+         |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         |  FROM $w GROUP BY 1, 2""".stripMargin
+    case "anomaly" =>
+      s"""SELECT sg_brand, ship_yr, n_returned FROM (
+         |    SELECT sg_brand, ship_yr, COUNT(*) AS n,
+         |      COUNT(*) FILTER (l_returnflag = 'R') AS n_returned
+         |    FROM $w GROUP BY 1, 2)
+         |  WHERE CAST(n_returned AS DOUBLE) / CAST(n AS DOUBLE) > ${N2kBinding.AnomalyRatio}""".stripMargin
+  }
+
+  /** Mirror of one table's two-import merge outcome: import 1 inserts
+    * everything, so the state import 2 merges against IS the window-1
+    * extract — a FULL JOIN of the two extracts replays actions + stamps. */
+  private def mergeSql(t: Table): String = {
+    val k0 = t.keyCols.head
+    val nk = t.keyCols.map(k => s"CAST($k AS VARCHAR)").mkString("concat_ws(':', ", ", ", ")")
+    val attrDiff =
+      if (t.attrCols.isEmpty) "FALSE"
+      else t.attrCols.map(a => s"(a.$a IS DISTINCT FROM b.$a)").mkString("(", " OR ", ")")
+    val missingAction = if (t.stamped) "despawn" else "keep"
+    val (f, l, d) =
+      if (t.stamped)
+        (s"CAST(CASE WHEN a.$k0 IS NULL THEN 2 ELSE 1 END AS BIGINT)",
+          s"CAST(CASE WHEN b.$k0 IS NULL THEN 1 ELSE 2 END AS BIGINT)",
+          s"(b.$k0 IS NULL)")
+      else ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)", "CAST(NULL AS BOOLEAN)")
+    s"""SELECT '${t.name}' AS table_name, $nk AS nk,
+       |  ${StableId.oracleExpr(t.keyCols)} AS sid,
+       |  CASE WHEN a.$k0 IS NULL THEN 'insert'
+       |       WHEN b.$k0 IS NULL THEN '$missingAction'
+       |       WHEN $attrDiff THEN 'update' ELSE 'keep' END AS action,
+       |  $f AS first_imported, $l AS last_imported, $d AS despawned
+       |FROM ${t.name}_1 a FULL JOIN ${t.name}_2 b USING (${t.keyCols.mkString(", ")})""".stripMargin
+  }
+
+  val eStoreN2kSql: String = {
+    val perTable = Graph.map(t =>
+      s"${t.name}_1 AS (${extractSql(t, "w1")}),\n${t.name}_2 AS (${extractSql(t, "w2")})")
+      .mkString(",\n")
+    val selects = Graph.map(mergeSql).mkString("\nUNION ALL\n")
+    s"""WITH w1 AS (${windowSql(Lo1, Hi1)}),
+       |w2 AS (${windowSql(Lo2, Hi2)}),
+       |$perTable
+       |$selects
+       |ORDER BY table_name, nk""".stripMargin
+  }
+
+  /** e_analysis_version: content-addressed version chains over the full
+    * corpus — one chain per species group, one version per ship-year,
+    * version ids hashing entity + period + payload (payload carried as
+    * exact decimal micros: raw doubles stringify differently per engine),
+    * parent links forming the version DAG the reference's
+    * store_analysis_version maintains. */
+  def eAnalysisVersion(s: SparkSession, dir: String): DataFrame = {
+    val w = N2kBinding.window(s, dir, "1995-01-01", "2002-01-01")
+    val analysis = w.groupBy(col("sg_brand"), col("ship_yr"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))) * lit(1000000)).cast("long").as("rev_micros"))
+    AnalysisVersion.chain(analysis, Seq("sg_brand"), "ship_yr", Seq("n_items", "rev_micros"))
+      .select(col("sg_brand"), col("ship_yr"), col("n_items"), col("rev_micros"),
+        col("version_id"), col("parent_version_id"), col("depth"))
+      .orderBy(col("sg_brand"), col("ship_yr"))
+  }
+
+  val eAnalysisVersionSql: String = {
+    val chain = AnalysisVersion.oracleSql(Seq("sg_brand"), "ship_yr",
+      Seq("n_items", "rev_micros"), Seq("sg_brand", "ship_yr", "n_items", "rev_micros"))
+    s"""WITH w AS (${windowSql("1995-01-01", "2002-01-01")}),
+       |src AS (SELECT sg_brand, ship_yr, COUNT(*) AS n_items,
+       |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micros
+       |  FROM w GROUP BY 1, 2)
+       |$chain
+       |ORDER BY sg_brand, ship_yr""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_store_n2k"        -> eStoreN2k _,
+    "e_analysis_version" -> eAnalysisVersion _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e_store_n2k"        -> eStoreN2kSql,
+    "e_analysis_version" -> eAnalysisVersionSql,
+  )
+}
