@@ -21,38 +21,43 @@ import org.apache.spark.sql.functions._
   * localCheckpoint'ed each round so lineage stays flat, and the driver only
   * ever sees one scalar (the changed-count) per round.
   *
-  * Fault-tolerance note: localCheckpoint trades executor-loss recovery for
-  * speed (blocks are not replicated; a lost executor fails the job, which
-  * then restarts from the source). For long-running 100 TB jobs, configure
-  * `spark.sparkContext.setCheckpointDir` and swap in reliable
-  * `checkpoint()` for the loop state — the algorithm is unchanged.
+  * Fault-tolerance: `reliable = false` (default) uses localCheckpoint —
+  * fast, but blocks are not replicated, so a lost executor fails the job
+  * (which then restarts from the source). For long-running 100 TB jobs,
+  * configure `spark.sparkContext.setCheckpointDir` and pass
+  * `reliable = true`: the loop state lands in reliable `checkpoint()`
+  * storage each round and survives executor loss. Same algorithm, same
+  * results — ComponentsSpec runs both paths against each other.
   */
 object Components {
 
   /** (id, lbl) for every vertex of the pair graph: lbl = min id of the
-    * vertex's connected component. Input needs columns (aCol, bCol). */
+    * vertex's connected component. Input needs columns (aCol, bCol).
+    * @param reliable use reliable checkpoint() for loop state (requires
+    *                 a configured checkpoint dir) instead of
+    *                 localCheckpoint — see the class note. */
   def labels(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, reliable: Boolean = false): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // symmetric orientation of an a<b pair list is already duplicate-free,
     // and duplicate edges would not change a min anyway — no distinct
     val p = pairs.select(col(aCol).as("s"), col(bCol).as("d"))
-    val edges = p.union(p.select(col("d").as("s"), col("s").as("d")))
-      .localCheckpoint()
+    val edges = materialize(p.union(p.select(col("d").as("s"), col("s").as("d"))))
     // seed with the ONE-HOP min (self + direct neighbors) in a single
     // aggregation: dedup clusters are near-cliques, so most vertices are
     // already final after the seed and the loop is one verification round
-    var lbl = edges.groupBy(col("s").as("id"))
-      .agg(min(least(col("s"), col("d"))).as("lbl")).localCheckpoint()
+    var lbl = materialize(edges.groupBy(col("s").as("id"))
+      .agg(min(least(col("s"), col("d"))).as("lbl")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       val nbrMin = edges
         .join(lbl.select(col("id").as("d"), col("lbl").as("nlbl")), Seq("d"))
         .groupBy(col("s").as("id")).agg(min(col("nlbl")).as("nbr_min"))
-      val upd = lbl.join(nbrMin, Seq("id"), "left")
+      val upd = materialize(lbl.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("lbl"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("new_lbl"))
-        .localCheckpoint()
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("new_lbl")))
       changed = upd.filter(col("new_lbl") < col("lbl")).count()
       lbl = upd.select(col("id"), col("new_lbl").as("lbl"))
       it += 1

@@ -339,24 +339,35 @@ object Etl {
   private val ProfileCols = Seq(
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
 
-  /** e_profile: data-quality profiling — per-column null and exact distinct
-    * counts for the orders table in ONE scan (the n2kupdate-style sanity
-    * report before a store run). All metrics ride a single aggregate; the
-    * multi-distinct is Spark's expand rewrite, which at 100 TB trades one
-    * scan for a 6× shuffle fan-out — the right trade when the scan is the
-    * dominant cost (switch to approx_count_distinct when ±2% suffices). */
-  def eProfile(s: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(s, dir)
-    val aggs = ProfileCols.flatMap(c => Seq(
+  /** Data-quality profile — per-column null and distinct counts in ONE
+    * scan (the n2kupdate-style sanity report before a store run). All
+    * metrics ride a single aggregate.
+    *
+    * `approx = false`: exact multi-countDistinct — Spark's expand rewrite
+    * multiplies the aggregation input ×#cols (one scan, #cols× shuffle
+    * fan-out). `approx = true` (the SURVEY §5.1 100 TB toggle): HLL++
+    * approx_count_distinct at `rsd` relative error — NO expand, the
+    * shuffle carries #cols fixed-size sketches per partition instead of
+    * #cols× the data. EtlOperatorsSpec bounds approx vs exact at sf0.1
+    * and pins the no-Expand plan shape. */
+  def profile(df: DataFrame, cols: Seq[String],
+      approx: Boolean = false, rsd: Double = 0.02): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-      countDistinct(col(c)).as(s"${c}_distinct"))) :+ count(lit(1)).as("n_rows")
-    val stackArgs = ProfileCols.map(c => s"'$c', ${c}_nulls, ${c}_distinct").mkString(", ")
-    ord.agg(aggs.head, aggs.tail: _*)
+      (if (approx) approx_count_distinct(col(c), rsd) else countDistinct(col(c)))
+        .as(s"${c}_distinct"))) :+ count(lit(1)).as("n_rows")
+    val stackArgs = cols.map(c => s"'$c', ${c}_nulls, ${c}_distinct").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
       .selectExpr("n_rows",
-        s"stack(${ProfileCols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
+        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
       .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
       .orderBy(col("col_name"))
   }
+
+  /** e_profile: the exact profile over orders (hash-checkable gate; the
+    * approx toggle is spec-covered since HLL estimates are engine-local). */
+  def eProfile(s: SparkSession, dir: String): DataFrame =
+    profile(Tables.orders(s, dir), ProfileCols)
 
   val eProfileSql: String = ProfileCols.map(c =>
     s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,

@@ -640,10 +640,14 @@ object Text {
     *
     * Scale shape: both sides explode to hashed grams (narrow); the
     * train-gram set is distinct-reduced (map-side partials collapse
-    * within-doc repeats) and the check is ONE equality join on the md5
-    * key followed by a per-doc rollup. The train gram table is 1 narrow
-    * column; at 100 TB put a bloom filter on it to pre-prune the probe
-    * side before the shuffle (the runtime-filter rule PlanSpec pins). */
+    * within-doc repeats) and the hit check is ONE equality join on the
+    * md5 key followed by a per-doc rollup. The probe side is BLOOM-PRUNED
+    * before the shuffle (operators/BloomPrune — the SURVEY §5.1 lever):
+    * per-doc gram totals come from size(grams) BEFORE pruning, so the
+    * prune only ever removes guaranteed-miss rows from the exact hit
+    * join and the result is byte-identical with or without it (bloom
+    * false positives die in the join; false negatives are impossible).
+    * PlanSpec asserts the bloom probe sits on the exploded gram side. */
   def tDecontamNgram(s: SparkSession, dir: String): DataFrame = {
     // the tokenize+bucket scan feeds both splits — materialize it once
     // (tiny at gate scale; at 100 TB prefer re-scanning over checkpointing
@@ -653,16 +657,24 @@ object Text {
       .select(col("doc_id"), splitBucket(col("text")).as("bucket"),
         tokens(col("text")).as("toks"))
       .localCheckpoint()
-    // explode_outer keeps <5-token test docs as a null-gram row, so the
-    // rollup covers every test doc without a third scan of the table
-    val testGrams = t.filter(col("bucket") >= 90)
-      .select(col("doc_id"), explode_outer(gram5Expr).as("g"))
+    // gram totals per test doc (size of the gram list — 0 for <5-token
+    // docs), taken before any pruning so every test doc stays covered
+    val perDoc = t.filter(col("bucket") >= 90)
+      .select(col("doc_id"), gram5Expr.as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"), col("grams"))
     val trainGrams = t.filter(col("bucket") < 80)
       .select(explode(gram5Expr).as("g")).distinct()
-    testGrams
-      .join(trainGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(col("g")).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    // ~1.2 bits/item at this fpp; sized generously for the gate scales
+    val bloom = graft.operators.BloomPrune.filterFor(
+      trainGrams, "g", expectedItems = 1L << 21, fpp = 0.03)
+    val probe = perDoc.select(col("doc_id"), explode(col("grams")).as("g"))
+      .filter(graft.operators.BloomPrune.mightContain(col("g"), bloom))
+    val hits = probe.join(trainGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    perDoc.select(col("doc_id"), col("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .withColumn("contaminated", col("n_hit") > 0L)
       .orderBy(col("doc_id"))
   }

@@ -123,6 +123,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(p.contains("Bucketed: true"), s"store scan must be bucketed:\n${p.take(1500)}")
   }
 
+  test("Components.labels with reliable checkpointing matches the localCheckpoint path") {
+    import graft.dedup.Components
+    val prev = spark.sparkContext.getCheckpointDir
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      // path graph 1-2-3-4, separate pair (10,11), singleton via canonicalize
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+      def canon(reliable: Boolean) =
+        Components.labels(pairs, reliable = reliable)
+          .as[(Long, Long)].collect().toMap
+      val viaReliable = canon(reliable = true)
+      assert(viaReliable == canon(reliable = false))
+      assert(viaReliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+      // reliable state actually landed in the checkpoint dir
+      assert(new java.io.File(ckpt).listFiles().nonEmpty, "checkpoint dir must hold RDD state")
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("s_pq: every vector gets one code per subspace; codebooks actually partition the space") {
     val out = graft.queries.Similarity.sPq(spark, "/root/testdata/sf0.001").cache()
     val n = Tables.embeddings(spark, "/root/testdata/sf0.001").count()

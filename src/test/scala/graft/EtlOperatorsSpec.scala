@@ -149,6 +149,47 @@ class EtlOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("profile approx mode: HLL distincts within rsd bound of exact at sf0.1, and NO expand in the plan") {
+    val ord = Tables.orders(spark, "/root/testdata/sf0.1")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val rsd = 0.02
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val exact = asMap(graft.queries.Etl.profile(ord, cols))
+    val approxDf = graft.queries.Etl.profile(ord, cols, approx = true, rsd = rsd)
+    val approx = asMap(approxDf)
+    for (c <- cols) {
+      assert(approx(c)._1 == exact(c)._1, s"$c: null counts are exact in both modes")
+      val (e, a) = (exact(c)._2.toDouble, approx(c)._2.toDouble)
+      assert(math.abs(a - e) <= 5 * rsd * e + 1,
+        s"$c: approx distinct $a vs exact $e beyond 5*rsd")
+    }
+    // the scale win: exact multi-distinct needs the Expand rewrite
+    // (input x #cols); the HLL path must not
+    val exactPlan = graft.queries.Etl.profile(ord, cols).queryExecution.executedPlan.toString
+    val approxPlan = approxDf.queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), "exact multi-distinct is expected to expand")
+    assert(!approxPlan.contains("Expand"), s"approx profile must not expand:\n${approxPlan.take(2000)}")
+  }
+
+  test("BloomPrune: no false negatives ever, few false positives, exact join after prune is identical") {
+    val build = (0 until 1000).map(i => s"key_$i").toDF("g")
+    val probe = (0 until 20000).map(i => (i.toLong, s"key_${i * 5}")).toDF("id", "g") // 200 true members
+    val pruned = BloomPrune.prune(probe, "g", build, "g", expectedItems = 1000, fpp = 0.03)
+    val survivors = pruned.count()
+    val trueMembers = probe.join(build, Seq("g"), "left_semi")
+    assert(trueMembers.count() == 200)
+    // every true member survives (no false negatives)
+    assert(trueMembers.join(pruned, Seq("id"), "left_anti").count() == 0)
+    // false positives bounded: ~3% of the 19800 non-members, with slack
+    assert(survivors - 200 <= (19800 * 0.03 * 3).toLong,
+      s"too many bloom false positives: ${survivors - 200}")
+    // composing prune + exact join returns the identical hit set
+    val viaPrune = pruned.join(build, Seq("g"), "left_semi").select("id")
+    assert(viaPrune.collect().map(_.getLong(0)).sorted.toSeq ==
+      trueMembers.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("Retention cross-table orphan check has teeth: inconsistent purges surface as n_orphans > 0") {
     // e_gdpr_purge's proof shape: kept facts anti-joined against kept DIM
     // rows (independent path), not against the request list. If the two

@@ -133,6 +133,21 @@ class PlanSpec extends AnyFunSuite {
       s"global window detected:\n${p.take(3000)}")
   }
 
+  test("t_decontam_ngram: the probe (test-gram) side is bloom-pruned beneath the hit join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val df = Text.tDecontamNgram(spark, dir)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val pruned = joins.exists(j => Seq(j.left, j.right).exists(_.collect {
+      case f: Filter if f.condition.collect {
+        case b: graft.operators.BloomPrune.BloomMightContainString => b
+      }.nonEmpty => f
+    }.nonEmpty))
+    assert(pruned, "expected a bloom_might_contain Filter beneath the hit join:\n" +
+      df.queryExecution.optimizedPlan.toString.take(3000))
+    // and it survives to the executed plan inside codegen
+    assert(plan(df).contains("bloom_might_contain"), plan(df).take(3000))
+  }
+
   test("runtime bloom filter prunes the fact side of a shuffle join before the shuffle") {
     // The 100 TB shape: a selectively-filtered dim side seeds a bloom
     // filter that is pushed into the fact scan, so most fact rows die
