@@ -20,6 +20,51 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  test("ImageIoFrameDecoder: real JDK codec decodes PNG fixtures; corrupt blobs yield zero frames, not failures") {
+    import java.awt.image.BufferedImage
+    // tiny in-memory fixture: 3x2 PNG with known ARGB pixels
+    def png(seed: Int): Array[Byte] = {
+      val img = new BufferedImage(3, 2, BufferedImage.TYPE_INT_ARGB)
+      for (x <- 0 until 3; y <- 0 until 2)
+        img.setRGB(x, y, 0xFF000000 | (seed * 31 + x * 7 + y * 13))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    // expected md5 of the row-major ARGB raster, computed independently
+    def expectedMd5(seed: Int): String = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png(seed)))
+      val argb = img.getRGB(0, 0, 3, 2, null, 0, 3)
+      val bb = java.nio.ByteBuffer.allocate(argb.length * 4)
+      argb.foreach(bb.putInt)
+      java.security.MessageDigest.getInstance("MD5").digest(bb.array())
+        .map("%02x".format(_)).mkString
+    }
+    val blobs = spark.createDataset(Seq(
+      Multimodal.Blob(1L, "image/png", png(1).length.toLong, png(1)),
+      Multimodal.Blob(2L, "image/png", png(2).length.toLong, png(2)),
+      Multimodal.Blob(3L, "text/plain", 9L, "not image".getBytes("UTF-8")) // undecodable
+    ))
+    val frames = Multimodal.decodeFrames(blobs, new Multimodal.ImageIoFrameDecoder())
+      .collect().sortBy(_.doc_id)
+    assert(frames.map(_.doc_id).toSeq == Seq(1L, 2L), "corrupt blob must yield zero frames")
+    assert(frames.forall(f => f.frame_idx == 0 && f.frame_bytes == 6), "3x2 image = 6 pixels, one frame")
+    assert(frames(0).frame_md5 == expectedMd5(1) && frames(1).frame_md5 == expectedMd5(2),
+      "frame hash must be the decoded-raster content hash")
+    assert(frames(0).frame_md5 != frames(1).frame_md5)
+
+    // the config seam: sampleFrames flips codecs on the session conf and
+    // the gate default remains the deterministic stub
+    try {
+      spark.conf.set(Multimodal.DecoderConf, "imageio")
+      val viaConf = Multimodal.sampleFrames(blobs).collect().sortBy(_.doc_id)
+      assert(viaConf.map(_.frame_md5).toSeq == frames.map(_.frame_md5).toSeq)
+    } finally spark.conf.unset(Multimodal.DecoderConf)
+    val stub = Multimodal.sampleFrames(blobs).collect()
+    assert(stub.map(_.doc_id).distinct.sorted.toSeq == Seq(1L, 2L, 3L),
+      "default stub path decodes every payload, including non-images")
+  }
+
   test("payloads are pure ASCII (byte offsets == char offsets, oracle precondition)") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val nonAscii = d.filter(length(col("text")) =!= length(encode(col("text"), "UTF-8"))).count()
