@@ -58,20 +58,26 @@ object N2kBinding {
   val AnomalyRatio = 0.36
 
   /** One observation-export window: orders in [lo, hi) with their line
-    * items, annotated from the broadcast part/supplier dims. */
-  def window(s: SparkSession, dir: String, lo: String, hi: String): DataFrame = {
+    * items, annotated from the broadcast part/supplier dims.
+    * @param keepDate retain o_orderdate so overlapping windows can be
+    *                 carved from ONE materialized span (the gate scans
+    *                 the fact join once, not once per window). */
+  def window(s: SparkSession, dir: String, lo: String, hi: String,
+      keepDate: Boolean = false): DataFrame = {
     val ord = graft.Tables.orders(s, dir)
       .filter(col("o_orderdate") >= lit(lo).cast("timestamp_ntz") &&
         col("o_orderdate") < lit(hi).cast("timestamp_ntz"))
-      .select(col("o_orderkey"))
-    graft.Tables.lineitem(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val base = graft.Tables.lineitem(s, dir)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(graft.Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
       .join(broadcast(graft.Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
-      .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
-        col("l_extendedprice"), col("l_discount"),
-        year(col("l_shipdate")).as("ship_yr"),
-        col("p_brand").as("sg_brand"), col("p_name"), col("p_type"), col("s_name"))
+    val cols = Seq(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+      col("l_extendedprice"), col("l_discount"),
+      year(col("l_shipdate")).as("ship_yr"),
+      col("p_brand").as("sg_brand"), col("p_name"), col("p_type"), col("s_name")) ++
+      (if (keepDate) Seq(col("o_orderdate")) else Nil)
+    base.select(cols: _*)
   }
 
   /** Normalize one table's rows out of an export window. */
@@ -122,18 +128,28 @@ object N2kBinding {
     * are store-sized, so the localCheckpoint materializes a sliver (in
     * production the state instead reads back from the database between
     * imports — see StorePipelineSpec's snapshot-stream test). */
-  def importAll(state: Map[String, DataFrame], w: DataFrame, stamp: Long): Map[String, DataFrame] =
-    Graph.map { t =>
-      val src = extract(t, w)
-      val rules = t.keyCols.map(k => Validate.Rule(s"${t.name}_${k}_nonnull", col(k).isNotNull))
-      val bad = Validate.report(src, rules).filter(col("n_violations") > 0).collect()
-      require(bad.isEmpty, s"validation failed for ${t.name}: ${bad.mkString(", ")}")
+  def importAll(state: Map[String, DataFrame], w: DataFrame, stamp: Long): Map[String, DataFrame] = {
+    val extracts = Graph.map(t => t -> extract(t, w))
+    // validate ALL tables in one job: each per-table report is |rules|
+    // rows, so the union is a ~14-row frame and one collect — not a job
+    // per table (the reference validates per store_* call; the union is
+    // the same stop-on-invalid semantics with 1/7th the scheduling)
+    val report = extracts.map { case (t, src) =>
+      Validate.report(src,
+        t.keyCols.map(k => Validate.Rule(s"${t.name}_${k}_nonnull", col(k).isNotNull)))
+    }.reduce(_ unionByName _)
+    val bad = report.filter(col("n_violations") > 0).collect()
+    require(bad.isEmpty, s"validation failed: ${bad.mkString(", ")}")
+    extracts.map { case (t, src) =>
       val tgt = state(t.name).drop("action")
       val merged =
         if (t.stamped) UpsertMerge.stampedMerge(tgt, src, t.keyCols, t.attrCols, lit(stamp))
         else UpsertMerge.merge(tgt, src, t.keyCols, t.attrCols)
-      t.name -> merged.localCheckpoint()
+      // LAZY checkpoint: lineage truncates and the result caches on first
+      // use, without paying an eager materialization job per table here
+      t.name -> merged.localCheckpoint(false)
     }.toMap
+  }
 
   /** Canonical cross-table summary of a post-import state: one row per
     * stored row with its content-hash surrogate id, merge action and

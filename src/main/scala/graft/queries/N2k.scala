@@ -25,11 +25,13 @@ object N2k {
     * all seven tables with its natural key, md5 surrogate id, merge
     * action and stamps. */
   def eStoreN2k(s: SparkSession, dir: String): DataFrame = {
-    // each export window feeds 7 extracts + validations — materialize the
-    // staged export once (the reference stages it in the database; at
-    // 100 TB this is a staging-table write, not a localCheckpoint)
-    val w1 = N2kBinding.window(s, dir, Lo1, Hi1).localCheckpoint()
-    val w2 = N2kBinding.window(s, dir, Lo2, Hi2).localCheckpoint()
+    // the two overlapping windows carve out of ONE materialized span, so
+    // the fact join is scanned once, not once per import (the reference
+    // stages each export in the database; at 100 TB this is a
+    // staging-table write, not a localCheckpoint)
+    val span = N2kBinding.window(s, dir, Lo1, Hi2, keepDate = true).localCheckpoint()
+    val w1 = span.filter(col("o_orderdate") < lit(Hi1).cast("timestamp_ntz")).drop("o_orderdate")
+    val w2 = span.filter(col("o_orderdate") >= lit(Lo2).cast("timestamp_ntz")).drop("o_orderdate")
     val st0 = Graph.map(t => t.name -> N2kBinding.emptyState(t, w1)).toMap
     val st1 = N2kBinding.importAll(st0, w1, stamp = 1L)
     val st2 = N2kBinding.importAll(st1, w2, stamp = 2L)

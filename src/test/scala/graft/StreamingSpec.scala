@@ -299,4 +299,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected, s"streamed=${streamed.size} expected=${expected.size}")
     assert(streamed.nonEmpty)
   }
+
+  test("streaming crawl-ingest dedup: each micro-batch probes the persisted band store, then lands its own bands") {
+    // the realistic 100 TB ingest loop end-to-end: a document stream
+    // arrives in micro-batches; every batch is near-dup-checked against
+    // the PERSISTED store (corpus text never re-read) and its band keys
+    // are appended so LATER batches dedup against it too
+    import graft.dedup.IncrementalDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_streamdedup").toString
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "completely different content about spark engines and data pipelines here")
+    ).toDF("doc_id", "text")
+    IncrementalDedup.buildStore(corpus, "doc_id", "text", path)
+
+    val hits = scala.collection.mutable.Set[(Long, Long)]()
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.localCheckpoint() // probe + append both consume it
+        hits ++= IncrementalDedup.probe(spark, path, b, "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        IncrementalDedup.appendToStore(spark, path, b, "doc_id", "text")
+        ()
+      }.start()
+    try {
+      // batch 1: near-dup of corpus doc 0 + an unrelated doc
+      ms.addData(
+        (10L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+        (11L, "unrelated text on completely new topics nobody wrote about before now"))
+      q.processAllAvailable()
+      assert(hits.toSet == Set((10L, 0L)), s"batch 1 must hit only the corpus twin, got $hits")
+      // batch 2: exact dup of BATCH 1's doc 11 (identical signatures ⇒
+      // guaranteed band collision) — only findable because the previous
+      // micro-batch's bands are in the store now
+      ms.addData((20L, "unrelated text on completely new topics nobody wrote about before now"))
+      q.processAllAvailable()
+      assert(hits.toSet == Set((10L, 0L), (20L, 11L)),
+        s"batch 2 must dedup against batch 1's stored bands, got $hits")
+    } finally q.stop()
+    // the loop converges with the batch formulation over the same arrivals
+    val all = corpus.union(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (11L, "unrelated text on completely new topics nobody wrote about before now"),
+      (20L, "unrelated text on completely new topics nobody wrote about before now")
+    ).toDF("doc_id", "text"))
+    val batchPairs = graft.dedup.MinHashLsh.candidatePairs(all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.toSet.map { p: (Long, Long) => (math.min(p._1, p._2), math.max(p._1, p._2)) }
+      .subsetOf(batchPairs), "stream hits must be a subset of the all-at-once candidate set")
+  }
 }
