@@ -133,6 +133,14 @@ class PlanSpec extends AnyFunSuite {
       s"global window detected:\n${p.take(3000)}")
   }
 
+  test("q19: the disjunctive predicate groups push into the part scan") {
+    val f = formatted(Relational4.q19(spark, dir))
+    // Catalyst extracts the part-side disjunction (brand OR-groups with
+    // their size ranges) and pushes it as an Or filter into the scan
+    assert(f.contains("PushedFilters: [") && f.contains("Or(") && f.contains("p_brand"),
+      f.split("PushedFilters").take(3).mkString("\n"))
+  }
+
   test("t_decontam_ngram: the probe (test-gram) side is bloom-pruned beneath the hit join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val df = Text.tDecontamNgram(spark, dir)
