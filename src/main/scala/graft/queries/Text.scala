@@ -664,9 +664,13 @@ object Text {
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"), col("grams"))
     val trainGrams = t.filter(col("bucket") < 80)
       .select(explode(gram5Expr).as("g")).distinct()
-    // ~1.2 bits/item at this fpp; sized generously for the gate scales
+    // size the filter from the train-side volume instead of a constant: an
+    // under-sized bloom silently blows up fpp at larger corpora (the count
+    // over the checkpointed t is one cheap metadata-ish job)
+    val nTrainDocs = t.filter(col("bucket") < 80).count()
+    val expected = math.max(1L << 21, nTrainDocs * 256L) // ≥ grams/doc upper bound
     val bloom = graft.operators.BloomPrune.filterFor(
-      trainGrams, "g", expectedItems = 1L << 21, fpp = 0.03)
+      trainGrams, "g", expectedItems = expected, fpp = 0.03)
     val probe = perDoc.select(col("doc_id"), explode(col("grams")).as("g"))
       .filter(graft.operators.BloomPrune.mightContain(col("g"), bloom))
     val hits = probe.join(trainGrams, Seq("g"))
