@@ -43,14 +43,21 @@ object N2kBinding {
   final case class Table(name: String, keyCols: Seq[String],
       attrCols: Seq[String], stamped: Boolean)
 
-  /** FK-first order — dims, then the link, then facts — the order the
-    * merges must land so no fact ever references an uncommitted dim. */
+  /** FK-first order — dims, then the links, then facts — the order the
+    * merges must land so no fact ever references an uncommitted dim.
+    * Covers BOTH of the reference's link-table families:
+    * species_group_species (taxonomy) and location_group_location
+    * (geography — nations grouped into regions, sourced from each
+    * window's suppliers). */
   val Graph: Seq[Table] = Seq(
     Table("language", Seq("lang_code"), Seq("lang_desc"), stamped = false),
     Table("datasource", Seq("ds_key"), Seq("ds_name"), stamped = false),
     Table("species", Seq("sp_key"), Seq("sp_name", "sp_type"), stamped = false),
     Table("species_group", Seq("sg_brand"), Nil, stamped = false),
+    Table("location", Seq("loc_key"), Seq("loc_name"), stamped = false),
+    Table("location_group", Seq("lg_key"), Seq("lg_name"), stamped = false),
     Table("species_group_species", Seq("sg_brand", "sp_key"), Nil, stamped = true),
+    Table("location_group_location", Seq("lg_key", "loc_key"), Nil, stamped = true),
     Table("analysis", Seq("sg_brand", "ship_yr"), Seq("n_items", "revenue"), stamped = true),
     Table("anomaly", Seq("sg_brand", "ship_yr"), Seq("n_returned"), stamped = true))
 
@@ -72,10 +79,13 @@ object N2kBinding {
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(graft.Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
       .join(broadcast(graft.Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(graft.Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(graft.Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
     val cols = Seq(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
       col("l_extendedprice"), col("l_discount"),
       year(col("l_shipdate")).as("ship_yr"),
-      col("p_brand").as("sg_brand"), col("p_name"), col("p_type"), col("s_name")) ++
+      col("p_brand").as("sg_brand"), col("p_name"), col("p_type"), col("s_name"),
+      col("n_nationkey"), col("n_name"), col("r_regionkey"), col("r_name")) ++
       (if (keepDate) Seq(col("o_orderdate")) else Nil)
     base.select(cols: _*)
   }
@@ -93,8 +103,14 @@ object N2kBinding {
         col("p_type").as("sp_type")).distinct()
     case "species_group" =>
       w.select(col("sg_brand")).distinct()
+    case "location" =>
+      w.select(col("n_nationkey").as("loc_key"), col("n_name").as("loc_name")).distinct()
+    case "location_group" =>
+      w.select(col("r_regionkey").as("lg_key"), col("r_name").as("lg_name")).distinct()
     case "species_group_species" =>
       w.select(col("sg_brand"), col("l_partkey").as("sp_key")).distinct()
+    case "location_group_location" =>
+      w.select(col("r_regionkey").as("lg_key"), col("n_nationkey").as("loc_key")).distinct()
     case "analysis" =>
       w.groupBy(col("sg_brand"), col("ship_yr"))
         .agg(count(lit(1)).as("n_items"),
@@ -168,7 +184,7 @@ object N2kBinding {
         col("action"), f.as("first_imported"), l.as("last_imported"), d.as("despawned"))
     }.reduce(_ unionByName _).orderBy(col("table_name"), col("nk"))
 
-  /** Land a merged state in the database — all seven tables FK-first in
+  /** Land a merged state in the database — all ten tables FK-first in
     * ONE transaction, exactly the reference's single-DBI-transaction
     * contract. Only changed rows are written (plus stamp refreshes on
     * stamped tables); despawns land as soft-delete UPDATEs. Target tables

@@ -22,7 +22,7 @@ object N2k {
     * inserts), then the shifted window 2 (stamp 2) — the year the windows
     * share yields keeps/updates, the dropped year despawns on the link
     * and fact tables, the added year inserts. Output: every stored row of
-    * all seven tables with its natural key, md5 surrogate id, merge
+    * all ten tables with its natural key, md5 surrogate id, merge
     * action and stamps. */
   def eStoreN2k(s: SparkSession, dir: String): DataFrame = {
     // the two overlapping windows carve out of ONE materialized span, so
@@ -42,10 +42,13 @@ object N2k {
 
   private def windowSql(lo: String, hi: String): String =
     s"""SELECT l_partkey, l_suppkey, l_returnflag, l_extendedprice, l_discount,
-       |  CAST(year(l_shipdate) AS INT) AS ship_yr, p_brand AS sg_brand, p_name, p_type, s_name
+       |  CAST(year(l_shipdate) AS INT) AS ship_yr, p_brand AS sg_brand, p_name, p_type, s_name,
+       |  n_nationkey, n_name, r_regionkey, r_name
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  JOIN part ON l_partkey = p_partkey
        |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
        |WHERE o_orderdate >= TIMESTAMP '$lo' AND o_orderdate < TIMESTAMP '$hi'""".stripMargin
 
   /** Mirror of N2kBinding.extract for one window relation. */
@@ -59,8 +62,14 @@ object N2k {
       s"SELECT DISTINCT l_partkey AS sp_key, p_name AS sp_name, p_type AS sp_type FROM $w"
     case "species_group" =>
       s"SELECT DISTINCT sg_brand FROM $w"
+    case "location" =>
+      s"SELECT DISTINCT n_nationkey AS loc_key, n_name AS loc_name FROM $w"
+    case "location_group" =>
+      s"SELECT DISTINCT r_regionkey AS lg_key, r_name AS lg_name FROM $w"
     case "species_group_species" =>
       s"SELECT DISTINCT sg_brand, l_partkey AS sp_key FROM $w"
+    case "location_group_location" =>
+      s"SELECT DISTINCT r_regionkey AS lg_key, n_nationkey AS loc_key FROM $w"
     case "analysis" =>
       s"""SELECT sg_brand, ship_yr, COUNT(*) AS n_items,
          |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
