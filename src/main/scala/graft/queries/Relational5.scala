@@ -319,9 +319,8 @@ object Relational5 {
     * the ONLY late one (ship > order + 150 days) on a finished
     * multi-supplier order. EXISTS → LEFT SEMI, NOT EXISTS → LEFT ANTI,
     * both self-joins on the fact keyed by orderkey with the suppkey
-    * inequality riding the equi-join — the identical lineitem⋈orders
-    * exchange under l1 and the late side is deduplicated by Spark's
-    * ReuseExchange, and the supplier name resolves AFTER the per-supplier
+    * inequality riding the equi-join (never a nested-loop — PlanSpec
+    * pins this), and the supplier name resolves AFTER the per-supplier
     * count (a broadcast onto ≤|supplier| rows). */
   def q21(s: SparkSession, dir: String): DataFrame = {
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 150 DAYS")

@@ -264,4 +264,32 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.count(_.contains("+- Exchange"))
     assert(exchanges <= 3, s"only the join's two sides (+ output sort) may shuffle:\n${p.take(2000)}")
   }
+
+  test("q2: every dimension broadcasts — the only sort-merge join is the min-offer re-join") {
+    val p = plan(Relational5.q2(spark, dir))
+    val smj = p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(smj <= 1, s"only offers⋈best may sort-merge:\n${p.take(3000)}")
+  }
+
+  test("q13: the priority exclusion pushes into the orders scan; customer prunes to the key column") {
+    val f = formatted(Relational5.q13(spark, dir))
+    assert(f.contains("Not(EqualTo(o_orderpriority,1-URGENT))"), f.take(3000))
+    val custSchema = f.linesIterator.filter(_.contains("customer.parquet")).mkString
+    assert(!custSchema.contains("c_acctbal"), "customer scan must prune to c_custkey")
+  }
+
+  test("q11/q15/q22: scalar-subquery thresholds broadcast — never a cartesian product") {
+    for (q <- Seq(Relational5.q11 _, Relational5.q15 _, Relational5.q22 _)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"scalar threshold degraded to cartesian:\n${p.take(3000)}")
+    }
+  }
+
+  test("q21: EXISTS/NOT EXISTS ride the orderkey equi-joins as semi/anti — never a nested loop") {
+    val p = plan(Relational5.q21(spark, dir))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"suppkey inequality must ride the equi-join, not a nested loop:\n${p.take(3000)}")
+  }
 }
