@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.OracleParity.xsum
-import graft.sources.Readers
+import graft.sources.{Readers, ZOrder}
 
 /** Third relational wave: window-function zoo, CUBE, order-stable list
   * aggregation, and a CSV ingest round-trip through the schema-enforced
@@ -143,6 +143,29 @@ object Relational3 {
     """SELECT s_nationkey, COUNT(*) AS n_suppliers,
       |  CAST(SUM(length(s_name)) AS BIGINT) AS total_name_len
       |FROM supplier GROUP BY 1 ORDER BY s_nationkey""".stripMargin
+
+  /** io_zorder_roundtrip: orders → z-clustered parquet on
+    * (o_custkey, o_totalprice) → read back under the conjunctive box
+    * predicate the layout exists to serve → aggregate. Result equality
+    * against the unclustered oracle proves the Morton rewrite is
+    * lossless and filter-transparent; ZOrderSpec separately proves the
+    * row-group skipping the layout buys. */
+  def ioZorderRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripPath(dir, "zorder")
+    ZOrder.write(Tables.orders(s, dir), out, Seq("o_custkey", "o_totalprice"), nFiles = 4)
+    s.read.parquet(out)
+      .filter(col("o_custkey") < 100 && col("o_totalprice").between(20000.0, 60000.0))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val ioZorderRoundtripSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE o_custkey < 100 AND o_totalprice BETWEEN 20000.0 AND 60000.0
+      |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
   /** q_window_funcs2: value-window functions — first/last value over
     * frames, percent_rank, cume_dist. High-cardinality partition key
@@ -354,6 +377,7 @@ object Relational3 {
     "q_setops_all"      -> qSetopsAll _,
     "io_json_roundtrip" -> ioJsonRoundtrip _,
     "io_orc_roundtrip"  -> ioOrcRoundtrip _,
+    "io_zorder_roundtrip" -> ioZorderRoundtrip _,
     "q_window_funcs"   -> qWindowFuncs _,
     "q_grouping_sets"  -> qGroupingSets _,
     "q_cube"           -> qCube _,
@@ -372,6 +396,7 @@ object Relational3 {
     "q_setops_all"      -> qSetopsAllSql,
     "io_json_roundtrip" -> ioJsonRoundtripSql,
     "io_orc_roundtrip"  -> ioOrcRoundtripSql,
+    "io_zorder_roundtrip" -> ioZorderRoundtripSql,
     "q_window_funcs"   -> qWindowFuncsSql,
     "q_grouping_sets"  -> qGroupingSetsSql,
     "q_cube"           -> qCubeSql,

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ZOrder
+
+/** Z-order layout: (1) the rewrite loses nothing, (2) row-group min/max
+  * stats — read straight from the parquet footers, the same stats any
+  * engine's scan pruning uses — skip multiplicatively for a conjunctive
+  * box predicate, where a single-column sort skips only on its own
+  * column. */
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("z-ordered rewrite preserves the row multiset") {
+    val out = "/tmp/graft_zorder_fidelity"
+    val src = Tables.lineitem(spark, dir)
+    ZOrder.write(src, out, Seq("l_partkey", "l_suppkey"), nFiles = 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == src.count())
+    val key = (d: org.apache.spark.sql.DataFrame) => d
+      .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("q"),
+        sum(col("l_partkey") * col("l_linenumber")).as("k"))
+      .collect()(0).toSeq
+    assert(key(back) == key(src))
+  }
+
+  /** (surviving row groups, total row groups) for a conjunction of
+    * per-column ranges lo <= c < hi, judged from footer stats alone. */
+  private def rowGroupSurvivors(path: String, ranges: Map[String, (Long, Long)]): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val files = fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+    var total = 0; var alive = 0
+    for (f <- files) {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        r.getFooter.getBlocks.forEach { block =>
+          total += 1
+          val overlap = ranges.forall { case (c, (lo, hi)) =>
+            val cc = block.getColumns.asScala.find(_.getPath.toDotString == c).get
+            val st = cc.getStatistics
+            val mn = st.genericGetMin.asInstanceOf[Number].longValue
+            val mx = st.genericGetMax.asInstanceOf[Number].longValue
+            mx >= lo && mn < hi
+          }
+          if (overlap) alive += 1
+        }
+      } finally r.close()
+    }
+    (alive, total)
+  }
+
+  test("row-group stats prune on EVERY z-column — a single-column sort is blind off its key") {
+    // two near-independent uniform columns; small row groups so each file
+    // holds many and pruning grain is visible
+    val df = spark.range(0, 200000).select(
+      pmod(hash(col("id")), lit(1000)).cast("long").as("a"),
+      pmod(hash(col("id") + 1000000), lit(1000)).cast("long").as("b"))
+    val opts = Map("parquet.block.size" -> "65536")
+    val linear = "/tmp/graft_zorder_linear"; val zed = "/tmp/graft_zorder_z"
+    df.repartitionByRange(4, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").options(opts).parquet(linear)
+    ZOrder.write(df, zed, Seq("a", "b"), nFiles = 4, options = opts)
+
+    val aRange = Map("a" -> (450L, 550L)); val bRange = Map("b" -> (450L, 550L))
+    val (_, lt) = rowGroupSurvivors(linear, Map.empty)
+    val (_, zt) = rowGroupSurvivors(zed, Map.empty)
+    assert(lt > 20 && zt > 20, s"row groups too coarse to judge: linear=$lt z=$zt")
+
+    // the a-sorted layout is blind on b: essentially every group survives a
+    // 10% b-range...
+    val (lb, _) = rowGroupSurvivors(linear, bRange)
+    assert(lb * 10 >= lt * 9, s"expected a-sorted layout blind on b: $lb/$lt")
+    // ...while the z layout prunes on b AND still prunes on a
+    val (zb, _) = rowGroupSurvivors(zed, bRange)
+    val (za, _) = rowGroupSurvivors(zed, aRange)
+    assert(zb * 3 <= lb, s"z-order must prune on b: z=$zb/$zt vs linear=$lb/$lt")
+    assert(za * 2 <= zt, s"z-order must still prune on a: $za/$zt")
+    // and the conjunctive box composes: fewer groups than either single range
+    val (zbox, _) = rowGroupSurvivors(zed, aRange ++ bRange)
+    assert(zbox <= za && zbox <= zb, s"box must compose: box=$zbox a=$za b=$zb")
+
+    // the data under the predicate is identical in both layouts
+    val box = (p: String) => spark.read.parquet(p)
+      .filter(col("a").between(450, 549) && col("b").between(450, 549)).count()
+    assert(box(zed) == box(linear))
+  }
+
+  private implicit class JavaListOps[A](l: java.util.List[A]) {
+    def asScala: Iterable[A] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[A]
+      l.forEach(a => b += a)
+      b
+    }
+  }
+}
