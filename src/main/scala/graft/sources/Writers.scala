@@ -27,6 +27,29 @@ object Writers {
       .option("compression", "zstd")
       .parquet(path)
 
+  /** Point-lookup layout: parquet split-block bloom filters on
+    * high-cardinality key columns. Min/max row-group stats prune RANGE
+    * predicates on clustered columns ([[sortedParquet]], [[ZOrder]]); for
+    * `key = x` probes on columns with no exploitable order (ids, hashes,
+    * urls) the bloom filter is the only footer-level skip available — a
+    * reader consults it per row group and skips groups that provably lack
+    * the key, regardless of layout. `bloomCols` maps each column to its
+    * expected distinct count per row group, which sizes the filter
+    * (parquet-mr derives bits from ndv at its default 1% fpp). */
+  def bloomFilteredParquet(df: DataFrame, path: String,
+      bloomCols: Map[String, Long], sortCols: Seq[String] = Nil): Unit = {
+    val shaped =
+      if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.head, sortCols.tail: _*) else df
+    val opts = bloomCols.flatMap { case (c, ndv) => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)
+    }
+    shaped.write.mode("overwrite")
+      .option("compression", "zstd")
+      .options(opts)
+      .parquet(path)
+  }
+
   /** Small-file compaction — incremental pipelines (streaming sinks, per-
     * batch appends, over-parallel writes) accrete files far below the HDFS/
     * object-store sweet spot; at 100 TB that means millions of scan tasks
