@@ -1,0 +1,123 @@
+package graft.multimodal
+
+import java.io.ByteArrayInputStream
+import java.security.MessageDigest
+
+import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+import org.apache.spark.sql.Dataset
+
+import graft.multimodal.Multimodal.{Blob, Frame, FrameDecoder}
+
+/** REAL audio codec — javax.sound.sampled, which ships with the JDK, so no
+  * external media libs are needed. Decodes WAV/AIFF/AU containers to
+  * 16-bit signed PCM (any source encoding the JDK converts), channel-mixes
+  * to mono, and exposes two consumers over the same per-partition batched
+  * seam as the image path:
+  *
+  *  - [[WavFrameDecoder]]: the [[Multimodal.FrameDecoder]] instance —
+  *    fixed-sample windows, every `stride`-th kept, md5 over the window's
+  *    PCM bytes (a content hash of the DECODED samples, so re-containered
+  *    audio collides).
+  *  - [[Audio.windowFeatures]]: genuine DSP-lite features per window —
+  *    RMS energy (full-scale-normalized) and zero-crossing rate — the
+  *    speech/music/silence discriminators a curation pipeline filters on.
+  *
+  * Undecodable payloads yield zero rows instead of failing the task: at
+  * 100 TB a corrupt blob must never kill an ingest job; count drops from
+  * the per-doc window totals. Each blob's samples materialize eagerly
+  * (bounded by the blob, the multimodal schema's unit of work) while the
+  * partition iterator streams blob-to-blob.
+  */
+object Audio {
+
+  final case class AudioWindow(doc_id: Long, window_idx: Int, n_samples: Int,
+      rms: Double, zcr: Double)
+
+  /** Decode any JDK-supported audio container to mono 16-bit samples;
+    * undecodable → empty (never throws). Multi-channel mixes by average. */
+  def pcmSamples(payload: Array[Byte]): Array[Short] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val base = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, base.getChannels,
+          base.getChannels * 2, base.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        try {
+          val bytes = pcm.readAllBytes()
+          val ch = target.getChannels
+          val n = bytes.length / 2 / ch
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0; var c = 0
+            while (c < ch) {
+              val idx = (i * ch + c) * 2
+              acc += (bytes(idx + 1) << 8) | (bytes(idx) & 0xff)
+              c += 1
+            }
+            out(i) = (acc / ch).toShort
+            i += 1
+          }
+          out
+        } finally pcm.close()
+      } finally in.close()
+    } catch { case _: Exception => Array.emptyShortArray }
+
+  /** [[Multimodal.FrameDecoder]] over decoded PCM windows — plugs into
+    * decodeFrames/sampleFrames exactly like the stub and imageio codecs. */
+  final class WavFrameDecoder(samplesPerFrame: Int = 1024, stride: Int = 1)
+      extends FrameDecoder {
+    @transient private var digest: MessageDigest = _
+    override def open(): Unit = { digest = MessageDigest.getInstance("MD5") }
+    override def decode(b: Blob): Iterator[Frame] = {
+      val samples = pcmSamples(b.payload)
+      val n = samples.length
+      (0 until (n + samplesPerFrame - 1) / samplesPerFrame).iterator
+        .filter(_ % stride == 0)
+        .map { wi =>
+          val from = wi * samplesPerFrame
+          val until = math.min(from + samplesPerFrame, n)
+          val bytes = java.nio.ByteBuffer.allocate((until - from) * 2)
+          var i = from
+          while (i < until) { bytes.putShort(samples(i)); i += 1 }
+          digest.reset()
+          val hex = digest.digest(bytes.array()).map("%02x".format(_)).mkString
+          Frame(b.doc_id, wi, until - from, hex)
+        }
+    }
+  }
+
+  /** Windowed RMS (normalized to full scale, so 1.0 = rail-to-rail) and
+    * zero-crossing rate (sign changes / (n−1) consecutive pairs) — batched
+    * per partition like every decode path. Exact-arithmetic per window
+    * (integer sums → one sqrt/division), so results are bit-deterministic
+    * under any partitioning. */
+  def windowFeatures(blobs: Dataset[Blob], samplesPerWindow: Int = 1024): Dataset[AudioWindow] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        val samples = pcmSamples(b.payload)
+        val n = samples.length
+        (0 until (n + samplesPerWindow - 1) / samplesPerWindow).iterator.map { wi =>
+          val from = wi * samplesPerWindow
+          val until = math.min(from + samplesPerWindow, n)
+          var sumSq = 0L; var crossings = 0L
+          var i = from
+          while (i < until) {
+            val v = samples(i).toLong
+            sumSq += v * v
+            if (i > from && (samples(i) < 0) != (samples(i - 1) < 0)) crossings += 1
+            i += 1
+          }
+          val len = until - from
+          val rms = math.sqrt(sumSq.toDouble / len) / 32768.0
+          val zcr = if (len > 1) crossings.toDouble / (len - 1) else 0.0
+          AudioWindow(b.doc_id, wi, len, rms, zcr)
+        }
+      }
+    }
+  }
+}

@@ -193,8 +193,9 @@ object Multimodal {
     name match {
       case "stub"    => new StubFrameDecoder(frameSize, stride)
       case "imageio" => new ImageIoFrameDecoder(stride)
+      case "wav"     => new Audio.WavFrameDecoder(frameSize, stride)
       case other => throw new IllegalArgumentException(
-        s"unknown decoder '$other' (stub | imageio)")
+        s"unknown decoder '$other' (stub | imageio | wav)")
     }
 
   /** Conf key selecting the frame codec ("stub" default, "imageio" for

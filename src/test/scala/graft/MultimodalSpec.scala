@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{Audio, Multimodal}
 
 /** Second codec for the swap test: one frame per blob, byte count as the
   * "feature". Top-level so serializing it does not drag the spec along. */
@@ -148,5 +148,51 @@ class MultimodalSpec extends AnyFunSuite {
     val idx = Multimodal.sampleFrames(blobs, 64, 4).collect().map(_.frame_idx).sorted
     // 1000 bytes -> 16 frames (0..15), stride 4 -> 0, 4, 8, 12
     assert(idx.toSeq == Seq(0, 4, 8, 12))
+  }
+
+  /** Mono 16-bit little-endian PCM WAV from raw samples, via the same JDK
+    * audio stack the decoder uses — the roundtrip is sample-exact. */
+  private def wav(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled._
+    val bytes = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bytes.putShort)
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes.array()), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("Audio: real JDK WAV decode — windowed RMS/ZCR exact, corrupt blobs yield zero rows") {
+    // 2048 samples: a loud square-ish tone then digital silence
+    val tone = Array.tabulate[Short](1024)(i => if ((i / 8) % 2 == 0) 16384 else -16384)
+    val samples = tone ++ Array.fill[Short](1024)(0)
+    val blobs = Seq(
+      Multimodal.Blob(1L, "audio/wav", 0L, wav(samples)),
+      Multimodal.Blob(2L, "text/plain", 9L, "not audio".getBytes("UTF-8"))).toDS()
+
+    val w = Audio.windowFeatures(blobs, samplesPerWindow = 1024)
+      .collect().sortBy(x => (x.doc_id, x.window_idx))
+    assert(w.map(_.doc_id).distinct.toSeq == Seq(1L), "corrupt blob must yield zero windows")
+    assert(w.length == 2 && w.forall(_.n_samples == 1024))
+    // window 0: replicate the decoder's integer math for the exact value
+    val sumSq = tone.map(v => v.toLong * v.toLong).sum
+    assert(w(0).rms == math.sqrt(sumSq.toDouble / 1024) / 32768.0)
+    val crossings = (1 until 1024).count(i => (tone(i) < 0) != (tone(i - 1) < 0))
+    assert(w(0).zcr == crossings.toDouble / 1023)
+    assert(w(0).zcr > 0.05 && w(0).rms > 0.4, "tone window must read loud and oscillating")
+    // window 1: silence is exactly zero on both features
+    assert(w(1).rms == 0.0 && w(1).zcr == 0.0)
+
+    // the FrameDecoder seam: windows hash deterministically, config selects it
+    val f1 = Multimodal.decodeFrames(blobs, new Audio.WavFrameDecoder(1024)).collect()
+    val f2 = Multimodal.decodeFrames(blobs.repartition(4), new Audio.WavFrameDecoder(1024))
+      .collect()
+    assert(f1.map(f => (f.doc_id, f.frame_idx, f.frame_md5)).sortBy(_._2).toSeq ==
+      f2.map(f => (f.doc_id, f.frame_idx, f.frame_md5)).sortBy(_._2).toSeq)
+    assert(f1.length == 2 && f1.map(_.frame_md5).distinct.length == 2)
+    assert(Multimodal.decoderFor("wav", 1024, 1).isInstanceOf[Audio.WavFrameDecoder])
   }
 }
