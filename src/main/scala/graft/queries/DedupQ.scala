@@ -453,7 +453,43 @@ object DedupQ {
       |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** d_editdist: bounded edit-distance near-dup join on document HEADS
+    * (first 24 chars — the "title" proxy) — the fuzzy-match family LSH
+    * doesn't cover: MinHash sees bag-of-shingle overlap, edit distance
+    * sees typo-grade character perturbations. Candidates block on the
+    * 4-char prefix with a ±2 length guard, then the O(n·m) Levenshtein DP
+    * runs ONLY inside blocks (never all-pairs; both engines implement the
+    * same classic DP, so the integer distances compare exactly). At
+    * 100 TB extend the block key with a length bucket and salt hot
+    * prefixes — the shape stays one equi-join shuffle on the block key. */
+  def dEditdist(s: SparkSession, dir: String): DataFrame = {
+    val heads = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
+      .withColumn("blk", substring(col("head"), 1, 4))
+    val a = heads.select(col("doc_id").as("a_id"), col("head").as("ha"), col("blk"))
+    val b = heads.select(col("doc_id").as("b_id"), col("head").as("hb"), col("blk").as("blk2"))
+    a.join(b, col("blk") === col("blk2") &&
+        col("a_id") < col("b_id") &&
+        abs(length(col("ha")) - length(col("hb"))) <= 2)
+      .withColumn("dist", levenshtein(col("ha"), col("hb")))
+      .filter(col("dist") <= 2)
+      .select(col("a_id"), col("b_id"), col("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val dEditdistSql: String =
+    """WITH k AS (SELECT doc_id, substr(text, 1, 24) AS head FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  levenshtein(a.head, b.head) AS dist
+      |FROM k a JOIN k b
+      |  ON substr(a.head, 1, 4) = substr(b.head, 1, 4)
+      |  AND a.doc_id < b.doc_id
+      |  AND abs(length(a.head) - length(b.head)) <= 2
+      |WHERE levenshtein(a.head, b.head) <= 2
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_editdist"      -> dEditdist _,
     "d_paragraph"     -> dParagraph _,
     "d_exact"         -> dExact _,
     "d_minhash_pairs" -> dMinhashPairs _,
@@ -468,6 +504,7 @@ object DedupQ {
   )
 
   val oracle: Map[String, String] = Map(
+    "d_editdist"      -> dEditdistSql,
     "d_paragraph"     -> dParagraphSql,
     "d_exact"         -> dExactSql,
     "d_minhash_pairs" -> dMinhashPairsSql,

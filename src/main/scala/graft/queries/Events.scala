@@ -282,7 +282,51 @@ object Events {
        |FROM ex JOIN st ON st.event_type = ex.event_type
        |ORDER BY ex.event_type""".stripMargin
 
+  /** q_ewma: per-priority monthly-revenue trend via a FINITE-IMPULSE
+    * exponentially weighted moving average — 8 lag taps with α = 1/2, so
+    * every weight (2^-1 … 2^-8) and the normalizer (255/256) is an EXACT
+    * binary double and the whole smoother is one fixed left-to-right
+    * arithmetic chain both engines evaluate identically. The infinite
+    * recursion ewma_t = αx + (1−α)ewma_{t−1} is deliberately avoided: a
+    * running formulation either recurses row-by-row (driver-bound) or
+    * rewrites to pow() window sums whose summation order — and therefore
+    * last-ulp rounding — engines don't agree on. Truncating at 8 taps
+    * (residual weight 2^-8) keeps it a pure window expression: one shuffle
+    * on the group key, any history length, no recursion. Rows emit only
+    * with full tap history (rn ≥ 8). */
+  def qEwma(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"), date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(xsum(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("month"))
+    val taps = (0 to 7).map(j => lit(math.pow(0.5, j + 1)) * lag(col("revenue"), j).over(w))
+    monthly
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ewma", taps.reduce(_ + _) / lit(255.0 / 256.0))
+      .filter(col("rn") >= 8)
+      .select(col("o_orderpriority"), col("month"), col("revenue"), col("ewma"))
+      .orderBy(col("o_orderpriority"), col("month"))
+  }
+
+  val qEwmaSql: String = {
+    val taps = (0 to 7).map(j =>
+      s"${math.pow(0.5, j + 1)} * lag(revenue, $j) OVER w").mkString(" + ")
+    s"""WITH monthly AS (
+       |  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT o_orderpriority, month, revenue, ewma FROM (
+       |  SELECT o_orderpriority, month, revenue,
+       |    row_number() OVER w AS rn,
+       |    ($taps) / ${255.0 / 256.0} AS ewma
+       |  FROM monthly
+       |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month))
+       |WHERE rn >= 8
+       |ORDER BY o_orderpriority, month""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma"         -> qEwma _,
     "q_kmv_distinct" -> qKmvDistinct _,
     "q_range_join"   -> qRangeJoin _,
     "q_cohort_retention" -> qCohortRetention _,
@@ -294,6 +338,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ewma"         -> qEwmaSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_range_join"   -> qRangeJoinSql,
     "q_cohort_retention" -> qCohortRetentionSql,
