@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 import graft.functions.OracleParity.xsum
@@ -512,7 +513,41 @@ object Etl {
   val eAnomalySql: String = Anomaly.oracleSql("events", Seq("event_type"), "value",
     k = 3.0, outCols = Seq("event_id", "event_type", "value"), orderBy = "event_id")
 
+  /** e_skew_report: join-key skew diagnostics — the measurement half of
+    * the skew story whose mitigation half is [[Salting]] / AQE skew-join
+    * (PlanSpec pins the runtime split). One aggregation shuffle builds
+    * per-key counts; the global stats reduce to ONE row broadcast back, so
+    * the report costs a scan + two tiny exchanges at any scale. Emits the
+    * top heavy keys with their load share and the salt factor that would
+    * level them (ceil(key_count / mean_count)) — exactly the number
+    * Salting.saltedJoin takes. Integer counts and one IEEE division per
+    * row keep both engines bitwise-aligned. */
+  def eSkewReport(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("key_count"))
+    val tot = counts.agg(sum(col("key_count")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("key_count"),
+        (col("key_count").cast(DoubleType) / col("n_rows").cast(DoubleType)).as("share"),
+        ceil(col("key_count").cast(DoubleType) /
+          (col("n_rows").cast(DoubleType) / col("n_keys").cast(DoubleType))).cast("long").as("salt_factor"))
+      .orderBy(col("key_count").desc, col("l_partkey"))
+      .limit(10)
+  }
+
+  val eSkewReportSql: String =
+    """WITH counts AS (
+      |  SELECT l_partkey, COUNT(*) AS key_count FROM lineitem GROUP BY 1),
+      |tot AS (SELECT SUM(key_count) AS n_rows, COUNT(*) AS n_keys FROM counts)
+      |SELECT l_partkey, key_count,
+      |  CAST(key_count AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+      |  CAST(CEIL(CAST(key_count AS DOUBLE) / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))) AS BIGINT) AS salt_factor
+      |FROM counts, tot
+      |ORDER BY key_count DESC, l_partkey LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_skew_report"   -> eSkewReport _,
     "e_anomaly"       -> eAnomaly _,
     "e_partition_overwrite" -> ePartitionOverwrite _,
     "e_gdpr_purge"    -> eGdprPurge _,
@@ -535,6 +570,7 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_skew_report"   -> eSkewReportSql,
     "e_anomaly"       -> eAnomalySql,
     "e_partition_overwrite" -> ePartitionOverwriteSql,
     "e_gdpr_purge"    -> eGdprPurgeSql,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampNTZType}
 
@@ -393,7 +394,36 @@ object Relational5 {
       |                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY 1 ORDER BY c_nationkey""".stripMargin
 
+  /** q_window_range: trailing-30-day revenue per customer — a RANGE
+    * interval frame (every peer day inside the value window, however many
+    * rows), the frame kind qWindowRunning's ROWS frame doesn't exercise.
+    * The order key is an exact epoch-day integer so frame membership is
+    * integer comparison on both engines, and the windowed sum is decimal
+    * (order-independent under any AQE re-partitioning). One shuffle on
+    * custkey; the 1997-03 output month is a post-window filter, so each
+    * row still sees its full 30-day look-back. */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("od", datediff(col("o_orderdate"), lit("1995-01-01").cast("date")))
+      .select(col("o_custkey"), col("o_orderkey"), col("od"),
+        sum(col("o_totalprice").cast(Dec)).over(w).cast(DoubleType).as("trailing30_rev"))
+      .filter(col("od") >= 790 && col("od") < 821) // 1997-03-01 .. 1997-04-01
+      .orderBy(col("o_custkey"), col("od"), col("o_orderkey"))
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT o_custkey, o_orderkey, od,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY od
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing30_rev
+      |FROM (SELECT *, datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS od FROM orders)
+      |QUALIFY od >= 790 AND od < 821
+      |ORDER BY o_custkey, od, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_range"        -> qWindowRange _,
     "q2_min_cost_supp"      -> q2 _,
     "q8_market_share"       -> q8 _,
     "q9_product_profit"     -> q9 _,
@@ -407,6 +437,7 @@ object Relational5 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_range"        -> qWindowRangeSql,
     "q2_min_cost_supp"      -> q2Sql,
     "q8_market_share"       -> q8Sql,
     "q9_product_profit"     -> q9Sql,
