@@ -353,7 +353,65 @@ object Similarity {
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** s_silhouette: clustering-quality evaluation for the trained k-means —
+    * simplified silhouette (distances to CENTROIDS, not all-pairs points:
+    * a = own-centroid distance, b = nearest-other-centroid distance,
+    * s = (b−a)/max(a,b)), which is the only silhouette that exists at
+    * 100 TB (the classic one is O(N²)). Per point the C=8 candidate
+    * distances collapse through sort_array(collect_list) — a C-bounded
+    * list per point, never a window sort over the N·C scored rows — and
+    * the per-cluster mean is decimal-pinned. Every distance is the shared
+    * sqEuclideanExpr fold, so doubles agree bitwise with the unrolled
+    * DuckDB oracle; degenerate max(a,b)=0 pins to 0. */
+  def sSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val centroids = Kmeans.fit(s, e, "vec_id", "embedding", k = 8, iters = 3)
+    val points = e.select(col("vec_id").as("p_id"),
+      col("embedding").cast("array<double>").as("p_vec"))
+    val ab = points.crossJoin(broadcast(centroids))
+      .withColumn("d", Kmeans.sqEuclideanExpr("p_vec", "c_vec"))
+      .groupBy(col("p_id"))
+      .agg(sort_array(collect_list(struct(
+        coalesce(col("d"), lit(Double.MaxValue)).as("d"), col("c_id")))).as("ds"))
+      .select(col("p_id"), col("ds")(0).getField("c_id").as("c_id"),
+        sqrt(col("ds")(0).getField("d")).as("da"), sqrt(col("ds")(1).getField("d")).as("db"))
+    ab.withColumn("s", when(greatest(col("da"), col("db")) === 0.0, lit(0.0))
+        .otherwise((col("db") - col("da")) / greatest(col("da"), col("db"))))
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("s").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1)).cast("double")).as("avg_sil"))
+      .orderBy(col("c_id"))
+  }
+
+  val sSilhouetteSql: String = {
+    val iters = (1 to 3).flatMap(i => Seq(
+      kmAssignCte("pts", s"c${i - 1}", s"a$i"), kmRecenterCte(s"a$i", s"c$i")))
+    s"""WITH pts AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding] AS pv FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding] AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+       |${iters.mkString(",\n")},
+       |dist AS (
+       |  SELECT p.p_id, c.c_id,
+       |    ${dotSql("p.pv", "p.pv")} - 2 * ${dotSql("p.pv", "c.cv")} + ${dotSql("c.cv", "c.cv")} AS d
+       |  FROM pts p CROSS JOIN c3 c),
+       |r AS (
+       |  SELECT p_id, c_id, d, row_number() OVER (PARTITION BY p_id
+       |    ORDER BY COALESCE(d, 1.7976931348623157e308), c_id) AS rn FROM dist),
+       |ab AS (
+       |  SELECT a.p_id, a.c_id,
+       |    sqrt(COALESCE(a.d, 1.7976931348623157e308)) AS da,
+       |    sqrt(COALESCE(b.d, 1.7976931348623157e308)) AS db
+       |  FROM r a JOIN r b ON a.p_id = b.p_id AND a.rn = 1 AND b.rn = 2),
+       |sil AS (
+       |  SELECT p_id, c_id, CASE WHEN GREATEST(da, db) = 0 THEN 0.0
+       |    ELSE (db - da) / GREATEST(da, db) END AS s FROM ab)
+       |SELECT c_id, COUNT(*) AS n,
+       |  CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_sil
+       |FROM sil GROUP BY 1 ORDER BY c_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_silhouette" -> sSilhouette _,
     "s_pq"        -> sPq _,
     "s_pq_search" -> sPqSearch _,
     "s_quantize"  -> sQuantize _,
@@ -364,6 +422,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s_silhouette" -> sSilhouetteSql,
     "s_pq"        -> sPqSql,
     "s_pq_search" -> sPqSearchSql,
     "s_quantize"  -> sQuantizeSql,
