@@ -468,11 +468,13 @@ object DedupQ {
       .withColumn("blk", substring(col("head"), 1, 4))
     val a = heads.select(col("doc_id").as("a_id"), col("head").as("ha"), col("blk"))
     val b = heads.select(col("doc_id").as("b_id"), col("head").as("hb"), col("blk").as("blk2"))
+    // threshold-banded DP: O(len·k) per pair instead of O(len²), exact for
+    // distances within the bound (out-of-bound pairs report -1 and die)
     a.join(b, col("blk") === col("blk2") &&
         col("a_id") < col("b_id") &&
         abs(length(col("ha")) - length(col("hb"))) <= 2)
-      .withColumn("dist", levenshtein(col("ha"), col("hb")))
-      .filter(col("dist") <= 2)
+      .withColumn("dist", levenshtein(col("ha"), col("hb"), 2))
+      .filter(col("dist").between(0, 2))
       .select(col("a_id"), col("b_id"), col("dist"))
       .orderBy(col("a_id"), col("b_id"))
   }

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
 
 import graft.Tables
 import graft.functions.OracleParity.xsum
@@ -152,7 +153,13 @@ object Relational3 {
     * row-group skipping the layout buys. */
   def ioZorderRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = roundtripPath(dir, "zorder")
-    ZOrder.write(Tables.orders(s, dir), out, Seq("o_custkey", "o_totalprice"), nFiles = 4)
+    // one year's orders and 6-bit codes: the rewrite is an in-gate WRITE
+    // (paid on every run), so the gate keeps it small — bits/nFiles scale
+    // with data volume in production, not with gate latency
+    val slice = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast(TimestampNTZType) &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampNTZType))
+    ZOrder.write(slice, out, Seq("o_custkey", "o_totalprice"), nFiles = 4, bits = 6)
     s.read.parquet(out)
       .filter(col("o_custkey") < 100 && col("o_totalprice").between(20000.0, 60000.0))
       .groupBy(col("o_orderstatus"))
@@ -164,7 +171,8 @@ object Relational3 {
     """SELECT o_orderstatus, COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
       |FROM orders
-      |WHERE o_custkey < 100 AND o_totalprice BETWEEN 20000.0 AND 60000.0
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND o_custkey < 100 AND o_totalprice BETWEEN 20000.0 AND 60000.0
       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
   /** q_window_funcs2: value-window functions — first/last value over
