@@ -143,9 +143,21 @@ object N2kBinding {
     * previous import's `action` column; it is ignored. The merged states
     * are store-sized, so the localCheckpoint materializes a sliver (in
     * production the state instead reads back from the database between
-    * imports — see StorePipelineSpec's snapshot-stream test). */
+    * imports — see StorePipelineSpec's snapshot-stream test).
+    *
+    * Cost shape: each merge is one full-outer sort-merge join on its own
+    * key — a full outer can never broadcast, so the 10-table × 2-import
+    * gate pays ~20 tiny exchanges of store-sized frames. That fixed
+    * scheduling floor dominates the gate at sf0.1; at 100 TB the same
+    * exchanges carry the real per-table state and ARE the plan you want
+    * (one keyed shuffle per table, facts never re-scanned). */
   def importAll(state: Map[String, DataFrame], w: DataFrame, stamp: Long): Map[String, DataFrame] = {
-    val extracts = Graph.map(t => t -> extract(t, w))
+    // Lazy-checkpoint each extract: the validation job below is the first
+    // action over them, so it materializes the (store-sized) extracts once
+    // and the merges reuse the cached partitions — without this, every
+    // table's distinct/aggregation over the export window ran TWICE per
+    // import (validate + merge), which dominated the gate's wall time.
+    val extracts = Graph.map(t => t -> extract(t, w).localCheckpoint(false))
     // validate ALL tables in one job: each per-table report is |rules|
     // rows, so the union is a ~14-row frame and one collect — not a job
     // per table (the reference validates per store_* call; the union is
