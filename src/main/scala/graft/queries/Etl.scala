@@ -546,7 +546,39 @@ object Etl {
       |FROM counts, tot
       |ORDER BY key_count DESC, l_partkey LIMIT 10""".stripMargin
 
+  /** e_view_delta: incremental join-view maintenance — the orders ⋈
+    * lineitem view is maintained by [[ViewDelta.refreshInsert]] from
+    * insert-only delta batches instead of re-joining the full tables. The
+    * gate splits each side deterministically (orders on orderkey % 10,
+    * lineitem on orderkey % 7 — different moduli so all three delta terms
+    * are non-trivially exercised; keys ≡ 0 (mod 70) land in ΔA ⋈ ΔB),
+    * refreshes, and reduces the view to a per-status summary. The oracle
+    * recomputes from the complete tables: V ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB must
+    * equal A' ⋈ B' exactly, which the decimal-sum convention makes
+    * hash-checkable. */
+  def eViewDelta(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("orderkey"), col("o_orderstatus"))
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("orderkey"), col("l_extendedprice"))
+    val (aOld, aDel) = (a.filter(col("orderkey") % 10 =!= 0), a.filter(col("orderkey") % 10 === 0))
+    val (bOld, bDel) = (b.filter(col("orderkey") % 7 =!= 0), b.filter(col("orderkey") % 7 === 0))
+    val view = aOld.join(bOld, Seq("orderkey"))
+    ViewDelta.refreshInsert(view, aOld, aDel, bOld, bDel, Seq("orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val eViewDeltaSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_view_delta"    -> eViewDelta _,
     "e_skew_report"   -> eSkewReport _,
     "e_anomaly"       -> eAnomaly _,
     "e_partition_overwrite" -> ePartitionOverwrite _,
@@ -570,6 +602,7 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_view_delta"    -> eViewDeltaSql,
     "e_skew_report"   -> eSkewReportSql,
     "e_anomaly"       -> eAnomalySql,
     "e_partition_overwrite" -> ePartitionOverwriteSql,

@@ -39,6 +39,23 @@ class EtlOperatorsSpec extends AnyFunSuite {
     assert(orphans.toSet == Set(2))
   }
 
+  test("ViewDelta.refreshInsert equals a full re-join, every delta term load-bearing") {
+    // Keys chosen so each of the three delta terms contributes rows that
+    // the others cannot: k=2 only via ΔA⋈B, k=3 only via A⋈ΔB, k=4 only
+    // via ΔA⋈ΔB — dropping any term changes the result.
+    val aOld = Seq((1, "a1"), (3, "a3")).toDF("k", "av")
+    val aDel = Seq((2, "a2"), (4, "a4")).toDF("k", "av")
+    val bOld = Seq((1, "b1"), (2, "b2")).toDF("k", "bv")
+    val bDel = Seq((3, "b3"), (4, "b4"), (1, "b1x")).toDF("k", "bv")
+    val view = aOld.join(bOld, Seq("k"))
+    val got = ViewDelta.refreshInsert(view, aOld, aDel, bOld, bDel, Seq("k"))
+      .orderBy("k", "av", "bv").collect().map(_.toSeq)
+    val want = aOld.unionByName(aDel).join(bOld.unionByName(bDel), Seq("k"))
+      .orderBy("k", "av", "bv").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+    assert(got.map(_.head).toSet == Set(1, 2, 3, 4))
+  }
+
   test("UpsertMerge classifies insert/update/keep and merges attributes") {
     val target = Seq((1, "x", "A"), (2, "y", "B"), (3, "z", "C")).toDF("k", "n", "seg")
     val source = Seq((2, "y", "B2"), (4, "w", "D")).toDF("k", "n", "seg")
