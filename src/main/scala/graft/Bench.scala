@@ -60,10 +60,13 @@ object Bench {
     // and corrupt the JSON
     def f(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // BOTH output lines report the full-surface total (the compact line
+    // only trims the per-query map) — computed once here so a helper
+    // parameter can't silently shadow it
+    val fullTotal = results.map(_._2).filter(_ >= 0).sum
     def jsonLine(rs: Seq[(String, Double)], extra: String): String = {
       val qs = rs.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(fullTotal)},"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
     }
     // Full per-query map → the canonical FILE. The printed line keeps only
     // the 40 most expensive queries and folds the rest into one "other"

@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{Components, Dedup, MinHashLsh}
+import graft.dedup.Dedup
 import graft.functions.TextFunctions
 
 /** One-call training-data curation — the library façade over the
@@ -15,9 +15,11 @@ import graft.functions.TextFunctions
   *
   * Scale shape is the same as d_curate's (SURVEY.md §5.1): the quality
   * filter is narrow and runs FIRST so signatures are computed only for
-  * survivors; candidate generation is band-bucketed (never all-pairs);
-  * exact Jaccard touches candidates only; component labeling shuffles
-  * edge-sized data; the split is a per-row content hash.
+  * survivors; exact-dup groups collapse to one representative before
+  * signatures; candidate generation is band-bucketed star expansion
+  * (linear per bucket, never all-pairs); exact Jaccard touches candidates
+  * only; component labeling shuffles edge-sized data; the split is a
+  * per-row content hash.
   */
 object Curation {
 
@@ -56,11 +58,9 @@ object Curation {
       .drop("__toks")
       .localCheckpoint()
     val good = scored.filter(col("keep_quality")).select(id, col(cfg.textCol))
-    val cands = MinHashLsh.candidatePairs(good, cfg.idCol, cfg.textCol)
-    val verified = Dedup.jaccardOnPairs(cands, good, cfg.idCol, cfg.textCol)
-      .filter(col("jaccard") >= cfg.jaccardMin)
-      .select(col("a_id"), col("b_id"))
-    val canon = Components.canonicalize(good.select(id), cfg.idCol, verified)
+    // exact-dup collapse + star-edge LSH + Jaccard + components, expanded
+    // back over every quality-kept doc (same machinery as d_curate)
+    val canon = Dedup.fuzzyCanonical(good, cfg.idCol, cfg.textCol, cfg.jaccardMin)
     // THE shared split assignment (Text.splitBucket) — t_split and
     // d_contamination use the same formula; never fork it
     val bucket: Column = graft.queries.Text.splitBucket(col(cfg.textCol))

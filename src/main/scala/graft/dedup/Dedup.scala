@@ -8,15 +8,49 @@ import graft.functions.TextFunctions._
 /** Exact + verified fuzzy dedup operators (SURVEY.md §2D). */
 object Dedup {
 
+  /** Normalized content hash — THE exact-dup key: md5 over ws-collapsed,
+    * trimmed, lower-cased text (shared by exactGroups and the exact-dup
+    * collapse inside fuzzyCanonical so the two can never drift). */
+  def contentHash(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(regexp_replace(lower(trim(text)), s"${graft.functions.TextFunctions.Ws}+", " "))
+
   /** Exact dedup by normalized-content hash: one groupBy on the hash.
     * Output: one row per content group with multiplicity and canonical id
     * (min id — deterministic survivor pick). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .withColumn("content_hash",
-      md5(regexp_replace(lower(trim(col(textCol))), s"${graft.functions.TextFunctions.Ws}+", " ")))
+      .withColumn("content_hash", contentHash(col(textCol)))
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+
+  /** Fuzzy-dedup canonical assignment with EXACT-DUP COLLAPSE — the
+    * full-scale path shared by d_curate and Curation.run. Exact-duplicate
+    * groups are first collapsed to their min-id representative (one window
+    * min over the content hash), so a boilerplate cluster of m identical
+    * docs contributes ONE signature row instead of m AND identical docs
+    * can never be separated by a failed bucket-min Jaccard verification
+    * (their connectivity comes from the rep map, not from LSH edges).
+    * Representatives then run star-edge LSH candidates → exact Jaccard →
+    * connected components, and the rep map expands the canonical label
+    * back over every input row. Output: (idCol, canonical_id), one row per
+    * input doc; a doc survives dedup iff canonical_id == its own id. */
+  def fuzzyCanonical(docs: DataFrame, idCol: String, textCol: String,
+      jaccardMin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val repMap = docs.select(col(idCol),
+        min(col(idCol)).over(Window.partitionBy(contentHash(col(textCol)))).as("__rep"))
+      .localCheckpoint()
+    val reps = docs
+      .join(repMap.filter(col(idCol) === col("__rep")).select(col(idCol)), Seq(idCol))
+      .select(col(idCol), col(textCol))
+    val cands = MinHashLsh.candidatePairs(reps, idCol, textCol).localCheckpoint()
+    val verified = jaccardOnPairs(cands, reps, idCol, textCol)
+      .filter(col("jaccard") >= jaccardMin)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    val canonReps = Components.canonicalize(reps.select(col(idCol)), idCol, verified)
+    repMap.join(canonReps.withColumnRenamed(idCol, "__rep"), Seq("__rep"))
+      .select(col(idCol), col("canonical_id"))
+  }
 
   /** Candidate pairs joined to both sides' distinct shingle sets plus the
     * intersection size — the shared scaffolding of every exact pair

@@ -94,6 +94,13 @@ object IncrementalDedup {
     * fold itself distincts). Only partitions present at snapshot time are
     * folded, so a concurrent append's partition is never touched.
     *
+    * Concurrency caveat: the source batch= partitions are deleted as soon
+    * as the folded partition is committed, so a concurrent probe that
+    * LISTED files before the delete can fail mid-job with
+    * FileNotFoundException — the store is crash-consistent at every
+    * instant, but an in-flight reader racing a compact should simply
+    * retry (or compacts can be scheduled in a reader quiet window).
+    *
     * @return number of source partitions folded (0 = nothing to do). */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {

@@ -150,9 +150,14 @@ object Multimodal {
   final class ImageIoFrameDecoder(stride: Int = 1) extends FrameDecoder {
     @transient private var digest: MessageDigest = _
     override def open(): Unit = { digest = MessageDigest.getInstance("MD5") }
-    override def decode(b: Blob): Iterator[Frame] = {
+    override def decode(b: Blob): Iterator[Frame] = try {
+      // the WHOLE body is guarded, including createImageInputStream and
+      // getImageReaders (either can throw on hostile bytes, and the
+      // stream can come back null) — the zero-frames-on-corrupt contract
+      // must hold no matter where the codec fails
       val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(b.payload))
+      if (in == null) return Iterator.empty
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)
         if (!readers.hasNext) return Iterator.empty
@@ -174,8 +179,8 @@ object Multimodal {
             } catch { case _: Exception => None } // corrupt frame: skip it
           }.iterator
         } finally reader.dispose()
-      } finally if (in != null) in.close()
-    }
+      } finally in.close()
+    } catch { case _: Exception => Iterator.empty } // corrupt blob: zero frames
   }
 
   /** Decode every blob through `decoder`, per-partition batched: open()

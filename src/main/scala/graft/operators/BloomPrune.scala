@@ -47,6 +47,18 @@ object BloomPrune {
     @transient private lazy val bloom: BloomFilter =
       BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
 
+    /** Case-class equality over Array[Byte] would be reference identity,
+      * so two probes built from identical filters would never
+      * canonicalize equal and subexpression reuse would be defeated —
+      * key equality on a content digest of the filter bytes instead. */
+    private lazy val filterDigest: Seq[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(filterBytes).toSeq
+    override def equals(other: Any): Boolean = other match {
+      case b: BloomMightContainString => child == b.child && filterDigest == b.filterDigest
+      case _ => false
+    }
+    override def hashCode(): Int = 31 * child.hashCode() + filterDigest.hashCode()
+
     /** putString == putBinary(utf8 bytes) in the sketch impl, so probing
       * with the raw UTF8String bytes matches stat.bloomFilter's inserts
       * without materializing a java.lang.String per row. */
@@ -78,7 +90,11 @@ object BloomPrune {
     ColumnBridge.column(BloomMightContainString(ColumnBridge.expression(c), filterBytes))
 
   /** probe rows whose `probeCol` might be in `build.buildCol` — compose
-    * with the exact membership join for identical-results pruning. */
+    * with the exact membership join for identical-results pruning.
+    * NOTE: building the filter is an EAGER action over the build side at
+    * DataFrame-construction time (stat.bloomFilter runs a job), not a
+    * lazy plan node — callers sequencing work should construct the pruned
+    * frame where running that job immediately is acceptable. */
   def prune(probe: DataFrame, probeCol: String, build: DataFrame, buildCol: String,
       expectedItems: Long = 1L << 20, fpp: Double = 0.03): DataFrame =
     probe.filter(mightContain(col(probeCol), filterFor(build, buildCol, expectedItems, fpp)))

@@ -44,9 +44,13 @@ object DedupQ {
     s"bands AS (\n  SELECT doc_id, unnest([$keys]) AS bk FROM sigs)"
   }
 
+  /** Star-expansion candidates, mirroring MinHashLsh.candidatePairs: each
+    * band-bucket member pairs with the bucket min (linear in bucket size,
+    * never the quadratic in-bucket cross join). */
   private val candSelect =
-    """SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      |FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
+    """SELECT DISTINCT m AS a_id, doc_id AS b_id
+      |FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY bk) AS m FROM bands)
+      |WHERE doc_id <> m""".stripMargin
 
   /** Jaccard cutoff for verified near-dup pairs — ONE constant feeding the
     * Spark filters and every generated oracle (d_jaccard, d_components,
@@ -86,7 +90,8 @@ object DedupQ {
       |  COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
-  /** d_minhash_pairs: LSH banding candidate pairs. */
+  /** d_minhash_pairs: LSH banding candidate edges (star expansion per band
+    * bucket — linear in bucket size, see MinHashLsh.candidatePairs). */
   def dMinhashPairs(s: SparkSession, dir: String): DataFrame =
     MinHashLsh.candidatePairs(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("a_id"), col("b_id"))
@@ -146,11 +151,13 @@ object DedupQ {
   val CurateQuality = 0.35
 
   /** d_curate: the training-data curation pipeline END-TO-END — quality
-    * scoring → threshold filter → fuzzy dedup (LSH candidates, exact
-    * Jaccard, connected components) → canonical survivors only. The cheap
-    * narrow quality filter runs FIRST so the expensive shingle/signature
-    * machinery only ever sees surviving documents — the ordering that
-    * matters at 100 TB. Output: one row per kept document. */
+    * scoring → threshold filter → fuzzy dedup with exact-dup collapse
+    * (Dedup.fuzzyCanonical: content-hash rep collapse, star-edge LSH
+    * candidates, exact Jaccard, connected components) → canonical
+    * survivors only. The cheap narrow quality filter runs FIRST so the
+    * expensive shingle/signature machinery only ever sees surviving
+    * documents, and exact-dup groups contribute ONE signature row — the
+    * two orderings that matter at 100 TB. Output: one row per kept doc. */
   def dCurate(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     val docs = Tables.documents(s, dir)
@@ -159,27 +166,30 @@ object DedupQ {
       .withColumn("toks", TextFunctions.tokens(col("text")))
       .select(col("doc_id"), col("text"), size(col("toks")).as("n_tokens"),
         TextFunctions.qualityScore(col("text"), col("toks")).as("quality"))
-    // good docs feed four consumers (pair gen, jaccard, components, final
-    // join) — materialize once, truncate the scoring lineage
+    // good docs feed the dedup pipeline and the final join — materialize
+    // once, truncate the scoring lineage
     val good = scored.filter(col("quality") >= CurateQuality).localCheckpoint()
-    val gdocs = good.select(col("doc_id"), col("text"))
-    val cands = MinHashLsh.candidatePairs(gdocs, "doc_id", "text").localCheckpoint()
-    val verified = Dedup.jaccardOnPairs(cands, gdocs, "doc_id", "text")
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("a_id"), col("b_id")).localCheckpoint()
-    val canon = Components.canonicalize(good.select(col("doc_id")), "doc_id", verified)
+    val canon = Dedup.fuzzyCanonical(
+      good.select(col("doc_id"), col("text")), "doc_id", "text", JaccardThreshold)
     good.join(canon, "doc_id")
       .filter(col("canonical_id") === col("doc_id"))
       .select(col("doc_id"), col("n_tokens"), col("quality"))
       .orderBy(col("doc_id"))
   }
 
+  /** Oracle mirrors the collapse: rm = rep map over quality-kept docs
+    * (window min per content hash), the band machinery runs over reps
+    * only (qdocs), and the closure label expands back through rm.rep. */
   val dCurateSql: String =
     s"""WITH RECURSIVE tk AS (SELECT doc_id, text, ${Text.toksSql} AS toks FROM documents),
        |q AS (SELECT doc_id, text, len(toks) AS n_tokens,
        |        ${Text.qualitySqlExpr} AS quality
        |      FROM tk),
-       |qdocs AS (SELECT doc_id, text FROM q WHERE quality >= $CurateQuality),
+       |rm AS (SELECT doc_id, text,
+       |         MIN(doc_id) OVER (PARTITION BY
+       |           md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f]+', ' ', 'g'))) AS rep
+       |       FROM q WHERE quality >= $CurateQuality),
+       |qdocs AS (SELECT doc_id, text FROM rm WHERE doc_id = rep),
        |${shingleCteFor("qdocs")},
        |$hpCte,
        |$sigsCte,
@@ -188,9 +198,10 @@ object DedupQ {
        |$pairsCte,
        |$closureCtes
        |SELECT q.doc_id, q.n_tokens, q.quality
-       |FROM q LEFT JOIN lbl ON lbl.id = q.doc_id
-       |WHERE q.quality >= $CurateQuality AND coalesce(lbl.canonical_id, q.doc_id) = q.doc_id
-       |ORDER BY doc_id""".stripMargin
+       |FROM q JOIN rm ON rm.doc_id = q.doc_id
+       |     LEFT JOIN lbl ON lbl.id = rm.rep
+       |WHERE coalesce(lbl.canonical_id, rm.rep) = q.doc_id
+       |ORDER BY q.doc_id""".stripMargin
 
   /** d_contamination: train/test DECONTAMINATION — find test-split
     * documents that near-duplicate a train-split document (the leakage an
@@ -201,44 +212,39 @@ object DedupQ {
     * same cost as fuzzy dedup — no extra corpus pass for the split check. */
   def dContamination(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val cands = MinHashLsh.candidatePairs(docs, "doc_id", "text").localCheckpoint()
-    // split tags computed ONLY for candidate docs (semi-join pushdown, the
-    // same trick jaccardOnPairs uses) — tagging the whole corpus would add
-    // two full md5 passes; train = bucket < 80, test = bucket >= 90
-    // (t_split's bounds)
-    val candIds = cands.select(col("a_id").as("doc_id"))
-      .union(cands.select(col("b_id").as("doc_id"))).distinct()
-    val tags = docs.join(candIds, "doc_id")
-      .select(col("doc_id"), Text.splitBucket(col("text")).as("bucket"))
+    // bipartite star candidates: train docs are side 1 (left), test docs
+    // side 2 (right), the val slice [80,90) is excluded before signature
+    // compute; each banded doc pairs with the opposite side's bucket min
+    // only — linear in bucket size even when boilerplate straddles splits
+    val bucket = Text.splitBucket(col("text"))
+    val side = when(bucket < 80, 1).when(bucket >= 90, 2)
+    val cands = MinHashLsh.bipartiteCandidates(docs, "doc_id", "text", side)
+      .select(col("right_id").as("a_id"), col("left_id").as("b_id"))
       .localCheckpoint()
-    val aTag = tags.select(col("doc_id").as("a_id"), col("bucket").as("a_b"))
-    val bTag = tags.select(col("doc_id").as("b_id"), col("bucket").as("b_b"))
-    val cross = cands.join(aTag, "a_id").join(bTag, "b_id")
-      .filter((col("a_b") < 80 && col("b_b") >= 90) || (col("a_b") >= 90 && col("b_b") < 80))
-      .select(col("a_id"), col("b_id"),
-        when(col("a_b") >= 90, col("a_id")).otherwise(col("b_id")).as("test_id"),
-        when(col("a_b") >= 90, col("b_id")).otherwise(col("a_id")).as("train_id"))
-      .localCheckpoint()
-    Dedup.jaccardOnPairs(cross.select(col("a_id"), col("b_id")), docs, "doc_id", "text")
+    Dedup.jaccardOnPairs(cands, docs, "doc_id", "text")
       .filter(col("jaccard") >= JaccardThreshold)
-      .join(cross, Seq("a_id", "b_id"))
-      .select(col("test_id"), col("train_id"), col("jaccard"))
+      .select(col("a_id").as("test_id"), col("b_id").as("train_id"), col("jaccard"))
       .orderBy(col("test_id"), col("train_id"))
   }
 
+  /** Oracle mirrors the bipartite star: per band bucket, window-min over
+    * each side; every test doc pairs with the bucket's min train doc and
+    * every train doc with the bucket's min test doc. */
   val dContaminationSql: String =
     s"""WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte,
-       |cand AS ($candSelect),
        |tags AS (SELECT doc_id, ${Text.splitBucketSql} AS bucket FROM documents),
+       |bt AS (SELECT b.doc_id AS doc_id, t.bucket AS bucket,
+       |         MIN(CASE WHEN t.bucket < 80 THEN b.doc_id END) OVER (PARTITION BY b.bk) AS ml,
+       |         MIN(CASE WHEN t.bucket >= 90 THEN b.doc_id END) OVER (PARTITION BY b.bk) AS mr
+       |       FROM bands b JOIN tags t ON t.doc_id = b.doc_id
+       |       WHERE t.bucket < 80 OR t.bucket >= 90),
        |cross_cand AS (
-       |  SELECT a_id, b_id,
-       |    CASE WHEN ta.bucket >= 90 THEN a_id ELSE b_id END AS test_id,
-       |    CASE WHEN ta.bucket >= 90 THEN b_id ELSE a_id END AS train_id
-       |  FROM cand JOIN tags ta ON ta.doc_id = a_id JOIN tags tb ON tb.doc_id = b_id
-       |  WHERE (ta.bucket < 80 AND tb.bucket >= 90) OR (ta.bucket >= 90 AND tb.bucket < 80))
+       |  SELECT doc_id AS test_id, ml AS train_id FROM bt WHERE bucket >= 90 AND ml IS NOT NULL
+       |  UNION
+       |  SELECT mr AS test_id, doc_id AS train_id FROM bt WHERE bucket < 80 AND mr IS NOT NULL)
        |SELECT test_id, train_id, jaccard FROM (
        |  SELECT test_id, train_id, $jaccardExprSql AS jaccard
-       |  FROM cross_cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id)
+       |  FROM cross_cand JOIN sh sa ON sa.doc_id = test_id JOIN sh sb ON sb.doc_id = train_id)
        |WHERE jaccard >= $JaccardThreshold ORDER BY test_id, train_id""".stripMargin
 
   /** d_containment: asymmetric overlap on the LSH candidates — per pair,

@@ -250,28 +250,47 @@ object Similarity {
     * word per subspace per vector — the compressed representation itself.
     *
     * Scale shape: per subspace, training touches only 16 of 64 dims and
-    * the codebook is k rows (broadcast); assignment is one narrow
-    * cross-score + map-side argmin (no window). The M code columns join
-    * back on vec_id — same-key joins a real store would avoid by
-    * computing all M codes in one pass; at M=4 the join form keeps each
-    * subspace independently testable. */
-  /** Per-subspace (subvectors, trained codebook, code assignment) —
-    * shared by s_pq (emits the codes) and s_pq_search (scores through
-    * them). */
-  private def pqParts(s: SparkSession, e: DataFrame): Seq[(DataFrame, DataFrame, DataFrame)] =
+    * the codebook is k rows (broadcast); all M code columns come from ONE
+    * narrow projection over the corpus (pqCodes) — the codebooks are k·M
+    * collected rows inlined as literals, so code assembly never joins or
+    * shuffles the corpus. */
+  /** Per-subspace (subvectors, trained codebook) — shared by s_pq (emits
+    * the codes) and s_pq_search (scores through them). */
+  private def pqParts(s: SparkSession, e: DataFrame): Seq[(DataFrame, DataFrame)] =
     (0 until PqM).map { m =>
       val sub = e.select(col("vec_id"),
         slice(col("embedding").cast("array<double>"), m * PqSubDim + 1, PqSubDim).as("emb"))
       val centroids = Kmeans.fit(s, sub, "vec_id", "emb", PqK, iters = 1)
-      val points = sub.select(col("vec_id").as("p_id"), col("emb").as("p_vec"))
-      val codes = Kmeans.assign(s, points, centroids)
-        .select(col("p_id").as("vec_id"), col("c_id").as(s"code_$m"))
-      (sub, centroids, codes)
+      (sub, centroids)
     }
 
-  def sPq(s: SparkSession, dir: String): DataFrame =
-    pqParts(s, Tables.embeddings(s, dir)).map(_._3)
-      .reduce(_.join(_, "vec_id")).orderBy(col("vec_id"))
+  /** vec_id + code_0..code_{M-1} in ONE projection: per subspace, the
+    * argmin over the k literal codewords is an array_min over
+    * (distance, c_id) structs — the same sqEuclidean fold and the same
+    * lexicographic tie rule as Kmeans.assign's min_by, so the codes are
+    * value-identical to an assign() per subspace, with zero joins where
+    * the old reduce(join("vec_id")) form paid M−1 keyed corpus shuffles. */
+  private def pqCodes(s: SparkSession, e: DataFrame, books: Seq[DataFrame]): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val codeCols = books.zipWithIndex.map { case (cb, m) =>
+      val rows = cb.select(col("c_id"), col("c_vec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      val sub = slice(col("embedding").cast("array<double>"), m * PqSubDim + 1, PqSubDim)
+      val cands = array(rows.map { case (cid, cvec) =>
+        struct(
+          coalesce(Kmeans.sqEuclidean(sub, typedLit(cvec)), lit(Double.MaxValue)).as("d"),
+          lit(cid).as("c_id"))
+      }: _*)
+      array_min(cands).getField("c_id").as(s"code_$m")
+    }
+    e.select(col("vec_id") +: codeCols: _*)
+  }
+
+  def sPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    pqCodes(s, e, pqParts(s, e).map(_._2)).orderBy(col("vec_id"))
+  }
 
   /** Per-subspace training CTEs (pts_m, seed c0_m, one Lloyd round to
     * c1_m, final assignment f_m) — the SQL mirror of pqParts. */
@@ -304,15 +323,16 @@ object Similarity {
     * carries ≤ |Q|·k rows. Approximation lives in the PQ algorithm; the
     * execution is deterministic and exactly mirrored by the oracle. */
   def sPqSearch(s: SparkSession, dir: String): DataFrame = {
-    val parts = pqParts(s, Tables.embeddings(s, dir))
-    val luts = parts.zipWithIndex.map { case ((sub, centroids, _), m) =>
+    val e = Tables.embeddings(s, dir)
+    val parts = pqParts(s, e)
+    val luts = parts.zipWithIndex.map { case ((sub, centroids), m) =>
       queriesSubset(sub)
         .select(col("vec_id").as("q_id"), col("emb").as("q_vec"))
         .crossJoin(broadcast(centroids))
         .withColumn(s"d_$m", Kmeans.sqEuclideanExpr("q_vec", "c_vec"))
         .select(col("q_id"), col("c_id").as(s"code_$m"), col(s"d_$m"))
     }
-    val codes = parts.map(_._3).reduce(_.join(_, "vec_id"))
+    val codes = pqCodes(s, e, parts.map(_._2))
     val scored = luts.zipWithIndex.foldLeft(codes) { case (df, (lut, m)) =>
       val keys = if (m == 0) Seq(s"code_$m") else Seq("q_id", s"code_$m")
       df.join(broadcast(lut), keys)

@@ -34,6 +34,14 @@ object Kmeans {
   def sqEuclideanExpr(p: String, c: String): org.apache.spark.sql.Column =
     expr(s"dot_product($p, $p) - 2 * dot_product($p, $c) + dot_product($c, $c)")
 
+  /** Column-based twin of sqEuclideanExpr — IDENTICAL fold shape
+    * ((p·p − 2·p·c) + c·c), for call sites where the operands are built
+    * expressions (e.g. a literal codebook vector) instead of named
+    * columns. Requires VectorExpressions.register on the session. */
+  def sqEuclidean(p: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("dot_product", p, p) - lit(2) * call_function("dot_product", p, c) +
+      call_function("dot_product", c, c)
+
   def assign(spark: SparkSession, points: DataFrame, centroids: DataFrame): DataFrame = {
     VectorExpressions.register(spark)
     points.crossJoin(broadcast(centroids))

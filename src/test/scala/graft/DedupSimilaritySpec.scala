@@ -33,6 +33,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not collide")
   }
 
+  test("LSH hot band is LINEAR: 1000 identical docs emit 999 star edges, not ~500k pairs") {
+    // the 100 TB scale guard — a boilerplate cluster all landing in one
+    // band bucket must produce O(m) candidate edges (star expansion from
+    // the bucket min), never the O(m²) in-bucket cross join
+    val hot = ((0 until 1000).map(i =>
+        (i.toLong, "same boilerplate paragraph repeated verbatim across the whole corpus today")) :+
+      (5000L, "entirely different content about spark engines and data pipelines here"))
+      .toDF("doc_id", "text")
+    val pairs = MinHashLsh.candidatePairs(hot, "doc_id", "text").cache()
+    try {
+      assert(pairs.count() == 999, "candidate volume must be linear in bucket size")
+      assert(pairs.filter(col("a_id") =!= 0L).count() == 0, "every edge must come from the bucket min")
+      assert(pairs.filter(col("a_id") >= col("b_id")).count() == 0, "a_id < b_id invariant")
+    } finally pairs.unpersist()
+  }
+
+  test("fuzzyCanonical: exact dups collapse unconditionally, near-dups via LSH, unrelated survive") {
+    val canon = Dedup.fuzzyCanonical(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(canon == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 0L),
+      s"canonical assignment diverged: $canon")
+  }
+
   test("IncrementalDedup: probe finds batch-vs-corpus dups only; append is idempotent and crash-recoverable") {
     import graft.dedup.IncrementalDedup
     val path = java.nio.file.Files.createTempDirectory("graft_incdedup").toString

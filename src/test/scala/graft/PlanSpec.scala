@@ -292,4 +292,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"suppkey inequality must ride the equi-join, not a nested loop:\n${p.take(3000)}")
   }
+
+  test("s_pq: code assembly is ONE projection — zero joins, zero shuffles over the corpus") {
+    // the M subspace codebooks are inlined literals; the only Exchange
+    // allowed in the final plan is the presentation orderBy's range
+    // partition — any Join node means the M-way vec_id re-join came back
+    val p = plan(Similarity.sPq(spark, dir))
+    assert(!p.contains("Join"), s"code assembly must not join:\n${p.take(3000)}")
+  }
 }
