@@ -12,10 +12,11 @@ import graft.sources.JdbcUpsertSink.Config
   * store shape instantiated end-to-end, not just the generalized operators
   * (VERDICT r5 "What's missing" #1). The reference's store_*() family
   * normalizes an observation export into dimension tables (datasource,
-  * language, species, species_group), a link table
-  * (species_group_species) and fact tables (analysis, anomaly), writes
-  * them FK-first in ONE transaction, and maintains first/last import
-  * stamps plus despawn (soft-delete) on the link/fact side.
+  * language, species, species_group, location, dataset), link tables
+  * (species_group_species, location_group_location, analysis_dataset)
+  * and fact tables (analysis, anomaly, observation), writes them FK-first
+  * in ONE transaction, and maintains first/last import stamps plus
+  * despawn (soft-delete) on the link/fact side.
   *
   * The synthetic corpus stands in for the observation export: a window of
   * `lineitem ⋈ orders ⋈ part ⋈ supplier` is one export —
@@ -56,10 +57,13 @@ object N2kBinding {
     Table("species_group", Seq("sg_brand"), Nil, stamped = false),
     Table("location", Seq("loc_key"), Seq("loc_name"), stamped = false),
     Table("location_group", Seq("lg_key"), Seq("lg_name"), stamped = false),
+    Table("dataset", Seq("dset_key"), Seq("dset_name"), stamped = false),
     Table("species_group_species", Seq("sg_brand", "sp_key"), Nil, stamped = true),
     Table("location_group_location", Seq("lg_key", "loc_key"), Nil, stamped = true),
     Table("analysis", Seq("sg_brand", "ship_yr"), Seq("n_items", "revenue"), stamped = true),
-    Table("anomaly", Seq("sg_brand", "ship_yr"), Seq("n_returned"), stamped = true))
+    Table("anomaly", Seq("sg_brand", "ship_yr"), Seq("n_returned"), stamped = true),
+    Table("analysis_dataset", Seq("sg_brand", "ship_yr", "dset_key"), Nil, stamped = true),
+    Table("observation", Seq("sp_key", "loc_key", "ship_yr"), Seq("n_obs"), stamped = true))
 
   /** Return-rate cutoff that makes a (group, year) an anomaly fact. */
   val AnomalyRatio = 0.36
@@ -123,6 +127,20 @@ object N2kBinding {
           count(when(col("l_returnflag") === "R", lit(1))).as("n_returned"))
         .filter(col("n_returned").cast("double") / col("n").cast("double") > AnomalyRatio)
         .select(col("sg_brand"), col("ship_yr"), col("n_returned"))
+    case "dataset" =>
+      // one dataset per export ship-year — the reference's store_dataset
+      // registers each imported file; the year is this corpus's file unit
+      w.select(col("ship_yr").as("dset_key")).distinct()
+        .withColumn("dset_name", concat(lit("export_"), col("dset_key").cast("string")))
+    case "analysis_dataset" =>
+      // store_analysis_dataset: which datasets fed each analysis fact
+      w.select(col("sg_brand"), col("ship_yr"), col("ship_yr").as("dset_key")).distinct()
+    case "observation" =>
+      // store_observation: the finest-grain fact — species seen at a
+      // location in a year, with its observation count
+      w.groupBy(col("l_partkey").as("sp_key"), col("n_nationkey").as("loc_key"),
+          col("ship_yr"))
+        .agg(count(lit(1)).as("n_obs"))
   }
 
   /** Pristine-state bootstrap: the table empty, with merge bookkeeping
@@ -146,37 +164,57 @@ object N2kBinding {
     * imports — see StorePipelineSpec's snapshot-stream test).
     *
     * Cost shape: each merge is one full-outer sort-merge join on its own
-    * key — a full outer can never broadcast, so the 10-table × 2-import
-    * gate pays ~20 tiny exchanges of store-sized frames. That fixed
+    * key — a full outer can never broadcast, so the 13-table × 2-import
+    * gate pays ~26 tiny exchanges of store-sized frames. That fixed
     * scheduling floor dominates the gate at sf0.1; at 100 TB the same
     * exchanges carry the real per-table state and ARE the plan you want
     * (one keyed shuffle per table, facts never re-scanned). */
   def importAll(state: Map[String, DataFrame], w: DataFrame, stamp: Long): Map[String, DataFrame] = {
-    // Lazy-checkpoint each extract: the validation job below is the first
-    // action over them, so it materializes the (store-sized) extracts once
-    // and the merges reuse the cached partitions — without this, every
-    // table's distinct/aggregation over the export window ran TWICE per
-    // import (validate + merge), which dominated the gate's wall time.
-    val extracts = Graph.map(t => t -> extract(t, w).localCheckpoint(false))
-    // validate ALL tables in one job: each per-table report is |rules|
-    // rows, so the union is a ~14-row frame and one collect — not a job
-    // per table (the reference validates per store_* call; the union is
-    // the same stop-on-invalid semantics with 1/7th the scheduling)
-    val report = extracts.map { case (t, src) =>
-      Validate.report(src,
-        t.keyCols.map(k => Validate.Rule(s"${t.name}_${k}_nonnull", col(k).isNotNull)))
-    }.reduce(_ unionByName _)
-    val bad = report.filter(col("n_violations") > 0).collect()
-    require(bad.isEmpty, s"validation failed: ${bad.mkString(", ")}")
-    extracts.map { case (t, src) =>
-      val tgt = state(t.name).drop("action")
-      val merged =
-        if (t.stamped) UpsertMerge.stampedMerge(tgt, src, t.keyCols, t.attrCols, lit(stamp))
-        else UpsertMerge.merge(tgt, src, t.keyCols, t.attrCols)
-      // LAZY checkpoint: lineage truncates and the result caches on first
-      // use, without paying an eager materialization job per table here
-      t.name -> merged.localCheckpoint(false)
-    }.toMap
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    // The per-table pipelines are independent until the single DB
+    // transaction in storeAll, so BOTH of their driver-side costs run
+    // concurrently from a thread pool: (a) Catalyst planning —
+    // localCheckpoint plans eagerly even when lazy, and 13 sequential
+    // analyze/optimize/plan passes were the gate's hidden driver floor —
+    // and (b) the merge materialization jobs, each one store-sized keyed
+    // shuffle that cannot fill the cluster alone.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(Graph.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      // Lazy-checkpoint each extract: the validation job below is the
+      // first action over them, so it materializes the (store-sized)
+      // extracts once and the merges reuse the cached partitions —
+      // without this, every table's distinct/aggregation over the export
+      // window ran TWICE per import (validate + merge).
+      // Phase 1 per table (concurrent): plan the extract, lazily
+      // checkpoint it, and collect its |rules|-row validation report —
+      // the report job doubles as the extract materializer. All tables
+      // validate BEFORE any merge lands (the reference's stop-on-invalid
+      // rule over the whole transaction).
+      val extractsAndBad = Await.result(
+        Future.sequence(Graph.toList.map(t => Future {
+          val src = extract(t, w).localCheckpoint(false)
+          val bad = Validate.report(src,
+              t.keyCols.map(k => Validate.Rule(s"${t.name}_${k}_nonnull", col(k).isNotNull)))
+            .filter(col("n_violations") > 0).collect()
+          (t, src, bad)
+        })), Duration.Inf)
+      val bad = extractsAndBad.flatMap(_._3)
+      require(bad.isEmpty, s"validation failed: ${bad.mkString(", ")}")
+      val extracts = extractsAndBad.map { case (t, src, _) => t -> src }
+      val merged = Await.result(
+        Future.sequence(extracts.map { case (t, src) => Future {
+          val tgt = state(t.name).drop("action")
+          val m =
+            if (t.stamped) UpsertMerge.stampedMerge(tgt, src, t.keyCols, t.attrCols, lit(stamp))
+            else UpsertMerge.merge(tgt, src, t.keyCols, t.attrCols)
+          val ck = m.localCheckpoint(false)
+          ck.queryExecution.toRdd.count() // materialize while siblings overlap
+          t.name -> ck
+        } }), Duration.Inf)
+      merged.toMap
+    } finally pool.shutdown()
   }
 
   /** Canonical cross-table summary of a post-import state: one row per
@@ -196,7 +234,7 @@ object N2kBinding {
         col("action"), f.as("first_imported"), l.as("last_imported"), d.as("despawned"))
     }.reduce(_ unionByName _).orderBy(col("table_name"), col("nk"))
 
-  /** Land a merged state in the database — all ten tables FK-first in
+  /** Land a merged state in the database — all thirteen tables FK-first in
     * ONE transaction, exactly the reference's single-DBI-transaction
     * contract. Only changed rows are written (plus stamp refreshes on
     * stamped tables); despawns land as soft-delete UPDATEs. Target tables

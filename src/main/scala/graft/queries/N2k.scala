@@ -22,7 +22,7 @@ object N2k {
     * inserts), then the shifted window 2 (stamp 2) — the year the windows
     * share yields keeps/updates, the dropped year despawns on the link
     * and fact tables, the added year inserts. Output: every stored row of
-    * all ten tables with its natural key, md5 surrogate id, merge
+    * all thirteen tables with its natural key, md5 surrogate id, merge
     * action and stamps. */
   def eStoreN2k(s: SparkSession, dir: String): DataFrame = {
     // the two overlapping windows carve out of ONE materialized span, so
@@ -80,6 +80,13 @@ object N2k {
          |      COUNT(*) FILTER (l_returnflag = 'R') AS n_returned
          |    FROM $w GROUP BY 1, 2)
          |  WHERE CAST(n_returned AS DOUBLE) / CAST(n AS DOUBLE) > ${N2kBinding.AnomalyRatio}""".stripMargin
+    case "dataset" =>
+      s"SELECT DISTINCT ship_yr AS dset_key, 'export_' || CAST(ship_yr AS VARCHAR) AS dset_name FROM $w"
+    case "analysis_dataset" =>
+      s"SELECT DISTINCT sg_brand, ship_yr, ship_yr AS dset_key FROM $w"
+    case "observation" =>
+      s"""SELECT l_partkey AS sp_key, n_nationkey AS loc_key, ship_yr, COUNT(*) AS n_obs
+         |  FROM $w GROUP BY 1, 2, 3""".stripMargin
   }
 
   /** Mirror of one table's two-import merge outcome: import 1 inserts

@@ -178,14 +178,26 @@ object JdbcUpsertSink {
     val steps = writes.map { case (df, cfg) =>
       MergeStep(s"${cfg.table}_staging", cfg.table, df.schema, cfg.keyCols)
     }
-    for (((df, cfg), st) <- writes.zip(steps)) {
-      withConn(url) { conn =>
-        dropIfExists(conn, st.staging)
-        conn.createStatement().executeUpdate(
-          ddl(st.staging, df.schema, Nil, extraCols = ", graft_part INT"))
+    // stage all tables CONCURRENTLY from driver threads: staging is
+    // scratch space outside any transaction and each table loads its own
+    // staging table, so the Spark write jobs are independent — only the
+    // merges below serialize (one connection, one transaction, FK order)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.size)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val jobs = writes.zip(steps).map { case ((df, cfg), st) =>
+        Future {
+          withConn(url) { conn =>
+            dropIfExists(conn, st.staging)
+            conn.createStatement().executeUpdate(
+              ddl(st.staging, df.schema, Nil, extraCols = ", graft_part INT"))
+          }
+          stage(df, cfg.copy(table = st.staging))
+        }
       }
-      stage(df, cfg.copy(table = st.staging))
-    }
+      jobs.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
     mergeAllStagedAtomically(url, steps, onStepForTest)
     withConn(url)(conn => steps.foreach(st => dropIfExists(conn, st.staging)))
   }

@@ -7,9 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.api.N2kBinding
 
-/** The concrete n2kresult binding against a real database: all ten
-  * tables (6 dims, 2 links, 2 facts) land FK-first in ONE transaction,
-  * a mid-transaction death makes NOTHING visible, and a plain retry
+/** The concrete n2kresult binding against a real database: all thirteen
+  * tables (7 dims, 2 links, analysis/anomaly/observation facts and the
+  * analysis_dataset link) land FK-first in ONE transaction, a
+  * mid-transaction death makes NOTHING visible, and a plain retry
   * converges — the reference's single-DBI-transaction contract over the
   * whole graph, not just one dim+fact pair. */
 class N2kStoreSpec extends AnyFunSuite {
@@ -21,8 +22,8 @@ class N2kStoreSpec extends AnyFunSuite {
   private def ddlFor(t: N2kBinding.Table): String = {
     val cols = (t.keyCols ++ t.attrCols).map { c =>
       val ty = c match {
-        case "ds_key" | "sp_key" | "n_items" | "n_returned" => "BIGINT"
-        case "ship_yr" | "loc_key" | "lg_key" => "INT"
+        case "ds_key" | "sp_key" | "n_items" | "n_returned" | "n_obs" => "BIGINT"
+        case "ship_yr" | "loc_key" | "lg_key" | "dset_key" => "INT"
         case "revenue" => "DOUBLE"
         case _ => "VARCHAR(200)"
       }
@@ -52,7 +53,7 @@ class N2kStoreSpec extends AnyFunSuite {
     } finally c.close()
   }
 
-  test("whole-graph store: mid-transaction death leaves all 10 tables empty; retry converges; despawn lands") {
+  test("whole-graph store: mid-transaction death leaves all 13 tables empty; retry converges; despawn lands") {
     val conn = DriverManager.getConnection(url)
     try {
       for (t <- N2kBinding.Graph) {
@@ -67,11 +68,12 @@ class N2kStoreSpec extends AnyFunSuite {
     val st0 = N2kBinding.Graph.map(t => t.name -> N2kBinding.emptyState(t, w1)).toMap
     val st1 = N2kBinding.importAll(st0, w1, stamp = 1L)
 
-    // kill the single transaction AFTER all six dim merges and both link
-    // merges ran, BEFORE the fact merges commit — the worst partial state
+    // kill the single transaction AFTER all seven dim merges and both
+    // link merges ran, BEFORE the fact merges commit — the worst partial
+    // state
     val ex = intercept[RuntimeException] {
       N2kBinding.storeAll(st1, url,
-        onMergeStepForTest = i => if (i == 7) throw new RuntimeException("injected crash"))
+        onMergeStepForTest = i => if (i == 9) throw new RuntimeException("injected crash"))
     }
     assert(ex.getMessage == "injected crash")
     for (t <- N2kBinding.Graph)
