@@ -55,10 +55,16 @@ object Components {
       val nbrMin = edges
         .join(lbl.select(col("id").as("d"), col("lbl").as("nlbl")), Seq("d"))
         .groupBy(col("s").as("id")).agg(min(col("nlbl")).as("nbr_min"))
+      // the changed-count rides the materialization job as an observe()
+      // metric (CollectMetrics fires on the eager checkpoint action —
+      // both local and reliable), so each round is ONE job instead of
+      // materialize + a second count() pass over the cached state
+      val obs = new org.apache.spark.sql.Observation()
       val upd = materialize(lbl.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("lbl"),
-          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("new_lbl")))
-      changed = upd.filter(col("new_lbl") < col("lbl")).count()
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("new_lbl"))
+        .observe(obs, sum(when(col("new_lbl") < col("lbl"), 1L).otherwise(0L)).as("changed")))
+      changed = obs.get("changed") match { case null => 0L; case n => n.asInstanceOf[Long] }
       lbl = upd.select(col("id"), col("new_lbl").as("lbl"))
       it += 1
     }

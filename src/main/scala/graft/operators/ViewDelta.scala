@@ -39,4 +39,38 @@ object ViewDelta {
       .unionByName(aDelta.join(bOld, keys))
       .unionByName(aOld.join(bDelta, keys))
       .unionByName(aDelta.join(bDelta, keys))
+
+  /** DELETE-AWARE refresh: maintains V = A ⋈ B under a changelog with
+    * inserts AND deletes, directly — no CdcApply pre-fold needed. Deletes
+    * arrive as key frames (`aDel` with columns `aPk`, `bDel` with `bPk`):
+    * every A row, B row and view row matching a deleted key is retracted
+    * via anti-join (an update is a delete + insert, exactly what a
+    * CdcApply changelog decomposes to). Derivation, with Aₖ = A ∖ ΔA⁻:
+    *
+    *   V' = Aₖ⋈Bₖ ∪ (ΔA⁺ ⋈ Bₖ) ∪ (Aₖ ⋈ ΔB⁺) ∪ (ΔA⁺ ⋈ ΔB⁺)
+    *   Aₖ⋈Bₖ = V  ∖ (rows keyed by ΔA⁻) ∖ (rows keyed by ΔB⁻)
+    *
+    * — the second line holds because a view row exists iff both its side
+    * rows survive, and the pk anti-joins remove exactly the rows whose
+    * either side died.
+    *
+    * 100 TB shape: the three insert terms are |Δ|-sized as in
+    * refreshInsert; the retractions are two anti-joins of V (and of each
+    * base side) against batch-sized key sets — AQE broadcasts the key
+    * frames, so V is scanned once but never reshuffled, and with V
+    * bucketed on the keys the scan is exchange-free. Cost per refresh is
+    * O(|V| scan + |Δ| join work), still independent of re-joining A'⋈B'. */
+  def refresh(view: DataFrame,
+              aOld: DataFrame, aIns: DataFrame, aDel: DataFrame, aPk: Seq[String],
+              bOld: DataFrame, bIns: DataFrame, bDel: DataFrame, bPk: Seq[String],
+              keys: Seq[String]): DataFrame = {
+    val aKept = aOld.join(aDel, aPk, "left_anti")
+    val bKept = bOld.join(bDel, bPk, "left_anti")
+    view
+      .join(aDel, aPk, "left_anti")
+      .join(bDel, bPk, "left_anti")
+      .unionByName(aIns.join(bKept, keys))
+      .unionByName(aKept.join(bIns, keys))
+      .unionByName(aIns.join(bIns, keys))
+  }
 }

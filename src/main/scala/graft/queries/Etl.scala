@@ -577,8 +577,45 @@ object Etl {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  /** e_view_delta_del: DELETE-AWARE join-view maintenance — the same
+    * orders ⋈ lineitem view maintained through a changelog that both
+    * inserts (orders ≡ 0 mod 10, lineitems ≡ 0 mod 7) and deletes
+    * (order keys ≡ 3 mod 10 on the A side, ≡ 2 mod 7 on the B side), via
+    * [[ViewDelta.refresh]]'s anti-join retraction terms. The oracle
+    * recomputes from scratch with the deleted keys filtered out: the
+    * incrementally maintained view must equal A' ⋈ B' exactly. */
+  def eViewDeltaDel(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("orderkey"), col("o_orderstatus"))
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("orderkey"), col("l_extendedprice"))
+    val (aOld, aIns) = (a.filter(col("orderkey") % 10 =!= 0), a.filter(col("orderkey") % 10 === 0))
+    val (bOld, bIns) = (b.filter(col("orderkey") % 7 =!= 0), b.filter(col("orderkey") % 7 === 0))
+    // deletes arrive as key frames: drop order 3-mod-10 rows from A and
+    // every line of 2-mod-7 orders from B (a cascade-style delete)
+    val aDel = aOld.filter(col("orderkey") % 10 === 3).select(col("orderkey")).distinct()
+    val bDel = bOld.filter(col("orderkey") % 7 === 2).select(col("orderkey")).distinct()
+    val view = aOld.join(bOld, Seq("orderkey"))
+    ViewDelta.refresh(view, aOld, aIns, aDel, Seq("orderkey"),
+        bOld, bIns, bDel, Seq("orderkey"), Seq("orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** A' = orders without the 3-mod-10 keys; B' = lineitem without lines
+    * of 2-mod-7 orders (inserts restore the 0-mod splits in full). */
+  val eViewDeltaDelSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey % 10 <> 3 AND l_orderkey % 7 <> 2
+      |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_view_delta"    -> eViewDelta _,
+    "e_view_delta_del" -> eViewDeltaDel _,
     "e_skew_report"   -> eSkewReport _,
     "e_anomaly"       -> eAnomaly _,
     "e_partition_overwrite" -> ePartitionOverwrite _,
@@ -603,6 +640,7 @@ object Etl {
 
   val oracle: Map[String, String] = Map(
     "e_view_delta"    -> eViewDeltaSql,
+    "e_view_delta_del" -> eViewDeltaDelSql,
     "e_skew_report"   -> eSkewReportSql,
     "e_anomaly"       -> eAnomalySql,
     "e_partition_overwrite" -> ePartitionOverwriteSql,

@@ -146,6 +146,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(p.contains("Bucketed: true"), s"store scan must be bucketed:\n${p.take(1500)}")
   }
 
+  test("Components: ONE job per propagation round — the changed-count rides the round's observe metric") {
+    // with AQE off, an eager localCheckpoint is exactly 2 jobs in this
+    // Spark version (plan compute + the checkpoint's cache-reading
+    // count), so the path graph 1-2-3-4 (one-hop seed, then 3 rounds to
+    // converge) costs (edges + seed + 3 rounds) × 2 = 10; a separate
+    // changed-count() pass per round — what the observe() fold removed —
+    // would add 3 more and fail this pin
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setJobGroup("components-jobs", "")
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+      val got = graft.dedup.Components.labels(pairs).as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    // poll the async status store until the job count stabilizes
+    def jobs(): Int = spark.sparkContext.statusTracker.getJobIdsForGroup("components-jobs").length
+    var last = -1; var cur = jobs(); var i = 0
+    while (cur != last && i < 50) { last = cur; Thread.sleep(100); cur = jobs(); i += 1 }
+    // the final collect() in the assertion above is +1 on top of the 10
+    assert(cur == 11, s"expected 10 labels jobs + 1 collect, got $cur")
+  }
+
   test("Components.labels with reliable checkpointing matches the localCheckpoint path") {
     import graft.dedup.Components
     val prev = spark.sparkContext.getCheckpointDir

@@ -56,6 +56,33 @@ class EtlOperatorsSpec extends AnyFunSuite {
     assert(got.map(_.head).toSet == Set(1, 2, 3, 4))
   }
 
+  test("ViewDelta.refresh handles deletes + inserts: equals a full re-join of the post-change sides") {
+    // a-side pk = k (unique); b-side rows keyed by k with multiplicity.
+    // Deletes: a loses k=3, b loses BOTH k=1 rows (cascade by key);
+    // inserts land k=2 (a), k=3 (b — joins nothing since a's k=3 died),
+    // and k=5 on both (the ΔA⁺ ⋈ ΔB⁺ term).
+    val aOld = Seq((1, "a1"), (3, "a3"), (4, "a4")).toDF("k", "av")
+    val aIns = Seq((2, "a2"), (5, "a5")).toDF("k", "av")
+    val aDel = Seq(3).toDF("k")
+    val bOld = Seq((1, "b1"), (1, "b1x"), (2, "b2"), (3, "b3"), (4, "b4")).toDF("k", "bv")
+    val bIns = Seq((3, "b3n"), (5, "b5")).toDF("k", "bv")
+    val bDel = Seq(1).toDF("k")
+    val view = aOld.join(bOld, Seq("k"))
+    val got = ViewDelta.refresh(view, aOld, aIns, aDel, Seq("k"),
+        bOld, bIns, bDel, Seq("k"), Seq("k"))
+      .orderBy("k", "av", "bv").collect().map(_.toSeq)
+    val aNew = aOld.join(aDel, Seq("k"), "left_anti").unionByName(aIns)
+    val bNew = bOld.join(bDel, Seq("k"), "left_anti").unionByName(bIns)
+    val want = aNew.join(bNew, Seq("k")).orderBy("k", "av", "bv").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+    // the retractions actually bit: k=1 (b-side delete) and k=3's old row
+    // are gone, while k=3 re-appears only if its a-side had survived (it
+    // did not)
+    val keys = got.map(_.head).toSet
+    assert(!keys.contains(1) && !keys.contains(3), s"retractions leaked: $keys")
+    assert(keys == Set(2, 4, 5))
+  }
+
   test("UpsertMerge classifies insert/update/keep and merges attributes") {
     val target = Seq((1, "x", "A"), (2, "y", "B"), (3, "z", "C")).toDF("k", "n", "seg")
     val source = Seq((2, "y", "B2"), (4, "w", "D")).toDF("k", "n", "seg")

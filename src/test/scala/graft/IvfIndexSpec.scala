@@ -45,6 +45,33 @@ class IvfIndexSpec extends AnyFunSuite {
       s"bucket IN pruning missing:\n${plan.take(3000)}")
   }
 
+  test("build sizes C from parquet footers: defaulted C adds ZERO jobs over an explicit C") {
+    // a defaulted centroid count must come from driver-side footer
+    // metadata, never a corpus count() pass — proven by job parity with
+    // an explicitly sized build of the same C
+    val e = Tables.embeddings(spark, dir)
+    val c = math.round(math.sqrt(e.count().toDouble)).toInt
+    def jobsFor(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      // statusTracker fills from the async listener bus — poll to stable
+      var last = -1; var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var i = 0
+      while (cur != last && i < 50) { last = cur; Thread.sleep(100)
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length; i += 1 }
+      cur
+    }
+    val defaulted = jobsFor("ivf-c-default") {
+      IvfIndex.build(spark, e, "vec_id", "embedding", s"${path}_cdef", iters = 1) }
+    val explicit = jobsFor("ivf-c-explicit") {
+      IvfIndex.build(spark, e, "vec_id", "embedding", s"${path}_cexp",
+        numCentroids = Some(c), iters = 1) }
+    assert(defaulted == explicit,
+      s"defaulted-C build ran $defaulted jobs vs $explicit with explicit C — a corpus count() leaked in")
+    // and the footer estimate produced the same √N grid
+    assert(spark.read.parquet(s"${path}_cdef/centroids").count() == c)
+  }
+
   test("append ingests without retraining: appended vectors are probeable, corpus count grows") {
     val e = Tables.embeddings(spark, dir)
     val path = s"${this.path}_append"
