@@ -183,6 +183,55 @@ object Multimodal {
     } catch { case _: Exception => Iterator.empty } // corrupt blob: zero frames
   }
 
+  /** REAL video codec for MJPEG-style streams — the simplest real
+    * frame-SEQUENCE container: the payload is back-to-back JPEG stills
+    * (how MJPEG AVIs, many IP cameras and multipart/x-mixed-replace
+    * streams carry video). The decoder scans once for SOI/EOI marker
+    * pairs (FF D8 FF … FF D9), carves per-frame byte ranges without
+    * copying the stream, and decodes every `stride`-th frame through the
+    * same javax.imageio path as still images — frame_idx is the TEMPORAL
+    * index, frame_md5 the content hash of the decoded ARGB raster, so
+    * re-encodings of the same pixels collide exactly like the still
+    * path. Corrupt frames are skipped, corrupt blobs yield zero frames
+    * (same ingest contract as ImageIoFrameDecoder). */
+  final class MjpegFrameDecoder(stride: Int = 1) extends FrameDecoder {
+    @transient private var digest: MessageDigest = _
+    override def open(): Unit = { digest = MessageDigest.getInstance("MD5") }
+    override def decode(b: Blob): Iterator[Frame] = try {
+      val p = b.payload
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var i = 0; var start = -1
+      while (i + 1 < p.length) {
+        if (start < 0 && (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xd8) {
+          start = i; i += 2
+        } else if (start >= 0 && (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xd9) {
+          bounds += ((start, i + 2)); start = -1; i += 2
+        } else i += 1
+      }
+      // frames materialize EAGERLY per blob (same contract as the still
+      // decoder): a lazy iterator over b.payload would read the buffer
+      // after the partition iterator advanced past the blob
+      bounds.toVector.zipWithIndex
+        .filter { case (_, fi) => fi % stride == 0 }
+        .flatMap { case ((from, until), fi) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+              java.util.Arrays.copyOfRange(p, from, until)))
+            if (img == null) None
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val argb = img.getRGB(0, 0, w, h, null, 0, w)
+              val bytes = java.nio.ByteBuffer.allocate(argb.length * 4)
+              argb.foreach(bytes.putInt)
+              digest.reset()
+              val hex = digest.digest(bytes.array()).map("%02x".format(_)).mkString
+              Some(Frame(b.doc_id, fi, w * h, hex))
+            }
+          } catch { case _: Exception => None } // corrupt frame: skip it
+        }.iterator
+    } catch { case _: Exception => Iterator.empty } // corrupt blob: zero frames
+  }
+
   /** Decode every blob through `decoder`, per-partition batched: open()
     * once per partition, then stream — no partition materialization. */
   def decodeFrames(blobs: Dataset[Blob], decoder: FrameDecoder): Dataset[Frame] = {
@@ -198,9 +247,10 @@ object Multimodal {
     name match {
       case "stub"    => new StubFrameDecoder(frameSize, stride)
       case "imageio" => new ImageIoFrameDecoder(stride)
+      case "mjpeg"   => new MjpegFrameDecoder(stride)
       case "wav"     => new Audio.WavFrameDecoder(frameSize, stride)
       case other => throw new IllegalArgumentException(
-        s"unknown decoder '$other' (stub | imageio | wav)")
+        s"unknown decoder '$other' (stub | imageio | mjpeg | wav)")
     }
 
   /** Conf key selecting the frame codec ("stub" default, "imageio" for

@@ -65,6 +65,46 @@ class MultimodalSpec extends AnyFunSuite {
       "default stub path decodes every payload, including non-images")
   }
 
+  test("MjpegFrameDecoder: a concatenated-JPEG stream decodes as a FRAME SEQUENCE — temporal indices, per-frame content hashes, stride") {
+    import java.awt.image.BufferedImage
+    // fixture "video": 4 distinct 4x3 JPEG stills back-to-back in one blob
+    def jpeg(seed: Int): Array[Byte] = {
+      val img = new BufferedImage(4, 3, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 4; y <- 0 until 3)
+        img.setRGB(x, y, (seed * 997 + x * 31 + y * 57) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    val stream = (0 until 4).map(jpeg).reduce(_ ++ _)
+    val blobs = spark.createDataset(Seq(
+      Multimodal.Blob(1L, "video/x-motion-jpeg", stream.length.toLong, stream),
+      Multimodal.Blob(2L, "text/plain", 8L, "no video".getBytes("UTF-8")) // undecodable
+    ))
+    val frames = Multimodal.decodeFrames(blobs, new Multimodal.MjpegFrameDecoder())
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(frames.forall(_.doc_id == 1L), "non-video blob must yield zero frames")
+    assert(frames.length == 4, s"all 4 temporal frames must decode, got ${frames.length}")
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2, 3), "frame_idx is the temporal index")
+    assert(frames.forall(_.frame_bytes == 12), "4x3 frame = 12 decoded pixels")
+    assert(frames.map(_.frame_md5).distinct.length == 4, "distinct stills → distinct content hashes")
+    // content-hash determinism: a second decode reproduces the hashes
+    val again = Multimodal.decodeFrames(blobs, new Multimodal.MjpegFrameDecoder())
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(again.map(_.frame_md5).toSeq == frames.map(_.frame_md5).toSeq)
+    // temporal stride: keep frames 0 and 2 only, hashes unchanged
+    val strided = Multimodal.decodeFrames(blobs, new Multimodal.MjpegFrameDecoder(stride = 2))
+      .collect().sortBy(_.frame_idx)
+    assert(strided.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(strided.map(_.frame_md5).toSeq == Seq(frames(0).frame_md5, frames(2).frame_md5))
+    // and the config seam reaches it (sampleFrames' default stride is 4,
+    // so pass stride=1 to see all four temporal frames)
+    try {
+      spark.conf.set(Multimodal.DecoderConf, "mjpeg")
+      assert(Multimodal.sampleFrames(blobs, stride = 1).collect().length == 4)
+    } finally spark.conf.unset(Multimodal.DecoderConf)
+  }
+
   test("payloads are pure ASCII (byte offsets == char offsets, oracle precondition)") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val nonAscii = d.filter(length(col("text")) =!= length(encode(col("text"), "UTF-8"))).count()
