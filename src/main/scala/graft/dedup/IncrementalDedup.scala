@@ -135,30 +135,36 @@ object IncrementalDedup {
       .bucketBy(buckets, "bk").sortBy("bk")
       .option("compression", "zstd").format("parquet").saveAsTable(table)
 
+  /** Shared probe body: per (batch doc, band) only the MIN non-self
+    * corpus id survives as the duplicate witness — a hot store band of m
+    * boilerplate docs contributes one witness per batch doc per band, not
+    * m pair rows (the probe-side twin of MinHashLsh's star expansion).
+    * The min rides a partial aggregation directly on the bk-partitioned
+    * join output, so the in-bucket cross rows are consumed map-side and
+    * never shuffle; excluding self inside the same aggregation keeps
+    * re-ingests quiet without losing the witness to a self-collision. */
+  private def probeBands(batchBands: DataFrame, stored: DataFrame): DataFrame =
+    batchBands
+      .join(stored, Seq("bk"))
+      .groupBy(col("batch_id"), col("bk"))
+      .agg(min(when(col("corpus_id") =!= col("batch_id"), col("corpus_id"))).as("corpus_id"))
+      .filter(col("corpus_id").isNotNull)
+      .select(col("batch_id"), col("corpus_id")).distinct()
+
   /** probe() against a bucketed catalog store (compactToBucketedTable). */
   def probeTable(spark: SparkSession, table: String, batch: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val stored = spark.table(table).select(col("doc_id").as("corpus_id"), col("bk"))
-    bandsOf(batch, idCol, textCol)
-      .select(col("doc_id").as("batch_id"), col("bk"))
-      .join(stored, Seq("bk"))
-      .filter(col("batch_id") =!= col("corpus_id"))
-      .select(col("batch_id"), col("corpus_id")).distinct()
-  }
+      idCol: String, textCol: String): DataFrame =
+    probeBands(
+      bandsOf(batch, idCol, textCol).select(col("doc_id").as("batch_id"), col("bk")),
+      spark.table(table).select(col("doc_id").as("corpus_id"), col("bk")))
 
-  /** Candidate near-dup pairs between a new batch and the stored corpus:
-    * (batch_id, corpus_id), distinct. Signature work touches ONLY the
-    * batch; the corpus contributes pre-computed band keys from disk.
-    * Batch documents already present in the store pair with themselves —
-    * filtered here so re-ingests are quiet. */
+  /** Candidate near-dup witnesses between a new batch and the stored
+    * corpus: (batch_id, corpus_id), distinct — per batch doc, up to one
+    * witness per band (see probeBands). Signature work touches ONLY the
+    * batch; the corpus contributes pre-computed band keys from disk. */
   def probe(spark: SparkSession, path: String, batch: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val stored = readBands(spark, path)
-      .select(col("doc_id").as("corpus_id"), col("bk"))
-    bandsOf(batch, idCol, textCol)
-      .select(col("doc_id").as("batch_id"), col("bk"))
-      .join(stored, Seq("bk"))
-      .filter(col("batch_id") =!= col("corpus_id"))
-      .select(col("batch_id"), col("corpus_id")).distinct()
-  }
+      idCol: String, textCol: String): DataFrame =
+    probeBands(
+      bandsOf(batch, idCol, textCol).select(col("doc_id").as("batch_id"), col("bk")),
+      readBands(spark, path).select(col("doc_id").as("corpus_id"), col("bk")))
 }

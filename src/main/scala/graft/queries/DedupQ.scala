@@ -300,12 +300,18 @@ object DedupQ {
   }
 
   /** Oracle: identical signatures from the shared CTEs over ALL documents;
-    * the store/batch split is the doc_id % 5 predicate on the band join. */
+    * the store/batch split is the doc_id % 5 predicate on the band join,
+    * and the per-(batch doc, band) MIN corpus witness mirrors
+    * IncrementalDedup.probeBands' hot-band cap. */
   val dIncrementalSql: String =
     s"""WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte,
-       |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
-       |         FROM bands b JOIN bands c ON b.bk = c.bk
-       |         WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
+       |cand AS (SELECT DISTINCT batch_id, corpus_id FROM (
+       |           SELECT b.doc_id AS batch_id, b.bk,
+       |             MIN(CASE WHEN c.doc_id <> b.doc_id THEN c.doc_id END) AS corpus_id
+       |           FROM bands b JOIN bands c ON b.bk = c.bk AND c.doc_id % 5 <> 0
+       |           WHERE b.doc_id % 5 = 0
+       |           GROUP BY b.doc_id, b.bk)
+       |         WHERE corpus_id IS NOT NULL)
        |SELECT batch_id, corpus_id, jaccard FROM (
        |  SELECT batch_id, corpus_id, $jaccardExprSql AS jaccard
        |  FROM cand JOIN sh sa ON sa.doc_id = batch_id JOIN sh sb ON sb.doc_id = corpus_id)
@@ -403,6 +409,82 @@ object DedupQ {
        |  FROM cand JOIN aug ea ON ea.vec_id = a_id
        |            JOIN aug eb ON eb.vec_id = b_id)
        |WHERE cos >= ${graft.dedup.EmbedLsh.Threshold} ORDER BY a_id, b_id""".stripMargin
+
+  /** SemDeDup cosine cutoff (the tuned near-dup regime; twins land at
+    * cos ≈ 0.95-0.97, unrelated synthetic vectors max out near 0.46). */
+  val SemThreshold = 0.9
+
+  /** d_semdedup: SEMANTIC dedup, SemDeDup-style — k-means clusters the
+    * embedding space (deterministic Lloyd, the same trainer as s_kmeans),
+    * exact cosine runs only WITHIN each cluster, pairs at cos ≥ 0.9 form
+    * components, and every vector maps to its component-min canonical id.
+    * This is the other embedding-dedup blocking family next to
+    * d_embed_neardup's random-hyperplane LSH: centroids adapt to the data
+    * (better recall per comparison) at the cost of a training pass.
+    *
+    * Scale shape: training collects k centroid rows only; assignment is
+    * one broadcast cross-score with map-side argmin; the in-cluster pair
+    * join is an equi-join on the cluster id, so comparisons are
+    * O(N²/k) — k scales as N/clusterBudget at 100 TB, keeping per-cluster
+    * work constant. The gate runs the vec_id % 5 slice (plus its
+    * perturbed twins) so the DuckDB oracle's unrolled fold stays fast. */
+  def dSemdedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.similarity.Kmeans
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val base = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val twins = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("""transform(embedding, (x, j) ->
+                 CAST(x AS DOUBLE) * (1.0D + CASE WHEN (vec_id + j) % 2 = 0
+                                             THEN 0.3D ELSE -0.3D END))""").as("embedding"))
+    val aug = base.unionByName(twins).filter(col("vec_id") % 5 === 0)
+      .localCheckpoint() // feeds training, assignment and the final expand
+    val cent = Kmeans.fit(s, aug, "vec_id", "embedding", k = 8, iters = 2)
+    val pts = aug.select(col("vec_id").as("p_id"), col("embedding").as("p_vec"))
+    val assigned = Kmeans.assign(s, pts, cent)
+      .select(col("p_id"), col("c_id"), col("p_vec")).localCheckpoint()
+    val a = assigned.select(col("c_id"), col("p_id").as("a_id"), col("p_vec").as("a_v"))
+    val b = assigned.select(col("c_id"), col("p_id").as("b_id"), col("p_vec").as("b_v"))
+    val pairs = a.join(b, Seq("c_id")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", expr("cosine_sim(a_v, b_v)"))
+      .filter(col("cos") >= SemThreshold)
+      .select(col("a_id"), col("b_id"))
+    Components.canonicalize(aug.select(col("vec_id")), "vec_id", pairs)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: twin augmentation (identical IEEE ops), the s_kmeans-style
+    * unrolled Lloyd CTEs over the slice, in-cluster cosine pairs, then
+    * the shared recursive closure. */
+  val dSemdedupSql: String = {
+    val iters = (1 to 2).flatMap(i => Seq(
+      Similarity.kmAssignCte("pts", s"c${i - 1}", s"a$i"),
+      Similarity.kmRecenterCte(s"a$i", s"c$i")))
+    s"""WITH RECURSIVE rawaug AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    [CAST(embedding[j+1] AS DOUBLE) * (1.0 + CASE WHEN (vec_id + j) % 2 = 0
+       |                                              THEN 0.3 ELSE -0.3 END)
+       |     for j in range(0, len(embedding))]
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |aug AS (SELECT * FROM rawaug WHERE vec_id % 5 = 0),
+       |pts AS (SELECT vec_id AS p_id, embedding AS pv FROM aug),
+       |c0 AS (SELECT vec_id AS c_id, embedding AS cv FROM aug ORDER BY vec_id LIMIT 8),
+       |${iters.mkString(",\n")},
+       |${Similarity.kmAssignCte("pts", "c2", "f")},
+       |pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT x.p_id AS a_id, y.p_id AS b_id, ${Similarity.cosSql("x.pv", "y.pv")} AS cos
+       |    FROM f x JOIN f y ON x.c_id = y.c_id AND x.p_id < y.p_id)
+       |  WHERE cos >= $SemThreshold),
+       |$closureCtes
+       |SELECT a.vec_id, coalesce(l.canonical_id, a.vec_id) AS canonical_id
+       |FROM aug a LEFT JOIN lbl l ON l.id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
 
   /** d_paragraph: CCNet-style sub-document dedup — duplicated sentences
     * (the boilerplate unit here; paragraphs in a corpus with newlines) are
@@ -509,6 +591,7 @@ object DedupQ {
     "d_containment"   -> dContainment _,
     "d_simhash"       -> dSimhash _,
     "d_embed_neardup" -> dEmbedNeardup _,
+    "d_semdedup"      -> dSemdedup _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -524,5 +607,6 @@ object DedupQ {
     "d_containment"   -> dContainmentSql,
     "d_simhash"       -> dSimhashSql,
     "d_embed_neardup" -> dEmbedNeardupSql,
+    "d_semdedup"      -> dSemdedupSql,
   )
 }

@@ -26,9 +26,9 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  private def dotSql(x: String, y: String) =
+  private[queries] def dotSql(x: String, y: String) =
     s"list_reduce([CAST($x[i+1] AS DOUBLE) * CAST($y[i+1] AS DOUBLE) for i in range(0, len($x))], (p, q) -> p + q)"
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   val sKnnBruteSql: String =
@@ -176,7 +176,7 @@ object Similarity {
     * argmin, and DECIMAL(38,12) entry-rounded sums = VectorDecimalSum's
     * scale-12 HALF_UP buffer, cast to double before the /n division in
     * both engines. Dim is pinned to 64 (the embeddings table width). */
-  private def kmAssignCte(pts: String, cs: String, out: String): String =
+  private[queries] def kmAssignCte(pts: String, cs: String, out: String): String =
     s"""$out AS (
        |  SELECT p_id, pv, c_id FROM (
        |    SELECT p.p_id, p.pv, c.c_id,
@@ -184,7 +184,7 @@ object Similarity {
        |        ${dotSql("p.pv", "p.pv")} - 2 * ${dotSql("p.pv", "c.cv")} + ${dotSql("c.cv", "c.cv")}, c.c_id) AS rn
        |    FROM $pts p CROSS JOIN $cs c) WHERE rn = 1)""".stripMargin
 
-  private def kmRecenterCte(a: String, out: String, dim: Int = 64): String =
+  private[queries] def kmRecenterCte(a: String, out: String, dim: Int = 64): String =
     s"""$out AS (
        |  SELECT c_id, list(sd ORDER BY d) AS cv FROM (
        |    SELECT c_id, d, CAST(SUM(CAST(pv[d] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS sd

@@ -49,6 +49,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally pairs.unpersist()
   }
 
+  test("IncrementalDedup.probe hot store band yields ONE witness per batch doc, not m pairs") {
+    import graft.dedup.IncrementalDedup
+    val path = java.nio.file.Files.createTempDirectory("graft_incdedup_hot").toString
+    val boiler = "same boilerplate paragraph repeated verbatim across the whole corpus today"
+    val corpus = (0 until 500).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    IncrementalDedup.buildStore(corpus, "doc_id", "text", path)
+    val batch = Seq((9000L, boiler)).toDF("doc_id", "text")
+    val hits = IncrementalDedup.probe(spark, path, batch, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(hits == Set((9000L, 0L)),
+      s"hot band must collapse to the min corpus witness, got ${hits.size} pairs")
+  }
+
   test("fuzzyCanonical: exact dups collapse unconditionally, near-dups via LSH, unrelated survive") {
     val canon = Dedup.fuzzyCanonical(docs, "doc_id", "text", 0.5)
       .as[(Long, Long)].collect().toMap
