@@ -371,6 +371,61 @@ object Text {
       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM documents GROUP BY 1, 2 ORDER BY source""".stripMargin
 
+  /** Target mixture for t_domain_weights (langid domain → target share).
+    * ONE definition feeding both engines so the mixture cannot drift. */
+  val DomainTargets: Seq[(String, Double)] = Seq(
+    "de" -> 0.15, "en" -> 0.4, "es" -> 0.1, "fr" -> 0.15, "zh" -> 0.1, "und" -> 0.1)
+
+  /** t_domain_weights: DOMAIN REBALANCING — the data-mixing step a
+    * pretraining pipeline runs after language/domain tagging (DoReMi-style
+    * static reweighting): per domain, compare the corpus's observed share
+    * against the target mixture and emit the sampling weight
+    * target/observed that a weighted sampler applies per document. Upweight
+    * (>1) means the domain is under-represented, downweight (<1) over-
+    * represented. Scale shape: one langid narrow map + one tiny groupBy —
+    * the weight table is |domains| rows, broadcastable to any sampler.
+    * Division order is pinned (share first, then target/share) so the
+    * doubles agree bitwise across engines. */
+  def tDomainWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+    val counts = d.select(langId(col("toks")).as("domain"))
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("total"))
+    val targets = DomainTargets.toDF("domain", "target_share")
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n_docs").cast("double") / col("total").cast("double"))
+      .join(broadcast(targets), Seq("domain"))
+      .withColumn("weight", col("target_share") / col("share"))
+      .select(col("domain"), col("n_docs"), col("share"), col("target_share"), col("weight"))
+      .orderBy(col("domain"))
+  }
+
+  val tDomainWeightsSql: String = {
+    val langInner = {
+      val hits = graft.functions.TextFunctions.LangProfiles.map { case (l, p) =>
+        l -> s"len(list_filter(toks, t -> t IN (${inList(p)})))" }
+      val mx = s"greatest(${hits.map(_._2).mkString(", ")})"
+      val cases = hits.map { case (l, h) => s"WHEN $h = __mx AND __mx > 0 THEN '$l'" }.mkString(" ")
+      s"""SELECT CASE $cases ELSE 'und' END AS domain
+         |FROM (SELECT toks, $mx AS __mx
+         |      FROM (SELECT $toksSql AS toks FROM documents))""".stripMargin
+    }
+    val tgtRows = DomainTargets.map { case (l, t) => s"('$l', ${t}::DOUBLE)" }.mkString(", ")
+    s"""WITH lid AS ($langInner),
+       |counts AS (SELECT domain, COUNT(*) AS n_docs FROM lid GROUP BY 1),
+       |tot AS (SELECT SUM(n_docs) AS total FROM counts),
+       |tgt(domain, target_share) AS (VALUES $tgtRows)
+       |SELECT c.domain, c.n_docs,
+       |  CAST(c.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+       |  g.target_share,
+       |  g.target_share / (CAST(c.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE)) AS weight
+       |FROM counts c, tot t JOIN tgt g ON g.domain = c.domain
+       |ORDER BY c.domain""".stripMargin
+  }
+
   /** Sequence budget for t_pack (tokens per training sequence). */
   val PackBudget = 512
 
@@ -933,6 +988,7 @@ object Text {
     "t_sample_stratified" -> tSampleStratified _,
     "t_lm_score"    -> tLmScore _,
     "t_mix"         -> tMix _,
+    "t_domain_weights" -> tDomainWeights _,
     "t_heavy_hitters" -> tHeavyHitters _,
     "t_split"       -> tSplit _,
     "t_redact"      -> tRedact _,
@@ -958,6 +1014,7 @@ object Text {
     "t_sample_stratified" -> tSampleStratifiedSql,
     "t_lm_score"    -> tLmScoreSql,
     "t_mix"         -> tMixSql,
+    "t_domain_weights" -> tDomainWeightsSql,
     "t_heavy_hitters" -> tHeavyHittersSql,
     "t_split"       -> tSplitSql,
     "t_redact"      -> tRedactSql,

@@ -293,6 +293,17 @@ class PlanSpec extends AnyFunSuite {
       s"suppkey inequality must ride the equi-join, not a nested loop:\n${p.take(3000)}")
   }
 
+  test("d_minhash candidates: star expansion is JOIN-FREE — one bk window, no band self-join") {
+    // the hot-band cap's plan signature: candidate generation used to be a
+    // band-bucket self-join (quadratic in bucket size); now it's a window
+    // min over bk plus an edge distinct — any Join node means the
+    // self-join came back
+    val p = plan(graft.dedup.MinHashLsh.candidatePairs(
+      Tables.documents(spark, dir), "doc_id", "text"))
+    assert(!p.contains("Join"), s"band self-join reappeared:\n${p.take(3000)}")
+    assert(p.contains("Window"), s"bucket-min window missing:\n${p.take(3000)}")
+  }
+
   test("s_pq: code assembly is ONE projection — zero joins, zero shuffles over the corpus") {
     // the M subspace codebooks are inlined literals; the only Exchange
     // allowed in the final plan is the presentation orderBy's range

@@ -280,6 +280,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"incremental state diverged: got=${got.take(3)} want=${want.take(3)}")
   }
 
+  test("foreachBatch + ViewDelta.refresh: a changelog stream WITH DELETES maintains the join view") {
+    // the streaming face of e_view_delta_del: each micro-batch carries
+    // inserts AND deletes for the A side; the view refreshes via the
+    // anti-join retraction terms and must equal a from-scratch re-join of
+    // the final sides — without ever re-joining them during the run
+    import graft.operators.ViewDelta
+    val d = java.nio.file.Files.createTempDirectory("viewdelta-stream")
+    // static B side; A starts {1, 3} and the changelog inserts 2/5,
+    // deletes 3, then re-inserts 3 under a new value and deletes 1
+    val b = Seq((1, "b1"), (2, "b2"), (3, "b3"), (5, "b5")).toDF("k", "bv").localCheckpoint()
+    var a = Seq((1, "a1"), (3, "a3")).toDF("k", "av").localCheckpoint()
+    var view = a.join(b, Seq("k")).localCheckpoint()
+    Seq(("I", 2, "a2"), ("D", 3, "")).toDF("op", "k", "av")
+      .coalesce(1).write.parquet(s"$d/f1")
+    Seq(("I", 3, "a3n"), ("I", 5, "a5"), ("D", 1, "")).toDF("op", "k", "av")
+      .coalesce(1).write.parquet(s"$d/f2")
+    val bNoIns = b.filter(lit(false))
+    val bNoDel = b.select(col("k")).filter(lit(false))
+    var batches = 0
+    val q = spark.readStream.schema(StructType(Seq(
+        StructField("op", StringType), StructField("k", IntegerType),
+        StructField("av", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(d.toString + "/*")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ins = batch.filter(col("op") === "I").select(col("k"), col("av"))
+        val del = batch.filter(col("op") === "D").select(col("k")).distinct()
+        view = ViewDelta.refresh(view, a, ins, del, Seq("k"),
+          b, bNoIns, bNoDel, Seq("k"), Seq("k")).localCheckpoint()
+        a = a.join(del, Seq("k"), "left_anti").unionByName(ins).localCheckpoint()
+        batches += 1
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected one micro-batch per changelog file, got $batches")
+    val got = view.orderBy("k", "av").collect().map(_.toSeq).toSeq
+    val want = a.join(b, Seq("k")).orderBy("k", "av").collect().map(_.toSeq).toSeq
+    assert(got == want, s"maintained view diverged: got=$got want=$want")
+    // the deletes really bit: k=1 retracted, k=3 carries the re-inserted value
+    val byK = got.map(r => r.head -> r(1)).toMap
+    assert(!byK.contains(1) && byK(3) == "a3n" && byK.keySet == Set(2, 3, 5))
+  }
+
   test("flatMapGroupsWithState sessionization: closed sessions match batch") {
     val stream = spark.readStream.schema(eventsSchema).parquet(streamDir)
     val q = Streaming.sessionizeStream(spark, stream)
