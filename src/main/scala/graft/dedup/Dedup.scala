@@ -37,16 +37,22 @@ object Dedup {
   def fuzzyCanonical(docs: DataFrame, idCol: String, textCol: String,
       jaccardMin: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val repMap = docs.select(col(idCol),
+    // LAZY checkpoints throughout: each frame materializes inside its
+    // first consumer's job and is reused by the rest — eager checkpoints
+    // here added one driver-scheduled job per stage, which dominated the
+    // wall time of this many-small-stages pipeline at gate scale
+    // text rides the rep window shuffle so representatives come straight
+    // off the filter — no join back to the corpus for their text
+    val repMap = docs.select(col(idCol), col(textCol),
         min(col(idCol)).over(Window.partitionBy(contentHash(col(textCol)))).as("__rep"))
-      .localCheckpoint()
-    val reps = docs
-      .join(repMap.filter(col(idCol) === col("__rep")).select(col(idCol)), Seq(idCol))
+      .localCheckpoint(false)
+    val reps = repMap.filter(col(idCol) === col("__rep"))
       .select(col(idCol), col(textCol))
-    val cands = MinHashLsh.candidatePairs(reps, idCol, textCol).localCheckpoint()
+      .localCheckpoint(false) // feeds candidate gen AND the jaccard verify
+    val cands = MinHashLsh.candidatePairs(reps, idCol, textCol).localCheckpoint(false)
     val verified = jaccardOnPairs(cands, reps, idCol, textCol)
       .filter(col("jaccard") >= jaccardMin)
-      .select(col("a_id"), col("b_id")).localCheckpoint()
+      .select(col("a_id"), col("b_id")).localCheckpoint(false)
     val canonReps = Components.canonicalize(reps.select(col(idCol)), idCol, verified)
     repMap.join(canonReps.withColumnRenamed(idCol, "__rep"), Seq("__rep"))
       .select(col(idCol), col("canonical_id"))

@@ -332,7 +332,11 @@ object Similarity {
         .withColumn(s"d_$m", Kmeans.sqEuclideanExpr("q_vec", "c_vec"))
         .select(col("q_id"), col("c_id").as(s"code_$m"), col(s"d_$m"))
     }
-    val codes = pqCodes(s, e, parts.map(_._2))
+    // materialize the code table (N rows × M byte codes — the compressed
+    // corpus) before the LUT fold: the fold's four broadcast joins then
+    // stream compact materialized rows instead of re-running the literal-
+    // codebook argmin projection inside every join stage
+    val codes = pqCodes(s, e, parts.map(_._2)).localCheckpoint()
     val scored = luts.zipWithIndex.foldLeft(codes) { case (df, (lut, m)) =>
       val keys = if (m == 0) Seq(s"code_$m") else Seq("q_id", s"code_$m")
       df.join(broadcast(lut), keys)
