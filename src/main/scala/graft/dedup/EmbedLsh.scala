@@ -67,16 +67,21 @@ object EmbedLsh {
     ColumnBridge.column(VectorExpressions.HyperplaneBandKeys(
       ColumnBridge.expression(vec), signs, BitsPerBand))
 
-  /** Candidate pairs (a_id < b_id) via band-table self-join — never O(n²).
-    * Input needs columns (vec_id, embedding). */
+  /** Candidate edges (a_id < b_id) via band-bucket STAR EXPANSION — the
+    * same hot-bucket cap as MinHashLsh.candidatePairs: each bucket member
+    * pairs with the bucket's min id only, so a bucket of m identical
+    * embeddings (duplicate images all hashing to one sign pattern) emits
+    * m−1 edges instead of m²/2 pairs, and a components consumer sees the
+    * same connectivity. Input needs columns (vec_id, embedding). */
   def candidatePairs(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spread = e.repartition(
       e.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
     val bk = spread.select(col("vec_id"), explode(bandKeys(col("embedding"))).as("bk"))
-    val a = bk.select(col("vec_id").as("a_id"), col("bk"))
-    val b = bk.select(col("vec_id").as("b_id"), col("bk"))
-    a.join(b, Seq("bk")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+    bk.withColumn("a_id", min(col("vec_id")).over(Window.partitionBy(col("bk"))))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"))
+      .distinct()
   }
 
   // ---- oracle SQL generation (same constants, same fold order) ----

@@ -29,4 +29,13 @@ object Scd2 {
       .withColumn("is_current", col("valid_to").isNull)
       .select((Seq(entity) ++ attrs ++ Seq("valid_from", "valid_to", "is_current")).map(col): _*)
   }
+
+  /** Point-in-time (AS OF) snapshot of an SCD2 history: the one version
+    * per entity visible at time `t` — half-open interval semantics
+    * [valid_from, valid_to), open intervals current. A narrow filter, so
+    * it composes with partition pruning when the history is laid out by
+    * validity period; no shuffle. */
+  def asOf(history: DataFrame, t: org.apache.spark.sql.Column): DataFrame =
+    history.filter(col("valid_from") <= t &&
+      (col("valid_to").isNull || col("valid_to") > t))
 }

@@ -402,8 +402,9 @@ object DedupQ {
        |     for j in range(0, len(embedding))]
        |  FROM embeddings WHERE vec_id % 20 = 0),
        |${graft.dedup.EmbedLsh.bandsCteSql("aug")},
-       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-       |         FROM bk a JOIN bk b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+       |cand AS (SELECT DISTINCT m AS a_id, vec_id AS b_id
+       |         FROM (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY bk) AS m FROM bk)
+       |         WHERE vec_id <> m)
        |SELECT a_id, b_id, cos FROM (
        |  SELECT a_id, b_id, ${cosSql("ea.embedding", "eb.embedding")} AS cos
        |  FROM cand JOIN aug ea ON ea.vec_id = a_id

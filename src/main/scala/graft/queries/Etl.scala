@@ -214,6 +214,35 @@ object Etl {
       |FROM events WHERE event_type = 'purchase'
       |ORDER BY user_id, valid_from""".stripMargin
 
+  /** AS-OF instant for e_scd2_asof: 2024-01-15T00:00Z in epoch micros —
+    * mid-span of the synthetic purchase stream, so roughly half the
+    * entities have an open interval and half a closed one at t. */
+  val AsOfMicros = 1705276800000000L
+
+  /** e_scd2_asof: point-in-time query over the SCD2 history — THE read
+    * pattern versioned dimensions exist for ("what did every entity look
+    * like at t?"): build intervals from the change stream, then one
+    * narrow half-open-interval filter picks each entity's visible
+    * version. At most one row per entity by construction (intervals
+    * within an entity never overlap). */
+  def eScd2Asof(s: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val hist = Scd2.intervals(changes, "user_id", "ts_us", "event_id", Seq("value"))
+    Scd2.asOf(hist, lit(AsOfMicros))
+      .select(col("user_id"), col("value"), col("valid_from"))
+      .orderBy(col("user_id"))
+  }
+
+  val eScd2AsofSql: String =
+    s"""SELECT user_id, value, valid_from FROM (
+       |  SELECT user_id, value, epoch_us(ts) AS valid_from,
+       |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to
+       |  FROM events WHERE event_type = 'purchase')
+       |WHERE valid_from <= $AsOfMicros AND (valid_to IS NULL OR valid_to > $AsOfMicros)
+       |ORDER BY user_id""".stripMargin
+
   /** e_link_diff: membership reconciliation between two periods. */
   def eLinkDiff(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
@@ -634,6 +663,7 @@ object Etl {
     "e_despawn"       -> eDespawn _,
     "e_store_stamps"  -> eStoreStamps _,
     "e_scd2"          -> eScd2 _,
+    "e_scd2_asof"     -> eScd2Asof _,
     "e_link_diff"     -> eLinkDiff _,
     "e_import_stamp"  -> eImportStamp _,
   )
@@ -659,6 +689,7 @@ object Etl {
     "e_despawn"       -> eDespawnSql,
     "e_store_stamps"  -> eStoreStampsSql,
     "e_scd2"          -> eScd2Sql,
+    "e_scd2_asof"     -> eScd2AsofSql,
     "e_link_diff"     -> eLinkDiffSql,
     "e_import_stamp"  -> eImportStampSql,
   )
