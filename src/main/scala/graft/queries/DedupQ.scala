@@ -430,8 +430,6 @@ object DedupQ {
     * work constant. The gate runs the vec_id % 5 slice (plus its
     * perturbed twins) so the DuckDB oracle's unrolled fold stays fast. */
   def dSemdedup(s: SparkSession, dir: String): DataFrame = {
-    import graft.similarity.Kmeans
-    graft.functions.VectorExpressions.register(s)
     val e = Tables.embeddings(s, dir)
     val base = e.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
@@ -442,17 +440,8 @@ object DedupQ {
                                              THEN 0.3D ELSE -0.3D END))""").as("embedding"))
     val aug = base.unionByName(twins).filter(col("vec_id") % 5 === 0)
       .localCheckpoint() // feeds training, assignment and the final expand
-    val cent = Kmeans.fit(s, aug, "vec_id", "embedding", k = 8, iters = 2)
-    val pts = aug.select(col("vec_id").as("p_id"), col("embedding").as("p_vec"))
-    val assigned = Kmeans.assign(s, pts, cent)
-      .select(col("p_id"), col("c_id"), col("p_vec")).localCheckpoint()
-    val a = assigned.select(col("c_id"), col("p_id").as("a_id"), col("p_vec").as("a_v"))
-    val b = assigned.select(col("c_id"), col("p_id").as("b_id"), col("p_vec").as("b_v"))
-    val pairs = a.join(b, Seq("c_id")).filter(col("a_id") < col("b_id"))
-      .withColumn("cos", expr("cosine_sim(a_v, b_v)"))
-      .filter(col("cos") >= SemThreshold)
-      .select(col("a_id"), col("b_id"))
-    Components.canonicalize(aug.select(col("vec_id")), "vec_id", pairs)
+    graft.dedup.SemDedup.canonical(s, aug, "vec_id", "embedding",
+        k = 8, iters = 2, cosMin = SemThreshold)
       .orderBy(col("vec_id"))
   }
 

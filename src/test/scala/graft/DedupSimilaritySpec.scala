@@ -69,6 +69,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"canonical assignment diverged: $canon")
   }
 
+  test("SemDedup: byte-identical embeddings collapse to one rep; orthogonal vectors survive") {
+    val e = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (7L, Seq(1.0, 0.0, 0.0, 0.0)), // exact dup of 1 under a new id
+      (3L, Seq(0.0, 1.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val canon = graft.dedup.SemDedup.canonical(spark, e, "vec_id", "embedding",
+      k = 2, iters = 1, cosMin = 0.9).as[(Long, Long)].collect().toMap
+    assert(canon == Map(1L -> 1L, 7L -> 1L, 3L -> 3L), s"got $canon")
+  }
+
   test("IncrementalDedup: probe finds batch-vs-corpus dups only; append is idempotent and crash-recoverable") {
     import graft.dedup.IncrementalDedup
     val path = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
