@@ -179,7 +179,7 @@ object N2kBinding {
     // analyze/optimize/plan passes were the gate's hidden driver floor —
     // and (b) the merge materialization jobs, each one store-sized keyed
     // shuffle that cannot fill the cluster alone.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(Graph.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(Graph.size, 16))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       // Lazy-checkpoint each extract: the validation job below is the

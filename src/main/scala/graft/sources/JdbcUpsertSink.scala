@@ -182,7 +182,7 @@ object JdbcUpsertSink {
     // scratch space outside any transaction and each table loads its own
     // staging table, so the Spark write jobs are independent — only the
     // merges below serialize (one connection, one transaction, FK order)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(writes.size, 16))
     try {
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
