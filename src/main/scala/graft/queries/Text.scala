@@ -426,6 +426,67 @@ object Text {
        |ORDER BY c.domain""".stripMargin
   }
 
+  /** t_rebalance: APPLY the t_domain_weights mixture — per document,
+    * a deterministic copy count realizing the target mix: floor(weight)
+    * guaranteed copies plus one more when the doc's salted content-hash
+    * bucket falls under the fractional part (RNG-free, so the same
+    * corpus rebalances identically on any cluster; under-represented
+    * domains upsample with n_copies ≥ 1, over-represented ones
+    * downsample with most docs at 0). One langid tagging pass feeds both
+    * the |domains|-row weight table and the per-doc decision; the weight
+    * join broadcasts. Expected realized share = target share exactly. */
+  def tRebalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+    val tagged = d.select(col("doc_id"), langId(col("toks")).as("domain"),
+        (conv(substring(md5(concat(lit("rebal:"), col("text"))), 1, 15), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .localCheckpoint(false) // feeds the count agg AND the per-doc join
+    val counts = tagged.groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("total"))
+    val weights = counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n_docs").cast("double") / col("total").cast("double"))
+      .join(broadcast(DomainTargets.toDF("domain", "target_share")), Seq("domain"))
+      .withColumn("weight", col("target_share") / col("share"))
+      .select(col("domain"), col("weight"))
+    val w = col("weight")
+    tagged.join(broadcast(weights), Seq("domain"))
+      .withColumn("n_copies",
+        floor(w) + when(col("bucket").cast("double") < (w - floor(w)) * 100.0, 1L).otherwise(0L))
+      .select(col("doc_id"), col("domain"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tRebalanceSql: String = {
+    val langInner = {
+      val hits = graft.functions.TextFunctions.LangProfiles.map { case (l, p) =>
+        l -> s"len(list_filter(toks, t -> t IN (${inList(p)})))" }
+      val mx = s"greatest(${hits.map(_._2).mkString(", ")})"
+      val cases = hits.map { case (l, h) => s"WHEN $h = __mx AND __mx > 0 THEN '$l'" }.mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS domain,
+         |  ('0x' || substr(md5('rebal:' || text), 1, 15))::BIGINT % 100 AS bucket
+         |FROM (SELECT doc_id, text, toks, $mx AS __mx
+         |      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))""".stripMargin
+    }
+    val tgtRows = DomainTargets.map { case (l, t) => s"('$l', ${t}::DOUBLE)" }.mkString(", ")
+    s"""WITH lid AS ($langInner),
+       |counts AS (SELECT domain, COUNT(*) AS n_docs FROM lid GROUP BY 1),
+       |tot AS (SELECT SUM(n_docs) AS total FROM counts),
+       |tgt(domain, target_share) AS (VALUES $tgtRows),
+       |wts AS (
+       |  SELECT c.domain,
+       |    g.target_share / (CAST(c.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE)) AS weight
+       |  FROM counts c, tot t JOIN tgt g ON g.domain = c.domain)
+       |SELECT l.doc_id, l.domain,
+       |  CAST(FLOOR(w.weight) AS BIGINT) +
+       |    CASE WHEN CAST(l.bucket AS DOUBLE) < (w.weight - FLOOR(w.weight)) * 100.0
+       |         THEN 1 ELSE 0 END AS n_copies
+       |FROM lid l JOIN wts w ON w.domain = l.domain
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
   /** Sequence budget for t_pack (tokens per training sequence). */
   val PackBudget = 512
 
@@ -989,6 +1050,7 @@ object Text {
     "t_lm_score"    -> tLmScore _,
     "t_mix"         -> tMix _,
     "t_domain_weights" -> tDomainWeights _,
+    "t_rebalance"   -> tRebalance _,
     "t_heavy_hitters" -> tHeavyHitters _,
     "t_split"       -> tSplit _,
     "t_redact"      -> tRedact _,
@@ -1015,6 +1077,7 @@ object Text {
     "t_lm_score"    -> tLmScoreSql,
     "t_mix"         -> tMixSql,
     "t_domain_weights" -> tDomainWeightsSql,
+    "t_rebalance"   -> tRebalanceSql,
     "t_heavy_hitters" -> tHeavyHittersSql,
     "t_split"       -> tSplitSql,
     "t_redact"      -> tRedactSql,
