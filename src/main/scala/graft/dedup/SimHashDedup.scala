@@ -14,6 +14,15 @@ import graft.functions.VectorExpressions
   * least one chunk, so an equality self-join on (chunk_idx, chunk_value)
   * finds all of them without an O(n²) comparison. The final Hamming check
   * is a codegen'd bit_count(xor).
+  *
+  * Retrieval here is deliberately COMPLETE (every pair within the Hamming
+  * bound, proven against brute force in spec) — the property MinHash's
+  * star expansion trades away. The cost is the usual hot-bucket caveat:
+  * m documents with IDENTICAL signatures (exact boilerplate) produce
+  * m²/2 hamming-0 pairs. At web scale, collapse exact-duplicate docs to
+  * one representative first (Dedup.contentHash groups / fuzzyCanonical's
+  * rep map) — identical text is exactly what the cheap exact pass
+  * removes, and distinct near-dup signatures then spread across buckets.
   */
 object SimHashDedup {
   val Chunks = 4

@@ -531,6 +531,68 @@ object DedupQ {
       |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** d_report: dedup OBSERVABILITY — the one-page outcome report a
+    * pipeline operator reads after a dedup run: corpus size, cluster
+    * count, duplicate-cluster count and membership, the dedup ratio
+    * (fraction of docs removed keeping one survivor per cluster), and a
+    * cluster-size histogram. Composes the full fuzzyCanonical pipeline
+    * (exact-dup collapse → star-edge LSH → Jaccard → components) and
+    * reduces it to a fixed handful of metric rows — cluster-count-sized
+    * aggregations, nothing corpus-sized leaves the executors. */
+  def dReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val canon = Dedup.fuzzyCanonical(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text", JaccardThreshold)
+    val sizes = canon.groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
+      .localCheckpoint() // feeds five metric aggregations
+    def m(name: String, v: org.apache.spark.sql.Column, src: DataFrame): DataFrame =
+      src.agg(v.cast("double").as("value")).select(lit(name).as("metric"), col("value"))
+    val metrics = Seq(
+      m("n_docs", count(lit(1)), docs),
+      m("n_clusters", count(lit(1)), sizes),
+      m("n_dup_clusters", count(when(col("sz") > 1, lit(1))), sizes),
+      m("n_docs_in_dup_clusters", coalesce(sum(when(col("sz") > 1, col("sz"))), lit(0L)), sizes),
+      m("dedup_ratio",
+        lit(1.0) - count(lit(1)).cast("double") / sum(col("sz")).cast("double"), sizes))
+    val hist = sizes.groupBy(
+        when(col("sz") === 1, "1").when(col("sz") === 2, "2")
+          .when(col("sz") <= 4, "3_4").otherwise("5p").as("b"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(concat(lit("hist_"), col("b")).as("metric"), col("value"))
+    metrics.reduce(_ unionByName _).unionByName(hist).orderBy(col("metric"))
+  }
+
+  /** Oracle: the collapsed star-edge pipeline over ALL documents (rm =
+    * rep map with no quality gate), closure over reps, expand, then the
+    * same metric unions. */
+  val dReportSql: String =
+    s"""WITH RECURSIVE rm AS (
+       |  SELECT doc_id, text,
+       |    MIN(doc_id) OVER (PARTITION BY
+       |      md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f]+', ' ', 'g'))) AS rep
+       |  FROM documents),
+       |qdocs AS (SELECT doc_id, text FROM rm WHERE doc_id = rep),
+       |${shingleCteFor("qdocs")},
+       |$hpCte,
+       |$sigsCte,
+       |$bandsCte,
+       |cand AS ($candSelect),
+       |$pairsCte,
+       |$closureCtes,
+       |canon AS (SELECT rm.doc_id, coalesce(l.canonical_id, rm.rep) AS canonical_id
+       |          FROM rm LEFT JOIN lbl l ON l.id = rm.rep),
+       |sizes AS (SELECT canonical_id, COUNT(*) AS sz FROM canon GROUP BY 1)
+       |SELECT metric, value FROM (
+       |  SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM documents
+       |  UNION ALL SELECT 'n_clusters', CAST(COUNT(*) AS DOUBLE) FROM sizes
+       |  UNION ALL SELECT 'n_dup_clusters', CAST(COUNT(*) FILTER (sz > 1) AS DOUBLE) FROM sizes
+       |  UNION ALL SELECT 'n_docs_in_dup_clusters', CAST(COALESCE(SUM(sz) FILTER (sz > 1), 0) AS DOUBLE) FROM sizes
+       |  UNION ALL SELECT 'dedup_ratio', 1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(sz) AS DOUBLE) FROM sizes
+       |  UNION ALL SELECT 'hist_' || b, CAST(COUNT(*) AS DOUBLE) FROM (
+       |    SELECT CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+       |                WHEN sz <= 4 THEN '3_4' ELSE '5p' END AS b FROM sizes) GROUP BY b)
+       |ORDER BY metric""".stripMargin
+
   /** d_editdist: bounded edit-distance near-dup join on document HEADS
     * (first 24 chars — the "title" proxy) — the fuzzy-match family LSH
     * doesn't cover: MinHash sees bag-of-shingle overlap, edit distance
@@ -582,6 +644,7 @@ object DedupQ {
     "d_simhash"       -> dSimhash _,
     "d_embed_neardup" -> dEmbedNeardup _,
     "d_semdedup"      -> dSemdedup _,
+    "d_report"        -> dReport _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -598,5 +661,6 @@ object DedupQ {
     "d_simhash"       -> dSimhashSql,
     "d_embed_neardup" -> dEmbedNeardupSql,
     "d_semdedup"      -> dSemdedupSql,
+    "d_report"        -> dReportSql,
   )
 }
