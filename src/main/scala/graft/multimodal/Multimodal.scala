@@ -232,6 +232,52 @@ object Multimodal {
     } catch { case _: Exception => Iterator.empty } // corrupt blob: zero frames
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint of a decoded
+    * image: bilinear-downscale to 8×8, integer BT.601 luma, one bit per
+    * cell (luma > integer mean). Two ENCODINGS of the same picture (png
+    * vs jpeg, different quality) land within a few bits; unrelated
+    * pictures differ in ~32 — exactly the signature shape
+    * SimHashDedup.pairsFromSignatures retrieves at Hamming ≤ 3, which is
+    * how image near-dup dedup rides the existing text machinery. */
+  def averageHash(img: java.awt.image.BufferedImage): Long = {
+    val scaled = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val lum = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      val rgb = scaled.getRGB(i % 8, i / 8)
+      lum(i) = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+      i += 1
+    }
+    val mean = lum.sum / 64
+    lum.zipWithIndex.foldLeft(0L) { case (acc, (v, j)) =>
+      if (v > mean) acc | (1L << j) else acc }
+  }
+
+  final case class PerceptualHash(doc_id: Long, simhash: Long)
+
+  /** Per-partition batched perceptual hashing of image blobs — column
+    * named `simhash` so the output feeds SimHashDedup.pairsFromSignatures
+    * directly (image near-dup candidate retrieval without an O(n²) pass).
+    * Undecodable payloads yield no row (count them from the input diff). */
+  def perceptualHashes(blobs: Dataset[Blob]): Dataset[PerceptualHash] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.payload))
+          if (img == null) None else Some(PerceptualHash(b.doc_id, averageHash(img)))
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
   /** Decode every blob through `decoder`, per-partition batched: open()
     * once per partition, then stream — no partition materialization. */
   def decodeFrames(blobs: Dataset[Blob], decoder: FrameDecoder): Dataset[Frame] = {

@@ -105,6 +105,47 @@ class MultimodalSpec extends AnyFunSuite {
     } finally spark.conf.unset(Multimodal.DecoderConf)
   }
 
+  test("perceptual image dedup: re-encodings of one picture collide at Hamming <= 3, distinct pictures never") {
+    import java.awt.image.BufferedImage
+    // one smooth gradient picture encoded twice (lossless png + lossy jpeg)
+    // and its inverse as the distinct picture
+    def pic(invert: Boolean): BufferedImage = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val v = (x * 3 + y) & 0xff
+        val g = if (invert) 255 - v else v
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val blobs = spark.createDataset(Seq(
+      Multimodal.Blob(1L, "image/png", 0L, enc(pic(false), "png")),
+      Multimodal.Blob(2L, "image/jpeg", 0L, enc(pic(false), "jpg")), // re-encoding of 1
+      Multimodal.Blob(3L, "image/png", 0L, enc(pic(true), "png")),   // different picture
+      Multimodal.Blob(4L, "text/plain", 0L, "not an image".getBytes("UTF-8"))
+    ))
+    val hashes = Multimodal.perceptualHashes(blobs)
+    assert(hashes.count() == 3, "undecodable blob must yield no hash")
+    // the retrieval machinery is the SAME pigeonhole path text SimHash uses
+    val pairs = graft.dedup.SimHashDedup.pairsFromSignatures(hashes.toDF(), "doc_id")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      s"only the re-encoded pair may collide, got ${pairs.toSeq}")
+    assert(pairs.head._3 <= 3)
+    // determinism: hashing twice reproduces the signatures exactly
+    val h1 = hashes.collect().map(h => h.doc_id -> h.simhash).toMap
+    val h2 = Multimodal.perceptualHashes(blobs).collect().map(h => h.doc_id -> h.simhash).toMap
+    assert(h1 == h2)
+    // and the distinct picture is FAR from both encodings (not a near miss)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h1(1L), h1(3L)) > 10 && ham(h1(2L), h1(3L)) > 10)
+  }
+
   test("payloads are pure ASCII (byte offsets == char offsets, oracle precondition)") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val nonAscii = d.filter(length(col("text")) =!= length(encode(col("text"), "UTF-8"))).count()
