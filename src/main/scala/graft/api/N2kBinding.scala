@@ -154,44 +154,34 @@ object N2kBinding {
     else base
   }
 
-  /** ONE import over the whole graph — the reference's store_n2kresult:
-    * every table is validated (no-NA keys, the reference's stop-on-invalid
-    * rule), then merged: insert-if-absent/update for dims, stamped merge
-    * with despawn for the link and facts. Input state frames may carry a
-    * previous import's `action` column; it is ignored. The merged states
-    * are store-sized, so the localCheckpoint materializes a sliver (in
-    * production the state instead reads back from the database between
-    * imports — see StorePipelineSpec's snapshot-stream test).
-    *
-    * Cost shape: each merge is one full-outer sort-merge join on its own
-    * key — a full outer can never broadcast, so the 13-table × 2-import
-    * gate pays ~26 tiny exchanges of store-sized frames. That fixed
-    * scheduling floor dominates the gate at sf0.1; at 100 TB the same
-    * exchanges carry the real per-table state and ARE the plan you want
-    * (one keyed shuffle per table, facts never re-scanned). */
-  def importAll(state: Map[String, DataFrame], w: DataFrame, stamp: Long): Map[String, DataFrame] = {
+  // importAll = prepareImport + commitImport — ONE import over the whole
+  // graph, the reference's store_n2kresult: every table validated (no-NA
+  // keys, stop-on-invalid), then merged (insert-if-absent/update for
+  // dims, stamped merge with despawn for links and facts). Input state
+  // frames may carry a previous import's `action` column; it is ignored.
+  // Merged states are store-sized, so the localCheckpoints materialize a
+  // sliver (in production the state instead reads back from the database
+  // between imports — see StorePipelineSpec's snapshot-stream test).
+  // Cost shape: each merge is one full-outer sort-merge join on its own
+  // key — a full outer can never broadcast, so the 13-table × 2-import
+  // gate pays ~26 tiny exchanges of store-sized frames; at 100 TB the
+  // same exchanges carry the real per-table state and ARE the plan you
+  // want (one keyed shuffle per table, facts never re-scanned).
+
+  /** Phase 1 of an import, independent of any prior import's outcome:
+    * extract + validate every table of the window CONCURRENTLY (the
+    * report collect doubles as the lazy-checkpointed extract's
+    * materializer). Because staging depends only on the export window,
+    * consecutive imports can prepare while their predecessors merge —
+    * exactly how production stages exports into the database ahead of
+    * the transaction. Throws on any validation violation (the
+    * reference's stop-on-invalid rule over the whole transaction). */
+  def prepareImport(w: DataFrame): Seq[(Table, DataFrame)] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    // The per-table pipelines are independent until the single DB
-    // transaction in storeAll, so BOTH of their driver-side costs run
-    // concurrently from a thread pool: (a) Catalyst planning —
-    // localCheckpoint plans eagerly even when lazy, and 13 sequential
-    // analyze/optimize/plan passes were the gate's hidden driver floor —
-    // and (b) the merge materialization jobs, each one store-sized keyed
-    // shuffle that cannot fill the cluster alone.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(Graph.size, 16))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
-      // Lazy-checkpoint each extract: the validation job below is the
-      // first action over them, so it materializes the (store-sized)
-      // extracts once and the merges reuse the cached partitions —
-      // without this, every table's distinct/aggregation over the export
-      // window ran TWICE per import (validate + merge).
-      // Phase 1 per table (concurrent): plan the extract, lazily
-      // checkpoint it, and collect its |rules|-row validation report —
-      // the report job doubles as the extract materializer. All tables
-      // validate BEFORE any merge lands (the reference's stop-on-invalid
-      // rule over the whole transaction).
       val extractsAndBad = Await.result(
         Future.sequence(Graph.toList.map(t => Future {
           val src = extract(t, w).localCheckpoint(false)
@@ -202,7 +192,28 @@ object N2kBinding {
         })), Duration.Inf)
       val bad = extractsAndBad.flatMap(_._3)
       require(bad.isEmpty, s"validation failed: ${bad.mkString(", ")}")
-      val extracts = extractsAndBad.map { case (t, src, _) => t -> src }
+      extractsAndBad.map { case (t, src, _) => t -> src }
+    } finally pool.shutdown()
+  }
+
+  def importAll(state: Map[String, DataFrame], w: DataFrame, stamp: Long): Map[String, DataFrame] =
+    commitImport(state, prepareImport(w), stamp)
+
+  /** Phase 2: merge prepared extracts into the state. The per-table
+    * pipelines are independent until the single DB transaction in
+    * storeAll, so BOTH driver-side costs run concurrently from a thread
+    * pool: (a) Catalyst planning — localCheckpoint plans eagerly even
+    * when lazy, and 13 sequential analyze/optimize/plan passes were the
+    * gate's hidden driver floor — and (b) the merge materialization
+    * jobs, each one store-sized keyed shuffle that cannot fill the
+    * cluster alone. */
+  def commitImport(state: Map[String, DataFrame], extracts: Seq[(Table, DataFrame)],
+      stamp: Long): Map[String, DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(Graph.size, 16))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
       val merged = Await.result(
         Future.sequence(extracts.map { case (t, src) => Future {
           val tgt = state(t.name).drop("action")

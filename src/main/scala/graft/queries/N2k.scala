@@ -33,8 +33,18 @@ object N2k {
     val w1 = span.filter(col("o_orderdate") < lit(Hi1).cast("timestamp_ntz")).drop("o_orderdate")
     val w2 = span.filter(col("o_orderdate") >= lit(Lo2).cast("timestamp_ntz")).drop("o_orderdate")
     val st0 = Graph.map(t => t.name -> N2kBinding.emptyState(t, w1)).toMap
-    val st1 = N2kBinding.importAll(st0, w1, stamp = 1L)
-    val st2 = N2kBinding.importAll(st1, w2, stamp = 2L)
+    // staging (extract + validate) depends only on each window, so BOTH
+    // imports prepare concurrently; only the merges serialize on state —
+    // the same overlap a production loader gets by staging export k+1
+    // into the database while import k's transaction runs
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val p1F = Future(N2kBinding.prepareImport(w1))
+    val p2F = Future(N2kBinding.prepareImport(w2))
+    val st1 = N2kBinding.commitImport(st0,
+      Await.result(p1F, scala.concurrent.duration.Duration.Inf), stamp = 1L)
+    val st2 = N2kBinding.commitImport(st1,
+      Await.result(p2F, scala.concurrent.duration.Duration.Inf), stamp = 2L)
     N2kBinding.summary(st2)
   }
 
