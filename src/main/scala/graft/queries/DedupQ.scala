@@ -317,10 +317,14 @@ object DedupQ {
        |  FROM cand JOIN sh sa ON sa.doc_id = batch_id JOIN sh sb ON sb.doc_id = corpus_id)
        |WHERE jaccard >= $JaccardThreshold ORDER BY batch_id, corpus_id""".stripMargin
 
-  /** d_simhash: SimHash pairs within Hamming ≤ 3. Token hashes are
-    * md5-derived (SimHashDedup.TokenHashSql), so the oracle recomputes the
-    * identical signatures in SQL; the oracle retrieves pairs brute-force,
-    * which equals the pigeonhole retrieval (provably complete for ≤ 3). */
+  /** d_simhash: SimHash pairs within Hamming ≤ 3, identical signatures
+    * collapsed to min-id rep-star edges (SimHashDedup.pairsFromSignatures
+    * — lossless for SimHash: members of a clique share every distance
+    * their rep has). Token hashes are md5-derived
+    * (SimHashDedup.TokenHashSql), so the oracle recomputes the identical
+    * signatures in SQL; the oracle retrieves rep-rep pairs brute-force,
+    * which equals the pigeonhole retrieval (provably complete for ≤ 3),
+    * plus the same star edges for hamming-0 cliques. */
   def dSimhash(s: SparkSession, dir: String): DataFrame =
     SimHashDedup.pairs(s, Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("a_id"), col("b_id"))
@@ -336,12 +340,18 @@ object DedupQ {
       |    [('0x' || substr(md5(t), 1, 15))::BIGINT for t in string_split_regex(lower(trim(text)), '[ \t\n\r\f]+')] AS hs
       |  FROM documents),
       |""".stripMargin +
-      s"sim AS (SELECT doc_id, $bitTerms AS simhash FROM th)\n" +
-      """SELECT a_id, b_id, hamming FROM (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
-        |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin
+      s"sim AS (SELECT doc_id, $bitTerms AS simhash FROM th),\n" +
+      """reps AS (SELECT simhash, MIN(doc_id) AS rep_id FROM sim GROUP BY simhash),
+        |star AS (SELECT r.rep_id AS a_id, s.doc_id AS b_id, 0 AS hamming
+        |         FROM sim s JOIN reps r ON s.simhash = r.simhash
+        |         WHERE s.doc_id <> r.rep_id),
+        |crossp AS (SELECT a_id, b_id, hamming FROM (
+        |            SELECT a.rep_id AS a_id, b.rep_id AS b_id,
+        |              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |            FROM reps a JOIN reps b ON a.rep_id < b.rep_id)
+        |          WHERE hamming <= 3)
+        |SELECT a_id, b_id, hamming FROM (SELECT * FROM star UNION ALL SELECT * FROM crossp)
+        |ORDER BY a_id, b_id""".stripMargin
   }
 
   /** d_embed_neardup: embedding near-dups AT THE TUNED OPERATING POINT —

@@ -399,14 +399,116 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (1000L + i, (0 until flips).foldLeft(b)((s, _) => s ^ (1L << rnd.nextInt(64))))
     }
     val all = bases ++ derived
-    val expect = (for {
-      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+    // brute-force reference WITH the hamming-0 clique collapse: identical
+    // signatures fold to their min-id rep (star edges), cross-signature
+    // pairs are rep-rep only — the same connectivity, linear clique cost
+    val repOf = all.groupBy(_._2).map { case (sig, grp) => sig -> grp.map(_._1).min }
+    val star = all.collect { case (id, sig) if repOf(sig) != id => (repOf(sig), id, 0) }
+    val reps = repOf.map { case (sig, id) => (id, sig) }.toSeq
+    val cross = for {
+      (ia, sa) <- reps; (ib, sb) <- reps if ia < ib
       h = java.lang.Long.bitCount(sa ^ sb) if h <= SimHashDedup.MaxHamming
-    } yield (ia, ib, h)).toSet
+    } yield (ia, ib, h)
+    val expect = (star ++ cross).toSet
     val got = SimHashDedup.pairsFromSignatures(all.toDF("doc_id", "simhash"), "doc_id")
       .as[(Long, Long, Int)].collect().toSet
     assert(got == expect, s"banding retrieval diverged from brute force: " +
       s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
+
+  test("SimHash hot-signature cap: m identical signatures emit exactly m-1 star edges, not m²/2") {
+    // 500 docs sharing one signature (boilerplate clique) + 3 distinct
+    // near signatures; the clique must cost O(m) edges rooted at min-id
+    val m = 500
+    val clique = Seq.tabulate(m)(i => (100L + i, 0x0123456789ABCDEFL))
+    val near = Seq((5000L, 0x0123456789ABCDEEL), (5001L, 0x0123456789ABCDCFL), (6000L, -1L))
+    val got = SimHashDedup.pairsFromSignatures((clique ++ near).toDF("doc_id", "simhash"), "doc_id")
+      .as[(Long, Long, Int)].collect()
+    val starEdges = got.filter(_._3 == 0)
+    assert(starEdges.length == m - 1, s"expected ${m - 1} star edges, got ${starEdges.length}")
+    assert(starEdges.forall(e => e._1 == 100L && e._2 > 100L), "star edges must be rooted at the min-id rep")
+    // cross edges only touch the rep, never clique members:
+    // h(100,5000)=1 (bit 0), h(100,5001)=1 (bit 5), h(5000,5001)=2; 6000 is far
+    val crossEdges = got.filter(_._3 > 0).toSet
+    assert(crossEdges == Set((100L, 5000L, 1), (100L, 5001L, 1), (5000L, 5001L, 2)), crossEdges.toString)
+    // total output is linear in the clique, quadratic nowhere
+    assert(got.length == (m - 1) + 3)
+  }
+
+  test("SimHash128 pigeonhole is COMPLETE for (Chunks=4, MaxHamming=3) across both words") {
+    import graft.dedup.SimHash128
+    // flips placed adversarially: all in one 32-bit chunk, straddling the
+    // lo-word chunk boundary, straddling the WORD boundary, spread across
+    // three chunks, and one flip in every chunk (hamming 4 — not retrieved)
+    val (bh, bl) = (0x0123456789ABCDEFL, 0x0FEDCBA987654321L)
+    def f(hi: Seq[Int], lo: Seq[Int]): (Long, Long) =
+      (hi.foldLeft(bh)((s, b) => s ^ (1L << b)), lo.foldLeft(bl)((s, b) => s ^ (1L << b)))
+    val sigs = Seq(
+      (0L, bh, bl),
+      { val (h, l) = f(Nil, Seq(0, 1, 2)); (1L, h, l) },        // 3 flips inside lo chunk 0
+      { val (h, l) = f(Nil, Seq(31, 32, 33)); (2L, h, l) },     // straddles lo chunk 0/1 boundary
+      { val (h, l) = f(Seq(0), Seq(63)); (3L, h, l) },          // straddles the word boundary
+      { val (h, l) = f(Seq(40), Seq(5, 45)); (4L, h, l) },      // three different chunks
+      { val (h, l) = f(Seq(0, 32), Seq(0, 32)); (5L, h, l) }    // hamming 4, one per chunk
+    ).toDF("doc_id", "simhash_hi", "simhash_lo")
+    val got = SimHash128.pairsFromSignatures(sigs, "doc_id")
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got.get((0L, 1L)).contains(3))
+    assert(got.get((0L, 2L)).contains(3))
+    assert(got.get((0L, 3L)).contains(2))
+    assert(got.get((0L, 4L)).contains(3))
+    assert(!got.contains((0L, 5L)), "hamming 4 exceeds MaxHamming")
+  }
+
+  test("SimHash128 matches a collapse-aware brute-force oracle; random sigs produce no spurious bucket load") {
+    import graft.dedup.SimHash128
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.tabulate(200)(i => (i.toLong, rnd.nextLong(), rnd.nextLong()))
+    val derived = Seq.tabulate(80) { i =>
+      val (bid, bh, bl) = bases(rnd.nextInt(bases.size))
+      val flips = 1 + rnd.nextInt(3)
+      val (h, l) = (0 until flips).foldLeft((bh, bl)) { case ((sh, sl), _) =>
+        val bit = rnd.nextInt(128)
+        if (bit < 64) (sh, sl ^ (1L << bit)) else (sh ^ (1L << (bit - 64)), sl)
+      }
+      (1000L + i, h, l)
+    }
+    val all = bases ++ derived
+    def hamming(a: (Long, Long, Long), b: (Long, Long, Long)): Int =
+      java.lang.Long.bitCount(a._2 ^ b._2) + java.lang.Long.bitCount(a._3 ^ b._3)
+    val repOf = all.groupBy(t => (t._2, t._3)).map { case (sig, grp) => sig -> grp.map(_._1).min }
+    val star = all.collect { case t if repOf((t._2, t._3)) != t._1 => (repOf((t._2, t._3)), t._1, 0) }
+    val reps = all.filter(t => repOf((t._2, t._3)) == t._1)
+    val cross = for {
+      a <- reps; b <- reps if a._1 < b._1
+      h = hamming(a, b) if h <= SimHash128.MaxHamming
+    } yield (a._1, b._1, h)
+    val expect = (star ++ cross).toSet
+    val got = SimHash128.pairsFromSignatures(all.toDF("doc_id", "simhash_hi", "simhash_lo"), "doc_id")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expect, s"missing=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+    // ~n/2³² bucket load: among the 200 UNRELATED random signatures, no
+    // 32-bit chunk ever collides (expected ≈ 4·n²/2³² ≈ 4e-5 at this n;
+    // derived twins legitimately share chunks at hamming 4-6 and are
+    // filtered by the exact hamming check, so they're excluded here). At
+    // n=10⁹ the load is ~n/2³² per bucket where 16-bit chunks are already
+    // quadratic.
+    val baseChunks = bases.flatMap { case (id, hi, lo) =>
+      Seq((0, lo & 0xFFFFFFFFL), (1, (lo >>> 32) & 0xFFFFFFFFL),
+        (2, hi & 0xFFFFFFFFL), (3, (hi >>> 32) & 0xFFFFFFFFL)).map(ck => (ck, id))
+    }
+    val spurious = baseChunks.groupBy(_._1).values.filter(_.size > 1)
+    assert(spurious.isEmpty, s"random-signature chunk collisions: ${spurious.take(5)}")
+  }
+
+  test("SimHash128 signatures: exact dups share both words; near-dups land within retrieval range") {
+    import graft.dedup.SimHash128
+    val sigs = SimHash128.signatures(spark, docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(sigs(0L) == sigs(3L), "identical text must produce identical 128-bit signature")
+    def ham(a: Long, b: Long) =
+      java.lang.Long.bitCount(sigs(a)._1 ^ sigs(b)._1) + java.lang.Long.bitCount(sigs(a)._2 ^ sigs(b)._2)
+    assert(ham(0L, 1L) < ham(0L, 2L), "near-dup must be closer than unrelated text")
   }
 
   test("percentile_approx lands within 1% relative error of exact percentiles at sf0.1") {

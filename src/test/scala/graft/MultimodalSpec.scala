@@ -146,6 +146,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(h1(1L), h1(3L)) > 10 && ham(h1(2L), h1(3L)) > 10)
   }
 
+  test("perceptual-hash hot-signature cap: m copies of one image emit m-1 star pairs, not m²/2") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 32; y <- 0 until 32) {
+      val g = (x * 7 + y) & 0xff
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val bytes = bos.toByteArray
+    val m = 200
+    val blobs = spark.createDataset(Seq.tabulate(m)(i =>
+      Multimodal.Blob(10L + i, "image/png", 0L, bytes)))
+    val hashes = Multimodal.perceptualHashes(blobs)
+    // identical bytes → identical aHash → one hamming-0 clique; the shared
+    // SimHash retrieval path must cap it at m-1 rep-star edges
+    val pairs = graft.dedup.SimHashDedup.pairsFromSignatures(hashes.toDF(), "doc_id")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.length == m - 1, s"expected ${m - 1} star edges, got ${pairs.length}")
+    assert(pairs.forall(p => p._1 == 10L && p._3 == 0), "edges must be rep-star at hamming 0")
+  }
+
   test("payloads are pure ASCII (byte offsets == char offsets, oracle precondition)") {
     val d = Tables.documents(spark, "/root/testdata/sf0.001")
     val nonAscii = d.filter(length(col("text")) =!= length(encode(col("text"), "UTF-8"))).count()
