@@ -135,21 +135,31 @@ object IncrementalDedup {
       .bucketBy(buckets, "bk").sortBy("bk")
       .option("compression", "zstd").format("parquet").saveAsTable(table)
 
-  /** Shared probe body: per (batch doc, band) only the MIN non-self
-    * corpus id survives as the duplicate witness — a hot store band of m
-    * boilerplate docs contributes one witness per batch doc per band, not
-    * m pair rows (the probe-side twin of MinHashLsh's star expansion).
-    * The min rides a partial aggregation directly on the bk-partitioned
-    * join output, so the in-bucket cross rows are consumed map-side and
-    * never shuffle; excluding self inside the same aggregation keeps
-    * re-ingests quiet without losing the witness to a self-collision. */
-  private def probeBands(batchBands: DataFrame, stored: DataFrame): DataFrame =
-    batchBands
-      .join(stored, Seq("bk"))
+  /** Shared probe body, bucket-size-adaptive like MinHashLsh: store bands
+    * at or below MaxAllPairsBucket members surface EVERY non-self corpus
+    * member as a candidate (full recall — a true near-dup is never
+    * shadowed by a smaller-id collider that fails verification), while a
+    * hot store band of m boilerplate docs contributes only the MIN
+    * non-self corpus id per (batch doc, band) — one witness, not m pair
+    * rows (the probe-side twin of the star expansion). The hot-tier min
+    * rides a partial aggregation directly on the bk-partitioned join
+    * output, so in-bucket cross rows are consumed map-side and never
+    * shuffle; excluding self keeps re-ingests quiet without losing the
+    * witness to a self-collision. */
+  private def probeBands(batchBands: DataFrame, stored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = stored.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy(col("bk"))))
+    val joined = batchBands.join(sized, Seq("bk"))
+      .filter(col("corpus_id") =!= col("batch_id"))
+    val small = joined.filter(col("__n") <= MinHashLsh.MaxAllPairsBucket)
+      .select(col("batch_id"), col("corpus_id"))
+    val hot = joined.filter(col("__n") > MinHashLsh.MaxAllPairsBucket)
       .groupBy(col("batch_id"), col("bk"))
-      .agg(min(when(col("corpus_id") =!= col("batch_id"), col("corpus_id"))).as("corpus_id"))
-      .filter(col("corpus_id").isNotNull)
-      .select(col("batch_id"), col("corpus_id")).distinct()
+      .agg(min(col("corpus_id")).as("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"))
+    small.union(hot).distinct()
+  }
 
   /** probe() against a bucketed catalog store (compactToBucketedTable). */
   def probeTable(spark: SparkSession, table: String, batch: DataFrame,

@@ -19,20 +19,35 @@ import graft.functions.VectorExpressions
   * (h1 + i*h2 mod P), so the whole signature needs ONE md5 per shingle —
   * engine-independent and 12× cheaper than per-permutation hashing.
   *
-  * Candidate generation is STAR EXPANSION, not all-pairs: inside each band
-  * bucket every member pairs with the bucket's min id only, so a hot band
-  * of m colliding docs (web boilerplate clusters reach 10⁵–10⁶ members)
-  * emits m−1 edges instead of m²/2 pairs — linear output, no straggler
-  * task. A connected-components consumer sees every bucket member joined
-  * through the bucket min; callers that Jaccard-verify the edges should
-  * collapse exact-duplicate groups to one representative first (see
-  * Dedup.fuzzyCanonical) so identical docs can never be split by a failed
-  * bucket-min verification.
+  * Candidate generation is bucket-size-adaptive: band buckets at or below
+  * MaxAllPairsBucket members emit EVERY in-bucket pair (full recall — a
+  * verified-pair consumer never loses a true near-dup to witness
+  * shadowing), while hot buckets (web boilerplate clusters reach 10⁵–10⁶
+  * members) fall back to STAR EXPANSION — every member pairs with the
+  * bucket's min id only, m−1 edges instead of m²/2 — linear output, no
+  * straggler task. A connected-components consumer sees every bucket
+  * member joined through the bucket min either way.
+  *
+  * Residual recall caveat (hot buckets only): a member of a >MaxAllPairs
+  * bucket whose true near-dup is NOT the bucket min keeps its edge only
+  * if the bucket-min edge passes verification. Callers that Jaccard-verify
+  * edges should collapse exact-duplicate groups to one representative
+  * first (see Dedup.fuzzyCanonical), which removes the identical-text mass
+  * that creates hot buckets in the first place — after the collapse, a
+  * >16-member bucket of DISTINCT texts colliding on all r rows of a band
+  * is vanishingly rare, so the all-pairs tier is the one that fires in
+  * practice.
   */
 object MinHashLsh {
   val Bands = 4
   val Rows = 6
   val NumHashes: Int = Bands * Rows
+
+  /** Band buckets at or below this size emit all pairs; larger buckets
+    * fall back to min-id star expansion. Bounded in-bucket work
+    * (≤ B(B−1)/2 pairs) with full recall on the tier verified-pair
+    * consumers (decontamination, containment) actually hit. */
+  val MaxAllPairsBucket = 16
 
   /** doc_id + sig_0..sig_{n-1} minhash signature columns (plus any `carry`
     * columns passed through untouched). All signatures come from ONE
@@ -59,26 +74,37 @@ object MinHashLsh {
   private def banded(sigs: DataFrame, keep: Seq[Column]): DataFrame =
     sigs.select(keep :+ explode(array((0 until Bands).map(bandKey): _*)).as("bk"): _*)
 
-  /** Candidate near-duplicate edges (a_id < b_id) via band-bucket star
-    * expansion: each bucket member pairs with the bucket's min id. Output
-    * is linear in bucket size (see the class note); one bk-keyed shuffle
-    * for the per-bucket min, one edge-sized shuffle for distinct. */
+  /** Candidate near-duplicate edges (a_id < b_id), bucket-size-adaptive
+    * (see the class note): all pairs for buckets ≤ MaxAllPairsBucket, min-id
+    * star edges above. One bk-keyed shuffle computes the per-bucket min and
+    * count; the small-bucket self-join reuses that same exchange on both
+    * sides (ReuseExchange — the bk partitioning is already in place), so
+    * signatures are computed once and no extra corpus shuffle appears. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bands = banded(signatures(docs, idCol, textCol), Seq(col(idCol)))
-    bands
-      .withColumn("a_id", min(col(idCol)).over(Window.partitionBy(col("bk"))))
-      .filter(col(idCol) =!= col("a_id"))
-      .select(col("a_id"), col(idCol).as("b_id"))
-      .distinct()
+    val w = Window.partitionBy(col("bk"))
+    val sized = banded(signatures(docs, idCol, textCol), Seq(col(idCol)))
+      .withColumn("m", min(col(idCol)).over(w))
+      .withColumn("n", count(lit(1)).over(w))
+    val star = sized.filter(col("n") > MaxAllPairsBucket && col(idCol) =!= col("m"))
+      .select(col("m").as("a_id"), col(idCol).as("b_id"))
+    val small = sized.filter(col("n") <= MaxAllPairsBucket)
+    val allPairs = small.select(col(idCol).as("a_id"), col("bk"))
+      .join(small.select(col(idCol).as("b_id"), col("bk")), Seq("bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    star.unionByName(allPairs).distinct()
   }
 
   /** Cross-group candidate edges for bipartite probes (train/test
-    * decontamination): within each band bucket every LEFT doc pairs with
-    * the bucket's min RIGHT doc and vice versa, so every doc colliding
-    * with the opposite group gains at least one cross-side witness edge
-    * while output stays linear in bucket size. `sideCol` must evaluate
-    * per-row to 1 (left), 2 (right) or null (excluded — excluded docs
-    * are dropped before signature compute). Output: (left_id, right_id). */
+    * decontamination), bucket-size-adaptive like candidatePairs: buckets
+    * at or below MaxAllPairsBucket members emit EVERY left×right pair
+    * (full cross-side recall — a contamination witness is never shadowed
+    * by a failed bucket-min verification on this tier); hot buckets fall
+    * back to the bipartite star — every LEFT doc pairs with the bucket's
+    * min RIGHT doc and vice versa, linear in bucket size. `sideCol` must
+    * evaluate per-row to 1 (left), 2 (right) or null (excluded — excluded
+    * docs are dropped before signature compute). Output:
+    * (left_id, right_id). */
   def bipartiteCandidates(docs: DataFrame, idCol: String, textCol: String,
       sideCol: Column): DataFrame = {
     val sided = docs.withColumn("__side", sideCol).filter(col("__side").isNotNull)
@@ -88,10 +114,18 @@ object MinHashLsh {
     val withMins = bands
       .withColumn("__ml", min(when(col("__side") === 1, col(idCol))).over(w))
       .withColumn("__mr", min(when(col("__side") === 2, col(idCol))).over(w))
-    val fromLeft = withMins.filter(col("__side") === 1 && col("__mr").isNotNull)
+      .withColumn("__n", count(lit(1)).over(w))
+    val hot = withMins.filter(col("__n") > MaxAllPairsBucket)
+    val fromLeft = hot.filter(col("__side") === 1 && col("__mr").isNotNull)
       .select(col(idCol).as("left_id"), col("__mr").as("right_id"))
-    val fromRight = withMins.filter(col("__side") === 2 && col("__ml").isNotNull)
+    val fromRight = hot.filter(col("__side") === 2 && col("__ml").isNotNull)
       .select(col("__ml").as("left_id"), col(idCol).as("right_id"))
-    fromLeft.union(fromRight).distinct()
+    val small = withMins.filter(col("__n") <= MaxAllPairsBucket)
+    val allCross = small.filter(col("__side") === 1)
+      .select(col(idCol).as("left_id"), col("bk"))
+      .join(small.filter(col("__side") === 2)
+        .select(col(idCol).as("right_id"), col("bk")), Seq("bk"))
+      .select(col("left_id"), col("right_id"))
+    fromLeft.union(fromRight).union(allCross).distinct()
   }
 }

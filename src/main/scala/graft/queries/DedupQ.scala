@@ -44,13 +44,23 @@ object DedupQ {
     s"bands AS (\n  SELECT doc_id, unnest([$keys]) AS bk FROM sigs)"
   }
 
-  /** Star-expansion candidates, mirroring MinHashLsh.candidatePairs: each
-    * band-bucket member pairs with the bucket min (linear in bucket size,
-    * never the quadratic in-bucket cross join). */
-  private val candSelect =
-    """SELECT DISTINCT m AS a_id, doc_id AS b_id
-      |FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY bk) AS m FROM bands)
-      |WHERE doc_id <> m""".stripMargin
+  /** Bucket-size-adaptive candidates, mirroring MinHashLsh.candidatePairs:
+    * buckets ≤ MaxAllPairsBucket emit every pair (full recall for the
+    * verified-pair gates), hot buckets emit min-id star edges (linear in
+    * bucket size, never an unbounded in-bucket cross join). */
+  private val candSelect = {
+    val b = MinHashLsh.MaxAllPairsBucket
+    s"""SELECT DISTINCT a_id, b_id FROM (
+       |  SELECT m AS a_id, doc_id AS b_id
+       |  FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY bk) AS m,
+       |               COUNT(*) OVER (PARTITION BY bk) AS n FROM bands)
+       |  WHERE n > $b AND doc_id <> m
+       |  UNION ALL
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |  JOIN (SELECT bk, COUNT(*) AS n FROM bands GROUP BY bk) z ON z.bk = a.bk
+       |  WHERE z.n <= $b)""".stripMargin
+  }
 
   /** Jaccard cutoff for verified near-dup pairs — ONE constant feeding the
     * Spark filters and every generated oracle (d_jaccard, d_components,
@@ -227,21 +237,29 @@ object DedupQ {
       .orderBy(col("test_id"), col("train_id"))
   }
 
-  /** Oracle mirrors the bipartite star: per band bucket, window-min over
-    * each side; every test doc pairs with the bucket's min train doc and
-    * every train doc with the bucket's min test doc. */
+  /** Oracle mirrors the bucket-size-adaptive bipartite candidates: small
+    * buckets emit every test×train cross pair (full cross-side recall);
+    * hot buckets fall back to the bipartite star — every test doc pairs
+    * with the bucket's min train doc and vice versa. */
   val dContaminationSql: String =
     s"""WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte,
        |tags AS (SELECT doc_id, ${Text.splitBucketSql} AS bucket FROM documents),
-       |bt AS (SELECT b.doc_id AS doc_id, t.bucket AS bucket,
+       |bt AS (SELECT b.doc_id AS doc_id, t.bucket AS bucket, b.bk AS bk,
        |         MIN(CASE WHEN t.bucket < 80 THEN b.doc_id END) OVER (PARTITION BY b.bk) AS ml,
-       |         MIN(CASE WHEN t.bucket >= 90 THEN b.doc_id END) OVER (PARTITION BY b.bk) AS mr
+       |         MIN(CASE WHEN t.bucket >= 90 THEN b.doc_id END) OVER (PARTITION BY b.bk) AS mr,
+       |         COUNT(*) OVER (PARTITION BY b.bk) AS n
        |       FROM bands b JOIN tags t ON t.doc_id = b.doc_id
        |       WHERE t.bucket < 80 OR t.bucket >= 90),
        |cross_cand AS (
-       |  SELECT doc_id AS test_id, ml AS train_id FROM bt WHERE bucket >= 90 AND ml IS NOT NULL
+       |  SELECT doc_id AS test_id, ml AS train_id FROM bt
+       |  WHERE n > ${MinHashLsh.MaxAllPairsBucket} AND bucket >= 90 AND ml IS NOT NULL
        |  UNION
-       |  SELECT mr AS test_id, doc_id AS train_id FROM bt WHERE bucket < 80 AND mr IS NOT NULL)
+       |  SELECT mr AS test_id, doc_id AS train_id FROM bt
+       |  WHERE n > ${MinHashLsh.MaxAllPairsBucket} AND bucket < 80 AND mr IS NOT NULL
+       |  UNION
+       |  SELECT a.doc_id AS test_id, b.doc_id AS train_id
+       |  FROM bt a JOIN bt b ON a.bk = b.bk
+       |  WHERE a.n <= ${MinHashLsh.MaxAllPairsBucket} AND a.bucket >= 90 AND b.bucket < 80)
        |SELECT test_id, train_id, jaccard FROM (
        |  SELECT test_id, train_id, $jaccardExprSql AS jaccard
        |  FROM cross_cand JOIN sh sa ON sa.doc_id = test_id JOIN sh sb ON sb.doc_id = train_id)
@@ -300,18 +318,22 @@ object DedupQ {
   }
 
   /** Oracle: identical signatures from the shared CTEs over ALL documents;
-    * the store/batch split is the doc_id % 5 predicate on the band join,
-    * and the per-(batch doc, band) MIN corpus witness mirrors
-    * IncrementalDedup.probeBands' hot-band cap. */
+    * the store/batch split is the doc_id % 5 predicate on the band join.
+    * Mirrors IncrementalDedup.probeBands' bucket-size-adaptive tiers:
+    * small store buckets surface every corpus member, hot buckets the MIN
+    * corpus witness per (batch doc, band). */
   val dIncrementalSql: String =
     s"""WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte,
+       |csz AS (SELECT bk, COUNT(*) AS n FROM bands WHERE doc_id % 5 <> 0 GROUP BY bk),
+       |jn AS (SELECT b.doc_id AS batch_id, b.bk AS bk, c.doc_id AS corpus_id, csz.n AS n
+       |       FROM bands b JOIN bands c ON b.bk = c.bk AND c.doc_id % 5 <> 0
+       |       JOIN csz ON csz.bk = b.bk
+       |       WHERE b.doc_id % 5 = 0 AND c.doc_id <> b.doc_id),
        |cand AS (SELECT DISTINCT batch_id, corpus_id FROM (
-       |           SELECT b.doc_id AS batch_id, b.bk,
-       |             MIN(CASE WHEN c.doc_id <> b.doc_id THEN c.doc_id END) AS corpus_id
-       |           FROM bands b JOIN bands c ON b.bk = c.bk AND c.doc_id % 5 <> 0
-       |           WHERE b.doc_id % 5 = 0
-       |           GROUP BY b.doc_id, b.bk)
-       |         WHERE corpus_id IS NOT NULL)
+       |           SELECT batch_id, corpus_id FROM jn WHERE n <= ${MinHashLsh.MaxAllPairsBucket}
+       |           UNION ALL
+       |           SELECT batch_id, MIN(corpus_id) AS corpus_id FROM jn
+       |           WHERE n > ${MinHashLsh.MaxAllPairsBucket} GROUP BY batch_id, bk))
        |SELECT batch_id, corpus_id, jaccard FROM (
        |  SELECT batch_id, corpus_id, $jaccardExprSql AS jaccard
        |  FROM cand JOIN sh sa ON sa.doc_id = batch_id JOIN sh sb ON sb.doc_id = corpus_id)
@@ -412,9 +434,16 @@ object DedupQ {
        |     for j in range(0, len(embedding))]
        |  FROM embeddings WHERE vec_id % 20 = 0),
        |${graft.dedup.EmbedLsh.bandsCteSql("aug")},
-       |cand AS (SELECT DISTINCT m AS a_id, vec_id AS b_id
-       |         FROM (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY bk) AS m FROM bk)
-       |         WHERE vec_id <> m)
+       |cand AS (SELECT DISTINCT a_id, b_id FROM (
+       |           SELECT m AS a_id, vec_id AS b_id
+       |           FROM (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY bk) AS m,
+       |                        COUNT(*) OVER (PARTITION BY bk) AS n FROM bk)
+       |           WHERE n > ${MinHashLsh.MaxAllPairsBucket} AND vec_id <> m
+       |           UNION ALL
+       |           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |           FROM bk a JOIN bk b ON a.bk = b.bk AND a.vec_id < b.vec_id
+       |           JOIN (SELECT bk, COUNT(*) AS n FROM bk GROUP BY bk) z ON z.bk = a.bk
+       |           WHERE z.n <= ${MinHashLsh.MaxAllPairsBucket}))
        |SELECT a_id, b_id, cos FROM (
        |  SELECT a_id, b_id, ${cosSql("ea.embedding", "eb.embedding")} AS cos
        |  FROM cand JOIN aug ea ON ea.vec_id = a_id

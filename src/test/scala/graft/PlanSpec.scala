@@ -293,15 +293,18 @@ class PlanSpec extends AnyFunSuite {
       s"suppkey inequality must ride the equi-join, not a nested loop:\n${p.take(3000)}")
   }
 
-  test("d_minhash candidates: star expansion is JOIN-FREE — one bk window, no band self-join") {
-    // the hot-band cap's plan signature: candidate generation used to be a
-    // band-bucket self-join (quadratic in bucket size); now it's a window
-    // min over bk plus an edge distinct — any Join node means the
-    // self-join came back
+  test("d_minhash candidates: adaptive tiers — bk window + size-GUARDED self-join only") {
+    // the bucket-size-adaptive plan signature: one window over bk computes
+    // the per-bucket min AND count; the all-pairs tier's self-join must be
+    // guarded by the bucket-size bound on BOTH sides (n <= B before the
+    // join), and the star tier by its complement (n > B) — an unguarded
+    // band self-join means the unbounded quadratic path came back
+    val b = graft.dedup.MinHashLsh.MaxAllPairsBucket
     val p = plan(graft.dedup.MinHashLsh.candidatePairs(
       Tables.documents(spark, dir), "doc_id", "text"))
-    assert(!p.contains("Join"), s"band self-join reappeared:\n${p.take(3000)}")
-    assert(p.contains("Window"), s"bucket-min window missing:\n${p.take(3000)}")
+    assert(p.contains("Window"), s"bucket-min/count window missing:\n${p.take(3000)}")
+    assert(p.contains(s"<= $b"), s"all-pairs tier lost its bucket-size guard:\n${p.take(3000)}")
+    assert(p.contains(s"> $b"), s"star tier lost its hot-bucket filter:\n${p.take(3000)}")
   }
 
   test("s_pq: code assembly is ONE projection — zero joins, zero shuffles over the corpus") {
