@@ -21,12 +21,21 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame     = load(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame   = load(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = load(s, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * nanosecond Long behind this legacy flag (set defensively here in case
-    * the session builder didn't). */
+  /** events.ts normalizes to epoch-NANOSECOND Longs whatever the parquet
+    * physical type: TIMESTAMP(NANOS) loads as a nanos Long behind the
+    * legacy flag (set defensively here in case the session builder
+    * didn't); TIMESTAMP(MICROS/MILLIS) loads as a timestamp and converts
+    * exactly (sessions run UTC, matching DuckDB's zoneless epoch_us on
+    * the oracle side). Every consumer sees the same BIGINT-nanos `ts`. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, dir, "events")
+    val df = load(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")

@@ -14,7 +14,7 @@ import graft.sources.JdbcUpsertSink.Config
   * normalizes an observation export into dimension tables (datasource,
   * language, species, species_group, location, dataset), link tables
   * (species_group_species, location_group_location, analysis_dataset)
-  * and fact tables (analysis, anomaly, observation), writes them FK-first
+  * and fact tables (analysis, anomaly, observation, result), writes them FK-first
   * in ONE transaction, and maintains first/last import stamps plus
   * despawn (soft-delete) on the link/fact side.
   *
@@ -63,7 +63,8 @@ object N2kBinding {
     Table("analysis", Seq("sg_brand", "ship_yr"), Seq("n_items", "revenue"), stamped = true),
     Table("anomaly", Seq("sg_brand", "ship_yr"), Seq("n_returned"), stamped = true),
     Table("analysis_dataset", Seq("sg_brand", "ship_yr", "dset_key"), Nil, stamped = true),
-    Table("observation", Seq("sp_key", "loc_key", "ship_yr"), Seq("n_obs"), stamped = true))
+    Table("observation", Seq("sp_key", "loc_key", "ship_yr"), Seq("n_obs"), stamped = true),
+    Table("result", Seq("sg_brand", "ship_yr", "rf"), Seq("n_est", "estimate"), stamped = true))
 
   /** Return-rate cutoff that makes a (group, year) an anomaly fact. */
   val AnomalyRatio = 0.36
@@ -141,6 +142,15 @@ object N2kBinding {
       w.groupBy(col("l_partkey").as("sp_key"), col("n_nationkey").as("loc_key"),
           col("ship_yr"))
         .agg(count(lit(1)).as("n_obs"))
+    case "result" =>
+      // the n2kresult schema's terminal fact (store_n2kresult stores each
+      // analysis's RESULT rows): one estimate per analysis × parameter
+      // class — here the (sg_brand, ship_yr) analysis broken down by
+      // return-flag, FK-dependent on the analysis fact it refines
+      w.groupBy(col("sg_brand"), col("ship_yr"), col("l_returnflag").as("rf"))
+        .agg(count(lit(1)).as("n_est"),
+          OracleParity.xsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("estimate"))
   }
 
   /** Pristine-state bootstrap: the table empty, with merge bookkeeping
@@ -163,7 +173,7 @@ object N2kBinding {
   // sliver (in production the state instead reads back from the database
   // between imports — see StorePipelineSpec's snapshot-stream test).
   // Cost shape: each merge is one full-outer sort-merge join on its own
-  // key — a full outer can never broadcast, so the 13-table × 2-import
+  // key — a full outer can never broadcast, so the 14-table × 2-import
   // gate pays ~26 tiny exchanges of store-sized frames; at 100 TB the
   // same exchanges carry the real per-table state and ARE the plan you
   // want (one keyed shuffle per table, facts never re-scanned).
@@ -245,7 +255,7 @@ object N2kBinding {
         col("action"), f.as("first_imported"), l.as("last_imported"), d.as("despawned"))
     }.reduce(_ unionByName _).orderBy(col("table_name"), col("nk"))
 
-  /** Land a merged state in the database — all thirteen tables FK-first in
+  /** Land a merged state in the database — all fourteen tables FK-first in
     * ONE transaction, exactly the reference's single-DBI-transaction
     * contract. Only changed rows are written (plus stamp refreshes on
     * stamped tables); despawns land as soft-delete UPDATEs. Target tables

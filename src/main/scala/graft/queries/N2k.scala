@@ -22,7 +22,7 @@ object N2k {
     * inserts), then the shifted window 2 (stamp 2) — the year the windows
     * share yields keeps/updates, the dropped year despawns on the link
     * and fact tables, the added year inserts. Output: every stored row of
-    * all thirteen tables with its natural key, md5 surrogate id, merge
+    * all fourteen tables with its natural key, md5 surrogate id, merge
     * action and stamps. */
   def eStoreN2k(s: SparkSession, dir: String): DataFrame = {
     // the two overlapping windows carve out of ONE materialized span, so
@@ -96,6 +96,10 @@ object N2k {
       s"SELECT DISTINCT sg_brand, ship_yr, ship_yr AS dset_key FROM $w"
     case "observation" =>
       s"""SELECT l_partkey AS sp_key, n_nationkey AS loc_key, ship_yr, COUNT(*) AS n_obs
+         |  FROM $w GROUP BY 1, 2, 3""".stripMargin
+    case "result" =>
+      s"""SELECT sg_brand, ship_yr, l_returnflag AS rf, COUNT(*) AS n_est,
+         |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS estimate
          |  FROM $w GROUP BY 1, 2, 3""".stripMargin
   }
 

@@ -7,9 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.api.N2kBinding
 
-/** The concrete n2kresult binding against a real database: all thirteen
-  * tables (7 dims, 2 links, analysis/anomaly/observation facts and the
-  * analysis_dataset link) land FK-first in ONE transaction, a
+/** The concrete n2kresult binding against a real database: all fourteen
+  * tables (7 dims, 2 links, analysis/anomaly/observation/result facts and
+  * the analysis_dataset link) land FK-first in ONE transaction, a
   * mid-transaction death makes NOTHING visible, and a plain retry
   * converges — the reference's single-DBI-transaction contract over the
   * whole graph, not just one dim+fact pair. */
@@ -22,9 +22,9 @@ class N2kStoreSpec extends AnyFunSuite {
   private def ddlFor(t: N2kBinding.Table): String = {
     val cols = (t.keyCols ++ t.attrCols).map { c =>
       val ty = c match {
-        case "ds_key" | "sp_key" | "n_items" | "n_returned" | "n_obs" => "BIGINT"
+        case "ds_key" | "sp_key" | "n_items" | "n_returned" | "n_obs" | "n_est" => "BIGINT"
         case "ship_yr" | "loc_key" | "lg_key" | "dset_key" => "INT"
-        case "revenue" => "DOUBLE"
+        case "revenue" | "estimate" => "DOUBLE"
         case _ => "VARCHAR(200)"
       }
       s"$c $ty"
@@ -53,7 +53,7 @@ class N2kStoreSpec extends AnyFunSuite {
     } finally c.close()
   }
 
-  test("whole-graph store: mid-transaction death leaves all 13 tables empty; retry converges; despawn lands") {
+  test("whole-graph store: mid-transaction death leaves all 14 tables empty; retry converges; despawn lands") {
     val conn = DriverManager.getConnection(url)
     try {
       for (t <- N2kBinding.Graph) {

@@ -13,12 +13,12 @@ class StreamingSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
-  /** File streaming sources need a directory; stage the single events file. */
+  /** File streaming sources need a directory; stage the events table
+    * through Tables.events so `ts` is the normalized BIGINT-nanos column
+    * whatever the source parquet's physical timestamp type. */
   private lazy val streamDir: String = {
     val d = java.nio.file.Files.createTempDirectory("events-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      d.resolve("events.parquet"))
+    Tables.events(spark, dir).coalesce(1).write.mode("overwrite").parquet(d.toString)
     d.toString
   }
   private val eventsSchema = StructType(Seq(
@@ -232,13 +232,12 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming dedup drops duplicate event ids within the watermark") {
-    // stage the same file twice -> every event arrives duplicated
+    // stage the same normalized table twice -> every event arrives duplicated
     val d = java.nio.file.Files.createTempDirectory("events-dup")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      d.resolve("a.parquet"))
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-      d.resolve("b.parquet"))
-    val stream = spark.readStream.schema(eventsSchema).parquet(d.toString)
+    val ev0 = Tables.events(spark, dir)
+    ev0.coalesce(1).write.parquet(s"$d/a")
+    ev0.coalesce(1).write.parquet(s"$d/b")
+    val stream = spark.readStream.schema(eventsSchema).parquet(d.toString + "/*")
     val q = Streaming.dedupStream(stream)
       .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
     try { q.processAllAvailable() } finally q.stop()
