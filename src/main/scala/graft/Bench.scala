@@ -54,6 +54,16 @@ object Bench {
       }
       // ANY failed run reports -1 — a flaky query must never surface as a
       // plausible-looking min time
+      // Settle the JVM between queries (outside the timed region): drop
+      // cached plans and nudge the context cleaner so released
+      // localCheckpoint/broadcast blocks from this query don't inflate
+      // the NEXT query's GC time — r7 showed untouched queries swinging
+      // +40-90% purely from accumulated suite-level heap pressure.
+      // SPARK_GRAFT_BENCH_SETTLE=0 disables for A/B runs.
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE", "1") != "0") {
+        spark.catalog.clearCache()
+        System.gc()
+      }
       name -> (if (times.size < runs) -1.0 else times.min)
     }
     // Locale.ROOT: a comma-decimal default locale would format "0,123"

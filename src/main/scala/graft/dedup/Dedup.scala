@@ -58,6 +58,34 @@ object Dedup {
       .select(col(idCol), col("canonical_id"))
   }
 
+  /** fuzzyCanonical over a PRECOMPUTED signature frame — the shared-stage
+    * variant (see DedupQ's cached stage): `sigs` carries (idCol,
+    * content_hash, sig_0..) for the population to dedup, `textSource`
+    * supplies text for the Jaccard verification of candidate reps only
+    * (semi-join pushdown inside jaccardOnPairs). Identical output to
+    * fuzzyCanonical — a doc's signature depends only on its text, so
+    * collapsing before or after the signature pass retrieves the same rep
+    * pairs. Standalone fuzzyCanonical stays collapse-FIRST (never pays
+    * signatures for exact-dup mass); this variant trades that for sharing
+    * one corpus pass across many consumers — the right trade when the
+    * signature table is materialized anyway, as a 100 TB pipeline does. */
+  def fuzzyCanonicalFromSigs(sigs: DataFrame, textSource: DataFrame, idCol: String,
+      textCol: String, jaccardMin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val repMap = sigs.withColumn("__rep",
+        min(col(idCol)).over(Window.partitionBy(col("content_hash"))))
+      .localCheckpoint(false)
+    val repSigs = repMap.filter(col(idCol) === col("__rep"))
+    val cands = MinHashLsh.candidatePairsFromSigs(repSigs, idCol).localCheckpoint(false)
+    val verified = jaccardOnPairs(cands, textSource, idCol, textCol)
+      .filter(col("jaccard") >= jaccardMin)
+      .select(col("a_id"), col("b_id")).localCheckpoint(false)
+    val canonReps = Components.canonicalize(repSigs.select(col(idCol)), idCol, verified)
+    repMap.select(col(idCol), col("__rep"))
+      .join(canonReps.withColumnRenamed(idCol, "__rep"), Seq("__rep"))
+      .select(col(idCol), col("canonical_id"))
+  }
+
   /** Candidate pairs joined to both sides' distinct shingle sets plus the
     * intersection size — the shared scaffolding of every exact pair
     * metric. Only ever run on LSH candidates (the cross product never

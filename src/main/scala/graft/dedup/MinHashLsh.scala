@@ -80,9 +80,17 @@ object MinHashLsh {
     * count; the small-bucket self-join reuses that same exchange on both
     * sides (ReuseExchange — the bk partitioning is already in place), so
     * signatures are computed once and no extra corpus shuffle appears. */
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    candidatePairsFromSigs(signatures(docs, idCol, textCol), idCol)
+
+  /** candidatePairs over a PRECOMPUTED signature frame (idCol, sig_0..) —
+    * the shared-stage entry: one corpus signature pass (see DedupQ's
+    * cached stage) feeds every banding consumer instead of each gate
+    * re-reading and re-hashing the corpus. Extra columns pass through
+    * banded() untouched. */
+  def candidatePairsFromSigs(sigs: DataFrame, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("bk"))
-    val sized = banded(signatures(docs, idCol, textCol), Seq(col(idCol)))
+    val sized = banded(sigs, Seq(col(idCol)))
       .withColumn("m", min(col(idCol)).over(w))
       .withColumn("n", count(lit(1)).over(w))
     val star = sized.filter(col("n") > MaxAllPairsBucket && col(idCol) =!= col("m"))
@@ -108,8 +116,15 @@ object MinHashLsh {
   def bipartiteCandidates(docs: DataFrame, idCol: String, textCol: String,
       sideCol: Column): DataFrame = {
     val sided = docs.withColumn("__side", sideCol).filter(col("__side").isNotNull)
-    val bands = banded(signatures(sided, idCol, textCol, carry = Seq("__side")),
-      Seq(col(idCol), col("__side")))
+    bipartiteCandidatesFromSigs(
+      signatures(sided, idCol, textCol, carry = Seq("__side")), idCol)
+  }
+
+  /** bipartiteCandidates over a precomputed signature frame that already
+    * carries a non-null `__side` column (1 = left, 2 = right; excluded
+    * rows filtered out by the caller). */
+  def bipartiteCandidatesFromSigs(sigs: DataFrame, idCol: String): DataFrame = {
+    val bands = banded(sigs, Seq(col(idCol), col("__side")))
     val w = Window.partitionBy(col("bk"))
     val withMins = bands
       .withColumn("__ml", min(when(col("__side") === 1, col(idCol))).over(w))

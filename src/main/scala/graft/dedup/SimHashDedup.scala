@@ -35,14 +35,20 @@ object SimHashDedup {
     * bits wide; Hamming distances are unaffected. */
   val TokenHashSql = "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
 
-  def signatures(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    VectorExpressions.register(spark)
+  /** The 64-bit signature as a column over `textCol` (requires
+    * VectorExpressions.register on the session — simhash64 is a registered
+    * SQL expression). Shared by signatures() and DedupQ's cached stage. */
+  def signatureCol(textCol: String): org.apache.spark.sql.Column = {
     // Spark SQL string literals unescape \\ → \, so double the class's
     // backslashes to land the same [ \t\n\r\f]+ regex as the oracle side
     val ws = graft.functions.TextFunctions.Ws.replace("\\", "\\\\")
+    expr(s"simhash64(transform(split(lower(trim($textCol)), '$ws+'), t -> $TokenHashSql))")
+  }
+
+  def signatures(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    VectorExpressions.register(spark)
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol),
-        expr(s"simhash64(transform(split(lower(trim($textCol)), '$ws+'), t -> $TokenHashSql))").as("simhash"))
+      .select(col(idCol), signatureCol(textCol).as("simhash"))
   }
 
   /** Candidate retrieval + exact Hamming filter over precomputed
