@@ -29,6 +29,29 @@ import graft.similarity.Kmeans
   */
 object SemDedup {
 
+  /** canonical() with k DERIVED from a per-cluster document budget
+    * instead of trusted from the caller: k = ceil(N / clusterBudget), so
+    * expected in-cluster pair work stays ~budget²/2 per cluster no matter
+    * how large the corpus grows — SemDeDup's constant-docs-per-cluster
+    * rule made unskippable (VERDICT r7 #8: a caller passing small k at
+    * large N got quadratic clusters with nothing enforcing the knob).
+    * N comes from RowCountEstimate: parquet footer metadata for bare file
+    * scans, a count() otherwise. */
+  def canonicalBudgeted(s: SparkSession, e: DataFrame, idCol: String, vecCol: String,
+      clusterBudget: Int, iters: Int, cosMin: Double): DataFrame = {
+    require(clusterBudget > 0, s"clusterBudget must be positive, got $clusterBudget")
+    val n = graft.sources.RowCountEstimate.estimate(e)
+    canonical(s, e, idCol, vecCol, derivedK(n, clusterBudget), iters, cosMin)
+  }
+
+  /** The budget rule, exposed so specs and oracle builders use the same
+    * arithmetic: k = ceil(N / budget), at least 1, clamped to Int range
+    * (a k beyond 2³¹ means the budget is absurd for the corpus — clamping
+    * keeps the arithmetic total rather than overflowing negative). */
+  def derivedK(n: Long, clusterBudget: Int): Int =
+    math.min(Int.MaxValue.toLong,
+      math.max(1L, (n + clusterBudget - 1) / clusterBudget)).toInt
+
   /** (idCol, canonical_id) for every input vector; a vector survives
     * dedup iff canonical_id == its own id. `vecCol` must be castable to
     * array<double>. */

@@ -507,14 +507,21 @@ object DedupQ {
                                              THEN 0.3D ELSE -0.3D END))""").as("embedding"))
     val aug = base.unionByName(twins).filter(col("vec_id") % 5 === 0)
       .localCheckpoint() // feeds training, assignment and the final expand
-    graft.dedup.SemDedup.canonical(s, aug, "vec_id", "embedding",
-        k = 8, iters = 2, cosMin = SemThreshold)
+    // k derives from the cluster budget (125-row slice / 16 → k = 8 at
+    // the gate's sf0.01, the same k the static oracle SQL unrolls); the
+    // budget rule, not the caller, bounds per-cluster pair work
+    graft.dedup.SemDedup.canonicalBudgeted(s, aug, "vec_id", "embedding",
+        clusterBudget = 16, iters = 2, cosMin = SemThreshold)
       .orderBy(col("vec_id"))
   }
 
-  /** Oracle: twin augmentation (identical IEEE ops), the s_kmeans-style
-    * unrolled Lloyd CTEs over the slice, in-cluster cosine pairs, then
-    * the shared recursive closure. */
+  /** Oracle: twin augmentation (identical IEEE ops), the SAME exact-dup
+    * embedding collapse SemDedup.canonical performs (window min per
+    * identical vector — a no-op on the synthetic slice, which has unique
+    * embeddings, but the mirror must not depend on that), the
+    * s_kmeans-style unrolled Lloyd CTEs over the collapsed reps,
+    * in-cluster cosine pairs, the shared recursive closure, and the
+    * rep-map expansion. */
   val dSemdedupSql: String = {
     val iters = (1 to 2).flatMap(i => Seq(
       Similarity.kmAssignCte("pts", s"c${i - 1}", s"a$i"),
@@ -528,8 +535,11 @@ object DedupQ {
        |     for j in range(0, len(embedding))]
        |  FROM embeddings WHERE vec_id % 20 = 0),
        |aug AS (SELECT * FROM rawaug WHERE vec_id % 5 = 0),
-       |pts AS (SELECT vec_id AS p_id, embedding AS pv FROM aug),
-       |c0 AS (SELECT vec_id AS c_id, embedding AS cv FROM aug ORDER BY vec_id LIMIT 8),
+       |rm AS (SELECT vec_id, embedding,
+       |         MIN(vec_id) OVER (PARTITION BY embedding) AS rep FROM aug),
+       |reps AS (SELECT vec_id, embedding FROM rm WHERE vec_id = rep),
+       |pts AS (SELECT vec_id AS p_id, embedding AS pv FROM reps),
+       |c0 AS (SELECT vec_id AS c_id, embedding AS cv FROM reps ORDER BY vec_id LIMIT 8),
        |${iters.mkString(",\n")},
        |${Similarity.kmAssignCte("pts", "c2", "f")},
        |pairs AS (
@@ -538,9 +548,9 @@ object DedupQ {
        |    FROM f x JOIN f y ON x.c_id = y.c_id AND x.p_id < y.p_id)
        |  WHERE cos >= $SemThreshold),
        |$closureCtes
-       |SELECT a.vec_id, coalesce(l.canonical_id, a.vec_id) AS canonical_id
-       |FROM aug a LEFT JOIN lbl l ON l.id = a.vec_id
-       |ORDER BY a.vec_id""".stripMargin
+       |SELECT rm.vec_id, coalesce(l.canonical_id, rm.rep) AS canonical_id
+       |FROM rm LEFT JOIN lbl l ON l.id = rm.rep
+       |ORDER BY rm.vec_id""".stripMargin
   }
 
   /** d_paragraph: CCNet-style sub-document dedup — duplicated sentences

@@ -22,39 +22,16 @@ import graft.functions.VectorExpressions
   */
 object IvfIndex {
 
-  /** Corpus row-count estimate WITHOUT a Spark job: sum parquet footer
-    * record counts over the source files (driver-side metadata reads,
-    * capped at `SampleFiles` footers and scaled by file count beyond
-    * that). C only sizes the centroid grid — a few percent of estimate
-    * error is irrelevant to the √N balance point, but a full corpus
-    * count() pass before training is a real extra scan at 100 TB. */
-  private val SampleFiles = 64
-  private def footerRowCount(spark: SparkSession, corpus: DataFrame): Option[Long] = {
-    val files = corpus.inputFiles.filter(_.endsWith(".parquet"))
-    if (files.isEmpty) None
-    else {
-      val conf = spark.sessionState.newHadoopConf()
-      val sample = files.take(SampleFiles)
-      val sampled = sample.map { f =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f), conf))
-        try r.getRecordCount finally r.close()
-      }.sum
-      Some(if (files.length <= SampleFiles) sampled
-      else math.round(sampled.toDouble / sample.length * files.length))
-    }
-  }
-
   /** Train centroids and persist the bucket-partitioned corpus layout.
     * Build once; probe many. */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
       path: String, numCentroids: Option[Int] = None, iters: Int = 2): Unit = {
     VectorExpressions.register(spark)
     val c = numCentroids.getOrElse {
-      // footer metadata first; count() only for non-file sources (tests,
-      // in-memory frames), where a scan is cheap by construction
-      val n = footerRowCount(spark, corpus).getOrElse(corpus.count())
+      // footer metadata when the corpus is a bare file scan, count()
+      // otherwise (RowCountEstimate guards the plan shape — a filtered
+      // or joined corpus must never size C from its files' row counts)
+      val n = graft.sources.RowCountEstimate.estimate(corpus)
       math.max(2, math.round(math.sqrt(n.toDouble)).toInt)
     }
     val centroids = Kmeans.fit(spark, corpus, idCol, vecCol, c, iters)

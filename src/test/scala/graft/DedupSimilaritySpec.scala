@@ -80,6 +80,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(canon == Map(1L -> 1L, 7L -> 1L, 3L -> 3L), s"got $canon")
   }
 
+  test("SemDedup budget rule: k = ceil(N/budget), so per-cluster work is bounded regardless of N") {
+    import graft.dedup.SemDedup.derivedK
+    assert(derivedK(125, 16) == 8)   // the d_semdedup gate slice at sf0.01
+    assert(derivedK(1250, 16) == 79) // the bench slice at sf0.1
+    assert(derivedK(16, 16) == 1 && derivedK(17, 16) == 2 && derivedK(0, 16) == 1)
+    // expected docs per cluster never exceeds the budget (the quadratic
+    // in-cluster pair join is O(budget²) per cluster by construction),
+    // except past the Int clamp where the budget is absurd for the corpus
+    for (n <- Seq(1L, 100L, 10000L, 100000000000L); b <- Seq(16, 1000, 100000)) {
+      val k = derivedK(n, b)
+      assert(n.toDouble / k <= b.toDouble || k == Int.MaxValue, s"n=$n b=$b k=$k")
+    }
+  }
+
+  test("SemDedup.canonicalBudgeted equals canonical at the derived k") {
+    val e = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (7L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val budgeted = graft.dedup.SemDedup.canonicalBudgeted(spark, e, "vec_id", "embedding",
+      clusterBudget = 2, iters = 1, cosMin = 0.9).as[(Long, Long)].collect().toMap
+    val explicit = graft.dedup.SemDedup.canonical(spark, e, "vec_id", "embedding",
+      k = graft.dedup.SemDedup.derivedK(4, 2), iters = 1, cosMin = 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(budgeted == explicit && budgeted(7L) == 1L, s"got $budgeted vs $explicit")
+  }
+
+  test("RowCountEstimate: footer path only for bare scans — a filtered frame counts, never sums files") {
+    import graft.sources.RowCountEstimate
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val full = docs.count()
+    assert(RowCountEstimate.estimate(docs) == full, "bare scan: footer sum == count")
+    assert(RowCountEstimate.estimate(docs.select("doc_id")) == full,
+      "column pruning keeps the footer path")
+    val filtered = docs.filter(col("doc_id") % 5 === 0)
+    assert(RowCountEstimate.estimate(filtered) == filtered.count(),
+      "a filtered frame must COUNT — its inputFiles say nothing about its rows")
+    val joined = docs.join(docs.select(col("doc_id")), "doc_id")
+    assert(RowCountEstimate.estimate(joined) == joined.count(), "joined frames count too")
+  }
+
   test("IncrementalDedup: probe finds batch-vs-corpus dups only; append is idempotent and crash-recoverable") {
     import graft.dedup.IncrementalDedup
     val path = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
