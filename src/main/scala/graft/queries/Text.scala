@@ -435,13 +435,35 @@ object Text {
     * downsample with most docs at 0). One langid tagging pass feeds both
     * the |domains|-row weight table and the per-doc decision; the weight
     * join broadcasts. Expected realized share = target share exactly. */
-  def tRebalance(s: SparkSession, dir: String): DataFrame = {
+  def tRebalance(s: SparkSession, dir: String): DataFrame =
+    rebalanceWithSalt(s, dir, "rebal:")
+
+  /** The epoch the t_rebalance_epoch gate pins (any value works; the gate
+    * and its oracle must just agree). */
+  val RebalanceGateEpoch = 2
+
+  /** t_rebalance_epoch: the PER-EPOCH variant of t_rebalance — the epoch
+    * number threads through the fractional-draw salt, so each training
+    * epoch realizes the same target mixture in expectation (floor copies
+    * and the fractional probability are epoch-independent) while drawing
+    * a DIFFERENT fractional document set: multi-epoch training never
+    * repeats one fixed copy pattern, which would turn the fractional
+    * upsample into a deterministic bias toward the same documents every
+    * pass. Still RNG-free — same corpus + epoch = same draw on any
+    * cluster. */
+  def tRebalanceEpoch(s: SparkSession, dir: String): DataFrame =
+    rebalanceWithSalt(s, dir, s"rebal:$RebalanceGateEpoch:")
+
+  /** Shared rebalance core; `salt` prefixes the content hash that decides
+    * the fractional extra copy (epoch-salted variants pass
+    * "rebal:<epoch>:"). */
+  private[graft] def rebalanceWithSalt(s: SparkSession, dir: String, salt: String): DataFrame = {
     import s.implicits._
     val d = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", tokens(col("text")))
     val tagged = d.select(col("doc_id"), langId(col("toks")).as("domain"),
-        (conv(substring(md5(concat(lit("rebal:"), col("text"))), 1, 15), 16, 10)
+        (conv(substring(md5(concat(lit(salt), col("text"))), 1, 15), 16, 10)
           .cast("long") % 100).as("bucket"))
       .localCheckpoint(false) // feeds the count agg AND the per-doc join
     val counts = tagged.groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
@@ -459,14 +481,14 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
-  val tRebalanceSql: String = {
+  private def rebalanceSqlWithSalt(salt: String): String = {
     val langInner = {
       val hits = graft.functions.TextFunctions.LangProfiles.map { case (l, p) =>
         l -> s"len(list_filter(toks, t -> t IN (${inList(p)})))" }
       val mx = s"greatest(${hits.map(_._2).mkString(", ")})"
       val cases = hits.map { case (l, h) => s"WHEN $h = __mx AND __mx > 0 THEN '$l'" }.mkString(" ")
       s"""SELECT doc_id, CASE $cases ELSE 'und' END AS domain,
-         |  ('0x' || substr(md5('rebal:' || text), 1, 15))::BIGINT % 100 AS bucket
+         |  ('0x' || substr(md5('$salt' || text), 1, 15))::BIGINT % 100 AS bucket
          |FROM (SELECT doc_id, text, toks, $mx AS __mx
          |      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))""".stripMargin
     }
@@ -486,6 +508,9 @@ object Text {
        |FROM lid l JOIN wts w ON w.domain = l.domain
        |ORDER BY l.doc_id""".stripMargin
   }
+
+  val tRebalanceSql: String = rebalanceSqlWithSalt("rebal:")
+  val tRebalanceEpochSql: String = rebalanceSqlWithSalt(s"rebal:$RebalanceGateEpoch:")
 
   /** Sequence budget for t_pack (tokens per training sequence). */
   val PackBudget = 512
@@ -1051,6 +1076,7 @@ object Text {
     "t_mix"         -> tMix _,
     "t_domain_weights" -> tDomainWeights _,
     "t_rebalance"   -> tRebalance _,
+    "t_rebalance_epoch" -> tRebalanceEpoch _,
     "t_heavy_hitters" -> tHeavyHitters _,
     "t_split"       -> tSplit _,
     "t_redact"      -> tRedact _,
@@ -1078,6 +1104,7 @@ object Text {
     "t_mix"         -> tMixSql,
     "t_domain_weights" -> tDomainWeightsSql,
     "t_rebalance"   -> tRebalanceSql,
+    "t_rebalance_epoch" -> tRebalanceEpochSql,
     "t_heavy_hitters" -> tHeavyHittersSql,
     "t_split"       -> tSplitSql,
     "t_redact"      -> tRedactSql,

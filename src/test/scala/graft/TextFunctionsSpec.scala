@@ -134,4 +134,28 @@ class TextFunctionsSpec extends AnyFunSuite {
         s"guaranteed heavy hitters missing at $parts partitions: $cands")
     }
   }
+
+  test("epoch-salted rebalance: distinct epochs draw distinct fractional sets at the same expectation") {
+    val dir = "/root/testdata/sf0.001"
+    def run(epoch: Int): Map[Long, (String, Long)] =
+      graft.queries.Text.rebalanceWithSalt(spark, dir, s"rebal:$epoch:")
+        .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val e1 = run(1); val e2 = run(2)
+    assert(e1.keySet == e2.keySet)
+    // the floor copies and the fractional PROBABILITY are epoch-independent
+    // (the weight table never sees the salt): per doc the two epochs differ
+    // by at most the one fractional copy, and domains agree
+    for (id <- e1.keys) {
+      assert(e1(id)._1 == e2(id)._1, s"domain flipped for $id")
+      assert(math.abs(e1(id)._2 - e2(id)._2) <= 1, s"non-fractional drift for $id")
+    }
+    // ... but the fractional SET must actually re-draw between epochs
+    val flips = e1.keys.count(id => e1(id)._2 != e2(id)._2)
+    assert(flips > 0, "distinct epochs drew identical fractional sets")
+    // same expectation: realized totals stay close (each doc flips with the
+    // same probability both ways, so the gap is binomial noise, not bias)
+    val (t1, t2) = (e1.values.map(_._2).sum, e2.values.map(_._2).sum)
+    assert(math.abs(t1 - t2) <= math.max(4L, e1.size / 4),
+      s"epoch totals diverged beyond noise: $t1 vs $t2")
+  }
 }
