@@ -69,6 +69,11 @@ object N2kBinding {
   /** Return-rate cutoff that makes a (group, year) an anomaly fact. */
   val AnomalyRatio = 0.36
 
+  /** Generous FINITE bound on the driver-pool waits: imports measured in
+    * hours still fit, while a wedged job surfaces as a timeout instead of
+    * blocking the driver indefinitely (Duration.Inf did). */
+  private val PoolTimeout = scala.concurrent.duration.Duration(4, "hours")
+
   /** One observation-export window: orders in [lo, hi) with their line
     * items, annotated from the broadcast part/supplier dims.
     * @param keepDate retain o_orderdate so overlapping windows can be
@@ -192,6 +197,9 @@ object N2kBinding {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(Graph.size, 16))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
+      // finite bound (a hung extract surfaces as a timeout, not a wedged
+      // driver); Future.sequence fails fast on the first error and the
+      // finally's shutdownNow drops queued sibling tasks
       val extractsAndBad = Await.result(
         Future.sequence(Graph.toList.map(t => Future {
           val src = extract(t, w).localCheckpoint(false)
@@ -199,11 +207,11 @@ object N2kBinding {
               t.keyCols.map(k => Validate.Rule(s"${t.name}_${k}_nonnull", col(k).isNotNull)))
             .filter(col("n_violations") > 0).collect()
           (t, src, bad)
-        })), Duration.Inf)
+        })), PoolTimeout)
       val bad = extractsAndBad.flatMap(_._3)
       require(bad.isEmpty, s"validation failed: ${bad.mkString(", ")}")
       extractsAndBad.map { case (t, src, _) => t -> src }
-    } finally pool.shutdown()
+    } finally pool.shutdownNow()
   }
 
   def importAll(state: Map[String, DataFrame], w: DataFrame, stamp: Long): Map[String, DataFrame] =
@@ -233,9 +241,9 @@ object N2kBinding {
           val ck = m.localCheckpoint(false)
           ck.queryExecution.toRdd.count() // materialize while siblings overlap
           t.name -> ck
-        } }), Duration.Inf)
+        } }), PoolTimeout)
       merged.toMap
-    } finally pool.shutdown()
+    } finally pool.shutdownNow()
   }
 
   /** Canonical cross-table summary of a post-import state: one row per

@@ -64,7 +64,23 @@ object Components {
         .select(col("id"), col("lbl"),
           least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("new_lbl"))
         .observe(obs, sum(when(col("new_lbl") < col("lbl"), 1L).otherwise(0L)).as("changed")))
-      changed = obs.get("changed") match { case null => 0L; case n => n.asInstanceOf[Long] }
+      // The checkpoint action above already ran, so the CollectMetrics
+      // result only has to cross the listener bus — poll with a BOUNDED
+      // wait rather than obs.get's indefinite block (a materialization
+      // path that bypasses withAction would otherwise hang the driver
+      // forever), and fall back to one count() on the materialized state
+      // if the metric never lands.
+      import org.apache.spark.sql.graftshim.ObservationBridge
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var metrics = ObservationBridge.getOrEmpty(obs)
+      while (metrics.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(25); metrics = ObservationBridge.getOrEmpty(obs)
+      }
+      changed = metrics.get("changed") match {
+        case Some(n: Long) => n
+        case Some(null)    => 0L // sum over zero rows
+        case _ => upd.filter(col("new_lbl") < col("lbl")).count() // metric lost
+      }
       lbl = upd.select(col("id"), col("new_lbl").as("lbl"))
       it += 1
     }

@@ -186,14 +186,20 @@ object Multimodal {
   /** REAL video codec for MJPEG-style streams — the simplest real
     * frame-SEQUENCE container: the payload is back-to-back JPEG stills
     * (how MJPEG AVIs, many IP cameras and multipart/x-mixed-replace
-    * streams carry video). The decoder scans once for SOI/EOI marker
-    * pairs (FF D8 FF … FF D9), carves per-frame byte ranges without
-    * copying the stream, and decodes every `stride`-th frame through the
-    * same javax.imageio path as still images — frame_idx is the TEMPORAL
-    * index, frame_md5 the content hash of the decoded ARGB raster, so
-    * re-encodings of the same pixels collide exactly like the still
-    * path. Corrupt frames are skipped, corrupt blobs yield zero frames
-    * (same ingest contract as ImageIoFrameDecoder). */
+    * streams carry video). The decoder walks the JPEG marker structure
+    * once — length-delimited segments (APPn/COM/DQT/SOF/SOS…) are SKIPPED
+    * by their 2-byte length fields, so an EXIF APP1 segment embedding a
+    * complete thumbnail JPEG (its own SOI/EOI) can never split the
+    * enclosing frame (a raw FF D8/FF D9 byte scan systematically lost
+    * every EXIF-bearing frame that way); in entropy-coded data only
+    * stuffed FF 00, fill FFs, restart markers and EOI are interpreted,
+    * exactly the JPEG rule. Carved per-frame ranges decode every
+    * `stride`-th frame through the same javax.imageio path as still
+    * images — frame_idx is the TEMPORAL index, frame_md5 the content
+    * hash of the decoded ARGB raster, so re-encodings of the same pixels
+    * collide exactly like the still path. Corrupt frames are skipped,
+    * corrupt blobs yield zero frames (same ingest contract as
+    * ImageIoFrameDecoder). */
   final class MjpegFrameDecoder(stride: Int = 1) extends FrameDecoder {
     @transient private var digest: MessageDigest = _
     override def open(): Unit = { digest = MessageDigest.getInstance("MD5") }
@@ -202,11 +208,27 @@ object Multimodal {
       val bounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       var i = 0; var start = -1
       while (i + 1 < p.length) {
-        if (start < 0 && (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xd8) {
-          start = i; i += 2
-        } else if (start >= 0 && (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xd9) {
-          bounds += ((start, i + 2)); start = -1; i += 2
-        } else i += 1
+        if (start < 0) {
+          // between frames: hunt for the next SOI
+          if ((p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xd8) { start = i; i += 2 }
+          else i += 1
+        } else if ((p(i) & 0xff) != 0xff) i += 1 // entropy-coded data
+        else (p(i + 1) & 0xff) match {
+          case 0x00 => i += 2            // stuffed FF inside entropy data
+          case 0xff => i += 1            // fill byte; next FF may start a marker
+          case 0xd9 => bounds += ((start, i + 2)); start = -1; i += 2 // EOI
+          case m if (m >= 0xd0 && m <= 0xd7) || m == 0x01 => i += 2   // RST/TEM: no payload
+          case _ =>
+            // length-delimited segment (APPn, COM, DQT, DHT, SOF, SOS, …):
+            // skip the whole payload — nested SOI/EOI inside (EXIF
+            // thumbnails!) must never terminate the enclosing frame
+            if (i + 3 >= p.length) { start = -1; i = p.length } // truncated header
+            else {
+              val len = ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+              if (len < 2) { start = -1; i += 2 } // malformed: abandon this frame
+              else i += 2 + len
+            }
+        }
       }
       // frames materialize EAGERLY per blob (same contract as the still
       // decoder): a lazy iterator over b.payload would read the buffer

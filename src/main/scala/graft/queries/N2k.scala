@@ -42,9 +42,9 @@ object N2k {
     val p1F = Future(N2kBinding.prepareImport(w1))
     val p2F = Future(N2kBinding.prepareImport(w2))
     val st1 = N2kBinding.commitImport(st0,
-      Await.result(p1F, scala.concurrent.duration.Duration.Inf), stamp = 1L)
+      Await.result(p1F, scala.concurrent.duration.Duration(4, "hours")), stamp = 1L)
     val st2 = N2kBinding.commitImport(st1,
-      Await.result(p2F, scala.concurrent.duration.Duration.Inf), stamp = 2L)
+      Await.result(p2F, scala.concurrent.duration.Duration(4, "hours")), stamp = 2L)
     N2kBinding.summary(st2)
   }
 

@@ -196,8 +196,12 @@ object JdbcUpsertSink {
           stage(df, cfg.copy(table = st.staging))
         }
       }
-      jobs.foreach(Await.result(_, scala.concurrent.duration.Duration.Inf))
-    } finally pool.shutdown()
+      // generous FINITE bound — a wedged staging write must surface as a
+      // timeout, never hang the driver forever; on first failure the
+      // finally's shutdownNow drops queued sibling tasks (already-running
+      // Spark jobs finish and are ignored)
+      jobs.foreach(Await.result(_, scala.concurrent.duration.Duration(4, "hours")))
+    } finally pool.shutdownNow()
     mergeAllStagedAtomically(url, steps, onStepForTest)
     withConn(url)(conn => steps.foreach(st => dropIfExists(conn, st.staging)))
   }
