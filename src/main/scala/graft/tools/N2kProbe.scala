@@ -6,28 +6,52 @@ import org.apache.spark.sql.functions._
 import graft.api.N2kBinding
 import graft.api.N2kBinding.Graph
 
-/** Micro-timing of the e_store_n2k gate phases (dev diagnostic). */
+/** Dev diagnostic: phase-level timing of the e_store_n2k gate shape at an
+  * arbitrary SF — decomposes span / prepare / commit / summary so perf
+  * work targets the real residue instead of guessing. Not part of the
+  * driver contract. */
 object N2kProbe {
-  import TimeProbe.time
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    time("warmup")(graft.Tables.lineitem(spark, dir).count())
-    for (_ <- 1 to 2) {
-      val span = time("span checkpoint")(
-        N2kBinding.window(spark, dir, "1996-01-01", "1999-01-01", keepDate = true).localCheckpoint())
+    def time[T](n: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $n%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+    }
+    graft.Tables.lineitem(spark, dir).count() // warm footers/codegen
+    for (round <- 1 to 3) {
+      println(s"[probe] --- round $round ---")
+      val t0 = System.nanoTime()
+      val span = time("span") {
+        val sp = N2kBinding.window(spark, dir, "1996-01-01", "1999-01-01", keepDate = true)
+          .localCheckpoint()
+        sp
+      }
       val w1 = span.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz")).drop("o_orderdate")
       val w2 = span.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz")).drop("o_orderdate")
       val st0 = Graph.map(t => t.name -> N2kBinding.emptyState(t, w1)).toMap
-      val st1 = time("importAll w1")(N2kBinding.importAll(st0, w1, stamp = 1L))
-      val st2 = time("importAll w2")(N2kBinding.importAll(st1, w2, stamp = 2L))
+      val p1 = time("prepare1")(N2kBinding.prepareImport(w1))
+      val p2 = time("prepare2")(N2kBinding.prepareImport(w2))
+      val st1 = time("commit1")(N2kBinding.commitImport(st0, p1, stamp = 1L))
+      val st2 = time("commit2")(N2kBinding.commitImport(st1, p2, stamp = 2L))
       time("summary")(N2kBinding.summary(st2).queryExecution.toRdd.count())
-      span.unpersist()
+      println(f"[probe] total        ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      if (round == 1) {
+        val parts = st2.toSeq.sortBy(_._1)
+          .map { case (n, df) => s"$n=${df.rdd.getNumPartitions}" }
+        println(s"[probe] state partitions: ${parts.mkString(" ")}")
+        println(s"[probe] span partitions: ${span.rdd.getNumPartitions}")
+      }
     }
     spark.stop()
   }
