@@ -322,16 +322,23 @@ object Similarity {
     * result flows through the custom TopKPerKey operator, so the shuffle
     * carries ≤ |Q|·k rows. Approximation lives in the PQ algorithm; the
     * execution is deterministic and exactly mirrored by the oracle. */
-  def sPqSearch(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val parts = pqParts(s, e)
-    val luts = parts.zipWithIndex.map { case ((sub, centroids), m) =>
+  /** Per-query M×k ADC lookup tables: exact query-subvector↔codeword
+    * squared distances, |Q|·M·k rows total — broadcastable by
+    * construction. Shared by s_pq_search (whole-corpus ADC) and
+    * s_ivfpq_search (bucket-pruned ADC). */
+  private def pqLuts(parts: Seq[(DataFrame, DataFrame)]): Seq[DataFrame] =
+    parts.zipWithIndex.map { case ((sub, centroids), m) =>
       queriesSubset(sub)
         .select(col("vec_id").as("q_id"), col("emb").as("q_vec"))
         .crossJoin(broadcast(centroids))
         .withColumn(s"d_$m", Kmeans.sqEuclideanExpr("q_vec", "c_vec"))
         .select(col("q_id"), col("c_id").as(s"code_$m"), col(s"d_$m"))
     }
+
+  def sPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val parts = pqParts(s, e)
+    val luts = pqLuts(parts)
     // materialize the code table (N rows × M byte codes — the compressed
     // corpus) before the LUT fold: the fold's four broadcast joins then
     // stream compact materialized rows instead of re-running the literal-
@@ -370,6 +377,105 @@ object Similarity {
        |scored AS (
        |  SELECT lut_0.q_id, f_0.p_id AS n_id, $adSum AS ad
        |  FROM f_0 $codeJoins $lutJoins
+       |  WHERE f_0.p_id <> lut_0.q_id)
+       |SELECT q_id, n_id, rnk FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, n_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** s_ivfpq_search: IVF + PQ composed — the canonical billion-scale ANN
+    * configuration (an inverted file prunes the candidate set, ADC scores
+    * what remains through byte codes): a coarse quantizer (the same
+    * deterministic k=8 Lloyd as s_knn_ivf's index build) buckets the
+    * corpus; each query probes its nprobe=2 nearest coarse centroids and
+    * ADC-scores ONLY the vectors in those buckets through the M=4 PQ
+    * codes. Candidate work drops to ~nprobe/C of the corpus AND each
+    * candidate costs M LUT adds instead of a 64-dim float dot — the two
+    * multiplicative savings that make ANN tractable at 100 TB (corpus
+    * touched as byte codes, coarse assignment pruned at the storage
+    * layer, exactly IvfIndex's partition-filter probe shape).
+    *
+    * This variant encodes RAW vectors (codebooks shared with s_pq);
+    * production IVFADC refines by PQ-encoding residuals x − centroid —
+    * same plan shape, one extra subtraction before encoding. Output is
+    * deterministic (fold-order-pinned distances, ties on n_id) and
+    * exactly replayed by the DuckDB oracle. */
+  def sIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    graft.functions.VectorExpressions.register(s)
+    // coarse quantizer + corpus bucket assignment (aggregation argmax —
+    // no window over the N·C scored rows)
+    val coarse = Kmeans.fit(s, e, "vec_id", "embedding", k = 8, iters = 2)
+    val buckets = Knn.assignBuckets(s, e, coarse, "vec_id", "embedding")
+      .select(col("n_id").as("vec_id"), col("bucket"))
+    // per-query probe list: nprobe=2 nearest coarse centroids
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val probes = queriesSubset(e)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("c_cos", coalesce(expr("cosine_sim(q_vec, c_vec)"), lit(-1.0)))
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
+      .select(col("q_id"), col("c_id").as("bucket"))
+    // compressed corpus: M byte codes + coarse bucket per vector
+    val parts = pqParts(s, e)
+    val codes = pqCodes(s, e, parts.map(_._2))
+      .join(buckets, "vec_id").localCheckpoint()
+    // bucket pruning FIRST (broadcast probe list), then the ADC LUT fold
+    val pruned = codes.join(broadcast(probes), Seq("bucket"))
+    val scored = pqLuts(parts).zipWithIndex.foldLeft(pruned) { case (df, (lut, m)) =>
+      df.join(broadcast(lut), Seq("q_id", s"code_$m"))
+    }
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (0 until PqM).map(m => col(s"d_$m")).reduce(_ + _).as("ad"))
+    val top = graft.plans.TopK.perKey(scored, Seq("q_id"),
+      Seq(col("ad").asc, col("n_id").asc), 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ad"), col("n_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("q_id"), col("n_id"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Oracle: coarse training + bucket assignment + probes replayed with
+    * the s_knn_ivf CTEs, subspace training/codes/LUTs with the s_pq /
+    * s_pq_search CTEs, candidates restricted to probed buckets. */
+  val sIvfPqSearchSql: String = {
+    val coarseIters = (1 to 2).flatMap(i => Seq(
+      kmAssignCte("pts", s"c${i - 1}", s"a$i"), kmRecenterCte(s"a$i", s"c$i")))
+    val luts = (0 until PqM).map { m =>
+      s"""lut_$m AS (
+         |  SELECT q.p_id AS q_id, c.c_id, ${dotSql("q.pv", "q.pv")} - 2 * ${dotSql("q.pv", "c.cv")} + ${dotSql("c.cv", "c.cv")} AS d_$m
+         |  FROM (SELECT p_id, pv FROM pts_$m WHERE p_id % 50 = 0) q CROSS JOIN c1_$m c)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until PqM).map(m => s"JOIN f_$m ON f_$m.p_id = f_0.p_id").mkString(" ")
+    val lutJoins = (0 until PqM).map { m =>
+      if (m == 0) s"JOIN lut_0 ON lut_0.c_id = f_0.c_id"
+      else s"JOIN lut_$m ON lut_$m.q_id = lut_0.q_id AND lut_$m.c_id = f_$m.c_id"
+    }.mkString(" ")
+    val adSum = (0 until PqM).map(m => s"lut_$m.d_$m").mkString(" + ")
+    s"""WITH pts AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding] AS pv FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding] AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+       |${coarseIters.mkString(",\n")},
+       |bkt AS (
+       |  SELECT n_id, bucket FROM (
+       |    SELECT p.p_id AS n_id, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY p.p_id ORDER BY COALESCE(${cosSql("p.pv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM pts p CROSS JOIN c2 c) WHERE rn = 1),
+       |pr AS (
+       |  SELECT q_id, bucket FROM (
+       |    SELECT q.p_id AS q_id, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY q.p_id ORDER BY COALESCE(${cosSql("q.pv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM (SELECT p_id, pv FROM pts WHERE p_id % 50 = 0) q CROSS JOIN c2 c) WHERE rn <= 2),
+       |$pqCtesSql,
+       |$luts,
+       |scored AS (
+       |  SELECT lut_0.q_id, f_0.p_id AS n_id, $adSum AS ad
+       |  FROM f_0 $codeJoins $lutJoins
+       |  JOIN bkt ON bkt.n_id = f_0.p_id
+       |  JOIN pr ON pr.bucket = bkt.bucket AND pr.q_id = lut_0.q_id
        |  WHERE f_0.p_id <> lut_0.q_id)
        |SELECT q_id, n_id, rnk FROM (
        |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, n_id) AS rnk
@@ -438,6 +544,7 @@ object Similarity {
     "s_silhouette" -> sSilhouette _,
     "s_pq"        -> sPq _,
     "s_pq_search" -> sPqSearch _,
+    "s_ivfpq_search" -> sIvfPqSearch _,
     "s_quantize"  -> sQuantize _,
     "s_knn_brute" -> sKnnBrute _,
     "s_range_search" -> sRangeSearch _,
@@ -449,6 +556,7 @@ object Similarity {
     "s_silhouette" -> sSilhouetteSql,
     "s_pq"        -> sPqSql,
     "s_pq_search" -> sPqSearchSql,
+    "s_ivfpq_search" -> sIvfPqSearchSql,
     "s_quantize"  -> sQuantizeSql,
     "s_knn_brute" -> sKnnBruteSql,
     "s_range_search" -> sRangeSearchSql,

@@ -314,4 +314,17 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Similarity.sPq(spark, dir))
     assert(!p.contains("Join"), s"code assembly must not join:\n${p.take(3000)}")
   }
+
+  test("s_ivfpq: probe list and all ADC LUTs broadcast; ranking rides TopKPerKey") {
+    val p = plan(Similarity.sIvfPqSearch(spark, dir))
+    // bucket pruning + the M LUT folds are query-sized — every one must be
+    // a broadcast join (5 total); a sort-merge join over the pruned
+    // candidates means a query-sized table shuffled the corpus
+    val after = p.split("TopKPerKey").last // the scored subtree feeds TopKPerKey
+    assert("BroadcastHashJoin".r.findAllIn(after).size >= 5,
+      s"probe + 4 LUT joins must broadcast:\n${p.take(4000)}")
+    assert(p.contains("TopKPerKey"), "ranking must ride the k-bounded TopKPerKey shuffle")
+    assert(!after.contains("SortMergeJoin"),
+      s"no corpus shuffle below TopKPerKey:\n${p.take(4000)}")
+  }
 }
