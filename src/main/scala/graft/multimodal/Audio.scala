@@ -34,6 +34,23 @@ object Audio {
   final case class AudioWindow(doc_id: Long, window_idx: Int, n_samples: Int,
       rms: Double, zcr: Double)
 
+  /** Mono 16-bit little-endian PCM WAV container around raw samples,
+    * written by the SAME JDK audio stack the decoder reads with — the
+    * roundtrip is sample-exact, which is what lets gates synthesize
+    * deterministic audio corpora whose decoded features a SQL oracle can
+    * replay from the sample formula. */
+  def wavBytes(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+    val bytes = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bytes.putShort)
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(bytes.array()), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Decode any JDK-supported audio container to mono 16-bit samples;
     * undecodable → empty (never throws). Multi-channel mixes by average. */
   def pcmSamples(payload: Array[Byte]): Array[Short] =

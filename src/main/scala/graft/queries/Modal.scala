@@ -117,6 +117,58 @@ object Modal {
        |  FROM scored)
        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  /** m_audio: REAL audio decode → windowed DSP features, end-to-end with
+    * an exact oracle — per document a deterministic PCM16 test signal
+    * (s_i = ((doc_id·7919 + i·131) mod 4001 − 2000)·16, 1500 + 700·(doc_id
+    * mod 5) samples) is containerized as a genuine WAV by the JDK audio
+    * writer, decoded back through the SAME javax.sound stack every
+    * production payload takes (header parse, PCM16 LE decode), and
+    * reduced to per-1024-sample-window RMS + zero-crossing rate — the
+    * speech/music/silence discriminators a curation pipeline filters on.
+    * The oracle replays the features from the sample FORMULA, so any
+    * drift in the container writer, the decoder, or the window math
+    * breaks the hash. Scale shape: synthesis+decode+features are one
+    * narrow mapPartitions pass (binary codecs are not expressions);
+    * nothing shuffles until the presentation sort. */
+  def mAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (1500 + (id % 5) * 700).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 7919L + i.toLong * 131L) % 4001L - 2000L) * 16L).toShort)
+        val wav = graft.multimodal.Audio.wavBytes(samples)
+        Multimodal.Blob(id, "audio/wav", wav.length.toLong, wav)
+      })
+    graft.multimodal.Audio.windowFeatures(blobs, samplesPerWindow = 1024).toDF()
+      .select(col("doc_id"), col("window_idx").cast("long").as("window_idx"),
+        col("n_samples").cast("long").as("n_samples"), col("rms"), col("zcr"))
+      .orderBy(col("doc_id"), col("window_idx"))
+  }
+
+  /** Oracle: the sample formula unnested per doc, windowed by i/1024,
+    * integer-exact sum of squares and lag-based sign-change counts, then
+    * the same sqrt/division — every float op is the identical IEEE op on
+    * the identical integers, so rms/zcr agree bitwise. */
+  val mAudioSql: String =
+    """WITH ids AS (SELECT doc_id, 1500 + (doc_id % 5) * 700 AS n FROM documents),
+      |v AS (SELECT doc_id, unnest(range(n)) AS i,
+      |        ((doc_id * 7919 + unnest(range(n)) * 131) % 4001 - 2000) * 16 AS v
+      |      FROM ids),
+      |w AS (SELECT doc_id, i, v, i // 1024 AS wi,
+      |        lag(v) OVER (PARTITION BY doc_id, i // 1024 ORDER BY i) AS pv
+      |      FROM v)
+      |SELECT doc_id, wi AS window_idx, COUNT(*) AS n_samples,
+      |  sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) / 32768.0 AS rms,
+      |  CASE WHEN COUNT(*) > 1
+      |       THEN CAST(COUNT(*) FILTER (pv IS NOT NULL AND ((v < 0) <> (pv < 0))) AS DOUBLE)
+      |            / (COUNT(*) - 1)
+      |       ELSE 0.0 END AS zcr
+      |FROM w GROUP BY doc_id, wi
+      |ORDER BY doc_id, window_idx""".stripMargin
+
   /** st_hourly: the streaming windowed aggregation, batch-applied (the same
     * transformation runs under a watermark in StreamingSpec). */
   def stHourly(s: SparkSession, dir: String): DataFrame =
@@ -302,6 +354,7 @@ object Modal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_shard"           -> mShard _,
+    "m_audio"           -> mAudio _,
     "st_sliding"        -> stSliding _,
     "st_topk"           -> stTopk _,
     "st_enrich"         -> stEnrich _,
@@ -318,6 +371,7 @@ object Modal {
 
   val oracle: Map[String, String] = Map(
     "m_shard"           -> mShardSql,
+    "m_audio"           -> mAudioSql,
     "st_sliding"        -> stSlidingSql,
     "st_topk"           -> stTopkSql,
     "st_enrich"         -> stEnrichSql,
