@@ -245,7 +245,18 @@ object DedupQ {
     * with the MinHash band machinery: ONE signature pass over the whole
     * corpus, band self-join for candidates, cross-split filter on the tiny
     * candidate set, exact Jaccard only on survivors. At 100 TB this is the
-    * same cost as fuzzy dedup — no extra corpus pass for the split check. */
+    * same cost as fuzzy dedup — no extra corpus pass for the split check.
+    *
+    * Recall contract (the SimHashDedup-style caveat, spelled out because
+    * unreported leakage is this query's failure mode): buckets at or
+    * below MaxAllPairsBucket emit EVERY cross-split pair — full recall on
+    * the tier real contamination lands in. Buckets ABOVE it fall back to
+    * the bipartite star, where a test doc's true train near-dup goes
+    * unreported iff it is not the bucket's min AND the bucket-min edge
+    * fails Jaccard — only possible inside a >16-member band bucket of
+    * non-identical texts. Raise MaxAllPairsBucket (bounded all-pairs
+    * cost: B(B−1)/2 per bucket) when decontamination must trade compute
+    * for the last sliver of hot-bucket recall. */
   def dContamination(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // bipartite candidates off the shared stage: train docs are side 1
@@ -298,7 +309,10 @@ object DedupQ {
     * containment stays high when a short doc sits inside a long one while
     * Jaccard collapses with the size gap. Same scale shape as d_jaccard
     * (candidates only, semi-join feature pushdown); emitted unfiltered so
-    * callers pick their own cutoff per direction. */
+    * callers pick their own cutoff per direction. Recall contract: full
+    * within ≤MaxAllPairsBucket band buckets; hot buckets emit star edges
+    * only, so a contained pair inside a >16-member bucket surfaces only
+    * through the bucket min (see d_contamination's caveat note). */
   def dContainment(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val cands = MinHashLsh.candidatePairsFromSigs(stage(s, dir), "doc_id").localCheckpoint()
