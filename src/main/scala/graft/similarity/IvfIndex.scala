@@ -23,18 +23,24 @@ import graft.functions.VectorExpressions
 object IvfIndex {
 
   /** Train centroids and persist the bucket-partitioned corpus layout.
-    * Build once; probe many. */
+    * Build once; probe many.
+    * @param pretrained reuse an already-trained centroid frame
+    *        (c_id, c_vec) instead of fitting — how a rebuild reuses the
+    *        previous model, or several index variants share one training. */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String, vecCol: String,
-      path: String, numCentroids: Option[Int] = None, iters: Int = 2): Unit = {
+      path: String, numCentroids: Option[Int] = None, iters: Int = 2,
+      pretrained: Option[DataFrame] = None): Unit = {
     VectorExpressions.register(spark)
-    val c = numCentroids.getOrElse {
-      // footer metadata when the corpus is a bare file scan, count()
-      // otherwise (RowCountEstimate guards the plan shape — a filtered
-      // or joined corpus must never size C from its files' row counts)
-      val n = graft.sources.RowCountEstimate.estimate(corpus)
-      math.max(2, math.round(math.sqrt(n.toDouble)).toInt)
+    val centroids = pretrained.getOrElse {
+      val c = numCentroids.getOrElse {
+        // footer metadata when the corpus is a bare file scan, count()
+        // otherwise (RowCountEstimate guards the plan shape — a filtered
+        // or joined corpus must never size C from its files' row counts)
+        val n = graft.sources.RowCountEstimate.estimate(corpus)
+        math.max(2, math.round(math.sqrt(n.toDouble)).toInt)
+      }
+      Kmeans.fit(spark, corpus, idCol, vecCol, c, iters)
     }
-    val centroids = Kmeans.fit(spark, corpus, idCol, vecCol, c, iters)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     Knn.assignBuckets(spark, corpus, centroids, idCol, vecCol)
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/buckets")
