@@ -111,6 +111,25 @@ object DedupQ {
         carry = Seq("content_hash", "split_bucket", "simhash")).localCheckpoint(false)
     })
 
+  /** Cached full-corpus LSH candidate pairs and their exact-Jaccard
+    * scores, the two downstream stages several gates re-derived from the
+    * signature stage: d_minhash_pairs emits the candidates, d_jaccard
+    * and d_components the verified pairs, d_containment re-scores the
+    * same candidates with its own metric. Same per-(session, dataset)
+    * lifecycle as `stage`. */
+  private val candCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def candidates(s: SparkSession, dir: String): DataFrame =
+    candCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+      MinHashLsh.candidatePairsFromSigs(stage(s, dir), "doc_id").localCheckpoint(false))
+
+  private val jaccardCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** (a_id, b_id, jaccard) for every candidate pair, UNFILTERED — each
+    * consumer applies its own threshold. */
+  private def jaccardScored(s: SparkSession, dir: String): DataFrame =
+    jaccardCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+      Dedup.jaccardOnPairs(candidates(s, dir), Tables.documents(s, dir), "doc_id", "text")
+        .localCheckpoint(false))
+
   /** d_exact: exact dedup groups by normalized content hash (off the
     * shared stage — same aggregation as Dedup.exactGroups). */
   def dExact(s: SparkSession, dir: String): DataFrame =
@@ -126,24 +145,16 @@ object DedupQ {
   /** d_minhash_pairs: LSH banding candidate edges (star expansion per band
     * bucket — linear in bucket size, see MinHashLsh.candidatePairs). */
   def dMinhashPairs(s: SparkSession, dir: String): DataFrame =
-    MinHashLsh.candidatePairsFromSigs(stage(s, dir), "doc_id")
-      .orderBy(col("a_id"), col("b_id"))
+    candidates(s, dir).orderBy(col("a_id"), col("b_id"))
 
   val dMinhashPairsSql: String =
     s"WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte\n$candSelect\nORDER BY a_id, b_id"
 
   /** d_jaccard: exact shingle Jaccard, verified on the LSH candidates only. */
-  def dJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    // candidates feed three consumers (a-ids, b-ids, the pair join):
-    // localCheckpoint materializes the tiny pair set once and truncates the
-    // LSH lineage; unlike persist(), the blocks are released by the context
-    // cleaner when the plan is GC'd instead of pinned for the session
-    val cands = MinHashLsh.candidatePairsFromSigs(stage(s, dir), "doc_id").localCheckpoint()
-    Dedup.jaccardOnPairs(cands, docs, "doc_id", "text")
+  def dJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardScored(s, dir)
       .filter(col("jaccard") >= JaccardThreshold)
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   val dJaccardSql: String =
     s"""WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte,
@@ -160,8 +171,7 @@ object DedupQ {
     * the pair list alone is not. */
   def dComponents(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val cands = MinHashLsh.candidatePairsFromSigs(stage(s, dir), "doc_id").localCheckpoint()
-    val verified = Dedup.jaccardOnPairs(cands, docs, "doc_id", "text")
+    val verified = jaccardScored(s, dir)
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("a_id"), col("b_id")).localCheckpoint()
     Components.canonicalize(docs, "doc_id", verified)
@@ -315,8 +325,7 @@ object DedupQ {
     * through the bucket min (see d_contamination's caveat note). */
   def dContainment(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val cands = MinHashLsh.candidatePairsFromSigs(stage(s, dir), "doc_id").localCheckpoint()
-    Dedup.containmentOnPairs(cands, docs, "doc_id", "text")
+    Dedup.containmentOnPairs(candidates(s, dir), docs, "doc_id", "text")
       .orderBy(col("a_id"), col("b_id"))
   }
 
