@@ -497,6 +497,128 @@ object Similarity {
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** s_ivfpq_residual: RESIDUAL-encoded IVFADC — the production
+    * refinement s_ivfpq_search's doc promises: PQ codebooks train on
+    * x − centroid(bucket) rather than raw vectors, so the quantizer
+    * spends its codewords on the within-cell distribution (residual
+    * norms are much smaller and more isotropic than raw vectors —
+    * the reason FAISS-style stores default to residual encoding), and
+    * each query builds its ADC lookup table PER PROBED CELL from its own
+    * residual against that cell's centroid. Plan shape is unchanged from
+    * s_ivfpq_search — bucket pruning first, broadcast (q, bucket)-keyed
+    * LUTs, corpus touched as codes, TopKPerKey ranking — the LUT just
+    * grows nprobe× (still |Q|·nprobe·M·k rows, broadcastable by
+    * construction). Every arithmetic step (centroid subtraction, Lloyd
+    * on residuals, LUT sums) is fold-order-pinned, so the DuckDB oracle
+    * replays the whole thing exactly. */
+  def sIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    graft.functions.VectorExpressions.register(s)
+    val coarse = fitCached(s, dir, k = 8, iters = 2)
+    // (vec_id, bucket, residual) — residuals in double, exact subtraction
+    val res = Knn.assignBuckets(s, e, coarse, "vec_id", "embedding")
+      .join(broadcast(coarse.select(col("c_id").as("bucket"), col("c_vec"))), "bucket")
+      .select(col("n_id").as("vec_id"), col("bucket"),
+        expr("zip_with(cast(n_vec AS array<double>), c_vec, (a, b) -> a - b)").as("embedding"))
+      .localCheckpoint(false)
+    // PQ training + code assembly run UNCHANGED over the residual frame
+    val parts = pqParts(s, res)
+    val codes = pqCodes(s, res, parts.map(_._2))
+      .join(res.select(col("vec_id"), col("bucket")), "vec_id").localCheckpoint()
+    // probes and per-(query, cell) residual LUTs
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val probes = queriesSubset(e)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("c_cos", coalesce(expr("cosine_sim(q_vec, c_vec)"), lit(-1.0)))
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
+      .select(col("q_id"), col("c_id").as("bucket"),
+        expr("zip_with(cast(q_vec AS array<double>), c_vec, (a, b) -> a - b)").as("qr"))
+      .localCheckpoint(false)
+    val pruned = codes.join(broadcast(probes.select(col("q_id"), col("bucket"))), Seq("bucket"))
+    val scored = parts.map(_._2).zipWithIndex.foldLeft(pruned) { case (df, (cb, m)) =>
+      val lut = probes
+        .select(col("q_id"), col("bucket"),
+          slice(col("qr"), m * PqSubDim + 1, PqSubDim).as("q_sub"))
+        .crossJoin(broadcast(cb))
+        .withColumn(s"d_$m", Kmeans.sqEuclidean(col("q_sub"), col("c_vec")))
+        .select(col("q_id"), col("bucket"), col("c_id").as(s"code_$m"), col(s"d_$m"))
+      df.join(broadcast(lut), Seq("q_id", "bucket", s"code_$m"))
+    }
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (0 until PqM).map(m => col(s"d_$m")).reduce(_ + _).as("ad"))
+    val top = graft.plans.TopK.perKey(scored, Seq("q_id"),
+      Seq(col("ad").asc, col("n_id").asc), 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ad"), col("n_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("q_id"), col("n_id"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Oracle: coarse CTEs with the centroid vector retained through bucket
+    * assignment and probing, residuals as exact elementwise subtraction,
+    * then the per-subspace Lloyd/code/LUT CTEs over residual slices. */
+  val sIvfPqResidualSql: String = {
+    val coarseIters = (1 to 2).flatMap(i => Seq(
+      kmAssignCte("pts", s"c${i - 1}", s"a$i"), kmRecenterCte(s"a$i", s"c$i")))
+    val resPq = (0 until PqM).map { m =>
+      val (lo, hi) = (m * PqSubDim + 1, (m + 1) * PqSubDim)
+      s"""rpts_$m AS (SELECT vec_id AS p_id, rv[$lo:$hi] AS pv FROM res),
+         |rc0_$m AS (SELECT vec_id AS c_id, rv[$lo:$hi] AS cv FROM res ORDER BY vec_id LIMIT $PqK),
+         |${kmAssignCte(s"rpts_$m", s"rc0_$m", s"ra1_$m")},
+         |${kmRecenterCte(s"ra1_$m", s"rc1_$m", PqSubDim)},
+         |${kmAssignCte(s"rpts_$m", s"rc1_$m", s"rf_$m")}""".stripMargin
+    }.mkString(",\n")
+    val luts = (0 until PqM).map { m =>
+      val (lo, hi) = (m * PqSubDim + 1, (m + 1) * PqSubDim)
+      s"""lut_$m AS (
+         |  SELECT q_id, bucket, c.c_id,
+         |    ${dotSql("q.qsub", "q.qsub")} - 2 * ${dotSql("q.qsub", "c.cv")} + ${dotSql("c.cv", "c.cv")} AS d_$m
+         |  FROM (SELECT q_id, bucket, qr[$lo:$hi] AS qsub FROM qres) q CROSS JOIN rc1_$m c)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until PqM).map(m => s"JOIN rf_$m ON rf_$m.p_id = rf_0.p_id").mkString(" ")
+    val lutJoins = (0 until PqM).map { m =>
+      if (m == 0) "JOIN lut_0 ON lut_0.bucket = res.bucket AND lut_0.c_id = rf_0.c_id"
+      else s"JOIN lut_$m ON lut_$m.q_id = lut_0.q_id AND lut_$m.bucket = res.bucket AND lut_$m.c_id = rf_$m.c_id"
+    }.mkString(" ")
+    val adSum = (0 until PqM).map(m => s"lut_$m.d_$m").mkString(" + ")
+    s"""WITH pts AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding] AS pv FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding] AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+       |${coarseIters.mkString(",\n")},
+       |bkt AS (
+       |  SELECT n_id, bucket, cv FROM (
+       |    SELECT p.p_id AS n_id, c.c_id AS bucket, c.cv AS cv,
+       |      row_number() OVER (PARTITION BY p.p_id ORDER BY COALESCE(${cosSql("p.pv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM pts p CROSS JOIN c2 c) WHERE rn = 1),
+       |res AS (
+       |  SELECT b.n_id AS vec_id, b.bucket,
+       |    [p.pv[i] - b.cv[i] for i in range(1, 65)] AS rv
+       |  FROM bkt b JOIN pts p ON p.p_id = b.n_id),
+       |pr AS (
+       |  SELECT q_id, bucket, cv FROM (
+       |    SELECT q.p_id AS q_id, c.c_id AS bucket, c.cv AS cv,
+       |      row_number() OVER (PARTITION BY q.p_id ORDER BY COALESCE(${cosSql("q.pv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM (SELECT p_id, pv FROM pts WHERE p_id % 50 = 0) q CROSS JOIN c2 c) WHERE rn <= 2),
+       |qres AS (
+       |  SELECT pr.q_id, pr.bucket, [p.pv[i] - pr.cv[i] for i in range(1, 65)] AS qr
+       |  FROM pr JOIN pts p ON p.p_id = pr.q_id),
+       |$resPq,
+       |$luts,
+       |scored AS (
+       |  SELECT lut_0.q_id, rf_0.p_id AS n_id, $adSum AS ad
+       |  FROM rf_0 $codeJoins
+       |  JOIN res ON res.vec_id = rf_0.p_id
+       |  $lutJoins
+       |  WHERE rf_0.p_id <> lut_0.q_id)
+       |SELECT q_id, n_id, rnk FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, n_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** s_silhouette: clustering-quality evaluation for the trained k-means —
     * simplified silhouette (distances to CENTROIDS, not all-pairs points:
     * a = own-centroid distance, b = nearest-other-centroid distance,
@@ -559,6 +681,7 @@ object Similarity {
     "s_pq"        -> sPq _,
     "s_pq_search" -> sPqSearch _,
     "s_ivfpq_search" -> sIvfPqSearch _,
+    "s_ivfpq_residual" -> sIvfPqResidual _,
     "s_quantize"  -> sQuantize _,
     "s_knn_brute" -> sKnnBrute _,
     "s_range_search" -> sRangeSearch _,
@@ -571,6 +694,7 @@ object Similarity {
     "s_pq"        -> sPqSql,
     "s_pq_search" -> sPqSearchSql,
     "s_ivfpq_search" -> sIvfPqSearchSql,
+    "s_ivfpq_residual" -> sIvfPqResidualSql,
     "s_quantize"  -> sQuantizeSql,
     "s_knn_brute" -> sKnnBruteSql,
     "s_range_search" -> sRangeSearchSql,
