@@ -217,6 +217,65 @@ object N2kBinding {
   def importAll(state: Map[String, DataFrame], w: DataFrame, stamp: Long): Map[String, DataFrame] =
     commitImport(state, prepareImport(w), stamp)
 
+  /** One table's staged extract: checkpointed (it is read twice — once by
+    * the validation collect that doubles as its materializer, once by its
+    * merge) and validated under the reference's no-NA-keys rule. */
+  private def stagedExtract(t: Table, w: DataFrame): DataFrame = {
+    val src = extract(t, w).localCheckpoint(false)
+    val bad = Validate.report(src,
+        t.keyCols.map(k => Validate.Rule(s"${t.name}_${k}_nonnull", col(k).isNotNull)))
+      .filter(col("n_violations") > 0).collect()
+    require(bad.isEmpty, s"validation failed: ${bad.mkString(", ")}")
+    src
+  }
+
+  private def mergeOf(t: Table, tgt: DataFrame, src: DataFrame, stamp: Long): DataFrame =
+    if (t.stamped) UpsertMerge.stampedMerge(tgt, src, t.keyCols, t.attrCols, lit(stamp))
+    else UpsertMerge.merge(tgt, src, t.keyCols, t.attrCols)
+
+  /** Fused two-import flagship path (the e_store_n2k gate shape): each
+    * table's chain — extract₁ ∥ extract₂ → merge₁ → merge₂ → summary
+    * projection — runs end-to-end from its own pool thread with NO
+    * cross-table barrier: language's second merge proceeds while
+    * observation's first still shuffles, where the prepare/commit phasing
+    * stalls every table behind the slowest one, twice. Only the extracts
+    * are checkpointed (each is read twice); the merge₁→merge₂→projection
+    * cascade stays ONE fused Spark job per table — 3 jobs per table
+    * instead of 6 — and because merge₁'s full-outer join already hash-
+    * partitions its output on the table key, Catalyst reuses that
+    * partitioning for merge₂, which exchanges only the second extract.
+    * Validation still aborts the whole import on any table's violation;
+    * the sibling chains' speculative merges are pure computation, nothing
+    * lands anywhere (flows that write a database keep the two-phase
+    * prepareImport/commitImport path and its transaction).
+    */
+  def importPairSummary(w1: DataFrame, w2: DataFrame): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    // chains block awaiting extracts, so extracts run on their OWN pool —
+    // a shared fixed pool could fill with blocked chain threads and
+    // starve the extract tasks they wait on
+    val chainPool = java.util.concurrent.Executors.newFixedThreadPool(Graph.size)
+    val extractPool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    val chainEc = ExecutionContext.fromExecutorService(chainPool)
+    val extractEc = ExecutionContext.fromExecutorService(extractPool)
+    try {
+      val chains = Graph.toList.map { t =>
+        val s1F = Future(stagedExtract(t, w1))(extractEc)
+        val s2F = Future(stagedExtract(t, w2))(extractEc)
+        Future {
+          val m1 = mergeOf(t, emptyState(t, w1), Await.result(s1F, PoolTimeout), stamp = 1L)
+          val m2 = mergeOf(t, m1.drop("action"), Await.result(s2F, PoolTimeout), stamp = 2L)
+          val proj = summaryOf(t, m2).localCheckpoint(false)
+          proj.queryExecution.toRdd.count()
+          proj
+        }(chainEc)
+      }
+      Await.result(Future.sequence(chains)(scala.collection.BuildFrom.buildFromIterableOps, chainEc), PoolTimeout)
+        .reduce(_ unionByName _)
+        .repartition(1).sortWithinPartitions(col("table_name"), col("nk"))
+    } finally { chainPool.shutdownNow(); extractPool.shutdownNow() }
+  }
+
   /** Phase 2: merge prepared extracts into the state. The per-table
     * pipelines are independent until the single DB transaction in
     * storeAll, so BOTH driver-side costs run concurrently from a thread
@@ -251,17 +310,25 @@ object N2kBinding {
     * stamps (NULL stamps for the unstamped dims). This is the gate shape
     * — it proves key hashing, classification, stamps and despawn for the
     * ENTIRE graph in one comparable frame. */
+  /** One table's summary rows (see summary). */
+  private def summaryOf(t: Table, df: DataFrame): DataFrame = {
+    val nk = concat_ws(":", t.keyCols.map(c => col(c).cast("string")): _*)
+    val (f, l, d) =
+      if (t.stamped) (col("first_imported"), col("last_imported"), col("despawned"))
+      else (lit(null).cast("long"), lit(null).cast("long"), lit(null).cast("boolean"))
+    df.select(lit(t.name).as("table_name"), nk.as("nk"),
+      StableId.stableId(t.keyCols.map(col)).as("sid"),
+      col("action"), f.as("first_imported"), l.as("last_imported"), d.as("despawned"))
+  }
+
   def summary(state: Map[String, DataFrame]): DataFrame =
-    Graph.map { t =>
-      val df = state(t.name)
-      val nk = concat_ws(":", t.keyCols.map(c => col(c).cast("string")): _*)
-      val (f, l, d) =
-        if (t.stamped) (col("first_imported"), col("last_imported"), col("despawned"))
-        else (lit(null).cast("long"), lit(null).cast("long"), lit(null).cast("boolean"))
-      df.select(lit(t.name).as("table_name"), nk.as("nk"),
-        StableId.stableId(t.keyCols.map(col)).as("sid"),
-        col("action"), f.as("first_imported"), l.as("last_imported"), d.as("despawned"))
-    }.reduce(_ unionByName _).orderBy(col("table_name"), col("nk"))
+    Graph.map(t => summaryOf(t, state(t.name))).reduce(_ unionByName _)
+      // store-sized output: hash the ids map-side in parallel, then one
+      // exchange into a single sorted partition — same fully-sorted
+      // result as orderBy without its extra range-partitioner sampling
+      // pass (which re-evaluates the md5 projection just to pick bounds;
+      // at 100 TB the summary is a diagnostic frame, not a fact scan)
+      .repartition(1).sortWithinPartitions(col("table_name"), col("nk"))
 
   /** Land a merged state in the database — all fourteen tables FK-first in
     * ONE transaction, exactly the reference's single-DBI-transaction

@@ -32,20 +32,11 @@ object N2k {
     val span = N2kBinding.window(s, dir, Lo1, Hi2, keepDate = true).localCheckpoint()
     val w1 = span.filter(col("o_orderdate") < lit(Hi1).cast("timestamp_ntz")).drop("o_orderdate")
     val w2 = span.filter(col("o_orderdate") >= lit(Lo2).cast("timestamp_ntz")).drop("o_orderdate")
-    val st0 = Graph.map(t => t.name -> N2kBinding.emptyState(t, w1)).toMap
-    // staging (extract + validate) depends only on each window, so BOTH
-    // imports prepare concurrently; only the merges serialize on state —
-    // the same overlap a production loader gets by staging export k+1
-    // into the database while import k's transaction runs
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val p1F = Future(N2kBinding.prepareImport(w1))
-    val p2F = Future(N2kBinding.prepareImport(w2))
-    val st1 = N2kBinding.commitImport(st0,
-      Await.result(p1F, scala.concurrent.duration.Duration(4, "hours")), stamp = 1L)
-    val st2 = N2kBinding.commitImport(st1,
-      Await.result(p2F, scala.concurrent.duration.Duration(4, "hours")), stamp = 2L)
-    N2kBinding.summary(st2)
+    // fused per-table chains: extract₁ ∥ extract₂ → merge₁ → merge₂ →
+    // summary projection, concurrent across tables with no phase barrier
+    // (importPairSummary's doc has the cost shape; the two-phase
+    // prepareImport/commitImport path remains the database-writing API)
+    N2kBinding.importPairSummary(w1, w2)
   }
 
   // ---- oracle: replay the staged two-import merge in DuckDB ----

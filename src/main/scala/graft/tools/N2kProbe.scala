@@ -39,19 +39,10 @@ object N2kProbe {
       }
       val w1 = span.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz")).drop("o_orderdate")
       val w2 = span.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz")).drop("o_orderdate")
-      val st0 = Graph.map(t => t.name -> N2kBinding.emptyState(t, w1)).toMap
-      val p1 = time("prepare1")(N2kBinding.prepareImport(w1))
-      val p2 = time("prepare2")(N2kBinding.prepareImport(w2))
-      val st1 = time("commit1")(N2kBinding.commitImport(st0, p1, stamp = 1L))
-      val st2 = time("commit2")(N2kBinding.commitImport(st1, p2, stamp = 2L))
-      time("summary")(N2kBinding.summary(st2).queryExecution.toRdd.count())
+      time("fused")(N2kBinding.importPairSummary(w1, w2).queryExecution.toRdd.count())
       println(f"[probe] total        ${(System.nanoTime() - t0) / 1e9}%6.2f s")
-      if (round == 1) {
-        val parts = st2.toSeq.sortBy(_._1)
-          .map { case (n, df) => s"$n=${df.rdd.getNumPartitions}" }
-        println(s"[probe] state partitions: ${parts.mkString(" ")}")
+      if (round == 1)
         println(s"[probe] span partitions: ${span.rdd.getNumPartitions}")
-      }
     }
     spark.stop()
   }
