@@ -756,7 +756,41 @@ object DedupQ {
       |WHERE levenshtein(a.head, b.head) <= 2
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** d_source_overlap: WHICH sources duplicate each other — the verified
+    * near-dup pairs of the corpus dedup run rolled up into a symmetric
+    * source×source matrix (unordered source pair → pair count). The
+    * cross-snapshot overlap report every multi-crawl corpus build reads
+    * before deciding which source to keep; runs off the SAME cached
+    * verified-pair stage as d_jaccard/d_components, adding only a
+    * broadcast-sized (doc_id, source) join and a |sources|²-bounded
+    * aggregation. Pair REPORTING inherits the hot-bucket star-edge recall
+    * contract documented on d_contamination: within an over-budget band
+    * bucket only bucket-min edges are scored. */
+  def dSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    jaccardScored(s, dir).filter(col("jaccard") >= JaccardThreshold)
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val dSourceOverlapSql: String =
+    s"""WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte,
+       |cand AS ($candSelect),
+       |$pairsCte
+       |SELECT least(da.source, db.source) AS src_a,
+       |  greatest(da.source, db.source) AS src_b, COUNT(*) AS n_pairs
+       |FROM pairs p
+       |JOIN documents da ON da.doc_id = p.a_id
+       |JOIN documents db ON db.doc_id = p.b_id
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_source_overlap" -> dSourceOverlap _,
     "d_editdist"      -> dEditdist _,
     "d_paragraph"     -> dParagraph _,
     "d_exact"         -> dExact _,
@@ -774,6 +808,7 @@ object DedupQ {
   )
 
   val oracle: Map[String, String] = Map(
+    "d_source_overlap" -> dSourceOverlapSql,
     "d_editdist"      -> dEditdistSql,
     "d_paragraph"     -> dParagraphSql,
     "d_exact"         -> dExactSql,

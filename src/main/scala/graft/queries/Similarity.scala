@@ -676,7 +676,66 @@ object Similarity {
        |FROM sil GROUP BY 1 ORDER BY c_id""".stripMargin
   }
 
+  /** s_recall: retrieval-quality OBSERVABILITY — recall@5 of the IVF
+    * probe against the exact brute-force top-5, per query vector. The
+    * number an ANN deployment watches when tuning nprobe/C: both ranked
+    * lists are integer id sets that already hash-match their own oracles,
+    * so their overlap count is exact across engines (the recall ratio is
+    * integer-derived — the safe output class, see the object doc). Scale
+    * shape: in production the brute-force side runs over a SAMPLE of
+    * queries (this gate's %-50 subset is exactly that sample); the join is
+    * k-bounded rows per query, so the recall rollup costs one shuffle of
+    * 2·k·|Q| id pairs regardless of corpus size. */
+  def sRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = sKnnBrute(s, dir).select(col("q_id"), col("n_id"))
+    val ann = sKnnIvf(s, dir).select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    brute.join(ann, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(5.0)).as("recall"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Oracle: the sKnnIvfSql pipeline (ann) and the brute top-5 over the
+    * same query subset, joined on (q_id, n_id) and rolled up. */
+  val sRecallSql: String = {
+    val iters = (1 to 2).flatMap(i => Seq(
+      kmAssignCte("pts", s"c${i - 1}", s"a$i"), kmRecenterCte(s"a$i", s"c$i")))
+    s"""WITH pts AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding] AS pv FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding] AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+       |${iters.mkString(",\n")},
+       |bk AS (
+       |  SELECT n_id, nv, bucket FROM (
+       |    SELECT p.p_id AS n_id, p.pv AS nv, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY p.p_id ORDER BY COALESCE(${cosSql("p.pv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM pts p CROSS JOIN c2 c) WHERE rn = 1),
+       |q AS (SELECT p_id AS q_id, pv AS qv FROM pts WHERE p_id % 50 = 0),
+       |pr AS (
+       |  SELECT q_id, qv, bucket FROM (
+       |    SELECT q.q_id, q.qv, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY COALESCE(${cosSql("q.qv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM q CROSS JOIN c2 c) WHERE rn <= 2),
+       |sc AS (
+       |  SELECT pr.q_id, bk.n_id, ${cosSql("pr.qv", "bk.nv")} AS cs
+       |  FROM bk JOIN pr USING (bucket) WHERE bk.n_id <> pr.q_id),
+       |ann AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC NULLS LAST, n_id) AS rnk FROM sc)
+       |  WHERE rnk <= 5),
+       |bscored AS (
+       |  SELECT q.q_id, p.p_id AS n_id, ${cosSql("q.qv", "p.pv")} AS cos
+       |  FROM q CROSS JOIN pts p WHERE p.p_id <> q.q_id),
+       |brute AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM bscored)
+       |  WHERE rnk <= 5)
+       |SELECT b.q_id, COUNT(a.n_id) AS n_hits,
+       |  CAST(COUNT(a.n_id) AS DOUBLE) / 5.0 AS recall
+       |FROM brute b LEFT JOIN ann a ON a.q_id = b.q_id AND a.n_id = b.n_id
+       |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_recall"     -> sRecall _,
     "s_silhouette" -> sSilhouette _,
     "s_pq"        -> sPq _,
     "s_pq_search" -> sPqSearch _,
@@ -690,6 +749,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s_recall"     -> sRecallSql,
     "s_silhouette" -> sSilhouetteSql,
     "s_pq"        -> sPqSql,
     "s_pq_search" -> sPqSearchSql,

@@ -615,4 +615,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select(conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long").as("h"))
     assert(sketch(tiny, 128).size == 40)
   }
+
+  test("s_recall gate: one row per query, n_hits = |ann ∩ brute| ≤ 5, recall integer-derived") {
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.queries.Similarity.sRecall(spark, dir).collect()
+    val qs = Tables.embeddings(spark, dir).filter(col("vec_id") % 50 === 0).count()
+    assert(r.length == qs, s"one recall row per query vector (${r.length} vs $qs)")
+    r.foreach { row =>
+      val hits = row.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= 5)
+      assert(row.getAs[Double]("recall") == hits / 5.0, "recall must be exactly n_hits/5")
+    }
+    // the synthetic corpus has SOME bucket-local structure — a recall of
+    // zero everywhere means the probe path broke, not that ANN is hard
+    assert(r.map(_.getAs[Long]("n_hits")).sum > 0, "IVF must recover some true neighbors")
+  }
+
+  test("d_source_overlap: normalized symmetric matrix whose mass equals the verified pair count") {
+    val dir = "/root/testdata/sf0.001"
+    val m = graft.queries.DedupQ.dSourceOverlap(spark, dir).collect()
+    m.foreach { row =>
+      assert(row.getAs[String]("src_a") <= row.getAs[String]("src_b"),
+        "pairs must be normalized to an unordered source pair")
+      assert(row.getAs[Long]("n_pairs") > 0)
+    }
+    assert(m.map(r => (r.getString(0), r.getString(1))).distinct.length == m.length)
+    // mass check: the matrix rolls up EVERY verified pair exactly once
+    val total = graft.queries.DedupQ.dJaccard(spark, dir).count()
+    assert(m.map(_.getAs[Long]("n_pairs")).sum == total,
+      "matrix mass must equal the verified near-dup pair count")
+  }
 }
