@@ -268,14 +268,33 @@ object Similarity {
     * collected rows inlined as literals, so code assembly never joins or
     * shuffles the corpus. */
   /** Per-subspace (subvectors, trained codebook) — shared by s_pq (emits
-    * the codes) and s_pq_search (scores through them). */
-  private def pqParts(s: SparkSession, e: DataFrame): Seq[(DataFrame, DataFrame)] =
-    (0 until PqM).map { m =>
-      val sub = e.select(col("vec_id"),
+    * the codes) and s_pq_search (scores through them). Codebooks are the
+    * trained model of the PQ family: cached per (session, corpus key) like
+    * centroidCache — s_pq, s_pq_search and s_ivfpq_search quantize the
+    * same raw corpus and must score through the SAME codebooks anyway
+    * (the residual variant trains on its own residual corpus under its
+    * own key). Kmeans.fit is deterministic, so sharing cannot change any
+    * gate. */
+  private val pqBookCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
+  private def pqParts(s: SparkSession, e: DataFrame, cacheKey: String): Seq[(DataFrame, DataFrame)] = {
+    val subs = (0 until PqM).map { m =>
+      e.select(col("vec_id"),
         slice(col("embedding").cast("array<double>"), m * PqSubDim + 1, PqSubDim).as("emb"))
-      val centroids = Kmeans.fit(s, sub, "vec_id", "emb", PqK, iters = 1)
-      (sub, centroids)
     }
+    val books = pqBookCache.computeIfAbsent(s"${System.identityHashCode(s)}:$cacheKey", _ =>
+      subs.map(sub => Kmeans.fit(s, sub, "vec_id", "emb", PqK, iters = 1).localCheckpoint(false)))
+    subs.zip(books)
+  }
+
+  /** The materialized code table (vec_id + M byte codes — the compressed
+    * corpus, N narrow rows): the artifact a PQ store persists once and
+    * every searcher reads. Cached per (session, corpus key) so the ADC
+    * gates score through one build. */
+  private val pqCodesCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def pqCodesCached(s: SparkSession, e: DataFrame, books: Seq[DataFrame],
+      cacheKey: String): DataFrame =
+    pqCodesCache.computeIfAbsent(s"${System.identityHashCode(s)}:$cacheKey", _ =>
+      pqCodes(s, e, books).localCheckpoint(false))
 
   /** vec_id + code_0..code_{M-1} in ONE projection: per subspace, the
     * argmin over the k literal codewords is an array_min over
@@ -302,7 +321,8 @@ object Similarity {
 
   def sPq(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    pqCodes(s, e, pqParts(s, e).map(_._2)).orderBy(col("vec_id"))
+    pqCodesCached(s, e, pqParts(s, e, s"$dir:raw").map(_._2), s"$dir:raw")
+      .orderBy(col("vec_id"))
   }
 
   /** Per-subspace training CTEs (pts_m, seed c0_m, one Lloyd round to
@@ -350,13 +370,12 @@ object Similarity {
 
   def sPqSearch(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val parts = pqParts(s, e)
+    val parts = pqParts(s, e, s"$dir:raw")
     val luts = pqLuts(parts)
-    // materialize the code table (N rows × M byte codes — the compressed
-    // corpus) before the LUT fold: the fold's four broadcast joins then
-    // stream compact materialized rows instead of re-running the literal-
-    // codebook argmin projection inside every join stage
-    val codes = pqCodes(s, e, parts.map(_._2)).localCheckpoint()
+    // the cached code table (N rows × M byte codes — the compressed
+    // corpus) feeds the LUT fold as compact materialized rows instead of
+    // re-running the literal-codebook argmin projection inside every join
+    val codes = pqCodesCached(s, e, parts.map(_._2), s"$dir:raw")
     val scored = luts.zipWithIndex.foldLeft(codes) { case (df, (lut, m)) =>
       val keys = if (m == 0) Seq(s"code_$m") else Seq("q_id", s"code_$m")
       df.join(broadcast(lut), keys)
@@ -433,8 +452,8 @@ object Similarity {
       .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
       .select(col("q_id"), col("c_id").as("bucket"))
     // compressed corpus: M byte codes + coarse bucket per vector
-    val parts = pqParts(s, e)
-    val codes = pqCodes(s, e, parts.map(_._2))
+    val parts = pqParts(s, e, s"$dir:raw")
+    val codes = pqCodesCached(s, e, parts.map(_._2), s"$dir:raw")
       .join(buckets, "vec_id").localCheckpoint()
     // bucket pruning FIRST (broadcast probe list), then the ADC LUT fold
     val pruned = codes.join(broadcast(probes), Seq("bucket"))
@@ -522,8 +541,8 @@ object Similarity {
         expr("zip_with(cast(n_vec AS array<double>), c_vec, (a, b) -> a - b)").as("embedding"))
       .localCheckpoint(false)
     // PQ training + code assembly run UNCHANGED over the residual frame
-    val parts = pqParts(s, res)
-    val codes = pqCodes(s, res, parts.map(_._2))
+    val parts = pqParts(s, res, s"$dir:residual")
+    val codes = pqCodesCached(s, res, parts.map(_._2), s"$dir:residual")
       .join(res.select(col("vec_id"), col("bucket")), "vec_id").localCheckpoint()
     // probes and per-(query, cell) residual LUTs
     val wProbe = org.apache.spark.sql.expressions.Window
