@@ -642,7 +642,47 @@ object Etl {
       |WHERE o_orderkey % 10 <> 3 AND l_orderkey % 7 <> 2
       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  /** e_inferred_dim: late-arriving dimension / early-arriving fact (see
+    * InferredDim) replayed on the synthetic corpus — the species dim feed
+    * lags (members with sp_key % 3 = 0 missing), the observation window's
+    * fact keys force inferred placeholders, and a late delivery batch
+    * (sp_key % 6 = 0) resolves half of them in place. Output: the final
+    * dimension with each member's provenance. */
+  def eInferredDim(s: SparkSession, dir: String): DataFrame = {
+    val w = graft.api.N2kBinding.window(s, dir, "1996-01-01", "1998-01-01")
+    val sp = w.select(col("l_partkey").as("sp_key"), col("p_name").as("sp_name")).distinct()
+    val dim0 = sp.filter(col("sp_key") % 3 =!= 0)
+    val facts = w.select(col("l_partkey").as("sp_key"))
+    val arrivals = sp.filter(col("sp_key") % 6 === 0)
+    graft.operators.InferredDim.resolve(
+        graft.operators.InferredDim.infer(dim0, facts, "sp_key", Seq("sp_name")),
+        arrivals, "sp_key", Seq("sp_name"))
+      .orderBy(col("sp_key"))
+  }
+
+  val eInferredDimSql: String =
+    """WITH w AS (
+      |  SELECT DISTINCT l_partkey AS sp_key, p_name AS sp_name
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |                JOIN part ON l_partkey = p_partkey
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),
+      |dim0 AS (SELECT * FROM w WHERE sp_key % 3 <> 0),
+      |arrivals AS (SELECT * FROM w WHERE sp_key % 6 = 0),
+      |st AS (
+      |  SELECT sp_key, sp_name, false AS inferred FROM dim0
+      |  UNION ALL
+      |  SELECT f.sp_key, '(inferred)', true
+      |  FROM (SELECT DISTINCT sp_key FROM w) f ANTI JOIN dim0 d ON d.sp_key = f.sp_key)
+      |SELECT st.sp_key,
+      |  CASE WHEN st.inferred AND a.sp_key IS NOT NULL THEN a.sp_name ELSE st.sp_name END AS sp_name,
+      |  CASE WHEN NOT st.inferred THEN 'original'
+      |       WHEN a.sp_key IS NOT NULL THEN 'resolved'
+      |       ELSE 'still_inferred' END AS status
+      |FROM st LEFT JOIN arrivals a ON a.sp_key = st.sp_key
+      |ORDER BY st.sp_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_inferred_dim"  -> eInferredDim _,
     "e_view_delta"    -> eViewDelta _,
     "e_view_delta_del" -> eViewDeltaDel _,
     "e_skew_report"   -> eSkewReport _,
@@ -669,6 +709,7 @@ object Etl {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_inferred_dim"  -> eInferredDimSql,
     "e_view_delta"    -> eViewDeltaSql,
     "e_view_delta_del" -> eViewDeltaDelSql,
     "e_skew_report"   -> eSkewReportSql,

@@ -276,4 +276,22 @@ class EtlOperatorsSpec extends AnyFunSuite {
     assert(out(5L) == ((5L, "e", 5L, 9L, false, "update")))
     assert(out(6L) == ((6L, "f", 9L, 9L, false, "insert")))
   }
+
+  test("InferredDim: fact keys force placeholders; late arrivals resolve in place; originals stay authoritative") {
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("k", "name")
+    val facts = Seq(1L, 2L, 3L, 4L, 3L).toDF("k") // 3 and 4 are early-arriving
+    val st = InferredDim.infer(dim, facts, "k", Seq("name"))
+    assert(st.count() == 4)
+    assert(st.filter(col("inferred")).select("k").as[Long].collect().toSet == Set(3L, 4L))
+    assert(st.filter(col("inferred") && col("name") =!= InferredDim.Placeholder).count() == 0)
+    // late delivery: 3 arrives (resolving), 1 arrives with a NEW name
+    // (must NOT overwrite — the original feed stays authoritative), 4 never arrives
+    val arrivals = Seq((3L, "gamma"), (1L, "alpha-v2")).toDF("k", "name")
+    val out = InferredDim.resolve(st, arrivals, "k", Seq("name"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("alpha", "original")))
+    assert(out(2L) == (("beta", "original")))
+    assert(out(3L) == (("gamma", "resolved")))
+    assert(out(4L) == ((InferredDim.Placeholder, "still_inferred")))
+  }
 }
