@@ -83,6 +83,31 @@ object Multimodal {
     }
   }
 
+  final case class FrameHist(doc_id: Long, frame_idx: Int, counts: Array[Long])
+
+  /** Per-frame 16-bin byte histograms over CONSECUTIVE fixed-size frames
+    * (every frame, stride 1 — unlike sampleFrames' sampling): the feature
+    * stream shot-boundary detection consumes. Same batched per-partition
+    * shape as byteHistogram; a pixel-domain color histogram plugs into the
+    * loop body when a real codec decodes the frames. Integer counts, so
+    * downstream frame-to-frame distances are exact in any engine. */
+  def frameHistograms(blobs: Dataset[Blob], frameSize: Int = 64): Dataset[FrameHist] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { b =>
+        val n = b.payload.length
+        val frames = (n + frameSize - 1) / frameSize
+        (0 until frames).iterator.map { fi =>
+          val counts = new Array[Long](16)
+          var i = fi * frameSize
+          val end = math.min(i + frameSize, n)
+          while (i < end) { counts((b.payload(i) & 0xff) >> 4) += 1; i += 1 }
+          FrameHist(b.doc_id, fi, counts)
+        }
+      }
+    }
+  }
+
   final case class Resized(doc_id: Long, orig_bytes: Long, resized_bytes: Long, resized_md5: String)
 
   /** REAL byte-domain "resize": strided downsampling of the payload (keep

@@ -357,7 +357,65 @@ object Modal {
        |SELECT source, doc_id, n_bytes, shard_idx, offset_bytes
        |FROM pl ORDER BY source, doc_id""".stripMargin
 
+  /** Histogram-difference cut threshold: consecutive 64-byte frames of
+    * the same "scene" differ by a few counts; a genuine content change
+    * moves a large fraction of the 64 bytes across bins. */
+  private val SceneCutDiff = 40L
+
+  /** m_scene_cut: shot-boundary detection — the classic histogram-
+    * difference detector over the consecutive-frame stream: per-frame
+    * byte histograms (Multimodal.frameHistograms, the batched decode
+    * seam), one lag window per video, and an integer L1 distance between
+    * adjacent frames; a cut is a distance above threshold. Integer counts
+    * end-to-end, so the gate is exact across engines. Scale shape: one
+    * narrow mapPartitions pass emits 16-long count rows, the only shuffle
+    * is the per-video window — at 100 TB the video id is the partition
+    * key and per-group state is one previous histogram. */
+  def mSceneCut(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val blobs = Multimodal.asBlobs(Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      .filter(col("n_bytes") > 0)
+      .as[Multimodal.Blob]
+    val fh = Multimodal.frameHistograms(blobs).toDF()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    fh.withColumn("prev", lag(col("counts"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("hist_diff",
+        expr("aggregate(zip_with(counts, prev, (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v)"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("hist_diff"), (col("hist_diff") > SceneCutDiff).as("is_cut"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Oracle: rebuild the per-frame histograms from character codes (ASCII
+    * payloads: ord == byte, asserted in MultimodalSpec) and the same lag
+    * + L1. */
+  val mSceneCutSql: String =
+    s"""WITH fr AS (
+       |  SELECT doc_id, fi, substring(text, CAST(fi*64 + 1 AS INT), 64) AS f
+       |  FROM (SELECT doc_id, text, unnest(range((length(text)+63)//64)) AS fi
+       |        FROM documents WHERE length(text) > 0)),
+       |ch AS (SELECT doc_id, fi, ord(c) // 16 AS bin
+       |       FROM (SELECT doc_id, fi, unnest(string_split_regex(f, '')) AS c FROM fr)
+       |       WHERE c <> ''),
+       |h AS (SELECT doc_id, fi, bin, COUNT(*) AS cnt FROM ch GROUP BY 1, 2, 3),
+       |dense AS (
+       |  SELECT fr.doc_id, fr.fi, gs.bin, coalesce(h.cnt, 0) AS cnt
+       |  FROM fr CROSS JOIN (SELECT unnest(range(16)) AS bin) gs
+       |  LEFT JOIN h ON h.doc_id = fr.doc_id AND h.fi = fr.fi AND h.bin = gs.bin),
+       |hist AS (SELECT doc_id, fi, list(cnt ORDER BY bin) AS counts FROM dense GROUP BY 1, 2),
+       |lagd AS (SELECT doc_id, fi, counts,
+       |           lag(counts) OVER (PARTITION BY doc_id ORDER BY fi) AS prev FROM hist)
+       |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+       |  CAST(list_sum([abs(counts[i+1] - prev[i+1]) for i in range(0, 16)]) AS BIGINT) AS hist_diff,
+       |  CAST(list_sum([abs(counts[i+1] - prev[i+1]) for i in range(0, 16)]) AS BIGINT) > $SceneCutDiff AS is_cut
+       |FROM lagd WHERE prev IS NOT NULL
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_scene_cut"       -> mSceneCut _,
     "m_shard"           -> mShard _,
     "m_audio"           -> mAudio _,
     "st_sliding"        -> stSliding _,
@@ -375,6 +433,7 @@ object Modal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m_scene_cut"       -> mSceneCutSql,
     "m_shard"           -> mShardSql,
     "m_audio"           -> mAudioSql,
     "st_sliding"        -> stSlidingSql,

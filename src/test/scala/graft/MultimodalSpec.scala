@@ -338,4 +338,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.length == 2 && f1.map(_.frame_md5).distinct.length == 2)
     assert(Multimodal.decoderFor("wav", 1024, 1).isInstanceOf[Audio.WavFrameDecoder])
   }
+
+  test("frameHistograms: every consecutive frame, exact counts incl. short tail, partition-independent") {
+    // 2-byte frames: "AAx" → frame0 = "AA" (bin 4 × 2), frame1 = "x" (bin 7 × 1)
+    val blobs = Seq(Multimodal.Blob(1L, "t", 3L, "AAx".getBytes("UTF-8"))).toDS()
+    val fh = Multimodal.frameHistograms(blobs, frameSize = 2).collect()
+      .map(f => f.frame_idx -> f.counts.toSeq).toMap
+    assert(fh.keySet == Set(0, 1))
+    assert(fh(0)(4) == 2L && fh(0).sum == 2L)
+    assert(fh(1)(7) == 1L && fh(1).sum == 1L)
+    // a scene change between frames is a large L1 step; within-scene is 0
+    val scenes = ("A" * 128) + ("z" * 128) // two 64-byte frames per scene
+    val sb = Seq(Multimodal.Blob(2L, "t", scenes.length.toLong, scenes.getBytes)).toDS()
+    val hs = Multimodal.frameHistograms(sb).collect().sortBy(_.frame_idx).map(_.counts.toSeq)
+    def l1(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    assert(l1(hs(0), hs(1)) == 0L && l1(hs(2), hs(3)) == 0L, "within-scene frames identical")
+    assert(l1(hs(1), hs(2)) == 128L, "scene boundary moves every byte across bins")
+    val many = Seq.tabulate(20)(i => Multimodal.Blob(i.toLong, "t", 200L, ("f" * 200).getBytes)).toDS()
+    val a = Multimodal.frameHistograms(many).collect().map(f => (f.doc_id, f.frame_idx) -> f.counts.toSeq).toMap
+    val b = Multimodal.frameHistograms(many.repartition(7)).collect().map(f => (f.doc_id, f.frame_idx) -> f.counts.toSeq).toMap
+    assert(a == b)
+  }
 }
