@@ -1062,7 +1062,55 @@ object Text {
        |ORDER BY merge_rank""".stripMargin
   }
 
+  /** t_dataset_card: the one-page corpus summary a released training set
+    * ships — corpus size, character/token mass, length extremes and mean,
+    * and the language/source composition, as fixed (metric, value) rows.
+    * Everything is a count or an integer-derived ratio, so the card is
+    * exact across engines; the per-group rows are |langs| + |sources|
+    * sized — nothing corpus-sized leaves the executors, the same
+    * observability contract as d_report. */
+  def tDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("len"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("toks"))
+      .localCheckpoint() // one corpus pass feeds all the card sections
+    def m(name: String, v: org.apache.spark.sql.Column, src: DataFrame): DataFrame =
+      src.agg(v.cast("double").as("value")).select(lit(name).as("metric"), col("value"))
+    val scalars = Seq(
+      m("n_docs", count(lit(1)), docs),
+      m("total_chars", sum(col("len")), docs),
+      m("total_tokens", sum(col("toks")), docs),
+      m("mean_chars", sum(col("len")).cast("double") / count(lit(1)), docs),
+      m("min_chars", min(col("len")), docs),
+      m("max_chars", max(col("len")), docs),
+      m("n_langs", countDistinct(col("lang")), docs),
+      m("n_sources", countDistinct(col("source")), docs))
+    val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("value"))
+      .select(concat(lit("lang_"), col("lang")).as("metric"), col("value"))
+    val bySource = docs.groupBy(col("source")).agg(count(lit(1)).cast("double").as("value"))
+      .select(concat(lit("source_"), col("source")).as("metric"), col("value"))
+    scalars.reduce(_ unionByName _).unionByName(byLang).unionByName(bySource)
+      .orderBy(col("metric"))
+  }
+
+  val tDatasetCardSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, source, length(text) AS len, len($toksSql) AS toks FROM documents)
+       |SELECT metric, value FROM (
+       |  SELECT 'n_docs' AS metric, CAST(COUNT(*) AS DOUBLE) AS value FROM d
+       |  UNION ALL SELECT 'total_chars', CAST(SUM(len) AS DOUBLE) FROM d
+       |  UNION ALL SELECT 'total_tokens', CAST(SUM(toks) AS DOUBLE) FROM d
+       |  UNION ALL SELECT 'mean_chars', CAST(SUM(len) AS DOUBLE) / COUNT(*) FROM d
+       |  UNION ALL SELECT 'min_chars', CAST(MIN(len) AS DOUBLE) FROM d
+       |  UNION ALL SELECT 'max_chars', CAST(MAX(len) AS DOUBLE) FROM d
+       |  UNION ALL SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS DOUBLE) FROM d
+       |  UNION ALL SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS DOUBLE) FROM d
+       |  UNION ALL SELECT 'lang_' || lang, CAST(COUNT(*) AS DOUBLE) FROM d GROUP BY lang
+       |  UNION ALL SELECT 'source_' || source, CAST(COUNT(*) AS DOUBLE) FROM d GROUP BY source)
+       |ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_dataset_card" -> tDatasetCard _,
     "t_bpe_train"   -> tBpeTrain _,
     "t_dup_spans"   -> tDupSpans _,
     "t_decontam_ngram" -> tDecontamNgram _,
@@ -1091,6 +1139,7 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_dataset_card" -> tDatasetCardSql,
     "t_bpe_train"   -> tBpeTrainSql,
     "t_dup_spans"   -> tDupSpansSql,
     "t_decontam_ngram" -> tDecontamNgramSql,
