@@ -327,4 +327,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!after.contains("SortMergeJoin"),
       s"no corpus shuffle below TopKPerKey:\n${p.take(4000)}")
   }
+
+  test("m_scene_cut: one per-video window over the frame stream, no join anywhere") {
+    val p = plan(Modal.mSceneCut(spark, dir))
+    assert(p.contains("Window") || p.contains("WindowGroupLimit") || p.contains("RunningWindowFunction"),
+      s"lag window expected:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"scene-cut must never join:\n${p.take(3000)}")
+    // the only wide dependencies: the explicit input repartition and the
+    // window's hashpartitioning on doc_id (plus the presentation sort)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"unexpected shuffles ($exchanges):\n$p")
+  }
+
+  test("e_inferred_dim: facts only ever contribute a distinct FK column (partial agg before any join)") {
+    val f = formatted(graft.queries.Etl.eInferredDim(spark, dir))
+    // the fact side collapses to its FK distinct BEFORE the anti-join:
+    // partial aggregation must appear, and the anti-join must consume it —
+    // fact rows never ride a join wire
+    assert(f.contains("HashAggregate"), "FK distinct must partial-aggregate map-side")
+    assert(f.contains("LeftAnti") || f.contains("left_anti"),
+      s"placeholder discovery must be an anti-join:\n${f.take(3000)}")
+  }
 }
