@@ -753,7 +753,84 @@ object Similarity {
        |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin
   }
 
+  /** Reciprocal-rank-fusion constant (the standard 60 of Cormack et al.'s
+    * RRF) and per-modality list depth. */
+  private val RrfK = 60
+  private val RrfDepth = 10
+
+  /** s_hybrid_rrf: HYBRID retrieval — the lexical and vector rankings a
+    * RAG stack runs side by side, fused by reciprocal-rank fusion:
+    * rrf(d) = Σ_modality 1/(K + rank_modality(d)) over each modality's
+    * top-10, absent-from-list contributing zero. The documents and
+    * embeddings tables share an id space, so a query doc ranks the corpus
+    * BOTH by distinct-token overlap (exact integers) and by embedding
+    * cosine; the fused score is a sum of at most two 1/(K+r) terms from
+    * integer ranks in a pinned operand order — bit-identical across
+    * engines. Output: top-5 fused ids per query.
+    *
+    * Scale shape: the query set is bounded (the s_knn sample contract),
+    * so the lexical side broadcasts |Q| token sets over the corpus scan
+    * and both modalities hand TopKPerKey a k-bounded shuffle; the fusion
+    * join then touches ≤ 2·depth rows per query. */
+  def sHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), array_distinct(TextFunctions.tokens(col("text"))).as("ts"))
+    val qt = broadcast(toks.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("q_id"), col("ts").as("q_ts")))
+    val lexScored = toks.select(col("doc_id").as("n_id"), col("ts"))
+      .crossJoin(qt).filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), size(array_intersect(col("q_ts"), col("ts"))).as("ov"))
+    val lexTop = graft.plans.TopK.perKey(lexScored, Seq("q_id"),
+      Seq(col("ov").desc, col("n_id").asc), RrfDepth)
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ov").desc, col("n_id"))
+    val lex = lexTop.withColumn("rl", row_number().over(wl)).select(col("q_id"), col("n_id"), col("rl"))
+    val e = Tables.embeddings(s, dir)
+    val vec = Knn.bruteForce(s, e, queriesSubset(e), "vec_id", "embedding", k = RrfDepth)
+      .select(col("q_id"), col("n_id"), col("rnk").as("rv"))
+    val fused = lex.join(vec, Seq("q_id", "n_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("rl")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("rv")), lit(0.0)))
+    val top = graft.plans.TopK.perKey(fused, Seq("q_id"),
+      Seq(col("rrf").desc, col("n_id").asc), 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rrf").desc, col("n_id"))
+    top.withColumn("rrf_rank", row_number().over(w))
+      .select(col("q_id"), col("n_id"), col("rrf_rank"))
+      .orderBy(col("q_id"), col("rrf_rank"))
+  }
+
+  val sHybridRrfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(${graft.queries.Text.toksSql}) AS ts FROM documents),
+       |lexsc AS (
+       |  SELECT q.doc_id AS q_id, n.doc_id AS n_id, len(list_intersect(q.ts, n.ts)) AS ov
+       |  FROM toks q JOIN toks n ON n.doc_id <> q.doc_id
+       |  WHERE q.doc_id % 50 = 0),
+       |lex AS (SELECT q_id, n_id, rl FROM (
+       |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY ov DESC, n_id) AS rl
+       |  FROM lexsc) WHERE rl <= $RrfDepth),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+       |vsc AS (
+       |  SELECT q_id, e.vec_id AS n_id, ${cosSql("qe", "e.embedding")} AS cos
+       |  FROM q, embeddings e WHERE e.vec_id <> q_id),
+       |vec AS (SELECT q_id, n_id, rv FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rv
+       |  FROM vsc) WHERE rv <= $RrfDepth),
+       |fused AS (
+       |  SELECT coalesce(lex.q_id, vec.q_id) AS q_id, coalesce(lex.n_id, vec.n_id) AS n_id,
+       |    coalesce(1.0::DOUBLE / ($RrfK + rl), 0.0) + coalesce(1.0::DOUBLE / ($RrfK + rv), 0.0) AS rrf
+       |  FROM lex FULL OUTER JOIN vec ON lex.q_id = vec.q_id AND lex.n_id = vec.n_id)
+       |SELECT q_id, n_id, rrf_rank FROM (
+       |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rrf_rank
+       |  FROM fused) WHERE rrf_rank <= 5
+       |ORDER BY q_id, rrf_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_hybrid_rrf" -> sHybridRrf _,
     "s_recall"     -> sRecall _,
     "s_silhouette" -> sSilhouette _,
     "s_pq"        -> sPq _,
@@ -768,6 +845,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s_hybrid_rrf" -> sHybridRrfSql,
     "s_recall"     -> sRecallSql,
     "s_silhouette" -> sSilhouetteSql,
     "s_pq"        -> sPqSql,
