@@ -1109,7 +1109,49 @@ object Text {
        |  UNION ALL SELECT 'source_' || source, CAST(COUNT(*) AS DOUBLE) FROM d GROUP BY source)
        |ORDER BY metric""".stripMargin
 
+  /** RAG chunking window: 32-token chunks every 24 tokens (8-token
+    * overlap so no boundary sentence is ever split from its context). */
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  /** t_chunk: overlapping token-window chunking — the retrieval-ingestion
+    * operator every RAG stack runs before embedding: each document splits
+    * into fixed-size token windows at a fixed stride, the overlap keeping
+    * boundary context in two chunks. Output is one row per chunk with its
+    * token count and content fingerprint (chunk text never leaves as a
+    * wide column — downstream embeds from the fingerprint-keyed store).
+    * Scale shape: a pure narrow flatMap off one corpus pass — chunking
+    * shuffles nothing; the per-doc chunk count is ⌈n/stride⌉. */
+  def tChunk(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    d.select(col("doc_id"), col("toks"),
+        explode(expr(
+          s"sequence(0, greatest((size(toks) + ${ChunkStride - 1}) div $ChunkStride - 1, 0))")).as("ci"))
+      .withColumn("chunk", expr(s"slice(toks, ci * $ChunkStride + 1, $ChunkSize)"))
+      .filter(size(col("chunk")) > 0)
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_toks"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val tChunkSql: String =
+    s"""SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       |  CAST(len(chunk) AS BIGINT) AS n_chunk_toks,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+       |FROM (
+       |  SELECT doc_id, ci,
+       |    toks[ci * $ChunkStride + 1 : ci * $ChunkStride + $ChunkSize] AS chunk
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(greatest((len(toks) + $ChunkStride - 1) // $ChunkStride, 1))) AS ci
+       |        FROM (SELECT doc_id, $toksSql AS toks FROM documents)))
+       |WHERE len(chunk) > 0
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_chunk"        -> tChunk _,
     "t_dataset_card" -> tDatasetCard _,
     "t_bpe_train"   -> tBpeTrain _,
     "t_dup_spans"   -> tDupSpans _,
@@ -1139,6 +1181,7 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_chunk"        -> tChunkSql,
     "t_dataset_card" -> tDatasetCardSql,
     "t_bpe_train"   -> tBpeTrainSql,
     "t_dup_spans"   -> tDupSpansSql,
