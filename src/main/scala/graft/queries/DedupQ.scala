@@ -103,12 +103,20 @@ object DedupQ {
   private def stage(s: SparkSession, dir: String): DataFrame =
     stageCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
       graft.functions.VectorExpressions.register(s)
+      import graft.functions.TextFunctions
       val docs = Tables.documents(s, dir)
         .withColumn("content_hash", Dedup.contentHash(col("text")))
         .withColumn("split_bucket", Text.splitBucket(col("text")))
         .withColumn("simhash", SimHashDedup.signatureCol("text"))
+        // quality features ride the same pass: d_curate's filter then
+        // reads two narrow columns instead of re-tokenizing the corpus
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+        .withColumn("n_tokens", size(col("__toks")))
+        .withColumn("quality", TextFunctions.qualityScore(col("text"), col("__toks")))
+        .drop("__toks")
       MinHashLsh.signatures(docs, "doc_id", "text",
-        carry = Seq("content_hash", "split_bucket", "simhash")).localCheckpoint(false)
+        carry = Seq("content_hash", "split_bucket", "simhash", "n_tokens", "quality"))
+        .localCheckpoint(false)
     })
 
   /** Cached full-corpus LSH candidate pairs and their exact-Jaccard
@@ -216,22 +224,15 @@ object DedupQ {
     * documents, and exact-dup groups contribute ONE signature row — the
     * two orderings that matter at 100 TB. Output: one row per kept doc. */
   def dCurate(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions
-    val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-    val scored = docs
-      .withColumn("toks", TextFunctions.tokens(col("text")))
-      .select(col("doc_id"), col("text"), size(col("toks")).as("n_tokens"),
-        TextFunctions.qualityScore(col("text"), col("toks")).as("quality"))
-    // good docs feed the dedup pipeline and the final join — materialize
-    // once, truncate the scoring lineage
-    val good = scored.filter(col("quality") >= CurateQuality).localCheckpoint()
-    // the fuzzy pass reads signatures from the shared stage (semi-joined
-    // to the quality survivors) instead of re-hashing the surviving text
-    val goodSigs = stage(s, dir).join(good.select("doc_id"), Seq("doc_id"), "left_semi")
+    // the quality columns ride the shared signature stage — the filter is
+    // a narrow predicate over the already-checkpointed pass, so curation
+    // never re-reads or re-tokenizes the corpus
+    val goodSigs = stage(s, dir).filter(col("quality") >= CurateQuality)
     val canon = Dedup.fuzzyCanonicalFromSigs(goodSigs,
-      good.select(col("doc_id"), col("text")), "doc_id", "text", JaccardThreshold)
-    good.join(canon, "doc_id")
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", JaccardThreshold)
+    goodSigs.select(col("doc_id"), col("n_tokens"), col("quality"))
+      .join(canon, "doc_id")
       .filter(col("canonical_id") === col("doc_id"))
       .select(col("doc_id"), col("n_tokens"), col("quality"))
       .orderBy(col("doc_id"))
