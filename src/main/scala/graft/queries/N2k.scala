@@ -39,6 +39,74 @@ object N2k {
     N2kBinding.importPairSummary(w1, w2)
   }
 
+  /** The FK edges of the n2kresult graph: (child table, parent table,
+    * shared key columns) — every reference the FK-first store order
+    * protects. */
+  private val FkEdges: Seq[(String, String, Seq[String])] = Seq(
+    ("anomaly", "analysis", Seq("sg_brand", "ship_yr")),
+    ("analysis_dataset", "analysis", Seq("sg_brand", "ship_yr")),
+    ("analysis_dataset", "dataset", Seq("dset_key")),
+    ("location_group_location", "location", Seq("loc_key")),
+    ("location_group_location", "location_group", Seq("lg_key")),
+    ("observation", "location", Seq("loc_key")),
+    ("observation", "species", Seq("sp_key")),
+    ("result", "analysis", Seq("sg_brand", "ship_yr")),
+    ("species_group_species", "species", Seq("sp_key")),
+    ("species_group_species", "species_group", Seq("sg_brand")))
+
+  /** e_fk_orphans: whole-graph referential-integrity audit — for every FK
+    * edge, how many child rows reference a parent key the dimension side
+    * does not carry. The parent side replays a LAGGED dimension feed (a
+    * deterministic md5 bucket of keys has not been delivered — the same
+    * exposure e_inferred_dim repairs; on the complete feed every count is
+    * zero by construction, which is what the FK-first store order
+    * guarantees). One outer join per edge over key-distinct sides, all
+    * ten folded into ONE job — no per-edge driver actions; output is
+    * &#124;edges&#124; fixed rows. */
+  def eFkOrphans(s: SparkSession, dir: String): DataFrame = {
+    val span = N2kBinding.window(s, dir, Lo1, Hi2, keepDate = true).localCheckpoint()
+    val w1 = span.filter(col("o_orderdate") < lit(Hi1).cast("timestamp_ntz")).drop("o_orderdate")
+    val w2 = span.filter(col("o_orderdate") >= lit(Lo2).cast("timestamp_ntz")).drop("o_orderdate")
+    val byName = Graph.map(t => t.name -> t).toMap
+    FkEdges.map { case (c, p, keys) =>
+      val child = N2kBinding.extract(byName(c), w2).select(keys.map(col): _*)
+      val lagged = conv(substring(md5(
+          concat_ws(":", keys.map(k => col(k).cast("string")): _*)), 1, 15), 16, 10)
+        .cast("long") % 7 =!= 0
+      val parent = N2kBinding.extract(byName(p), w1).select(keys.map(col): _*)
+        .distinct().filter(lagged).withColumn("__p", lit(1))
+      child.join(parent, keys, "left")
+        .agg(count(lit(1)).as("n_child"),
+          count(when(col("__p").isNull, lit(1))).as("n_orphans"))
+        .select(lit(c).as("child_table"), lit(p).as("parent_table"),
+          lit(keys.mkString(",")).as("fk"), col("n_child"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("child_table"), col("parent_table"), col("fk"))
+  }
+
+  val eFkOrphansSql: String = {
+    val needed1 = FkEdges.map(_._2).distinct
+    val needed2 = FkEdges.map(_._1).distinct
+    val byName = Graph.map(t => t.name -> t).toMap
+    val ctes = (needed1.map(n => s"${n}_1 AS (${extractSql(byName(n), "w1")})") ++
+      needed2.map(n => s"${n}_2 AS (${extractSql(byName(n), "w2")})")).mkString(",\n")
+    val selects = FkEdges.map { case (c, p, keys) =>
+      val on = keys.map(k => s"c.$k = p.$k").mkString(" AND ")
+      val pk0 = keys.head
+      val nk = keys.map(k => s"CAST($k AS VARCHAR)").mkString("concat_ws(':', ", ", ", ")")
+      val lagged = s"('0x' || substr(md5($nk), 1, 15))::BIGINT % 7 <> 0"
+      s"""SELECT '$c' AS child_table, '$p' AS parent_table, '${keys.mkString(",")}' AS fk,
+         |  COUNT(*) AS n_child, COUNT(*) FILTER (p.$pk0 IS NULL) AS n_orphans
+         |FROM ${c}_2 c LEFT JOIN (
+         |  SELECT * FROM (SELECT DISTINCT ${keys.mkString(", ")} FROM ${p}_1) WHERE $lagged) p ON $on""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w1 AS (${windowSql(Lo1, Hi1)}),
+       |w2 AS (${windowSql(Lo2, Hi2)}),
+       |$ctes
+       |$selects
+       |ORDER BY child_table, parent_table, fk""".stripMargin
+  }
+
   // ---- oracle: replay the staged two-import merge in DuckDB ----
 
   private def windowSql(lo: String, hi: String): String =
@@ -162,11 +230,13 @@ object N2k {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_store_n2k"        -> eStoreN2k _,
+    "e_fk_orphans"       -> eFkOrphans _,
     "e_analysis_version" -> eAnalysisVersion _,
   )
 
   val oracle: Map[String, String] = Map(
     "e_store_n2k"        -> eStoreN2kSql,
+    "e_fk_orphans"       -> eFkOrphansSql,
     "e_analysis_version" -> eAnalysisVersionSql,
   )
 }
