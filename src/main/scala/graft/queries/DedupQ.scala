@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.dedup.{Components, Dedup, EmbedLsh, MinHashLsh, SimHashDedup}
+import graft.dedup.{Components, Dedup, EmbedLsh, MinHashLsh, SimHash128, SimHashDedup}
 import graft.functions.TextFunctions.P
 
 /** Deduplication queries (SURVEY.md §2D). The MinHash oracle SQL is
@@ -452,6 +452,45 @@ object DedupQ {
         |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** d_simhash128: the documented SimHash scaling rule AS A GATE — the
+    * 128-bit signature (two independent 64-bit majority folds over
+    * disjoint md5 halves, SimHash128) holds expected bucket loads at
+    * ~n/2³² for corpora past ~10⁸ distinct signatures where the 64-bit
+    * path's 16-bit chunks go quadratic. Same lossless hamming-0 clique
+    * collapse and the same pigeonhole completeness (h ≤ c−1 at c=4
+    * 32-bit chunks), pinned by DedupSimilaritySpec against brute force. */
+  def dSimhash128(s: SparkSession, dir: String): DataFrame =
+    SimHash128.pairs(s, Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** DuckDB mirror: two per-bit majority folds over the disjoint md5
+    * halves, rep collapse on the signature PAIR, all-rep-pairs retrieval
+    * (equivalent to the chunk banding, which is complete) with summed
+    * Hamming distance. */
+  val dSimhash128Sql: String = {
+    def bitTerms(hsCol: String) = (0 until 60).map { b =>
+      s"(CASE WHEN 2 * list_sum([(h >> $b) & 1 for h in $hsCol]) >= len($hsCol) THEN (1::BIGINT << $b) ELSE 0 END)"
+    }.mkString(" + ")
+    """WITH th AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(t), 1, 15))::BIGINT for t in string_split_regex(lower(trim(text)), '[ \t\n\r\f]+')] AS hs_hi,
+      |    [('0x' || substr(md5(t), 17, 15))::BIGINT for t in string_split_regex(lower(trim(text)), '[ \t\n\r\f]+')] AS hs_lo
+      |  FROM documents),
+      |""".stripMargin +
+      s"sim AS (SELECT doc_id, ${bitTerms("hs_hi")} AS sh_hi, ${bitTerms("hs_lo")} AS sh_lo FROM th),\n" +
+      """reps AS (SELECT sh_hi, sh_lo, MIN(doc_id) AS rep_id FROM sim GROUP BY sh_hi, sh_lo),
+        |star AS (SELECT r.rep_id AS a_id, s.doc_id AS b_id, 0 AS hamming
+        |         FROM sim s JOIN reps r ON s.sh_hi = r.sh_hi AND s.sh_lo = r.sh_lo
+        |         WHERE s.doc_id <> r.rep_id),
+        |crossp AS (SELECT a_id, b_id, hamming FROM (
+        |            SELECT a.rep_id AS a_id, b.rep_id AS b_id,
+        |              CAST(bit_count(xor(a.sh_hi, b.sh_hi)) + bit_count(xor(a.sh_lo, b.sh_lo)) AS INT) AS hamming
+        |            FROM reps a JOIN reps b ON a.rep_id < b.rep_id)
+        |          WHERE hamming <= 3)
+        |SELECT a_id, b_id, hamming FROM (SELECT * FROM star UNION ALL SELECT * FROM crossp)
+        |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** d_embed_neardup: embedding near-dups AT THE TUNED OPERATING POINT —
     * random-hyperplane LSH band blocking (EmbedLsh, b=10 bands × r=12
     * bits targeting cos ≥ 0.9), exact cosine only on band-collision
@@ -803,6 +842,7 @@ object DedupQ {
     "d_incremental"   -> dIncremental _,
     "d_containment"   -> dContainment _,
     "d_simhash"       -> dSimhash _,
+    "d_simhash128"    -> dSimhash128 _,
     "d_embed_neardup" -> dEmbedNeardup _,
     "d_semdedup"      -> dSemdedup _,
     "d_report"        -> dReport _,
@@ -821,6 +861,7 @@ object DedupQ {
     "d_incremental"   -> dIncrementalSql,
     "d_containment"   -> dContainmentSql,
     "d_simhash"       -> dSimhashSql,
+    "d_simhash128"    -> dSimhash128Sql,
     "d_embed_neardup" -> dEmbedNeardupSql,
     "d_semdedup"      -> dSemdedupSql,
     "d_report"        -> dReportSql,
