@@ -134,6 +134,60 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** s_knn_ivf_append: the index INGESTION path as a gate — build the IVF
+    * index over half the corpus (centroids trained on that half only),
+    * APPEND the other half against the persisted centroids with no
+    * retrain (O(|new|) ingestion, crash-safe rename commit), then probe.
+    * Deterministic end-to-end: the result is exactly a full-corpus index
+    * whose coarse quantizer was trained on the initial half — which is
+    * what the SQL oracle replays. IvfIndexSpec separately pins the
+    * crash/idempotency contract of the append machinery. */
+  def sKnnIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val even = e.filter(col("vec_id") % 2 === 0)
+    val path = ivfPath(dir) + "_app"
+    val cent = centroidCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir:app8:2", _ =>
+        Kmeans.fit(s, even, "vec_id", "embedding", 8, iters = 2).localCheckpoint(false))
+    graft.similarity.IvfIndex.build(s, even, "vec_id", "embedding", path,
+      numCentroids = Some(8), iters = 2, pretrained = Some(cent))
+    graft.similarity.IvfIndex.append(s, path,
+      e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    graft.similarity.IvfIndex.probe(s, path, queriesSubset(e), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Oracle: the sKnnIvfSql pipeline with training restricted to the even
+    * half (ptse) — bucket assignment and probing still span the full
+    * corpus, exactly the post-append layout. */
+  val sKnnIvfAppendSql: String = {
+    val iters = (1 to 2).flatMap(i => Seq(
+      kmAssignCte("ptse", s"c${i - 1}", s"a$i"), kmRecenterCte(s"a$i", s"c$i")))
+    s"""WITH pts AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding] AS pv FROM embeddings),
+       |ptse AS (SELECT p_id, pv FROM pts WHERE p_id % 2 = 0),
+       |c0 AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding] AS cv
+       |       FROM embeddings WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8),
+       |${iters.mkString(",\n")},
+       |bk AS (
+       |  SELECT n_id, nv, bucket FROM (
+       |    SELECT p.p_id AS n_id, p.pv AS nv, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY p.p_id ORDER BY COALESCE(${cosSql("p.pv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM pts p CROSS JOIN c2 c) WHERE rn = 1),
+       |q AS (SELECT p_id AS q_id, pv AS qv FROM pts WHERE p_id % 50 = 0),
+       |pr AS (
+       |  SELECT q_id, qv, bucket FROM (
+       |    SELECT q.q_id, q.qv, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY COALESCE(${cosSql("q.qv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM q CROSS JOIN c2 c) WHERE rn <= 2),
+       |sc AS (
+       |  SELECT pr.q_id, bk.n_id, ${cosSql("pr.qv", "bk.nv")} AS cs
+       |  FROM bk JOIN pr USING (bucket) WHERE bk.n_id <> pr.q_id)
+       |SELECT q_id, n_id, rnk FROM (
+       |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC NULLS LAST, n_id) AS rnk FROM sc)
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** s_kmeans: deterministic Lloyd clustering (decimal-sum centroids) —
     * cluster-size profile after 3 iterations, hash-checked against the
     * unrolled-iteration DuckDB oracle (sKmeansSql); KmeansSpec checks
@@ -831,6 +885,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_hybrid_rrf" -> sHybridRrf _,
+    "s_knn_ivf_append" -> sKnnIvfAppend _,
     "s_recall"     -> sRecall _,
     "s_silhouette" -> sSilhouette _,
     "s_pq"        -> sPq _,
@@ -846,6 +901,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s_hybrid_rrf" -> sHybridRrfSql,
+    "s_knn_ivf_append" -> sKnnIvfAppendSql,
     "s_recall"     -> sRecallSql,
     "s_silhouette" -> sSilhouetteSql,
     "s_pq"        -> sPqSql,
