@@ -188,6 +188,39 @@ object Similarity {
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** s_ivf_stats: the index-health report behind IvfIndex's documented
+    * rebuild contract ("rebuild when bucket imbalance degrades") — per
+    * bucket, its population and share of the corpus. An operator watches
+    * the max share drift from 1/C as the distribution shifts; the share
+    * is an integer-derived ratio (safe output class). C-row output. */
+  def sIvfStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cent = fitCached(s, dir, k = 8, iters = 2)
+    val buckets = Knn.assignBuckets(s, e, cent, "vec_id", "embedding")
+    val n = buckets.count()
+    buckets.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(col("bucket"), col("n_vecs"),
+        (col("n_vecs").cast("double") / lit(n.toDouble)).as("share"))
+      .orderBy(col("bucket"))
+  }
+
+  val sIvfStatsSql: String = {
+    val iters = (1 to 2).flatMap(i => Seq(
+      kmAssignCte("pts", s"c${i - 1}", s"a$i"), kmRecenterCte(s"a$i", s"c$i")))
+    s"""WITH pts AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding] AS pv FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding] AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+       |${iters.mkString(",\n")},
+       |bk AS (
+       |  SELECT n_id, bucket FROM (
+       |    SELECT p.p_id AS n_id, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY p.p_id ORDER BY COALESCE(${cosSql("p.pv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM pts p CROSS JOIN c2 c) WHERE rn = 1)
+       |SELECT bucket, COUNT(*) AS n_vecs,
+       |  CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM bk) AS share
+       |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   /** s_kmeans: deterministic Lloyd clustering (decimal-sum centroids) —
     * cluster-size profile after 3 iterations, hash-checked against the
     * unrolled-iteration DuckDB oracle (sKmeansSql); KmeansSpec checks
@@ -886,6 +919,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_hybrid_rrf" -> sHybridRrf _,
     "s_knn_ivf_append" -> sKnnIvfAppend _,
+    "s_ivf_stats"  -> sIvfStats _,
     "s_recall"     -> sRecall _,
     "s_silhouette" -> sSilhouette _,
     "s_pq"        -> sPq _,
@@ -902,6 +936,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "s_hybrid_rrf" -> sHybridRrfSql,
     "s_knn_ivf_append" -> sKnnIvfAppendSql,
+    "s_ivf_stats"  -> sIvfStatsSql,
     "s_recall"     -> sRecallSql,
     "s_silhouette" -> sSilhouetteSql,
     "s_pq"        -> sPqSql,
