@@ -1150,7 +1150,79 @@ object Text {
        |WHERE len(chunk) > 0
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** t_classify: model-based quality filtering — the bootstrap pattern of
+    * modern corpus builds (label a seed set with a cheap heuristic, train
+    * a linear classifier on it, apply the classifier corpus-wide). The
+    * seed rule is integer-only ("curated prose": ≥ 15 tokens AND
+    * stopwords ≥ 1/16 of tokens — the corpus median, so the seed splits
+    * the slice near 50/50 instead of degenerating); training reduces each
+    * token to an integer WEIGHT occ_good·M_bad − occ_bad·M_good over
+    * occurrence masses — the cross-product form of the centroid-difference
+    * classifier Σ c_t·(P(t|good) − P(t|bad)) scaled by the constant
+    * M_good·M_bad, so training and inference are exact integer arithmetic
+    * on both engines (no logs, no division) while still carrying
+    * magnitude: a stopword's weight scales with its frequency and rate
+    * gap, a filler token's hovers near zero. Inference sums a document's
+    * per-occurrence weights; the decision is score > 0.
+    *
+    * Scale: one exploded token pass feeds BOTH training and inference;
+    * the weight table is vocab-sized (broadcast when it fits, token-keyed
+    * shuffle join otherwise); the corpus masses are a 1-row aggregate
+    * cross-joined as a broadcast — no floats, no driver loops. At corpus
+    * scale the cross products outgrow 64 bits (masses ~10¹⁴ → products
+    * ~10²⁸): rescale both masses to per-2⁶³-safe units (divide by a common
+    * power of two) or widen the weight column to decimal(38,0) — the
+    * decision sign is invariant to a common positive rescale. */
+  def tClassify(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val seed = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        (size(col("toks")) >= 15 &&
+          size(filter(col("toks"), t => t.isin(Stopwords.map(x => x: Any): _*))) * 16
+            >= size(col("toks"))).cast("int").as("seed_lbl"))
+    val tok = seed
+      .select(col("doc_id"), col("seed_lbl"), explode(col("toks")).as("token"))
+      .filter(col("token") =!= "")
+    val totals = tok.agg(sum(col("seed_lbl")).as("n_good"),
+      sum(lit(1) - col("seed_lbl")).as("n_bad"))
+    val margin = col("df_good") * col("n_bad") - col("df_bad") * col("n_good")
+    val votes = tok.groupBy(col("token"))
+      .agg(sum(col("seed_lbl")).as("df_good"), sum(lit(1) - col("seed_lbl")).as("df_bad"))
+      .crossJoin(broadcast(totals))
+      .select(col("token"), margin.cast("long").as("vote"))
+    val scored = tok.join(votes, "token")
+      .groupBy(col("doc_id")).agg(sum(col("vote")).as("score"))
+    seed.select(col("doc_id"), col("seed_lbl"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("seed_lbl"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        (coalesce(col("score"), lit(0L)) > 0).cast("int").as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tClassifySql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |seed AS (SELECT doc_id, toks,
+       |  CASE WHEN len(toks) >= 15
+       |        AND len(list_filter(toks, x -> x IN (${inList(Stopwords)}))) * 16 >= len(toks)
+       |       THEN 1 ELSE 0 END AS seed_lbl FROM t),
+       |tok AS (SELECT doc_id, seed_lbl, token FROM
+       |          (SELECT doc_id, seed_lbl, unnest(toks) AS token FROM seed)
+       |        WHERE token <> ''),
+       |tot AS (SELECT SUM(seed_lbl) AS n_good, SUM(1 - seed_lbl) AS n_bad FROM tok),
+       |v AS (SELECT token,
+       |        CAST(SUM(seed_lbl) * n_bad - SUM(1 - seed_lbl) * n_good AS BIGINT) AS vote
+       |      FROM tok, tot GROUP BY token, n_good, n_bad),
+       |sc AS (SELECT doc_id, SUM(vote) AS score FROM tok JOIN v USING (token) GROUP BY doc_id)
+       |SELECT s.doc_id, CAST(s.seed_lbl AS INT) AS seed_lbl,
+       |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+       |  CAST(coalesce(sc.score, 0) > 0 AS INT) AS pred
+       |FROM seed s LEFT JOIN sc ON sc.doc_id = s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_classify"     -> tClassify _,
     "t_chunk"        -> tChunk _,
     "t_dataset_card" -> tDatasetCard _,
     "t_bpe_train"   -> tBpeTrain _,
@@ -1181,6 +1253,7 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_classify"     -> tClassifySql,
     "t_chunk"        -> tChunkSql,
     "t_dataset_card" -> tDatasetCardSql,
     "t_bpe_train"   -> tBpeTrainSql,

@@ -158,4 +158,20 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(math.abs(t1 - t2) <= math.max(4L, e1.size / 4),
       s"epoch totals diverged beyond noise: $t1 vs $t2")
   }
+
+  test("t_classify: bootstrapped classifier actually learns the seed rule, not a constant") {
+    val out = graft.queries.Text.tClassify(spark, "/root/testdata/sf0.001")
+      .as[(Long, Int, Long, Int)].collect()
+    assert(out.length == 500)
+    // the decision IS the score sign — no hidden threshold
+    assert(out.forall { case (_, _, score, pred) => pred == (if (score > 0) 1 else 0) })
+    // both the seed and the prediction are non-degenerate two-class splits
+    val seedPos = out.count(_._2 == 1); val predPos = out.count(_._4 == 1)
+    assert(seedPos > 100 && seedPos < 400, s"seed rule degenerated: $seedPos/500")
+    assert(predPos > 100 && predPos < 400, s"classifier degenerated: $predPos/500")
+    // and the trained weights generalize the rule well beyond chance
+    // (measured 86% at sf0.001; a coin gets ~50%, a constant ~51%)
+    val agree = out.count { case (_, s, _, p) => s == p }
+    assert(agree >= 375, s"classifier no better than chance: $agree/500 agree")
+  }
 }
