@@ -829,7 +829,79 @@ object DedupQ {
        |JOIN documents db ON db.doc_id = p.b_id
        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 
+  /** d_decontam_sem: SEMANTIC decontamination — the embedding-space
+    * counterpart of the lexical t_decontam_ngram/d_contamination gates.
+    * Paraphrased benchmark leakage defeats n-gram matching; here every
+    * (eval item, training item) pair at cosine ≥ 0.9 is reported, so a
+    * reworded eval question whose embedding still lands next to its
+    * source is caught. Eval set = vec_id ≡ 0 (mod 13); leakage is
+    * simulated by planting perturbed twins (same IEEE ops as
+    * d_embed_neardup's, id + 2,000,000 → never ≡ 0 mod 13) of every
+    * third eval item into the training side.
+    *
+    * Scale: rides the SAME hyperplane-band machinery as d_embed_neardup
+    * (bucket-size-adaptive: all pairs in small buckets, min-id star in
+    * hot ones — the star carries the documented hot-bucket recall
+    * caveat), then keeps only cross-side pairs; cosine verification only
+    * on candidates. Output is bounded by true leakage, not corpus size. */
+  def dDecontamSem(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val base = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val leaked = e.filter(col("vec_id") % 39 === 0)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        expr("""transform(embedding, (x, j) ->
+                 CAST(x AS DOUBLE) * (1.0D + CASE WHEN (vec_id + j) % 2 = 0
+                                             THEN 0.3D ELSE -0.3D END))""").as("embedding"))
+    val aug = base.unionByName(leaked)
+    val cands = EmbedLsh.candidatePairs(aug)
+      .filter((col("a_id") % 13 === 0) =!= (col("b_id") % 13 === 0))
+    val ea = aug.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
+    val eb = aug.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))
+    cands.join(ea, "a_id").join(eb, "b_id")
+      .withColumn("cos", expr("cosine_sim(a_e, b_e)"))
+      .filter(col("cos") >= EmbedLsh.Threshold)
+      .select(
+        when(col("a_id") % 13 === 0, col("a_id")).otherwise(col("b_id")).as("eval_id"),
+        when(col("a_id") % 13 === 0, col("b_id")).otherwise(col("a_id")).as("train_id"),
+        col("cos"))
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
+  /** Oracle: identical leak planting, the shared band CTEs, the same
+    * adaptive candidate policy, cross-side filter, cosine verify. */
+  val dDecontamSemSql: String =
+    s"""WITH aug AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 2000000,
+       |    [CAST(embedding[j+1] AS DOUBLE) * (1.0 + CASE WHEN (vec_id + j) % 2 = 0
+       |                                              THEN 0.3 ELSE -0.3 END)
+       |     for j in range(0, len(embedding))]
+       |  FROM embeddings WHERE vec_id % 39 = 0),
+       |${graft.dedup.EmbedLsh.bandsCteSql("aug")},
+       |cand AS (SELECT DISTINCT a_id, b_id FROM (
+       |           SELECT m AS a_id, vec_id AS b_id
+       |           FROM (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY bk) AS m,
+       |                        COUNT(*) OVER (PARTITION BY bk) AS n FROM bk)
+       |           WHERE n > ${MinHashLsh.MaxAllPairsBucket} AND vec_id <> m
+       |           UNION ALL
+       |           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |           FROM bk a JOIN bk b ON a.bk = b.bk AND a.vec_id < b.vec_id
+       |           JOIN (SELECT bk, COUNT(*) AS n FROM bk GROUP BY bk) z ON z.bk = a.bk
+       |           WHERE z.n <= ${MinHashLsh.MaxAllPairsBucket})
+       |         WHERE (a_id % 13 = 0) <> (b_id % 13 = 0))
+       |SELECT CASE WHEN a_id % 13 = 0 THEN a_id ELSE b_id END AS eval_id,
+       |       CASE WHEN a_id % 13 = 0 THEN b_id ELSE a_id END AS train_id, cos
+       |FROM (
+       |  SELECT a_id, b_id, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand JOIN aug ea ON ea.vec_id = a_id
+       |            JOIN aug eb ON eb.vec_id = b_id)
+       |WHERE cos >= ${graft.dedup.EmbedLsh.Threshold} ORDER BY eval_id, train_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_decontam_sem"  -> dDecontamSem _,
     "d_source_overlap" -> dSourceOverlap _,
     "d_editdist"      -> dEditdist _,
     "d_paragraph"     -> dParagraph _,
@@ -849,6 +921,7 @@ object DedupQ {
   )
 
   val oracle: Map[String, String] = Map(
+    "d_decontam_sem"  -> dDecontamSemSql,
     "d_source_overlap" -> dSourceOverlapSql,
     "d_editdist"      -> dEditdistSql,
     "d_paragraph"     -> dParagraphSql,

@@ -645,4 +645,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(m.map(_.getAs[Long]("n_pairs")).sum == total,
       "matrix mass must equal the verified near-dup pair count")
   }
+
+  test("d_decontam_sem: planted eval leaks are caught cross-side, nothing else fires") {
+    val rows = graft.queries.DedupQ.dDecontamSem(spark, "/root/testdata/sf0.001").collect()
+    // 13 planted twins (vec_id ≡ 0 mod 39 of 500); band recall at
+    // cos ≈ 0.95 is ~0.97 per pair, so at least 10 must surface — and
+    // NOTHING else can pass the 0.9 cosine verify (max unrelated cosine
+    // in the synthetic slice is ≈ 0.46)
+    assert(rows.length >= 10 && rows.length <= 13, s"got ${rows.length} leaks")
+    rows.foreach { r =>
+      val (e, t, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(e % 39 == 0, s"non-planted eval id $e reported")
+      assert(t == e + 2000000L, s"leak $e matched wrong train item $t")
+      assert(c >= 0.9 && c <= 1.0)
+    }
+  }
 }
