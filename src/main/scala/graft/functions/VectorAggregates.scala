@@ -25,9 +25,11 @@ import org.apache.spark.sql.types._
   * associatively+commutatively, so the result is invariant to partitioning
   * at ANY width with O(1) plan size.
   *
-  * Each element is rounded to scale 12 on entry (same as a cast to
-  * DECIMAL(38,12)); sums are arbitrary-precision so they cannot overflow.
-  * Output is array<double> of the exact sums.
+  * Each element is rounded to scale 12 on entry, ties to EVEN — the same
+  * result as the oracle engine's cast to DECIMAL(38,12) (which rounds
+  * half-to-even, the IEEE convention), NOT Spark SQL's HALF_UP decimal
+  * cast; sums are arbitrary-precision so they cannot overflow. Output is
+  * array<double> of the exact sums.
   */
 case class VectorDecimalSum(
     child: Expression,
@@ -64,8 +66,14 @@ case class VectorDecimalSum(
       while (j < n) {
         if (!arr.isNullAt(j)) {
           val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+          // HALF_EVEN, not HALF_UP: float-origin values are dyadic and
+          // routinely end EXACTLY on a decimal half at scale 12 (e.g.
+          // 0.1983642578125), and the oracle engine's double→decimal cast
+          // rounds ties to even — HALF_UP diverges by 1e-12 on every such
+          // tie, which surfaces the moment a gate emits a sum-derived
+          // double instead of an integer
           buffer(j) = buffer(j).add(
-            JBigDecimal.valueOf(x).setScale(Scale, RoundingMode.HALF_UP))
+            JBigDecimal.valueOf(x).setScale(Scale, RoundingMode.HALF_EVEN))
         }
         j += 1
       }

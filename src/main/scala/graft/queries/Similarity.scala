@@ -916,7 +916,81 @@ object Similarity {
        |  FROM fused) WHERE rrf_rank <= 5
        |ORDER BY q_id, rrf_rank""".stripMargin
 
+  /** s_centroid_drift: embedding-drift observability between two corpus
+    * snapshots — the monitoring number a production embedding pipeline
+    * watches when the upstream encoder, crawler mix, or preprocessing
+    * changes. Snapshot B simulates a re-crawl: every 17th vector churns
+    * out, every third vector's components drift ±2% (deterministic
+    * parity, same IEEE ops both engines). Per label the gate reports
+    * both populations and the cosine between the snapshots' mean
+    * vectors; a label whose centroid cosine sags flags distribution
+    * shift before any downstream ANN-recall metric degrades.
+    *
+    * Scale: one label-keyed aggregation per snapshot — the decimal
+    * vector sum is ONE aggregate column at any dimension
+    * (VectorDecimalSum), so centroids are partitioning-invariant and the
+    * plan is O(1) in dim; output is |labels| rows, the join between
+    * snapshots is |labels|-sized. */
+  def sCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, dir)
+    // both snapshots carry FLOAT components (what an embedding store
+    // persists) — also the decimal entry-rounding regime the whole
+    // kmeans/PQ oracle family is proven bit-exact in; the perturbed
+    // product is cast back to float32 like a re-encoded vector would be
+    val a = e.select(col("label"), col("embedding").as("v"))
+    val b = e.filter(col("vec_id") % 17 =!= 0)
+      .select(col("label"),
+        when(col("vec_id") % 3 === 0,
+          expr("""transform(embedding, (x, j) ->
+                   CAST(CAST(x AS DOUBLE) * (1.0D + CASE WHEN (vec_id + j) % 2 = 0
+                                                    THEN 0.02D ELSE -0.02D END) AS FLOAT))"""))
+          .otherwise(col("embedding")).as("v"))
+    def labelMeans(df: DataFrame, n: String, m: String): DataFrame = {
+      val sumVec = org.apache.spark.sql.graftshim.ColumnBridge.column(
+        graft.functions.VectorDecimalSum(
+          org.apache.spark.sql.graftshim.ColumnBridge.expression(col("v")), 64)
+          .toAggregateExpression())
+      // cosine is scale-invariant, so the drift angle is computed on the
+      // exact decimal SUMS — no per-element division, one fewer rounding
+      // step between engines
+      df.groupBy(col("label")).agg(count(lit(1)).as(n), sumVec.as(m))
+    }
+    labelMeans(a, "n_a", "m_a").join(labelMeans(b, "n_b", "m_b"), "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        expr("cosine_sim(m_a, m_b)").as("cos_drift"))
+      .orderBy(col("label"))
+  }
+
+  /** Oracle: same snapshots, per-dim DECIMAL(38,12) sums → double means
+    * (the kmRecenterCte convention), same left-fold cosine. */
+  val sCentroidDriftSql: String = {
+    def meansCte(src: String, out: String, n: String) =
+      s"""$out AS (
+         |  SELECT label, MIN(cnt) AS $n, list(sd ORDER BY d) AS m FROM (
+         |    SELECT label, d, COUNT(*) AS cnt,
+         |      CAST(SUM(CAST(CAST(v[d] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sd
+         |    FROM (SELECT label, v, unnest(range(1, 65)) AS d FROM $src)
+         |    GROUP BY label, d)
+         |  GROUP BY label)""".stripMargin
+    s"""WITH a AS (SELECT label, embedding AS v FROM embeddings),
+       |b AS (SELECT label,
+       |        CASE WHEN vec_id % 3 = 0 THEN
+       |          [CAST(CAST(embedding[j+1] AS DOUBLE) * (1.0 + CASE WHEN (vec_id + j) % 2 = 0
+       |                                                        THEN 0.02 ELSE -0.02 END) AS FLOAT)
+       |           for j in range(0, len(embedding))]
+       |        ELSE embedding END AS v
+       |      FROM embeddings WHERE vec_id % 17 <> 0),
+       |${meansCte("a", "ma", "n_a")},
+       |${meansCte("b", "mb", "n_b")}
+       |SELECT ma.label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  ${cosSql("ma.m", "mb.m")} AS cos_drift
+       |FROM ma JOIN mb ON ma.label = mb.label
+       |ORDER BY ma.label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_centroid_drift" -> sCentroidDrift _,
     "s_hybrid_rrf" -> sHybridRrf _,
     "s_knn_ivf_append" -> sKnnIvfAppend _,
     "s_ivf_stats"  -> sIvfStats _,
@@ -934,6 +1008,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s_centroid_drift" -> sCentroidDriftSql,
     "s_hybrid_rrf" -> sHybridRrfSql,
     "s_knn_ivf_append" -> sKnnIvfAppendSql,
     "s_ivf_stats"  -> sIvfStatsSql,

@@ -646,6 +646,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "matrix mass must equal the verified near-dup pair count")
   }
 
+  test("VectorDecimalSum rounds entry ties HALF_EVEN, matching the oracle's decimal cast") {
+    // 0.1983642578125 is a float (dyadic) whose decimal expansion ends
+    // EXACTLY on the scale-12 half; HALF_UP would give ...813, the
+    // oracle engine's cast gives ...812 — the sum must take the even side
+    val df = Seq(Array(0.1983642578125f)).toDF("v")
+    val s = df.agg(org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.VectorDecimalSum(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(col("v")), 1)
+        .toAggregateExpression()).as("s"))
+      .head().getSeq[Double](0)
+    assert(s.head == 0.198364257812, s"tie rounded away from even: ${s.head}")
+  }
+
+  test("s_centroid_drift: churn shrinks every label and drift stays in the plausible band") {
+    val rows = graft.queries.Similarity.sCentroidDrift(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    rows.foreach { r =>
+      val (na, nb, cos) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nb <= na, "snapshot B churns vectors OUT, never in")
+      // ±2% component drift on a third of the vectors moves a label mean a
+      // few degrees, never more: cos must sag below 1 but stay high
+      assert(cos > 0.9 && cos < 0.99999, s"implausible drift cosine $cos")
+    }
+  }
+
   test("d_decontam_sem: planted eval leaks are caught cross-side, nothing else fires") {
     val rows = graft.queries.DedupQ.dDecontamSem(spark, "/root/testdata/sf0.001").collect()
     // 13 planted twins (vec_id ≡ 0 mod 39 of 500); band recall at
