@@ -38,4 +38,26 @@ object Scd2 {
   def asOf(history: DataFrame, t: org.apache.spark.sql.Column): DataFrame =
     history.filter(col("valid_from") <= t &&
       (col("valid_to").isNull || col("valid_to") > t))
+
+  /** BITEMPORAL point query: "what did each entity look like at VALID
+    * time v, as the warehouse KNEW it at transaction time t?" — the
+    * audit/backfill read that plain SCD2 cannot answer (a late-arriving
+    * correction rewrites history; the tx axis says when each version
+    * became visible). Per entity: among change rows recorded by t
+    * (txCol ≤ t), the one with the greatest valid timestamp ≤ v,
+    * corrections to the same valid instant resolved by latest tx then
+    * the unique tiebreak.
+    *
+    * Both time filters are narrow and reach the scan; the per-entity
+    * argmax is one keyed window — a single shuffle, k=1 state. */
+  def bitemporalAsOf(changes: DataFrame, entity: String, validCol: String,
+      txCol: String, tieCol: String, attrs: Seq[String],
+      v: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy(col(entity))
+      .orderBy(col(validCol).desc, col(txCol).desc, col(tieCol).desc)
+    changes.filter(col(txCol) <= t && col(validCol) <= v)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((Seq(entity) ++ attrs ++ Seq(validCol, txCol)).map(col): _*)
+  }
 }

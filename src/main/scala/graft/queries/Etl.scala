@@ -243,6 +243,40 @@ object Etl {
        |WHERE valid_from <= $AsOfMicros AND (valid_to IS NULL OR valid_to > $AsOfMicros)
        |ORDER BY user_id""".stripMargin
 
+  /** Knowledge instant for e_bitemporal: two days after the valid
+    * instant, so versions reported with more than a 2-day lag are
+    * invisible even though their valid time qualifies. */
+  val KnownAtMicros: Long = AsOfMicros + 2L * 86400000000L
+
+  /** e_bitemporal: valid-time × transaction-time point query — "what did
+    * each entity look like at v, as we KNEW it at t?". The purchase
+    * stream plays the valid axis; the transaction axis simulates
+    * reporting lag deterministically (event_id mod 7 days), so some
+    * versions valid before v were not yet recorded by t and the answer
+    * provably differs from the plain SCD2 AS OF. One keyed window after
+    * two narrow time filters. */
+  def eBitemporal(s: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("valid_us", expr("ts div 1000"))
+      .withColumn("tx_us",
+        col("valid_us") + (col("event_id") % 7) * lit(86400000000L))
+    Scd2.bitemporalAsOf(changes, "user_id", "valid_us", "tx_us", "event_id",
+        Seq("value"), lit(AsOfMicros), lit(KnownAtMicros))
+      .orderBy(col("user_id"))
+  }
+
+  val eBitemporalSql: String =
+    s"""SELECT user_id, value, valid_us, tx_us FROM (
+       |  SELECT user_id, value, valid_us, tx_us,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |                       ORDER BY valid_us DESC, tx_us DESC, event_id DESC) AS rn
+       |  FROM (SELECT user_id, value, event_id, epoch_us(ts) AS valid_us,
+       |          epoch_us(ts) + (event_id % 7) * 86400000000 AS tx_us
+       |        FROM events WHERE event_type = 'purchase')
+       |  WHERE tx_us <= $KnownAtMicros AND valid_us <= $AsOfMicros)
+       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** e_link_diff: membership reconciliation between two periods. */
   def eLinkDiff(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
@@ -704,6 +738,7 @@ object Etl {
     "e_store_stamps"  -> eStoreStamps _,
     "e_scd2"          -> eScd2 _,
     "e_scd2_asof"     -> eScd2Asof _,
+    "e_bitemporal"    -> eBitemporal _,
     "e_link_diff"     -> eLinkDiff _,
     "e_import_stamp"  -> eImportStamp _,
   )
@@ -731,6 +766,7 @@ object Etl {
     "e_store_stamps"  -> eStoreStampsSql,
     "e_scd2"          -> eScd2Sql,
     "e_scd2_asof"     -> eScd2AsofSql,
+    "e_bitemporal"    -> eBitemporalSql,
     "e_link_diff"     -> eLinkDiffSql,
     "e_import_stamp"  -> eImportStampSql,
   )

@@ -294,4 +294,31 @@ class EtlOperatorsSpec extends AnyFunSuite {
     assert(out(3L) == (("gamma", "resolved")))
     assert(out(4L) == ((InferredDim.Placeholder, "still_inferred")))
   }
+
+  test("bitemporalAsOf: knowledge horizon hides late versions; t=inf collapses to plain AS OF") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.queries.Etl.{AsOfMicros, KnownAtMicros}
+    val bi = graft.queries.Etl.eBitemporal(spark, dir).collect()
+    // one version per entity, both time axes respected
+    assert(bi.map(_.getLong(0)).distinct.length == bi.length)
+    bi.foreach { r =>
+      assert(r.getLong(2) <= AsOfMicros, "valid axis violated")
+      assert(r.getLong(3) <= KnownAtMicros, "transaction axis violated")
+    }
+    // the 2-day knowledge horizon must actually change at least one answer
+    val scd = graft.queries.Etl.eScd2Asof(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val changed = bi.count(r => scd.get(r.getLong(0)).exists(_ != r.getDouble(1)))
+    assert(changed > 0 || bi.length < scd.size,
+      "bitemporal answered identically to plain AS OF — lag simulation is dead")
+    // and with an unbounded transaction horizon the two reads agree exactly
+    val changes = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("valid_us", expr("ts div 1000"))
+      .withColumn("tx_us", col("valid_us") + (col("event_id") % 7) * lit(86400000000L))
+    val unbounded = Scd2.bitemporalAsOf(changes, "user_id", "valid_us", "tx_us",
+        "event_id", Seq("value"), lit(AsOfMicros), lit(Long.MaxValue))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(unbounded == scd, "t=inf bitemporal must equal the SCD2 AS OF")
+  }
 }
