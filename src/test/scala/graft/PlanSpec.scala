@@ -348,4 +348,34 @@ class PlanSpec extends AnyFunSuite {
     assert(f.contains("LeftAnti") || f.contains("left_anti"),
       s"placeholder discovery must be an anti-join:\n${f.take(3000)}")
   }
+
+  test("t_classify: corpus masses broadcast; nothing in the plan is a cartesian or nested loop") {
+    val p = plan(Text.tClassify(spark, dir))
+    // the 1-row totals must ride a broadcast (crossJoin(broadcast(...)))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"totals must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"1-row totals as a cartesian means the broadcast hint was lost:\n${p.take(3000)}")
+  }
+
+  test("e_bitemporal: both time-axis filters reach the events scan; one k=1 window shuffle") {
+    val f = formatted(graft.queries.Etl.eBitemporal(spark, dir))
+    assert(f.contains("PushedFilters:") && f.contains("event_type"),
+      "the change-type filter must push into the scan")
+    assert(!f.contains("Join"), "a bitemporal point read must not join")
+    // WindowGroupLimit: rn=1 windows prune to per-key top-1 before the sort
+    assert(f.contains("WindowGroupLimit") || f.contains("Window"), f.take(2000))
+  }
+
+  test("s_centroid_drift: exactly one aggregation per snapshot, |labels|-sized join") {
+    val p = plan(graft.queries.Similarity.sCentroidDrift(spark, dir))
+    // two snapshot aggregations (each partial+final HashAggregate or
+    // ObjectHashAggregate for the typed vector sum) and the label join —
+    // the corpus must NOT shuffle more than once per snapshot
+    val aggExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(label"))
+    assert(aggExchanges <= 3, s"label shuffles exploded ($aggExchanges):\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+      p.contains("HashAggregate"), "decimal vector sum must aggregate, not collect")
+  }
 }
