@@ -107,6 +107,41 @@ object Audio {
     }
   }
 
+  final case class AudioSegment(doc_id: Long, seg_idx: Long, active: Boolean,
+      win_from: Long, win_to: Long, n_windows: Long)
+
+  /** VAD-style segmentation — the audio-curation stage that chops a long
+    * recording into utterances and strips silence before transcription or
+    * training. Windows classify active by an RMS threshold; consecutive
+    * same-state windows collapse into runs via the gaps-and-islands
+    * difference of two row numbers (both ride the SAME per-doc window
+    * shuffle), then one per-doc aggregation emits (segment, state, span).
+    *
+    * Output is segment-bounded (runs, not windows), so long recordings
+    * leave the executors as a handful of rows; the RMS compare is on
+    * bit-deterministic window features, so segmentation is reproducible
+    * under any partitioning. */
+  def vadSegments(blobs: Dataset[Blob], samplesPerWindow: Int = 1024,
+      rmsThreshold: Double = 0.1): Dataset[AudioSegment] = {
+    import blobs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = windowFeatures(blobs, samplesPerWindow).toDF()
+      .withColumn("active", col("rms") >= rmsThreshold)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("window_idx"))
+    val byState = Window.partitionBy(col("doc_id"), col("active")).orderBy(col("window_idx"))
+    w.withColumn("grp", row_number().over(byDoc) - row_number().over(byState))
+      .groupBy(col("doc_id"), col("active"), col("grp"))
+      .agg(min(col("window_idx")).cast("long").as("win_from"),
+        max(col("window_idx")).cast("long").as("win_to"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("seg_idx", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("win_from"))).cast("long") - 1)
+      .select(col("doc_id"), col("seg_idx"), col("active"),
+        col("win_from"), col("win_to"), col("n_windows"))
+      .as[AudioSegment]
+  }
+
   /** Windowed RMS (normalized to full scale, so 1.0 = rail-to-rail) and
     * zero-crossing rate (sign changes / (n−1) consecutive pairs) — batched
     * per partition like every decode path. Exact-arithmetic per window

@@ -174,6 +174,59 @@ object Modal {
       |FROM w GROUP BY doc_id, wi
       |ORDER BY doc_id, window_idx""".stripMargin
 
+  /** m_vad: voice-activity segmentation over the synthetic audio corpus —
+    * every 4th document carries a WAV whose windows alternate
+    * deterministically between silence (exact zeros) and tone bursts
+    * ((doc_id + window) mod 3 envelope), so the segmenter must find real
+    * run boundaries. The whole path is under the gate: WAV container
+    * write, JDK decode, integer-exact window features, RMS threshold,
+    * gaps-and-islands run collapse. */
+  def mVad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 0)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (1500 + (id % 5) * 700).toInt
+        val samples = Array.tabulate(n) { i =>
+          if ((id + i / 1024) % 3 != 0)
+            (((id * 7919L + i.toLong * 131L) % 4001L - 2000L) * 16L).toShort
+          else 0.toShort
+        }
+        val wav = graft.multimodal.Audio.wavBytes(samples)
+        Multimodal.Blob(id, "audio/wav", wav.length.toLong, wav)
+      })
+    graft.multimodal.Audio.vadSegments(blobs, samplesPerWindow = 1024, rmsThreshold = 0.1)
+      .toDF().orderBy(col("doc_id"), col("seg_idx"))
+  }
+
+  /** Oracle: envelope formula unnested, windowed RMS with the identical
+    * IEEE ops (so the 0.1 threshold compares identically), the same
+    * two-row-number island collapse. */
+  val mVadSql: String =
+    """WITH ids AS (SELECT doc_id, 1500 + (doc_id % 5) * 700 AS n
+      |        FROM documents WHERE doc_id % 4 = 0),
+      |v AS (SELECT doc_id, i,
+      |        CASE WHEN (doc_id + i // 1024) % 3 <> 0
+      |             THEN ((doc_id * 7919 + i * 131) % 4001 - 2000) * 16
+      |             ELSE 0 END AS v
+      |      FROM (SELECT doc_id, unnest(range(n)) AS i FROM ids)),
+      |w AS (SELECT doc_id, i // 1024 AS wi,
+      |        sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) / 32768.0 AS rms
+      |      FROM v GROUP BY doc_id, wi),
+      |a AS (SELECT doc_id, wi, rms >= 0.1 AS active,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi)
+      |        - ROW_NUMBER() OVER (PARTITION BY doc_id, rms >= 0.1 ORDER BY wi) AS grp
+      |      FROM w),
+      |s AS (SELECT doc_id, active, MIN(wi) AS win_from, MAX(wi) AS win_to,
+      |        COUNT(*) AS n_windows
+      |      FROM a GROUP BY doc_id, active, grp)
+      |SELECT doc_id,
+      |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win_from) - 1 AS seg_idx,
+      |  active, win_from, win_to, n_windows
+      |FROM s ORDER BY doc_id, seg_idx""".stripMargin
+
   /** st_hourly: the streaming windowed aggregation, batch-applied (the same
     * transformation runs under a watermark in StreamingSpec). */
   def stHourly(s: SparkSession, dir: String): DataFrame =
@@ -418,6 +471,7 @@ object Modal {
     "m_scene_cut"       -> mSceneCut _,
     "m_shard"           -> mShard _,
     "m_audio"           -> mAudio _,
+    "m_vad"             -> mVad _,
     "st_sliding"        -> stSliding _,
     "st_topk"           -> stTopk _,
     "st_enrich"         -> stEnrich _,
@@ -436,6 +490,7 @@ object Modal {
     "m_scene_cut"       -> mSceneCutSql,
     "m_shard"           -> mShardSql,
     "m_audio"           -> mAudioSql,
+    "m_vad"             -> mVadSql,
     "st_sliding"        -> stSlidingSql,
     "st_topk"           -> stTopkSql,
     "st_enrich"         -> stEnrichSql,

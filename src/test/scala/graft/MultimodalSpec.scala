@@ -359,4 +359,31 @@ class MultimodalSpec extends AnyFunSuite {
     val b = Multimodal.frameHistograms(many.repartition(7)).collect().map(f => (f.doc_id, f.frame_idx) -> f.counts.toSeq).toMap
     assert(a == b)
   }
+
+  test("vadSegments: contiguous alternating runs that exactly match the planted envelope") {
+    val segs = graft.queries.Modal.mVad(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .groupBy(_._1)
+    assert(segs.nonEmpty)
+    for ((id, ss0) <- segs) {
+      val ss = ss0.sortBy(_._2)
+      // contiguous cover from window 0, states strictly alternate
+      assert(ss.head._4 == 0, s"doc $id first segment must start at window 0")
+      ss.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 == a._5 + 1, s"doc $id segments not contiguous")
+          assert(a._3 != b._3, s"doc $id same-state segments not collapsed")
+        case _ =>
+      }
+      // the (id + wi) % 3 envelope: silence runs are single windows,
+      // active runs at most two — anything else means the threshold or
+      // the island collapse misfired
+      ss.foreach { case (_, _, active, from, to, n) =>
+        assert(n == to - from + 1)
+        if (active) assert(n <= 2, s"doc $id active run of $n windows")
+        else assert(n == 1, s"doc $id silent run of $n windows")
+      }
+    }
+  }
 }
