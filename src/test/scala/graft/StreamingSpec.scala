@@ -392,4 +392,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.toSet.map { p: (Long, Long) => (math.min(p._1, p._2), math.max(p._1, p._2)) }
       .subsetOf(batchPairs), "stream hits must be a subset of the all-at-once candidate set")
   }
+
+  test("kappa backfill: batch history + streaming tail seam exactly into the full batch answer") {
+    // the backfill architecture claim: ONE transformation (hourlyAgg)
+    // serves both the batch reprocess of history and the live tail, and
+    // an hour-aligned cutoff makes the seam exact — no double-counted,
+    // no dropped window
+    val events = Tables.events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val full = Streaming.hourlyAgg(Tables.events(spark, dir), withWatermark = false)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val hours = full.map(_._1).toSeq.sorted
+    val cutoffUs = hours(hours.size / 2) // an exact hour boundary mid-stream
+    assert(cutoffUs % 3600000000L == 0)
+
+    val history = Streaming.hourlyAgg(
+      Tables.events(spark, dir).filter(expr("ts div 1000") < cutoffUs),
+      withWatermark = false).as[(Long, String, Long, Double)].collect().toSet
+
+    val tailDir = java.nio.file.Files.createTempDirectory("events-tail").toString
+    events.filter(col("ts_us") >= cutoffUs).drop("ts_us")
+      .coalesce(1).write.mode("overwrite").parquet(tailDir)
+    val q = Streaming.hourlyAgg(
+        spark.readStream.schema(eventsSchema).parquet(tailDir), withWatermark = true)
+      .writeStream.outputMode("complete").format("memory").queryName("kappa_tail").start()
+    try q.processAllAvailable() finally q.stop()
+    val tail = spark.table("kappa_tail")
+      .select("hour_start_us", "event_type", "n", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+
+    assert(history.nonEmpty && tail.nonEmpty)
+    assert(history.map(_._1).forall(_ < cutoffUs), "history leaked past the cutoff")
+    assert(tail.map(_._1).forall(_ >= cutoffUs), "tail reached before the cutoff")
+    assert((history ++ tail) == full, "backfill + tail must seam exactly into the batch answer")
+  }
 }
