@@ -75,9 +75,14 @@ object N2k {
         .cast("long") % 7 =!= 0
       val parent = N2kBinding.extract(byName(p), w1).select(keys.map(col): _*)
         .distinct().filter(lagged).withColumn("__p", lit(1))
-      child.join(parent, keys, "left")
-        .agg(count(lit(1)).as("n_child"),
-          count(when(col("__p").isNull, lit(1))).as("n_orphans"))
+      // child rows never ride the join wire: collapse to (keys, count)
+      // first, so the orphan join touches |distinct child keys| rows —
+      // at 100 TB the fact side shrinks by orders of magnitude before
+      // the (broadcastable) parent key set sees it
+      val childAgg = child.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      childAgg.join(parent, keys, "left")
+        .agg(coalesce(sum(col("__n")), lit(0L)).as("n_child"),
+          coalesce(sum(when(col("__p").isNull, col("__n"))), lit(0L)).as("n_orphans"))
         .select(lit(c).as("child_table"), lit(p).as("parent_table"),
           lit(keys.mkString(",")).as("fk"), col("n_child"), col("n_orphans"))
     }.reduce(_ unionByName _)

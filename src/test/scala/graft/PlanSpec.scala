@@ -349,6 +349,17 @@ class PlanSpec extends AnyFunSuite {
       s"placeholder discovery must be an anti-join:\n${f.take(3000)}")
   }
 
+  test("e_fk_orphans: child rows collapse to keyed counts BEFORE every orphan join") {
+    val p = plan(graft.queries.N2k.eFkOrphans(spark, dir))
+    // every left join must consume an aggregate (the child (keys, count)
+    // collapse), never a raw extract: the count column feeds sum(), so a
+    // plan where a join input lacks partial aggregation would not resolve
+    assert(p.contains("HashAggregate"), "child collapse missing")
+    // no edge's parent check may degrade to a nested loop / cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"orphan join must stay keyed:\n${p.take(3000)}")
+  }
+
   test("t_classify: corpus masses broadcast; nothing in the plan is a cartesian or nested loop") {
     val p = plan(Text.tClassify(spark, dir))
     // the 1-row totals must ride a broadcast (crossJoin(broadcast(...)))
