@@ -277,6 +277,26 @@ object Etl {
        |  WHERE tx_us <= $KnownAtMicros AND valid_us <= $AsOfMicros)
        |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** e_k_anon: k-anonymity release audit over the customer dimension —
+    * quasi-identifiers (nation, market segment, account balance banded to
+    * 1000s) shared by fewer than k=3 records re-identify them; the gate
+    * reports every violating group, i.e. exactly what a release pipeline
+    * must generalize or suppress. floor() banding (not int-cast) so the
+    * truncation direction is identical across engines for negative
+    * balances. One keyed aggregation, output bounded by violations. */
+  def eKAnon(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    KAnon.audit(c, Seq(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("acctbal_band")), k = 3)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"), col("acctbal_band"))
+  }
+
+  val eKAnonSql: String =
+    """SELECT c_nationkey, c_mktsegment,
+      |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band, COUNT(*) AS n
+      |FROM customer GROUP BY 1, 2, 3 HAVING COUNT(*) < 3
+      |ORDER BY c_nationkey, c_mktsegment, acctbal_band""".stripMargin
+
   /** e_link_diff: membership reconciliation between two periods. */
   def eLinkDiff(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
@@ -739,6 +759,7 @@ object Etl {
     "e_scd2"          -> eScd2 _,
     "e_scd2_asof"     -> eScd2Asof _,
     "e_bitemporal"    -> eBitemporal _,
+    "e_k_anon"        -> eKAnon _,
     "e_link_diff"     -> eLinkDiff _,
     "e_import_stamp"  -> eImportStamp _,
   )
@@ -767,6 +788,7 @@ object Etl {
     "e_scd2"          -> eScd2Sql,
     "e_scd2_asof"     -> eScd2AsofSql,
     "e_bitemporal"    -> eBitemporalSql,
+    "e_k_anon"        -> eKAnonSql,
     "e_link_diff"     -> eLinkDiffSql,
     "e_import_stamp"  -> eImportStampSql,
   )

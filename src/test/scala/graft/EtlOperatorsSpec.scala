@@ -295,6 +295,16 @@ class EtlOperatorsSpec extends AnyFunSuite {
     assert(out(4L) == ((InferredDim.Placeholder, "still_inferred")))
   }
 
+  test("KAnon.audit: exactly the sub-k groups, at-k groups stay invisible") {
+    import spark.implicits._
+    val df = (Seq.fill(3)(("a", 1)) ++ Seq.fill(2)(("a", 2)) ++ Seq(("b", 1)))
+      .toDF("qi1", "qi2")
+    val out = KAnon.audit(df, Seq(col("qi1"), col("qi2")), k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", 2) -> 2L, ("b", 1) -> 1L),
+      s"expected only the two sub-3 groups, got $out")
+  }
+
   test("bitemporalAsOf: knowledge horizon hides late versions; t=inf collapses to plain AS OF") {
     val dir = "/root/testdata/sf0.001"
     import graft.queries.Etl.{AsOfMicros, KnownAtMicros}
