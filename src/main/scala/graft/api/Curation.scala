@@ -33,6 +33,12 @@ object Curation {
       textCol: String = "text",
       qualityMin: Double = 0.5,
       jaccardMin: Double = 0.5,
+      /** Also train the bootstrap classifier (QualityClassifier, the
+        * t_classify machinery) with the heuristic keep flag as its seed,
+        * annotating clf_score / keep_clf — the FineWeb-style
+        * generalization of the hand rule. Off by default: it adds the
+        * classifier's token passes. */
+      withClassifier: Boolean = false,
       splitBounds: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 90, "test" -> 100)) {
     require(splitBounds.nonEmpty && splitBounds.last._2 == 100,
       "splitBounds must be cumulative percents ending at 100")
@@ -57,6 +63,29 @@ object Curation {
       .withColumn("keep_quality", col("quality") >= cfg.qualityMin)
       .drop("__toks")
       .localCheckpoint()
+    // optional bootstrap classifier (QualityClassifier = the t_classify
+    // machinery), seeded with the CONTENT-rate rule — the stopword-rate
+    // component of the composite heuristic. Token-occurrence votes can
+    // genuinely learn a rate rule (≈86% seed agreement, t_classify's
+    // measured number); seeding with the full composite instead would
+    // chase its length term, which token identity cannot carry — measured
+    // at exactly the majority-class baseline, i.e. no signal. keep_clf is
+    // therefore a second, content-only quality opinion next to the
+    // composite keep_quality flag.
+    val annotated = if (!cfg.withClassifier) scored else {
+      val seeded = scored
+        .withColumn("__toks", TextFunctions.tokens(col(cfg.textCol)))
+        .withColumn("__seed",
+          (size(col("__toks")) >= 15 &&
+            size(filter(col("__toks"), t =>
+              t.isin(TextFunctions.Stopwords.map(x => x: Any): _*))) * 16
+              >= size(col("__toks"))).cast("int"))
+      val clf = graft.operators.QualityClassifier
+        .scores(seeded, cfg.idCol, "__toks", "__seed")
+      scored.join(clf, Seq(cfg.idCol), "left")
+        .withColumn("clf_score", coalesce(col("clf_score"), lit(0L)))
+        .withColumn("keep_clf", col("clf_score") > 0)
+    }
     val good = scored.filter(col("keep_quality")).select(id, col(cfg.textCol))
     // exact-dup collapse + star-edge LSH + Jaccard + components, expanded
     // back over every quality-kept doc (same machinery as d_curate)
@@ -67,7 +96,7 @@ object Curation {
     val split = cfg.splitBounds.foldRight(lit(null).cast("string")) {
       case ((name, bound), acc) => when(col("__bucket") < bound, lit(name)).otherwise(acc)
     }
-    scored.join(canon, Seq(cfg.idCol), "left")
+    annotated.join(canon, Seq(cfg.idCol), "left")
       .withColumn("canonical_id", coalesce(col("canonical_id"), id))
       .withColumn("is_survivor", col("keep_quality") && col("canonical_id") === id)
       .withColumn("__bucket", bucket)

@@ -1181,23 +1181,13 @@ object Text {
         (size(col("toks")) >= 15 &&
           size(filter(col("toks"), t => t.isin(Stopwords.map(x => x: Any): _*))) * 16
             >= size(col("toks"))).cast("int").as("seed_lbl"))
-    val tok = seed
-      .select(col("doc_id"), col("seed_lbl"), explode(col("toks")).as("token"))
-      .filter(col("token") =!= "")
-    val totals = tok.agg(sum(col("seed_lbl")).as("n_good"),
-      sum(lit(1) - col("seed_lbl")).as("n_bad"))
-    val margin = col("df_good") * col("n_bad") - col("df_bad") * col("n_good")
-    val votes = tok.groupBy(col("token"))
-      .agg(sum(col("seed_lbl")).as("df_good"), sum(lit(1) - col("seed_lbl")).as("df_bad"))
-      .crossJoin(broadcast(totals))
-      .select(col("token"), margin.cast("long").as("vote"))
-    val scored = tok.join(votes, "token")
-      .groupBy(col("doc_id")).agg(sum(col("vote")).as("score"))
+    val scored = graft.operators.QualityClassifier
+      .scores(seed, "doc_id", "toks", "seed_lbl")
     seed.select(col("doc_id"), col("seed_lbl"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), col("seed_lbl"),
-        coalesce(col("score"), lit(0L)).as("score"),
-        (coalesce(col("score"), lit(0L)) > 0).cast("int").as("pred"))
+        coalesce(col("clf_score"), lit(0L)).as("score"),
+        (coalesce(col("clf_score"), lit(0L)) > 0).cast("int").as("pred"))
       .orderBy(col("doc_id"))
   }
 
