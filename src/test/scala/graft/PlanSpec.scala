@@ -378,6 +378,32 @@ class PlanSpec extends AnyFunSuite {
     assert(f.contains("WindowGroupLimit") || f.contains("Window"), f.take(2000))
   }
 
+  test("d_decontam_sem: band-key candidates only — never a cartesian between eval and train sides") {
+    val p = plan(DedupQ.dDecontamSem(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bipartite decontamination must stay band-bucketed:\n${p.take(3000)}")
+    // the cross-side parity filter must prune candidates BEFORE the
+    // cosine-verify joins back to the vectors
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "candidate join missing")
+  }
+
+  test("m_vad: decode is narrow; the only wide ops are the per-doc window and run aggregation") {
+    val p = plan(graft.queries.Modal.mVad(spark, dir))
+    assert(!p.contains("Join"), s"VAD must never join:\n${p.take(3000)}")
+    // input repartition + the doc-keyed window/agg (+ presentation sort):
+    // decode, features and threshold all ride narrow stages
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 4, s"unexpected shuffles ($exchanges):\n$p")
+  }
+
+  test("e_k_anon: one QI-keyed aggregation; the HAVING filter rides it, no second shuffle") {
+    val p = plan(graft.queries.Etl.eKAnon(spark, dir))
+    assert(!p.contains("Join"), "a k-anonymity audit is one aggregation, never a join")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"audit must be agg + presentation sort only ($exchanges):\n$p")
+  }
+
   test("s_centroid_drift: exactly one aggregation per snapshot, |labels|-sized join") {
     val p = plan(graft.queries.Similarity.sCentroidDrift(spark, dir))
     // two snapshot aggregations (each partial+final HashAggregate or
