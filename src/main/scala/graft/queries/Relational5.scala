@@ -422,7 +422,34 @@ object Relational5 {
       |QUALIFY od >= 790 AND od < 821
       |ORDER BY o_custkey, od, o_orderkey""".stripMargin
 
+  /** q_hierarchy: the WITH RECURSIVE query class — every customer resolved
+    * to the root and depth of a deterministic 7-ary containment tree
+    * (parent = key div 7, keys < 7 are roots). Spark-first recursion is
+    * POINTER DOUBLING (operators/Hierarchy): ⌈log₂ depth⌉ keyed
+    * self-joins, not a join per tree level — the oracle walks the same
+    * tree with a recursive CTE one hop at a time. */
+  def qHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.customer(s, dir).select(col("c_custkey"),
+      when(col("c_custkey") >= 7, expr("CAST(c_custkey div 7 AS BIGINT)")).as("parent"))
+    graft.operators.Hierarchy.resolve(nodes, "c_custkey", "parent")
+      .select(col("key").as("c_custkey"), col("root"), col("depth"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val qHierarchySql: String =
+    """WITH RECURSIVE walk AS (
+      |  SELECT c_custkey AS k, c_custkey // 7 AS anc, 1 AS d
+      |  FROM customer WHERE c_custkey >= 7
+      |  UNION ALL
+      |  SELECT k, anc // 7, d + 1 FROM walk WHERE anc >= 7)
+      |SELECT c_custkey, CAST(root AS BIGINT) AS root, CAST(depth AS BIGINT) AS depth FROM (
+      |  SELECT k AS c_custkey, anc AS root, d AS depth FROM walk WHERE anc < 7
+      |  UNION ALL
+      |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 7)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hierarchy"           -> qHierarchy _,
     "q_window_range"        -> qWindowRange _,
     "q2_min_cost_supp"      -> q2 _,
     "q8_market_share"       -> q8 _,
@@ -437,6 +464,7 @@ object Relational5 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_hierarchy"           -> qHierarchySql,
     "q_window_range"        -> qWindowRangeSql,
     "q2_min_cost_supp"      -> q2Sql,
     "q8_market_share"       -> q8Sql,

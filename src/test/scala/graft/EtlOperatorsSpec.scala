@@ -295,6 +295,19 @@ class EtlOperatorsSpec extends AnyFunSuite {
     assert(out(4L) == ((InferredDim.Placeholder, "still_inferred")))
   }
 
+  test("Hierarchy.resolve: pointer doubling resolves a depth-16 chain in 4 rounds, forests keep roots apart") {
+    import spark.implicits._
+    // chain 0 <- 1 <- ... <- 16 (depth 16 = the 2^4 boundary for rounds=4)
+    // plus a separate 2-node tree rooted at 100
+    val nodes = ((1L to 16L).map(k => (k, Some(k - 1))) ++
+      Seq((0L, None), (100L, None), (101L, Some(100L)))).toDF("key", "parent")
+    val out = graft.operators.Hierarchy.resolve(nodes, "key", "parent")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 19)
+    (0L to 16L).foreach { k => assert(out(k) == ((0L, k)), s"node $k: ${out(k)}") }
+    assert(out(100L) == ((100L, 0L)) && out(101L) == ((100L, 1L)))
+  }
+
   test("KAnon.audit: exactly the sub-k groups, at-k groups stay invisible") {
     import spark.implicits._
     val df = (Seq.fill(3)(("a", 1)) ++ Seq.fill(2)(("a", 2)) ++ Seq(("b", 1)))
