@@ -448,7 +448,39 @@ object Relational5 {
       |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 7)
       |ORDER BY c_custkey""".stripMargin
 
+  /** q_subtree_rollup: the read hierarchies exist for — a measure rolled
+    * up to every subtree root (org-chart totals, BOM cost explosion).
+    * Pointer-doubled root resolution (q_hierarchy's machinery), then ONE
+    * root-keyed aggregation; the decimal-cast sum keeps the double exact
+    * across engines and partitionings. */
+  def qSubtreeRollup(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val nodes = c.select(col("c_custkey"),
+      when(col("c_custkey") >= 7, expr("CAST(c_custkey div 7 AS BIGINT)")).as("parent"))
+    graft.operators.Hierarchy.resolve(nodes, "c_custkey", "parent")
+      .select(col("key").as("c_custkey"), col("root"))
+      .join(c.select(col("c_custkey"), col("c_acctbal")), "c_custkey")
+      .groupBy(col("root"))
+      .agg(count(lit(1)).as("n_members"), xsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("root"))
+  }
+
+  val qSubtreeRollupSql: String =
+    """WITH RECURSIVE walk AS (
+      |  SELECT c_custkey AS k, c_custkey // 7 AS anc
+      |  FROM customer WHERE c_custkey >= 7
+      |  UNION ALL
+      |  SELECT k, anc // 7 FROM walk WHERE anc >= 7),
+      |r AS (SELECT k AS c_custkey, anc AS root FROM walk WHERE anc < 7
+      |      UNION ALL
+      |      SELECT c_custkey, c_custkey FROM customer WHERE c_custkey < 7)
+      |SELECT CAST(r.root AS BIGINT) AS root, COUNT(*) AS n_members,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+      |FROM r JOIN customer c ON c.c_custkey = r.c_custkey
+      |GROUP BY r.root ORDER BY root""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_subtree_rollup"      -> qSubtreeRollup _,
     "q_hierarchy"           -> qHierarchy _,
     "q_window_range"        -> qWindowRange _,
     "q2_min_cost_supp"      -> q2 _,
@@ -464,6 +496,7 @@ object Relational5 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_subtree_rollup"      -> qSubtreeRollupSql,
     "q_hierarchy"           -> qHierarchySql,
     "q_window_range"        -> qWindowRangeSql,
     "q2_min_cost_supp"      -> q2Sql,
