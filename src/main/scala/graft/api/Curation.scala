@@ -56,12 +56,15 @@ object Curation {
     // checkpoint the SCORED corpus, not just the kept subset: the final
     // annotate join consumes it too, and an un-cached lineage would re-run
     // tokenize+score over every document a second time
-    val scored = docs
+    // when the classifier is on, __toks survives the checkpoint so the
+    // seed + classifier reuse the already-computed tokens instead of a
+    // second full tokenize pass over the corpus (dropped after use below)
+    val scoredAll = docs
       .withColumn("__toks", TextFunctions.tokens(col(cfg.textCol)))
       .withColumn("n_tokens", size(col("__toks")))
       .withColumn("quality", TextFunctions.qualityScore(col(cfg.textCol), col("__toks")))
       .withColumn("keep_quality", col("quality") >= cfg.qualityMin)
-      .drop("__toks")
+    val scored = (if (cfg.withClassifier) scoredAll else scoredAll.drop("__toks"))
       .localCheckpoint()
     // optional bootstrap classifier (QualityClassifier = the t_classify
     // machinery), seeded with the CONTENT-rate rule — the stopword-rate
@@ -74,7 +77,6 @@ object Curation {
     // composite keep_quality flag.
     val annotated = if (!cfg.withClassifier) scored else {
       val seeded = scored
-        .withColumn("__toks", TextFunctions.tokens(col(cfg.textCol)))
         .withColumn("__seed",
           (size(col("__toks")) >= 15 &&
             size(filter(col("__toks"), t =>
@@ -85,6 +87,7 @@ object Curation {
       scored.join(clf, Seq(cfg.idCol), "left")
         .withColumn("clf_score", coalesce(col("clf_score"), lit(0L)))
         .withColumn("keep_clf", col("clf_score") > 0)
+        .drop("__toks")
     }
     val good = scored.filter(col("keep_quality")).select(id, col(cfg.textCol))
     // exact-dup collapse + star-edge LSH + Jaccard + components, expanded

@@ -113,9 +113,11 @@ object Audio {
   /** VAD-style segmentation — the audio-curation stage that chops a long
     * recording into utterances and strips silence before transcription or
     * training. Windows classify active by an RMS threshold; consecutive
-    * same-state windows collapse into runs via the gaps-and-islands
-    * difference of two row numbers (both ride the SAME per-doc window
-    * shuffle), then one per-doc aggregation emits (segment, state, span).
+    * same-state windows collapse into runs via ONE (doc_id)-keyed sorted
+    * window: a running count of state changes numbers the runs, and that
+    * count doubles as seg_idx (runs are ordinal by construction) — so the
+    * whole operator is one window shuffle + one run-keyed aggregation, no
+    * (doc_id, active) secondary shuffle and no final ranking window.
     *
     * Output is segment-bounded (runs, not windows), so long recordings
     * leave the executors as a handful of rows; the RMS compare is on
@@ -129,15 +131,15 @@ object Audio {
     val w = windowFeatures(blobs, samplesPerWindow).toDF()
       .withColumn("active", col("rms") >= rmsThreshold)
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("window_idx"))
-    val byState = Window.partitionBy(col("doc_id"), col("active")).orderBy(col("window_idx"))
-    w.withColumn("grp", row_number().over(byDoc) - row_number().over(byState))
+    // both window expressions share the byDoc spec → one Exchange + Sort
+    w.withColumn("chg",
+        when(col("active") =!= lag(col("active"), 1).over(byDoc), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(byDoc))
       .groupBy(col("doc_id"), col("active"), col("grp"))
       .agg(min(col("window_idx")).cast("long").as("win_from"),
         max(col("window_idx")).cast("long").as("win_to"),
         count(lit(1)).as("n_windows"))
-      .withColumn("seg_idx", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("win_from"))).cast("long") - 1)
-      .select(col("doc_id"), col("seg_idx"), col("active"),
+      .select(col("doc_id"), col("grp").cast("long").as("seg_idx"), col("active"),
         col("win_from"), col("win_to"), col("n_windows"))
       .as[AudioSegment]
   }

@@ -16,34 +16,72 @@ import org.apache.spark.sql.functions._
   * participating (their pointer misses the non-root join side), so work
   * shrinks as chains resolve. A `localCheckpoint` per round keeps the
   * lineage flat (the same discipline Kmeans/Components use for iteration).
+  *
+  * CONVERGENCE IS CHECKED, NOT ASSUMED: each round's jump-hit count rides
+  * the checkpoint job as an observe() metric (the Components pattern —
+  * one job per round, no second count pass). The loop runs until a round
+  * jumps nothing — every surviving pointer provably misses the unresolved
+  * set, i.e. is a true root — and RAISES if `maxRounds` is exhausted
+  * first (a cycle, or a chain deeper than 2^(maxRounds-1)). A truncated
+  * resolution can therefore never be silently returned as an answer.
   */
 object Hierarchy {
 
   /** Resolve every node to its root and depth.
     *
-    * @param nodes  (key, parent) one row per node; parent NULL marks a root
-    * @param rounds doubling rounds; covers depth ≤ 2^rounds (4 rounds =
-    *               depth 16 — deeper than any realistic dimension
-    *               hierarchy; raise for pathological chains)
+    * @param nodes     (key, parent) one row per node; parent NULL marks a root
+    * @param maxRounds doubling-round ceiling; round r covers depth ≤ 2^r, so
+    *                  the default 20 resolves chains ~500k deep. Exhausting it
+    *                  (a parent-pointer cycle, or a deeper-still chain) throws
+    *                  rather than mislabeling — raise it for pathological data.
     * @return (key, root, depth) — depth 0 for roots
     */
   def resolve(nodes: DataFrame, keyCol: String, parentCol: String,
-      rounds: Int = 4): DataFrame = {
+      maxRounds: Int = 20): DataFrame = {
     val roots = nodes.filter(col(parentCol).isNull)
       .select(col(keyCol).as("key"), col(keyCol).as("root"), lit(0L).as("depth"))
     // t: unresolved rows — anc = best-known ancestor, dist = hops to it
     var t = nodes.filter(col(parentCol).isNotNull)
       .select(col(keyCol).as("key"), col(parentCol).as("anc"), lit(1L).as("dist"))
-    for (_ <- 0 until rounds) {
+    var hits = 1L
+    var round = 0
+    while (hits > 0 && round < maxRounds) {
       val jump = t.select(col("key").as("j_key"), col("anc").as("j_anc"),
         col("dist").as("j_dist"))
-      t = t.join(jump, t("anc") === jump("j_key"), "left")
+      // the jump-hit count rides the checkpoint job as an observe() metric:
+      // a hit means the row's pointer still referenced an unresolved key
+      // this round; zero hits means every pointer now misses the unresolved
+      // set — the definition of "root" — and the loop may stop.
+      val obs = new org.apache.spark.sql.Observation()
+      val joined = t.join(jump, t("anc") === jump("j_key"), "left")
+        .observe(obs,
+          sum(when(col("j_key").isNotNull, 1L).otherwise(0L)).as("hits"))
+      t = joined
         .select(col("key"),
           coalesce(col("j_anc"), col("anc")).as("anc"),
           (col("dist") + coalesce(col("j_dist"), lit(0L))).as("dist"))
         .localCheckpoint()
+      // the checkpoint action already ran; the metric only has to cross the
+      // listener bus — bounded poll (Components.scala discipline), with a
+      // recompute fallback if it never lands.
+      import org.apache.spark.sql.graftshim.ObservationBridge
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var metrics = ObservationBridge.getOrEmpty(obs)
+      while (metrics.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(25); metrics = ObservationBridge.getOrEmpty(obs)
+      }
+      hits = metrics.get("hits") match {
+        case Some(n: Long) => n
+        case Some(null)    => 0L // sum over zero rows
+        case _             => joined.filter(col("j_key").isNotNull).count()
+      }
+      round += 1
     }
-    // a pointer that no longer matches any unresolved key is a root
+    require(hits == 0,
+      s"hierarchy did not resolve within $maxRounds doubling rounds — " +
+        "parent-pointer cycle, or chains deeper than 2^" + (maxRounds - 1) +
+        " (raise maxRounds)")
+    // proven: every anc missed the unresolved key set in the final round
     t.select(col("key"), col("anc").as("root"), col("dist").as("depth"))
       .unionByName(roots)
   }

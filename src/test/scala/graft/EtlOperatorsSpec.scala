@@ -295,17 +295,39 @@ class EtlOperatorsSpec extends AnyFunSuite {
     assert(out(4L) == ((InferredDim.Placeholder, "still_inferred")))
   }
 
-  test("Hierarchy.resolve: pointer doubling resolves a depth-16 chain in 4 rounds, forests keep roots apart") {
+  test("Hierarchy.resolve: convergence-checked doubling resolves deep chains, forests keep roots apart") {
     import spark.implicits._
-    // chain 0 <- 1 <- ... <- 16 (depth 16 = the 2^4 boundary for rounds=4)
-    // plus a separate 2-node tree rooted at 100
-    val nodes = ((1L to 16L).map(k => (k, Some(k - 1))) ++
+    // chain 0 <- 1 <- ... <- 20 (depth 20 — past the old fixed-4-round
+    // 2^4 cap that used to mislabel silently) plus a 2-node tree at 100
+    val nodes = ((1L to 20L).map(k => (k, Some(k - 1))) ++
       Seq((0L, None), (100L, None), (101L, Some(100L)))).toDF("key", "parent")
     val out = graft.operators.Hierarchy.resolve(nodes, "key", "parent")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(out.size == 19)
-    (0L to 16L).foreach { k => assert(out(k) == ((0L, k)), s"node $k: ${out(k)}") }
+    assert(out.size == 23)
+    (0L to 20L).foreach { k => assert(out(k) == ((0L, k)), s"node $k: ${out(k)}") }
     assert(out(100L) == ((100L, 0L)) && out(101L) == ((100L, 1L)))
+  }
+
+  test("Hierarchy.resolve: raises on round exhaustion instead of mislabeling — cycle and too-deep chain") {
+    import spark.implicits._
+    // 3-cycle: no root is ever reachable; must throw, never return
+    val cyc = Seq((1L, Some(3L)), (2L, Some(1L)), (3L, Some(2L))).toDF("key", "parent")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Hierarchy.resolve(cyc, "key", "parent", maxRounds = 5).collect()
+    }
+    assert(e1.getMessage.contains("did not resolve"))
+    // depth-40 chain under maxRounds=3 (covers depth <= 8): loud failure,
+    // not a quietly-wrong "root"
+    val deep = ((1L to 40L).map(k => (k, Some(k - 1))) :+ ((0L, None)))
+      .toDF("key", "parent")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Hierarchy.resolve(deep, "key", "parent", maxRounds = 3).collect()
+    }
+    assert(e2.getMessage.contains("did not resolve"))
+    // same chain with enough rounds resolves exactly
+    val ok = graft.operators.Hierarchy.resolve(deep, "key", "parent")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    (0L to 40L).foreach { k => assert(ok(k) == ((0L, k))) }
   }
 
   test("KAnon.audit: exactly the sub-k groups, at-k groups stay invisible") {

@@ -391,10 +391,12 @@ class PlanSpec extends AnyFunSuite {
   test("m_vad: decode is narrow; the only wide ops are the per-doc window and run aggregation") {
     val p = plan(graft.queries.Modal.mVad(spark, dir))
     assert(!p.contains("Join"), s"VAD must never join:\n${p.take(3000)}")
-    // input repartition + the doc-keyed window/agg (+ presentation sort):
-    // decode, features and threshold all ride narrow stages
+    // input repartition + ONE doc-keyed window (run numbering is a running
+    // state-change count on the same sort — no (doc_id, active) secondary
+    // window) whose hash(doc_id) partitioning also satisfies the run
+    // aggregation, + presentation sort: 3 exchanges total
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges <= 4, s"unexpected shuffles ($exchanges):\n$p")
+    assert(exchanges <= 3, s"unexpected shuffles ($exchanges):\n$p")
   }
 
   test("e_k_anon: one QI-keyed aggregation; the HAVING filter rides it, no second shuffle") {
