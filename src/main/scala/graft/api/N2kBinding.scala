@@ -217,63 +217,81 @@ object N2kBinding {
   def importAll(state: Map[String, DataFrame], w: DataFrame, stamp: Long): Map[String, DataFrame] =
     commitImport(state, prepareImport(w), stamp)
 
-  /** One table's staged extract: checkpointed (it is read twice — once by
-    * the validation collect that doubles as its materializer, once by its
-    * merge) and validated under the reference's no-NA-keys rule. */
-  private def stagedExtract(t: Table, w: DataFrame): DataFrame = {
-    val src = extract(t, w).localCheckpoint(false)
-    val bad = Validate.report(src,
-        t.keyCols.map(k => Validate.Rule(s"${t.name}_${k}_nonnull", col(k).isNotNull)))
-      .filter(col("n_violations") > 0).collect()
-    require(bad.isEmpty, s"validation failed: ${bad.mkString(", ")}")
-    src
-  }
-
   private def mergeOf(t: Table, tgt: DataFrame, src: DataFrame, stamp: Long): DataFrame =
     if (t.stamped) UpsertMerge.stampedMerge(tgt, src, t.keyCols, t.attrCols, lit(stamp))
     else UpsertMerge.merge(tgt, src, t.keyCols, t.attrCols)
 
+  /** Attach the no-NA-keys validation to an extract as observe() metrics:
+    * the null-key counts accumulate DURING whatever job consumes the
+    * extract — no separate validation pass, no extract checkpoint. */
+  private def observedExtract(t: Table, w: DataFrame,
+      obs: org.apache.spark.sql.Observation): DataFrame =
+    extract(t, w).observe(obs,
+      sum(when(t.keyCols.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L))
+        .as("null_keys"))
+
+  /** Read an observation with the bounded-deadline poll (Components
+    * discipline) and enforce the no-NA-keys rule; falls back to one
+    * Validate.report pass if the metric never lands. */
+  private def requireValidKeys(t: Table, w: DataFrame,
+      obs: org.apache.spark.sql.Observation, which: String): Unit = {
+    import org.apache.spark.sql.graftshim.ObservationBridge
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var metrics = ObservationBridge.getOrEmpty(obs)
+    while (metrics.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(25); metrics = ObservationBridge.getOrEmpty(obs)
+    }
+    val nullKeys = metrics.get("null_keys") match {
+      case Some(n: Long) => n
+      case Some(null)    => 0L // sum over an empty extract
+      case _ => // metric lost — validate the slow way rather than skip
+        Validate.report(extract(t, w),
+            t.keyCols.map(k => Validate.Rule(s"${t.name}_${k}_nonnull", col(k).isNotNull)))
+          .filter(col("n_violations") > 0).count()
+    }
+    require(nullKeys == 0L,
+      s"validation failed: ${t.name} $which has $nullKeys null-key rows")
+  }
+
   /** Fused two-import flagship path (the e_store_n2k gate shape): each
-    * table's chain — extract₁ ∥ extract₂ → merge₁ → merge₂ → summary
+    * table's chain — extract₁ → merge₁ → merge₂(extract₂) → summary
     * projection — runs end-to-end from its own pool thread with NO
     * cross-table barrier: language's second merge proceeds while
     * observation's first still shuffles, where the prepare/commit phasing
-    * stalls every table behind the slowest one, twice. Only the extracts
-    * are checkpointed (each is read twice); the merge₁→merge₂→projection
-    * cascade stays ONE fused Spark job per table — 3 jobs per table
-    * instead of 6 — and because merge₁'s full-outer join already hash-
-    * partitions its output on the table key, Catalyst reuses that
-    * partitioning for merge₂, which exchanges only the second extract.
-    * Validation still aborts the whole import on any table's violation;
-    * the sibling chains' speculative merges are pure computation, nothing
-    * lands anywhere (flows that write a database keep the two-phase
-    * prepareImport/commitImport path and its transaction).
-    */
+    * stalls every table behind the slowest one, twice. The whole chain is
+    * ONE Spark job per table (an eager localCheckpoint of the summary):
+    * extracts read straight from the shared checkpointed span, so they
+    * need no checkpoint of their own, and the no-NA-keys validation rides
+    * the same job as observe() metrics on each extract (checked as the
+    * chain lands — speculative computation, nothing persists, so a
+    * violation still aborts the import with nothing stored). merge₁'s
+    * full-outer join hash-partitions its output on the table key, so
+    * merge₂ exchanges only the second extract. Flows that write a
+    * database keep the two-phase prepareImport/commitImport path with its
+    * eager per-table validation and transaction. */
   def importPairSummary(w1: DataFrame, w2: DataFrame): DataFrame = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    // chains block awaiting extracts, so extracts run on their OWN pool —
-    // a shared fixed pool could fill with blocked chain threads and
-    // starve the extract tasks they wait on
-    val chainPool = java.util.concurrent.Executors.newFixedThreadPool(Graph.size)
-    val extractPool = java.util.concurrent.Executors.newFixedThreadPool(16)
-    val chainEc = ExecutionContext.fromExecutorService(chainPool)
-    val extractEc = ExecutionContext.fromExecutorService(extractPool)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(Graph.size, 16))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       val chains = Graph.toList.map { t =>
-        val s1F = Future(stagedExtract(t, w1))(extractEc)
-        val s2F = Future(stagedExtract(t, w2))(extractEc)
         Future {
-          val m1 = mergeOf(t, emptyState(t, w1), Await.result(s1F, PoolTimeout), stamp = 1L)
-          val m2 = mergeOf(t, m1.drop("action"), Await.result(s2F, PoolTimeout), stamp = 2L)
-          val proj = summaryOf(t, m2).localCheckpoint(false)
-          proj.queryExecution.toRdd.count()
+          val obs1 = new org.apache.spark.sql.Observation()
+          val obs2 = new org.apache.spark.sql.Observation()
+          val m1 = mergeOf(t, emptyState(t, w1), observedExtract(t, w1, obs1), stamp = 1L)
+          val m2 = mergeOf(t, m1.drop("action"), observedExtract(t, w2, obs2), stamp = 2L)
+          // EAGER checkpoint: materializes the fused chain and fires the
+          // CollectMetrics listeners (a raw toRdd.count() would not)
+          val proj = summaryOf(t, m2).localCheckpoint()
+          requireValidKeys(t, w1, obs1, "import 1")
+          requireValidKeys(t, w2, obs2, "import 2")
           proj
-        }(chainEc)
+        }
       }
-      Await.result(Future.sequence(chains)(scala.collection.BuildFrom.buildFromIterableOps, chainEc), PoolTimeout)
+      Await.result(Future.sequence(chains), PoolTimeout)
         .reduce(_ unionByName _)
         .repartition(1).sortWithinPartitions(col("table_name"), col("nk"))
-    } finally { chainPool.shutdownNow(); extractPool.shutdownNow() }
+    } finally pool.shutdownNow()
   }
 
   /** Phase 2: merge prepared extracts into the state. The per-table

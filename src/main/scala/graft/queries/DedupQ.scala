@@ -99,9 +99,8 @@ object DedupQ {
     * REPEATED corpus passes — exactly the materialized signature table a
     * 100 TB pipeline keeps next to the corpus so dedup, decontamination
     * and reporting never re-hash the text. */
-  private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def stage(s: SparkSession, dir: String): DataFrame =
-    stageCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    graft.StageCache.getOrCompute(s, s"dedup:$dir:sig") {
       graft.functions.VectorExpressions.register(s)
       import graft.functions.TextFunctions
       val docs = Tables.documents(s, dir)
@@ -117,7 +116,7 @@ object DedupQ {
       MinHashLsh.signatures(docs, "doc_id", "text",
         carry = Seq("content_hash", "split_bucket", "simhash", "n_tokens", "quality"))
         .localCheckpoint(false)
-    })
+    }
 
   /** Cached full-corpus LSH candidate pairs and their exact-Jaccard
     * scores, the two downstream stages several gates re-derived from the
@@ -125,20 +124,19 @@ object DedupQ {
     * and d_components the verified pairs, d_containment re-scores the
     * same candidates with its own metric. Same per-(session, dataset)
     * lifecycle as `stage`. */
-  private val candCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def candidates(s: SparkSession, dir: String): DataFrame =
-    candCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
-      MinHashLsh.candidatePairsFromSigs(stage(s, dir), "doc_id").localCheckpoint(false))
+    graft.StageCache.getOrCompute(s, s"dedup:$dir:cand") {
+      MinHashLsh.candidatePairsFromSigs(stage(s, dir), "doc_id").localCheckpoint(false)
+    }
 
-  private val jaccardCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   /** (a_id, b_id, jaccard) for every candidate pair, UNFILTERED — each
     * consumer applies its own threshold. */
   private def jaccardScored(s: SparkSession, dir: String): DataFrame =
-    jaccardCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+    graft.StageCache.getOrCompute(s, s"dedup:$dir:jaccard") {
       Dedup.jaccardOnPairs(candidates(s, dir), Tables.documents(s, dir), "doc_id", "text")
-        .localCheckpoint(false))
+        .localCheckpoint(false)
+    }
 
-  private val canonCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   /** The full-corpus canonical assignment (doc_id, canonical_id), the
     * terminal artifact of the dedup run — cached because BOTH the
     * assignment gate (d_components) and the observability gate (d_report)
@@ -152,11 +150,20 @@ object DedupQ {
     * (diff=0) and by the d_report gate hash against its collapse-route
     * oracle. */
   private def fullCanonical(s: SparkSession, dir: String): DataFrame =
-    canonCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+    graft.StageCache.getOrCompute(s, s"dedup:$dir:canonical") {
       Components.canonicalize(Tables.documents(s, dir).select(col("doc_id")), "doc_id",
           jaccardScored(s, dir).filter(col("jaccard") >= JaccardThreshold)
             .select(col("a_id"), col("b_id")))
-        .localCheckpoint(false))
+        .localCheckpoint(false)
+    }
+
+  /** Return the executor memory of this dataset's cached dedup stages
+    * (signatures, candidates, jaccard, canonical): evict + unpersist.
+    * A long-lived session iterating many datasets calls this when done
+    * with one — without it every checkpoint's blocks stay pinned for the
+    * session lifetime. Next gate over the same dir recomputes cleanly. */
+  def release(s: SparkSession, dir: String): Int =
+    graft.StageCache.release(s, s"dedup:$dir:")
 
   /** d_exact: exact dedup groups by normalized content hash (off the
     * shared stage — same aggregation as Dedup.exactGroups). */

@@ -18,6 +18,23 @@ object N2k {
   private val Lo1 = "1996-01-01"; private val Hi1 = "1998-01-01"
   private val Lo2 = "1997-01-01"; private val Hi2 = "1999-01-01"
 
+  /** THE materialized export span both n2k gates carve their windows from
+    * (e_store_n2k's two imports, e_fk_orphans' child/parent sides) —
+    * shared per (session, dataset) through StageCache so the fact join
+    * runs ONCE for the family, the way production stages one export and
+    * audits + merges from the same staging table. Release with
+    * `StageCache.release(s, "n2k:<dir>:")` when done with a dataset. */
+  private def span(s: SparkSession, dir: String): DataFrame =
+    graft.StageCache.getOrCompute(s, s"n2k:$dir:span") {
+      N2kBinding.window(s, dir, Lo1, Hi2, keepDate = true).localCheckpoint(false)
+    }
+
+  private def windows(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sp = span(s, dir)
+    (sp.filter(col("o_orderdate") < lit(Hi1).cast("timestamp_ntz")).drop("o_orderdate"),
+      sp.filter(col("o_orderdate") >= lit(Lo2).cast("timestamp_ntz")).drop("o_orderdate"))
+  }
+
   /** e_store_n2k: import window 1 into a pristine store (stamp 1, all
     * inserts), then the shifted window 2 (stamp 2) — the year the windows
     * share yields keeps/updates, the dropped year despawns on the link
@@ -25,13 +42,10 @@ object N2k {
     * all fourteen tables with its natural key, md5 surrogate id, merge
     * action and stamps. */
   def eStoreN2k(s: SparkSession, dir: String): DataFrame = {
-    // the two overlapping windows carve out of ONE materialized span, so
-    // the fact join is scanned once, not once per import (the reference
-    // stages each export in the database; at 100 TB this is a
+    // the two overlapping windows carve out of the ONE shared span (the
+    // reference stages each export in the database; at 100 TB this is a
     // staging-table write, not a localCheckpoint)
-    val span = N2kBinding.window(s, dir, Lo1, Hi2, keepDate = true).localCheckpoint()
-    val w1 = span.filter(col("o_orderdate") < lit(Hi1).cast("timestamp_ntz")).drop("o_orderdate")
-    val w2 = span.filter(col("o_orderdate") >= lit(Lo2).cast("timestamp_ntz")).drop("o_orderdate")
+    val (w1, w2) = windows(s, dir)
     // fused per-table chains: extract₁ ∥ extract₂ → merge₁ → merge₂ →
     // summary projection, concurrent across tables with no phase barrier
     // (importPairSummary's doc has the cost shape; the two-phase
@@ -64,9 +78,7 @@ object N2k {
     * ten folded into ONE job — no per-edge driver actions; output is
     * &#124;edges&#124; fixed rows. */
   def eFkOrphans(s: SparkSession, dir: String): DataFrame = {
-    val span = N2kBinding.window(s, dir, Lo1, Hi2, keepDate = true).localCheckpoint()
-    val w1 = span.filter(col("o_orderdate") < lit(Hi1).cast("timestamp_ntz")).drop("o_orderdate")
-    val w2 = span.filter(col("o_orderdate") >= lit(Lo2).cast("timestamp_ntz")).drop("o_orderdate")
+    val (w1, w2) = windows(s, dir)
     val byName = Graph.map(t => t.name -> t).toMap
     FkEdges.map { case (c, p, keys) =>
       val child = N2kBinding.extract(byName(c), w2).select(keys.map(col): _*)

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lifecycle pin for the shared stage cache: stages are computed once per
+  * (session, key), and release actually frees the checkpoint blocks — a
+  * long-lived session iterating datasets must be able to return executor
+  * memory, not pin every checkpoint until shutdown. */
+class StageCacheSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("getOrCompute runs the builder once per key; release frees blocks and evicts") {
+    var builds = 0
+    def build() = { builds += 1; Seq(1, 2, 3).toDF("v").localCheckpoint(false) }
+    val a = StageCache.getOrCompute(spark, "spec:dsA:stage")(build())
+    assert(a.count() == 3 && builds == 1)
+    StageCache.getOrCompute(spark, "spec:dsA:stage")(build())
+    assert(builds == 1, "second lookup must hit the cache")
+    assert(StageCache.isLive(spark, "spec:dsA:stage"),
+      "materialized stage must hold persisted blocks")
+    // release by dataset prefix: evicted AND blocks dropped
+    assert(StageCache.release(spark, "spec:dsA:") == 1)
+    assert(!StageCache.isLive(spark, "spec:dsA:stage"))
+    assert(org.apache.spark.sql.graftshim.CheckpointBridge.isPersisted(a) == false,
+      "release must unpersist the checkpoint RDD, not just evict the map entry")
+    // next consumer recomputes cleanly
+    val a2 = StageCache.getOrCompute(spark, "spec:dsA:stage")(build())
+    assert(builds == 2 && a2.count() == 3)
+    StageCache.release(spark, "spec:")
+  }
+
+  test("release is prefix-scoped: sibling datasets keep their stages") {
+    StageCache.getOrCompute(spark, "spec2:dsA:sig")(Seq(1).toDF("v").localCheckpoint(false))
+    StageCache.getOrCompute(spark, "spec2:dsB:sig")(Seq(2).toDF("v").localCheckpoint(false))
+    assert(StageCache.release(spark, "spec2:dsA:") == 1)
+    assert(!StageCache.isLive(spark, "spec2:dsA:sig"))
+    assert(StageCache.isLive(spark, "spec2:dsB:sig"))
+    StageCache.release(spark, "spec2:")
+  }
+
+  test("DedupQ.release drops the dedup family's stages for one dataset") {
+    val dir = "/root/testdata/sf0.001"
+    // drive a gate that populates the signature stage
+    graft.queries.DedupQ.dExact(spark, dir).queryExecution.toRdd.count()
+    assert(StageCache.isLive(spark, s"dedup:$dir:sig"))
+    assert(graft.queries.DedupQ.release(spark, dir) >= 1)
+    assert(!StageCache.isLive(spark, s"dedup:$dir:sig"))
+    // gates over the dataset still work after release (recompute)
+    assert(graft.queries.DedupQ.dExact(spark, dir).queryExecution.toRdd.count() > 0)
+  }
+}
