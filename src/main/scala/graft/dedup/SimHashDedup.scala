@@ -39,10 +39,11 @@ object SimHashDedup {
     * VectorExpressions.register on the session — simhash64 is a registered
     * SQL expression). Shared by signatures() and DedupQ's cached stage. */
   def signatureCol(textCol: String): org.apache.spark.sql.Column = {
-    // Spark SQL string literals unescape \\ → \, so double the class's
-    // backslashes to land the same [ \t\n\r\f]+ regex as the oracle side
-    val ws = graft.functions.TextFunctions.Ws.replace("\\", "\\\\")
-    expr(s"simhash64(transform(split(lower(trim($textCol)), '$ws+'), t -> $TokenHashSql))")
+    // Spark SQL string literals unescape \\ → \, so double the pattern's
+    // backslashes to land the same script-aware tokenizer as the oracle
+    // side (group 0 explicitly — Spark's default extract group is 1)
+    val pat = graft.functions.TextFunctions.TokenPattern.replace("\\", "\\\\")
+    expr(s"simhash64(transform(regexp_extract_all(lower(trim($textCol)), '$pat', 0), t -> $TokenHashSql))")
   }
 
   def signatures(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -125,8 +126,8 @@ object SimHash128 {
   /** (idCol, simhash_hi, simhash_lo) — one narrow projection, no shuffle. */
   def signatures(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    val ws = graft.functions.TextFunctions.Ws.replace("\\", "\\\\")
-    val toks = s"transform(split(lower(trim($textCol)), '$ws+'), t -> %s)"
+    val pat = graft.functions.TextFunctions.TokenPattern.replace("\\", "\\\\")
+    val toks = s"transform(regexp_extract_all(lower(trim($textCol)), '$pat', 0), t -> %s)"
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol),
         expr(s"simhash64(${toks.format(TokenHashHiSql)})").as("simhash_hi"),

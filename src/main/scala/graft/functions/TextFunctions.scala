@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * semantics so every operator has an exact oracle.
   *
   * Conventions shared with the oracle SQL:
-  *  - tokens = lowercase, trim, split on \s+
+  *  - tokens = lowercase, trim, script-aware extraction (TokenPattern):
+  *    whitespace-delimited runs, except Han per-char and Kana/Hangul/Thai
+  *    per same-script run
   *  - shingles are word 3-grams (partial shingle when the doc is shorter)
   *  - hashes derive from md5 hex; numeric hashes take 15 hex chars (60
   *    bits, sign-safe in a 64-bit long in both engines)
@@ -27,7 +29,34 @@ object TextFunctions {
     * as a Java regex and inside a SQL string literal. */
   val Ws = "[ \\t\\n\\r\\f]"
 
-  def tokens(text: Column): Column = split(lower(trim(text)), s"$Ws+")
+  /** Script codepoint ranges for non-whitespace-delimited writing systems
+    * — LITERAL BMP characters (never `\p{script}` classes, whose Unicode
+    * tables differ between Java regex and RE2), so the identical pattern
+    * string drives both engines. Public Unicode block boundaries. */
+  val HanRange = "\u4e00-\u9fff"    // CJK Unified Ideographs
+  val KanaRange = "\u3040-\u30ff"   // Hiragana + Katakana
+  val HangulRange = "\uac00-\ud7af" // Hangul syllables
+  val ThaiRange = "\u0e00-\u0e7f"   // Thai
+
+  /** Script-aware token pattern: Han ideographs tokenize per character
+    * (the standard unigram segmentation — Chinese has no word delimiter),
+    * Kana/Hangul/Thai as same-script runs, everything else as
+    * non-whitespace runs exactly like the old whitespace split. The
+    * alternative classes are DISJOINT, so Java's and RE2's shared
+    * leftmost-first alternation yields identical tokens. */
+  val TokenPattern: String =
+    s"[$HanRange]|[$KanaRange]+|[$HangulRange]+|[$ThaiRange]+|" +
+      s"[^$HanRange$KanaRange$HangulRange$ThaiRange \\t\\n\\r\\f]+"
+
+  /** Tokenize: lowercase, trim, script-aware extraction (see TokenPattern).
+    * For whitespace-script text this equals the classic `split(\s+)` —
+    * except that empty/all-whitespace input yields [] rather than a
+    * single empty token, which is the saner count. A CJK/Thai document —
+    * one giant "token" under a whitespace split, invisible to every
+    * token-based quality/dedup/packing operator — now yields real
+    * per-character/per-run tokens. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(trim(text)), lit(TokenPattern), lit(0))
 
   /** Word 3-gram shingles, distinct. 0-based `get` mirrors DuckDB's 1-based
     * list indexing with null-skipping concat_ws on both sides. */
@@ -81,13 +110,35 @@ object TextFunctions {
   def langHits(toks: Column, profile: Seq[String]): Column =
     size(filter(toks, t => t.isin(profile.map(x => x: Any): _*)))
 
-  /** Deterministic argmax over profiles: first language (in LangProfiles
-    * order) whose hit count equals the maximum. Mirrors the oracle's CASE
-    * chain exactly, including ties. */
-  def langId(toks: Column): Column = {
+  /** Charset profiles for the script-count langid fallback: language →
+    * codepoint range (order = deterministic tie-break, mirrored by the
+    * oracle CASE chain). */
+  val ScriptProfiles: Seq[(String, String)] = Seq(
+    "zh" -> HanRange, "ja" -> KanaRange, "ko" -> HangulRange, "th" -> ThaiRange)
+
+  /** Characters of `text` inside a codepoint range (both engines count
+    * CHARACTERS, not bytes; ranges stay in the BMP so no surrogate
+    * mismatch). */
+  def scriptCount(text: Column, range: String): Column =
+    length(text) - length(regexp_replace(text, s"[$range]", ""))
+
+  /** Deterministic argmax over stopword profiles: first language (in
+    * LangProfiles order) whose hit count equals the maximum. When NO
+    * profile hits — the whole failure mode of stopword langid on
+    * non-whitespace scripts — fall back to the dominant SCRIPT by
+    * character count (ScriptProfiles order breaks ties; note Kana decides
+    * ja vs zh for Japanese text, which is mostly Han + Kana, via the zh
+    * stopword profile only when 的-class tokens appear). Mirrors the
+    * oracle's CASE chain exactly, including ties. */
+  def langId(text: Column, toks: Column): Column = {
     val hits = LangProfiles.map { case (l, p) => l -> langHits(toks, p) }
     val maxHits = greatest(hits.map(_._2): _*)
-    hits.foldRight(lit("und")) { case ((l, h), acc) => when(h === maxHits && maxHits > 0, lit(l)).otherwise(acc) }
+    val scripts = ScriptProfiles.map { case (l, r) => l -> scriptCount(text, r) }
+    val maxScript = greatest(scripts.map(_._2): _*)
+    val fallback = scripts.foldRight(lit("und")) { case ((l, c), acc) =>
+      when(c === maxScript && maxScript > 0, lit(l)).otherwise(acc) }
+    hits.foldRight(fallback) { case ((l, h), acc) =>
+      when(h === maxHits && maxHits > 0, lit(l)).otherwise(acc) }
   }
 
   /** Document fingerprint: minimum md5 over 8-char shingles (winnowing-style

@@ -20,7 +20,7 @@ object DedupQ {
     s"""sh AS (
       |  SELECT doc_id, list_distinct([concat_ws(' ', l[i+1], l[i+2], l[i+3])
       |    for i in range(0, greatest(len(l)-2, 1))]) AS sh
-      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\r\f]+') AS l FROM $src))""".stripMargin
+      |  FROM (SELECT doc_id, ${Text.toksSql} AS l FROM $src))""".stripMargin
 
   private val shingleCte = shingleCteFor("documents")
 
@@ -440,9 +440,9 @@ object DedupQ {
     val bitTerms = (0 until 60).map { b =>
       s"(CASE WHEN 2 * list_sum([(h >> $b) & 1 for h in hs]) >= len(hs) THEN (1::BIGINT << $b) ELSE 0 END)"
     }.mkString(" + ")
-    """WITH th AS (
+    s"""WITH th AS (
       |  SELECT doc_id,
-      |    [('0x' || substr(md5(t), 1, 15))::BIGINT for t in string_split_regex(lower(trim(text)), '[ \t\n\r\f]+')] AS hs
+      |    [('0x' || substr(md5(t), 1, 15))::BIGINT for t in ${Text.toksSql}] AS hs
       |  FROM documents),
       |""".stripMargin +
       s"sim AS (SELECT doc_id, $bitTerms AS simhash FROM th),\n" +
@@ -478,10 +478,10 @@ object DedupQ {
     def bitTerms(hsCol: String) = (0 until 60).map { b =>
       s"(CASE WHEN 2 * list_sum([(h >> $b) & 1 for h in $hsCol]) >= len($hsCol) THEN (1::BIGINT << $b) ELSE 0 END)"
     }.mkString(" + ")
-    """WITH th AS (
+    s"""WITH th AS (
       |  SELECT doc_id,
-      |    [('0x' || substr(md5(t), 1, 15))::BIGINT for t in string_split_regex(lower(trim(text)), '[ \t\n\r\f]+')] AS hs_hi,
-      |    [('0x' || substr(md5(t), 17, 15))::BIGINT for t in string_split_regex(lower(trim(text)), '[ \t\n\r\f]+')] AS hs_lo
+      |    [('0x' || substr(md5(t), 1, 15))::BIGINT for t in ${Text.toksSql}] AS hs_hi,
+      |    [('0x' || substr(md5(t), 17, 15))::BIGINT for t in ${Text.toksSql}] AS hs_lo
       |  FROM documents),
       |""".stripMargin +
       s"sim AS (SELECT doc_id, ${bitTerms("hs_hi")} AS sh_hi, ${bitTerms("hs_lo")} AS sh_lo FROM th),\n" +

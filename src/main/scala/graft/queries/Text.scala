@@ -11,11 +11,32 @@ import graft.functions.TextFunctions._
   * stopword lists / profiles cannot drift. */
 object Text {
 
-  /** DuckDB token expression — must mirror TextFunctions.tokens (explicit
-    * whitespace class, see TextFunctions.Ws for why never `\s`). Shared
-    * with the curation pipeline oracle in DedupQ. */
-  private[queries] val toksSql = s"string_split_regex(lower(trim(text)), '${graft.functions.TextFunctions.Ws}+')"
+  /** DuckDB token expression — must mirror TextFunctions.tokens: the SAME
+    * script-aware TokenPattern string drives both engines (literal BMP
+    * chars + the explicit whitespace class, see TextFunctions.Ws for why
+    * never `\s`). Shared with the curation pipeline oracle in DedupQ. */
+  private[queries] val toksSql =
+    s"regexp_extract_all(lower(trim(text)), '${graft.functions.TextFunctions.TokenPattern}')"
   private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB language-id CASE — must mirror TextFunctions.langId: stopword
+    * argmax (requires `toks` and `__mx` in scope), script-count fallback
+    * (requires `text` in scope). */
+  private[queries] val langMaxSql: String = {
+    val hits = graft.functions.TextFunctions.LangProfiles.map { case (_, p) =>
+      s"len(list_filter(toks, t -> t IN (${inList(p)})))" }
+    s"greatest(${hits.mkString(", ")})"
+  }
+  private[queries] val langCaseSql: String = {
+    val hits = graft.functions.TextFunctions.LangProfiles.map { case (l, p) =>
+      l -> s"len(list_filter(toks, t -> t IN (${inList(p)})))" }
+    val cases = hits.map { case (l, h) => s"WHEN $h = __mx AND __mx > 0 THEN '$l'" }.mkString(" ")
+    val scripts = graft.functions.TextFunctions.ScriptProfiles.map { case (l, r) =>
+      l -> s"(length(text) - length(regexp_replace(text, '[$r]', '', 'g')))" }
+    val smax = s"greatest(${scripts.map(_._2).mkString(", ")})"
+    val scases = scripts.map { case (l, c) => s"WHEN $c = $smax AND $smax > 0 THEN '$l'" }.mkString(" ")
+    s"CASE $cases ELSE (CASE $scases ELSE 'und' END) END"
+  }
 
   /** t_tokens: whitespace + BPE-ish token counting (regex-heavy narrow map
     * — repartition off the single parquet split). */
@@ -60,23 +81,21 @@ object Text {
        |  $qualitySqlExpr AS quality
        |FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) ORDER BY doc_id""".stripMargin
 
-  /** t_langid: stopword-profile language identification. */
+  /** t_langid: stopword-profile language identification with a
+    * charset-profile fallback — a document whose script carries no
+    * whitespace-split stopwords (CJK/Thai) classifies by dominant script
+    * instead of falling out as 'und'. */
   def tLangid(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
-    d.select(col("doc_id"), langId(col("toks")).as("lang_pred"))
+    d.select(col("doc_id"), langId(col("text"), col("toks")).as("lang_pred"))
       .orderBy(col("doc_id"))
   }
 
-  val tLangidSql: String = {
-    val hits = LangProfiles.map { case (l, p) =>
-      l -> s"len(list_filter(toks, t -> t IN (${inList(p)})))" }
-    val mx = s"greatest(${hits.map(_._2).mkString(", ")})"
-    val cases = hits.map { case (l, h) => s"WHEN $h = __mx AND __mx > 0 THEN '$l'" }.mkString(" ")
-    s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
-       |FROM (SELECT doc_id, toks, $mx AS __mx
-       |      FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+  val tLangidSql: String =
+    s"""SELECT doc_id, $langCaseSql AS lang_pred
+       |FROM (SELECT doc_id, text, toks, $langMaxSql AS __mx
+       |      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** t_fingerprint: winnowing-style min-hash char-shingle fingerprint.
     * Repartitioned first: ~n_chars md5 calls per doc are CPU-bound and the
@@ -391,7 +410,7 @@ object Text {
     val d = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", tokens(col("text")))
-    val counts = d.select(langId(col("toks")).as("domain"))
+    val counts = d.select(langId(col("text"), col("toks")).as("domain"))
       .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
     val total = counts.agg(sum(col("n_docs")).as("total"))
     val targets = DomainTargets.toDF("domain", "target_share")
@@ -404,15 +423,10 @@ object Text {
   }
 
   val tDomainWeightsSql: String = {
-    val langInner = {
-      val hits = graft.functions.TextFunctions.LangProfiles.map { case (l, p) =>
-        l -> s"len(list_filter(toks, t -> t IN (${inList(p)})))" }
-      val mx = s"greatest(${hits.map(_._2).mkString(", ")})"
-      val cases = hits.map { case (l, h) => s"WHEN $h = __mx AND __mx > 0 THEN '$l'" }.mkString(" ")
-      s"""SELECT CASE $cases ELSE 'und' END AS domain
-         |FROM (SELECT toks, $mx AS __mx
-         |      FROM (SELECT $toksSql AS toks FROM documents))""".stripMargin
-    }
+    val langInner =
+      s"""SELECT $langCaseSql AS domain
+         |FROM (SELECT text, toks, $langMaxSql AS __mx
+         |      FROM (SELECT text, $toksSql AS toks FROM documents))""".stripMargin
     val tgtRows = DomainTargets.map { case (l, t) => s"('$l', ${t}::DOUBLE)" }.mkString(", ")
     s"""WITH lid AS ($langInner),
        |counts AS (SELECT domain, COUNT(*) AS n_docs FROM lid GROUP BY 1),
@@ -462,7 +476,7 @@ object Text {
     val d = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", tokens(col("text")))
-    val tagged = d.select(col("doc_id"), langId(col("toks")).as("domain"),
+    val tagged = d.select(col("doc_id"), langId(col("text"), col("toks")).as("domain"),
         (conv(substring(md5(concat(lit(salt), col("text"))), 1, 15), 16, 10)
           .cast("long") % 100).as("bucket"))
       .localCheckpoint(false) // feeds the count agg AND the per-doc join
@@ -482,16 +496,11 @@ object Text {
   }
 
   private def rebalanceSqlWithSalt(salt: String): String = {
-    val langInner = {
-      val hits = graft.functions.TextFunctions.LangProfiles.map { case (l, p) =>
-        l -> s"len(list_filter(toks, t -> t IN (${inList(p)})))" }
-      val mx = s"greatest(${hits.map(_._2).mkString(", ")})"
-      val cases = hits.map { case (l, h) => s"WHEN $h = __mx AND __mx > 0 THEN '$l'" }.mkString(" ")
-      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS domain,
+    val langInner =
+      s"""SELECT doc_id, $langCaseSql AS domain,
          |  ('0x' || substr(md5('$salt' || text), 1, 15))::BIGINT % 100 AS bucket
-         |FROM (SELECT doc_id, text, toks, $mx AS __mx
+         |FROM (SELECT doc_id, text, toks, $langMaxSql AS __mx
          |      FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))""".stripMargin
-    }
     val tgtRows = DomainTargets.map { case (l, t) => s"('$l', ${t}::DOUBLE)" }.mkString(", ")
     s"""WITH lid AS ($langInner),
        |counts AS (SELECT domain, COUNT(*) AS n_docs FROM lid GROUP BY 1),

@@ -18,7 +18,7 @@ class TextFunctionsSpec extends AnyFunSuite {
       "der hund und die katze ist da",       // de
       "xyzzy qwerty plugh")                  // none
       .toDF("text").withColumn("toks", tokens(col("text")))
-    val got = df.select(langId(col("toks"))).as[String].collect().toSeq
+    val got = df.select(langId(col("text"), col("toks"))).as[String].collect().toSeq
     assert(got == Seq("en", "fr", "de", "und"))
   }
 
