@@ -520,7 +520,10 @@ object Similarity {
     * same plan shape, one extra subtraction before encoding. Output is
     * deterministic (fold-order-pinned distances, ties on n_id) and
     * exactly replayed by the DuckDB oracle. */
-  def sIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
+  /** The IVF+PQ ADC candidate frame (q_id, n_id, ad) — shared by
+    * s_ivfpq_search (direct top-k) and s_ivfpq_rerank (shortlist +
+    * exact refine). */
+  private def ivfPqAdcScored(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     graft.functions.VectorExpressions.register(s)
     // coarse quantizer + corpus bucket assignment (aggregation argmax —
@@ -544,16 +547,53 @@ object Similarity {
       .join(buckets, "vec_id").localCheckpoint()
     // bucket pruning FIRST (broadcast probe list), then the ADC LUT fold
     val pruned = codes.join(broadcast(probes), Seq("bucket"))
-    val scored = pqLuts(parts).zipWithIndex.foldLeft(pruned) { case (df, (lut, m)) =>
+    pqLuts(parts).zipWithIndex.foldLeft(pruned) { case (df, (lut, m)) =>
       df.join(broadcast(lut), Seq("q_id", s"code_$m"))
     }
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (0 until PqM).map(m => col(s"d_$m")).reduce(_ + _).as("ad"))
+  }
+
+  def sIvfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val scored = ivfPqAdcScored(s, dir)
     val top = graft.plans.TopK.perKey(scored, Seq("q_id"),
       Seq(col("ad").asc, col("n_id").asc), 5)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("ad"), col("n_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("q_id"), col("n_id"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Shortlist factor for the re-rank refine: k' = RerankFactor · k ADC
+    * candidates feed the exact pass (the FAISS-standard refine ratio). */
+  val RerankFactor = 3
+
+  /** s_ivfpq_rerank: the standard PRODUCTION configuration s_ivfpq_search
+    * stops short of — ADC ranks a k' = 3k shortlist through the byte
+    * codes, then the shortlist ONLY is re-scored with exact cosine
+    * against the full vectors and the final top-k comes from the exact
+    * scores. This converts PQ's quantization error into recall: ADC only
+    * has to keep the true neighbors inside the top-3k (cheap), exactness
+    * comes from k'·|Q| full-width dot products instead of N·|Q|. Scale
+    * shape: the shortlist (with its query vectors) is k'·|Q| rows —
+    * broadcast into ONE corpus-keyed join that fetches candidate vectors;
+    * the corpus is still never scanned at full width for scoring. */
+  def sIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val shortlist = graft.plans.TopK.perKey(ivfPqAdcScored(s, dir), Seq("q_id"),
+      Seq(col("ad").asc, col("n_id").asc), 5 * RerankFactor)
+    val qv = queriesSubset(e)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // exact refine: fetch candidate vectors by ONE broadcast id join
+    val exact = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      .join(broadcast(shortlist.join(broadcast(qv), Seq("q_id"))), Seq("n_id"))
+      .withColumn("cos", coalesce(expr("cosine_sim(q_vec, n_vec)"), lit(-1.0)))
+    val top = graft.plans.TopK.perKey(exact, Seq("q_id"),
+      Seq(col("cos").desc, col("n_id").asc), 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     top.withColumn("rnk", row_number().over(w))
       .select(col("q_id"), col("n_id"), col("rnk"))
       .orderBy(col("q_id"), col("rnk"))
@@ -600,6 +640,56 @@ object Similarity {
        |SELECT q_id, n_id, rnk FROM (
        |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, n_id) AS rnk
        |  FROM scored)
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** Oracle: the sIvfPqSearchSql pipeline to `scored`, shortlist at
+    * rnk ≤ 3k, exact cosine against the raw vectors, final top-5 from
+    * the exact scores. */
+  val sIvfPqRerankSql: String = {
+    val coarseIters = (1 to 2).flatMap(i => Seq(
+      kmAssignCte("pts", s"c${i - 1}", s"a$i"), kmRecenterCte(s"a$i", s"c$i")))
+    val luts = (0 until PqM).map { m =>
+      s"""lut_$m AS (
+         |  SELECT q.p_id AS q_id, c.c_id, ${dotSql("q.pv", "q.pv")} - 2 * ${dotSql("q.pv", "c.cv")} + ${dotSql("c.cv", "c.cv")} AS d_$m
+         |  FROM (SELECT p_id, pv FROM pts_$m WHERE p_id % 50 = 0) q CROSS JOIN c1_$m c)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until PqM).map(m => s"JOIN f_$m ON f_$m.p_id = f_0.p_id").mkString(" ")
+    val lutJoins = (0 until PqM).map { m =>
+      if (m == 0) s"JOIN lut_0 ON lut_0.c_id = f_0.c_id"
+      else s"JOIN lut_$m ON lut_$m.q_id = lut_0.q_id AND lut_$m.c_id = f_$m.c_id"
+    }.mkString(" ")
+    val adSum = (0 until PqM).map(m => s"lut_$m.d_$m").mkString(" + ")
+    s"""WITH pts AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding] AS pv FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding] AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+       |${coarseIters.mkString(",\n")},
+       |bkt AS (
+       |  SELECT n_id, bucket FROM (
+       |    SELECT p.p_id AS n_id, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY p.p_id ORDER BY COALESCE(${cosSql("p.pv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM pts p CROSS JOIN c2 c) WHERE rn = 1),
+       |pr AS (
+       |  SELECT q_id, bucket FROM (
+       |    SELECT q.p_id AS q_id, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY q.p_id ORDER BY COALESCE(${cosSql("q.pv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM (SELECT p_id, pv FROM pts WHERE p_id % 50 = 0) q CROSS JOIN c2 c) WHERE rn <= 2),
+       |$pqCtesSql,
+       |$luts,
+       |scored AS (
+       |  SELECT lut_0.q_id, f_0.p_id AS n_id, $adSum AS ad
+       |  FROM f_0 $codeJoins $lutJoins
+       |  JOIN bkt ON bkt.n_id = f_0.p_id
+       |  JOIN pr ON pr.bucket = bkt.bucket AND pr.q_id = lut_0.q_id
+       |  WHERE f_0.p_id <> lut_0.q_id),
+       |short AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ad, n_id) AS rnk
+       |  FROM scored) WHERE rnk <= ${5 * RerankFactor}),
+       |exact AS (
+       |  SELECT s.q_id, s.n_id, COALESCE(${cosSql("q.pv", "n.pv")}, -1.0) AS cos
+       |  FROM short s JOIN pts q ON q.p_id = s.q_id JOIN pts n ON n.p_id = s.n_id)
+       |SELECT q_id, n_id, rnk FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM exact)
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
@@ -999,6 +1089,7 @@ object Similarity {
     "s_pq"        -> sPq _,
     "s_pq_search" -> sPqSearch _,
     "s_ivfpq_search" -> sIvfPqSearch _,
+    "s_ivfpq_rerank" -> sIvfPqRerank _,
     "s_ivfpq_residual" -> sIvfPqResidual _,
     "s_quantize"  -> sQuantize _,
     "s_knn_brute" -> sKnnBrute _,
@@ -1017,6 +1108,7 @@ object Similarity {
     "s_pq"        -> sPqSql,
     "s_pq_search" -> sPqSearchSql,
     "s_ivfpq_search" -> sIvfPqSearchSql,
+    "s_ivfpq_rerank" -> sIvfPqRerankSql,
     "s_ivfpq_residual" -> sIvfPqResidualSql,
     "s_quantize"  -> sQuantizeSql,
     "s_knn_brute" -> sKnnBruteSql,

@@ -94,6 +94,71 @@ object IvfIndex {
     fs.delete(staging, true)
   }
 
+  /** Bucket-occupancy report of a built index: (bucket, n, share) — the
+    * s_ivf_stats imbalance signal read from the persisted layout. One
+    * aggregation over the column-pruned bucket scan; |C| output rows. */
+  def stats(spark: SparkSession, path: String): DataFrame = {
+    val counts = spark.read.parquet(s"$path/buckets")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
+      .select(col("bucket"), col("n"),
+        (col("n").cast("double") / col("total").cast("double")).as("share"))
+  }
+
+  /** The maintenance operator a pipeline schedules against the stats()
+    * signal: when any bucket holds more than `maxShare` of the corpus,
+    * SPLIT each overloaded cell — a `splitFactor`-way Lloyd retrain on
+    * that cell's own members — and rewrite ONLY those buckets' files plus
+    * the |C|-row centroid table. Untouched cells keep their files and
+    * their centroids: the rebuild cost is proportional to the overloaded
+    * mass, not the corpus (the append path's staged-rename commit,
+    * reused). Probes see a coherent index throughout their usual
+    * contract: every vector sits in exactly one cell of the updated
+    * centroid table, and queries that rank the updated centroids probe
+    * the new sub-cells exactly like any others. Crash mid-swap is
+    * repaired by re-running (stale staging is cleared; the split
+    * re-derives from whatever bucket files survive).
+    *
+    * @return true if a rebuild fired (some bucket exceeded maxShare) */
+  def rebuildIfImbalanced(spark: SparkSession, path: String,
+      maxShare: Double = 0.25, splitFactor: Int = 2, iters: Int = 2): Boolean = {
+    VectorExpressions.register(spark)
+    val overloaded = stats(spark, path).filter(col("share") > maxShare)
+      .select(col("bucket")).collect().map(_.getAs[Number](0).longValue).sorted
+    if (overloaded.isEmpty) return false
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(s"$path/_staging_rebuild")
+    fs.delete(staging, true) // clear any crashed prior attempt's leftovers
+    val centroids = spark.read.parquet(s"$path/centroids")
+    var nextId = centroids.agg(max(col("c_id"))).head().getLong(0) + 1
+    val newCells = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (b <- overloaded) {
+      val members = spark.read.parquet(s"$path/buckets")
+        .filter(col("bucket") === b).select(col("n_id"), col("n_vec"))
+      // sub-cell centroids trained on the cell's members only, relabeled
+      // past the existing id space so cell ids never collide
+      val sub = Kmeans.fit(spark, members, "n_id", "n_vec", splitFactor, iters)
+      val relabeled = sub
+        .withColumn("rn", row_number().over(Window.orderBy(col("c_id"))))
+        .select((col("rn").cast("long") + lit(nextId - 1)).as("c_id"), col("c_vec"))
+        .localCheckpoint()
+      nextId += splitFactor
+      newCells += relabeled
+      Knn.assignBuckets(spark, members, relabeled, "n_id", "n_vec")
+        .write.mode("append").partitionBy("bucket").parquet(staging.toString)
+    }
+    // swap: drop the split cells' old files, move the staged sub-cells in,
+    // then replace the split rows of the |C|-row centroid table
+    for (b <- overloaded) fs.delete(new Path(s"$path/buckets/bucket=$b"), true)
+    commitStaged(fs, staging, new Path(s"$path/buckets"))
+    val updated = (Seq(centroids.filter(
+        !col("c_id").isin(overloaded.map(x => x: Any): _*))) ++ newCells)
+      .reduce(_ unionByName _).localCheckpoint() // materialize before the overwrite below deletes its input
+    updated.write.mode("overwrite").parquet(s"$path/centroids")
+    true
+  }
+
   /** ANN top-k against a built index. Queries need (idCol, vecCol). */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
