@@ -28,6 +28,14 @@ import graft.multimodal.Multimodal.{Blob, Frame, FrameDecoder}
   * the per-doc window totals. Each blob's samples materialize eagerly
   * (bounded by the blob, the multimodal schema's unit of work) while the
   * partition iterator streams blob-to-blob.
+  *
+  * PLUGGABLE CODECS: every decode routes through AudioSystem, whose
+  * providers load from the classpath by the JDK's standard ServiceLoader
+  * SPI (javax.sound.sampled.spi.AudioFileReader / .FormatConversionProvider
+  * named in META-INF/services). Real corpora arriving as MP3/Opus need
+  * only a provider jar on the executor classpath — zero changes to any
+  * operator here. AudioSpiSpec proves the seam with a stub provider for a
+  * foreign container decoding bit-identically to the WAV route.
   */
 object Audio {
 
