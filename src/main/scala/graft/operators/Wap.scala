@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write–Audit–Publish for file snapshots — the lakehouse analogue of the
+  * reference's staged-table transaction: a new snapshot lands in an
+  * UNPUBLISHED staging directory, the audit (Quarantine/Validate rules)
+  * runs against the staged files, and only a passing audit atomically
+  * swings the `current` pointer. Readers resolve through the pointer, so
+  * they see the previous snapshot until the instant of publish, a failed
+  * audit leaves production untouched with the staged files parked for
+  * inspection, and the superseded snapshot stays on disk for rollback.
+  *
+  * Layout under `root/`:
+  *   snap-<label>/   immutable snapshot directories (parquet)
+  *   current         one-line pointer file naming the published snapshot
+  *
+  * The publish step is a pointer-file REPLACE (write tmp + rename) — the
+  * smallest atomic unit every Hadoop filesystem offers. Concurrent
+  * readers either see the old pointer or the new one, never a torn
+  * state. (On object stores without atomic rename, swap the pointer file
+  * for a metastore/catalog entry — same contract, same seam.)
+  */
+object Wap {
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Stage a snapshot: write `df` under snap-<label>, NOT visible to
+    * readers until publish. Returns the staged path. */
+  def stage(spark: SparkSession, root: String, label: String, df: DataFrame): String = {
+    val path = s"$root/snap-$label"
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** Audit a staged snapshot with quarantine rules; returns the count of
+    * violating rows (0 = clean). The audit reads the STAGED FILES — what
+    * will be published, not the frame that produced them. */
+  def audit(spark: SparkSession, root: String, label: String,
+      rules: Seq[Quarantine.Rule]): Long =
+    Quarantine.annotate(spark.read.parquet(s"$root/snap-$label"), rules)
+      .filter(col("quarantine_reasons").isNotNull).count()
+
+  /** Atomically publish a staged snapshot: replace the `current` pointer.
+    * Throws if the audit finds violations — production stays on the
+    * previous snapshot and the staged directory is left for inspection. */
+  def publish(spark: SparkSession, root: String, label: String,
+      rules: Seq[Quarantine.Rule]): Unit = {
+    val bad = audit(spark, root, label, rules)
+    require(bad == 0L,
+      s"audit failed for snap-$label: $bad violating rows — not publishing")
+    val f = fs(spark, root)
+    val tmp = new Path(s"$root/current.tmp")
+    val cur = new Path(s"$root/current")
+    val out = f.create(tmp, true)
+    try out.write(s"snap-$label".getBytes("UTF-8")) finally out.close()
+    // rename with overwrite semantics: delete-then-rename is the portable
+    // HDFS idiom; the pointer write itself happened off to the side
+    f.delete(cur, false)
+    require(f.rename(tmp, cur), s"pointer swap failed for snap-$label")
+  }
+
+  /** The published snapshot's label, if any. */
+  def currentLabel(spark: SparkSession, root: String): Option[String] = {
+    val f = fs(spark, root)
+    val cur = new Path(s"$root/current")
+    if (!f.exists(cur)) None
+    else {
+      val in = f.open(cur)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  /** Read through the pointer: the published snapshot, as readers do. */
+  def readCurrent(spark: SparkSession, root: String): DataFrame = {
+    val label = currentLabel(spark, root).getOrElse(
+      throw new IllegalStateException(s"no published snapshot under $root"))
+    spark.read.parquet(s"$root/$label")
+  }
+}

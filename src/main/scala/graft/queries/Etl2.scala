@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Quarantine
+
+/** ETL surface, continued (SURVEY.md §2B): row-level quarantine and
+  * dataset drift monitoring. */
+object Etl2 {
+
+  /** The e_quarantine rule set — rule order IS the reasons order on both
+    * engines. qty fires on roughly half the rows, discount on a minority,
+    * price never: the output exercises single- and multi-reason rows and
+    * proves passing rules leave no trace. */
+  private val QRules = Seq(
+    Quarantine.Rule("qty_le_25", col("l_quantity") <= 25),
+    Quarantine.Rule("discount_le_5pct", col("l_discount") <= 0.05),
+    Quarantine.Rule("price_positive", col("l_extendedprice") > 0))
+
+  /** e_quarantine: divert-don't-abort validation — the ingest pattern
+    * between the reference's stop-on-invalid (right for keyed dims) and
+    * silent dropping: rows violating any rule land in the quarantine
+    * frame annotated with every violated rule, clean rows flow on. ONE
+    * narrow projection evaluates all rules (no per-rule pass, no
+    * shuffle); output here is the quarantine sink's content. */
+  def eQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val (_, bad) = Quarantine.split(Tables.lineitem(s, dir), QRules)
+    bad.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_discount"),
+        col("quarantine_reasons"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_discount"))
+  }
+
+  val eQuarantineSql: String = {
+    val parts = Seq(
+      "CASE WHEN NOT COALESCE(l_quantity <= 25, FALSE) THEN 'qty_le_25' END",
+      "CASE WHEN NOT COALESCE(l_discount <= 0.05, FALSE) THEN 'discount_le_5pct' END",
+      "CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE) THEN 'price_positive' END")
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_discount,
+       |  quarantine_reasons
+       |FROM (SELECT *, concat_ws(',', ${parts.mkString(", ")}) AS quarantine_reasons
+       |      FROM lineitem)
+       |WHERE quarantine_reasons <> ''
+       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_discount""".stripMargin
+  }
+
+  /** Histogram bin width (chars) for the drift report. */
+  private val DriftBinWidth = 200
+
+  /** e_drift: dataset-drift report between two corpus snapshots — the
+    * monitor a training-data pipeline runs when a new crawl lands:
+    * document-length histograms of the reference and current snapshots
+    * (doc_id parity stands in for the two crawls) compared per bucket.
+    * `drift_num` is the EXACT integer cross-difference
+    * &#124;n_cur·total_ref − n_ref·total_cur&#124; — the total-variation
+    * numerator, so bucket drift ranks without any floating summation
+    * (share doubles are pinned single divisions for display). Scale
+    * shape: two map-side-partial aggregations over narrow projections,
+    * one &#124;bins&#124;-row outer join; output is bin-bounded at any
+    * corpus size. */
+  def eDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(s"CAST(length(text) AS BIGINT) div $DriftBinWidth").as("bucket"))
+    def hist(side: DataFrame) = side.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val ref = hist(d.filter(col("doc_id") % 2 === 0)).select(col("bucket"), col("n").as("n_ref"))
+    val cur = hist(d.filter(col("doc_id") % 2 === 1)).select(col("bucket"), col("n").as("n_cur"))
+    val joined = ref.join(cur, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        (col("n_ref").cast("double") / col("t_ref").cast("double")).as("share_ref"),
+        (col("n_cur").cast("double") / col("t_cur").cast("double")).as("share_cur"),
+        abs(col("n_cur") * col("t_ref") - col("n_ref") * col("t_cur")).as("drift_num"))
+      .orderBy(col("bucket"))
+  }
+
+  val eDriftSql: String =
+    s"""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) // $DriftBinWidth AS bucket FROM documents),
+       |r AS (SELECT bucket, COUNT(*) AS n_ref FROM d WHERE doc_id % 2 = 0 GROUP BY 1),
+       |c AS (SELECT bucket, COUNT(*) AS n_cur FROM d WHERE doc_id % 2 = 1 GROUP BY 1),
+       |j AS (SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+       |        COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+       |      FROM r FULL JOIN c ON r.bucket = c.bucket),
+       |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM j)
+       |SELECT bucket, n_ref, n_cur,
+       |  CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) AS share_ref,
+       |  CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE) AS share_cur,
+       |  abs(n_cur * t_ref - n_ref * t_cur) AS drift_num
+       |FROM j, t ORDER BY bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_quarantine" -> eQuarantine _,
+    "e_drift"      -> eDrift _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e_quarantine" -> eQuarantineSql,
+    "e_drift"      -> eDriftSql,
+  )
+}
