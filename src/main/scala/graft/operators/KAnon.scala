@@ -21,4 +21,15 @@ object KAnon {
     df.groupBy(qi: _*)
       .agg(count(lit(1)).as("n"))
       .filter(col("n") < k)
+
+  /** l-diversity audit — the leak k-anonymity misses: a QI group can be
+    * comfortably k-anonymous yet carry only ONE sensitive value, so
+    * membership alone discloses the sensitive attribute (homogeneity
+    * attack). Violating groups have fewer than l DISTINCT sensitive
+    * values; same single keyed aggregation, the distinct count rides the
+    * shuffle as an extra aggregate. */
+  def auditDiversity(df: DataFrame, qi: Seq[Column], sensitive: Column, l: Int): DataFrame =
+    df.groupBy(qi: _*)
+      .agg(count(lit(1)).as("n"), countDistinct(sensitive).as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
 }

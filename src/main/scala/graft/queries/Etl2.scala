@@ -93,13 +93,35 @@ object Etl2 {
        |  abs(n_cur * t_ref - n_ref * t_cur) AS drift_num
        |FROM j, t ORDER BY bucket""".stripMargin
 
+  /** e_l_diversity: the privacy leak e_k_anon misses — a QI group can be
+    * k-anonymous yet homogeneous in its sensitive attribute, so
+    * membership alone discloses it. Audits (nation, acctbal-band) groups
+    * whose customers span fewer than 3 distinct market segments; one
+    * keyed aggregation, the distinct count rides the same shuffle. */
+  def eLDiversity(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    graft.operators.KAnon.auditDiversity(c,
+        Seq(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("acctbal_band")),
+        col("c_mktsegment"), l = 3)
+      .orderBy(col("c_nationkey"), col("acctbal_band"))
+  }
+
+  val eLDiversitySql: String =
+    """SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+      |  COUNT(*) AS n, COUNT(DISTINCT c_mktsegment) AS n_sensitive
+      |FROM customer GROUP BY 1, 2 HAVING COUNT(DISTINCT c_mktsegment) < 3
+      |ORDER BY c_nationkey, acctbal_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e_quarantine" -> eQuarantine _,
-    "e_drift"      -> eDrift _,
+    "e_quarantine"  -> eQuarantine _,
+    "e_drift"       -> eDrift _,
+    "e_l_diversity" -> eLDiversity _,
   )
 
   val oracle: Map[String, String] = Map(
-    "e_quarantine" -> eQuarantineSql,
-    "e_drift"      -> eDriftSql,
+    "e_quarantine"  -> eQuarantineSql,
+    "e_drift"       -> eDriftSql,
+    "e_l_diversity" -> eLDiversitySql,
   )
 }

@@ -268,6 +268,69 @@ object Similarity {
       |        FROM embeddings))
       |ORDER BY vec_id""".stripMargin
 
+  /** s_sq8_search: top-k search THROUGH the scalar-quantized store — the
+    * SQ8 configuration (s_quantize's per-vector max-abs int8 codes) used
+    * as the search representation, not just a storage win: the corpus is
+    * touched as 1-byte codes (4× narrower scans than float32), every dot
+    * product is EXACT int64 arithmetic, and because dequantization is a
+    * per-vector scalar (m/127), the quantized vectors' cosine equals
+    * intdot/√(qq·nn) with the scales cancelling — so the ONLY floating
+    * ops are one division and two sqrts of exact integers, bit-identical
+    * across engines. Plan shape = brute force over codes (the SQ8
+    * baseline; IVF pruning composes in front exactly as in s_ivfpq). */
+  def sSq8Search(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    def quantized(df: DataFrame): DataFrame = df
+      .withColumn("m", expr("aggregate(embedding, 0.0D, (a, x) -> greatest(a, abs(cast(x AS double))))"))
+      .withColumn("q8", expr(
+        """CASE WHEN m = 0.0D THEN transform(embedding, x -> 0L)
+          |ELSE transform(embedding, x -> cast(floor(cast(x AS double) * 127 / m + 0.5D) AS bigint)) END""".stripMargin))
+      .withColumn("qq", expr("aggregate(zip_with(q8, q8, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+    val corpus = quantized(e).select(col("vec_id").as("n_id"),
+      col("q8").as("n8"), col("qq").as("nqq"))
+    val qs = quantized(queriesSubset(e)).select(col("vec_id").as("q_id"),
+      col("q8").as("qb8"), col("qq").as("qqq"))
+    val scored = corpus.crossJoin(broadcast(qs))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("d", expr("aggregate(zip_with(n8, qb8, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("ac", when(col("nqq") === 0L || col("qqq") === 0L, lit(-1.0))
+        .otherwise(col("d").cast("double") /
+          (sqrt(col("qqq").cast("double")) * sqrt(col("nqq").cast("double")))))
+      .select(col("q_id"), col("n_id"), col("ac"))
+    val top = graft.plans.TopK.perKey(scored, Seq("q_id"),
+      Seq(col("ac").desc, col("n_id").asc), 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("ac").desc, col("n_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("q_id"), col("n_id"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val sSq8SearchSql: String = {
+    def intDot(a: String, b: String) =
+      s"list_reduce([$a[i+1] * $b[i+1] for i in range(0, len($a))], (p, q) -> p + q)"
+    s"""WITH qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN m = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+       |         ELSE list_transform(embedding, x -> CAST(floor(x::DOUBLE * 127 / m + 0.5) AS BIGINT)) END AS q8
+       |  FROM (SELECT vec_id, embedding,
+       |          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+       |        FROM embeddings)),
+       |qn AS (SELECT vec_id, q8, ${intDot("q8", "q8")} AS qq FROM qz),
+       |q AS (SELECT vec_id AS q_id, q8 AS qb8, qq AS qqq FROM qn WHERE vec_id % 50 = 0),
+       |c AS (SELECT vec_id AS n_id, q8 AS n8, qq AS nqq FROM qn),
+       |scored AS (
+       |  SELECT q_id, n_id,
+       |    CASE WHEN nqq = 0 OR qqq = 0 THEN -1.0
+       |         ELSE CAST(${intDot("n8", "qb8")} AS DOUBLE) /
+       |              (sqrt(CAST(qqq AS DOUBLE)) * sqrt(CAST(nqq AS DOUBLE))) END AS ac
+       |  FROM c, q WHERE n_id <> q_id)
+       |SELECT q_id, n_id, rnk FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ac DESC, n_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** DuckDB oracle for s_kmeans: the THREE Lloyd iterations unrolled as CTE
     * pairs (assign → recenter), then the gate's final assignment counted.
     * Exact parity holds because every step of Kmeans.fit is deterministic:
@@ -1092,6 +1155,7 @@ object Similarity {
     "s_ivfpq_rerank" -> sIvfPqRerank _,
     "s_ivfpq_residual" -> sIvfPqResidual _,
     "s_quantize"  -> sQuantize _,
+    "s_sq8_search" -> sSq8Search _,
     "s_knn_brute" -> sKnnBrute _,
     "s_range_search" -> sRangeSearch _,
     "s_knn_ivf"   -> sKnnIvf _,
@@ -1111,6 +1175,7 @@ object Similarity {
     "s_ivfpq_rerank" -> sIvfPqRerankSql,
     "s_ivfpq_residual" -> sIvfPqResidualSql,
     "s_quantize"  -> sQuantizeSql,
+    "s_sq8_search" -> sSq8SearchSql,
     "s_knn_brute" -> sKnnBruteSql,
     "s_range_search" -> sRangeSearchSql,
     "s_kmeans"    -> sKmeansSql,
