@@ -175,6 +175,41 @@ object Relational3 {
       |  AND o_custkey < 100 AND o_totalprice BETWEEN 20000.0 AND 60000.0
       |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  /** io_dpp_roundtrip: DYNAMIC PARTITION PRUNING through a partitioned
+    * layout — the scan-elimination mechanism that makes star joins
+    * tractable at 100 TB: the fact lands partitioned by order year, the
+    * dim side (ship-years derived from a selective lineitem slice) is
+    * only known at runtime, and Catalyst injects the dim's year set into
+    * the fact scan as a dynamicpruning partition filter — the fact reads
+    * 1 of ~7 year directories instead of scanning-then-filtering
+    * (PlanSpec pins the dynamicpruningexpression in the scan). The write
+    * is in-gate like the other io_* roundtrips; the oracle replays the
+    * same semi-join logically over the raw table. */
+  def ioDppRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripPath(dir, "dpp")
+    Tables.orders(s, dir)
+      .withColumn("o_yr", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_yr").parquet(out)
+    val dimYears = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampNTZType) &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampNTZType))
+      .select(year(col("l_shipdate")).as("o_yr")).distinct()
+    s.read.parquet(out)
+      .join(dimYears, Seq("o_yr"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val ioDppRoundtripSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE year(o_orderdate) IN (
+      |  SELECT DISTINCT year(l_shipdate) FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01')
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   /** q_window_funcs2: value-window functions — first/last value over
     * frames, percent_rank, cume_dist. High-cardinality partition key
     * (o_custkey) for the same scale reason as q_window_funcs. */
@@ -386,6 +421,7 @@ object Relational3 {
     "io_json_roundtrip" -> ioJsonRoundtrip _,
     "io_orc_roundtrip"  -> ioOrcRoundtrip _,
     "io_zorder_roundtrip" -> ioZorderRoundtrip _,
+    "io_dpp_roundtrip"  -> ioDppRoundtrip _,
     "q_window_funcs"   -> qWindowFuncs _,
     "q_grouping_sets"  -> qGroupingSets _,
     "q_cube"           -> qCube _,
@@ -405,6 +441,7 @@ object Relational3 {
     "io_json_roundtrip" -> ioJsonRoundtripSql,
     "io_orc_roundtrip"  -> ioOrcRoundtripSql,
     "io_zorder_roundtrip" -> ioZorderRoundtripSql,
+    "io_dpp_roundtrip"  -> ioDppRoundtripSql,
     "q_window_funcs"   -> qWindowFuncsSql,
     "q_grouping_sets"  -> qGroupingSetsSql,
     "q_cube"           -> qCubeSql,

@@ -406,6 +406,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"audit must be agg + presentation sort only ($exchanges):\n$p")
   }
 
+  test("io_dpp_roundtrip: the fact scan carries a dynamicpruning partition filter from the dim side") {
+    val p = plan(graft.queries.Relational3.ioDppRoundtrip(spark, dir))
+    // the whole point of the gate: the runtime-derived year set must reach
+    // the partitioned fact scan as a dynamic partition filter — pruned
+    // directory reads, not scan-then-filter
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n${p.take(4000)}")
+  }
+
   test("s_centroid_drift: exactly one aggregation per snapshot, |labels|-sized join") {
     val p = plan(graft.queries.Similarity.sCentroidDrift(spark, dir))
     // two snapshot aggregations (each partial+final HashAggregate or
