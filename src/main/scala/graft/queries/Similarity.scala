@@ -25,11 +25,16 @@ object Similarity {
     * as a pipeline reuses a trained model instead of refitting per
     * consumer (the same sharing pattern as DedupQ's signature stage).
     * Kmeans.fit is deterministic, so sharing cannot change any gate. */
-  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def fitCached(s: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
-    centroidCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir:$k:$iters", _ =>
+    graft.StageCache.getOrCompute(s, s"sim:$dir:centroids:$k:$iters") {
       Kmeans.fit(s, Tables.embeddings(s, dir), "vec_id", "embedding", k, iters)
-        .localCheckpoint(false))
+        .localCheckpoint(false)
+    }
+
+  /** Release this dataset's cached trained models (StageCache lifecycle —
+    * same contract as DedupQ.release). */
+  def release(s: SparkSession, dir: String): Int =
+    graft.StageCache.release(s, s"sim:$dir:")
 
   /** s_knn_brute: exact top-5 cosine neighbors per query vector. */
   def sKnnBrute(s: SparkSession, dir: String): DataFrame = {
@@ -146,9 +151,9 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
     val even = e.filter(col("vec_id") % 2 === 0)
     val path = ivfPath(dir) + "_app"
-    val cent = centroidCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir:app8:2", _ =>
-        Kmeans.fit(s, even, "vec_id", "embedding", 8, iters = 2).localCheckpoint(false))
+    val cent = graft.StageCache.getOrCompute(s, s"sim:$dir:centroids:app8:2") {
+      Kmeans.fit(s, even, "vec_id", "embedding", 8, iters = 2).localCheckpoint(false)
+    }
     graft.similarity.IvfIndex.build(s, even, "vec_id", "embedding", path,
       numCentroids = Some(8), iters = 2, pretrained = Some(cent))
     graft.similarity.IvfIndex.append(s, path,
@@ -425,14 +430,16 @@ object Similarity {
     * (the residual variant trains on its own residual corpus under its
     * own key). Kmeans.fit is deterministic, so sharing cannot change any
     * gate. */
-  private val pqBookCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
   private def pqParts(s: SparkSession, e: DataFrame, cacheKey: String): Seq[(DataFrame, DataFrame)] = {
     val subs = (0 until PqM).map { m =>
       e.select(col("vec_id"),
         slice(col("embedding").cast("array<double>"), m * PqSubDim + 1, PqSubDim).as("emb"))
     }
-    val books = pqBookCache.computeIfAbsent(s"${System.identityHashCode(s)}:$cacheKey", _ =>
-      subs.map(sub => Kmeans.fit(s, sub, "vec_id", "emb", PqK, iters = 1).localCheckpoint(false)))
+    val books = subs.zipWithIndex.map { case (sub, m) =>
+      graft.StageCache.getOrCompute(s, s"sim:$cacheKey:pqbook:$m") {
+        Kmeans.fit(s, sub, "vec_id", "emb", PqK, iters = 1).localCheckpoint(false)
+      }
+    }
     subs.zip(books)
   }
 
@@ -440,11 +447,11 @@ object Similarity {
     * corpus, N narrow rows): the artifact a PQ store persists once and
     * every searcher reads. Cached per (session, corpus key) so the ADC
     * gates score through one build. */
-  private val pqCodesCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def pqCodesCached(s: SparkSession, e: DataFrame, books: Seq[DataFrame],
       cacheKey: String): DataFrame =
-    pqCodesCache.computeIfAbsent(s"${System.identityHashCode(s)}:$cacheKey", _ =>
-      pqCodes(s, e, books).localCheckpoint(false))
+    graft.StageCache.getOrCompute(s, s"sim:$cacheKey:pqcodes") {
+      pqCodes(s, e, books).localCheckpoint(false)
+    }
 
   /** vec_id + code_0..code_{M-1} in ONE projection: per subspace, the
     * argmin over the k literal codewords is an array_min over
