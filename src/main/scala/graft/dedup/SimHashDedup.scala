@@ -38,13 +38,10 @@ object SimHashDedup {
   /** The 64-bit signature as a column over `textCol` (requires
     * VectorExpressions.register on the session — simhash64 is a registered
     * SQL expression). Shared by signatures() and DedupQ's cached stage. */
-  def signatureCol(textCol: String): org.apache.spark.sql.Column = {
-    // Spark SQL string literals unescape \\ → \, so double the pattern's
-    // backslashes to land the same script-aware tokenizer as the oracle
-    // side (group 0 explicitly — Spark's default extract group is 1)
-    val pat = graft.functions.TextFunctions.TokenPattern.replace("\\", "\\\\")
-    expr(s"simhash64(transform(regexp_extract_all(lower(trim($textCol)), '$pat', 0), t -> $TokenHashSql))")
-  }
+  def signatureCol(textCol: String): org.apache.spark.sql.Column =
+    // the shared two-path tokenizer (fast split for script-free text,
+    // script-aware extraction otherwise — value-identical either way)
+    expr(s"simhash64(transform(${graft.functions.TextFunctions.tokensSqlExpr(textCol)}, t -> $TokenHashSql))")
 
   def signatures(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     VectorExpressions.register(spark)
@@ -126,8 +123,7 @@ object SimHash128 {
   /** (idCol, simhash_hi, simhash_lo) — one narrow projection, no shuffle. */
   def signatures(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.VectorExpressions.register(spark)
-    val pat = graft.functions.TextFunctions.TokenPattern.replace("\\", "\\\\")
-    val toks = s"transform(regexp_extract_all(lower(trim($textCol)), '$pat', 0), t -> %s)"
+    val toks = s"transform(${graft.functions.TextFunctions.tokensSqlExpr(textCol)}, t -> %s)"
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol),
         expr(s"simhash64(${toks.format(TokenHashHiSql)})").as("simhash_hi"),

@@ -48,15 +48,45 @@ object TextFunctions {
     s"[$HanRange]|[$KanaRange]+|[$HangulRange]+|[$ThaiRange]+|" +
       s"[^$HanRange$KanaRange$HangulRange$ThaiRange \\t\\n\\r\\f]+"
 
+  /** One char class covering every non-whitespace script — the GUARD for
+    * the tokenizer's fast path. */
+  val ScriptClass: String = s"[$HanRange$KanaRange$HangulRange$ThaiRange]"
+
   /** Tokenize: lowercase, trim, script-aware extraction (see TokenPattern).
     * For whitespace-script text this equals the classic `split(\s+)` —
     * except that empty/all-whitespace input yields [] rather than a
     * single empty token, which is the saner count. A CJK/Thai document —
     * one giant "token" under a whitespace split, invisible to every
-    * token-based quality/dedup/packing operator — now yields real
-    * per-character/per-run tokens. */
-  def tokens(text: Column): Column =
-    regexp_extract_all(lower(trim(text)), lit(TokenPattern), lit(0))
+    * token-based quality/dedup/packing operator — yields real
+    * per-character/per-run tokens.
+    *
+    * TWO-PATH EVALUATION, ONE SEMANTICS: the multi-alternation extraction
+    * regex costs ~50× a whitespace split (measured: t_ngrams 0.9 → 39 s
+    * at sf0.1 when every doc paid it), so a cheap per-doc char-class scan
+    * routes script-free text — the bulk of any real corpus — through
+    * split-and-drop-empties, which produces EXACTLY the extraction
+    * result when no script codepoint is present (the "other" alternative
+    * IS the non-whitespace run). The oracle keeps the single-regex
+    * formulation; values are identical by construction, and
+    * ScriptTokenizerSpec pins branch equality explicitly. */
+  def tokens(text: Column): Column = {
+    val norm = lower(trim(text))
+    when(norm.rlike(ScriptClass),
+        regexp_extract_all(norm, lit(TokenPattern), lit(0)))
+      .otherwise(filter(split(norm, s"$Ws+"), t => t =!= ""))
+  }
+
+  /** tokens() as a SQL expression string over `colExpr` — for call sites
+    * that assemble expr() strings (the SimHash signature columns). Same
+    * two-path semantics; backslashes doubled for the SQL-literal
+    * unescape, script ranges are literal chars and pass through. */
+  def tokensSqlExpr(colExpr: String): String = {
+    val pat = TokenPattern.replace("\\", "\\\\")
+    val ws = Ws.replace("\\", "\\\\")
+    s"CASE WHEN lower(trim($colExpr)) RLIKE '$ScriptClass' " +
+      s"THEN regexp_extract_all(lower(trim($colExpr)), '$pat', 0) " +
+      s"ELSE filter(split(lower(trim($colExpr)), '$ws+'), x -> x != '') END"
+  }
 
   /** Word 3-gram shingles, distinct. 0-based `get` mirrors DuckDB's 1-based
     * list indexing with null-skipping concat_ws on both sides. */

@@ -113,15 +113,63 @@ object Etl2 {
       |FROM customer GROUP BY 1, 2 HAVING COUNT(DISTINCT c_mktsegment) < 3
       |ORDER BY c_nationkey, acctbal_band""".stripMargin
 
+  /** e_expectations: the Deequ-style data-quality suite — declared checks
+    * (volume, completeness, domain compliance, bounds, mean band,
+    * distinctness) evaluated in ONE aggregation pass, each emitting its
+    * metric AND its pass verdict: the continuous-monitoring complement to
+    * e_validate's violation counts and e_profile's bare stats. Metrics
+    * are pinned single divisions of exact aggregates. */
+  def eExpectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations.Check
+    val n = count(lit(1)).cast("double")
+    val checks = Seq(
+      Check("c1_volume", n, _ >= 1000.0),
+      Check("c2_returnflag_complete",
+        count(col("l_returnflag")).cast("double") / n, _ === 1.0),
+      Check("c3_returnflag_domain",
+        count(when(col("l_returnflag").isin("A", "N", "R"), lit(1))).cast("double") / n,
+        _ === 1.0),
+      Check("c4_qty_max", max(col("l_quantity")).cast("double"), _ <= 50.0),
+      Check("c5_qty_min", min(col("l_quantity")).cast("double"), _ >= 1.0),
+      Check("c6_discount_mean",
+        graft.functions.OracleParity.xsum(col("l_discount")) / n, _.between(0.02, 0.08)),
+      Check("c7_orderkey_distinctness",
+        countDistinct(col("l_orderkey")).cast("double") / n, _.between(0.05, 0.8)))
+    graft.operators.Expectations.run(Tables.lineitem(s, dir), checks)
+      .orderBy(col("check"))
+  }
+
+  val eExpectationsSql: String =
+    """WITH m AS (SELECT
+      |  CAST(COUNT(*) AS DOUBLE) AS n,
+      |  CAST(COUNT(l_returnflag) AS DOUBLE) AS n_rf,
+      |  CAST(COUNT(*) FILTER (l_returnflag IN ('A', 'N', 'R')) AS DOUBLE) AS n_dom,
+      |  CAST(MAX(l_quantity) AS DOUBLE) AS qmax,
+      |  CAST(MIN(l_quantity) AS DOUBLE) AS qmin,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS dsum,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS nok
+      |  FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT 'c1_volume' AS "check", n AS metric, n >= 1000.0 AS passed FROM m
+      |  UNION ALL SELECT 'c2_returnflag_complete', n_rf / n, n_rf / n = 1.0 FROM m
+      |  UNION ALL SELECT 'c3_returnflag_domain', n_dom / n, n_dom / n = 1.0 FROM m
+      |  UNION ALL SELECT 'c4_qty_max', qmax, qmax <= 50.0 FROM m
+      |  UNION ALL SELECT 'c5_qty_min', qmin, qmin >= 1.0 FROM m
+      |  UNION ALL SELECT 'c6_discount_mean', dsum / n, dsum / n BETWEEN 0.02 AND 0.08 FROM m
+      |  UNION ALL SELECT 'c7_orderkey_distinctness', nok / n, nok / n BETWEEN 0.05 AND 0.8 FROM m)
+      |ORDER BY "check"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e_quarantine"  -> eQuarantine _,
-    "e_drift"       -> eDrift _,
-    "e_l_diversity" -> eLDiversity _,
+    "e_quarantine"   -> eQuarantine _,
+    "e_drift"        -> eDrift _,
+    "e_l_diversity"  -> eLDiversity _,
+    "e_expectations" -> eExpectations _,
   )
 
   val oracle: Map[String, String] = Map(
-    "e_quarantine"  -> eQuarantineSql,
-    "e_drift"       -> eDriftSql,
-    "e_l_diversity" -> eLDiversitySql,
+    "e_quarantine"   -> eQuarantineSql,
+    "e_drift"        -> eDriftSql,
+    "e_l_diversity"  -> eLDiversitySql,
+    "e_expectations" -> eExpectationsSql,
   )
 }

@@ -336,6 +336,101 @@ object Similarity {
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** MMR weights — written as literal doubles ON BOTH ENGINES (never
+    * derive 0.3 as 1−0.7, which is 0.30000000000000004 in binary). */
+  private val MmrLambdaRel = "0.7"
+  private val MmrLambdaDiv = "0.3"
+  private val MmrDepth = 10
+  private val MmrK = 5
+
+  /** s_mmr: Maximal Marginal Relevance diversified retrieval — the
+    * RAG-stack re-ranker that trades raw relevance for coverage: after
+    * the top-10 cosine candidates, picks greedily maximize
+    * λ·rel(i) − (1−λ)·max_{j∈picked} sim(i, j), so near-duplicate hits
+    * can't crowd the context window. Greedy selection is sequential by
+    * definition; expressed Spark-first it is K−1 unrolled argmax rounds
+    * over K-BOUNDED frames (candidates are 10·|Q| rows, pairwise sims
+    * ≤ 100·|Q| — both broadcast-sized at any corpus scale, since the
+    * corpus only participates in the initial top-k). All scores are
+    * pinned-order double arithmetic on the established cosine parity,
+    * ties break on n_id — the oracle replays the same unrolled greedy. */
+  def sMmr(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = queriesSubset(e).select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      .crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("rel", coalesce(expr("cosine_sim(q_vec, n_vec)"), lit(-1.0)))
+      .select(col("q_id"), col("n_id"), col("rel"), col("n_vec"))
+    val cand = graft.plans.TopK.perKey(scored, Seq("q_id"),
+      Seq(col("rel").desc, col("n_id").asc), MmrDepth).localCheckpoint(false)
+    // pairwise candidate sims within each query's pool (≤ depth²·|Q| rows)
+    val sims = cand.select(col("q_id"), col("n_id").as("a_id"), col("n_vec").as("a_vec"))
+      .join(cand.select(col("q_id"), col("n_id").as("b_id"), col("n_vec").as("b_vec")), "q_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim", coalesce(expr("cosine_sim(a_vec, b_vec)"), lit(-1.0)))
+      .select(col("q_id"), col("a_id"), col("b_id"), col("sim"))
+      .localCheckpoint(false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
+    var selected = cand.withColumn("score", col("rel"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("n_id"), lit(1).as("pick_rank"))
+    for (step <- 2 to MmrK) {
+      val remaining = cand.join(selected.select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_anti")
+      val maxSim = sims
+        .join(selected.select(col("q_id"), col("n_id").as("b_id")), Seq("q_id", "b_id"))
+        .groupBy(col("q_id"), col("a_id").as("n_id"))
+        .agg(max(col("sim")).as("max_sim"))
+      val pick = remaining.join(maxSim, Seq("q_id", "n_id"), "left")
+        .withColumn("score", expr(s"$MmrLambdaRel * rel - $MmrLambdaDiv * COALESCE(max_sim, -1.0D)"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("q_id"), col("n_id"), lit(step).as("pick_rank"))
+      selected = selected.unionByName(pick)
+    }
+    selected.orderBy(col("q_id"), col("pick_rank"))
+  }
+
+  val sMmrSql: String = {
+    val steps = (2 to MmrK).map { k =>
+      s"""s$k AS (
+         |  SELECT q_id, n_id, $k AS pick_rank FROM (
+         |    SELECT c.q_id, c.n_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.q_id ORDER BY
+         |        $MmrLambdaRel * c.rel - $MmrLambdaDiv * COALESCE(ms.max_sim, -1.0) DESC, c.n_id) AS rn
+         |    FROM cand c
+         |    LEFT JOIN (SELECT s.q_id, s.a_id AS n_id, MAX(s.sim) AS max_sim
+         |               FROM sims s JOIN sel${k - 1} p ON p.q_id = s.q_id AND p.n_id = s.b_id
+         |               GROUP BY s.q_id, s.a_id) ms
+         |      ON ms.q_id = c.q_id AND ms.n_id = c.n_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} p2
+         |                      WHERE p2.q_id = c.q_id AND p2.n_id = c.n_id))
+         |  WHERE rn = 1),
+         |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q_id, e.vec_id AS n_id, [x::DOUBLE for x in e.embedding] AS nv,
+       |    COALESCE(${cosSql("qe", "e.embedding")}, -1.0) AS rel
+       |  FROM q, embeddings e WHERE e.vec_id <> q_id),
+       |cand AS (SELECT q_id, n_id, nv, rel FROM (
+       |  SELECT q_id, n_id, nv, rel,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rnk
+       |  FROM scored) WHERE rnk <= $MmrDepth),
+       |sims AS (
+       |  SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+       |    COALESCE(${cosSql("a.nv", "b.nv")}, -1.0) AS sim
+       |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+       |s1 AS (SELECT q_id, n_id, 1 AS pick_rank FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
+       |  FROM cand) WHERE rn = 1),
+       |sel1 AS (SELECT * FROM s1),
+       |$steps
+       |SELECT q_id, n_id, pick_rank FROM sel$MmrK ORDER BY q_id, pick_rank""".stripMargin
+  }
+
   /** DuckDB oracle for s_kmeans: the THREE Lloyd iterations unrolled as CTE
     * pairs (assign → recenter), then the gate's final assignment counted.
     * Exact parity holds because every step of Kmeans.fit is deterministic:
@@ -1163,6 +1258,7 @@ object Similarity {
     "s_ivfpq_residual" -> sIvfPqResidual _,
     "s_quantize"  -> sQuantize _,
     "s_sq8_search" -> sSq8Search _,
+    "s_mmr"        -> sMmr _,
     "s_knn_brute" -> sKnnBrute _,
     "s_range_search" -> sRangeSearch _,
     "s_knn_ivf"   -> sKnnIvf _,
@@ -1183,6 +1279,7 @@ object Similarity {
     "s_ivfpq_residual" -> sIvfPqResidualSql,
     "s_quantize"  -> sQuantizeSql,
     "s_sq8_search" -> sSq8SearchSql,
+    "s_mmr"        -> sMmrSql,
     "s_knn_brute" -> sKnnBruteSql,
     "s_range_search" -> sRangeSearchSql,
     "s_kmeans"    -> sKmeansSql,

@@ -73,6 +73,29 @@ class ScriptTokenizerSpec extends AnyFunSuite {
     assert(lang("这是我的书") == "zh")
   }
 
+  test("fast path = regex path: split-and-drop-empties equals the extraction on script-free text") {
+    // the guard routes script-free docs through split; both branches must
+    // be value-identical there — force the regex branch and compare
+    val texts = Seq("The quick  Brown\tfox.", "a b", "", "  \t", "x--y!! z",
+      "punct,comma;semi", "0123 4a5b")
+    val both = texts.toDF("text").select(
+      TextFunctions.tokens(col("text")).as("fast"),
+      regexp_extract_all(lower(trim(col("text"))),
+        lit(TextFunctions.TokenPattern), lit(0)).as("regex"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"branch divergence: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+    // and the SQL-expr form agrees with the Column form on mixed scripts
+    val mixed = Seq("hello我们world", "これはテスト ok", "plain text")
+    val pair = mixed.toDF("text").selectExpr(
+      s"${TextFunctions.tokensSqlExpr("text")} AS a").collect().map(_.getSeq[String](0))
+    val colForm = mixed.toDF("text")
+      .select(TextFunctions.tokens(col("text"))).collect().map(_.getSeq[String](0))
+    assert(pair.toSeq == colForm.toSeq)
+  }
+
   test("TokenPattern string embeds in a SQL literal unchanged (no quotes, literal BMP chars)") {
     assert(!TextFunctions.TokenPattern.contains("'"))
     assert(!TextFunctions.TokenPattern.contains("\\u"),
