@@ -467,8 +467,66 @@ object Modal {
        |FROM lagd WHERE prev IS NOT NULL
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** m_keyframe: keyframe extraction — the per-SCENE sampling artifact a
+    * video-curation pipeline actually consumes (one representative frame
+    * per shot, not one per second): frame 0 of each video plus every
+    * frame that starts a new shot (the m_scene_cut boundary), each tagged
+    * with its ordinal scene index. Rides the same per-video window as the
+    * cut detection — scene numbering is a running keyframe count, so the
+    * composition costs no extra shuffle. */
+  def mKeyframe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val blobs = Multimodal.asBlobs(Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
+      .filter(col("n_bytes") > 0)
+      .as[Multimodal.Blob]
+    val fh = Multimodal.frameHistograms(blobs).toDF()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fh.withColumn("prev", lag(col("counts"), 1).over(w))
+      .withColumn("hist_diff", when(col("prev").isNotNull,
+        expr("aggregate(zip_with(counts, prev, (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v)")))
+      .withColumn("is_key", col("prev").isNull || col("hist_diff") > SceneCutDiff)
+      .withColumn("scene_idx",
+        sum(when(col("is_key"), 1L).otherwise(0L)).over(run) - 1L)
+      .filter(col("is_key"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("scene_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Oracle: the m_scene_cut CTE chain, keyframes = frame 0 + cut frames,
+    * scene index = per-video keyframe ordinal. */
+  val mKeyframeSql: String =
+    s"""WITH fr AS (
+       |  SELECT doc_id, fi, substring(text, CAST(fi*64 + 1 AS INT), 64) AS f
+       |  FROM (SELECT doc_id, text, unnest(range((length(text)+63)//64)) AS fi
+       |        FROM documents WHERE length(text) > 0)),
+       |ch AS (SELECT doc_id, fi, ord(c) // 16 AS bin
+       |       FROM (SELECT doc_id, fi, unnest(string_split_regex(f, '')) AS c FROM fr)
+       |       WHERE c <> ''),
+       |h AS (SELECT doc_id, fi, bin, COUNT(*) AS cnt FROM ch GROUP BY 1, 2, 3),
+       |dense AS (
+       |  SELECT fr.doc_id, fr.fi, gs.bin, coalesce(h.cnt, 0) AS cnt
+       |  FROM fr CROSS JOIN (SELECT unnest(range(16)) AS bin) gs
+       |  LEFT JOIN h ON h.doc_id = fr.doc_id AND h.fi = fr.fi AND h.bin = gs.bin),
+       |hist AS (SELECT doc_id, fi, list(cnt ORDER BY bin) AS counts FROM dense GROUP BY 1, 2),
+       |lagd AS (SELECT doc_id, fi, counts,
+       |           lag(counts) OVER (PARTITION BY doc_id ORDER BY fi) AS prev FROM hist),
+       |keyed AS (
+       |  SELECT doc_id, fi,
+       |    (prev IS NULL OR
+       |     CAST(list_sum([abs(counts[i+1] - prev[i+1]) for i in range(0, 16)]) AS BIGINT) > $SceneCutDiff) AS is_key
+       |  FROM lagd)
+       |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fi) AS BIGINT) - 1 AS scene_idx
+       |FROM keyed WHERE is_key
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_scene_cut"       -> mSceneCut _,
+    "m_keyframe"        -> mKeyframe _,
     "m_shard"           -> mShard _,
     "m_audio"           -> mAudio _,
     "m_vad"             -> mVad _,
@@ -488,6 +546,7 @@ object Modal {
 
   val oracle: Map[String, String] = Map(
     "m_scene_cut"       -> mSceneCutSql,
+    "m_keyframe"        -> mKeyframeSql,
     "m_shard"           -> mShardSql,
     "m_audio"           -> mAudioSql,
     "m_vad"             -> mVadSql,

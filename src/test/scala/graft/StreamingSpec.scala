@@ -425,4 +425,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(tail.map(_._1).forall(_ >= cutoffUs), "tail reached before the cutoff")
     assert((history ++ tail) == full, "backfill + tail must seam exactly into the batch answer")
   }
+
+  test("streaming quarantine: per micro-batch, bad rows divert with reasons, clean rows land — union equals input") {
+    // the ingest-time shape of Quarantine.split: every micro-batch routes
+    // clean rows to the target sink and violating rows (with reasons) to
+    // the quarantine sink from ONE pass over the batch
+    import graft.operators.Quarantine
+    val rules = Seq(
+      Quarantine.Rule("value_nonneg", col("value") >= 0),
+      Quarantine.Rule("type_known", col("event_type").isin("click", "view", "purchase", "signup")))
+    val clean = scala.collection.mutable.ArrayBuffer[Long]()
+    val bad = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = spark.readStream.schema(eventsSchema).parquet(streamDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (g, d) = Quarantine.split(b, rules)
+        clean ++= g.select("event_id").as[Long].collect()
+        bad ++= d.select("event_id", "quarantine_reasons").as[(Long, String)].collect()
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val batchAll = Tables.events(spark, dir)
+    val n = batchAll.count()
+    assert(clean.size + bad.size == n, "split must partition every micro-batch row")
+    assert(clean.toSet.intersect(bad.map(_._1).toSet).isEmpty)
+    // reasons agree with the batch formulation of the same rules
+    val (_, batchBad) = Quarantine.split(batchAll, rules)
+    val expected = batchBad.select("event_id", "quarantine_reasons")
+      .as[(Long, String)].collect().toSet
+    assert(bad.toSet == expected, "streaming quarantine must equal the batch split")
+  }
 }
