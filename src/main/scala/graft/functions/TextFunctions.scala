@@ -71,7 +71,11 @@ object TextFunctions {
     * ScriptTokenizerSpec pins branch equality explicitly. */
   def tokens(text: Column): Column = {
     val norm = lower(trim(text))
-    when(norm.rlike(ScriptClass),
+    // the guard scans the RAW column (lower/trim cannot create or remove
+    // script codepoints); the fast path must drop empty split tokens —
+    // trim() strips SPACES only, so text bounded by \t\n\r\f still splits
+    // to boundary empties that the extraction path never emits
+    when(text.rlike(ScriptClass),
         regexp_extract_all(norm, lit(TokenPattern), lit(0)))
       .otherwise(filter(split(norm, s"$Ws+"), t => t =!= ""))
   }
@@ -83,7 +87,7 @@ object TextFunctions {
   def tokensSqlExpr(colExpr: String): String = {
     val pat = TokenPattern.replace("\\", "\\\\")
     val ws = Ws.replace("\\", "\\\\")
-    s"CASE WHEN lower(trim($colExpr)) RLIKE '$ScriptClass' " +
+    s"CASE WHEN $colExpr RLIKE '$ScriptClass' " +
       s"THEN regexp_extract_all(lower(trim($colExpr)), '$pat', 0) " +
       s"ELSE filter(split(lower(trim($colExpr)), '$ws+'), x -> x != '') END"
   }

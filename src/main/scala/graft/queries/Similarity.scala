@@ -388,7 +388,10 @@ object Similarity {
         .withColumn("score", expr(s"$MmrLambdaRel * rel - $MmrLambdaDiv * COALESCE(max_sim, -1.0D)"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("q_id"), col("n_id"), lit(step).as("pick_rank"))
-      selected = selected.unionByName(pick)
+      // flatten per-round lineage: round r's anti-join + max-sim would
+      // otherwise recompute every earlier round's windows (frames are
+      // k·|Q|-sized, so each checkpoint is a tiny job)
+      selected = selected.unionByName(pick).localCheckpoint()
     }
     selected.orderBy(col("q_id"), col("pick_rank"))
   }
