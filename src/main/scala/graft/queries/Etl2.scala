@@ -159,11 +159,44 @@ object Etl2 {
       |  UNION ALL SELECT 'c7_orderkey_distinctness', nok / n, nok / n BETWEEN 0.05 AND 0.8 FROM m)
       |ORDER BY "check"""".stripMargin
 
+  /** Secret pepper for the pseudonymization gate — in production this is
+    * a vaulted secret; the GATE pins the mechanism, not the key. */
+  private val Pepper = "graft-pepper-v1"
+
+  /** e_pseudonymize: deterministic keyed pseudonymization — the GDPR
+    * release pattern between dropping an identifier and publishing it:
+    * every identifying value maps to md5(pepper ‖ value), so the same
+    * entity gets the same surrogate everywhere (JOINABILITY across
+    * released tables survives) while re-identification requires the
+    * pepper. The gate proves the mechanism end-to-end: customers and
+    * their orders pseudonymized INDEPENDENTLY, then joined ON THE
+    * SURROGATE — per-customer order counts must equal the cleartext
+    * join's. Narrow maps + the same join the cleartext would run. */
+  def ePseudonymize(s: SparkSession, dir: String): DataFrame = {
+    def pseudo(c: org.apache.spark.sql.Column) =
+      md5(concat(lit(Pepper), lit(":"), c.cast("string")))
+    val cust = Tables.customer(s, dir)
+      .select(pseudo(col("c_custkey")).as("pid"), col("c_mktsegment"))
+    val ord = Tables.orders(s, dir)
+      .select(pseudo(col("o_custkey")).as("pid"))
+    cust.join(ord, "pid")
+      .groupBy(col("pid"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("pid"))
+  }
+
+  val ePseudonymizeSql: String =
+    s"""SELECT md5('$Pepper:' || CAST(c_custkey AS VARCHAR)) AS pid,
+       |  c_mktsegment, COUNT(*) AS n_orders
+       |FROM customer JOIN orders ON o_custkey = c_custkey
+       |GROUP BY 1, 2 ORDER BY pid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_quarantine"   -> eQuarantine _,
     "e_drift"        -> eDrift _,
     "e_l_diversity"  -> eLDiversity _,
     "e_expectations" -> eExpectations _,
+    "e_pseudonymize" -> ePseudonymize _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -171,5 +204,6 @@ object Etl2 {
     "e_drift"        -> eDriftSql,
     "e_l_diversity"  -> eLDiversitySql,
     "e_expectations" -> eExpectationsSql,
+    "e_pseudonymize" -> ePseudonymizeSql,
   )
 }

@@ -161,6 +161,47 @@ object Events {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
       |FROM j ORDER BY user_id, hour""".stripMargin
 
+  /** q_seasonal: seasonal-naive anomaly residuals — the time-series
+    * monitor a pipeline runs over event volume: hourly counts per event
+    * type on a GAPLESS zero-filled hour spine (a missing hour is a count
+    * of 0, not a missing row — exactly the case the monitor exists to
+    * catch), residual = n − n(same hour, previous day) via lag(24) on
+    * the spine, and the anomaly flag on |residual| ≥ threshold. Exact
+    * integers end-to-end; one type-keyed window over the spine. */
+  def qSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(s, dir)
+      .withColumn("hour", expr(s"ts_us div $UsPerHour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_prev_day", lag(col("n"), 24).over(w))
+      .filter(col("n_prev_day").isNotNull)
+      .withColumn("residual", col("n") - col("n_prev_day"))
+      .select(col("event_type"), col("hour"), col("n"), col("n_prev_day"),
+        col("residual"), (abs(col("residual")) >= 20L).as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val qSeasonalSql: String =
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) // $UsPerHour AS hour FROM events),
+       |hourly AS (SELECT event_type, hour, COUNT(*) AS n FROM e GROUP BY 1, 2),
+       |spine AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hour
+       |          FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1 FROM e GROUP BY 1)),
+       |f AS (SELECT s.event_type, s.hour, coalesce(h.n, 0) AS n
+       |      FROM spine s LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour),
+       |lg AS (SELECT event_type, hour, n,
+       |         lag(n, 24) OVER (PARTITION BY event_type ORDER BY hour) AS n_prev_day
+       |       FROM f)
+       |SELECT event_type, hour, n, n_prev_day, n - n_prev_day AS residual,
+       |  abs(n - n_prev_day) >= 20 AS is_anomaly
+       |FROM lg WHERE n_prev_day IS NOT NULL
+       |ORDER BY event_type, hour""".stripMargin
+
   private val UsPerDay = 86400000000L
 
   /** q_cohort_retention: weekly signup cohorts × weeks-since-signup active
@@ -330,6 +371,7 @@ object Events {
     "q_kmv_distinct" -> qKmvDistinct _,
     "q_range_join"   -> qRangeJoin _,
     "q_cohort_retention" -> qCohortRetention _,
+    "q_seasonal"      -> qSeasonal _,
     "q_gapfill"      -> qGapfill _,
     "q_asof_join"     -> qAsofJoin _,
     "q_events_hourly" -> qEventsHourly _,
@@ -342,6 +384,7 @@ object Events {
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_range_join"   -> qRangeJoinSql,
     "q_cohort_retention" -> qCohortRetentionSql,
+    "q_seasonal"      -> qSeasonalSql,
     "q_gapfill"      -> qGapfillSql,
     "q_asof_join"     -> qAsofJoinSql,
     "q_events_hourly" -> qEventsHourlySql,
