@@ -31,6 +31,11 @@ object Curation {
   final case class Config(
       idCol: String = "doc_id",
       textCol: String = "text",
+      /** Treat textCol as raw HTML: extract body text (Html.toText) and
+        * annotate link_density BEFORE any scoring/dedup — the crawl-input
+        * front door. Every downstream stage then sees extracted text, so
+        * quality, signatures and splits are markup-invariant. */
+      htmlInput: Boolean = false,
       qualityMin: Double = 0.5,
       jaccardMin: Double = 0.5,
       /** Also train the bootstrap classifier (QualityClassifier, the
@@ -51,8 +56,15 @@ object Curation {
     * survivor flag from fuzzy dedup over the quality-kept subset, and the
     * deterministic content-hash split. Curated corpus =
     * `filter(keep_quality AND is_survivor)`. */
-  def run(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  def run(docs0: DataFrame, cfg: Config = Config()): DataFrame = {
     val id = col(cfg.idCol)
+    // crawl front door: extract text from markup once, up front — the
+    // rest of the pipeline is unchanged and markup-invariant
+    val docs =
+      if (!cfg.htmlInput) docs0
+      else docs0
+        .withColumn("link_density", graft.functions.Html.linkDensity(col(cfg.textCol)))
+        .withColumn(cfg.textCol, graft.functions.Html.toText(col(cfg.textCol)))
     // checkpoint the SCORED corpus, not just the kept subset: the final
     // annotate join consumes it too, and an un-cached lineage would re-run
     // tokenize+score over every document a second time

@@ -111,4 +111,26 @@ class CurationApiSpec extends AnyFunSuite {
     assert(clf.filter(col("clf_score").isNull).count() == 0)
     assert(clf.filter((col("clf_score") > 0) =!= col("keep_clf")).count() == 0)
   }
+
+  test("htmlInput: markup-wrapped corpus curates identically to the plain corpus") {
+    import spark.implicits._
+    // wrap each document in boilerplate HTML; extraction must recover the
+    // original text so every annotation (quality, dedup, split) agrees
+    val wrapped = docs.withColumn("text", concat(
+      lit("<html><head><script>var x = 1;</script></head><body><p>"),
+      col("text"), lit("</p><a href=\"/n\">next</a><!-- c --></body></html>")))
+    val viaHtml = Curation.run(wrapped, Curation.Config(htmlInput = true)).cache()
+    assert(viaHtml.columns.contains("link_density"))
+    // the extracted text = original text + the anchor word ("next") — so
+    // compare against a plain run over the SAME extracted text
+    val extracted = wrapped.withColumn("text", graft.functions.Html.toText(col("text")))
+    val plain = Curation.run(extracted, Curation.Config())
+    val a = viaHtml.select("doc_id", "n_tokens", "quality", "canonical_id", "split")
+      .collect().map(_.toSeq).toSet
+    val b = plain.select("doc_id", "n_tokens", "quality", "canonical_id", "split")
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "curation over htmlInput must equal curation over extracted text")
+    assert(viaHtml.filter(col("link_density") <= 0.0).count() < viaHtml.count(),
+      "the planted anchor must register in link density")
+  }
 }

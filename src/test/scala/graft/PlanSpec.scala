@@ -415,6 +415,45 @@ class PlanSpec extends AnyFunSuite {
       s"no dynamic partition pruning on the fact scan:\n${p.take(4000)}")
   }
 
+  test("e_quarantine: all rules in ONE narrow projection — no join, no aggregation shuffle") {
+    val p = plan(graft.queries.Etl2.eQuarantine(spark, dir))
+    assert(!p.contains("Join"), "rule evaluation must not join")
+    // scan → filter/project → presentation sort: the only exchange is the sort
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"quarantine must be a narrow map ($exchanges):\n$p")
+  }
+
+  test("e_expectations: the whole suite is ONE aggregation pass") {
+    val p = plan(graft.queries.Etl2.eExpectations(spark, dir))
+    assert(!p.contains("Join"), "checks must share one scan, never join")
+    // distinct-count rewrites to Expand + two-phase agg on one scan; the
+    // scan count is the honest single-pass signal
+    val scans = p.linesIterator.count(l => l.contains("FileScan") || l.contains("BatchScan"))
+    assert(scans == 1, s"expectation suite must read the table once ($scans):\n$p")
+  }
+
+  test("e_drift: two histogram aggregations, one bin-sized outer join, broadcast totals") {
+    val p = plan(graft.queries.Etl2.eDrift(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row totals must broadcast")
+    val sorts = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(sorts <= 1, s"only the presentation sort may range-partition:\n$p")
+  }
+
+  test("s_mmr: candidate pool and pairwise sims come from k-bounded checkpoints; corpus joins once") {
+    val p = plan(graft.queries.Similarity.sMmr(spark, dir))
+    // after the initial top-k, every greedy round works on checkpointed
+    // k-bounded frames — the corpus scan must appear at most once
+    val scans = p.linesIterator.count(l => l.contains("FileScan") || l.contains("BatchScan"))
+    assert(scans <= 1, s"greedy rounds must not rescan the corpus ($scans):\n${p.take(3000)}")
+  }
+
+  test("t_html: extraction is a pure narrow map — no join, no aggregation") {
+    val p = plan(graft.queries.Web.tHtml(spark, dir))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"HTML extraction must be scan → project:\n${p.take(2000)}")
+  }
+
   test("s_centroid_drift: exactly one aggregation per snapshot, |labels|-sized join") {
     val p = plan(graft.queries.Similarity.sCentroidDrift(spark, dir))
     // two snapshot aggregations (each partial+final HashAggregate or
