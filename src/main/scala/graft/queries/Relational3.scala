@@ -210,6 +210,38 @@ object Relational3 {
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01')
       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  /** io_compact_roundtrip: the SMALL-FILES problem end-to-end — the
+    * operational issue that actually kills 100 TB tables: a fragmented
+    * layout (64 shards of one year's orders — the many-tiny-files shape
+    * a streaming ingest leaves behind) compacted by Writers.compact's
+    * crash-safe rename swap into size-targeted files, then aggregated
+    * THROUGH the compacted layout. Result equality against the logical
+    * oracle proves compaction is content-lossless; the gate also fails if
+    * compaction stops reducing the file count. */
+  def ioCompactRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripPath(dir, "compact")
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast(TimestampNTZType) &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampNTZType))
+      .repartition(64) // the fragmented ingest layout
+      .write.mode("overwrite").parquet(out)
+    graft.sources.Writers.compact(s, out, targetBytes = 8L * 1024 * 1024,
+      sortCols = Seq("o_orderkey"))
+    val files = s.read.parquet(out).inputFiles.length
+    require(files < 64, s"compaction left $files files")
+    s.read.parquet(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val ioCompactRoundtripSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   /** q_window_funcs2: value-window functions — first/last value over
     * frames, percent_rank, cume_dist. High-cardinality partition key
     * (o_custkey) for the same scale reason as q_window_funcs. */
@@ -422,6 +454,7 @@ object Relational3 {
     "io_orc_roundtrip"  -> ioOrcRoundtrip _,
     "io_zorder_roundtrip" -> ioZorderRoundtrip _,
     "io_dpp_roundtrip"  -> ioDppRoundtrip _,
+    "io_compact_roundtrip" -> ioCompactRoundtrip _,
     "q_window_funcs"   -> qWindowFuncs _,
     "q_grouping_sets"  -> qGroupingSets _,
     "q_cube"           -> qCube _,
@@ -442,6 +475,7 @@ object Relational3 {
     "io_orc_roundtrip"  -> ioOrcRoundtripSql,
     "io_zorder_roundtrip" -> ioZorderRoundtripSql,
     "io_dpp_roundtrip"  -> ioDppRoundtripSql,
+    "io_compact_roundtrip" -> ioCompactRoundtripSql,
     "q_window_funcs"   -> qWindowFuncsSql,
     "q_grouping_sets"  -> qGroupingSetsSql,
     "q_cube"           -> qCubeSql,
