@@ -34,10 +34,16 @@ object Hierarchy {
     *                  the default 20 resolves chains ~500k deep. Exhausting it
     *                  (a parent-pointer cycle, or a deeper-still chain) throws
     *                  rather than mislabeling — raise it for pathological data.
+    * @param reliable  use reliable checkpoint() for the loop state (requires
+    *                  a configured checkpoint dir) instead of localCheckpoint,
+    *                  so long 100 TB resolutions survive executor loss — the
+    *                  same contract as Components.labels
     * @return (key, root, depth) — depth 0 for roots
     */
   def resolve(nodes: DataFrame, keyCol: String, parentCol: String,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, reliable: Boolean = false): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val roots = nodes.filter(col(parentCol).isNull)
       .select(col(keyCol).as("key"), col(keyCol).as("root"), lit(0L).as("depth"))
     // t: unresolved rows — anc = best-known ancestor, dist = hops to it
@@ -56,11 +62,10 @@ object Hierarchy {
       val joined = t.join(jump, t("anc") === jump("j_key"), "left")
         .observe(obs,
           sum(when(col("j_key").isNotNull, 1L).otherwise(0L)).as("hits"))
-      t = joined
+      t = materialize(joined
         .select(col("key"),
           coalesce(col("j_anc"), col("anc")).as("anc"),
-          (col("dist") + coalesce(col("j_dist"), lit(0L))).as("dist"))
-        .localCheckpoint()
+          (col("dist") + coalesce(col("j_dist"), lit(0L))).as("dist")))
       // the checkpoint action already ran; the metric only has to cross the
       // listener bus — bounded poll (Components.scala discipline), with a
       // recompute fallback if it never lands.

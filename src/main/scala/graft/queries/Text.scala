@@ -1220,8 +1220,40 @@ object Text {
        |FROM seed s LEFT JOIN sc ON sc.doc_id = s.doc_id
        |ORDER BY s.doc_id""".stripMargin
 
+  /** t_curriculum: quality-stratified curriculum buckets — the ordering
+    * artifact curriculum training consumes (easy/clean strata first or
+    * last): exact quality quartile thresholds over the corpus (one
+    * percentile aggregation — the q_quantiles parity pair), broadcast as
+    * a 1-row frame, every document assigned bucket = #thresholds ≤ its
+    * score. Two passes total, threshold table O(1); at 100 TB swap the
+    * exact percentile for percentile_approx (q_approx_quantiles' path)
+    * with the same assignment. */
+  def tCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), qualityScore(col("text"), col("toks")).as("quality"))
+    val th = d.agg(expr("percentile(quality, array(0.25D, 0.5D, 0.75D))").as("th"))
+    d.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        expr("aggregate(th, 0, (a, t) -> a + (CASE WHEN quality >= t THEN 1 ELSE 0 END))"))
+      .select(col("doc_id"), col("quality"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tCurriculumSql: String =
+    s"""WITH q AS (SELECT doc_id, $qualitySqlExpr AS quality
+       |           FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)),
+       |th AS (SELECT quantile_cont(quality, [0.25, 0.5, 0.75]) AS th FROM q)
+       |SELECT doc_id, quality,
+       |  (CASE WHEN quality >= th[1] THEN 1 ELSE 0 END +
+       |   CASE WHEN quality >= th[2] THEN 1 ELSE 0 END +
+       |   CASE WHEN quality >= th[3] THEN 1 ELSE 0 END) AS bucket
+       |FROM q, th ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_classify"     -> tClassify _,
+    "t_curriculum"   -> tCurriculum _,
     "t_chunk"        -> tChunk _,
     "t_dataset_card" -> tDatasetCard _,
     "t_bpe_train"   -> tBpeTrain _,
@@ -1253,6 +1285,7 @@ object Text {
 
   val oracle: Map[String, String] = Map(
     "t_classify"     -> tClassifySql,
+    "t_curriculum"   -> tCurriculumSql,
     "t_chunk"        -> tChunkSql,
     "t_dataset_card" -> tDatasetCardSql,
     "t_bpe_train"   -> tBpeTrainSql,

@@ -330,6 +330,20 @@ class EtlOperatorsSpec extends AnyFunSuite {
     (0L to 40L).foreach { k => assert(ok(k) == ((0L, k))) }
   }
 
+
+  test("Hierarchy.resolve: reliable-checkpoint path yields identical resolution") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hier-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val nodes = ((1L to 12L).map(k => (k, Some(k - 1))) :+ ((0L, None)))
+      .toDF("key", "parent")
+    val local = graft.operators.Hierarchy.resolve(nodes, "key", "parent")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rel = graft.operators.Hierarchy.resolve(nodes, "key", "parent", reliable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rel == local)
+  }
+
   test("KAnon.audit: exactly the sub-k groups, at-k groups stay invisible") {
     import spark.implicits._
     val df = (Seq.fill(3)(("a", 1)) ++ Seq.fill(2)(("a", 2)) ++ Seq(("b", 1)))
