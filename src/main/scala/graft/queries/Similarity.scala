@@ -58,6 +58,45 @@ object Similarity {
        |  FROM scored)
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  /** s_filtered_knn: FILTERED vector search — the production retrieval
+    * shape every vector store supports (metadata predicate AND nearest
+    * neighbors, e.g. "top-5 within this tenant/language"): each query
+    * retrieves among corpus vectors sharing its label only. The filter
+    * rides the JOIN CONDITION, so pruning happens before any distance is
+    * computed — at scale the same predicate becomes a partition filter on
+    * a label-partitioned layout (IvfIndex's probe pattern composes: prune
+    * by label directory, then by coarse cell). */
+  def sFilteredKnn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = queriesSubset(e).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"), col("label").as("q_label"))
+    val scored = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+        col("label"))
+      .join(broadcast(q), col("label") === col("q_label") && col("n_id") =!= col("q_id"))
+      .withColumn("cos", coalesce(expr("cosine_sim(q_vec, n_vec)"), lit(-1.0)))
+      .select(col("q_id"), col("n_id"), col("cos"))
+    val top = graft.plans.TopK.perKey(scored, Seq("q_id"),
+      Seq(col("cos").desc, col("n_id").asc), 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("q_id"), col("n_id"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val sFilteredKnnSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS q_label
+       |           FROM embeddings WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q_id, e.vec_id AS n_id,
+       |    COALESCE(${cosSql("qe", "e.embedding")}, -1.0) AS cos
+       |  FROM q JOIN embeddings e ON e.label = q.q_label AND e.vec_id <> q.q_id)
+       |SELECT q_id, n_id, rnk FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   /** Radius cutoff for s_range_search — deliberately BELOW the band
     * tuning's cos ≥ 0.9 near-dup regime (EmbedLsh.Threshold): the raw
     * synthetic embeddings max out at cos ≈ 0.46, and radius search is the
@@ -1263,6 +1302,7 @@ object Similarity {
     "s_sq8_search" -> sSq8Search _,
     "s_mmr"        -> sMmr _,
     "s_knn_brute" -> sKnnBrute _,
+    "s_filtered_knn" -> sFilteredKnn _,
     "s_range_search" -> sRangeSearch _,
     "s_knn_ivf"   -> sKnnIvf _,
     "s_kmeans"    -> sKmeans _,
@@ -1284,6 +1324,7 @@ object Similarity {
     "s_sq8_search" -> sSq8SearchSql,
     "s_mmr"        -> sMmrSql,
     "s_knn_brute" -> sKnnBruteSql,
+    "s_filtered_knn" -> sFilteredKnnSql,
     "s_range_search" -> sRangeSearchSql,
     "s_kmeans"    -> sKmeansSql,
     "s_knn_ivf"   -> sKnnIvfSql,
