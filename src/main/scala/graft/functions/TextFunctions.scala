@@ -32,7 +32,12 @@ object TextFunctions {
   /** Script codepoint ranges for non-whitespace-delimited writing systems
     * — LITERAL BMP characters (never `\p{script}` classes, whose Unicode
     * tables differ between Java regex and RE2), so the identical pattern
-    * string drives both engines. Public Unicode block boundaries. */
+    * string drives both engines. Public Unicode block boundaries. BMP
+    * only by design: supplementary-plane ideographs (CJK Ext B+, rare in
+    * crawls) tokenize as non-whitespace runs via the fallback class —
+    * never dropped, just not per-char segmented (surrogate-pair ranges
+    * behave differently between Java regex and RE2, so extending the
+    * ranges would break the one-pattern-two-engines contract). */
   val HanRange = "\u4e00-\u9fff"    // CJK Unified Ideographs
   val KanaRange = "\u3040-\u30ff"   // Hiragana + Katakana
   val HangulRange = "\uac00-\ud7af" // Hangul syllables

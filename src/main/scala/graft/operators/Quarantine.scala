@@ -37,6 +37,10 @@ object Quarantine {
     * target and reasons-rows to the quarantine sink from one pass. */
   def annotate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "quarantine needs at least one rule")
+    require(rules.forall(!_.name.contains(",")),
+      "rule names must not contain ',' — it is the reasons separator")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "rule names must be unique")
     df.withColumn("quarantine_reasons", reasons(rules))
   }
 
