@@ -191,12 +191,41 @@ object Etl2 {
        |FROM customer JOIN orders ON o_custkey = c_custkey
        |GROUP BY 1, 2 ORDER BY pid""".stripMargin
 
+  /** e_sanitize: the reference's sanitize-before-validate surface as a
+    * gate — messy character input (padding, tabs, doubled internal
+    * whitespace, whitespace-only values) synthesized in-query from part
+    * names, normalized by Sanitize.clean: all-whitespace trim, internal
+    * collapse, empty → NULL (the reference's NA convention — "" and NA
+    * must mean the same absent value or keys hash apart). Clean must
+    * recover the original name exactly; whitespace-only values land as
+    * genuine NULLs. Narrow maps only. */
+  def eSanitize(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sanitize
+    val messy = Tables.part(s, dir).select(col("p_partkey"),
+      concat(lit("  \t"), regexp_replace(col("p_name"), " ", "   "), lit(" \n")).as("m1"),
+      when(col("p_partkey") % 10 === 0, lit(" \t ")).otherwise(col("p_brand")).as("m2"))
+    messy.select(col("p_partkey"),
+        Sanitize.clean(col("m1")).as("name_clean"),
+        Sanitize.clean(col("m2")).as("brand_clean"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val eSanitizeSql: String = {
+    def clean(e: String) =
+      s"NULLIF(regexp_replace(regexp_replace($e, '[ \t\n\r\f]+', ' ', 'g'), '^ | $$', '', 'g'), '')"
+    s"""SELECT p_partkey,
+       |  ${clean("'  ' || chr(9) || regexp_replace(p_name, ' ', '   ', 'g') || ' ' || chr(10)")} AS name_clean,
+       |  ${clean("CASE WHEN p_partkey % 10 = 0 THEN ' ' || chr(9) || ' ' ELSE p_brand END")} AS brand_clean
+       |FROM part ORDER BY p_partkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_quarantine"   -> eQuarantine _,
     "e_drift"        -> eDrift _,
     "e_l_diversity"  -> eLDiversity _,
     "e_expectations" -> eExpectations _,
     "e_pseudonymize" -> ePseudonymize _,
+    "e_sanitize"     -> eSanitize _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -205,5 +234,6 @@ object Etl2 {
     "e_l_diversity"  -> eLDiversitySql,
     "e_expectations" -> eExpectationsSql,
     "e_pseudonymize" -> ePseudonymizeSql,
+    "e_sanitize"     -> eSanitizeSql,
   )
 }
