@@ -202,6 +202,67 @@ object Events {
        |FROM lg WHERE n_prev_day IS NOT NULL
        |ORDER BY event_type, hour""".stripMargin
 
+  /** q_transitions: the event-type transition matrix (product-analytics
+    * flow / first-order Markov counts): per user, events ordered by time,
+    * each consecutive (prev_type → type) pair counted corpus-wide, with
+    * the per-source-type transition probability. One user-keyed window
+    * (the sessionize shuffle), one tiny groupBy; the matrix is
+    * &#124;types&#124;² rows at any scale. */
+  def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val pairs = ev(s, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type")).agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, "prev_type")
+      .select(col("prev_type"), col("event_type"), col("n"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  val qTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events),
+      |pairs AS (SELECT prev_type, event_type, COUNT(*) AS n
+      |          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, SUM(n) AS n_from FROM pairs GROUP BY 1)
+      |SELECT p.prev_type, p.event_type, p.n,
+      |  CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+      |FROM pairs p JOIN tot t USING (prev_type)
+      |ORDER BY p.prev_type, p.event_type""".stripMargin
+
+  /** q_semi_additive: semi-additive measure rollup — the BI class where a
+    * measure (an account balance, an inventory level) sums across
+    * entities but NOT across time: per (user, day) take the LAST
+    * chronological value, then sum those closing values across users per
+    * day. One user-day window rides the same shuffle as the final agg's
+    * partials; decimal-exact sum. */
+  def qSemiAdditive(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).withColumn("day", expr("ts_us div 86400000000"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    e.withColumn("closing", last(col("value")).over(w))
+      .groupBy(col("user_id"), col("day"))
+      .agg(first(col("closing")).as("closing"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users"), xsum(col("closing")).as("total_closing"))
+      .orderBy(col("day"))
+  }
+
+  val qSemiAdditiveSql: String =
+    """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, value,
+      |             ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 86400000000
+      |               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |           FROM events)
+      |SELECT day, COUNT(*) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_closing
+      |FROM d WHERE rn = 1 GROUP BY day ORDER BY day""".stripMargin
+
   private val UsPerDay = 86400000000L
 
   /** q_cohort_retention: weekly signup cohorts × weeks-since-signup active
@@ -372,6 +433,8 @@ object Events {
     "q_range_join"   -> qRangeJoin _,
     "q_cohort_retention" -> qCohortRetention _,
     "q_seasonal"      -> qSeasonal _,
+    "q_transitions"   -> qTransitions _,
+    "q_semi_additive" -> qSemiAdditive _,
     "q_gapfill"      -> qGapfill _,
     "q_asof_join"     -> qAsofJoin _,
     "q_events_hourly" -> qEventsHourly _,
@@ -385,6 +448,8 @@ object Events {
     "q_range_join"   -> qRangeJoinSql,
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_seasonal"      -> qSeasonalSql,
+    "q_transitions"   -> qTransitionsSql,
+    "q_semi_additive" -> qSemiAdditiveSql,
     "q_gapfill"      -> qGapfillSql,
     "q_asof_join"     -> qAsofJoinSql,
     "q_events_hourly" -> qEventsHourlySql,
