@@ -139,13 +139,76 @@ object GraphQ {
        |    CAST(greatest((SELECT COUNT(*) FROM wedges), 1) AS DOUBLE) AS clustering
        |FROM verts v""".stripMargin
 
+  /** q_basket: association rules over the co-purchase slice (market
+    * basket / frequent-itemset mining, the Apriori output surface):
+    * pair supports from the same distinct (order, part) build as
+    * q_triangles, per-item supports, and for every pair above the
+    * min-support cut: support, confidence and lift — lift's numerator
+    * and denominator are exact integer PRODUCTS (n_ab·N and n_a·n_b), so
+    * the only float op is one pinned division. Top-20 by lift. */
+  def qBasket(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).join(
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit(s"$TriLo 00:00:00").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit(s"$TriHi 00:00:00").cast("timestamp_ntz"))
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(false)
+    val nOrders = li.select(col("ok")).distinct().count()
+    val item = li.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+    val pairs = li.select(col("ok"), col("p").as("a"))
+      .join(li.select(col("ok"), col("p").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    val scored = pairs
+      .join(item.select(col("p").as("a"), col("n_item").as("n_a")), "a")
+      .join(item.select(col("p").as("b"), col("n_item").as("n_b")), "b")
+      .select(col("a"), col("b"), col("n_ab"),
+        (col("n_ab").cast("double") / lit(nOrders).cast("double")).as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double")).as("confidence"),
+        ((col("n_ab") * lit(nOrders)).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift").desc, col("a"), col("b"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 20)
+      .select(col("rnk"), col("a"), col("b"), col("n_ab"),
+        col("support"), col("confidence"), col("lift"))
+      .orderBy(col("rnk"))
+  }
+
+  val qBasketSql: String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderdate >= TIMESTAMP '$TriLo' AND o_orderdate < TIMESTAMP '$TriHi'),
+       |n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+       |item AS (SELECT p, COUNT(*) AS n_item FROM li GROUP BY p),
+       |pairs AS (
+       |  SELECT x.p AS a, y.p AS b, COUNT(*) AS n_ab
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       |scored AS (
+       |  SELECT a, b, n_ab,
+       |    CAST(n_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE) AS support,
+       |    CAST(n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+       |    CAST(n_ab * n.n_orders AS DOUBLE) / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+       |  FROM pairs
+       |  JOIN item ia ON ia.p = a JOIN item ib ON ib.p = b, n)
+       |SELECT rnk, a, b, n_ab, support, confidence, lift FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, a, b) AS rnk FROM scored)
+       |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"  -> qPagerank _,
     "q_triangles" -> qTriangles _,
+    "q_basket"    -> qBasket _,
   )
 
   val oracle: Map[String, String] = Map(
     "q_pagerank"  -> qPagerankSql,
     "q_triangles" -> qTrianglesSql,
+    "q_basket"    -> qBasketSql,
   )
 }

@@ -137,12 +137,69 @@ object Relational4 {
       |GROUP BY p_brand, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
 
+
+  /** q_rfm: RFM customer segmentation — the BI workhorse behind churn and
+    * value targeting: per customer Recency (days since last order vs the
+    * corpus frontier, exact integer), Frequency (order count) and
+    * Monetary (decimal-exact spend), each scored into quintiles against
+    * exact percentile thresholds (the t_curriculum machinery: one
+    * percentile aggregation broadcast as a 1-row frame, score =
+    * 1 + #thresholds under the metric — recency scored INVERTED, recent
+    * is better). Two aggregation passes + one broadcast; at 100 TB the
+    * exact percentile swaps for the sketch with identical assignment. */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_totalprice"),
+        expr("datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01')").cast("long").as("day"))
+    val rfm = o.groupBy(col("o_custkey"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
+        xsum(col("o_totalprice")).as("m"))
+      .crossJoin(broadcast(o.agg(max(col("day")).as("frontier"))))
+      .select(col("o_custkey"), (col("frontier") - col("last_day")).as("r_days"),
+        col("f"), col("m"))
+    val th = rfm.agg(
+      expr("percentile(r_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("th_r"),
+      expr("percentile(f, array(0.2D, 0.4D, 0.6D, 0.8D))").as("th_f"),
+      expr("percentile(m, array(0.2D, 0.4D, 0.6D, 0.8D))").as("th_m"))
+    def score(metric: String, th: String) =
+      expr(s"1 + aggregate($th, 0, (a, t) -> a + (CASE WHEN $metric > t THEN 1 ELSE 0 END))")
+    rfm.crossJoin(broadcast(th))
+      .select(col("o_custkey"), col("r_days"), col("f"), col("m"),
+        (lit(6) - score("r_days", "th_r")).as("r_score"), // recent = low r_days = high score
+        score("f", "th_f").as("f_score"),
+        score("m", "th_m").as("m_score"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val qRfmSql: String = {
+    def score(metric: String, th: String) =
+      s"""1 + (CASE WHEN $metric > $th[1] THEN 1 ELSE 0 END +
+         |       CASE WHEN $metric > $th[2] THEN 1 ELSE 0 END +
+         |       CASE WHEN $metric > $th[3] THEN 1 ELSE 0 END +
+         |       CASE WHEN $metric > $th[4] THEN 1 ELSE 0 END)""".stripMargin.replace("\n", " ")
+    s"""WITH o AS (SELECT o_custkey, o_totalprice, CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day FROM orders),
+       |rfm AS (
+       |  SELECT o_custkey, (SELECT MAX(day) FROM o) - MAX(day) AS r_days,
+       |    COUNT(*) AS f,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS m
+       |  FROM o GROUP BY o_custkey),
+       |th AS (SELECT quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]) AS th_r,
+       |              quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS th_f,
+       |              quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS th_m FROM rfm)
+       |SELECT o_custkey, r_days, f, m,
+       |  6 - (${score("r_days", "th_r")}) AS r_score,
+       |  ${score("f", "th_f")} AS f_score,
+       |  ${score("m", "th_m")} AS m_score
+       |FROM rfm, th ORDER BY o_custkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q4_order_priority" -> q4 _,
     "q12_late_lines"    -> q12 _,
     "q14_promo_share"   -> q14 _,
     "q19_disjunctive"   -> q19 _,
     "q16_supplier_cnt"  -> q16 _,
+    "q_rfm"             -> qRfm _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -151,5 +208,6 @@ object Relational4 {
     "q14_promo_share"   -> q14Sql,
     "q19_disjunctive"   -> q19Sql,
     "q16_supplier_cnt"  -> q16Sql,
+    "q_rfm"             -> qRfmSql,
   )
 }
