@@ -1251,6 +1251,43 @@ object Text {
        |   CASE WHEN quality >= th[3] THEN 1 ELSE 0 END) AS bucket
        |FROM q, th ORDER BY doc_id""".stripMargin
 
+  /** t_winnowing: the MOSS winnowing fingerprint SET — per document,
+    * k-gram hashes, the minimum of every w-length hash window selected,
+    * distinct selections kept. The guarantee plain min-hash lacks: any
+    * shared substring of length ≥ w+k−1 between two documents yields at
+    * least one SHARED fingerprint, so local plagiarism/quotation is
+    * detectable, not just whole-document similarity. Pure array HOFs per
+    * row (no shuffle); output carries the count and an order-insensitive
+    * set digest so the gate is hash-comparable. */
+  def tWinnowing(s: SparkSession, dir: String): DataFrame = {
+    val k = 8; val w = 8
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("hs", expr(
+        s"transform(sequence(0, greatest(length(text) - $k, 0)), i -> CAST(conv(substring(md5(substring(text, i + 1, $k)), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("fps", expr(
+        s"array_sort(array_distinct(transform(sequence(0, greatest(size(hs) - $w, 0)), j -> array_min(slice(hs, j + 1, $w)))))"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        md5(expr("concat_ws(',', transform(fps, x -> CAST(x AS STRING)))")).as("fp_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tWinnowingSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(substring(text, i + 1, 8)), 1, 15))::BIGINT
+      |     for i in range(0, greatest(length(text) - 8, 0) + 1)] AS hs
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, hs,
+      |    list_sort(list_distinct([list_min(hs[j + 1 : j + 8])
+      |      for j in range(0, greatest(len(hs) - 8, 0) + 1)])) AS fps
+      |  FROM h)
+      |SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams, CAST(len(fps) AS BIGINT) AS n_fps,
+      |  md5(array_to_string(fps, ',')) AS fp_digest
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_classify"     -> tClassify _,
     "t_curriculum"   -> tCurriculum _,
@@ -1276,6 +1313,7 @@ object Text {
     "t_tfidf"       -> tTfidf _,
     "t_vocab"       -> tVocab _,
     "t_rolling_fp"  -> tRollingFp _,
+    "t_winnowing"   -> tWinnowing _,
     "t_tokens"      -> tTokens _,
     "t_quality"     -> tQuality _,
     "t_langid"      -> tLangid _,
@@ -1308,6 +1346,7 @@ object Text {
     "t_tfidf"       -> tTfidfSql,
     "t_vocab"       -> tVocabSql,
     "t_rolling_fp"  -> tRollingFpSql,
+    "t_winnowing"   -> tWinnowingSql,
     "t_tokens"      -> tTokensSql,
     "t_quality"     -> tQualitySql,
     "t_langid"      -> tLangidSql,
