@@ -907,9 +907,56 @@ object DedupQ {
        |            JOIN aug eb ON eb.vec_id = b_id)
        |WHERE cos >= ${graft.dedup.EmbedLsh.Threshold} ORDER BY eval_id, train_id""".stripMargin
 
+  /** d_substring_overlap: winnowing put to its actual MOSS use — LOCAL
+    * overlap detection: document pairs sharing winnowing fingerprints
+    * (t_winnowing's k=8/w=8 selection), i.e. pairs sharing verbatim
+    * substrings of ≥ w+k−1 chars — the quotation/boilerplate signal that
+    * document-level Jaccard smooths away. Ubiquitous fingerprints
+    * (appearing in > 16 docs — common-phrase noise with no pair signal,
+    * the same hot-bucket cap philosophy as the LSH star expansion) are
+    * dropped BEFORE pairing, so the fingerprint join is linear per
+    * bucket; pairs rank by shared-fingerprint count. */
+  def dSubstringOverlap(s: SparkSession, dir: String): DataFrame = {
+    val k = 8; val w = 8; val maxBucket = 16
+    val fps = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("hs", expr(
+        s"transform(sequence(0, greatest(length(text) - $k, 0)), i -> CAST(conv(substring(md5(substring(text, i + 1, $k)), 1, 15), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct(transform(sequence(0, greatest(size(hs) - $w, 0)), j -> array_min(slice(hs, j + 1, $w))))")).as("fp"))
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") <= maxBucket)
+    val pruned = fps.join(rare.select(col("fp")), "fp")
+    pruned.select(col("fp"), col("doc_id").as("a_id"))
+      .join(pruned.select(col("fp"), col("doc_id").as("b_id")), "fp")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val dSubstringOverlapSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(substring(text, i + 1, 8)), 1, 15))::BIGINT
+      |     for i in range(0, greatest(length(text) - 8, 0) + 1)] AS hs
+      |  FROM documents),
+      |fp AS (
+      |  SELECT doc_id, unnest(list_distinct([list_min(hs[j + 1 : j + 8])
+      |    for j in range(0, greatest(len(hs) - 8, 0) + 1)])) AS fp
+      |  FROM h),
+      |rare AS (SELECT fp FROM (SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp) WHERE n <= 16),
+      |pruned AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+      |FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_decontam_sem"  -> dDecontamSem _,
     "d_source_overlap" -> dSourceOverlap _,
+    "d_substring_overlap" -> dSubstringOverlap _,
     "d_editdist"      -> dEditdist _,
     "d_paragraph"     -> dParagraph _,
     "d_exact"         -> dExact _,
@@ -930,6 +977,7 @@ object DedupQ {
   val oracle: Map[String, String] = Map(
     "d_decontam_sem"  -> dDecontamSemSql,
     "d_source_overlap" -> dSourceOverlapSql,
+    "d_substring_overlap" -> dSubstringOverlapSql,
     "d_editdist"      -> dEditdistSql,
     "d_paragraph"     -> dParagraphSql,
     "d_exact"         -> dExactSql,
