@@ -454,6 +454,29 @@ class PlanSpec extends AnyFunSuite {
       s"HTML extraction must be scan → project:\n${p.take(2000)}")
   }
 
+  test("q_rfm: thresholds broadcast as one row; no extra corpus shuffle beyond the per-customer agg") {
+    val p = plan(graft.queries.Relational4.qRfm(spark, dir))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "percentile thresholds and the frontier must broadcast")
+    val ranges = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(ranges <= 1, s"only the presentation sort may range-partition ($ranges):\n$p")
+  }
+
+  test("q_basket: per-item supports join the bounded pair set — never a cartesian") {
+    val p = plan(graft.queries.GraphQ.qBasket(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"basket scoring must stay keyed:\n${p.take(3000)}")
+  }
+
+  test("d_substring_overlap: hot fingerprints prune BEFORE the pair join") {
+    val p = plan(graft.queries.DedupQ.dSubstringOverlap(spark, dir))
+    assert(!p.contains("CartesianProduct"), "fingerprint pairing must stay keyed")
+    // the rare-fp semi join must appear under the a×b pair join, not after
+    val pairJoinAt = p.indexOf("a_id")
+    assert(pairJoinAt >= 0 && p.contains("n_docs") || p.contains("Join"),
+      s"rare-fingerprint pruning missing:\n${p.take(2000)}")
+  }
+
   test("s_centroid_drift: exactly one aggregation per snapshot, |labels|-sized join") {
     val p = plan(graft.queries.Similarity.sCentroidDrift(spark, dir))
     // two snapshot aggregations (each partial+final HashAggregate or
