@@ -202,6 +202,76 @@ object Events {
        |FROM lg WHERE n_prev_day IS NOT NULL
        |ORDER BY event_type, hour""".stripMargin
 
+  /** q_dau_mau: product stickiness — DAU, trailing-7-day WAU and the
+    * DAU/WAU ratio per day. The windowed distinct count is the hard part
+    * at scale: countDistinct cannot ride a sliding frame, so each (day,
+    * user) activity row EXPLODES onto the ≤7 target days it supports and
+    * one distinct aggregation per target day does the rest — work is
+    * 7×&#124;daily actives&#124; keyed rows, never a per-day rescan. The
+    * 7-day horizon keeps the gate proportionate; the 30-day MAU is the
+    * same plan with a 30-wide sequence. */
+  def qDauMau(s: SparkSession, dir: String): DataFrame = {
+    val active = ev(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $UsPerDay").as("day")).distinct()
+    val bounds = active.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val dau = active.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+    val wau = active
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("d1"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  val qDauMauSql: String =
+    """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |b AS (SELECT MAX(day) AS d1 FROM a),
+      |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM a GROUP BY day),
+      |wau AS (SELECT t.day, COUNT(DISTINCT x.user_id) AS wau
+      |        FROM (SELECT user_id, unnest(range(day, day + 7)) AS day FROM a) x
+      |        JOIN (SELECT day FROM dau) t ON t.day = x.day, b
+      |        WHERE x.day <= b.d1
+      |        GROUP BY t.day)
+      |SELECT d.day, d.dau, w.wau, CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+      |FROM dau d JOIN wau w USING (day) ORDER BY d.day""".stripMargin
+
+  /** q_ltv: cohort revenue curves (cumulative value per signup cohort by
+    * weeks since signup — the LTV artifact growth teams read): the
+    * q_cohort_retention cohort frame with decimal-exact weekly revenue,
+    * then a running sum per cohort over the week axis. One cohort
+    * aggregation + one &#124;cohorts×weeks&#124;-sized window. */
+  def qLtv(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).withColumn("day", expr(s"ts_us div $UsPerDay"))
+    val signup = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    val weekly = e.join(signup, "user_id")
+      .filter(col("day") >= col("d0"))
+      .withColumn("week", expr("(day - d0) div 7"))
+      .groupBy(expr("d0 div 7").as("cohort_week"), col("week"))
+      .agg(xsum(col("value")).as("rev"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("cum_rev", sum(col("rev").cast("decimal(18,6)")).over(w).cast("double"))
+      .select(col("cohort_week"), col("week"), col("rev"), col("cum_rev"))
+      .orderBy(col("cohort_week"), col("week"))
+  }
+
+  val qLtvSql: String =
+    """WITH e AS (SELECT user_id, event_type, value, epoch_us(ts) // 86400000000 AS day FROM events),
+      |signup AS (SELECT user_id, MIN(day) AS d0 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+      |weekly AS (
+      |  SELECT d0 // 7 AS cohort_week, (day - d0) // 7 AS week,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      |  FROM e JOIN signup USING (user_id) WHERE day >= d0 GROUP BY 1, 2)
+      |SELECT cohort_week, week, rev,
+      |  CAST(SUM(CAST(rev AS DECIMAL(18,6))) OVER (PARTITION BY cohort_week ORDER BY week
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev
+      |FROM weekly ORDER BY cohort_week, week""".stripMargin
+
   /** q_transitions: the event-type transition matrix (product-analytics
     * flow / first-order Markov counts): per user, events ordered by time,
     * each consecutive (prev_type → type) pair counted corpus-wide, with
@@ -434,6 +504,8 @@ object Events {
     "q_cohort_retention" -> qCohortRetention _,
     "q_seasonal"      -> qSeasonal _,
     "q_transitions"   -> qTransitions _,
+    "q_dau_mau"       -> qDauMau _,
+    "q_ltv"           -> qLtv _,
     "q_semi_additive" -> qSemiAdditive _,
     "q_gapfill"      -> qGapfill _,
     "q_asof_join"     -> qAsofJoin _,
@@ -449,6 +521,8 @@ object Events {
     "q_cohort_retention" -> qCohortRetentionSql,
     "q_seasonal"      -> qSeasonalSql,
     "q_transitions"   -> qTransitionsSql,
+    "q_dau_mau"       -> qDauMauSql,
+    "q_ltv"           -> qLtvSql,
     "q_semi_additive" -> qSemiAdditiveSql,
     "q_gapfill"      -> qGapfillSql,
     "q_asof_join"     -> qAsofJoinSql,
