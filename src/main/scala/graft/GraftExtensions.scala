@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("rolling_hash_min"), info("rolling_hash_min"),
       (es: Seq[Expression]) => VectorExpressions.RollingHashMin(es.head, es.lift(1)
         .map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(16))))
+    e.injectFunction((FunctionIdentifier("kgram_hashes"), info("kgram_hashes"),
+      (es: Seq[Expression]) => VectorExpressions.KgramHashes(es.head, es.lift(1)
+        .map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(8))))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -17,34 +17,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StageCache {
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Per-key lazy cell: the builder runs under THIS holder's monitor (the
+    * Scala lazy-val lock), NOT inside the ConcurrentHashMap mapping
+    * function. Stage builders routinely request their prerequisite stages
+    * (fullCanonical → jaccardScored → candidates → stage; N2k spans and
+    * the PQ caches share the same map) — running them inside
+    * computeIfAbsent would violate its no-recursive-update contract and
+    * throw IllegalStateException (or corrupt under a resize) whenever two
+    * nested keys land in one hash bin. With the holder pattern the map
+    * mapping function only allocates the cell (no user code), so nesting
+    * recurses through independent per-key locks. Concurrent callers of
+    * the SAME stage still wait for one computation. */
+  private final class Holder(f: () => DataFrame) {
+    @volatile private var computed = false
+    lazy val value: DataFrame = { val v = f(); computed = true; v }
+    /** The frame if (or once) built — waits out an in-flight build (the
+      * lazy-val monitor), never triggers one. */
+    def peek: Option[DataFrame] = synchronized { if (computed) Some(value) else None }
+  }
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Holder]()
 
   private def qualify(s: SparkSession, key: String): String =
     System.identityHashCode(s).toString + "/" + key
 
   /** The stage for (session, key), computing and caching on first use.
-    * The compute runs under the map's per-key lock — concurrent callers
-    * of the SAME stage wait for one computation (the DedupQ discipline);
-    * different keys never contend. */
+    * Safe for builders that themselves call getOrCompute (see Holder). */
   def getOrCompute(s: SparkSession, key: String)(f: => DataFrame): DataFrame =
-    cache.computeIfAbsent(qualify(s, key), _ => f)
+    cache.computeIfAbsent(qualify(s, key), _ => new Holder(() => f)).value
 
   /** Evict every stage of (session, keyPrefix*) and unpersist its
     * checkpoint blocks. Prefix "" drops all of the session's stages.
+    * An entry whose build never ran (or is in flight — peek waits it out)
+    * is evicted without touching the block manager.
     * @return number of entries released */
   def release(s: SparkSession, keyPrefix: String = ""): Int = {
     import scala.jdk.CollectionConverters._
     val pre = qualify(s, keyPrefix)
     val keys = cache.keySet.asScala.filter(_.startsWith(pre)).toList
     keys.count { k =>
-      Option(cache.remove(k)).exists { df =>
-        org.apache.spark.sql.graftshim.CheckpointBridge.releaseBlocks(df); true
+      Option(cache.remove(k)).exists { h =>
+        h.peek.foreach(org.apache.spark.sql.graftshim.CheckpointBridge.releaseBlocks)
+        true
       }
     }
   }
 
   /** Spec probe: is the stage present AND its blocks still persisted? */
   private[graft] def isLive(s: SparkSession, key: String): Boolean =
-    Option(cache.get(qualify(s, key)))
+    Option(cache.get(qualify(s, key))).flatMap(_.peek)
       .exists(org.apache.spark.sql.graftshim.CheckpointBridge.isPersisted)
 }

@@ -102,6 +102,9 @@ object Dedup {
     val sh = docs.join(ids, Seq(idCol), "left_semi")
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), shingles3(tokens(col(textCol))).as("sh"))
+      // consumed as BOTH join sides below — materialize once so candidate
+      // docs tokenize+shingle a single time, not once per side
+      .localCheckpoint()
     val aSh = sh.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
     val bSh = sh.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
     pairs.join(aSh, "a_id").join(bSh, "b_id")

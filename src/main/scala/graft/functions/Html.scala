@@ -14,8 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Html {
 
-  /** Non-content blocks whose INNER TEXT must not leak into the corpus. */
-  private[graft] val BlockPat = "(?s)<(script|style)[^>]*>.*?</(script|style)>"
+  /** Non-content blocks whose INNER TEXT must not leak into the corpus.
+    * One pattern PER TAG: RE2 has no backreferences, and the r9 combined
+    * alternation `<(script|style)…>.*?</(script|style)>` let an open tag
+    * pair with the OTHER tag's close (`<script>a</style>` deleted through
+    * a style close — wrong content dropped/leaked on unbalanced markup).
+    * Separate patterns make an open tag pair only with its own close. */
+  private[graft] val BlockPats: Seq[String] = Seq(
+    "(?s)<script[^>]*>.*?</script>",
+    "(?s)<style[^>]*>.*?</style>")
   private[graft] val CommentPat = "(?s)<!--.*?-->"
   private[graft] val TagPat = "(?s)<[^>]*>"
   /** Anchor inner text — group 1; the numerator of link density. */
@@ -30,7 +37,8 @@ object Html {
   /** Extracted text: blocks out, comments out, tags → space, entities
     * decoded, whitespace collapsed, trimmed. */
   def toText(html: Column): Column = {
-    val noBlocks = regexp_replace(regexp_replace(html, BlockPat, " "), CommentPat, " ")
+    val noBlocks = regexp_replace(
+      BlockPats.foldLeft(html)((c, p) => regexp_replace(c, p, " ")), CommentPat, " ")
     val noTags = regexp_replace(noBlocks, TagPat, " ")
     // entity strings contain no regex-special chars, and the replacements
     // no $/\ — the same literal patterns drive Java regex and RE2

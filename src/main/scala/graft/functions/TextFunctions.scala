@@ -73,7 +73,13 @@ object TextFunctions {
     * result when no script codepoint is present (the "other" alternative
     * IS the non-whitespace run). The oracle keeps the single-regex
     * formulation; values are identical by construction, and
-    * ScriptTokenizerSpec pins branch equality explicitly. */
+    * ScriptTokenizerSpec pins branch equality explicitly.
+    *
+    * The drop-empties step MUST stay codegen'd: `array_remove(split, "")`
+    * has doGenCode, while the r9 `filter(split, _ =!= "")` higher-order
+    * function is CodegenFallback — it knocked the whole projection out of
+    * whole-stage codegen and cost every tokens() consumer 2–7× (t_rep_filter
+    * 1.0 → 7.5 s at sf0.1) despite identical semantics. */
   def tokens(text: Column): Column = {
     val norm = lower(trim(text))
     // the guard scans the RAW column (lower/trim cannot create or remove
@@ -82,7 +88,7 @@ object TextFunctions {
     // to boundary empties that the extraction path never emits
     when(text.rlike(ScriptClass),
         regexp_extract_all(norm, lit(TokenPattern), lit(0)))
-      .otherwise(filter(split(norm, s"$Ws+"), t => t =!= ""))
+      .otherwise(array_remove(split(norm, s"$Ws+"), ""))
   }
 
   /** tokens() as a SQL expression string over `colExpr` — for call sites
@@ -94,7 +100,7 @@ object TextFunctions {
     val ws = Ws.replace("\\", "\\\\")
     s"CASE WHEN $colExpr RLIKE '$ScriptClass' " +
       s"THEN regexp_extract_all(lower(trim($colExpr)), '$pat', 0) " +
-      s"ELSE filter(split(lower(trim($colExpr)), '$ws+'), x -> x != '') END"
+      s"ELSE array_remove(split(lower(trim($colExpr)), '$ws+'), '') END"
   }
 
   /** Word 3-gram shingles, distinct. 0-based `get` mirrors DuckDB's 1-based
@@ -186,6 +192,18 @@ object TextFunctions {
     array_min(transform(
       sequence(lit(0), greatest(length(text) - k, lit(0))),
       i => md5(substring(text, i + 1, lit(k)))))
+
+  /** DuckDB replay of the native kgram_hashes expression (VectorExpressions
+    * .KgramHashes): the same Karp–Rabin polynomial fold (B=257, M=1e9+7)
+    * over ord() codepoints, same window semantics (k_eff = min(k, len),
+    * empty text → [0]). O(n·k) in the oracle is fine — it runs at sf0.01;
+    * the engine side pays O(n). */
+  def kgramHashesSql(colExpr: String, k: Int): String =
+    s"""CASE WHEN length($colExpr) = 0 THEN [CAST(0 AS BIGINT)]
+       |ELSE list_transform(range(1, greatest(length($colExpr) - $k + 1, 1) + 1), i ->
+       |  list_reduce(list_transform(range(i, i + least($k, length($colExpr))), p ->
+       |    CAST(ord(substring($colExpr, CAST(p AS INT), 1)) AS BIGINT)),
+       |    (a, x) -> (a * 257 + x) % 1000000007)) END""".stripMargin.replace("\n", " ")
 
   /** Word bigrams (non-distinct — frequency-carrying). */
   def bigrams(toks: Column): Column =

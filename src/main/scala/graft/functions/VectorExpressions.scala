@@ -357,6 +357,63 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** All k-gram Karp–Rabin hashes of a string as array<long> — the O(n)
+    * replacement for per-position md5-of-substring (O(n·k) hash work; the
+    * r9 winnowing cost). Same constants and fold as RollingHashMin but
+    * over Unicode CODEPOINTS, because the DuckDB oracle replays the hash
+    * as `list_reduce(ords, (a, x) -> (a*257 + x) % 1000000007)` and ord()
+    * yields codepoints (ASCII ⇒ identical to bytes). Window semantics
+    * mirror the md5 formulation exactly: k_eff = min(k, n) (a short doc
+    * hashes once over its whole text), empty text yields the single
+    * sentinel hash 0 — so n_grams is unchanged at len−k+1 / 1. */
+  case class KgramHashes(child: Expression, k: Int)
+      extends UnaryExpression with Serializable {
+    require(k >= 1, s"kgram_hashes needs k >= 1, got $k")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kgram_hashes requires string, got ${other.simpleString}")
+    }
+
+    private val B = 257L
+    private val M = 1000000007L
+
+    override protected def nullSafeEval(input: Any): Any =
+      hashesOf(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    /** Public entry for both eval and generated code. */
+    def hashesOf(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val cps = s.toString.codePoints().toArray
+      val n = cps.length
+      if (n == 0) return ArrayData.toArrayData(Array(0L))
+      val kEff = math.min(k, n)
+      val m = n - kEff + 1
+      val out = new Array[Long](m)
+      var pow = 1L; var i = 1
+      while (i < kEff) { pow = pow * B % M; i += 1 }
+      var h = 0L; i = 0
+      while (i < kEff) { h = (h * B + cps(i)) % M; i += 1 }
+      out(0) = h
+      var p = 1
+      while (p < m) {
+        h = (h - cps(p - 1) * pow % M + M * M) % M
+        h = (h * B + cps(p + kEff - 1)) % M
+        out(p) = h
+        p += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // data-dependent loop — delegate to eval via reference (stays inside
+      // the whole-stage pipeline)
+      val ref = ctx.addReferenceObj("kgramHashes", this, classOf[KgramHashes].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.hashesOf($c);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Register the expressions as SQL functions on a session, then use them
     * via `expr("cosine_sim(a, b)")` — keeps call sites independent of the
     * Column constructor's visibility. */
@@ -368,6 +425,9 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("rolling_hash_min",
       es => RollingHashMin(es.head, es.lift(1)
         .map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(16)), "built-in")
+    reg.createOrReplaceTempFunction("kgram_hashes",
+      es => KgramHashes(es.head, es.lift(1)
+        .map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(8)), "built-in")
   }
 
   def cosineSim(a: String, b: String): Column = expr(s"cosine_sim($a, $b)")

@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   *   snap-<label>/   immutable snapshot directories (parquet)
   *   current         one-line pointer file naming the published snapshot
   *
-  * The publish step is a pointer-file REPLACE (write tmp + rename) — the
-  * smallest atomic unit every Hadoop filesystem offers. Concurrent
-  * readers either see the old pointer or the new one, never a torn
-  * state. (On object stores without atomic rename, swap the pointer file
-  * for a metastore/catalog entry — same contract, same seam.)
+  * The publish step is a pointer-file REPLACE: write tmp + overwriting
+  * rename (FileContext.rename OVERWRITE — atomic on HDFS, so concurrent
+  * readers see the old pointer or the new one, never a torn state). On
+  * filesystems without that binding the swap falls back to
+  * delete-then-rename, which opens a brief pointer-absent window;
+  * currentLabel bridges it with a bounded retry. (On object stores
+  * without atomic rename, swap the pointer file for a metastore/catalog
+  * entry — same contract, same seam.)
   */
 object Wap {
 
@@ -57,22 +60,38 @@ object Wap {
     val cur = new Path(s"$root/current")
     val out = f.create(tmp, true)
     try out.write(s"snap-$label".getBytes("UTF-8")) finally out.close()
-    // rename with overwrite semantics: delete-then-rename is the portable
-    // HDFS idiom; the pointer write itself happened off to the side
-    f.delete(cur, false)
-    require(f.rename(tmp, cur), s"pointer swap failed for snap-$label")
+    // overwriting rename: atomic pointer swap where the filesystem offers
+    // it (HDFS); fall back to delete-then-rename elsewhere — readers
+    // bridge that window via currentLabel's retry
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, spark.sessionState.newHadoopConf())
+      fc.rename(f.makeQualified(tmp), f.makeQualified(cur),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        f.delete(cur, false)
+        require(f.rename(tmp, cur), s"pointer swap failed for snap-$label")
+    }
   }
 
-  /** The published snapshot's label, if any. */
+  /** The published snapshot's label, if any. Retries briefly on an absent
+    * pointer so the fallback (non-atomic) publish path's momentary window
+    * reads as the old-or-new contract rather than a spurious None. */
   def currentLabel(spark: SparkSession, root: String): Option[String] = {
     val f = fs(spark, root)
     val cur = new Path(s"$root/current")
-    if (!f.exists(cur)) None
-    else {
-      val in = f.open(cur)
-      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
-      finally in.close()
-    }
+    def readOnce(): Option[String] =
+      if (!f.exists(cur)) None
+      else {
+        val in = f.open(cur)
+        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+        finally in.close()
+      }
+    Iterator.range(0, 3).map { i =>
+      if (i > 0) Thread.sleep(50L)
+      readOnce()
+    }.collectFirst { case Some(l) => l }
   }
 
   /** Read through the pointer: the published snapshot, as readers do. */

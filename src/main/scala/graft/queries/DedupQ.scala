@@ -185,6 +185,54 @@ object DedupQ {
   val dMinhashPairsSql: String =
     s"WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte\n$candSelect\nORDER BY a_id, b_id"
 
+  /** d_minhash_est: the MinHash JACCARD ESTIMATOR itself — P[sig_i(A) =
+    * sig_i(B)] = J(A,B), so the fraction of agreeing signature slots
+    * estimates Jaccard in O(k) per pair with NO shingle materialization.
+    * At 100 TB this is what replaces exact verification on the long tail
+    * (exact intersection only for borderline pairs): per candidate pair,
+    * slot-agreement count over the 24 shared-stage signatures, the
+    * estimate as one pinned division, the exact Jaccard beside it and
+    * the absolute error — the operator's own fidelity report. All off
+    * the cached signature/candidate/jaccard stages: zero extra corpus
+    * passes; the 24-slot comparison is a codegen'd sum of equality
+    * terms (no HOF). */
+  def dMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    val n = MinHashLsh.NumHashes
+    val sigs = stage(s, dir)
+    val aS = sigs.select(col("doc_id").as("a_id") +:
+      (0 until n).map(i => col(s"sig_$i").as(s"a_sig_$i")): _*)
+    val bS = sigs.select(col("doc_id").as("b_id") +:
+      (0 until n).map(i => col(s"sig_$i").as(s"b_sig_$i")): _*)
+    val nEq = (0 until n)
+      .map(i => when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates(s, dir)
+      .join(jaccardScored(s, dir), Seq("a_id", "b_id"))
+      .join(aS, "a_id").join(bS, "b_id")
+      .withColumn("n_eq", nEq.cast("long"))
+      .select(col("a_id"), col("b_id"), col("n_eq"),
+        (col("n_eq").cast("double") / lit(n.toDouble)).as("est"),
+        col("jaccard"),
+        abs(col("n_eq").cast("double") / lit(n.toDouble) - col("jaccard")).as("abs_err"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val dMinhashEstSql: String = {
+    val n = MinHashLsh.NumHashes
+    val eqTerms = (0 until n)
+      .map(i => s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte,
+       |cand AS ($candSelect),
+       |jac AS (SELECT a_id, b_id, $jaccardExprSql AS jaccard
+       |        FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id),
+       |eq AS (SELECT a_id, b_id, CAST($eqTerms AS BIGINT) AS n_eq
+       |       FROM cand JOIN sigs sa ON sa.doc_id = a_id JOIN sigs sb ON sb.doc_id = b_id)
+       |SELECT e.a_id, e.b_id, n_eq, CAST(n_eq AS DOUBLE) / ${n.toDouble} AS est, jaccard,
+       |  abs(CAST(n_eq AS DOUBLE) / ${n.toDouble} - jaccard) AS abs_err
+       |FROM eq e JOIN jac j ON j.a_id = e.a_id AND j.b_id = e.b_id
+       |ORDER BY e.a_id, e.b_id""".stripMargin
+  }
+
   /** d_jaccard: exact shingle Jaccard, verified on the LSH candidates only. */
   def dJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardScored(s, dir)
@@ -918,10 +966,11 @@ object DedupQ {
     * bucket; pairs rank by shared-fingerprint count. */
   def dSubstringOverlap(s: SparkSession, dir: String): DataFrame = {
     val k = 8; val w = 8; val maxBucket = 16
+    graft.functions.VectorExpressions.register(s)
     val fps = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("hs", expr(
-        s"transform(sequence(0, greatest(length(text) - $k, 0)), i -> CAST(conv(substring(md5(substring(text, i + 1, $k)), 1, 15), 16, 10) AS BIGINT))"))
+      // native Karp–Rabin k-gram array: O(n) per doc vs md5-per-position
+      .withColumn("hs", expr(s"kgram_hashes(text, $k)"))
       .select(col("doc_id"),
         explode(expr(s"array_distinct(transform(sequence(0, greatest(size(hs) - $w, 0)), j -> array_min(slice(hs, j + 1, $w))))")).as("fp"))
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
@@ -937,10 +986,8 @@ object DedupQ {
   }
 
   val dSubstringOverlapSql: String =
-    """WITH h AS (
-      |  SELECT doc_id,
-      |    [('0x' || substr(md5(substring(text, i + 1, 8)), 1, 15))::BIGINT
-      |     for i in range(0, greatest(length(text) - 8, 0) + 1)] AS hs
+    s"""WITH h AS (
+      |  SELECT doc_id, ${graft.functions.TextFunctions.kgramHashesSql("text", 8)} AS hs
       |  FROM documents),
       |fp AS (
       |  SELECT doc_id, unnest(list_distinct([list_min(hs[j + 1 : j + 8])
@@ -961,6 +1008,7 @@ object DedupQ {
     "d_paragraph"     -> dParagraph _,
     "d_exact"         -> dExact _,
     "d_minhash_pairs" -> dMinhashPairs _,
+    "d_minhash_est"   -> dMinhashEst _,
     "d_jaccard"       -> dJaccard _,
     "d_components"    -> dComponents _,
     "d_curate"        -> dCurate _,
@@ -982,6 +1030,7 @@ object DedupQ {
     "d_paragraph"     -> dParagraphSql,
     "d_exact"         -> dExactSql,
     "d_minhash_pairs" -> dMinhashPairsSql,
+    "d_minhash_est"   -> dMinhashEstSql,
     "d_jaccard"       -> dJaccardSql,
     "d_components"    -> dComponentsSql,
     "d_curate"        -> dCurateSql,

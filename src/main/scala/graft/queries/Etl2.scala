@@ -87,10 +87,13 @@ object Etl2 {
        |        COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
        |      FROM r FULL JOIN c ON r.bucket = c.bucket),
        |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM j)
+       |-- drift_num must CAST back to BIGINT: DuckDB's SUM(BIGINT) is
+       |-- HUGEINT, which propagates through the cross-difference and
+       |-- materializes as float64 — equal values, different typed hash
        |SELECT bucket, n_ref, n_cur,
        |  CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) AS share_ref,
        |  CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE) AS share_cur,
-       |  abs(n_cur * t_ref - n_ref * t_cur) AS drift_num
+       |  CAST(abs(n_cur * t_ref - n_ref * t_cur) AS BIGINT) AS drift_num
        |FROM j, t ORDER BY bucket""".stripMargin
 
   /** e_l_diversity: the privacy leak e_k_anon misses — a QI group can be
@@ -219,7 +222,47 @@ object Etl2 {
        |FROM part ORDER BY p_partkey""".stripMargin
   }
 
+  /** e_mad_outliers: ROBUST anomaly detection — the median/MAD
+    * complement to e_anomaly's mean/z-score: a heavy-tailed or already-
+    * contaminated group inflates its own stdev and hides outliers, while
+    * the median absolute deviation stays put (50% breakdown point, the
+    * production-monitoring default). Per return-flag class: median price,
+    * MAD, then robust score |x − med| / (1.4826·MAD) with flags past 3.
+    * Three passes — median agg, MAD agg over the broadcast median, flag
+    * scan over the broadcast stats (all map-side-partial aggregations;
+    * stats are |groups| rows) — with the same exact-percentile parity as
+    * q_quantiles; output bounded by outliers. At 100 TB the percentile
+    * swaps for the sketch exactly like q_rfm's approx toggle. */
+  def eMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("x"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val mad = li.join(broadcast(med), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(abs(x - med), 0.5)").as("mad"), first(col("med")).as("med"))
+    li.join(broadcast(mad), "l_returnflag")
+      .withColumn("score", abs(col("x") - col("med")) / (lit(1.4826) * col("mad")))
+      .filter(col("score") > 3.0)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("x"), col("med"), col("mad"), col("score"))
+      .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("x"))
+  }
+
+  val eMadOutliersSql: String =
+    """WITH li AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice AS x FROM lineitem),
+      |med AS (SELECT l_returnflag, quantile_cont(x, 0.5) AS med FROM li GROUP BY 1),
+      |mad AS (SELECT li.l_returnflag, quantile_cont(abs(x - med), 0.5) AS mad, ANY_VALUE(med) AS med
+      |        FROM li JOIN med USING (l_returnflag) GROUP BY li.l_returnflag)
+      |SELECT l_returnflag, l_orderkey, l_linenumber, x, med, mad,
+      |  abs(x - med) / (1.4826 * mad) AS score
+      |FROM li JOIN mad USING (l_returnflag)
+      |WHERE abs(x - med) / (1.4826 * mad) > 3.0
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber, x""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_mad_outliers" -> eMadOutliers _,
     "e_quarantine"   -> eQuarantine _,
     "e_drift"        -> eDrift _,
     "e_l_diversity"  -> eLDiversity _,
@@ -229,6 +272,7 @@ object Etl2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_mad_outliers" -> eMadOutliersSql,
     "e_quarantine"   -> eQuarantineSql,
     "e_drift"        -> eDriftSql,
     "e_l_diversity"  -> eLDiversitySql,

@@ -524,7 +524,100 @@ object Modal {
        |FROM keyed WHERE is_key
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** m_phash_neardup: IMAGE near-duplicate dedup end-to-end — the last
+    * spec-only dedup modality promoted to a gate (the m_audio pattern:
+    * container writer, codec and hash math all under the gate). Every 4th
+    * document synthesizes a REAL PNG (JDK ImageIO writer): an 8×8
+    * gray-block raster whose on/off cells are the md5 bits of its pair
+    * group g = doc_id/8, with the group's second member (doc_id%8 == 4)
+    * flipping two cells — a near-duplicate at Hamming 2. The engine
+    * decodes through javax.imageio, computes the 64-bit average-hash
+    * (Multimodal.averageHash: luma, integer mean, threshold bits) and
+    * retrieves pairs through the SAME SimHash pigeonhole machinery as
+    * text (SimHashDedup.pairsFromSignatures). The oracle replays the
+    * raster formula, the aHash arithmetic (gray luma = v exactly:
+    * (299+587+114)v/1000) and a brute-force rep retrieval (equal to the
+    * pigeonhole banding, which is complete for Hamming ≤ 3).
+    *
+    * Scale shape: synthesis+decode+hash are one narrow mapPartitions
+    * pass; retrieval is the banding equality join — linear per bucket,
+    * hamming-0 cliques collapse to rep stars. */
+  def mPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 0)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val g = id / 8
+          md.reset()
+          val hex = md.digest(g.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+          val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+          def bit(j: Int): Boolean =
+            if (j < 32) ((h1 >> j) & 1L) == 1L else ((h2 >> (j - 32)) & 1L) == 1L
+          val variant = id % 8 == 4
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var j = 0
+          while (j < 64) {
+            val on = bit(j) ^ (variant && j < 2)
+            val v = if (on) 220 else 30
+            img.setRGB(j % 8, j / 8, (v << 16) | (v << 8) | v)
+            j += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val png = bos.toByteArray
+          Multimodal.Blob(id, "image/png", png.length.toLong, png)
+        }
+      }
+    val sigs = Multimodal.perceptualHashes(blobs).toDF()
+    graft.dedup.SimHashDedup.pairsFromSignatures(sigs, "doc_id")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Oracle: raster → luma → integer mean → threshold bits → rep collapse
+    * → brute-force Hamming ≤ 3 pairs (= the pigeonhole retrieval). */
+  val mPhashNeardupSql: String =
+    """WITH ids AS (SELECT doc_id, doc_id // 8 AS g, (doc_id % 8 = 4) AS variant
+      |             FROM documents WHERE doc_id % 4 = 0),
+      |bits AS (SELECT doc_id, variant,
+      |    ('0x' || substr(md5(CAST(g AS VARCHAR)), 1, 8))::BIGINT AS h1,
+      |    ('0x' || substr(md5(CAST(g AS VARCHAR)), 9, 8))::BIGINT AS h2
+      |  FROM ids),
+      |lum AS (SELECT doc_id, j,
+      |    CASE WHEN ((CASE WHEN j < 32 THEN (h1 >> j) & 1
+      |                     ELSE (h2 >> (j - 32)) & 1 END) = 1)
+      |              <> (variant AND j < 2)
+      |         THEN 220 ELSE 30 END AS v
+      |  FROM bits, (SELECT unnest(range(64)) AS j) js),
+      |hv AS (SELECT doc_id, j, v, SUM(v) OVER (PARTITION BY doc_id) // 64 AS m FROM lum),
+      |-- bit 63 is the sign bit: 1<<63 overflows DuckDB's checked BIGINT
+      |-- shift, so it contributes the Long.MIN_VALUE constant instead;
+      |-- bits are disjoint, so the (HUGEINT) sum IS the signed 64-bit
+      |-- word and casts back losslessly
+      |sim AS (SELECT doc_id,
+      |    CAST(COALESCE(SUM(CASE WHEN v > m THEN
+      |      (CASE WHEN j = 63 THEN -9223372036854775807 - 1
+      |            ELSE (1::BIGINT << CAST(j AS INT)) END) ELSE 0 END), 0) AS BIGINT) AS simhash
+      |  FROM hv GROUP BY doc_id),
+      |reps AS (SELECT simhash, MIN(doc_id) AS rep_id FROM sim GROUP BY simhash),
+      |star AS (SELECT r.rep_id AS a_id, s.doc_id AS b_id, 0 AS hamming
+      |         FROM sim s JOIN reps r ON s.simhash = r.simhash
+      |         WHERE s.doc_id <> r.rep_id),
+      |crossp AS (SELECT a_id, b_id, hamming FROM (
+      |            SELECT a.rep_id AS a_id, b.rep_id AS b_id,
+      |              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |            FROM reps a JOIN reps b ON a.rep_id < b.rep_id)
+      |          WHERE hamming <= 3)
+      |SELECT a_id, b_id, hamming FROM (SELECT * FROM star UNION ALL SELECT * FROM crossp)
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_phash_neardup"   -> mPhashNeardup _,
     "m_scene_cut"       -> mSceneCut _,
     "m_keyframe"        -> mKeyframe _,
     "m_shard"           -> mShard _,
@@ -545,6 +638,7 @@ object Modal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m_phash_neardup"   -> mPhashNeardupSql,
     "m_scene_cut"       -> mSceneCutSql,
     "m_keyframe"        -> mKeyframeSql,
     "m_shard"           -> mShardSql,

@@ -145,9 +145,17 @@ object Relational4 {
     * exact percentile thresholds (the t_curriculum machinery: one
     * percentile aggregation broadcast as a 1-row frame, score =
     * 1 + #thresholds under the metric — recency scored INVERTED, recent
-    * is better). Two aggregation passes + one broadcast; at 100 TB the
-    * exact percentile swaps for the sketch with identical assignment. */
-  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    * is better). Two aggregation passes + one broadcast.
+    *
+    * `approx = true` is the 100 TB path: the exact percentile (a
+    * single-point-of-truth full sort of the per-customer frame) swaps for
+    * the percentile_approx sketch (mergeable GK summaries, one ordinary
+    * aggregation) — same plan shape, same scoring; SketchToggleSpec
+    * bounds the assignment disagreement at sf0.1 (≥99% of customers get
+    * identical quintiles). The gate keeps exact for the oracle. */
+  def qRfm(s: SparkSession, dir: String): DataFrame = qRfm(s, dir, approx = false)
+
+  def qRfm(s: SparkSession, dir: String, approx: Boolean): DataFrame = {
     val o = Tables.orders(s, dir)
       .select(col("o_custkey"), col("o_totalprice"),
         expr("datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01')").cast("long").as("day"))
@@ -157,10 +165,14 @@ object Relational4 {
       .crossJoin(broadcast(o.agg(max(col("day")).as("frontier"))))
       .select(col("o_custkey"), (col("frontier") - col("last_day")).as("r_days"),
         col("f"), col("m"))
+    val pct = if (approx) "percentile_approx" else "percentile"
+    // percentile_approx wants an accuracy arg; 10000 holds rank error
+    // ~1e-4 of the population — far inside a quintile's width
+    val acc = if (approx) ", 10000" else ""
     val th = rfm.agg(
-      expr("percentile(r_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("th_r"),
-      expr("percentile(f, array(0.2D, 0.4D, 0.6D, 0.8D))").as("th_f"),
-      expr("percentile(m, array(0.2D, 0.4D, 0.6D, 0.8D))").as("th_m"))
+      expr(s"$pct(r_days, array(0.2D, 0.4D, 0.6D, 0.8D)$acc)").cast("array<double>").as("th_r"),
+      expr(s"$pct(f, array(0.2D, 0.4D, 0.6D, 0.8D)$acc)").cast("array<double>").as("th_f"),
+      expr(s"$pct(m, array(0.2D, 0.4D, 0.6D, 0.8D)$acc)").cast("array<double>").as("th_m"))
     def score(metric: String, th: String) =
       expr(s"1 + aggregate($th, 0, (a, t) -> a + (CASE WHEN $metric > t THEN 1 ELSE 0 END))")
     rfm.crossJoin(broadcast(th))

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.OracleParity.xsum
+
+/** Round-10 relational/product-analytics additions (SURVEY.md §2A):
+  * period-over-period growth and marketing attribution — two BI staples
+  * the surface did not yet cover. */
+object Relational6 {
+
+  /** q_mom_yoy: period-over-period growth — the revenue-dashboard
+    * workhorse: monthly revenue (decimal-exact) with month-over-month and
+    * year-over-year comparisons. MoM rides ONE lag window over the
+    * |months|-row aggregate (chronological, observed months); YoY is an
+    * exact (year−1, month) self-join — a missing comparison month yields
+    * NULL growth, never a wrong denominator. Growth ratios are pinned
+    * single divisions of the decimal-cast sums, so both engines run the
+    * identical IEEE ops. Scale shape: one fact aggregation shuffles to a
+    * |months|-row frame; window + self-join cost nothing after it. */
+  def qMomYoy(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("rev"))
+    val w = Window.orderBy(col("yr"), col("mo"))
+    val withMom = m
+      .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+      .withColumn("mom_growth", (col("rev") - col("prev_rev")) / col("prev_rev"))
+    val prior = m.select((col("yr") + 1).as("yr"), col("mo"), col("rev").as("yoy_prev"))
+    withMom.join(prior, Seq("yr", "mo"), "left")
+      .select(col("yr"), col("mo"), col("n_orders"), col("rev"),
+        col("prev_rev"), col("mom_growth"), col("yoy_prev"),
+        ((col("rev") - col("yoy_prev")) / col("yoy_prev")).as("yoy_growth"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  val qMomYoySql: String =
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+      |    COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |wm AS (SELECT yr, mo, n_orders, rev,
+      |         lag(rev) OVER (ORDER BY yr, mo) AS prev_rev
+      |       FROM m)
+      |SELECT wm.yr, wm.mo, wm.n_orders, wm.rev, wm.prev_rev,
+      |  (wm.rev - wm.prev_rev) / wm.prev_rev AS mom_growth,
+      |  p.rev AS yoy_prev,
+      |  (wm.rev - p.rev) / p.rev AS yoy_growth
+      |FROM wm LEFT JOIN m p ON p.yr = wm.yr - 1 AND p.mo = wm.mo
+      |ORDER BY wm.yr, wm.mo""".stripMargin
+
+  /** q_attribution: marketing-touch attribution — for every purchase, the
+    * LAST preceding touch (click/view) and the user's FIRST touch ever,
+    * rolled up per (touch channel, attribution model) with decimal-exact
+    * attributed revenue. The per-purchase resolution is one user-keyed
+    * window (last_value IGNORE NULLS over the event stream — the as-of
+    * pattern without a join); ties at the same instant break on event_id.
+    * Unattributed purchases (no prior touch) land under channel 'none' so
+    * the rollup is complete. Scale shape: ONE user-keyed sort serves both
+    * models; output is |channels×models|-bounded. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts_us"))
+    val touch = when(col("event_type").isin("click", "view"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val attributed = e
+      .withColumn("last_touch",
+        last(touch, ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("first_touch",
+        first(touch, ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("event_type") === "purchase")
+    def rollup(modelCol: String, model: String) = attributed
+      .groupBy(coalesce(col(modelCol), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), xsum(col("value")).as("attributed_rev"))
+      .withColumn("model", lit(model))
+    rollup("last_touch", "last").unionByName(rollup("first_touch", "first"))
+      .select(col("model"), col("channel"), col("n_purchases"), col("attributed_rev"))
+      .orderBy(col("model"), col("channel"))
+  }
+
+  val qAttributionSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us,
+      |    CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch
+      |  FROM events),
+      |a AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |    last_value(touch IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+      |    first_value(touch IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY ts_us, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
+      |  FROM e),
+      |p AS (SELECT * FROM a WHERE event_type = 'purchase')
+      |SELECT model, channel, n_purchases, attributed_rev FROM (
+      |  SELECT 'last' AS model, COALESCE(last_touch, 'none') AS channel,
+      |    COUNT(*) AS n_purchases,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_rev
+      |  FROM p GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'first' AS model, COALESCE(first_touch, 'none') AS channel,
+      |    COUNT(*) AS n_purchases,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_rev
+      |  FROM p GROUP BY 2)
+      |ORDER BY model, channel""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mom_yoy"     -> qMomYoy _,
+    "q_attribution" -> qAttribution _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_mom_yoy"     -> qMomYoySql,
+    "q_attribution" -> qAttributionSql,
+  )
+}

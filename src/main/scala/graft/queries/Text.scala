@@ -623,6 +623,10 @@ object Text {
       .withColumn("dup_sent_frac",
         (size(col("sents")) - size(array_distinct(col("sents")))).cast("double")
           / size(col("sents")).cast("double"))
+      .drop("sents")
+      // two consumers below (gram explode + final join) — materialize the
+      // tokenized frame once instead of re-running the tokenizer per branch
+      .localCheckpoint()
     // typed empty arrays: bare array() is array<null> and won't unify with
     // the struct arrays under concat
     val noGrams = array().cast("array<struct<n:int,g:string>>")
@@ -1225,15 +1229,26 @@ object Text {
     * last): exact quality quartile thresholds over the corpus (one
     * percentile aggregation — the q_quantiles parity pair), broadcast as
     * a 1-row frame, every document assigned bucket = #thresholds ≤ its
-    * score. Two passes total, threshold table O(1); at 100 TB swap the
-    * exact percentile for percentile_approx (q_approx_quantiles' path)
-    * with the same assignment. */
-  def tCurriculum(s: SparkSession, dir: String): DataFrame = {
+    * score. Two passes total, threshold table O(1).
+    *
+    * `approx = true` is the 100 TB path: percentile_approx's mergeable
+    * GK sketch (one ordinary aggregation, accuracy 10000 ⇒ rank error
+    * ~1e-4) replaces the exact percentile's full sort — same plan shape,
+    * same assignment rule; SketchToggleSpec bounds the quartile
+    * disagreement at sf0.1 (≥99% identical buckets). The gate keeps
+    * exact for the oracle. */
+  def tCurriculum(s: SparkSession, dir: String): DataFrame =
+    tCurriculum(s, dir, approx = false)
+
+  def tCurriculum(s: SparkSession, dir: String, approx: Boolean): DataFrame = {
     val d = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), qualityScore(col("text"), col("toks")).as("quality"))
-    val th = d.agg(expr("percentile(quality, array(0.25D, 0.5D, 0.75D))").as("th"))
+    val thExpr =
+      if (approx) "percentile_approx(quality, array(0.25D, 0.5D, 0.75D), 10000)"
+      else "percentile(quality, array(0.25D, 0.5D, 0.75D))"
+    val th = d.agg(expr(thExpr).cast("array<double>").as("th"))
     d.crossJoin(broadcast(th))
       .withColumn("bucket",
         expr("aggregate(th, 0, (a, t) -> a + (CASE WHEN quality >= t THEN 1 ELSE 0 END))"))
@@ -1258,13 +1273,18 @@ object Text {
     * least one SHARED fingerprint, so local plagiarism/quotation is
     * detectable, not just whole-document similarity. Pure array HOFs per
     * row (no shuffle); output carries the count and an order-insensitive
-    * set digest so the gate is hash-comparable. */
+    * set digest so the gate is hash-comparable.
+    *
+    * k-gram hashing is the native Karp–Rabin array expression
+    * (kgram_hashes): ONE O(n) rolling pass per document, versus the r9
+    * md5-per-position formulation's O(n·k) hash work; the oracle replays
+    * the identical polynomial fold over ord() codepoints. */
   def tWinnowing(s: SparkSession, dir: String): DataFrame = {
     val k = 8; val w = 8
+    graft.functions.VectorExpressions.register(s)
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("hs", expr(
-        s"transform(sequence(0, greatest(length(text) - $k, 0)), i -> CAST(conv(substring(md5(substring(text, i + 1, $k)), 1, 15), 16, 10) AS BIGINT))"))
+      .withColumn("hs", expr(s"kgram_hashes(text, $k)"))
       .withColumn("fps", expr(
         s"array_sort(array_distinct(transform(sequence(0, greatest(size(hs) - $w, 0)), j -> array_min(slice(hs, j + 1, $w)))))"))
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
@@ -1274,10 +1294,8 @@ object Text {
   }
 
   val tWinnowingSql: String =
-    """WITH h AS (
-      |  SELECT doc_id,
-      |    [('0x' || substr(md5(substring(text, i + 1, 8)), 1, 15))::BIGINT
-      |     for i in range(0, greatest(length(text) - 8, 0) + 1)] AS hs
+    s"""WITH h AS (
+      |  SELECT doc_id, ${graft.functions.TextFunctions.kgramHashesSql("text", 8)} AS hs
       |  FROM documents),
       |f AS (
       |  SELECT doc_id, hs,

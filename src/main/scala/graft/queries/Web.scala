@@ -49,13 +49,14 @@ object Web {
       .orderBy(col("doc_id"))
 
   val tHtmlSql: String = {
-    val blocks = Html.BlockPat
     val comments = Html.CommentPat
     val tags = Html.TagPat
     val anchor = Html.AnchorPat
-    // same pipeline, same order: blocks → comments → tags → entities → ws
-    val entityChain = Html.Entities.foldLeft(
-      s"regexp_replace(regexp_replace(regexp_replace(html, '$blocks', ' ', 'g'), '$comments', ' ', 'g'), '$tags', ' ', 'g')") {
+    // same pipeline, same order: per-tag blocks → comments → tags →
+    // entities → ws
+    val stripped = (Html.BlockPats :+ comments :+ tags)
+      .foldLeft("html")((acc, p) => s"regexp_replace($acc, '$p', ' ', 'g')")
+    val entityChain = Html.Entities.foldLeft(stripped) {
       case (acc, (e, r)) =>
         val rr = r.replace("'", "''")
         s"regexp_replace($acc, '$e', '$rr', 'g')"

@@ -115,19 +115,29 @@ object IvfIndex {
     * reused). Probes see a coherent index throughout their usual
     * contract: every vector sits in exactly one cell of the updated
     * centroid table, and queries that rank the updated centroids probe
-    * the new sub-cells exactly like any others. Crash mid-swap is
-    * repaired by re-running (stale staging is cleared; the split
-    * re-derives from whatever bucket files survive).
+    * the new sub-cells exactly like any others.
+    *
+    * Crash safety: NO data file is deleted before its replacement is
+    * live. The swap order is (1) staged sub-cell files move into
+    * `buckets/` (fresh cell ids — no collision, and unreachable behind
+    * the old centroid table, so probes are unaffected), (2) the updated
+    * centroid table publishes by staged-write + rename swap, (3) only
+    * then do the superseded bucket directories delete. Re-running after
+    * a crash first calls repairLayout, which finishes or rolls back a
+    * half-done centroid swap and drops bucket directories the centroid
+    * table no longer references — every crash point leaves a
+    * recoverable index (IvfIndexSpec exercises the windows).
     *
     * @return true if a rebuild fired (some bucket exceeded maxShare) */
   def rebuildIfImbalanced(spark: SparkSession, path: String,
       maxShare: Double = 0.25, splitFactor: Int = 2, iters: Int = 2): Boolean = {
     VectorExpressions.register(spark)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    repairLayout(spark, fs, path)
     val overloaded = stats(spark, path).filter(col("share") > maxShare)
       .select(col("bucket")).collect().map(_.getAs[Number](0).longValue).sorted
     if (overloaded.isEmpty) return false
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new Path(s"$path/_staging_rebuild")
     fs.delete(staging, true) // clear any crashed prior attempt's leftovers
     val centroids = spark.read.parquet(s"$path/centroids")
@@ -148,15 +158,57 @@ object IvfIndex {
       Knn.assignBuckets(spark, members, relabeled, "n_id", "n_vec")
         .write.mode("append").partitionBy("bucket").parquet(staging.toString)
     }
-    // swap: drop the split cells' old files, move the staged sub-cells in,
-    // then replace the split rows of the |C|-row centroid table
-    for (b <- overloaded) fs.delete(new Path(s"$path/buckets/bucket=$b"), true)
+    // swap — replacements land before anything deletes (see Scaladoc)
     commitStaged(fs, staging, new Path(s"$path/buckets"))
     val updated = (Seq(centroids.filter(
         !col("c_id").isin(overloaded.map(x => x: Any): _*))) ++ newCells)
-      .reduce(_ unionByName _).localCheckpoint() // materialize before the overwrite below deletes its input
-    updated.write.mode("overwrite").parquet(s"$path/centroids")
+      .reduce(_ unionByName _).localCheckpoint() // materialize before the rename below moves its input
+    val liveC = new Path(s"$path/centroids")
+    val stagedC = new Path(s"$path/_staging_centroids")
+    val retiredC = new Path(s"$path/_retired_centroids")
+    fs.delete(stagedC, true); fs.delete(retiredC, true)
+    updated.write.mode("overwrite").parquet(stagedC.toString)
+    require(fs.rename(liveC, retiredC), s"rename $liveC -> $retiredC failed")
+    require(fs.rename(stagedC, liveC), s"rename $stagedC -> $liveC failed")
+    // only now retire the split cells' superseded files
+    for (b <- overloaded) fs.delete(new Path(s"$path/buckets/bucket=$b"), true)
+    fs.delete(retiredC, true)
     true
+  }
+
+  /** Bring a possibly-crashed layout back to a coherent state: finish a
+    * centroid swap whose staged table committed (its _SUCCESS exists),
+    * roll back to the retired table otherwise, then drop bucket
+    * directories the centroid table does not reference (sub-cells whose
+    * swap never published, or half-moved staging leftovers) — their
+    * vectors still live in the not-yet-deleted original buckets, so
+    * dropping the orphans loses no data and keeps a later rebuild's
+    * fresh cell ids collision-free. Idempotent; a no-op on a healthy
+    * index. */
+  private def repairLayout(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val liveC = new Path(s"$path/centroids")
+    val stagedC = new Path(s"$path/_staging_centroids")
+    val retiredC = new Path(s"$path/_retired_centroids")
+    if (!fs.exists(liveC)) {
+      if (fs.exists(new Path(stagedC, "_SUCCESS")))
+        require(fs.rename(stagedC, liveC), s"repair rename $stagedC -> $liveC failed")
+      else if (fs.exists(retiredC))
+        require(fs.rename(retiredC, liveC), s"repair rename $retiredC -> $liveC failed")
+      else throw new IllegalStateException(s"no centroid table at $path")
+    }
+    fs.delete(stagedC, true); fs.delete(retiredC, true)
+    val bucketsDir = new Path(s"$path/buckets")
+    if (fs.exists(bucketsDir)) {
+      val known = spark.read.parquet(liveC.toString)
+        .select(col("c_id")).collect().map(_.getAs[Number](0).longValue).toSet
+      for (d <- fs.listStatus(bucketsDir)
+           if d.isDirectory && d.getPath.getName.startsWith("bucket=");
+           id <- scala.util.Try(d.getPath.getName.stripPrefix("bucket=").toLong).toOption
+           if !known.contains(id))
+        fs.delete(d.getPath, true)
+    }
   }
 
   /** ANN top-k against a built index. Queries need (idCol, vecCol). */

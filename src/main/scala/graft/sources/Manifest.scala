@@ -43,9 +43,20 @@ object Manifest {
             .filter(_.getPath.toDotString == c)
           val sts = colChunks.map(_.getStatistics).filter(s => s != null && !s.isEmpty)
           if (sts.isEmpty) None
-          else Some(FileStat(f.getName, nRows, c,
-            sts.map(_.minAsString).min, sts.map(_.maxAsString).max,
-            sts.map(_.getNumNulls).sum))
+          else {
+            // aggregate across row groups with the column's TYPED
+            // comparator — lexicographic string aggregation is wrong for
+            // numerics (mins {"9","1005"} would yield "1005" and the
+            // understated range could prune a file that matches);
+            // serialize to string only after the typed winner is chosen
+            val ord = Ordering.comparatorToOrdering(
+              sts.head.comparator.asInstanceOf[java.util.Comparator[AnyRef]])
+            val minS = sts.minBy(_.genericGetMin.asInstanceOf[AnyRef])(ord)
+            val maxS = sts.maxBy(_.genericGetMax.asInstanceOf[AnyRef])(ord)
+            Some(FileStat(f.getName, nRows, c,
+              minS.minAsString, maxS.maxAsString,
+              sts.map(_.getNumNulls).sum))
+          }
         }
       } finally r.close()
     }.seq
@@ -54,13 +65,16 @@ object Manifest {
   }
 
   /** The files whose [min, max] range can intersect [lo, hi] for
-    * `column` (string-comparable stats, e.g. zero-padded numerics or
-    * plain strings) — the pruning decision itself: scan only these. */
+    * `column` — the pruning decision itself: scan only these. Stats are
+    * serialized as strings; pass the column's SQL type as `castTo` so a
+    * numeric column compares numerically ("9" > "1005" as strings, but
+    * 9 < 1005 once cast) — the default keeps plain-string semantics. */
   def candidateFiles(manifest: DataFrame, columnName: String,
-      lo: String, hi: String): Seq[String] = {
+      lo: String, hi: String, castTo: String = "string"): Seq[String] = {
     import org.apache.spark.sql.functions._
     manifest.filter(col("column") === columnName &&
-        col("min_value") <= hi && col("max_value") >= lo)
+        col("min_value").cast(castTo) <= lit(hi).cast(castTo) &&
+        col("max_value").cast(castTo) >= lit(lo).cast(castTo))
       .select(col("file")).collect().map(_.getString(0)).toSeq
   }
 }

@@ -190,4 +190,61 @@ class IvfIndexSpec extends AnyFunSuite {
     val mtAfter = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/centroids")).getModificationTime
     assert(mtBefore == mtAfter, "no-op trigger must not rewrite the index")
   }
+
+  test("rebuild crash windows are recoverable: orphan sub-cells dropped, half-done centroid swap finished or rolled back") {
+    import org.apache.hadoop.fs.Path
+    val e = Tables.embeddings(spark, dir)
+    val path = s"${this.path}_repair"
+    IvfIndex.build(spark, e, "vec_id", "embedding", path, iters = 2)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val n = e.count()
+    val q = e.filter(col("vec_id") % 50 === 0)
+    def probeOk(): Unit = {
+      val r = IvfIndex.probe(spark, path, q, "vec_id", "embedding", 5, 2)
+      assert(r.count() > 0)
+    }
+    def copyDir(from: Path, to: Path): Unit = {
+      fs.mkdirs(to)
+      for (f <- fs.listStatus(from) if f.isFile)
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+          new Path(to, f.getPath.getName), false, spark.sessionState.newHadoopConf())
+    }
+
+    // window 1: crash AFTER sub-cell files committed, BEFORE the centroid
+    // swap — an unreferenced bucket directory sits in the live layout.
+    // Re-running must drop the orphan (its vectors still live in the
+    // original, not-yet-deleted buckets) instead of colliding with a
+    // later split's fresh cell ids.
+    val someBucket = fs.listStatus(new Path(s"$path/buckets"))
+      .filter(_.getPath.getName.startsWith("bucket=")).head.getPath
+    val orphan = new Path(s"$path/buckets/bucket=999")
+    copyDir(someBucket, orphan)
+    assert(fs.exists(orphan))
+    IvfIndex.rebuildIfImbalanced(spark, path, maxShare = 1.1) // balanced: repair-only pass
+    assert(!fs.exists(orphan), "repair must drop bucket dirs the centroid table does not reference")
+    assert(spark.read.parquet(s"$path/buckets").count() == n, "no vector lost by orphan cleanup")
+    probeOk()
+
+    // window 2: crash BETWEEN the two pointer renames — live centroids
+    // moved aside, staged table fully committed. Repair must promote the
+    // staged table (its _SUCCESS exists).
+    val live = new Path(s"$path/centroids")
+    val staged = new Path(s"$path/_staging_centroids")
+    copyDir(live, staged)
+    require(fs.rename(live, new Path(s"$path/_retired_centroids")))
+    assert(!fs.exists(live))
+    IvfIndex.rebuildIfImbalanced(spark, path, maxShare = 1.1)
+    assert(fs.exists(live) && !fs.exists(staged), "repair must promote the committed staged table")
+    probeOk()
+
+    // window 3: crash AFTER live moved aside with an INCOMPLETE staged
+    // write (no _SUCCESS). Repair must roll back to the retired table.
+    val retired = new Path(s"$path/_retired_centroids")
+    require(fs.rename(live, retired))
+    fs.mkdirs(staged) // torn staged dir: no _SUCCESS marker
+    IvfIndex.rebuildIfImbalanced(spark, path, maxShare = 1.1)
+    assert(fs.exists(live) && !fs.exists(retired) && !fs.exists(staged),
+      "repair must restore the retired table when staging is incomplete")
+    probeOk()
+  }
 }

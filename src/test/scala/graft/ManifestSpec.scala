@@ -66,4 +66,45 @@ class ManifestSpec extends AnyFunSuite {
       assert(hitFiles.subsetOf(kept.toSet))
     }
   }
+
+  test("multi-row-group numeric stats aggregate TYPED, not lexicographic; castTo prunes numerically") {
+    // one file, many row groups, laid out so the numerically-smallest value
+    // sits in a LATER group: group mins {1005..., 9...} — the r9 string
+    // aggregation picked "1005" (string-min) and understated the range,
+    // silently pruning files that held matches
+    val mrg = "/tmp/graft_manifest_mrg"
+    val pad = "x" * 200
+    val vals = (1005L to 20000L) ++ (9L to 999L)
+    // per-row-unique payload defeats dictionary encoding, so the writer's
+    // buffered size crosses the tiny block size and actually rolls groups
+    vals.toDF("k")
+      .withColumn("payload", concat(lit(pad), col("k").cast("string")))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .parquet(mrg)
+    // precondition: the layout really has several row groups
+    val pf = new java.io.File(mrg).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(pf.getAbsolutePath),
+        spark.sessionState.newHadoopConf()))
+    val nGroups = try reader.getFooter.getBlocks.size finally reader.close()
+    assert(nGroups > 1, s"test needs multiple row groups, got $nGroups — shrink the block size")
+    val m = Manifest.collect(spark, mrg, Seq("k")).cache()
+    try {
+      assert(m.count() == 1, "single file expected")
+      val row = m.collect()(0)
+      assert(row.getString(3).toLong == 9L,
+        s"typed min across row groups must be 9, got '${row.getString(3)}'")
+      assert(row.getString(4).toLong == 20000L,
+        s"typed max across row groups must be 20000, got '${row.getString(4)}'")
+      // typed pruning: a range the file genuinely intersects keeps it...
+      assert(Manifest.candidateFiles(m, "k", "9", "20", castTo = "bigint").size == 1,
+        "file holding 9..20 must survive numeric pruning")
+      // ...and a provably-disjoint range drops it
+      assert(Manifest.candidateFiles(m, "k", "1", "3", castTo = "bigint").isEmpty,
+        "range below the file's true min must prune it")
+    } finally m.unpersist()
+  }
 }

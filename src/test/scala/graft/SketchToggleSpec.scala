@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sketch-percentile 100 TB toggle (q_rfm, t_curriculum): with
+  * `approx = true` the exact percentile aggregation — a full sort
+  * concentrated in one aggregate at scale — swaps for the
+  * percentile_approx GK sketch (mergeable, one ordinary aggregation).
+  * These specs bound what the swap may change: the scored assignments
+  * (quintiles / quartile buckets) must agree with exact on ≥ 99 % of
+  * rows at sf0.1 — a sketch threshold can only move rows sitting within
+  * its rank error of a boundary. */
+class SketchToggleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val sf = "/root/testdata/sf0.1"
+
+  test("q_rfm approx=true: quintile assignments match exact on >= 99% of customers at sf0.1") {
+    val exact = graft.queries.Relational4.qRfm(spark, sf, approx = false)
+      .select(col("o_custkey"), col("r_score"), col("f_score"), col("m_score"))
+    val approx = graft.queries.Relational4.qRfm(spark, sf, approx = true)
+      .select(col("o_custkey"), col("r_score").as("ra"), col("f_score").as("fa"),
+        col("m_score").as("ma"))
+    val j = exact.join(approx, "o_custkey").cache()
+    try {
+      val n = j.count()
+      assert(n > 0)
+      val agree = j.filter(col("r_score") === col("ra") &&
+        col("f_score") === col("fa") && col("m_score") === col("ma")).count()
+      assert(agree.toDouble / n >= 0.99,
+        s"sketch quintiles agree on $agree/$n customers — below the 99% contract")
+    } finally j.unpersist()
+  }
+
+  test("t_curriculum approx=true: quartile buckets match exact on >= 99% of documents at sf0.1") {
+    val exact = graft.queries.Text.tCurriculum(spark, sf, approx = false)
+      .select(col("doc_id"), col("bucket"))
+    val approx = graft.queries.Text.tCurriculum(spark, sf, approx = true)
+      .select(col("doc_id"), col("bucket").as("ba"))
+    val j = exact.join(approx, "doc_id").cache()
+    try {
+      val n = j.count()
+      assert(n > 0)
+      val agree = j.filter(col("bucket") === col("ba")).count()
+      assert(agree.toDouble / n >= 0.99,
+        s"sketch quartiles agree on $agree/$n documents — below the 99% contract")
+    } finally j.unpersist()
+  }
+
+  test("approx path replaces the exact Percentile aggregate with ApproximatePercentile in the plan") {
+    val exactPlan = graft.queries.Text.tCurriculum(spark, sf, approx = false)
+      .queryExecution.optimizedPlan.toString
+    val approxPlan = graft.queries.Text.tCurriculum(spark, sf, approx = true)
+      .queryExecution.optimizedPlan.toString
+    assert(exactPlan.contains("percentile") && !exactPlan.contains("percentile_approx"),
+      "exact path must use the exact percentile aggregate")
+    assert(approxPlan.contains("percentile_approx"),
+      s"approx path must use the sketch aggregate:\n${approxPlan.take(1500)}")
+  }
+}

@@ -40,6 +40,37 @@ class StageCacheSpec extends AnyFunSuite {
     StageCache.release(spark, "spec2:")
   }
 
+  test("nested getOrCompute: builders may request prerequisite stages (no recursive-update hazard)") {
+    // the DedupQ shape: fullCanonical → jaccardScored → candidates → stage
+    // all nest through the ONE shared map. Running builders inside
+    // ConcurrentHashMap.computeIfAbsent violates its no-recursive-update
+    // contract (IllegalStateException when two keys share a hash bin —
+    // nondeterministic per session since keys embed identityHashCode);
+    // the Holder pattern must make ANY nesting depth safe. 200 key pairs
+    // make bin collisions near-certain under the old implementation.
+    var innerBuilds = 0
+    for (i <- 0 until 200) {
+      val outer = StageCache.getOrCompute(spark, s"nest:outer:$i") {
+        val inner = StageCache.getOrCompute(spark, s"nest:inner:$i") {
+          innerBuilds += 1; Seq(i).toDF("v").localCheckpoint(false)
+        }
+        inner.withColumn("w", col("v") * 2).localCheckpoint(false)
+      }
+      assert(outer.count() == 1)
+    }
+    assert(innerBuilds == 200)
+    // three-deep nesting too (stage → candidates → jaccard)
+    val deep = StageCache.getOrCompute(spark, "nest:l1") {
+      StageCache.getOrCompute(spark, "nest:l2") {
+        StageCache.getOrCompute(spark, "nest:l3") {
+          Seq(42).toDF("v").localCheckpoint(false)
+        }.localCheckpoint(false)
+      }.localCheckpoint(false)
+    }
+    assert(deep.count() == 1)
+    assert(StageCache.release(spark, "nest:") == 403)
+  }
+
   test("DedupQ.release drops the dedup family's stages for one dataset") {
     val dir = "/root/testdata/sf0.001"
     // drive a gate that populates the signature stage

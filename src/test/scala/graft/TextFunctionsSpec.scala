@@ -159,6 +159,35 @@ class TextFunctionsSpec extends AnyFunSuite {
       s"epoch totals diverged beyond noise: $t1 vs $t2")
   }
 
+  test("kgram_hashes: native rolling hash equals the direct polynomial, old window semantics kept") {
+    graft.functions.VectorExpressions.register(spark)
+    // direct (non-rolling) reference: h(i) = fold over the k_eff codepoints
+    def ref(text: String, k: Int): Seq[Long] = {
+      val cps = text.codePoints().toArray
+      if (cps.isEmpty) Seq(0L)
+      else {
+        val kEff = math.min(k, cps.length)
+        (0 to cps.length - kEff).map { i =>
+          cps.slice(i, i + kEff).foldLeft(0L)((a, c) => (a * 257L + c) % 1000000007L)
+        }
+      }
+    }
+    val cases = Seq(
+      "hello world test string",      // plain ASCII, n > k
+      "short",                        // n < k: one hash over the whole text
+      "",                             // empty: sentinel [0]
+      "exactly8",                     // n == k: one hash
+      "你好世界这是一个测试字符串",      // CJK codepoints (oracle ord() parity)
+      "aaaaaaaaaaaaaaaa")             // degenerate repeats
+    val got = cases.toDF("t")
+      .select(expr("kgram_hashes(t, 8)")).as[Seq[Long]].collect()
+    for ((c, g) <- cases.zip(got))
+      assert(g == ref(c, 8), s"mismatch for '${c.take(20)}': $g vs ${ref(c, 8)}")
+    // and the DuckDB-facing window-count contract: len-k+1 grams, min 1
+    assert(got(0).size == cases(0).codePointCount(0, cases(0).length) - 7)
+    assert(got(1).size == 1 && got(2) == Seq(0L) && got(3).size == 1)
+  }
+
   test("t_classify: bootstrapped classifier actually learns the seed rule, not a constant") {
     val out = graft.queries.Text.tClassify(spark, "/root/testdata/sf0.001")
       .as[(Long, Int, Long, Int)].collect()
