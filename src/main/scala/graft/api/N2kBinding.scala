@@ -294,6 +294,35 @@ object N2kBinding {
     } finally pool.shutdownNow()
   }
 
+  /** Single-job variant of importPairSummary: every per-table chain is a
+    * branch of ONE union plan, materialized by ONE action — the DAG
+    * scheduler overlaps the branches' stages with no driver pool and no
+    * per-table job submission overhead, and every observe() CollectMetrics
+    * fires on the same job. Trade-off vs the pooled path: Catalyst
+    * analyzes/optimizes one ~14× plan single-threaded instead of 14
+    * plans concurrently — and MEASURED (N2kProbe, sf0.1 local[32]) that
+    * loses: 6.9–8.2 s here vs 4.9–5.4 s pooled, because plan
+    * optimization, not stage scheduling, is the bigger driver cost at
+    * this scale. Kept as the measured negative result behind the pooled
+    * default; on a real cluster with long stages the two converge. */
+  def importPairSummaryFused(w1: DataFrame, w2: DataFrame): DataFrame = {
+    val chains = Graph.map { t =>
+      val obs1 = new org.apache.spark.sql.Observation()
+      val obs2 = new org.apache.spark.sql.Observation()
+      val m1 = mergeOf(t, emptyState(t, w1), observedExtract(t, w1, obs1), stamp = 1L)
+      val m2 = mergeOf(t, m1.drop("action"), observedExtract(t, w2, obs2), stamp = 2L)
+      (t, obs1, obs2, summaryOf(t, m2))
+    }
+    val out = chains.map(_._4).reduce(_ unionByName _)
+      .repartition(1).sortWithinPartitions(col("table_name"), col("nk"))
+      .localCheckpoint()
+    chains.foreach { case (t, o1, o2, _) =>
+      requireValidKeys(t, w1, o1, "import 1")
+      requireValidKeys(t, w2, o2, "import 2")
+    }
+    out
+  }
+
   /** Phase 2: merge prepared extracts into the state. The per-table
     * pipelines are independent until the single DB transaction in
     * storeAll, so BOTH driver-side costs run concurrently from a thread

@@ -66,6 +66,11 @@ object N2kProbe {
     time("importPairSummary FULL (3rd)") {
       N2kBinding.importPairSummary(w1, w2).queryExecution.toRdd.count()
     }
+    // A/B: the single-union-job variant (one action, no driver pool)
+    for (i <- 1 to 3)
+      time(s"importPairSummaryFused ($i)") {
+        N2kBinding.importPairSummaryFused(w1, w2).queryExecution.toRdd.count()
+      }
     spark.stop()
   }
 }
