@@ -25,6 +25,9 @@ object Relational6 {
     val m = Tables.orders(s, dir)
       .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
       .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("rev"))
+      // |months|-row frame consumed twice (window + YoY self-join):
+      // materialize so the fact table scans and aggregates exactly once
+      .localCheckpoint()
     val w = Window.orderBy(col("yr"), col("mo"))
     val withMom = m
       .withColumn("prev_rev", lag(col("rev"), 1).over(w))
@@ -74,6 +77,9 @@ object Relational6 {
       .withColumn("first_touch",
         first(touch, ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .filter(col("event_type") === "purchase")
+      // purchase-only frame feeds BOTH model rollups: materialize so the
+      // event scan and the per-user window sort run exactly once
+      .localCheckpoint()
     def rollup(modelCol: String, model: String) = attributed
       .groupBy(coalesce(col(modelCol), lit("none")).as("channel"))
       .agg(count(lit(1)).as("n_purchases"), xsum(col("value")).as("attributed_rev"))

@@ -488,4 +488,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
       p.contains("HashAggregate"), "decimal vector sum must aggregate, not collect")
   }
+
+  test("q_attribution: both models ride ONE user-keyed window sort") {
+    val p = plan(graft.queries.Relational6.qAttribution(spark, dir))
+    // last_touch and first_touch share a window frame — exactly one
+    // user_id hash exchange may appear before the rollups
+    val userShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(userShuffles <= 1, s"attribution must sort per user once ($userShuffles):\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_mom_yoy: one fact aggregation; window and YoY join run on the |months|-row frame") {
+    val f = formatted(graft.queries.Relational6.qMomYoy(spark, dir))
+    // the orders scan feeds ONE aggregate; it must be read at most twice
+    // (Spark may re-use or re-scan for the self-join side), never more
+    val scans = f.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"month frame must come from bounded scans ($scans)")
+    val p = plan(graft.queries.Relational6.qMomYoy(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("e_mad_outliers: group stats broadcast; the fact table never shuffles for scoring") {
+    val p = plan(graft.queries.Etl2.eMadOutliers(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), "med/MAD stats must broadcast to the flag scan")
+    // only the two percentile aggregations may hash-exchange on the group key
+    val groupShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(l_returnflag"))
+    assert(groupShuffles <= 2, s"stats passes exploded ($groupShuffles):\n${p.take(3000)}")
+  }
+
+  test("d_minhash_est: estimator reuses the cached stages — no extra corpus scan, codegen'd equality sum") {
+    // warm the shared stages first (any dedup gate does)
+    graft.queries.DedupQ.dMinhashPairs(spark, dir).queryExecution.toRdd.count()
+    val p = plan(graft.queries.DedupQ.dMinhashEst(spark, dir))
+    val scans = p.linesIterator.count(l => l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(scans == 0, s"estimator must run off the checkpointed stages ($scans):\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
