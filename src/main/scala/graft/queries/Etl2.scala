@@ -261,7 +261,93 @@ object Etl2 {
       |WHERE abs(x - med) / (1.4826 * mad) > 3.0
       |ORDER BY l_returnflag, l_orderkey, l_linenumber, x""".stripMargin
 
+  /** e_coldiff: table-reconciliation drilldown (the datafold/data-diff
+    * tool class): between a target table and an incoming version, the
+    * key-level delta (added/removed), the matched rows with any change,
+    * and — the part e_upsert_merge's row-level classification doesn't
+    * give — WHICH columns changed, counted per column (null-safe
+    * compare). The report a migration/backfill review reads before
+    * trusting a replacement table. ONE full-outer key join + ONE
+    * aggregation; output is |cols|+3 fixed rows, nothing row-sized
+    * leaves the executors. The incoming version is derived
+    * deterministically (removed keys %17, segment updates %10, balance
+    * +100 on %7, renamed %13, inserted keys +1e6). */
+  def eColdiff(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+    val batch = cust.filter(col("c_custkey") % 17 =!= 0)
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 13 === 0, concat(lit("upd_"), col("c_name")))
+          .otherwise(col("c_name")).as("c_name"),
+        when(col("c_custkey") % 10 === 0, lit("PROMO"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+      .unionByName(cust.filter(col("c_custkey") < 50)
+        .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
+          col("c_mktsegment"), col("c_acctbal")))
+    val t = cust.select(col("c_custkey"), col("c_name").as("t_name"),
+      col("c_mktsegment").as("t_seg"), col("c_acctbal").as("t_bal"), lit(1).as("__t"))
+    val b = batch.select(col("c_custkey"), col("c_name").as("b_name"),
+      col("c_mktsegment").as("b_seg"), col("c_acctbal").as("b_bal"), lit(1).as("__b"))
+    val j = t.join(b, Seq("c_custkey"), "full_outer")
+    val matched = col("__t").isNotNull && col("__b").isNotNull
+    def changed(a: String, bb: String) = matched && !(col(a) <=> col(bb))
+    j.agg(
+        sum(when(col("__t").isNull, 1L).otherwise(0L)).as("key_added"),
+        sum(when(col("__b").isNull, 1L).otherwise(0L)).as("key_removed"),
+        sum(when(matched && (!(col("t_name") <=> col("b_name")) ||
+          !(col("t_seg") <=> col("b_seg")) ||
+          !(col("t_bal") <=> col("b_bal"))), 1L).otherwise(0L)).as("rows_changed"),
+        sum(when(changed("t_name", "b_name"), 1L).otherwise(0L)).as("chg_name"),
+        sum(when(changed("t_seg", "b_seg"), 1L).otherwise(0L)).as("chg_seg"),
+        sum(when(changed("t_bal", "b_bal"), 1L).otherwise(0L)).as("chg_bal"))
+      .select(expr(
+        "stack(6, 'key_added', key_added, 'key_removed', key_removed, " +
+          "'rows_changed', rows_changed, 'col:c_name', chg_name, " +
+          "'col:c_mktsegment', chg_seg, 'col:c_acctbal', chg_bal) AS (metric, n)"))
+      .orderBy(col("metric"))
+  }
+
+  val eColdiffSql: String =
+    """WITH cust AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer),
+      |batch AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 13 = 0 THEN 'upd_' || c_name ELSE c_name END AS c_name,
+      |    CASE WHEN c_custkey % 10 = 0 THEN 'PROMO' ELSE c_mktsegment END AS c_mktsegment,
+      |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+      |  FROM cust WHERE c_custkey % 17 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, c_mktsegment, c_acctbal
+      |  FROM cust WHERE c_custkey < 50),
+      |j AS (
+      |  SELECT t.c_custkey AS tk, b.c_custkey AS bk,
+      |    t.c_name AS t_name, b.c_name AS b_name,
+      |    t.c_mktsegment AS t_seg, b.c_mktsegment AS b_seg,
+      |    t.c_acctbal AS t_bal, b.c_acctbal AS b_bal
+      |  FROM cust t FULL JOIN batch b ON t.c_custkey = b.c_custkey),
+      |a AS (
+      |  SELECT
+      |    SUM(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS key_added,
+      |    SUM(CASE WHEN bk IS NULL THEN 1 ELSE 0 END) AS key_removed,
+      |    SUM(CASE WHEN tk IS NOT NULL AND bk IS NOT NULL AND
+      |      (t_name IS DISTINCT FROM b_name OR t_seg IS DISTINCT FROM b_seg
+      |       OR t_bal IS DISTINCT FROM b_bal) THEN 1 ELSE 0 END) AS rows_changed,
+      |    SUM(CASE WHEN tk IS NOT NULL AND bk IS NOT NULL AND t_name IS DISTINCT FROM b_name THEN 1 ELSE 0 END) AS chg_name,
+      |    SUM(CASE WHEN tk IS NOT NULL AND bk IS NOT NULL AND t_seg IS DISTINCT FROM b_seg THEN 1 ELSE 0 END) AS chg_seg,
+      |    SUM(CASE WHEN tk IS NOT NULL AND bk IS NOT NULL AND t_bal IS DISTINCT FROM b_bal THEN 1 ELSE 0 END) AS chg_bal
+      |  FROM j)
+      |SELECT metric, CAST(n AS BIGINT) AS n FROM (
+      |  SELECT 'key_added' AS metric, key_added AS n FROM a
+      |  UNION ALL SELECT 'key_removed', key_removed FROM a
+      |  UNION ALL SELECT 'rows_changed', rows_changed FROM a
+      |  UNION ALL SELECT 'col:c_name', chg_name FROM a
+      |  UNION ALL SELECT 'col:c_mktsegment', chg_seg FROM a
+      |  UNION ALL SELECT 'col:c_acctbal', chg_bal FROM a)
+      |ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_coldiff"      -> eColdiff _,
     "e_mad_outliers" -> eMadOutliers _,
     "e_quarantine"   -> eQuarantine _,
     "e_drift"        -> eDrift _,
@@ -272,6 +358,7 @@ object Etl2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_coldiff"      -> eColdiffSql,
     "e_mad_outliers" -> eMadOutliersSql,
     "e_quarantine"   -> eQuarantineSql,
     "e_drift"        -> eDriftSql,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.OracleParity.xsum
+import graft.sources.Manifest
 
 /** Round-10 relational/product-analytics additions (SURVEY.md §2A):
   * period-over-period growth and marketing attribution — two BI staples
@@ -116,13 +117,68 @@ object Relational6 {
       |  FROM p GROUP BY 2)
       |ORDER BY model, channel""".stripMargin
 
+  private def roundtripPath(dir: String, fmt: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"/tmp/graft_${fmt}_roundtrip_$h"
+  }
+
+  /** io_manifest_stats: the data-skipping manifest promoted to a gate —
+    * orders lands as an 8-file range-partitioned layout, the manifest
+    * reads every (file, column) stat from parquet FOOTERS alone
+    * (Manifest.collect — zero data pages touched), and the per-column
+    * rollup across files (typed min-of-mins / max-of-maxes, summed row
+    * counts, summed null counts) must equal DuckDB scanning the source
+    * rows directly. Any drift in the writer's footer stats, the typed
+    * row-group aggregation, or the rollup breaks the hash. Footer reads
+    * are driver-side metadata I/O bounded by file count — the point of
+    * the operator is that the 100 TB pruning decision never scans. */
+  def ioManifestStats(s: SparkSession, dir: String): DataFrame = {
+    val out = roundtripPath(dir, "manifest")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(out)
+    val m = Manifest.collect(s, out, Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+      .localCheckpoint()
+    def rollup(c: String, numeric: Boolean) = {
+      val (mn, mx) =
+        if (numeric) (min(col("min_value").cast("long")).cast("string"),
+          max(col("max_value").cast("long")).cast("string"))
+        else (min(col("min_value")), max(col("max_value")))
+      m.filter(col("column") === c).groupBy(col("column"))
+        .agg(sum(col("n_rows")).as("n_rows"), mn.as("min_value"), mx.as("max_value"),
+          sum(col("null_count")).as("n_nulls"))
+    }
+    rollup("o_orderkey", numeric = true)
+      .unionByName(rollup("o_custkey", numeric = true))
+      .unionByName(rollup("o_orderstatus", numeric = false))
+      .orderBy(col("column"))
+  }
+
+  val ioManifestStatsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+      |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+      |    CAST(MAX(o_orderkey) AS VARCHAR) AS max_value,
+      |    COUNT(*) - COUNT(o_orderkey) AS n_nulls FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', COUNT(*), CAST(MIN(o_custkey) AS VARCHAR),
+      |    CAST(MAX(o_custkey) AS VARCHAR), COUNT(*) - COUNT(o_custkey) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', COUNT(*), MIN(o_orderstatus),
+      |    MAX(o_orderstatus), COUNT(*) - COUNT(o_orderstatus) FROM orders)
+      |ORDER BY "column"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_mom_yoy"     -> qMomYoy _,
-    "q_attribution" -> qAttribution _,
+    "q_mom_yoy"         -> qMomYoy _,
+    "q_attribution"     -> qAttribution _,
+    "io_manifest_stats" -> ioManifestStats _,
   )
 
   val oracle: Map[String, String] = Map(
-    "q_mom_yoy"     -> qMomYoySql,
-    "q_attribution" -> qAttributionSql,
+    "q_mom_yoy"         -> qMomYoySql,
+    "q_attribution"     -> qAttributionSql,
+    "io_manifest_stats" -> ioManifestStatsSql,
   )
 }
