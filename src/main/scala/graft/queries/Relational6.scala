@@ -117,6 +117,62 @@ object Relational6 {
       |  FROM p GROUP BY 2)
       |ORDER BY model, channel""".stripMargin
 
+  /** q_funnel_steps: the ORDERED multi-step funnel (view → click →
+    * purchase, each step strictly after the previous one) — q_funnel's
+    * 2-step signup→purchase can't express step ordering beyond one hop.
+    * Per user: t1 = first view, t2 = first click AFTER t1, t3 = first
+    * purchase AFTER t2; output is the step-completion count ladder.
+    * Scale shape: THREE aggregations all keyed on user_id — the joins
+    * reuse the same hash partitioning, so events shuffle once and the
+    * per-user frames (1 row/user) carry the rest; output is 4 fixed
+    * rows. */
+  def qFunnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val a1 = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("t1"))
+    val a2 = e.join(a1, "user_id").groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "click" && col("ts_us") > col("t1"),
+        col("ts_us"))).as("t2"), first(col("t1")).as("t1"))
+    val a3 = e.join(a2, "user_id").groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts_us") > col("t2"),
+        col("ts_us"))).as("t3"), first(col("t1")).as("t1"), first(col("t2")).as("t2"))
+    a3.agg(
+        count(lit(1)).as("users"),
+        sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("s1"),
+        sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("s2"),
+        sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("s3"))
+      .select(expr(
+        "stack(4, 'users', users, 'step1_view', s1, 'step2_click_after_view', s2, " +
+          "'step3_purchase_after_click', s3) AS (step, n_users)"))
+      .orderBy(col("step"))
+  }
+
+  val qFunnelStepsSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |a1 AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS t1
+      |       FROM e GROUP BY user_id),
+      |a2 AS (SELECT e.user_id,
+      |         MIN(CASE WHEN event_type = 'click' AND ts_us > t1 THEN ts_us END) AS t2,
+      |         ANY_VALUE(t1) AS t1
+      |       FROM e JOIN a1 ON e.user_id = a1.user_id GROUP BY e.user_id),
+      |a3 AS (SELECT e.user_id,
+      |         MIN(CASE WHEN event_type = 'purchase' AND ts_us > t2 THEN ts_us END) AS t3,
+      |         ANY_VALUE(t1) AS t1, ANY_VALUE(t2) AS t2
+      |       FROM e JOIN a2 ON e.user_id = a2.user_id GROUP BY e.user_id),
+      |agg AS (SELECT COUNT(*) AS users,
+      |          SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+      |          SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+      |          SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS s3
+      |        FROM a3)
+      |SELECT step, CAST(n_users AS BIGINT) AS n_users FROM (
+      |  SELECT 'users' AS step, users AS n_users FROM agg
+      |  UNION ALL SELECT 'step1_view', s1 FROM agg
+      |  UNION ALL SELECT 'step2_click_after_view', s2 FROM agg
+      |  UNION ALL SELECT 'step3_purchase_after_click', s3 FROM agg)
+      |ORDER BY step""".stripMargin
+
   private def roundtripPath(dir: String, fmt: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -173,12 +229,14 @@ object Relational6 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mom_yoy"         -> qMomYoy _,
     "q_attribution"     -> qAttribution _,
+    "q_funnel_steps"    -> qFunnelSteps _,
     "io_manifest_stats" -> ioManifestStats _,
   )
 
   val oracle: Map[String, String] = Map(
     "q_mom_yoy"         -> qMomYoySql,
     "q_attribution"     -> qAttributionSql,
+    "q_funnel_steps"    -> qFunnelStepsSql,
     "io_manifest_stats" -> ioManifestStatsSql,
   )
 }

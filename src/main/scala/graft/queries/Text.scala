@@ -596,6 +596,78 @@ object Text {
       |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** t_bigram_lm: word-bigram language-model scoring with a TRAIN/EVAL
+    * split — the perplexity-proxy filter one level up from t_lm_score's
+    * char trigrams: the model (bigram count c_ab + context count c_a)
+    * trains on the %5≠0 docs, eval docs score their bigram positions
+    * against it. Per eval doc: position count, OOV-bigram count (the
+    * backoff trigger a stupid-backoff LM pays 0.4·unigram for), OOV rate,
+    * and the aggregate conditional mass Σc_ab / Σc_a — integer sums with
+    * two pinned divisions, so parity is exact (no per-term float
+    * summation). Scale shape: one (a,b)-keyed model aggregation + one
+    * model join keyed on the bigram (md5 the key at 100 TB so token text
+    * never rides the shuffle), map-side partials everywhere; model size
+    * is corpus-bigram-bounded, NOT broadcast. */
+  def tBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bi = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(get(toks, i) AS a, get(toks, i + 1) AS b))")).as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+    val train = bi.filter(col("doc_id") % 5 =!= 0)
+    val cab = train.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ca = train.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+    val model = cab.join(ca, "a")
+    val scored = bi.filter(col("doc_id") % 5 === 0)
+      .join(model, Seq("a", "b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c_ab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        coalesce(sum(col("c_ab")), lit(0L)).as("c_ab_sum"),
+        coalesce(sum(col("c_a")), lit(0L)).as("c_a_sum"))
+    Tables.documents(s, dir).filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        (coalesce(col("n_oov"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)).cast("double")).as("oov_rate"),
+        coalesce(col("c_ab_sum"), lit(0L)).as("c_ab_sum"),
+        coalesce(col("c_a_sum"), lit(0L)).as("c_a_sum"),
+        (coalesce(col("c_ab_sum"), lit(0L)).cast("double") /
+          greatest(coalesce(col("c_a_sum"), lit(0L)), lit(1L)).cast("double")).as("cond_mass"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tBigramLmSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bi AS (
+       |  SELECT doc_id, unnest([{'a': toks[i+1], 'b': toks[i+2]}
+       |    for i in range(0, len(toks) - 1)], recursive := true)
+       |  FROM t WHERE len(toks) >= 2),
+       |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM bi WHERE doc_id % 5 <> 0 GROUP BY a, b),
+       |ca AS (SELECT a, COUNT(*) AS c_a FROM bi WHERE doc_id % 5 <> 0 GROUP BY a),
+       |model AS (SELECT cab.a, cab.b, c_ab, c_a FROM cab JOIN ca ON ca.a = cab.a),
+       |sc AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    SUM(CASE WHEN m.c_ab IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       |    COALESCE(SUM(m.c_ab), 0) AS c_ab_sum,
+       |    COALESCE(SUM(m.c_a), 0) AS c_a_sum
+       |  FROM bi LEFT JOIN model m ON m.a = bi.a AND m.b = bi.b
+       |  WHERE doc_id % 5 = 0 GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(COALESCE(n_oov, 0) AS BIGINT) AS n_oov,
+       |  CAST(COALESCE(n_oov, 0) AS DOUBLE) / CAST(greatest(COALESCE(n_bigrams, 0), 1) AS DOUBLE) AS oov_rate,
+       |  CAST(COALESCE(c_ab_sum, 0) AS BIGINT) AS c_ab_sum,
+       |  CAST(COALESCE(c_a_sum, 0) AS BIGINT) AS c_a_sum,
+       |  CAST(COALESCE(c_ab_sum, 0) AS DOUBLE) / CAST(greatest(COALESCE(c_a_sum, 0), 1) AS DOUBLE) AS cond_mass
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+       |LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // t_rep_filter thresholds (Gopher-style repetition cutoffs) — shared
   // into the oracle SQL so engine and oracle cannot drift.
   private val RepTopBigramMax = 0.20
@@ -1321,6 +1393,7 @@ object Text {
     "t_pack"        -> tPack _,
     "t_sample_stratified" -> tSampleStratified _,
     "t_lm_score"    -> tLmScore _,
+    "t_bigram_lm"   -> tBigramLm _,
     "t_mix"         -> tMix _,
     "t_domain_weights" -> tDomainWeights _,
     "t_rebalance"   -> tRebalance _,
@@ -1354,6 +1427,7 @@ object Text {
     "t_pack"        -> tPackSql,
     "t_sample_stratified" -> tSampleStratifiedSql,
     "t_lm_score"    -> tLmScoreSql,
+    "t_bigram_lm"   -> tBigramLmSql,
     "t_mix"         -> tMixSql,
     "t_domain_weights" -> tDomainWeightsSql,
     "t_rebalance"   -> tRebalanceSql,

@@ -128,13 +128,84 @@ object Web {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The robots.txt the t_robots gate parses IN QUERY (same literal on
+    * both engines): classic REP directives with an Allow carve-out inside
+    * a Disallowed tree — the precedence case (longest match wins, Allow
+    * beats Disallow on ties) a naive prefix filter gets wrong. */
+  private val RobotsTxt =
+    "User-agent: *\\nDisallow: /private/\\nAllow: /private/ok/\\nDisallow: /tmp/\\nCrawl-delay: 2\\nSitemap: https://ex.com/sitemap.xml"
+
+  /** t_robots: robots-exclusion filtering — the crawl front door's THIRD
+    * operator (after t_html extraction and t_url_canon keys): parse the
+    * robots.txt directives (Allow/Disallow for UA *, other lines
+    * ignored), then decide each URL's path by the REP rule — the
+    * LONGEST matching prefix wins and Allow wins length ties. Paths vary
+    * by doc_id%4 over /d/, /private/, /private/ok/ and /tmp/, so every
+    * precedence branch fires. Scale shape: the parsed rule table is
+    * rule-count-sized and BROADCASTS to the URL scan; the winner per URL
+    * is one doc_id-keyed max_by over ≤&#124;rules&#124; matched rows —
+    * the per-URL work a 100 TB frontier filter does, never a per-URL
+    * regex zoo. */
+  def tRobots(s: SparkSession, dir: String): DataFrame = {
+    val rules = s.range(1).select(
+        explode(split(lit(RobotsTxt.replace("\\n", "\n")), "\n")).as("line"))
+      .select(trim(regexp_extract(col("line"), "^([A-Za-z-]+):", 1)).as("directive"),
+        trim(regexp_extract(col("line"), "^[A-Za-z-]+:(.*)$", 1)).as("value"))
+      .filter(col("directive").isin("Allow", "Disallow") && col("value") =!= "")
+      .select((col("directive") === "Allow").as("is_allow"), col("value").as("prefix"),
+        length(col("value")).as("plen"))
+    val urls = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, concat(lit("/d/"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 4 === 1, concat(lit("/private/"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 4 === 2, concat(lit("/private/ok/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("/tmp/"), col("doc_id").cast("string"))).as("path"))
+    val matches = urls.join(broadcast(rules), col("path").startsWith(col("prefix")), "left")
+    matches.groupBy(col("doc_id"), col("path"))
+      // REP precedence: longest prefix wins, Allow wins ties — encoded as
+      // max of (plen, is_allow); no matching rule ⇒ crawlable
+      .agg(max_by(struct(col("is_allow"), col("prefix")),
+        struct(col("plen"), col("is_allow"))).as("win"))
+      .select(col("doc_id"), col("path"),
+        coalesce(col("win.prefix"), lit("")).as("matched_rule"),
+        coalesce(col("win.is_allow"), lit(true)).as("crawlable"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tRobotsSql: String =
+    s"""WITH lines AS (
+       |  SELECT unnest(string_split(e'${RobotsTxt}', e'\\n')) AS line),
+       |rules AS (
+       |  SELECT (directive = 'Allow') AS is_allow, value AS prefix, length(value) AS plen
+       |  FROM (SELECT trim(regexp_extract(line, '^([A-Za-z-]+):', 1)) AS directive,
+       |               trim(regexp_extract(line, '^[A-Za-z-]+:(.*)$$', 1)) AS value
+       |        FROM lines)
+       |  WHERE directive IN ('Allow', 'Disallow') AND value <> ''),
+       |urls AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 4
+       |      WHEN 0 THEN '/d/' || CAST(doc_id AS VARCHAR)
+       |      WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+       |      WHEN 2 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+       |      ELSE '/tmp/' || CAST(doc_id AS VARCHAR) END AS path
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, path, is_allow, prefix,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY plen DESC, CAST(is_allow AS INT) DESC) AS rk
+       |  FROM urls LEFT JOIN rules ON starts_with(path, prefix))
+       |SELECT doc_id, path, COALESCE(prefix, '') AS matched_rule,
+       |  COALESCE(is_allow, TRUE) AS crawlable
+       |FROM m WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_html"      -> tHtml _,
     "t_url_canon" -> tUrlCanon _,
+    "t_robots"    -> tRobots _,
   )
 
   val oracle: Map[String, String] = Map(
     "t_html"      -> tHtmlSql,
     "t_url_canon" -> tUrlCanonSql,
+    "t_robots"    -> tRobotsSql,
   )
 }
