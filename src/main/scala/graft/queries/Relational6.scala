@@ -173,6 +173,88 @@ object Relational6 {
       |  UNION ALL SELECT 'step3_purchase_after_click', s3 FROM agg)
       |ORDER BY step""".stripMargin
 
+  /** q_abtest: two-proportion experiment readout — the A/B-test analysis
+    * a product team runs daily: users split by a deterministic variant
+    * hash (user_id % 2), conversion = any purchase above the 90-value
+    * line (bare any-purchase converts EVERY user in this corpus — a
+    * pooled rate of 1.0 makes the z denominator exactly 0), per-variant
+    * counts and rates, and the pooled two-proportion z-statistic. Counts are
+    * exact integers; the z formula is a pinned chain of IEEE ops
+    * identical on both engines. Scale: one user-keyed aggregation + one
+    * 2-row rollup. */
+  def qAbtest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 90.0, 1L)).as("conv"))
+      .select((col("user_id") % 2).as("variant"),
+        coalesce(col("conv"), lit(0L)).as("conv"))
+    val v = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val wide = v.agg(
+      sum(when(col("variant") === 0, col("n_users"))).as("n0"),
+      sum(when(col("variant") === 0, col("n_conv"))).as("k0"),
+      sum(when(col("variant") === 1, col("n_users"))).as("n1"),
+      sum(when(col("variant") === 1, col("n_conv"))).as("k1"))
+    wide.select(col("n0"), col("k0"), col("n1"), col("k1"),
+        (col("k0").cast("double") / col("n0").cast("double")).as("p0"),
+        (col("k1").cast("double") / col("n1").cast("double")).as("p1"))
+      .withColumn("pp",
+        (col("k0") + col("k1")).cast("double") / (col("n0") + col("n1")).cast("double"))
+      .withColumn("z",
+        (col("p0") - col("p1")) /
+          sqrt(col("pp") * (lit(1.0) - col("pp")) *
+            (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double"))))
+  }
+
+  val qAbtestSql: String =
+    """WITH u AS (
+      |  SELECT user_id % 2 AS variant,
+      |    CASE WHEN MAX(CASE WHEN event_type = 'purchase' AND value > 90.0 THEN 1 END) IS NULL THEN 0 ELSE 1 END AS conv
+      |  FROM events GROUP BY user_id),
+      |v AS (SELECT variant, COUNT(*) AS n_users, SUM(conv) AS n_conv FROM u GROUP BY variant),
+      |w AS (SELECT
+      |        CAST(SUM(CASE WHEN variant = 0 THEN n_users END) AS BIGINT) AS n0,
+      |        CAST(SUM(CASE WHEN variant = 0 THEN n_conv END) AS BIGINT) AS k0,
+      |        CAST(SUM(CASE WHEN variant = 1 THEN n_users END) AS BIGINT) AS n1,
+      |        CAST(SUM(CASE WHEN variant = 1 THEN n_conv END) AS BIGINT) AS k1
+      |      FROM v),
+      |r AS (SELECT n0, k0, n1, k1,
+      |        CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+      |        CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+      |        CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS pp
+      |      FROM w)
+      |SELECT n0, k0, n1, k1, p0, p1, pp,
+      |  (p0 - p1) / sqrt(pp * (1.0 - pp) * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z
+      |FROM r""".stripMargin
+
+  /** e_freshness: data-freshness / SLA monitoring — per event stream, the
+    * lag between its last event and the corpus frontier (the
+    * deterministic stand-in for "now"), with a staleness verdict at a
+    * 1-day budget. The per-feed dashboard a pipeline on-call reads.
+    * One per-type aggregation + a broadcast 1-row frontier; |types|
+    * output rows, exact integer microseconds. */
+  def eFreshness(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+    val perType = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts_us")).as("last_ts_us"))
+    perType.crossJoin(broadcast(e.agg(max(col("ts_us")).as("frontier_us"))))
+      .select(col("event_type"), col("n_events"), col("last_ts_us"),
+        (col("frontier_us") - col("last_ts_us")).as("lag_us"),
+        ((col("frontier_us") - col("last_ts_us")) > 86400000000L).as("stale"))
+      .orderBy(col("event_type"))
+  }
+
+  val eFreshnessSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+      |t AS (SELECT event_type, COUNT(*) AS n_events, MAX(ts_us) AS last_ts_us
+      |      FROM e GROUP BY event_type),
+      |f AS (SELECT MAX(ts_us) AS frontier_us FROM e)
+      |SELECT event_type, n_events, last_ts_us,
+      |  frontier_us - last_ts_us AS lag_us,
+      |  (frontier_us - last_ts_us) > 86400000000 AS stale
+      |FROM t, f ORDER BY event_type""".stripMargin
+
   private def roundtripPath(dir: String, fmt: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -230,6 +312,8 @@ object Relational6 {
     "q_mom_yoy"         -> qMomYoy _,
     "q_attribution"     -> qAttribution _,
     "q_funnel_steps"    -> qFunnelSteps _,
+    "q_abtest"          -> qAbtest _,
+    "e_freshness"       -> eFreshness _,
     "io_manifest_stats" -> ioManifestStats _,
   )
 
@@ -237,6 +321,8 @@ object Relational6 {
     "q_mom_yoy"         -> qMomYoySql,
     "q_attribution"     -> qAttributionSql,
     "q_funnel_steps"    -> qFunnelStepsSql,
+    "q_abtest"          -> qAbtestSql,
+    "e_freshness"       -> eFreshnessSql,
     "io_manifest_stats" -> ioManifestStatsSql,
   )
 }
