@@ -211,6 +211,39 @@ object IvfIndex {
     }
   }
 
+  /** Auto-tune nprobe against a recall SLO — the maintenance operator
+    * that CONSUMES the s_recall observability signal (as
+    * rebuildIfImbalanced consumes s_ivf_stats): probe a sampled query
+    * panel at doubling nprobe until recall@k against the exact
+    * brute-force truth on the SAME panel meets `target`, or nprobe
+    * reaches the centroid count (exhaustive probing ≡ brute force, so
+    * the loop always terminates with the best the index can do).
+    * Cost: one brute pass over the bounded panel (k·|Q| truth rows,
+    * checkpointed) + at most ⌈log₂ C⌉ probes — this runs over a sampled
+    * panel on a schedule, never the live query stream.
+    * @return (chosen nprobe, its measured recall@k) */
+  def tuneNprobe(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, target: Double): (Int, Double) = {
+    VectorExpressions.register(spark)
+    val corpus = spark.read.parquet(s"$path/buckets")
+      .select(col("n_id").as(idCol), col("n_vec").as(vecCol))
+    val truth = Knn.bruteForce(spark, corpus, queries, idCol, vecCol, k)
+      .select(col("q_id"), col("n_id")).localCheckpoint()
+    val total = truth.count().toDouble
+    require(total > 0, "empty truth panel — no queries or empty index")
+    val cMax = spark.read.parquet(s"$path/centroids").count().toInt
+    var np = 1
+    var recall = 0.0
+    while ({
+      val ann = probe(spark, path, queries, idCol, vecCol, k, np)
+        .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+      recall = truth.join(ann, Seq("q_id", "n_id"), "left")
+        .filter(col("hit").isNotNull).count() / total
+      recall < target && np < cMax
+    }) np = math.min(np * 2, cMax)
+    (np, recall)
+  }
+
   /** ANN top-k against a built index. Queries need (idCol, vecCol). */
   def probe(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {

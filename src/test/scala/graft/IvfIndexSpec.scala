@@ -191,6 +191,23 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(mtBefore == mtAfter, "no-op trigger must not rewrite the index")
   }
 
+  test("tuneNprobe: meets the recall target with bounded probes; exhaustive probing recalls 1.0") {
+    val e = Tables.embeddings(spark, dir)
+    val path = s"${this.path}_tune"
+    IvfIndex.build(spark, e, "vec_id", "embedding", path, iters = 2)
+    val q = e.filter(col("vec_id") % 50 === 0)
+    val cMax = spark.read.parquet(s"$path/centroids").count().toInt
+    // an unreachable target drives the loop to the cap, where probing
+    // every bucket IS brute force — recall must be exactly 1.0
+    val (npAll, recAll) = IvfIndex.tuneNprobe(spark, path, q, "vec_id", "embedding", 5, 1.01)
+    assert(npAll == cMax && recAll == 1.0,
+      s"exhaustive probe must equal brute force (np=$npAll rec=$recAll)")
+    // a modest target is met without exhaustive probing
+    val (npLow, recLow) = IvfIndex.tuneNprobe(spark, path, q, "vec_id", "embedding", 5, 0.5)
+    assert(recLow >= 0.5, s"returned recall $recLow below target")
+    assert(npLow <= npAll)
+  }
+
   test("rebuild crash windows are recoverable: orphan sub-cells dropped, half-done centroid swap finished or rolled back") {
     import org.apache.hadoop.fs.Path
     val e = Tables.embeddings(spark, dir)
