@@ -308,6 +308,61 @@ object Relational6 {
       |    MAX(o_orderstatus), COUNT(*) - COUNT(o_orderstatus) FROM orders)
       |ORDER BY "column"""".stripMargin
 
+  /** io_wap_roundtrip: write–audit–publish AS A GATE — the lakehouse
+    * analogue of the reference's staged-table transaction, end-to-end:
+    * snapshot A (1996 orders) stages and publishes; snapshot B (1997)
+    * supersedes it; a THIRD snapshot with planted nulls fails its audit
+    * and must leave production on B (staged files parked, pointer
+    * untouched). The gate then reads BOTH the published pointer (B
+    * content) and the superseded snapshot kept for rollback (A content)
+    * and aggregates each — so the pointer swap, the audit veto and the
+    * rollback retention are all under the oracle, which replays the two
+    * windows from the source table. */
+  def ioWapRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Quarantine, Wap}
+    val root = roundtripPath(dir, "wap")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent reruns
+    def window(yr: String) = Tables.orders(s, dir)
+      .filter(expr(s"o_orderdate >= TIMESTAMP_NTZ '$yr-01-01 00:00:00' AND " +
+        s"o_orderdate < TIMESTAMP_NTZ '${yr.toInt + 1}-01-01 00:00:00'"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val rules = Seq(Quarantine.Rule("price_nonnull", col("o_totalprice").isNotNull))
+    Wap.stage(s, root, "a", window("1996")); Wap.publish(s, root, "a", rules)
+    Wap.stage(s, root, "b", window("1997")); Wap.publish(s, root, "b", rules)
+    val bad = window("1997").withColumn("o_totalprice",
+      when(col("o_orderkey") % 5 === 0, lit(null)).otherwise(col("o_totalprice")))
+    Wap.stage(s, root, "bad", bad)
+    val veto = scala.util.Try(Wap.publish(s, root, "bad", rules))
+    require(veto.isFailure, "audit must veto the null-bearing snapshot")
+    require(Wap.currentLabel(s, root).contains("snap-b"),
+      s"production must stay on B after the veto, got ${Wap.currentLabel(s, root)}")
+    def agg(df: DataFrame, label: String) = df
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("rev"))
+      .withColumn("snapshot", lit(label))
+    agg(Wap.readCurrent(s, root), "current")
+      .unionByName(agg(s.read.parquet(s"$root/snap-a"), "rollback"))
+      .select(col("snapshot"), col("o_orderpriority"), col("n_orders"), col("rev"))
+      .orderBy(col("snapshot"), col("o_orderpriority"))
+  }
+
+  val ioWapRoundtripSql: String =
+    """SELECT snapshot, o_orderpriority, n_orders, rev FROM (
+      |  SELECT 'current' AS snapshot, o_orderpriority, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY o_orderpriority
+      |  UNION ALL
+      |  SELECT 'rollback', o_orderpriority, COUNT(*),
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY o_orderpriority)
+      |ORDER BY snapshot, o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mom_yoy"         -> qMomYoy _,
     "q_attribution"     -> qAttribution _,
@@ -315,6 +370,7 @@ object Relational6 {
     "q_abtest"          -> qAbtest _,
     "e_freshness"       -> eFreshness _,
     "io_manifest_stats" -> ioManifestStats _,
+    "io_wap_roundtrip"  -> ioWapRoundtrip _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -324,5 +380,6 @@ object Relational6 {
     "q_abtest"          -> qAbtestSql,
     "e_freshness"       -> eFreshnessSql,
     "io_manifest_stats" -> ioManifestStatsSql,
+    "io_wap_roundtrip"  -> ioWapRoundtripSql,
   )
 }
