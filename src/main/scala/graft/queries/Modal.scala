@@ -542,9 +542,14 @@ object Modal {
     * Scale shape: synthesis+decode+hash are one narrow mapPartitions
     * pass; retrieval is the banding equality join — linear per bucket,
     * hamming-0 cliques collapse to rep stars. */
-  def mPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+  /** The synthetic PNG corpus both image gates share: every 4th doc, an
+    * 8×8 gray-block raster whose on/off cells are the md5 bits of the
+    * pair group g = doc_id/8, the group's second member flipping two
+    * cells — real PNG bytes via the JDK ImageIO writer. */
+  private def synthPngBlobs(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Multimodal.Blob] = {
     import s.implicits._
-    val blobs = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .filter(col("doc_id") % 4 === 0)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id")).as[Long]
@@ -574,10 +579,76 @@ object Modal {
           Multimodal.Blob(id, "image/png", png.length.toLong, png)
         }
       }
-    val sigs = Multimodal.perceptualHashes(blobs).toDF()
+  }
+
+  def mPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Multimodal.perceptualHashes(synthPngBlobs(s, dir)).toDF()
     graft.dedup.SimHashDedup.pairsFromSignatures(sigs, "doc_id")
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** m_resize_px: REAL pixel-domain resize — decode the synthetic PNGs
+    * and 2×2 integer average-pool the 8×8 luma raster to 4×4 (the
+    * deterministic box filter; Graphics2D bilinear is implementation-
+    * defined and would not replay). Output fingerprints the pooled
+    * pixels, so the PNG writer, the imageio decode and the pooling
+    * kernel all sit under the oracle, which replays the pool from the
+    * raster formula. This is the honest version of m_resize's
+    * byte-stride stub: the kernel really runs on decoded pixels. One
+    * narrow mapPartitions pass; nothing shuffles until the sort. */
+  def mResizePx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    synthPngBlobs(s, dir).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { b =>
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b.payload))
+          if (img == null || img.getWidth != 8 || img.getHeight != 8) None
+          else {
+            def luma(x: Int, y: Int): Int = {
+              val rgb = img.getRGB(x, y)
+              ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            }
+            val pooled = (0 until 16).map { q =>
+              val px = q % 4; val py = q / 4
+              (luma(2 * px, 2 * py) + luma(2 * px + 1, 2 * py) +
+                luma(2 * px, 2 * py + 1) + luma(2 * px + 1, 2 * py + 1)) / 4
+            }
+            md.reset()
+            val digest = md.digest(pooled.mkString(",").getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            Some((b.doc_id, 8, 8, 4, 4, pooled.sum.toLong, digest))
+          }
+        } catch { case _: Exception => None }
+      }
+    }.toDF("doc_id", "in_w", "in_h", "out_w", "out_h", "pooled_sum", "pooled_md5")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the raster formula pooled with the same integer math;
+    * string_agg in q order replays the digest input exactly. */
+  val mResizePxSql: String =
+    """WITH ids AS (SELECT doc_id, doc_id // 8 AS g, (doc_id % 8 = 4) AS variant
+      |             FROM documents WHERE doc_id % 4 = 0),
+      |bits AS (SELECT doc_id, variant,
+      |    ('0x' || substr(md5(CAST(g AS VARCHAR)), 1, 8))::BIGINT AS h1,
+      |    ('0x' || substr(md5(CAST(g AS VARCHAR)), 9, 8))::BIGINT AS h2
+      |  FROM ids),
+      |lum AS (SELECT doc_id, j,
+      |    CASE WHEN ((CASE WHEN j < 32 THEN (h1 >> j) & 1
+      |                     ELSE (h2 >> (j - 32)) & 1 END) = 1)
+      |              <> (variant AND j < 2)
+      |         THEN 220 ELSE 30 END AS v
+      |  FROM bits, (SELECT unnest(range(64)) AS j) js),
+      |pooled AS (
+      |  SELECT doc_id, ((j // 8) // 2) * 4 + ((j % 8) // 2) AS q,
+      |    CAST(SUM(v) // 4 AS BIGINT) AS pv
+      |  FROM lum GROUP BY 1, 2)
+      |SELECT doc_id, 8 AS in_w, 8 AS in_h, 4 AS out_w, 4 AS out_h,
+      |  CAST(SUM(pv) AS BIGINT) AS pooled_sum,
+      |  md5(string_agg(CAST(pv AS VARCHAR), ',' ORDER BY q)) AS pooled_md5
+      |FROM pooled GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** Oracle: raster → luma → integer mean → threshold bits → rep collapse
     * → brute-force Hamming ≤ 3 pairs (= the pigeonhole retrieval). */
@@ -618,6 +689,7 @@ object Modal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_phash_neardup"   -> mPhashNeardup _,
+    "m_resize_px"       -> mResizePx _,
     "m_scene_cut"       -> mSceneCut _,
     "m_keyframe"        -> mKeyframe _,
     "m_shard"           -> mShard _,
@@ -639,6 +711,7 @@ object Modal {
 
   val oracle: Map[String, String] = Map(
     "m_phash_neardup"   -> mPhashNeardupSql,
+    "m_resize_px"       -> mResizePxSql,
     "m_scene_cut"       -> mSceneCutSql,
     "m_keyframe"        -> mKeyframeSql,
     "m_shard"           -> mShardSql,
