@@ -157,6 +157,26 @@ object DedupQ {
         .localCheckpoint(false)
     }
 
+  /** The winnowing fingerprint stage BOTH substring-level consumers read
+    * (t_winnowing's per-doc set digest, d_substring_overlap's pair
+    * join): one corpus pass — native O(n) Karp–Rabin k-gram hashes,
+    * min-of-window selection, distinct — checkpointed per
+    * (session, dataset) like the MinHash signature stage; at 100 TB this
+    * is the fingerprint table stored beside the corpus. Released with
+    * the rest of the dedup family by DedupQ.release. */
+  private[queries] def winnowFps(s: SparkSession, dir: String): DataFrame =
+    graft.StageCache.getOrCompute(s, s"dedup:$dir:winnow") {
+      val k = 8; val w = 8
+      graft.functions.VectorExpressions.register(s)
+      Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("hs", expr(s"kgram_hashes(text, $k)"))
+        .withColumn("fps", expr(
+          s"array_sort(array_distinct(transform(sequence(0, greatest(size(hs) - $w, 0)), j -> array_min(slice(hs, j + 1, $w)))))"))
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"), col("fps"))
+        .localCheckpoint(false)
+    }
+
   /** Return the executor memory of this dataset's cached dedup stages
     * (signatures, candidates, jaccard, canonical): evict + unpersist.
     * A long-lived session iterating many datasets calls this when done
@@ -965,14 +985,11 @@ object DedupQ {
     * dropped BEFORE pairing, so the fingerprint join is linear per
     * bucket; pairs rank by shared-fingerprint count. */
   def dSubstringOverlap(s: SparkSession, dir: String): DataFrame = {
-    val k = 8; val w = 8; val maxBucket = 16
-    graft.functions.VectorExpressions.register(s)
-    val fps = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      // native Karp–Rabin k-gram array: O(n) per doc vs md5-per-position
-      .withColumn("hs", expr(s"kgram_hashes(text, $k)"))
-      .select(col("doc_id"),
-        explode(expr(s"array_distinct(transform(sequence(0, greatest(size(hs) - $w, 0)), j -> array_min(slice(hs, j + 1, $w))))")).as("fp"))
+    val maxBucket = 16
+    // fingerprints come from the shared winnowing stage (one corpus pass
+    // serves this gate AND t_winnowing)
+    val fps = winnowFps(s, dir)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") <= maxBucket)
     val pruned = fps.join(rare.select(col("fp")), "fp")

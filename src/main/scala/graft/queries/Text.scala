@@ -1351,19 +1351,14 @@ object Text {
     * (kgram_hashes): ONE O(n) rolling pass per document, versus the r9
     * md5-per-position formulation's O(n·k) hash work; the oracle replays
     * the identical polynomial fold over ord() codepoints. */
-  def tWinnowing(s: SparkSession, dir: String): DataFrame = {
-    val k = 8; val w = 8
-    graft.functions.VectorExpressions.register(s)
-    Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("hs", expr(s"kgram_hashes(text, $k)"))
-      .withColumn("fps", expr(
-        s"array_sort(array_distinct(transform(sequence(0, greatest(size(hs) - $w, 0)), j -> array_min(slice(hs, j + 1, $w)))))"))
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
+  def tWinnowing(s: SparkSession, dir: String): DataFrame =
+    // fingerprints from the shared winnowing stage (one corpus pass
+    // serves this gate AND d_substring_overlap)
+    DedupQ.winnowFps(s, dir)
+      .select(col("doc_id"), col("n_grams"),
         size(col("fps")).cast("long").as("n_fps"),
         md5(expr("concat_ws(',', transform(fps, x -> CAST(x AS STRING)))")).as("fp_digest"))
       .orderBy(col("doc_id"))
-  }
 
   val tWinnowingSql: String =
     s"""WITH h AS (
