@@ -352,6 +352,33 @@ object Modal {
       | AND epoch_us(c.ts) <= epoch_us(p.ts)
       |ORDER BY p_id, c_id""".stripMargin
 
+  /** st_outer_join: stream-stream LEFT OUTER interval join — the
+    * attribution-with-nulls shape: every purchase appears, matched to its
+    * preceding-hour clicks or with NULL click columns when none exist.
+    * The subtle streaming semantics (an unmatched row may only emit once
+    * the watermark proves its window closed) are pinned by
+    * StreamingSpec's outer parity test; this gate checks the batch face
+    * against the oracle's LEFT JOIN replay. Same watermark-bounded state
+    * story as the inner join. */
+  def stOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Streaming.purchaseClickJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"),
+      withWatermark = false, joinType = "left_outer")
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
+  val stOuterJoinSql: String =
+    """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS user_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+      | AND epoch_us(c.ts) <= epoch_us(p.ts)
+      |ORDER BY p_id, c_id""".stripMargin
+
   /** st_dedup: exact dedup of an at-least-once event feed — 10% of events
     * "redelivered" (unioned back in), then one-row-per-event_id dedup must
     * restore the original stream exactly. Batch face of
@@ -700,6 +727,7 @@ object Modal {
     "st_enrich"         -> stEnrich _,
     "st_dedup"          -> stDedup _,
     "st_interval_join"  -> stIntervalJoin _,
+    "st_outer_join"     -> stOuterJoin _,
     "st_session_window" -> stSessionWindow _,
     "m_blob_stats"   -> mBlobStats _,
     "m_frame_sample" -> mFrameSample _,
@@ -722,6 +750,7 @@ object Modal {
     "st_enrich"         -> stEnrichSql,
     "st_dedup"          -> stDedupSql,
     "st_interval_join"  -> stIntervalJoinSql,
+    "st_outer_join"     -> stOuterJoinSql,
     "st_session_window" -> stSessionWindowSql,
     "m_blob_stats"   -> mBlobStatsSql,
     "m_frame_sample" -> mFrameSampleSql,

@@ -128,7 +128,7 @@ object Streaming {
     * with watermarks, Spark bounds both join states by the interval, so
     * state never grows past (watermark delay + interval) per side. */
   def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
-      withWatermark: Boolean): DataFrame = {
+      withWatermark: Boolean, joinType: String = "inner"): DataFrame = {
     def prep(df: DataFrame, prefix: String): DataFrame = {
       val t = df.withColumn(s"${prefix}_ts_us", expr("ts div 1000"))
         .withColumn(s"${prefix}_time", timestamp_micros(col(s"${prefix}_ts_us")))
@@ -138,10 +138,15 @@ object Streaming {
     }
     val p = prep(purchases, "p")
     val c = prep(clicks, "c")
+    // left_outer keeps unmatched purchases with NULL click columns — in
+    // streaming mode the NULL side emits only once the watermark passes
+    // the purchase's join window (state is provably complete), the
+    // semantics StreamingSpec's outer parity test pins with sentinels
     p.join(c,
       col("p_user") === col("c_user") &&
         col("c_time") >= col("p_time") - expr("INTERVAL 1 HOUR") &&
-        col("c_time") <= col("p_time"))
+        col("c_time") <= col("p_time"),
+      joinType)
       .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
         (col("p_ts_us") - col("c_ts_us")).as("gap_us"))
   }

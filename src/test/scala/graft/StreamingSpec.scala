@@ -231,6 +231,53 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed=${streamed.size} batch=${batch.size}")
   }
 
+  test("stream-stream LEFT OUTER interval join: null-side rows emit once the watermark closes their window") {
+    // sentinel events far past every real event push the watermark beyond
+    // all real purchases' join windows, so the no-data batch flushes their
+    // outer (NULL-click) results — without the sentinels the trailing
+    // purchases' state would never provably close and the outer rows
+    // would be withheld, which is exactly the semantics under test
+    val d = java.nio.file.Files.createTempDirectory("events-outer")
+    val ev = Tables.events(spark, dir)
+    ev.coalesce(1).write.parquet(s"$d/real")
+    val far = ev.agg(max(col("ts"))).as[Long].head() + 100L * 3600 * 1000 * 1000 * 1000
+    Seq((-1L, far, -999L, "purchase", 0.0, "{}"), (-2L, far, -999L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/sentinel")
+    val batch = Streaming.purchaseClickJoin(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"),
+        withWatermark = false, joinType = "left_outer")
+      .select("p_id", "c_id", "gap_us")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(batch.exists(_._2.isEmpty), "fixture must contain unmatched purchases")
+    // maxFilesPerTrigger=1 pins the batch order (real data, then the
+    // sentinel) so both file sources advance in lockstep
+    val src = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(d.toString + "/*")
+    val q = Streaming.purchaseClickJoin(
+        src.filter(col("event_type") === "purchase"),
+        src.filter(col("event_type") === "click"),
+        withWatermark = true, joinType = "left_outer")
+      .writeStream.outputMode("append").format("memory").queryName("ssoj_out").start()
+    try {
+      q.processAllAvailable()
+      // the outer (NULL-side) flush rides a NO-DATA micro-batch after the
+      // last data batch — processAllAvailable doesn't wait for it, so
+      // poll until the emitted row count reaches the batch answer
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("ssoj_out").filter(col("user_id") =!= -999L).count() < batch.size
+          && System.nanoTime() < deadline)
+        Thread.sleep(200)
+    } finally q.stop()
+    val streamed = spark.table("ssoj_out").filter(col("user_id") =!= -999L)
+      .select("p_id", "c_id", "gap_us")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"(missing outer rows: ${(batch -- streamed).take(3)})")
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     // stage the same normalized table twice -> every event arrives duplicated
     val d = java.nio.file.Files.createTempDirectory("events-dup")
