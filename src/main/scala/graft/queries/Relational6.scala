@@ -255,6 +255,60 @@ object Relational6 {
       |  (frontier_us - last_ts_us) > 86400000000 AS stale
       |FROM t, f ORDER BY event_type""".stripMargin
 
+  /** q_quantiles_disc: DISCRETE percentiles — PERCENTILE_DISC returns an
+    * actual data value (the smallest whose cumulative distribution ≥ p),
+    * the right statistic when interpolated values are meaningless
+    * (latencies, price points, ordinal codes). Completes the percentile
+    * family beside q_quantiles (continuous) and q_approx_quantiles
+    * (sketch). Same one-aggregation shape. */
+  def qQuantilesDisc(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("q25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("q50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").as("price_q90"))
+      .orderBy(col("l_returnflag"))
+
+  val qQuantilesDiscSql: String =
+    """SELECT l_returnflag,
+      |  quantile_disc(l_quantity, 0.25) AS q25,
+      |  quantile_disc(l_quantity, 0.5) AS q50,
+      |  quantile_disc(l_extendedprice, 0.9) AS price_q90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q_histogram_eqd: EQUI-DEPTH histogram — the complement of
+    * q_histogram's fixed-width bins: 8 buckets holding ~equal row mass,
+    * boundaries from ONE percentile aggregation broadcast as a 1-row
+    * frame, bucket = 1 + #boundaries strictly below the value (a narrow
+    * map — NEVER a global ntile sort, which is the single-point-of-truth
+    * anti-pattern at 100 TB). Per bucket: row count and true value
+    * range. Boundary-tied values land in the lower bucket on both
+    * engines. */
+  def qHistogramEqd(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+    val th = li.agg(expr(
+      "percentile(x, array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D))").as("th"))
+    li.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        expr("1 + aggregate(th, 0, (a, t) -> a + (CASE WHEN x > t THEN 1 ELSE 0 END))"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val qHistogramEqdSql: String =
+    """WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
+      |th AS (SELECT quantile_cont(x, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS th FROM li)
+      |SELECT bucket, COUNT(*) AS n, MIN(x) AS lo, MAX(x) AS hi FROM (
+      |  SELECT x,
+      |    1 + (CASE WHEN x > th[1] THEN 1 ELSE 0 END + CASE WHEN x > th[2] THEN 1 ELSE 0 END +
+      |         CASE WHEN x > th[3] THEN 1 ELSE 0 END + CASE WHEN x > th[4] THEN 1 ELSE 0 END +
+      |         CASE WHEN x > th[5] THEN 1 ELSE 0 END + CASE WHEN x > th[6] THEN 1 ELSE 0 END +
+      |         CASE WHEN x > th[7] THEN 1 ELSE 0 END) AS bucket
+      |  FROM li, th)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   private def roundtripPath(dir: String, fmt: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -368,6 +422,8 @@ object Relational6 {
     "q_attribution"     -> qAttribution _,
     "q_funnel_steps"    -> qFunnelSteps _,
     "q_abtest"          -> qAbtest _,
+    "q_quantiles_disc"  -> qQuantilesDisc _,
+    "q_histogram_eqd"   -> qHistogramEqd _,
     "e_freshness"       -> eFreshness _,
     "io_manifest_stats" -> ioManifestStats _,
     "io_wap_roundtrip"  -> ioWapRoundtrip _,
@@ -378,6 +434,8 @@ object Relational6 {
     "q_attribution"     -> qAttributionSql,
     "q_funnel_steps"    -> qFunnelStepsSql,
     "q_abtest"          -> qAbtestSql,
+    "q_quantiles_disc"  -> qQuantilesDiscSql,
+    "q_histogram_eqd"   -> qHistogramEqdSql,
     "e_freshness"       -> eFreshnessSql,
     "io_manifest_stats" -> ioManifestStatsSql,
     "io_wap_roundtrip"  -> ioWapRoundtripSql,
