@@ -1286,7 +1286,117 @@ object Similarity {
        |ORDER BY ma.label""".stripMargin
   }
 
+  /** s_bq_search: BINARY quantization search — the most aggressive vector
+    * compression in production retrieval stacks: each 64-dim embedding
+    * packs to ONE 64-bit sign word (bit d = x_d > 0; 64× smaller than
+    * float64 vectors), and retrieval ranks by Hamming distance via
+    * codegen'd bit_count(xor) — the corpus scan touches 8 bytes per
+    * vector and no float math at all. The standard production shape
+    * follows s_ivfpq_rerank: BQ shortlists, exact cosine refines; here
+    * the BQ stage itself is the gate. Ties break on n_id; the sign-bit
+    * (d=63) packs via the same Long.MIN constant trick as
+    * m_phash_neardup's oracle. */
+  def sBqSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    def packed(df: DataFrame) = df.withColumn("bq", expr(
+      "aggregate(sequence(0, size(embedding) - 1), 0L, (a, d) -> " +
+        "a + (CASE WHEN CAST(element_at(embedding, d + 1) AS DOUBLE) > 0.0D " +
+        "THEN shiftleft(1L, d) ELSE 0L END))"))
+    val corpus = packed(e).select(col("vec_id").as("n_id"), col("bq").as("nb"))
+    val qs = packed(queriesSubset(e)).select(col("vec_id").as("q_id"), col("bq").as("qb"))
+    val scored = corpus.crossJoin(broadcast(qs))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("hamming", bit_count(col("nb").bitwiseXOR(col("qb"))).cast("int"))
+      .select(col("q_id"), col("n_id"), col("hamming"))
+    val top = graft.plans.TopK.perKey(scored, Seq("q_id"),
+      Seq(col("hamming").asc, col("n_id").asc), 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("hamming").asc, col("n_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("q_id"), col("n_id"), col("hamming"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val sBqSearchSql: String = {
+    // bit 63 contributes Long.MIN (1<<63 overflows DuckDB's checked
+    // shift); fold order is d ascending so partial sums stay in range
+    val pack =
+      """list_reduce(list_transform(range(0, 64), d ->
+        |  CASE WHEN emb[CAST(d + 1 AS INT)] > 0 THEN
+        |    (CASE WHEN d = 63 THEN -9223372036854775807 - 1
+        |          ELSE (1::BIGINT << CAST(d AS INT)) END)
+        |  ELSE 0::BIGINT END), (a, x) -> a + x)""".stripMargin.replace("\n", " ")
+    s"""WITH p AS (
+       |  SELECT vec_id, $pack AS bq
+       |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |        FROM embeddings)),
+       |q AS (SELECT vec_id AS q_id, bq AS qb FROM p WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS n_id,
+       |    CAST(bit_count(xor(c.bq, qb)) AS INT) AS hamming
+       |  FROM p c, q WHERE c.vec_id <> q_id)
+       |SELECT q_id, n_id, hamming, rnk FROM (
+       |  SELECT q_id, n_id, hamming,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+  }
+
+  /** s_mrl_rerank: Matryoshka-style adaptive retrieval — MRL embeddings
+    * make PREFIXES of the vector usable at lower fidelity, so the
+    * production pattern shortlists on the first 16 dims (4× less scan
+    * math) and re-ranks the shortlist with full-width exact cosine:
+    * the ivfpq-rerank shape with dimension truncation as the coarse
+    * stage instead of PQ codes. Shortlist 15 per query via TopKPerKey,
+    * refine = 15·|Q| full-width cosines, final top-5 from exact
+    * scores. */
+  def sMrlRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, dir)
+    def trunc(df: DataFrame, out: String) = df.withColumn(out,
+      expr("transform(slice(embedding, 1, 16), x -> CAST(x AS DOUBLE))"))
+    val corpus = trunc(e, "nt").select(col("vec_id").as("n_id"),
+      col("embedding").as("nv"), col("nt"))
+    val qs = trunc(queriesSubset(e), "qt").select(col("vec_id").as("q_id"),
+      col("embedding").as("qv"), col("qt"))
+    val coarse = corpus.crossJoin(broadcast(qs.select(col("q_id"), col("qt"))))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("tcos", coalesce(expr("cosine_sim(qt, nt)"), lit(-1.0)))
+      .select(col("q_id"), col("n_id"), col("tcos"))
+    val shortlist = graft.plans.TopK.perKey(coarse, Seq("q_id"),
+      Seq(col("tcos").desc, col("n_id").asc), 15)
+    val exact = shortlist
+      .join(corpus.select(col("n_id"), col("nv")), "n_id")
+      .join(broadcast(qs.select(col("q_id"), col("qv"))), "q_id")
+      .withColumn("cos", coalesce(expr("cosine_sim(qv, nv)"), lit(-1.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val sMrlRerankSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |      [CAST(x AS DOUBLE) for x in embedding[1:16]] AS t FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qv, t AS qt FROM e WHERE vec_id % 50 = 0),
+       |coarse AS (
+       |  SELECT q_id, c.vec_id AS n_id, COALESCE(${cosSql("qt", "c.t")}, -1.0) AS tcos
+       |  FROM e c, q WHERE c.vec_id <> q_id),
+       |short AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY tcos DESC, n_id) AS r
+       |    FROM coarse) WHERE r <= 15),
+       |exact AS (
+       |  SELECT s.q_id, s.n_id, COALESCE(${cosSql("q.qv", "c.embedding")}, -1.0) AS cos
+       |  FROM short s JOIN e c ON c.vec_id = s.n_id JOIN q ON q.q_id = s.q_id)
+       |SELECT q_id, n_id, rnk FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM exact)
+       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_bq_search"  -> sBqSearch _,
+    "s_mrl_rerank" -> sMrlRerank _,
     "s_centroid_drift" -> sCentroidDrift _,
     "s_hybrid_rrf" -> sHybridRrf _,
     "s_knn_ivf_append" -> sKnnIvfAppend _,
@@ -1309,6 +1419,8 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s_bq_search"  -> sBqSearchSql,
+    "s_mrl_rerank" -> sMrlRerankSql,
     "s_centroid_drift" -> sCentroidDriftSql,
     "s_hybrid_rrf" -> sHybridRrfSql,
     "s_knn_ivf_append" -> sKnnIvfAppendSql,
