@@ -489,6 +489,20 @@ class PlanSpec extends AnyFunSuite {
       p.contains("HashAggregate"), "decimal vector sum must aggregate, not collect")
   }
 
+  test("tokenizer fast path stays codegen'd: array_remove, never the ArrayFilter HOF") {
+    // the round-9 regression shape: filter(split(...), x -> x != '') is a
+    // CodegenFallback higher-order function and cost every tokens()
+    // consumer 2-7x despite identical semantics; the drop-empties step
+    // must stay the codegen'd array_remove
+    val df = Tables.documents(spark, dir)
+      .select(graft.functions.TextFunctions.tokens(
+        org.apache.spark.sql.functions.col("text")).as("toks"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("array_remove"), s"fast path must use array_remove:\n${p.take(1500)}")
+    assert(!p.contains("ArrayFilter") && !p.contains("lambdafunction(NOT"),
+      s"no HOF filter may appear in the tokenizer fast path:\n${p.take(1500)}")
+  }
+
   test("q_attribution: both models ride ONE user-keyed window sort") {
     val p = plan(graft.queries.Relational6.qAttribution(spark, dir))
     // last_touch and first_touch share a window frame — exactly one
