@@ -596,6 +596,49 @@ object Text {
       |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** t_chat_render: SFT conversation assembly — the instruction-tuning
+    * data-prep step that turns an event log into chat-template documents:
+    * each user's events become turns (deterministic role mapping), render
+    * through a fixed template (`<|role|>content`), joined in exact
+    * chronological order. Per conversation: turn count, rendered length
+    * and content fingerprint — order stability is the whole point (a
+    * shuffled turn order silently corrupts training data), so the sort
+    * key (ts, event_id) is total and the digest pins it. One user-keyed
+    * aggregation; rendered text never leaves the executors (fingerprints
+    * do). */
+  def tChatRender(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("role",
+        when(col("event_type").isin("view", "click"), lit("user"))
+          .when(col("event_type") === "error", lit("system"))
+          .otherwise(lit("assistant")))
+      .withColumn("turn", concat(lit("<|"), col("role"), lit("|>"),
+        col("event_type"), lit("#"), col("event_id").cast("string")))
+    e.groupBy(col("user_id").as("convo_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        expr("array_sort(collect_list(struct(ts_us, event_id, turn)))").as("ts"))
+      .select(col("convo_id"), col("n_turns"),
+        expr("concat_ws('\n', transform(ts, x -> x.turn))").as("rendered"))
+      .select(col("convo_id"), col("n_turns"),
+        length(col("rendered")).cast("long").as("n_chars"),
+        md5(col("rendered")).as("convo_md5"))
+      .orderBy(col("convo_id"))
+  }
+
+  val tChatRenderSql: String =
+    """SELECT user_id AS convo_id, COUNT(*) AS n_turns,
+      |  CAST(length(string_agg(turn, chr(10) ORDER BY ts_us, event_id)) AS BIGINT) AS n_chars,
+      |  md5(string_agg(turn, chr(10) ORDER BY ts_us, event_id)) AS convo_md5
+      |FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    '<|' || (CASE WHEN event_type IN ('view', 'click') THEN 'user'
+      |                  WHEN event_type = 'error' THEN 'system'
+      |                  ELSE 'assistant' END) || '|>' ||
+      |    event_type || '#' || CAST(event_id AS VARCHAR) AS turn
+      |  FROM events)
+      |GROUP BY user_id ORDER BY convo_id""".stripMargin
+
   /** t_bigram_lm: word-bigram language-model scoring with a TRAIN/EVAL
     * split — the perplexity-proxy filter one level up from t_lm_score's
     * char trigrams: the model (bigram count c_ab + context count c_a)
@@ -1389,6 +1432,7 @@ object Text {
     "t_sample_stratified" -> tSampleStratified _,
     "t_lm_score"    -> tLmScore _,
     "t_bigram_lm"   -> tBigramLm _,
+    "t_chat_render" -> tChatRender _,
     "t_mix"         -> tMix _,
     "t_domain_weights" -> tDomainWeights _,
     "t_rebalance"   -> tRebalance _,
@@ -1423,6 +1467,7 @@ object Text {
     "t_sample_stratified" -> tSampleStratifiedSql,
     "t_lm_score"    -> tLmScoreSql,
     "t_bigram_lm"   -> tBigramLmSql,
+    "t_chat_render" -> tChatRenderSql,
     "t_mix"         -> tMixSql,
     "t_domain_weights" -> tDomainWeightsSql,
     "t_rebalance"   -> tRebalanceSql,

@@ -197,15 +197,75 @@ object Web {
        |  COALESCE(is_allow, TRUE) AS crawlable
        |FROM m WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
+  /** d_url_dedup: crawl dedup BY CANONICAL URL — the cheapest dedup tier
+    * of a crawl pipeline, upstream of any content hashing: every spelling
+    * of a page (case, default ports, utm_* params, fragments, param
+    * order) collapses onto its canonical key and the min doc_id survives.
+    * The same urlCol mess as t_url_canon, grouped — doc_id%4 variants of
+    * the same page dedup 4:1 where their canon keys collide. One keyed
+    * aggregation; at 100 TB this groupBy replaces a content-hash pass
+    * over fetched bodies for the URL-identical tier. */
+  def dUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    // page identity = doc_id/4 so the four mess variants of one page
+    // genuinely canonicalize together
+    val id = (col("doc_id") / 4).cast("long")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://Ex.COM:443/p/"), id.cast("string"), lit("?b=2&a=1")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("http://ex.com/p/"), id.cast("string"), lit("?utm_source=feed&a=1&b=2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://ex.com/p/"), id.cast("string"), lit("?a=1&b=2#frag")))
+      .otherwise(concat(lit("https://ex.com/p/"), id.cast("string"), lit("?b=2&a=1")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Url.canonicalize(url).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_spellings"), min(col("doc_id")).as("survivor_id"))
+      .orderBy(col("canon_url"))
+  }
+
+  val dUrlDedupSql: String = {
+    val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\\??([^#]*)(#.*)?$"
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 4
+       |      WHEN 0 THEN 'HTTPS://Ex.COM:443/p/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1'
+       |      WHEN 1 THEN 'http://ex.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=feed&a=1&b=2'
+       |      WHEN 2 THEN 'https://ex.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2#frag'
+       |      ELSE 'https://ex.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1'
+       |    END AS url
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    scheme || '://' ||
+       |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$$', '')
+       |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$$', '')
+       |         ELSE auth END ||
+       |    CASE WHEN pth = '' THEN '/' ELSE pth END ||
+       |    CASE WHEN len(params) = 0 THEN ''
+       |         ELSE '?' || array_to_string(params, '&') END AS canon_url
+       |  FROM (
+       |    SELECT doc_id,
+       |      lower(regexp_extract(url, '$pat', 1)) AS scheme,
+       |      lower(regexp_extract(url, '$pat', 2)) AS auth,
+       |      regexp_extract(url, '$pat', 3) AS pth,
+       |      list_sort(list_filter(string_split(regexp_extract(url, '$pat', 4), '&'),
+       |        p -> p <> '' AND NOT starts_with(p, 'utm_'))) AS params
+       |    FROM u))
+       |SELECT canon_url, COUNT(*) AS n_spellings, MIN(doc_id) AS survivor_id
+       |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_html"      -> tHtml _,
     "t_url_canon" -> tUrlCanon _,
     "t_robots"    -> tRobots _,
+    "d_url_dedup" -> dUrlDedup _,
   )
 
   val oracle: Map[String, String] = Map(
     "t_html"      -> tHtmlSql,
     "t_url_canon" -> tUrlCanonSql,
     "t_robots"    -> tRobotsSql,
+    "d_url_dedup" -> dUrlDedupSql,
   )
 }
