@@ -497,7 +497,37 @@ object Events {
        |ORDER BY o_orderpriority, month""".stripMargin
   }
 
+  /** q_islands: gaps-and-islands — per-user consecutive-active-day
+    * streaks, reported as the distribution of each user's LONGEST
+    * streak (streak length → user count). The classic island key is
+    * `day - row_number()` per user: consecutive days share the key, a
+    * gap starts a new one. Scale shape: ONE user-keyed shuffle carries
+    * the window and both per-user aggregations (island collapse and
+    * per-user max both cluster on a superset of user_id, so Spark's
+    * ClusteredDistribution check reuses the window's partitioning); the
+    * only other exchange moves |distinct streak lengths| rows. */
+  def qIslands(s: SparkSession, dir: String): DataFrame = {
+    val active = ev(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $UsPerDay").as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val streaks = active
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+    streaks.groupBy(col("user_id")).agg(max(col("len")).as("max_streak"))
+      .groupBy(col("max_streak")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("max_streak"))
+  }
+
+  val qIslandsSql: String =
+    """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |g AS (SELECT user_id, day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM a),
+      |st AS (SELECT user_id, COUNT(*) AS len FROM g GROUP BY user_id, grp),
+      |mx AS (SELECT user_id, MAX(len) AS max_streak FROM st GROUP BY user_id)
+      |SELECT max_streak, COUNT(*) AS n_users FROM mx GROUP BY max_streak
+      |ORDER BY max_streak""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_islands"      -> qIslands _,
     "q_ewma"         -> qEwma _,
     "q_kmv_distinct" -> qKmvDistinct _,
     "q_range_join"   -> qRangeJoin _,
@@ -515,6 +545,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_islands"      -> qIslandsSql,
     "q_ewma"         -> qEwmaSql,
     "q_kmv_distinct" -> qKmvDistinctSql,
     "q_range_join"   -> qRangeJoinSql,

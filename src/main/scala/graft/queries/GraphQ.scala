@@ -200,15 +200,90 @@ object GraphQ {
        |  SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, a, b) AS rnk FROM scored)
        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
+  private val LpIters = 3
+
+  /** q_label_prop: synchronous label-propagation community detection
+    * over the co-purchase graph (same distinct (order, part) slice as
+    * q_triangles, both edge directions) — the community-mining workload
+    * next to PageRank and triangles. Fully deterministic variant: labels
+    * start as vertex ids; each round every vertex adopts the MINIMUM
+    * label among its neighbors' most-frequent labels (count desc, label
+    * asc — the tie-break that makes sync LPA reproducible). Output is
+    * the top-25 communities by size. Scale shape per round: one
+    * neighbor join (edge-keyed) + one (v,label) count whose per-vertex
+    * argmax window reuses the count's clustering — work ∝ |E| per
+    * round, label frames localCheckpoint like every iterative operator
+    * here; at 100 TB the hub pre-filter knob from q_triangles bounds
+    * degree before the first round. */
+  def qLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).join(
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit(s"$TriLo 00:00:00").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit(s"$TriHi 00:00:00").cast("timestamp_ntz"))
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val und = li.select(col("ok"), col("p").as("a"))
+      .join(li.select(col("ok"), col("p").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val edges = und.select(col("a").as("v"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("v"), col("a").as("nbr")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("v")).distinct()
+      .select(col("v"), col("v").as("label")).localCheckpoint(false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("n").desc, col("label"))
+    for (_ <- 1 to LpIters) {
+      val cnt = edges
+        .join(labels.select(col("v").as("nbr"), col("label")), "nbr")
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("n"))
+      labels = cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("v"), col("label")).localCheckpoint(false)
+    }
+    val comm = labels.groupBy(col("label")).agg(count(lit(1)).as("size"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("size").desc, col("label"))
+    comm.withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 25)
+      .select(col("rnk"), col("label"), col("size"))
+      .orderBy(col("rnk"))
+  }
+
+  val qLabelPropSql: String = {
+    val iters = (1 to LpIters).map { k =>
+      s"""c$k AS (SELECT e.v, l.label, COUNT(*) AS n
+         |  FROM edges e JOIN l${k - 1} l ON l.v = e.nbr GROUP BY 1, 2),
+         |l$k AS (SELECT v, label FROM (
+         |    SELECT v, label, ROW_NUMBER() OVER (PARTITION BY v ORDER BY n DESC, label) AS rn
+         |    FROM c$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderdate >= TIMESTAMP '$TriLo' AND o_orderdate < TIMESTAMP '$TriHi'),
+       |und AS (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+       |edges AS (SELECT a AS v, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT v, v AS label FROM (SELECT DISTINCT v FROM edges)),
+       |$iters,
+       |comm AS (SELECT label, COUNT(*) AS size FROM l$LpIters GROUP BY label)
+       |SELECT rnk, label, size FROM (
+       |  SELECT label, size, ROW_NUMBER() OVER (ORDER BY size DESC, label) AS rnk FROM comm)
+       |WHERE rnk <= 25 ORDER BY rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank"  -> qPagerank _,
-    "q_triangles" -> qTriangles _,
-    "q_basket"    -> qBasket _,
+    "q_pagerank"   -> qPagerank _,
+    "q_triangles"  -> qTriangles _,
+    "q_basket"     -> qBasket _,
+    "q_label_prop" -> qLabelProp _,
   )
 
   val oracle: Map[String, String] = Map(
-    "q_pagerank"  -> qPagerankSql,
-    "q_triangles" -> qTrianglesSql,
-    "q_basket"    -> qBasketSql,
+    "q_pagerank"   -> qPagerankSql,
+    "q_triangles"  -> qTrianglesSql,
+    "q_basket"     -> qBasketSql,
+    "q_label_prop" -> qLabelPropSql,
   )
 }
