@@ -1017,7 +1017,80 @@ object DedupQ {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** d_cdc_chunks: content-defined chunking dedup — the storage-dedup /
+    * near-identical-revision primitive the fixed-shingle family can't
+    * give: chunk boundaries are decided by TOKEN CONTENT (a boundary
+    * falls after any token whose md5 starts with one of 4 of the 16 hex
+    * digits — expected chunk ≈ 4 tokens), so inserting a sentence into a
+    * document shifts ONE chunk instead of re-keying every fixed-width
+    * window downstream of the edit. Output: the top-20 chunks shared by
+    * ≥2 documents (doc reach, occurrence count, token length); a ≥3-token
+    * floor keeps singleton stopword chunks out of the report.
+    *
+    * Scale shape: tokenize + flag + chunk-id are narrow per-doc ops on
+    * ONE doc-keyed shuffle (the cumulative-boundary window and the
+    * (doc, chunk) collapse share the partitioning via Spark's
+    * ClusteredDistribution subset rule); the cross-doc reach count
+    * shuffles md5 CHUNK KEYS only — raw text never rides a wire — and
+    * the final top-20 window sees only chunks that already proved
+    * n_docs ≥ 2. */
+  def dCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val toks = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "tok")))
+    val chunks = toks
+      .withColumn("b",
+        when(substring(md5(col("tok")), 1, 1).isin("0", "4", "8", "c"), 1L).otherwise(0L))
+      .withColumn("chunk", coalesce(sum(col("b")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("chunk_key"),
+        count(lit(1)).as("chunk_len"))
+    val shared = chunks.groupBy(col("chunk_key"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"),
+        max(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_docs") >= 2 && col("chunk_len") >= 3)
+    // orderBy().limit() plans as TakeOrderedAndProject (per-partition heap
+    // + driver merge of 20-row heads); the rank window then sees 20 rows,
+    // never the full shared-chunk set.
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_docs").desc, col("chunk_key"))
+    shared.orderBy(col("n_docs").desc, col("chunk_key")).limit(20)
+      .withColumn("rnk", row_number().over(wTop))
+      .select(col("rnk"), col("chunk_key"), col("n_docs"), col("n_occ"), col("chunk_len"))
+      .orderBy(col("rnk"))
+  }
+
+  val dCdcChunksSql: String =
+    s"""WITH tk AS (SELECT doc_id, ${Text.toksSql} AS toks FROM documents),
+       |t AS (SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS tok FROM tk),
+       |f AS (SELECT doc_id, pos, tok,
+       |        CASE WHEN substr(md5(tok), 1, 1) IN ('0','4','8','c') THEN 1 ELSE 0 END AS b
+       |      FROM t),
+       |c AS (SELECT doc_id, pos, tok,
+       |        COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |      FROM f),
+       |ch AS (SELECT doc_id, chunk, md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_key,
+       |         COUNT(*) AS chunk_len
+       |       FROM c GROUP BY doc_id, chunk),
+       |sh AS (SELECT chunk_key, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+       |         MAX(chunk_len) AS chunk_len
+       |       FROM ch GROUP BY chunk_key
+       |       HAVING COUNT(DISTINCT doc_id) >= 2 AND MAX(chunk_len) >= 3)
+       |SELECT rnk, chunk_key, n_docs, n_occ, chunk_len FROM (
+       |  SELECT chunk_key, n_docs, n_occ, chunk_len,
+       |    ROW_NUMBER() OVER (ORDER BY n_docs DESC, chunk_key) AS rnk FROM sh)
+       |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_cdc_chunks"    -> dCdcChunks _,
     "d_decontam_sem"  -> dDecontamSem _,
     "d_source_overlap" -> dSourceOverlap _,
     "d_substring_overlap" -> dSubstringOverlap _,
@@ -1040,6 +1113,7 @@ object DedupQ {
   )
 
   val oracle: Map[String, String] = Map(
+    "d_cdc_chunks"    -> dCdcChunksSql,
     "d_decontam_sem"  -> dDecontamSemSql,
     "d_source_overlap" -> dSourceOverlapSql,
     "d_substring_overlap" -> dSubstringOverlapSql,

@@ -530,6 +530,17 @@ class PlanSpec extends AnyFunSuite {
     assert(groupShuffles <= 2, s"stats passes exploded ($groupShuffles):\n${p.take(3000)}")
   }
 
+  test("d_cdc_chunks: doc-keyed window and chunk collapse share ONE shuffle; top-20 is a bounded TakeOrdered, never a full-set window sort") {
+    val p = plan(graft.queries.DedupQ.dCdcChunks(spark, dir))
+    // the boundary window and the (doc, chunk) collapse must reuse the
+    // explicit doc_id repartition — exactly one doc-keyed exchange
+    val docShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(doc_id"))
+    assert(docShuffles <= 1, s"chunking must shuffle per doc once ($docShuffles):\n${p.take(3000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a per-partition heap, not a global window sort:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d_minhash_est: estimator reuses the cached stages — no extra corpus scan, codegen'd equality sum") {
     // warm the shared stages first (any dedup gate does)
     graft.queries.DedupQ.dMinhashPairs(spark, dir).queryExecution.toRdd.count()
