@@ -1394,7 +1394,72 @@ object Similarity {
        |  FROM exact)
        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
+  /** s_triplet_mine: TRIPLET MINING for contrastive training — per anchor
+    * the hardest positive (MINIMUM cosine among same-label others: the
+    * in-class example the model most struggles to pull close) and the
+    * top-3 hard negatives (MAXIMUM cosine among different-label vectors:
+    * the out-of-class examples it most struggles to push away), with the
+    * triplet margin pos_cos − neg_cos and the semi-hard flag
+    * (neg_cos < pos_cos — the FaceNet mining band). Margin is a single
+    * subtraction of two fold-order-pinned cosines, so doubles are safe in
+    * output (the s_range_search convention).
+    *
+    * Scale shape: the anchor set is bounded by construction and
+    * broadcasts; the corpus streams past it TWICE (one pass collapses to
+    * |anchors| hardest-positive rows via min-agg, one feeds the k-bounded
+    * TopKPerKey negatives) — two scans is the honest plan, since
+    * materializing the |corpus|×|anchors| scored frame to save a scan
+    * costs more than the rescan; at 100 TB each pass composes with
+    * IvfIndex probing (prune by label partition, then by coarse cell)
+    * exactly like s_filtered_knn. */
+  def sTripletMine(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val anchors = queriesSubset(e).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"), col("label").as("q_label"))
+    val corpus = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+      col("label").as("n_label"))
+    val pos = corpus
+      .join(broadcast(anchors), col("n_label") === col("q_label") && col("n_id") =!= col("q_id"))
+      .withColumn("cos", coalesce(expr("cosine_sim(q_vec, n_vec)"), lit(-1.0)))
+      .groupBy(col("q_id")).agg(min(col("cos")).as("pos_cos"))
+    val negScored = corpus
+      .join(broadcast(anchors), col("n_label") =!= col("q_label"))
+      .withColumn("cos", coalesce(expr("cosine_sim(q_vec, n_vec)"), lit(-1.0)))
+      .select(col("q_id"), col("n_id"), col("cos"))
+    val negs = graft.plans.TopK.perKey(negScored, Seq("q_id"),
+      Seq(col("cos").desc, col("n_id").asc), 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    negs.withColumn("rnk", row_number().over(w))
+      .join(broadcast(pos), Seq("q_id"), "left")
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        (col("pos_cos") - col("cos")).as("margin"),
+        (col("cos") < col("pos_cos")).as("semi_hard"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val sTripletMineSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS q_label
+       |           FROM embeddings WHERE vec_id % 50 = 0),
+       |pos AS (
+       |  SELECT q_id, MIN(COALESCE(${cosSql("qe", "e.embedding")}, -1.0)) AS pos_cos
+       |  FROM q JOIN embeddings e ON e.label = q.q_label AND e.vec_id <> q.q_id
+       |  GROUP BY q_id),
+       |neg AS (
+       |  SELECT q_id, e.vec_id AS n_id,
+       |    COALESCE(${cosSql("qe", "e.embedding")}, -1.0) AS cos
+       |  FROM q JOIN embeddings e ON e.label <> q.q_label),
+       |topneg AS (SELECT q_id, n_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM neg)
+       |SELECT t.q_id, t.n_id, t.rnk, p.pos_cos - t.cos AS margin,
+       |  t.cos < p.pos_cos AS semi_hard
+       |FROM topneg t LEFT JOIN pos p ON p.q_id = t.q_id
+       |WHERE t.rnk <= 3 ORDER BY t.q_id, t.rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_triplet_mine" -> sTripletMine _,
     "s_bq_search"  -> sBqSearch _,
     "s_mrl_rerank" -> sMrlRerank _,
     "s_centroid_drift" -> sCentroidDrift _,
@@ -1419,6 +1484,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s_triplet_mine" -> sTripletMineSql,
     "s_bq_search"  -> sBqSearchSql,
     "s_mrl_rerank" -> sMrlRerankSql,
     "s_centroid_drift" -> sCentroidDriftSql,

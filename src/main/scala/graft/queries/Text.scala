@@ -639,6 +639,54 @@ object Text {
       |  FROM events)
       |GROUP BY user_id ORDER BY convo_id""".stripMargin
 
+  /** t_pref_pairs: PREFERENCE-PAIR construction (DPO/RLHF data prep) —
+    * candidate generations are grouped per prompt (here: doc_id div 8,
+    * the "k samples per prompt" layout a sampling run writes), scored
+    * with the shared quality model, and each group emits ONE
+    * (chosen, rejected) pair: chosen = argmax (score, doc_id), rejected =
+    * argmin, kept only when the score margin clears 0.05 (pairs the
+    * reward model can't separate are training noise). The argmax/argmin
+    * ride a SINGLE keyed aggregation as struct max/min — no window, no
+    * per-group sort — so the whole gate is one map-side-partial shuffle
+    * on the prompt key; scores are bitwise cross-engine (the t_quality
+    * convention), so the margin (one subtraction) and its threshold
+    * compare exactly. */
+  def tPrefPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("q", qualityScore(col("text"), col("toks")))
+      .withColumn("grp", expr("doc_id div 8"))
+    d.groupBy(col("grp"))
+      .agg(max(struct(col("q"), col("doc_id"))).as("c"),
+        min(struct(col("q"), col("doc_id"))).as("r"),
+        count(lit(1)).as("n_cand"))
+      .filter(col("n_cand") >= 2)
+      .select(col("grp"), col("c.doc_id").as("chosen_id"),
+        col("r.doc_id").as("rejected_id"),
+        (col("c.q") - col("r.q")).as("margin"), col("n_cand"))
+      .filter(col("margin") > 0.05)
+      .orderBy(col("grp"))
+  }
+
+  /** Struct max breaks score ties on the LARGEST doc_id, struct min on the
+    * smallest — the oracle's window orders replay exactly that. */
+  val tPrefPairsSql: String =
+    s"""WITH sc AS (
+       |  SELECT doc_id, doc_id // 8 AS grp, $qualitySqlExpr AS q
+       |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)),
+       |rk AS (
+       |  SELECT grp, doc_id, q,
+       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY q DESC, doc_id DESC) AS r_max,
+       |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY q ASC, doc_id ASC) AS r_min,
+       |    COUNT(*) OVER (PARTITION BY grp) AS n_cand
+       |  FROM sc)
+       |SELECT c.grp, c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+       |  c.q - r.q AS margin, c.n_cand
+       |FROM (SELECT * FROM rk WHERE r_max = 1) c
+       |JOIN (SELECT * FROM rk WHERE r_min = 1) r ON r.grp = c.grp
+       |WHERE c.n_cand >= 2 AND c.q - r.q > 0.05
+       |ORDER BY c.grp""".stripMargin
+
   /** t_bigram_lm: word-bigram language-model scoring with a TRAIN/EVAL
     * split — the perplexity-proxy filter one level up from t_lm_score's
     * char trigrams: the model (bigram count c_ab + context count c_a)
@@ -1433,6 +1481,7 @@ object Text {
     "t_lm_score"    -> tLmScore _,
     "t_bigram_lm"   -> tBigramLm _,
     "t_chat_render" -> tChatRender _,
+    "t_pref_pairs"  -> tPrefPairs _,
     "t_mix"         -> tMix _,
     "t_domain_weights" -> tDomainWeights _,
     "t_rebalance"   -> tRebalance _,
@@ -1468,6 +1517,7 @@ object Text {
     "t_lm_score"    -> tLmScoreSql,
     "t_bigram_lm"   -> tBigramLmSql,
     "t_chat_render" -> tChatRenderSql,
+    "t_pref_pairs"  -> tPrefPairsSql,
     "t_mix"         -> tMixSql,
     "t_domain_weights" -> tDomainWeightsSql,
     "t_rebalance"   -> tRebalanceSql,
