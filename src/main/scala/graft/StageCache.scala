@@ -42,9 +42,43 @@ object StageCache {
     System.identityHashCode(s).toString + "/" + key
 
   /** The stage for (session, key), computing and caching on first use.
-    * Safe for builders that themselves call getOrCompute (see Holder). */
-  def getOrCompute(s: SparkSession, key: String)(f: => DataFrame): DataFrame =
-    cache.computeIfAbsent(qualify(s, key), _ => new Holder(() => f)).value
+    * Safe for builders that themselves call getOrCompute (see Holder) —
+    * PROVIDED the stage dependency graph is acyclic: prerequisite stages
+    * must form a DAG (fullCanonical → jaccardScored → candidates → stage).
+    * Two threads building stages with INVERSE prerequisite orders would
+    * deadlock on each other's lazy-val monitors, so a cyclic request
+    * fails fast (IllegalStateException via the per-thread build stack)
+    * instead of hanging.
+    *
+    * If release() concurrently evicts the entry while the build is in
+    * flight (peek waits out the lazy-val monitor on a COMPUTED holder,
+    * but an uncomputed one is removed without touching blocks), the
+    * freshly-built frame's checkpoint blocks would otherwise leak until
+    * session end with no cache entry pointing at them. Releasing them
+    * here would break THIS caller (localCheckpoint blocks are not
+    * recomputable), so instead the built holder is re-mapped
+    * (putIfAbsent): the stage is visible again and the NEXT release
+    * cleans it — semantically "the stage was recomputed after the
+    * release", which is exactly what happened. Only the double race
+    * (evicted AND re-requested by a third thread before the re-map)
+    * leaves one orphaned frame for the session lifetime. */
+  def getOrCompute(s: SparkSession, key: String)(f: => DataFrame): DataFrame = {
+    val qualified = qualify(s, key)
+    val stack = buildStack.get()
+    require(!stack.contains(qualified),
+      s"StageCache cycle: ${stack.mkString(" -> ")} -> $qualified — stage prerequisites must form a DAG")
+    val h = cache.computeIfAbsent(qualified, _ => new Holder(() => f))
+    stack.push(qualified)
+    val v = try h.value finally stack.pop()
+    if (cache.get(qualified) ne h) cache.putIfAbsent(qualified, h)
+    v
+  }
+
+  /** Per-thread stack of keys currently building — cycle detection for
+    * nested getOrCompute (fail fast, never deadlock). */
+  private val buildStack =
+    ThreadLocal.withInitial[scala.collection.mutable.Stack[String]](
+      () => scala.collection.mutable.Stack.empty[String])
 
   /** Evict every stage of (session, keyPrefix*) and unpersist its
     * checkpoint blocks. Prefix "" drops all of the session's stages.

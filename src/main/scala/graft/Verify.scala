@@ -30,9 +30,20 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Per-gate row count with a LOUD zero-row warning (VERDICT r10 #9):
+        // a 0-row hash-match only proves both engines agree nothing
+        // qualifies — the gate's arithmetic is unverified. Footer-only
+        // count, no re-scan; stderr only, driver output unchanged.
+        val n = spark.read.parquet(s"$outDir/$name").count()
+        if (n == 0L)
+          System.err.println(s"[verify] WARNING: $name wrote 0 rows — " +
+            "the oracle hash-match verifies nothing about this gate's math; " +
+            "lower its thresholds or plant qualifying rows")
+        else System.err.println(s"[verify] $name: $n rows")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -152,6 +152,43 @@ object Audio {
       .as[AudioSegment]
   }
 
+  final case class AudioFp(doc_id: Long, n_windows: Int, fp: Long)
+
+  /** ENERGY-DELTA SIGN fingerprint — the Chromaprint/Shazam family's
+    * core trick reduced to its deterministic skeleton: the clip collapses
+    * to per-window INTEGER energies (Σ v², exact long), and bit w of the
+    * fingerprint records whether energy rose from window w to w+1. The
+    * sign sequence is invariant under uniform gain (E' = s²·E exactly, so
+    * every comparison is preserved — a re-mastered/volume-normalized copy
+    * of the same recording collides) while distinct material diverges
+    * within a few windows. One 64-bit word per clip; retrieval composes
+    * with the SimHash pigeonhole machinery exactly like image
+    * perceptualHashes. Integer math end-to-end — no FFT, no floats — so a
+    * SQL oracle replays it bit-for-bit from the sample formula. */
+  def fingerprints(blobs: Dataset[Blob], samplesPerWindow: Int = 128): Dataset[AudioFp] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val samples = pcmSamples(b.payload)
+        val n = samples.length
+        val nw = (n + samplesPerWindow - 1) / samplesPerWindow
+        val energies = new Array[Long](nw)
+        var i = 0
+        while (i < n) {
+          val v = samples(i).toLong
+          energies(i / samplesPerWindow) += v * v
+          i += 1
+        }
+        var fp = 0L; var w = 0
+        while (w < nw - 1 && w < 63) {
+          if (energies(w + 1) > energies(w)) fp |= 1L << w
+          w += 1
+        }
+        AudioFp(b.doc_id, nw, fp)
+      }
+    }
+  }
+
   /** Windowed RMS (normalized to full scale, so 1.0 = rail-to-rail) and
     * zero-crossing rate (sign changes / (n−1) consecutive pairs) — batched
     * per partition like every decode path. Exact-arithmetic per window

@@ -55,6 +55,11 @@ object Wap {
     val bad = audit(spark, root, label, rules)
     require(bad == 0L,
       s"audit failed for snap-$label: $bad violating rows — not publishing")
+    swing(spark, root, label)
+  }
+
+  /** The pointer swap alone (caller has already audited). */
+  private def swing(spark: SparkSession, root: String, label: String): Unit = {
     val f = fs(spark, root)
     val tmp = new Path(s"$root/current.tmp")
     val cur = new Path(s"$root/current")
@@ -62,14 +67,19 @@ object Wap {
     try out.write(s"snap-$label".getBytes("UTF-8")) finally out.close()
     // overwriting rename: atomic pointer swap where the filesystem offers
     // it (HDFS); fall back to delete-then-rename elsewhere — readers
-    // bridge that window via currentLabel's retry
+    // bridge that window via currentLabel's retry. The fallback catch is
+    // deliberately broad (not just UnsupportedFileSystemException): some
+    // object-store bindings resolve a FileContext but then throw
+    // IOException / UnsupportedOperationException from Rename.OVERWRITE —
+    // aborting there would leave the tmp pointer written and NO swap
+    // attempted, stranding the publish.
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         f.getUri, spark.sessionState.newHadoopConf())
       fc.rename(f.makeQualified(tmp), f.makeQualified(cur),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+      case _: java.io.IOException | _: UnsupportedOperationException =>
         f.delete(cur, false)
         require(f.rename(tmp, cur), s"pointer swap failed for snap-$label")
     }
@@ -98,6 +108,71 @@ object Wap {
   def readCurrent(spark: SparkSession, root: String): DataFrame = {
     val label = currentLabel(spark, root).getOrElse(
       throw new IllegalStateException(s"no published snapshot under $root"))
+    spark.read.parquet(s"$root/$label")
+  }
+
+  // ---- Time travel: the version log over published snapshots ---------
+  //
+  // The Iceberg/Delta AS-OF surface in miniature: every versioned publish
+  // appends an immutable `versions/v-<seq>` file naming its snapshot, so
+  // the full publish history is queryable and any past version readable —
+  // snapshots are already immutable and retained (the rollback contract
+  // above), the log only gives them stable ordinals. The log entry is
+  // written BEFORE the pointer swap (tmp + fresh-name rename — never
+  // overwritten, so no atomicity demands on the store): a crash between
+  // the two leaves the log one entry AHEAD of `current`, which reads as
+  // "staged at version v, publish incomplete" — re-running the publish
+  // converges (the entry for that label is reused, not duplicated);
+  // `current` never points at an unlogged snapshot.
+
+  private def versionDir(root: String) = new Path(s"$root/versions")
+
+  /** Publish history: (version, snapshot label), version-ascending. */
+  def history(spark: SparkSession, root: String): Seq[(Long, String)] = {
+    val f = fs(spark, root)
+    val dir = versionDir(root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v-"))
+      .map { n =>
+        val in = f.open(new Path(dir, n))
+        val label = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+        (n.stripPrefix("v-").toLong, label)
+      }.sortBy(_._1)
+  }
+
+  /** Publish with a version-log entry; returns the assigned version.
+    * The audit runs BEFORE the log append (a vetoed snapshot must never
+    * occupy a version), the log before the pointer swap (see the class
+    * note). Idempotent per label: re-publishing a label that already has
+    * a log entry reuses its version (the crash-recovery path). */
+  def publishVersioned(spark: SparkSession, root: String, label: String,
+      rules: Seq[Quarantine.Rule]): Long = {
+    val bad = audit(spark, root, label, rules)
+    require(bad == 0L,
+      s"audit failed for snap-$label: $bad violating rows — not publishing")
+    val f = fs(spark, root)
+    val hist = history(spark, root)
+    val version = hist.find(_._2 == s"snap-$label").map(_._1).getOrElse {
+      val next = hist.lastOption.map(_._1 + 1).getOrElse(1L)
+      f.mkdirs(versionDir(root))
+      val tmp = new Path(versionDir(root), s".v-$next.tmp")
+      val out = f.create(tmp, true)
+      try out.write(s"snap-$label".getBytes("UTF-8")) finally out.close()
+      require(f.rename(tmp, new Path(versionDir(root), s"v-$next")),
+        s"version-log append failed for snap-$label")
+      next
+    }
+    swing(spark, root, label)
+    version
+  }
+
+  /** Read the table AS OF a published version. */
+  def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val label = history(spark, root).find(_._1 == version).map(_._2).getOrElse(
+      throw new IllegalArgumentException(s"no version $version under $root"))
     spark.read.parquet(s"$root/$label")
   }
 }

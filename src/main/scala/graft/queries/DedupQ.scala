@@ -357,23 +357,38 @@ object DedupQ {
     * non-identical texts. Raise MaxAllPairsBucket (bounded all-pairs
     * cost: B(B−1)/2 per bucket) when decontamination must trade compute
     * for the last sliver of hot-bucket recall. */
-  def dContamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    // bipartite candidates off the shared stage: train docs are side 1
-    // (left), test docs side 2 (right), the val slice [80,90) is excluded
-    // before banding; small buckets emit every cross pair, hot buckets
-    // pair each doc with the opposite side's bucket min only — linear in
-    // bucket size even when boilerplate straddles splits
-    val side = when(col("split_bucket") < 80, 1).when(col("split_bucket") >= 90, 2)
-    val sided = stage(s, dir).withColumn("__side", side).filter(col("__side").isNotNull)
-    val cands = MinHashLsh.bipartiteCandidatesFromSigs(sided, "doc_id")
-      .select(col("right_id").as("a_id"), col("left_id").as("b_id"))
-      .localCheckpoint()
-    Dedup.jaccardOnPairs(cands, docs, "doc_id", "text")
+  /** Scored bipartite (test, train) candidates — cached like
+    * jaccardScored/fullCanonical because the decontamination report is a
+    * per-run ARTIFACT, not a throwaway: banding + the bucket window + the
+    * candidate-doc shingle pass are one-time work per (session, dataset).
+    * Before this entered the cache, d_contamination was the one dedup
+    * gate re-running its whole derived stage (band window + two eager
+    * localCheckpoints + candidate re-shingling) on every invocation —
+    * the round-10 ~1.5× bench regression: switching the gate onto the
+    * shared signature stage (r10) removed its inline signature pass but
+    * left the per-run rebuild, whose cost now included re-reading the
+    * widened stage checkpoint. */
+  private def bipartiteScored(s: SparkSession, dir: String): DataFrame =
+    graft.StageCache.getOrCompute(s, s"dedup:$dir:bipartite") {
+      val docs = Tables.documents(s, dir)
+      // bipartite candidates off the shared stage: train docs are side 1
+      // (left), test docs side 2 (right), the val slice [80,90) is excluded
+      // before banding; small buckets emit every cross pair, hot buckets
+      // pair each doc with the opposite side's bucket min only — linear in
+      // bucket size even when boilerplate straddles splits
+      val side = when(col("split_bucket") < 80, 1).when(col("split_bucket") >= 90, 2)
+      val sided = stage(s, dir).withColumn("__side", side).filter(col("__side").isNotNull)
+      val cands = MinHashLsh.bipartiteCandidatesFromSigs(sided, "doc_id")
+        .select(col("right_id").as("a_id"), col("left_id").as("b_id"))
+        .localCheckpoint()
+      Dedup.jaccardOnPairs(cands, docs, "doc_id", "text").localCheckpoint(false)
+    }
+
+  def dContamination(s: SparkSession, dir: String): DataFrame =
+    bipartiteScored(s, dir)
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("a_id").as("test_id"), col("b_id").as("train_id"), col("jaccard"))
       .orderBy(col("test_id"), col("train_id"))
-  }
 
   /** Oracle mirrors the bucket-size-adaptive bipartite candidates: small
     * buckets emit every test×train cross pair (full cross-side recall);
@@ -1089,7 +1104,94 @@ object DedupQ {
        |    ROW_NUMBER() OVER (ORDER BY n_docs DESC, chunk_key) AS rnk FROM sh)
        |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
+  /** The (bands × rows) grid d_lsh_tune evaluates — every factorization
+    * of the 24 signature slots. */
+  private val TuneConfigs = Seq((2, 12), (3, 8), (4, 6), (6, 4), (8, 3), (12, 2))
+
+  /** d_lsh_tune: LSH BANDING PARAMETER TUNING — the measured S-curve
+    * behind MinHashLsh's (b=4, r=6) default: for every factorization of
+    * the 24 signature slots, how many VERIFIED near-dup pairs
+    * (jaccard ≥ 0.5) would still collide in ≥1 band (recall proxy) and
+    * how many verified NON-dups would survive as candidates (wasted
+    * verification work) — the two numbers a production pipeline trades
+    * when it re-tunes banding for a new similarity target (more bands of
+    * fewer rows → catches lower similarity, pays more candidates).
+    * Collision is decided EXACTLY from the per-pair signature slots (a
+    * band collides iff all its r slots agree), not from the 1-(1-s^r)^b
+    * formula — measured, not modeled. Conditioning caveat: the pair
+    * population is the CURRENT (4,6) candidate set (by construction that
+    * config shows full recall); the report ranks configs relative to it,
+    * which is exactly the question "what would retuning do to the pairs I
+    * know about".
+    *
+    * Scale shape: rides the cached signature + scored-pair stages (zero
+    * extra corpus passes); the config grid is evaluated in ONE
+    * aggregation over the candidate-pair frame (18 conditional sums →
+    * 6 stacked rows) — per-pair cost is 24 slot equalities, output is
+    * |configs| rows. */
+  def dLshTune(s: SparkSession, dir: String): DataFrame = {
+    val n = MinHashLsh.NumHashes
+    val sigs = stage(s, dir)
+    val aS = sigs.select(col("doc_id").as("a_id") +:
+      (0 until n).map(i => col(s"sig_$i").as(s"a_$i")): _*)
+    val bS = sigs.select(col("doc_id").as("b_id") +:
+      (0 until n).map(i => col(s"sig_$i").as(s"b_$i")): _*)
+    val scored = jaccardScored(s, dir).join(aS, "a_id").join(bS, "b_id")
+      .withColumn("is_dup", col("jaccard") >= JaccardThreshold)
+    def collide(b: Int, r: Int) = (0 until b).map { j =>
+      (j * r until (j + 1) * r).map(i => col(s"a_$i") === col(s"b_$i")).reduce(_ && _)
+    }.reduce(_ || _)
+    val aggs = sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup") +:
+      TuneConfigs.flatMap { case (b, r) => Seq(
+        sum(when(col("is_dup") && collide(b, r), 1L).otherwise(0L)).as(s"dc_$b"),
+        sum(when(!col("is_dup") && collide(b, r), 1L).otherwise(0L)).as(s"nc_$b"))
+      }
+    val stacked = TuneConfigs.map { case (b, r) =>
+      s"$b, $r, n_dup, dc_$b, nc_$b" }.mkString(", ")
+    scored.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${TuneConfigs.size}, $stacked) AS " +
+        "(bands, rows_per_band, n_dup, n_dup_collide, n_nondup_collide)"))
+      .withColumn("recall", col("n_dup_collide").cast("double") /
+        greatest(col("n_dup"), lit(1L)).cast("double"))
+      .orderBy(col("bands"))
+  }
+
+  val dLshTuneSql: String = {
+    val n = MinHashLsh.NumHashes
+    val aAl = (0 until n).map(i => s"sa.sig_$i AS a_$i").mkString(", ")
+    val bAl = (0 until n).map(i => s"sb.sig_$i AS b_$i").mkString(", ")
+    def collide(b: Int, r: Int) = (0 until b).map { j =>
+      (j * r until (j + 1) * r).map(i => s"a_$i = b_$i").mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
+    val sums = TuneConfigs.map { case (b, r) =>
+      s"""SUM(CASE WHEN is_dup AND ${collide(b, r)} THEN 1 ELSE 0 END) AS dc_$b,
+         |    SUM(CASE WHEN (NOT is_dup) AND ${collide(b, r)} THEN 1 ELSE 0 END) AS nc_$b""".stripMargin
+    }.mkString(",\n    ")
+    val rows = TuneConfigs.map { case (b, r) =>
+      s"SELECT $b AS bands, $r AS rows_per_band, n_dup, dc_$b AS n_dup_collide, nc_$b AS n_nondup_collide FROM agg"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCte,\n$hpCte,\n$sigsCte,\n$bandsCte,
+       |cand AS ($candSelect),
+       |pj AS (
+       |  SELECT a_id, b_id, $jaccardExprSql AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id),
+       |wide AS (
+       |  SELECT pj.jaccard >= $JaccardThreshold AS is_dup, $aAl, $bAl
+       |  FROM pj JOIN sigs sa ON sa.doc_id = pj.a_id JOIN sigs sb ON sb.doc_id = pj.b_id),
+       |agg AS (
+       |  SELECT SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup,
+       |    $sums
+       |  FROM wide)
+       |SELECT bands, rows_per_band, CAST(n_dup AS BIGINT) AS n_dup,
+       |  CAST(n_dup_collide AS BIGINT) AS n_dup_collide,
+       |  CAST(n_nondup_collide AS BIGINT) AS n_nondup_collide,
+       |  CAST(n_dup_collide AS DOUBLE) / CAST(greatest(n_dup, 1) AS DOUBLE) AS recall
+       |FROM ($rows) t
+       |ORDER BY bands""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_lsh_tune"      -> dLshTune _,
     "d_cdc_chunks"    -> dCdcChunks _,
     "d_decontam_sem"  -> dDecontamSem _,
     "d_source_overlap" -> dSourceOverlap _,
@@ -1113,6 +1215,7 @@ object DedupQ {
   )
 
   val oracle: Map[String, String] = Map(
+    "d_lsh_tune"      -> dLshTuneSql,
     "d_cdc_chunks"    -> dCdcChunksSql,
     "d_decontam_sem"  -> dDecontamSemSql,
     "d_source_overlap" -> dSourceOverlapSql,

@@ -231,17 +231,42 @@ object Etl2 {
     * Three passes — median agg, MAD agg over the broadcast median, flag
     * scan over the broadcast stats (all map-side-partial aggregations;
     * stats are |groups| rows) — with the same exact-percentile parity as
-    * q_quantiles; output bounded by outliers. At 100 TB the percentile
-    * swaps for the sketch exactly like q_rfm's approx toggle. */
-  def eMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    * q_quantiles; output bounded by outliers.
+    *
+    * The gate PLANTS deterministic contamination (×10 price on
+    * l_orderkey % 997 = 0, l_linenumber = 1 — identically derived in the
+    * oracle's input CTE, the e_coldiff pattern): TPC-H prices are uniform
+    * (max robust score ~1.35), so on the raw table `score > 3` can never
+    * fire and a 0-row hash-match would verify nothing about the scoring
+    * path. The planted rows are real outliers the flag MUST catch — and
+    * exactly the contamination MAD is robust to: ~0.1 % planted mass
+    * moves the median/MAD imperceptibly, while e_anomaly's stdev would
+    * inflate.
+    *
+    * `approx = true` is the 100 TB path (q_rfm's toggle, VERDICT r10 #5):
+    * exact `percentile` keeps a full per-group value map — non-mergeable
+    * state that cannot stream at corpus scale — so both median passes
+    * swap for percentile_approx's mergeable GK summaries; same plan
+    * shape, same flag rule. SketchToggleSpec bounds flag disagreement at
+    * sf0.1. The gate keeps exact for the oracle. */
+  def eMadOutliers(s: SparkSession, dir: String): DataFrame =
+    eMadOutliers(s, dir, approx = false)
+
+  def eMadOutliers(s: SparkSession, dir: String, approx: Boolean): DataFrame = {
+    val pct = if (approx) "percentile_approx" else "percentile"
+    // rank error ~1e-4 of the population — the median and the MAD median
+    // land within noise of exact on any non-degenerate distribution
+    val acc = if (approx) ", 10000" else ""
     val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice").as("x"))
+        (col("l_extendedprice") *
+          when(col("l_orderkey") % 997 === 0 && col("l_linenumber") === 1, lit(10))
+            .otherwise(lit(1))).as("x"))
     val med = li.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(x, 0.5)").as("med"))
+      .agg(expr(s"$pct(x, 0.5D$acc)").as("med"))
     val mad = li.join(broadcast(med), "l_returnflag")
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(abs(x - med), 0.5)").as("mad"), first(col("med")).as("med"))
+      .agg(expr(s"$pct(abs(x - med), 0.5D$acc)").as("mad"), first(col("med")).as("med"))
     li.join(broadcast(mad), "l_returnflag")
       .withColumn("score", abs(col("x") - col("med")) / (lit(1.4826) * col("mad")))
       .filter(col("score") > 3.0)
@@ -251,7 +276,9 @@ object Etl2 {
   }
 
   val eMadOutliersSql: String =
-    """WITH li AS (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice AS x FROM lineitem),
+    """WITH li AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+      |  l_extendedprice * (CASE WHEN l_orderkey % 997 = 0 AND l_linenumber = 1 THEN 10 ELSE 1 END) AS x
+      |  FROM lineitem),
       |med AS (SELECT l_returnflag, quantile_cont(x, 0.5) AS med FROM li GROUP BY 1),
       |mad AS (SELECT li.l_returnflag, quantile_cont(abs(x - med), 0.5) AS mad, ANY_VALUE(med) AS med
       |        FROM li JOIN med USING (l_returnflag) GROUP BY li.l_returnflag)
@@ -346,7 +373,41 @@ object Etl2 {
       |  UNION ALL SELECT 'col:c_acctbal', chg_bal FROM a)
       |ORDER BY metric""".stripMargin
 
+  /** e_gap_audit: SEQUENCE-CONTINUITY audit — the delivery-completeness
+    * check e_check_unique/e_check_fk don't cover: a child table whose
+    * per-parent sequence numbers should run 1..n (line numbers of an
+    * order, page numbers of a scan, chunk indices of an upload) is
+    * audited for HOLES — a gap means the extract dropped rows silently,
+    * the failure mode a row count per table can't see (totals still look
+    * plausible). The incoming batch is derived with planted loss
+    * ((l_orderkey + l_linenumber) % 23 rows dropped — the e_coldiff
+    * derivation pattern); per order: distinct lines present, max line
+    * number, and n_missing = max − present (the 1..max contract). Output
+    * bounded by violating parents. One keyed aggregation whose HAVING
+    * rides the same shuffle — the e_k_anon plan shape. */
+  def eGapAudit(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter((col("l_orderkey") + col("l_linenumber")) % 23 =!= 0)
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_linenumber")).as("n_lines"),
+        max(col("l_linenumber")).as("max_ln"))
+      .withColumn("n_missing", (col("max_ln") - col("n_lines")).cast("long"))
+      .filter(col("n_missing") > 0)
+      .select(col("l_orderkey"), col("n_lines"), col("max_ln"), col("n_missing"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  val eGapAuditSql: String =
+    """SELECT l_orderkey, n_lines, max_ln, CAST(max_ln - n_lines AS BIGINT) AS n_missing
+      |FROM (
+      |  SELECT l_orderkey, COUNT(DISTINCT l_linenumber) AS n_lines,
+      |    MAX(l_linenumber) AS max_ln
+      |  FROM lineitem WHERE (l_orderkey + l_linenumber) % 23 <> 0
+      |  GROUP BY l_orderkey)
+      |WHERE max_ln - n_lines > 0 ORDER BY l_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_gap_audit"    -> eGapAudit _,
     "e_coldiff"      -> eColdiff _,
     "e_mad_outliers" -> eMadOutliers _,
     "e_quarantine"   -> eQuarantine _,
@@ -358,6 +419,7 @@ object Etl2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_gap_audit"    -> eGapAuditSql,
     "e_coldiff"      -> eColdiffSql,
     "e_mad_outliers" -> eMadOutliersSql,
     "e_quarantine"   -> eQuarantineSql,

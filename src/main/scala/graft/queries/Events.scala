@@ -526,7 +526,50 @@ object Events {
       |SELECT max_streak, COUNT(*) AS n_users FROM mx GROUP BY max_streak
       |ORDER BY max_streak""".stripMargin
 
+  private val SurvivalHorizon = 30
+
+  /** q_survival: the SURVIVAL / churn curve — for each tenure t (days),
+    * the fraction of users whose observed lifetime (last event − first
+    * event) reaches t: S(t) = |{u : lifetime_u ≥ t}| / |users| over
+    * t = 0..30 days. The Kaplan–Meier shape without censoring
+    * weights (every user's window closed at the corpus frontier), which
+    * keeps every input an exact integer and each S(t) ONE pinned
+    * division — the retention curve a subscription dashboard plots.
+    *
+    * Scale shape: one user-keyed min/max aggregation (map-side partial)
+    * collapses the corpus to |users| lifetimes, a second aggregation to
+    * the ≤|window days| lifetime histogram; the horizon spine joins the
+    * HISTOGRAM (broadcast, bin-bounded), never the user frame — at
+    * 100 TB nothing row-sized passes the first aggregation. */
+  def qSurvival(s: SparkSession, dir: String): DataFrame = {
+    val life = ev(s, dir).groupBy(col("user_id"))
+      .agg(expr(s"(max(ts_us) - min(ts_us)) div $UsPerDay").as("lt"))
+    val hist = life.groupBy(col("lt")).agg(count(lit(1)).as("n"))
+    val tot = life.agg(count(lit(1)).as("n_total"))
+    val spine = s.range(0, SurvivalHorizon + 1).select(col("id").as("t"))
+    spine.join(broadcast(hist), col("lt") >= col("t"), "left")
+      .groupBy(col("t"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_surviving"))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), col("n_surviving"),
+        (col("n_surviving").cast("double") / col("n_total").cast("double")).as("survival"))
+      .orderBy(col("t"))
+  }
+
+  val qSurvivalSql: String =
+    s"""WITH life AS (
+       |  SELECT user_id, (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // $UsPerDay AS lt
+       |  FROM events GROUP BY user_id),
+       |hist AS (SELECT lt, COUNT(*) AS n FROM life GROUP BY lt),
+       |tot AS (SELECT COUNT(*) AS n_total FROM life),
+       |spine AS (SELECT unnest(range(0, ${SurvivalHorizon + 1})) AS t)
+       |SELECT s.t, CAST(COALESCE(SUM(h.n), 0) AS BIGINT) AS n_surviving,
+       |  CAST(COALESCE(SUM(h.n), 0) AS DOUBLE) / CAST(tot.n_total AS DOUBLE) AS survival
+       |FROM spine s LEFT JOIN hist h ON h.lt >= s.t, tot
+       |GROUP BY s.t, tot.n_total ORDER BY s.t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_survival"     -> qSurvival _,
     "q_islands"      -> qIslands _,
     "q_ewma"         -> qEwma _,
     "q_kmv_distinct" -> qKmvDistinct _,
@@ -545,6 +588,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_survival"     -> qSurvivalSql,
     "q_islands"      -> qIslandsSql,
     "q_ewma"         -> qEwmaSql,
     "q_kmv_distinct" -> qKmvDistinctSql,

@@ -145,7 +145,16 @@ object GraphQ {
     * q_triangles, per-item supports, and for every pair above the
     * min-support cut: support, confidence and lift — lift's numerator
     * and denominator are exact integer PRODUCTS (n_ab·N and n_a·n_b), so
-    * the only float op is one pinned division. Top-20 by lift. */
+    * the only float op is one pinned division. Top-20 by lift.
+    *
+    * Min support is 2 (the synthetic co-purchase slice maxes out at
+    * support 2 — a cut of 3 made the gate 0-row at every SF, verifying
+    * nothing about the lift/confidence arithmetic; VERDICT r10 #3). The
+    * top-20 is orderBy().limit() — TakeOrderedAndProject's per-partition
+    * heaps + a 20-row driver merge — with the rank window running on the
+    * 20 survivors; the previous global row_number window sorted EVERY
+    * above-support pair on one partition (|parts|²-ish on a dense
+    * corpus — the d_cdc_chunks shape replaces it, VERDICT r10 #4). */
   def qBasket(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).join(
         Tables.orders(s, dir)
@@ -161,7 +170,7 @@ object GraphQ {
       .join(li.select(col("ok"), col("p").as("b")), "ok")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= 3)
+      .filter(col("n_ab") >= 2)
     val scored = pairs
       .join(item.select(col("p").as("a"), col("n_item").as("n_a")), "a")
       .join(item.select(col("p").as("b"), col("n_item").as("n_b")), "b")
@@ -172,7 +181,8 @@ object GraphQ {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("lift").desc, col("a"), col("b"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 20)
+    scored.orderBy(col("lift").desc, col("a"), col("b")).limit(20)
+      .withColumn("rnk", row_number().over(w))
       .select(col("rnk"), col("a"), col("b"), col("n_ab"),
         col("support"), col("confidence"), col("lift"))
       .orderBy(col("rnk"))
@@ -188,7 +198,7 @@ object GraphQ {
        |pairs AS (
        |  SELECT x.p AS a, y.p AS b, COUNT(*) AS n_ab
        |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p
-       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
        |scored AS (
        |  SELECT a, b, n_ab,
        |    CAST(n_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE) AS support,
@@ -242,9 +252,14 @@ object GraphQ {
         .select(col("v"), col("label")).localCheckpoint(false)
     }
     val comm = labels.groupBy(col("label")).agg(count(lit(1)).as("size"))
+    // top-25 as TakeOrderedAndProject (orderBy().limit() — per-partition
+    // heaps, 25-row driver merge); the rank window then sees 25 rows, never
+    // the full |communities| frame (up to |V| rows at 100 TB) on one
+    // partition (VERDICT r10 #4, the d_cdc_chunks shape).
     val wTop = org.apache.spark.sql.expressions.Window
       .orderBy(col("size").desc, col("label"))
-    comm.withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 25)
+    comm.orderBy(col("size").desc, col("label")).limit(25)
+      .withColumn("rnk", row_number().over(wTop))
       .select(col("rnk"), col("label"), col("size"))
       .orderBy(col("rnk"))
   }
@@ -273,11 +288,160 @@ object GraphQ {
        |WHERE rnk <= 25 ORDER BY rnk""".stripMargin
   }
 
+  /** Shared co-purchase edge CTEs (li → und distinct a<b edges → both
+    * directions) — the same slice every graph gate uses. */
+  private val edgeCtes =
+    s"""li AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderdate >= TIMESTAMP '$TriLo' AND o_orderdate < TIMESTAMP '$TriHi'),
+       |und AS (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.p < y.p),
+       |bi AS (SELECT a AS v, b AS nbr FROM und UNION ALL SELECT b, a FROM und)""".stripMargin
+
+  /** The co-purchase slice as (und: distinct a<b edges, bi: both
+    * directions) — one distinct (order, part) build shared by the
+    * link-prediction and k-core gates, localCheckpointed because both
+    * consumers walk it repeatedly. */
+  private def edgeFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = Tables.lineitem(s, dir).join(
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit(s"$TriLo 00:00:00").cast("timestamp_ntz") &&
+            col("o_orderdate") < lit(s"$TriHi 00:00:00").cast("timestamp_ntz"))
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val und = li.select(col("ok"), col("p").as("a"))
+      .join(li.select(col("ok"), col("p").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .localCheckpoint(false)
+    val bi = und.select(col("a").as("v"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("v"), col("a").as("nbr")))
+    (und, bi)
+  }
+
+  /** q_link_pred: LINK PREDICTION over the co-purchase graph — the
+    * "customers who bought X also bought Y, but nobody has bought both
+    * YET" recommender signal: candidate pairs are wedge-connected
+    * non-edges (share ≥1 common neighbor, no direct edge), scored by
+    * common-neighbor count and the vertex-Jaccard coefficient
+    * CN / (deg_a + deg_b − CN) — the CLASSIC CN/Jaccard indices, chosen
+    * over Adamic–Adar because every input is an exact integer and the
+    * score is ONE pinned division (AA's Σ 1/log deg would float-sum
+    * differently across engines). Top-30 by (jaccard, a, b) via
+    * TakeOrderedAndProject.
+    *
+    * Scale shape: one wedge self-join (fan-out bounded by vertex degree —
+    * the q_triangles hub-pre-filter knob applies), an (a,b)-keyed count,
+    * one broadcast-able degree join, an anti-join against the edge set,
+    * and a k-bounded top-k. Work ∝ Σ deg², never |V|². */
+  def qLinkPred(s: SparkSession, dir: String): DataFrame = {
+    val (und, bi) = edgeFrames(s, dir)
+    val deg = bi.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val cand = bi.select(col("nbr").as("m"), col("v").as("a"))
+      .join(bi.select(col("v").as("m"), col("nbr").as("c")), "m")
+      .filter(col("a") < col("c"))
+      .groupBy(col("a"), col("c")).agg(count(lit(1)).as("cn"))
+      .join(und.select(col("a").as("ea"), col("b").as("eb")),
+        col("a") === col("ea") && col("c") === col("eb"), "left_anti")
+    val scored = cand
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("v").as("c"), col("deg").as("deg_c")), "c")
+      .select(col("a"), col("c").as("b"), col("cn"),
+        col("deg_a"), col("deg_c").as("deg_b"),
+        (col("cn").cast("double") /
+          (col("deg_a") + col("deg_c") - col("cn")).cast("double")).as("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+    scored.orderBy(col("jaccard").desc, col("a"), col("b")).limit(30)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("a"), col("b"), col("cn"),
+        col("deg_a"), col("deg_b"), col("jaccard"))
+      .orderBy(col("rnk"))
+  }
+
+  val qLinkPredSql: String =
+    s"""WITH $edgeCtes,
+       |deg AS (SELECT v, COUNT(*) AS deg FROM bi GROUP BY v),
+       |cand AS (
+       |  SELECT x.v AS a, y.nbr AS c, COUNT(*) AS cn
+       |  FROM (SELECT nbr AS m, v FROM bi) x JOIN (SELECT v AS m, nbr FROM bi) y ON y.m = x.m
+       |  WHERE x.v < y.nbr
+       |  GROUP BY 1, 2),
+       |ne AS (SELECT cand.* FROM cand
+       |       LEFT JOIN und e ON e.a = cand.a AND e.b = cand.c
+       |       WHERE e.a IS NULL),
+       |scored AS (
+       |  SELECT ne.a, ne.c AS b, cn, da.deg AS deg_a, dc.deg AS deg_b,
+       |    CAST(cn AS DOUBLE) / CAST(da.deg + dc.deg - cn AS DOUBLE) AS jaccard
+       |  FROM ne JOIN deg da ON da.v = ne.a JOIN deg dc ON dc.v = ne.c)
+       |SELECT rnk, a, b, cn, deg_a, deg_b, jaccard FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, a, b) AS rnk FROM scored)
+       |WHERE rnk <= 30 ORDER BY rnk""".stripMargin
+
+  private val KCoreK = 3
+  private val KCoreRounds = 3
+
+  /** q_kcore: K-CORE DECOMPOSITION by unrolled synchronous peeling — the
+    * graph-trimming workload behind community pre-filtering and spam-farm
+    * detection (vertices that can't sustain k mutual connections drop,
+    * which may drop their neighbors next round): each round computes
+    * degrees over the surviving subgraph and removes vertices with
+    * deg < k in one simultaneous step (deterministic — no removal order
+    * to diverge on). Output: the surviving vertices with their final
+    * in-core degree after the unrolled rounds, ordered by v.
+    *
+    * Scale shape per round: one degree aggregation + two semi-joins
+    * restricting the edge list — work ∝ |E| per round, the same
+    * iterate-and-shuffle contract as q_pagerank/q_label_prop; edges
+    * localCheckpoint between rounds. Unbounded convergence would loop
+    * with a count check per round exactly like Hierarchy's
+    * convergence-checked pointer doubling. */
+  def qKcore(s: SparkSession, dir: String): DataFrame = {
+    val (und, _) = edgeFrames(s, dir)
+    var edges = und
+    for (_ <- 1 to KCoreRounds) {
+      val bi = edges.select(col("a").as("v"), col("b").as("nbr"))
+        .unionByName(edges.select(col("b").as("v"), col("a").as("nbr")))
+      val keep = bi.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK)
+        .select(col("v"))
+      edges = edges
+        .join(keep.select(col("v").as("a")), "a", "left_semi")
+        .join(keep.select(col("v").as("b")), "b", "left_semi")
+        .select(col("a"), col("b")).localCheckpoint(false)
+    }
+    edges.select(col("a").as("v")).unionByName(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .orderBy(col("v"))
+  }
+
+  val qKcoreSql: String = {
+    val rounds = (1 to KCoreRounds).map { k =>
+      s"""keep$k AS (SELECT v FROM (
+         |    SELECT v, COUNT(*) AS deg FROM
+         |      (SELECT a AS v FROM e${k - 1} UNION ALL SELECT b FROM e${k - 1})
+         |    GROUP BY v) WHERE deg >= $KCoreK),
+         |e$k AS (SELECT a, b FROM e${k - 1}
+         |  WHERE a IN (SELECT v FROM keep$k) AND b IN (SELECT v FROM keep$k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |e0 AS (SELECT a, b FROM und),
+       |$rounds
+       |SELECT v, COUNT(*) AS deg FROM
+       |  (SELECT a AS v FROM e$KCoreRounds UNION ALL SELECT b FROM e$KCoreRounds)
+       |GROUP BY v ORDER BY v""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"   -> qPagerank _,
     "q_triangles"  -> qTriangles _,
     "q_basket"     -> qBasket _,
     "q_label_prop" -> qLabelProp _,
+    "q_link_pred"  -> qLinkPred _,
+    "q_kcore"      -> qKcore _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -285,5 +449,7 @@ object GraphQ {
     "q_triangles"  -> qTrianglesSql,
     "q_basket"     -> qBasketSql,
     "q_label_prop" -> qLabelPropSql,
+    "q_link_pred"  -> qLinkPredSql,
+    "q_kcore"      -> qKcoreSql,
   )
 }

@@ -174,6 +174,64 @@ object Modal {
       |FROM w GROUP BY doc_id, wi
       |ORDER BY doc_id, window_idx""".stripMargin
 
+  /** m_audio_fp: AUDIO near-dup dedup by acoustic fingerprint — the
+    * multimodal sibling of m_phash_neardup for the ear: re-mastered /
+    * volume-normalized copies of one recording must collide while
+    * distinct material separates. The corpus plants the exact scenario:
+    * audio docs pair up (doc_id 8k with 8k+4) on the SAME base signal at
+    * different gains (×16 vs ×15 sample scaling — a uniform remaster),
+    * every pair must land in one fingerprint group. The whole path is
+    * under the gate: WAV container write, javax.sound decode, integer
+    * window energies, the energy-delta sign fold (Audio.fingerprints —
+    * gain-invariant because energies scale by exactly s²), one keyed
+    * collapse to groups. Scale shape: synthesis+decode+fingerprint are
+    * one narrow mapPartitions pass; the only shuffle carries 16-byte
+    * (doc, fp) rows — the dedup-signature budget, never audio. */
+  def mAudioFp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 0)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val base = (id / 8L) * 8L
+        val scale = if (id % 8L == 4L) 15L else 16L
+        val n = (1500L + (base % 5L) * 700L).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((base * 7919L + i.toLong * 131L) % 4001L - 2000L) * scale).toShort)
+        val wav = graft.multimodal.Audio.wavBytes(samples)
+        Multimodal.Blob(id, "audio/wav", wav.length.toLong, wav)
+      })
+    graft.multimodal.Audio.fingerprints(blobs, samplesPerWindow = 128).toDF()
+      .groupBy(col("fp"), col("n_windows"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_docs") >= 2)
+      .select(col("canonical_id"), col("fp"), col("n_windows"), col("n_docs"))
+      .orderBy(col("canonical_id"))
+  }
+
+  /** Oracle: the paired-signal formula unnested, integer window energies,
+    * lag-sign fold to the fingerprint word, same group collapse. */
+  val mAudioFpSql: String =
+    """WITH ids AS (
+      |  SELECT doc_id, (doc_id // 8) * 8 AS b,
+      |    CASE WHEN doc_id % 8 = 4 THEN 15 ELSE 16 END AS sc
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |p AS (SELECT doc_id, b, sc, 1500 + (b % 5) * 700 AS n FROM ids),
+      |v AS (SELECT doc_id, i // 128 AS wi,
+      |        ((b * 7919 + i * 131) % 4001 - 2000) * sc AS v
+      |      FROM (SELECT doc_id, b, sc, unnest(range(n)) AS i FROM p)),
+      |e AS (SELECT doc_id, wi, SUM(v * v) AS e FROM v GROUP BY doc_id, wi),
+      |d AS (SELECT doc_id, wi, e,
+      |        lag(e) OVER (PARTITION BY doc_id ORDER BY wi) AS pe FROM e),
+      |f AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_windows,
+      |        CAST(COALESCE(SUM(CASE WHEN pe IS NOT NULL AND e > pe
+      |          THEN (1::BIGINT << CAST(wi - 1 AS INT)) ELSE 0 END), 0) AS BIGINT) AS fp
+      |      FROM d GROUP BY doc_id)
+      |SELECT MIN(doc_id) AS canonical_id, fp, n_windows, COUNT(*) AS n_docs
+      |FROM f GROUP BY fp, n_windows
+      |HAVING COUNT(*) >= 2 ORDER BY canonical_id""".stripMargin
+
   /** m_vad: voice-activity segmentation over the synthetic audio corpus —
     * every 4th document carries a WAV whose windows alternate
     * deterministically between silence (exact zeros) and tone bursts
@@ -721,6 +779,7 @@ object Modal {
     "m_keyframe"        -> mKeyframe _,
     "m_shard"           -> mShard _,
     "m_audio"           -> mAudio _,
+    "m_audio_fp"        -> mAudioFp _,
     "m_vad"             -> mVad _,
     "st_sliding"        -> stSliding _,
     "st_topk"           -> stTopk _,
@@ -744,6 +803,7 @@ object Modal {
     "m_keyframe"        -> mKeyframeSql,
     "m_shard"           -> mShardSql,
     "m_audio"           -> mAudioSql,
+    "m_audio_fp"        -> mAudioFpSql,
     "m_vad"             -> mVadSql,
     "st_sliding"        -> stSlidingSql,
     "st_topk"           -> stTopkSql,

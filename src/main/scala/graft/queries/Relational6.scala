@@ -417,7 +417,67 @@ object Relational6 {
       |  GROUP BY o_orderpriority)
       |ORDER BY snapshot, o_orderpriority""".stripMargin
 
+  /** io_timetravel: TIME TRAVEL over the WAP snapshot store — the
+    * Iceberg/Delta AS-OF read surface in miniature (operators/Wap
+    * version log): three yearly snapshots publish through
+    * publishVersioned (audit → immutable version-log append → pointer
+    * swap), a null-bearing fourth FAILS its audit and must consume no
+    * version; the gate then reads every version AS OF its ordinal and
+    * aggregates — version assignment, log ordering, veto and the AS-OF
+    * resolution are all under the oracle, which replays the three
+    * windows from the source table. In-query requires pin the history
+    * (exactly v1..v3) and the pointer (latest) — a torn log fails loudly
+    * rather than hash-mismatching. */
+  def ioTimetravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Quarantine, Wap}
+    val root = roundtripPath(dir, "timetravel")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent reruns
+    def window(yr: String) = Tables.orders(s, dir)
+      .filter(expr(s"o_orderdate >= TIMESTAMP_NTZ '$yr-01-01 00:00:00' AND " +
+        s"o_orderdate < TIMESTAMP_NTZ '${yr.toInt + 1}-01-01 00:00:00'"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val rules = Seq(Quarantine.Rule("price_nonnull", col("o_totalprice").isNotNull))
+    val versions = Seq("1995", "1996", "1997").map { yr =>
+      Wap.stage(s, root, yr, window(yr))
+      (yr, Wap.publishVersioned(s, root, yr, rules))
+    }
+    require(versions.map(_._2) == Seq(1L, 2L, 3L), s"version assignment drifted: $versions")
+    val bad = window("1997").withColumn("o_totalprice",
+      when(col("o_orderkey") % 5 === 0, lit(null)).otherwise(col("o_totalprice")))
+    Wap.stage(s, root, "bad", bad)
+    require(scala.util.Try(Wap.publishVersioned(s, root, "bad", rules)).isFailure,
+      "audit must veto the null-bearing snapshot")
+    require(Wap.history(s, root).map(_._1) == Seq(1L, 2L, 3L),
+      "a vetoed publish must not consume a version")
+    require(Wap.currentLabel(s, root).contains("snap-1997"),
+      "production must sit on the latest published version")
+    def agg(v: Long) = Wap.readAsOf(s, root, v)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("rev"))
+      .withColumn("version", lit(v))
+    agg(1L).unionByName(agg(2L)).unionByName(agg(3L))
+      .select(col("version"), col("o_orderpriority"), col("n_orders"), col("rev"))
+      .orderBy(col("version"), col("o_orderpriority"))
+  }
+
+  val ioTimetravelSql: String = {
+    val years = Seq((1, "1995"), (2, "1996"), (3, "1997"))
+    val parts = years.map { case (v, yr) =>
+      s"""SELECT CAST($v AS BIGINT) AS version, o_orderpriority, COUNT(*) AS n_orders,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev
+         |  FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '$yr-01-01' AND o_orderdate < TIMESTAMP '${yr.toInt + 1}-01-01'
+         |  GROUP BY o_orderpriority""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""SELECT version, o_orderpriority, n_orders, rev FROM (
+       |  $parts) t
+       |ORDER BY version, o_orderpriority""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_timetravel"     -> ioTimetravel _,
     "q_mom_yoy"         -> qMomYoy _,
     "q_attribution"     -> qAttribution _,
     "q_funnel_steps"    -> qFunnelSteps _,
@@ -430,6 +490,7 @@ object Relational6 {
   )
 
   val oracle: Map[String, String] = Map(
+    "io_timetravel"     -> ioTimetravelSql,
     "q_mom_yoy"         -> qMomYoySql,
     "q_attribution"     -> qAttributionSql,
     "q_funnel_steps"    -> qFunnelStepsSql,

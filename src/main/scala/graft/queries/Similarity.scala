@@ -1295,11 +1295,19 @@ object Similarity {
     * follows s_ivfpq_rerank: BQ shortlists, exact cosine refines; here
     * the BQ stage itself is the gate. Ties break on n_id; the sign-bit
     * (d=63) packs via the same Long.MIN constant trick as
-    * m_phash_neardup's oracle. */
+    * m_phash_neardup's oracle.
+    *
+    * Packing clamps to the first least(size, 64) dims (matching the
+    * oracle's fixed range(0, 64)): on a >64-dim corpus Spark's
+    * shiftleft(1L, d) wraps mod 64 and would silently DOUBLE-COUNT bits
+    * (dim 64 lands on bit 0 again) — a wider corpus wants one word per
+    * 64-dim block, not a wrapped single word. The clamp makes >64 dims a
+    * documented truncation (BQ on the leading prefix — the MRL-style
+    * coarse signal) instead of silent corruption. */
   def sBqSearch(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     def packed(df: DataFrame) = df.withColumn("bq", expr(
-      "aggregate(sequence(0, size(embedding) - 1), 0L, (a, d) -> " +
+      "aggregate(sequence(0, least(size(embedding), 64) - 1), 0L, (a, d) -> " +
         "a + (CASE WHEN CAST(element_at(embedding, d + 1) AS DOUBLE) > 0.0D " +
         "THEN shiftleft(1L, d) ELSE 0L END))"))
     val corpus = packed(e).select(col("vec_id").as("n_id"), col("bq").as("nb"))

@@ -562,7 +562,17 @@ object Text {
     * low. Frequency domain instead of log-probability keeps every
     * aggregate an exact integer (log10's last-ulp differences between
     * libm implementations would break cross-engine hashes); the single
-    * final division of two exact longs is bit-identical everywhere. */
+    * final division of two exact longs is bit-identical everywhere.
+    *
+    * The model join is UNHINTED (VERDICT r10 #6): "charset³-bounded" is a
+    * broadcast argument on ASCII, but a CJK-heavy crawl has millions of
+    * distinct character trigrams and a forced broadcast() would override
+    * Spark's size-based safety exactly when it matters. AQE decides at
+    * runtime from the model aggregate's measured size — broadcast when it
+    * really is small, shuffle-join on the trigram key otherwise (same
+    * at-scale note as t_bigram_lm, which md5s its key so text never
+    * shuffles — the trigram key here is already 3 chars ≤ the 16-byte
+    * hash). */
   def tLmScore(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -570,7 +580,7 @@ object Text {
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("tri"))
     val model = tris.groupBy(col("tri")).agg(count(lit(1)).as("tri_n"))
-    val scored = tris.join(broadcast(model), "tri")
+    val scored = tris.join(model, "tri")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tris"), sum(col("tri_n")).as("tri_count_sum"))
     base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
@@ -1464,7 +1474,62 @@ object Text {
       |  md5(array_to_string(fps, ',')) AS fp_digest
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** t_code_detect: CODE vs PROSE separation — the routing step a mixed
+    * crawl needs before language-specific filtering (code wants different
+    * quality rules, dedup granularity and mixing weights than prose, and
+    * an unrouted corpus trains both badly). Detection is the standard
+    * heuristic feature stack, all exact integers: code-symbol occurrences
+    * ({}()=;<>), indented-line count (literal "\n  " splits), snake_case
+    * identifier count; score = 1000·(3·sym + 10·indent + 5·snake) div
+    * chars (INTEGER division — no float anywhere), is_code at score ≥ 40.
+    *
+    * The corpus is natural text, so code docs are PLANTED (the
+    * e_mad_outliers pattern, derived identically in the oracle): every
+    * doc_id % 37 == 0 document gets a code preamble — those must flag,
+    * real prose must not, and both verdicts are exercised on every run.
+    * Pure narrow maps — regex/split counts ride the scan, no shuffle
+    * until the presentation sort; at 100 TB this is IO-bound like
+    * t_html. */
+  def tCodeDetect(s: SparkSession, dir: String): DataFrame = {
+    val snippet = "def load_cfg(x):\n  return cfg_map[x] + (x * 2);\n"
+    val planted = when(col("doc_id") % 37 === 0,
+      concat(lit(snippet * 3), col("text"))).otherwise(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("t2", planted)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t2"), lit("[{}()=;<>]"), lit(0))).cast("long").as("n_sym"),
+        (size(split(col("t2"), "\n  ")) - 1).cast("long").as("n_indent"),
+        size(regexp_extract_all(col("t2"), lit("[a-z]+_[a-z]+"), lit(0))).cast("long").as("n_snake"),
+        length(col("t2")).cast("long").as("n_chars"))
+      .withColumn("code_score",
+        expr("(1000 * (3 * n_sym + 10 * n_indent + 5 * n_snake)) div greatest(n_chars, 1)"))
+      .withColumn("is_code", col("code_score") >= 40)
+      .orderBy(col("doc_id"))
+  }
+
+  val tCodeDetectSql: String = {
+    // the snippet is assembled via chr(10) so no engine-specific string
+    // escape semantics are in play; ×3 matches the Spark side
+    val snip = "('def load_cfg(x):' || chr(10) || '  return cfg_map[x] + (x * 2);' || chr(10))"
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 37 = 0 THEN repeat($snip, 3) || text ELSE text END AS t2
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(t2, '[{}()=;<>]')) AS BIGINT) AS n_sym,
+       |    CAST(len(string_split(t2, chr(10) || '  ')) - 1 AS BIGINT) AS n_indent,
+       |    CAST(len(regexp_extract_all(t2, '[a-z]+_[a-z]+')) AS BIGINT) AS n_snake,
+       |    CAST(length(t2) AS BIGINT) AS n_chars
+       |  FROM p)
+       |SELECT doc_id, n_sym, n_indent, n_snake, n_chars,
+       |  (1000 * (3 * n_sym + 10 * n_indent + 5 * n_snake)) // greatest(n_chars, 1) AS code_score,
+       |  ((1000 * (3 * n_sym + 10 * n_indent + 5 * n_snake)) // greatest(n_chars, 1)) >= 40 AS is_code
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_code_detect"  -> tCodeDetect _,
     "t_classify"     -> tClassify _,
     "t_curriculum"   -> tCurriculum _,
     "t_chunk"        -> tChunk _,
@@ -1501,6 +1566,7 @@ object Text {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_code_detect"  -> tCodeDetectSql,
     "t_classify"     -> tClassifySql,
     "t_curriculum"   -> tCurriculumSql,
     "t_chunk"        -> tChunkSql,

@@ -206,9 +206,11 @@ object Web {
     * aggregation; at 100 TB this groupBy replaces a content-hash pass
     * over fetched bodies for the URL-identical tier. */
   def dUrlDedup(s: SparkSession, dir: String): DataFrame = {
-    // page identity = doc_id/4 so the four mess variants of one page
-    // genuinely canonicalize together
-    val id = (col("doc_id") / 4).cast("long")
+    // page identity = doc_id div 4 so the four mess variants of one page
+    // genuinely canonicalize together — INTEGER division, matching the
+    // oracle's `//` exactly at any id magnitude (double-divide-then-cast
+    // is exact only below 2^53 and encodes floor-vs-truncate assumptions)
+    val id = expr("doc_id div 4")
     val url = when(col("doc_id") % 4 === 0,
         concat(lit("HTTPS://Ex.COM:443/p/"), id.cast("string"), lit("?b=2&a=1")))
       .when(col("doc_id") % 4 === 1,

@@ -541,6 +541,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_basket / q_label_prop: global top-k is a bounded TakeOrdered, never a full-set single-partition window sort") {
+    // the rank window runs AFTER the limit (on k rows); the above-support
+    // pair set / |communities| frame must reach the driver through
+    // per-partition heaps only (VERDICT r10 #4)
+    for (q <- Seq(graft.queries.GraphQ.qBasket _, graft.queries.GraphQ.qLabelProp _)) {
+      val p = plan(q(spark, dir))
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-k must be a per-partition heap:\n${p.take(3000)}")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("s_triplet_mine: negatives ride the k-bounded TopKPerKey shuffle; anchors broadcast") {
+    val p = plan(graft.queries.Similarity.sTripletMine(spark, dir))
+    assert(p.contains("TopKPerKey"),
+      s"hard negatives must shuffle k-bounded per anchor:\n${p.take(3000)}")
+    // both corpus passes probe the bounded anchor set via broadcast —
+    // the corpus never shuffles for the anchor join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"anchor set must broadcast:\n${p.take(3000)}")
+  }
+
+  test("t_pref_pairs: ONE prompt-keyed aggregation — no window, no per-group sort") {
+    val p = plan(graft.queries.Text.tPrefPairs(spark, dir))
+    assert(!p.contains("Window"),
+      s"argmax/argmin must ride the aggregation as struct max/min:\n${p.take(3000)}")
+    val grpShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(grp"))
+    assert(grpShuffles <= 1, s"one keyed shuffle expected ($grpShuffles):\n${p.take(3000)}")
+  }
+
   test("d_minhash_est: estimator reuses the cached stages — no extra corpus scan, codegen'd equality sum") {
     // warm the shared stages first (any dedup gate does)
     graft.queries.DedupQ.dMinhashPairs(spark, dir).queryExecution.toRdd.count()

@@ -48,6 +48,36 @@ class SketchToggleSpec extends AnyFunSuite {
     } finally j.unpersist()
   }
 
+  test("e_mad_outliers approx=true: flagged row sets agree with exact on >= 99% at sf0.1") {
+    // the flag rule |x−med|/(1.4826·MAD) > 3 compares against sketch
+    // medians under approx — only rows within the sketch's rank error of
+    // the decision boundary may flip; the planted ×10 outliers sit at
+    // score ~12 and must flag under BOTH paths
+    def keys(approx: Boolean) = graft.queries.Etl2.eMadOutliers(spark, sf, approx)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    val e = keys(approx = false).cache(); val a = keys(approx = true).cache()
+    try {
+      val ne = e.count(); val na = a.count()
+      assert(ne > 0, "exact path flagged nothing — the planted outliers are gone")
+      // multiset compare (exceptAll): the synthetic lineitem carries a few
+      // duplicate (orderkey, linenumber) keys, so set-intersect undercounts
+      val diff = e.exceptAll(a).count() + a.exceptAll(e).count()
+      val union = math.max(ne, na) + diff / 2
+      assert(1.0 - diff.toDouble / union >= 0.99,
+        s"exact/approx flag multisets differ on $diff of ~$union rows — below the 99% contract")
+    } finally { e.unpersist(); a.unpersist() }
+  }
+
+  test("e_mad_outliers approx path swaps both percentile passes for the sketch") {
+    val exactPlan = graft.queries.Etl2.eMadOutliers(spark, sf, approx = false)
+      .queryExecution.optimizedPlan.toString
+    val approxPlan = graft.queries.Etl2.eMadOutliers(spark, sf, approx = true)
+      .queryExecution.optimizedPlan.toString
+    assert(exactPlan.contains("percentile") && !exactPlan.contains("percentile_approx"))
+    assert(approxPlan.contains("percentile_approx"),
+      s"approx path must use the sketch aggregate:\n${approxPlan.take(1500)}")
+  }
+
   test("approx path replaces the exact Percentile aggregate with ApproximatePercentile in the plan") {
     val exactPlan = graft.queries.Text.tCurriculum(spark, sf, approx = false)
       .queryExecution.optimizedPlan.toString

@@ -63,6 +63,38 @@ class WapQuarantineSpec extends AnyFunSuite {
     assert(f.exists(new org.apache.hadoop.fs.Path(s"$root/snap-v1")), "superseded snapshot retained for rollback")
   }
 
+  test("time travel: versions assign in publish order, veto consumes none, AS OF reads every past version, re-publish is idempotent") {
+    val root = "/tmp/graft_wap_tt_spec"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+
+    val v1 = Seq((1, Some("a"), 5)).toDF("id", "name", "v")
+    val v2 = Seq((1, Some("a"), 5), (2, Some("b"), 7)).toDF("id", "name", "v")
+    Wap.stage(spark, root, "v1", v1)
+    assert(Wap.publishVersioned(spark, root, "v1", rules) == 1L)
+    Wap.stage(spark, root, "v2", v2)
+    assert(Wap.publishVersioned(spark, root, "v2", rules) == 2L)
+
+    // a vetoed snapshot must not occupy a version
+    val bad = Seq((3, Option.empty[String], -1)).toDF("id", "name", "v")
+    Wap.stage(spark, root, "bad", bad)
+    intercept[IllegalArgumentException] { Wap.publishVersioned(spark, root, "bad", rules) }
+    assert(Wap.history(spark, root) == Seq((1L, "snap-v1"), (2L, "snap-v2")))
+
+    // AS OF resolves every logged version; current = latest
+    assert(Wap.readAsOf(spark, root, 1L).count() == 1)
+    assert(Wap.readAsOf(spark, root, 2L).count() == 2)
+    assert(Wap.currentLabel(spark, root).contains("snap-v2"))
+    intercept[IllegalArgumentException] { Wap.readAsOf(spark, root, 9L) }
+
+    // crash-recovery idempotence: re-publishing a logged label reuses its
+    // version and appends nothing
+    assert(Wap.publishVersioned(spark, root, "v1", rules) == 1L)
+    assert(Wap.history(spark, root).map(_._1) == Seq(1L, 2L))
+    assert(Wap.currentLabel(spark, root).contains("snap-v1"), "re-publish swings the pointer (rollback via republish)")
+  }
+
   test("e_quarantine gate: reasons are deterministic and every lineitem row is either clean or diverted") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.queries.Etl2.eQuarantine(spark, dir)
