@@ -59,6 +59,57 @@ object Audio {
     bos.toByteArray
   }
 
+  /** Stereo 16-bit little-endian PCM WAV container (L/R interleaved
+    * frames) — the multi-channel sibling of wavBytes, written by the same
+    * JDK stack the channel-separated decoder reads with. */
+  def wavStereoBytes(left: Array[Short], right: Array[Short],
+      sampleRate: Float = 8000f): Array[Byte] = {
+    require(left.length == right.length, "channel length mismatch")
+    val bytes = java.nio.ByteBuffer.allocate(left.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < left.length) { bytes.putShort(left(i)); bytes.putShort(right(i)); i += 1 }
+    val fmt = new AudioFormat(sampleRate, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(bytes.array()), fmt, left.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode to CHANNEL-SEPARATED 16-bit PCM — no downmix: one sample
+    * array per channel, sample-exact for PCM containers (the channel-
+    * aware path stereo feature extraction needs; pcmSamples' average
+    * downmix would hide inter-channel structure). Undecodable → empty. */
+  def pcmChannels(payload: Array[Byte]): Array[Array[Short]] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val base = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, base.getChannels,
+          base.getChannels * 2, base.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        try {
+          val bytes = pcm.readAllBytes()
+          val ch = target.getChannels
+          val n = bytes.length / 2 / ch
+          val out = Array.fill(ch)(new Array[Short](n))
+          var i = 0
+          while (i < n) {
+            var c = 0
+            while (c < ch) {
+              val idx = (i * ch + c) * 2
+              out(c)(i) = (((bytes(idx + 1) << 8) | (bytes(idx) & 0xff))).toShort
+              c += 1
+            }
+            i += 1
+          }
+          out
+        } finally pcm.close()
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => Array.empty }
+
   /** Decode any JDK-supported audio container to mono 16-bit samples;
     * undecodable → empty (never throws). Multi-channel mixes by average. */
   def pcmSamples(payload: Array[Byte]): Array[Short] =

@@ -406,7 +406,75 @@ object Etl2 {
       |  GROUP BY l_orderkey)
       |WHERE max_ln - n_lines > 0 ORDER BY l_orderkey""".stripMargin
 
+  /** e_survivorship: GOLDEN-RECORD construction — the master-data-
+    * management step after e_check_unique finds duplicates and
+    * e_dim_normalize conforms them: the same entity arrives from several
+    * source feeds (a CRM export, a web profile) with conflicting,
+    * partially-null attributes, and each attribute of the golden record
+    * survives from the most authoritative record THAT HAS IT — most
+    * recent update wins, feed priority breaks date ties (the standard
+    * recency-then-priority survivorship rule). The two feeds are derived
+    * from customer with planted conflicts and nulls (the e_coldiff
+    * derivation pattern), each record carrying one integer order key
+    * okey = update_day·10 + priority so "latest then priority" is a
+    * single max — and per attribute the survivor is max_by(value,
+    * okey-if-non-null), which rides ONE keyed aggregation: no window, no
+    * per-entity sort, no self-join (the t_pref_pairs plan shape). Output
+    * is |entities| golden rows with per-attribute provenance implicit in
+    * the rule; at 100 TB this is one shuffle of the record feed. */
+  def eSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val crm = cust.select(col("c_custkey"),
+      when(col("c_custkey") % 11 === 0, concat(lit("crm_"), col("c_name")))
+        .otherwise(col("c_name")).as("name"),
+      when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("seg"),
+      col("c_acctbal").as("bal"),
+      col("c_nationkey").as("nat"),
+      ((col("c_custkey") % 30) * 10 + 2).cast("long").as("okey"))
+    val web = cust.filter(col("c_custkey") % 3 === 0).select(col("c_custkey"),
+      when(col("c_custkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("c_name")).as("name"),
+      col("c_mktsegment").as("seg"),
+      (col("c_acctbal") + lit(50.0)).as("bal"),
+      when(col("c_custkey") % 13 === 0, lit(null).cast("int"))
+        .otherwise(col("c_nationkey")).as("nat"),
+      ((col("c_custkey") % 45) * 10 + 1).cast("long").as("okey"))
+    def survive(c: String) =
+      max_by(col(c), when(col(c).isNotNull, col("okey"))).as(s"g_$c")
+    crm.unionByName(web)
+      .groupBy(col("c_custkey"))
+      .agg(survive("name"), survive("seg"), survive("bal"), survive("nat"),
+        count(lit(1)).as("n_sources"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val eSurvivorshipSql: String =
+    """WITH crm AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 11 = 0 THEN 'crm_' || c_name ELSE c_name END AS name,
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+      |    c_acctbal AS bal, c_nationkey AS nat,
+      |    (c_custkey % 30) * 10 + 2 AS okey
+      |  FROM customer),
+      |web AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS name,
+      |    c_mktsegment AS seg, c_acctbal + 50.0 AS bal,
+      |    CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_nationkey END AS nat,
+      |    (c_custkey % 45) * 10 + 1 AS okey
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |recs AS (SELECT * FROM crm UNION ALL SELECT * FROM web)
+      |SELECT c_custkey,
+      |  arg_max(name, CASE WHEN name IS NOT NULL THEN okey END) AS g_name,
+      |  arg_max(seg, CASE WHEN seg IS NOT NULL THEN okey END) AS g_seg,
+      |  arg_max(bal, CASE WHEN bal IS NOT NULL THEN okey END) AS g_bal,
+      |  arg_max(nat, CASE WHEN nat IS NOT NULL THEN okey END) AS g_nat,
+      |  COUNT(*) AS n_sources
+      |FROM recs GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_survivorship" -> eSurvivorship _,
     "e_gap_audit"    -> eGapAudit _,
     "e_coldiff"      -> eColdiff _,
     "e_mad_outliers" -> eMadOutliers _,
@@ -419,6 +487,7 @@ object Etl2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_survivorship" -> eSurvivorshipSql,
     "e_gap_audit"    -> eGapAuditSql,
     "e_coldiff"      -> eColdiffSql,
     "e_mad_outliers" -> eMadOutliersSql,

@@ -435,6 +435,57 @@ object GraphQ {
        |GROUP BY v ORDER BY v""".stripMargin
   }
 
+  private val BfsRounds = 4
+
+  /** q_bfs: BREADTH-FIRST REACH from a deterministic seed (the minimum
+    * vertex of the co-purchase slice) — the hop-distance primitive under
+    * "within 3 degrees" audience queries and graph-radius observability:
+    * 4 unrolled frontier rounds of synchronous distance relaxation
+    * (dist' = min(dist, min over in-neighbors dist+1) — monotone, so
+    * rounds are idempotent past convergence and no visited-set state is
+    * needed), reported as the hop-distance histogram with unreached
+    * vertices at −1.
+    *
+    * Scale shape per round: one edge join + one vertex-keyed min — the
+    * same work ∝ |E| contract as q_pagerank/q_label_prop/q_kcore;
+    * distances localCheckpoint between rounds. Output is
+    * ≤rounds+2 rows. Unbounded BFS would convergence-check per round
+    * exactly like Hierarchy's pointer doubling. */
+  def qBfs(s: SparkSession, dir: String): DataFrame = {
+    val (_, bi) = edgeFrames(s, dir)
+    val seed = bi.agg(min(col("v")).as("v")).select(col("v"), lit(0L).as("dist"))
+    var dist = seed.localCheckpoint(false)
+    for (_ <- 1 to BfsRounds) {
+      val relaxed = dist.join(bi, "v")
+        .select(col("nbr").as("v"), (col("dist") + lit(1L)).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+    }
+    bi.select(col("v")).distinct()
+      .join(dist, Seq("v"), "left")
+      .select(coalesce(col("dist"), lit(-1L)).as("dist"))
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_vertices"))
+      .orderBy(col("dist"))
+  }
+
+  val qBfsSql: String = {
+    val rounds = (1 to BfsRounds).map { k =>
+      s"""d$k AS (SELECT v, MIN(dist) AS dist FROM (
+         |  SELECT v, dist FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT bi.nbr AS v, d${k - 1}.dist + 1 FROM d${k - 1} JOIN bi ON bi.v = d${k - 1}.v)
+         |GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |verts AS (SELECT DISTINCT v FROM bi),
+       |d0 AS (SELECT MIN(v) AS v, CAST(0 AS BIGINT) AS dist FROM bi),
+       |$rounds
+       |SELECT CAST(COALESCE(d.dist, -1) AS BIGINT) AS dist, COUNT(*) AS n_vertices
+       |FROM verts LEFT JOIN d$BfsRounds d ON d.v = verts.v
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"   -> qPagerank _,
     "q_triangles"  -> qTriangles _,
@@ -442,6 +493,7 @@ object GraphQ {
     "q_label_prop" -> qLabelProp _,
     "q_link_pred"  -> qLinkPred _,
     "q_kcore"      -> qKcore _,
+    "q_bfs"        -> qBfs _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -451,5 +503,6 @@ object GraphQ {
     "q_label_prop" -> qLabelPropSql,
     "q_link_pred"  -> qLinkPredSql,
     "q_kcore"      -> qKcoreSql,
+    "q_bfs"        -> qBfsSql,
   )
 }

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Round-11 text-analysis additions (SURVEY.md §2C): collocation mining,
+  * readability scoring, and the corpus frequency spectrum. All three ride
+  * the ONE shared script-aware tokenizer (TextFunctions.TokenPattern) so
+  * the oracle replays the identical token stream. */
+object Text2 {
+
+  private val toks = Text.toksSql
+
+  // ------------------------------------------------------- t_collocations
+
+  private val CollocMinCount = 5
+  private val CollocTopK = 30
+
+  /** t_collocations: PMI-ranked COLLOCATIONS — the statistically-bound
+    * word pairs ("new york", "machine learning") a phrase-aware tokenizer
+    * or query segmenter is built from: bigrams scored by pointwise mutual
+    * information. The score is the LOG-FREE monotone PMI core
+    * N·c_ab / (c_a·c_b) — numerator and denominator exact integer
+    * products, ONE pinned division (log is monotone, so the ranking is
+    * identical to log-PMI while both engines compute bit-equal doubles);
+    * a ≥5 pair-count floor drops the hapax noise PMI is notorious for.
+    * Top-30 by (score, pair) via orderBy().limit() — plans as
+    * TakeOrderedAndProject, never a global window sort.
+    *
+    * Scale shape: one (a,b)-keyed bigram count + one token-keyed unigram
+    * count (both map-side partial); the unigram table joins the
+    * above-floor pairs only. The k-bounded top-k is the only global
+    * ordering. */
+  def tCollocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(tokens(col("text")).as("toks"))
+      .localCheckpoint(false)
+    val uni = docs.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val nTotal = uni.agg(sum(col("c")).as("n"))
+    val pairs = docs.select(explode(bigrams(col("toks"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CollocMinCount)
+      .withColumn("a", split(col("bigram"), " ").getItem(0))
+      .withColumn("b", split(col("bigram"), " ").getItem(1))
+    val scored = pairs
+      .join(uni.select(col("t").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("t").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(nTotal))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("n") * col("c_ab")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("pmi_core"))
+    scored.orderBy(col("pmi_core").desc, col("a"), col("b")).limit(CollocTopK)
+  }
+
+  val tCollocationsSql: String =
+    s"""WITH docs AS (SELECT $toks AS toks FROM documents),
+       |uni AS (SELECT t, COUNT(*) AS c FROM (SELECT unnest(toks) AS t FROM docs) GROUP BY t),
+       |tot AS (SELECT SUM(c) AS n FROM uni),
+       |pairs AS (
+       |  SELECT split_part(bigram, ' ', 1) AS a, split_part(bigram, ' ', 2) AS b,
+       |         COUNT(*) AS c_ab
+       |  FROM (SELECT unnest([concat_ws(' ', toks[i+1], toks[i+2])
+       |                       for i in range(0, greatest(len(toks)-1, 1))]) AS bigram
+       |        FROM docs)
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $CollocMinCount),
+       |scored AS (
+       |  SELECT p.a, p.b, p.c_ab, ua.c AS c_a, ub.c AS c_b,
+       |    CAST(t.n * p.c_ab AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) AS pmi_core
+       |  FROM pairs p JOIN uni ua ON ua.t = p.a JOIN uni ub ON ub.t = p.b, tot t)
+       |SELECT a, b, c_ab, c_a, c_b, pmi_core FROM scored
+       |ORDER BY pmi_core DESC, a, b LIMIT $CollocTopK""".stripMargin
+
+  // ------------------------------------------------------- t_readability
+
+  /** t_readability: READABILITY GRADE distribution — the
+    * Flesch–Kincaid-family signal a curriculum builder (t_curriculum) and
+    * an age-appropriateness filter consume: per document, words (token
+    * runs), sentences (terminal-punctuation runs, floor 1), and a
+    * syllable proxy (vowel-group runs — the standard dictionary-free
+    * estimator); grade = 0.39·words/sentences + 11.8·syllables/words −
+    * 15.59 as a pinned IEEE chain, reported as the floor-grade histogram
+    * (grade-bucket → doc count, clamped to [0, 30]). Pure narrow regex
+    * maps over the corpus scan + one bounded-output aggregation; both
+    * regexes are RE2-and-Java-identical literal classes.
+    *
+    * Scale shape: zero shuffles before the ≤32-row histogram agg. */
+  def tReadability(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("words",
+        greatest(size(regexp_extract_all(col("text"), lit("[A-Za-z0-9']+"), lit(0))), lit(1)))
+      .withColumn("sents",
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1)))
+      .withColumn("sylls",
+        greatest(size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))), lit(1)))
+      .withColumn("grade",
+        lit(0.39) * col("words").cast("double") / col("sents").cast("double") +
+          lit(11.8) * col("sylls").cast("double") / col("words").cast("double") -
+          lit(15.59))
+    d.select(least(greatest(floor(col("grade")), lit(0L)), lit(30L)).as("grade_bucket"))
+      .groupBy(col("grade_bucket")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("grade_bucket"))
+  }
+
+  val tReadabilitySql: String =
+    """WITH f AS (
+      |  SELECT
+      |    greatest(len(regexp_extract_all(text, '[A-Za-z0-9'']+')), 1) AS words,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+      |    greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS sylls
+      |  FROM documents),
+      |g AS (
+      |  SELECT 0.39 * CAST(words AS DOUBLE) / CAST(sents AS DOUBLE)
+      |       + 11.8 * CAST(sylls AS DOUBLE) / CAST(words AS DOUBLE)
+      |       - 15.59 AS grade
+      |  FROM f)
+      |SELECT CAST(least(greatest(floor(grade), 0), 30) AS BIGINT) AS grade_bucket,
+      |  COUNT(*) AS n_docs
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- t_zipf
+
+  /** t_zipf: the FREQUENCY SPECTRUM (Zipf/Heaps observability) — the
+    * vocabulary's occurrence counts bucketed by binary magnitude
+    * (bucket k ⇔ 2^k ≤ f < 2^(k+1), computed EXACTLY as
+    * length(bin(f))−1 — never floor(log2) whose double rounding flips at
+    * power-of-two boundaries): per bucket the distinct-type count and the
+    * token-mass share. The low buckets are the vocabulary-growth signal a
+    * tokenizer budget is tuned against; a spectrum bulging away from
+    * ~1/f² means boilerplate duplication upstream dedup missed. Two keyed
+    * aggregations (token count → magnitude rollup), both map-side
+    * partial; output is ≤64 rows + the 1-row total broadcast. */
+  def tZipf(s: SparkSession, dir: String): DataFrame = {
+    val uni = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    val tot = uni.agg(sum(col("f")).as("n"))
+    uni.select((length(bin(col("f"))) - 1).cast("long").as("f_bucket"), col("f"))
+      .groupBy(col("f_bucket"))
+      .agg(count(lit(1)).as("n_types"), sum(col("f")).as("mass"))
+      .crossJoin(broadcast(tot))
+      .select(col("f_bucket"), col("n_types"), col("mass"),
+        (col("mass").cast("double") / col("n").cast("double")).as("mass_share"))
+      .orderBy(col("f_bucket"))
+  }
+
+  val tZipfSql: String =
+    s"""WITH uni AS (
+       |  SELECT t, COUNT(*) AS f
+       |  FROM (SELECT unnest($toks) AS t FROM documents) GROUP BY t),
+       |tot AS (SELECT SUM(f) AS n FROM uni),
+       |spec AS (
+       |  SELECT CAST(length(bin(f)) - 1 AS BIGINT) AS f_bucket,
+       |    COUNT(*) AS n_types, SUM(f) AS mass
+       |  FROM uni GROUP BY 1)
+       |SELECT f_bucket, n_types, CAST(mass AS BIGINT) AS mass,
+       |  CAST(mass AS DOUBLE) / CAST(t.n AS DOUBLE) AS mass_share
+       |FROM spec, tot t ORDER BY f_bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_collocations" -> tCollocations _,
+    "t_readability"  -> tReadability _,
+    "t_zipf"         -> tZipf _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t_collocations" -> tCollocationsSql,
+    "t_readability"  -> tReadabilitySql,
+    "t_zipf"         -> tZipfSql,
+  )
+}
