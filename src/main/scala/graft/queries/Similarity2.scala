@@ -28,7 +28,11 @@ object Similarity2 {
     * two k·|panel|-row edge lists on the canonical pair key. The full
     * corpus version composes with IVF-cell pruning exactly like
     * s_filtered_knn — candidates from probed cells only. */
-  def sMutualKnn(s: SparkSession, dir: String): DataFrame = {
+  /** The directed top-k edge stage of s_mutual_knn, exposed pre-
+    * checkpoint so PlanSpec can pin the TopKPerKey + broadcast shape
+    * (the gate checkpoints it because both the fwd and bwd branches of
+    * the mutual self-join consume it). */
+  private[graft] def mutualKnnEdges(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val panel = Tables.embeddings(s, dir).filter(col("vec_id") % 20 === 0)
       .select(col("vec_id"), col("embedding"))
@@ -41,9 +45,12 @@ object Similarity2 {
     val top = graft.plans.TopK.perKey(scored, Seq("q_id"),
       Seq(col("cos").desc, col("n_id").asc), MutK)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    val edges = top.withColumn("rnk", row_number().over(w))
+    top.withColumn("rnk", row_number().over(w))
       .select(col("q_id"), col("n_id"), col("cos"), col("rnk"))
-      .localCheckpoint(false)
+  }
+
+  def sMutualKnn(s: SparkSession, dir: String): DataFrame = {
+    val edges = mutualKnnEdges(s, dir).localCheckpoint(false)
     val fwd = edges.filter(col("q_id") < col("n_id"))
       .select(col("q_id").as("a"), col("n_id").as("b"),
         col("cos"), col("rnk").as("rank_ab"))

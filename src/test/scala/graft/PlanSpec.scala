@@ -579,4 +579,39 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 0, s"estimator must run off the checkpointed stages ($scans):\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_pareto: the distributed prefix sum — per-customer windows partition by band, never one global sort") {
+    val p = plan(graft.queries.Relational7.qPareto(spark, dir))
+    // the |customers|-frame running sum must be the band-partitioned
+    // window; the only unpartitioned window is the 16-row band-offset
+    // prefix (bounded by construction)
+    assert(p.contains("Exchange hashpartitioning(band"),
+      s"within-band cumulative sum must partition by band:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t_collocations: top-30 is a bounded TakeOrdered, never a full-pair-set window sort") {
+    val p = plan(graft.queries.Text2.tCollocations(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"PMI top-k must be a per-partition heap:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s_mutual_knn: directed edges ride the k-bounded TopKPerKey shuffle; panel broadcasts") {
+    // pin the pre-checkpoint edge stage — the gate checkpoints it for the
+    // two-sided mutual join, which truncates the published plan
+    val p = plan(graft.queries.Similarity2.mutualKnnEdges(spark, dir))
+    assert(p.contains("TopKPerKey"),
+      s"per-vector top-k must shuffle k-bounded:\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the bounded panel must broadcast for scoring:\n${p.take(3000)}")
+  }
+
+  test("e_survivorship: ONE entity-keyed aggregation — no window, all survivorship max_bys ride it") {
+    val p = plan(graft.queries.Etl2.eSurvivorship(spark, dir))
+    assert(!p.contains("Window"),
+      s"survivorship must be max_by on the aggregation, not a sort/window:\n${p.take(3000)}")
+    val keyShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(c_custkey"))
+    assert(keyShuffles <= 1, s"one keyed shuffle expected ($keyShuffles):\n${p.take(3000)}")
+  }
 }
