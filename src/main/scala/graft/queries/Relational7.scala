@@ -215,15 +215,112 @@ object Relational7 {
        |  CAST(SUM(CAST(rev_i AS DECIMAL(38,0))) AS DOUBLE) / CAST(t AS DOUBLE) AS revenue_share
        |FROM cum, tot GROUP BY 1, t ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- q_paths
+
+  private val PathTopK = 20
+
+  /** q_paths: top event-type PATHS (3-step behavioral sequences) — the
+    * Sankey/user-flow report product analytics ships beside q_funnel
+    * (which checks ONE prescribed order; this discovers which orders
+    * actually happen): per user every consecutive (t₁ → t₂ → t₃)
+    * window via two leads over ONE user-keyed time sort (tie-broken on
+    * event_id for a total order), counted corpus-wide, top-20 by count
+    * via TakeOrderedAndProject.
+    *
+    * Scale shape: one user-keyed window shuffle (both leads share the
+    * sort) + one path-keyed count (map-side partial; paths are
+    * |types|³-bounded keys) + a k-bounded top-k. The fact table shuffles
+    * once. */
+  def qPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val paths = ev(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+    val top = paths.orderBy(col("n").desc, col("path")).limit(PathTopK)
+    val wr = Window.orderBy(col("n").desc, col("path"))
+    top.withColumn("rnk", row_number().over(wr))
+      .select(col("rnk"), col("path"), col("n"))
+      .orderBy(col("rnk"))
+  }
+
+  val qPathsSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+       |seq AS (
+       |  SELECT event_type AS t1,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS t2,
+       |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS t3
+       |  FROM e),
+       |p AS (SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+       |      FROM seq WHERE t3 IS NOT NULL GROUP BY 1)
+       |SELECT rnk, path, n FROM (
+       |  SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk FROM p)
+       |WHERE rnk <= $PathTopK ORDER BY rnk""".stripMargin
+
+  // ------------------------------------------------------- io_bucket_join
+
+  /** io_bucket_join: the ZERO-SHUFFLE CO-LOCATED JOIN as an oracle gate —
+    * the bucketing contract §5 promises ("pre-partition both sides once,
+    * join forever without an exchange") proven end-to-end under the
+    * DuckDB oracle, not just in a spec: orders and customer are written
+    * as 8-bucket tables bucketed+sorted on the join key, the join runs
+    * through the bucketed scans as a SortMergeJoin with NO exchange on
+    * the key (require()-guarded in the gate AND PlanSpec-pinned; the
+    * merge hint keeps AQE from demonstrating a broadcast instead), and
+    * the per-segment revenue rollup must hash-match the oracle's plain
+    * join of the raw tables — layout change, zero semantic change.
+    *
+    * At 100 TB this is THE star-join strategy for fact-fact joins: the
+    * one-time bucketed write amortizes over every subsequent join, which
+    * then shuffles nothing. */
+  def ioBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_bucket_${Integer.toHexString(dir.hashCode)}"
+    def writeBucketed(df: DataFrame, table: String, sub: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      df.write.mode("overwrite").option("path", s"$base/$sub")
+        .bucketBy(8, "k").sortBy("k").format("parquet").saveAsTable(table)
+    }
+    writeBucketed(Tables.orders(s, dir)
+      .select(col("o_custkey").as("k"), col("o_totalprice")),
+      "graft_bkt_orders", "orders")
+    writeBucketed(Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment")),
+      "graft_bkt_customer", "customer")
+    val joined = s.table("graft_bkt_orders").hint("merge")
+      .join(s.table("graft_bkt_customer"), "k")
+    val p = joined.queryExecution.executedPlan.toString
+    require(p.linesIterator.count(_.contains("Bucketed: true")) == 2,
+      s"both sides must read through bucketed scans:\n${p.take(2000)}")
+    require(!p.contains("Exchange hashpartitioning(k"),
+      s"the co-located join must not shuffle on the key:\n${p.take(2000)}")
+    joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.OracleParity.xsum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val ioBucketJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_acf"    -> qAcf _,
     "q_cusum"  -> qCusum _,
     "q_pareto" -> qPareto _,
+    "q_paths"  -> qPaths _,
+    "io_bucket_join" -> ioBucketJoin _,
   )
 
   val oracle: Map[String, String] = Map(
     "q_acf"    -> qAcfSql,
     "q_cusum"  -> qCusumSql,
     "q_pareto" -> qParetoSql,
+    "q_paths"  -> qPathsSql,
+    "io_bucket_join" -> ioBucketJoinSql,
   )
 }

@@ -607,6 +607,22 @@ class PlanSpec extends AnyFunSuite {
       s"the bounded panel must broadcast for scoring:\n${p.take(3000)}")
   }
 
+  test("q_paths: both leads share ONE user-keyed sort; top-20 is a bounded TakeOrdered") {
+    val p = plan(graft.queries.Relational7.qPaths(spark, dir))
+    val userShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(userShuffles <= 1, s"one user-keyed shuffle expected ($userShuffles):\n${p.take(3000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"path top-k must be a per-partition heap:\n${p.take(3000)}")
+  }
+
+  test("io_bucket_join: both sides read bucketed, the join key never re-shuffles") {
+    val p = plan(graft.queries.Relational7.ioBucketJoin(spark, dir))
+    assert(p.linesIterator.count(_.contains("Bucketed: true")) == 2,
+      s"both scans must be bucketed:\n${p.take(3000)}")
+    assert(!p.contains("Exchange hashpartitioning(k"),
+      s"the co-located join must not shuffle on the key:\n${p.take(3000)}")
+  }
+
   test("e_survivorship: ONE entity-keyed aggregation — no window, all survivorship max_bys ride it") {
     val p = plan(graft.queries.Etl2.eSurvivorship(spark, dir))
     assert(!p.contains("Window"),
