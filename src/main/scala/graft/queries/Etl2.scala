@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
 import graft.operators.Quarantine
@@ -473,7 +474,74 @@ object Etl2 {
       |  COUNT(*) AS n_sources
       |FROM recs GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
 
+  /** e_rate_convert: EFFECTIVE-DATED REFERENCE-DATA conversion — the
+    * currency/price-list lookup every financial ETL runs: a sparse
+    * rate table (one rate per (currency, effective-month), with ~1/3 of
+    * months missing) applies to each fact by AS-OF semantics — the
+    * latest rate whose effective month ≤ the fact's month; facts whose
+    * currency has no earlier rate stay NULL (never silently converted).
+    * Rates are formula-derived integers (micro-rate), so conversion is
+    * exact decimal × integer with ONE pinned output division.
+    *
+    * Scale shape: facts COLLAPSE FIRST — one keyed aggregation to the
+    * (currency, month)-bounded monthly frame; the as-of resolution is a
+    * range join + max_by on that bounded frame against the broadcast
+    * rate table, so the fact table never joins the rates. (q_asof_join
+    * covers the row-level as-of; this is the aggregate-then-resolve ETL
+    * shape that avoids it at 100 TB.) */
+  def eRateConvert(s: SparkSession, dir: String): DataFrame = {
+    val d18 = DecimalType(18, 6)
+    val rates = s.range(0, 5).select(col("id").as("rcur"))
+      .crossJoin(s.range(0, 96).select(col("id").as("rm")))
+      .filter((col("rcur") + col("rm")) % 3 =!= 0)
+      .select(col("rcur"), col("rm"),
+        (lit(800000L) + ((col("rcur") * 31 + col("rm") * 7) % 400) * 1000L).as("rate_micros"))
+    val monthly = Tables.orders(s, dir)
+      .select((col("o_custkey") % 5).as("cur"),
+        (((year(col("o_orderdate")) - 1992) * 12) + month(col("o_orderdate")) - 1).cast("long").as("m"),
+        col("o_totalprice"))
+      .groupBy(col("cur"), col("m"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice").cast(d18)).as("rev"))
+    val resolved = monthly
+      .join(broadcast(rates), col("cur") === col("rcur") && col("rm") <= col("m"), "left")
+      .groupBy(col("cur"), col("m"))
+      .agg(first(col("n_orders")).as("n_orders"), first(col("rev")).as("rev"),
+        max_by(col("rate_micros").cast(DecimalType(10, 0)), col("rm")).as("rate_micros"))
+    resolved.select(col("cur"), col("m"), col("n_orders"),
+        col("rev").cast(DoubleType).as("revenue"),
+        col("rate_micros").cast("long").as("rate_micros"),
+        // the decimal product's unscaled value exceeds 2^53, where the two
+        // engines' decimal→double conversions can differ by an ulp — pin
+        // the POST-division value to 6 decimals (q_corr's convention)
+        graft.functions.OracleParity.x6(
+          (col("rev") * col("rate_micros")).cast(DoubleType) / lit(1000000.0))
+          .as("revenue_conv"))
+      .orderBy(col("cur"), col("m"))
+  }
+
+  val eRateConvertSql: String =
+    """WITH rates AS (
+      |  SELECT cur, rm, 800000 + ((cur * 31 + rm * 7) % 400) * 1000 AS rate_micros
+      |  FROM (SELECT unnest(range(0, 5)) AS cur), (SELECT unnest(range(0, 96)) AS rm)
+      |  WHERE (cur + rm) % 3 <> 0),
+      |monthly AS (
+      |  SELECT o_custkey % 5 AS cur,
+      |    (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS m,
+      |    COUNT(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |resolved AS (
+      |  SELECT mo.cur, mo.m, MAX(mo.n_orders) AS n_orders, MAX(mo.rev) AS rev,
+      |    arg_max(CAST(r.rate_micros AS DECIMAL(10,0)), r.rm) AS rate_micros
+      |  FROM monthly mo LEFT JOIN rates r ON r.cur = mo.cur AND r.rm <= mo.m
+      |  GROUP BY mo.cur, mo.m)
+      |SELECT cur, m, n_orders, CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(rate_micros AS BIGINT) AS rate_micros,
+      |  CAST(CAST(CAST(rev * rate_micros AS DOUBLE) / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS revenue_conv
+      |FROM resolved ORDER BY cur, m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_rate_convert" -> eRateConvert _,
     "e_survivorship" -> eSurvivorship _,
     "e_gap_audit"    -> eGapAudit _,
     "e_coldiff"      -> eColdiff _,
@@ -487,6 +555,7 @@ object Etl2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_rate_convert" -> eRateConvertSql,
     "e_survivorship" -> eSurvivorshipSql,
     "e_gap_audit"    -> eGapAuditSql,
     "e_coldiff"      -> eColdiffSql,

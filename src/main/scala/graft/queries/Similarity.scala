@@ -25,7 +25,7 @@ object Similarity {
     * as a pipeline reuses a trained model instead of refitting per
     * consumer (the same sharing pattern as DedupQ's signature stage).
     * Kmeans.fit is deterministic, so sharing cannot change any gate. */
-  private def fitCached(s: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
+  private[queries] def fitCached(s: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
     graft.StageCache.getOrCompute(s, s"sim:$dir:centroids:$k:$iters") {
       Kmeans.fit(s, Tables.embeddings(s, dir), "vec_id", "embedding", k, iters)
         .localCheckpoint(false)
@@ -151,7 +151,7 @@ object Similarity {
 
   /** Collision-free per-dataset index location (same convention as the
     * ingest round-trip staging paths). */
-  private def ivfPath(dir: String): String = {
+  private[queries] def ivfPath(dir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     // pid-scoped: a concurrent gate + bench run over the same dataset must

@@ -78,11 +78,109 @@ object Similarity2 {
        |WHERE f.q_id < f.n_id
        |ORDER BY a, b""".stripMargin
 
+  private val CurveNprobes = Seq(1, 2, 4, 8)
+
+  /** s_recall_curve: the NPROBE RECALL S-CURVE — the d_lsh_tune sibling
+    * for the IVF index: measured recall@5 vs brute-force truth at nprobe
+    * ∈ {1,2,4,8} in ONE candidate pass (the rightmost point probes every
+    * cell, where IVF ≡ exhaustive and recall must be 1.0 — an in-data
+    * sanity anchor). Candidates carry their cell's probe rank, so each
+    * nprobe's answer set is a FILTER on the same scored frame — the
+    * whole curve costs one scan of the probed buckets plus a 4×k-bounded
+    * TopKPerKey shuffle keyed on (query, nprobe); this is how the curve
+    * is measured in production without re-probing per operating point
+    * (tuneNprobe then picks the knee against the SLO).
+    *
+    * Scale shape: rides the persisted index + cached centroids; probe
+    * list broadcast; the only corpus-sized work is the single bucket
+    * scan. */
+  def sRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val path = Similarity.ivfPath(dir)
+    graft.similarity.IvfIndex.build(s, e, "vec_id", "embedding", path,
+      numCentroids = Some(8), iters = 2,
+      pretrained = Some(Similarity.fitCached(s, dir, k = 8, iters = 2)))
+    val centroids = s.read.parquet(s"$path/centroids")
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", coalesce(expr("cosine_sim(q_vec, c_vec)"), lit(-1.0)))
+      .withColumn("proberank", row_number().over(wProbe))
+      .select(col("q_id"), col("q_vec"), col("c_id").as("bucket"), col("proberank"))
+      .localCheckpoint(false)
+    val scored = s.read.parquet(s"$path/buckets")
+      .join(broadcast(probes), "bucket")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", expr("cosine_sim(q_vec, n_vec)"))
+      .select(col("q_id"), col("n_id"), col("cos"), col("proberank"))
+    val nps = s.createDataFrame(CurveNprobes.map(Tuple1(_))).toDF("nprobe")
+    val cand = scored.crossJoin(broadcast(nps))
+      .filter(col("proberank") <= col("nprobe"))
+    val top = graft.plans.TopK.perKey(cand, Seq("q_id", "nprobe"),
+      Seq(col("cos").desc, col("n_id").asc), 5)
+    val ann = top.select(col("q_id"), col("nprobe"), col("n_id"), lit(1).as("hit"))
+    val brute = Similarity.sKnnBrute(s, dir).select(col("q_id"), col("n_id"))
+    val nQ = q.agg(count(lit(1)).as("nq"))
+    brute.crossJoin(broadcast(nps))
+      .join(ann, Seq("q_id", "nprobe", "n_id"), "left")
+      .groupBy(col("nprobe")).agg(count(col("hit")).as("n_hits"))
+      .crossJoin(broadcast(nQ))
+      .select(col("nprobe"), col("n_hits"),
+        (col("n_hits").cast("double") / (lit(5.0) * col("nq").cast("double"))).as("recall"))
+      .orderBy(col("nprobe"))
+  }
+
+  val sRecallCurveSql: String = {
+    import Similarity.{kmAssignCte, kmRecenterCte}
+    val iters = (1 to 2).flatMap(i => Seq(
+      kmAssignCte("pts", s"c${i - 1}", s"a$i"), kmRecenterCte(s"a$i", s"c$i")))
+    s"""WITH pts AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding] AS pv FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding] AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+       |${iters.mkString(",\n")},
+       |bk AS (
+       |  SELECT n_id, nv, bucket FROM (
+       |    SELECT p.p_id AS n_id, p.pv AS nv, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY p.p_id ORDER BY COALESCE(${cosSql("p.pv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM pts p CROSS JOIN c2 c) WHERE rn = 1),
+       |q AS (SELECT p_id AS q_id, pv AS qv FROM pts WHERE p_id % 50 = 0),
+       |pr AS (
+       |  SELECT q_id, qv, bucket, rn AS proberank FROM (
+       |    SELECT q.q_id, q.qv, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY COALESCE(${cosSql("q.qv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM q CROSS JOIN c2 c)),
+       |nps AS (SELECT unnest([${CurveNprobes.mkString(", ")}]) AS nprobe),
+       |sc AS (
+       |  SELECT pr.q_id, bk.n_id, ${cosSql("pr.qv", "bk.nv")} AS cs, pr.proberank
+       |  FROM bk JOIN pr USING (bucket) WHERE bk.n_id <> pr.q_id),
+       |ann AS (SELECT q_id, nprobe, n_id FROM (
+       |  SELECT s.q_id, n.nprobe, s.n_id,
+       |    row_number() OVER (PARTITION BY s.q_id, n.nprobe ORDER BY s.cs DESC NULLS LAST, s.n_id) AS rnk
+       |  FROM sc s JOIN nps n ON s.proberank <= n.nprobe)
+       |  WHERE rnk <= 5),
+       |bscored AS (
+       |  SELECT q.q_id, p.p_id AS n_id, ${cosSql("q.qv", "p.pv")} AS cos
+       |  FROM q CROSS JOIN pts p WHERE p.p_id <> q.q_id),
+       |brute AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM bscored)
+       |  WHERE rnk <= 5),
+       |nq AS (SELECT COUNT(*) AS n FROM q)
+       |SELECT np.nprobe, COUNT(a.n_id) AS n_hits,
+       |  CAST(COUNT(a.n_id) AS DOUBLE) / (5.0 * CAST(nq.n AS DOUBLE)) AS recall
+       |FROM brute b CROSS JOIN nps np
+       |LEFT JOIN ann a ON a.q_id = b.q_id AND a.n_id = b.n_id AND a.nprobe = np.nprobe,
+       |nq
+       |GROUP BY np.nprobe, nq.n ORDER BY np.nprobe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s_mutual_knn" -> sMutualKnn _,
+    "s_mutual_knn"   -> sMutualKnn _,
+    "s_recall_curve" -> sRecallCurve _,
   )
 
   val oracle: Map[String, String] = Map(
-    "s_mutual_knn" -> sMutualKnnSql,
+    "s_mutual_knn"   -> sMutualKnnSql,
+    "s_recall_curve" -> sRecallCurveSql,
   )
 }
