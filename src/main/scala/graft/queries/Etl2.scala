@@ -540,7 +540,81 @@ object Etl2 {
       |  CAST(CAST(CAST(rev * rate_micros AS DOUBLE) / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS revenue_conv
       |FROM resolved ORDER BY cur, m""".stripMargin
 
+  /** e_record_linkage: typo-tolerant ENTITY RESOLUTION between two
+    * feeds — the record-linkage step upstream of e_survivorship (golden
+    * records presume you KNOW which rows are the same entity; this
+    * finds them when keys don't line up): feed B carries planted
+    * single-edit typos (md5-derived names; %4=0 a substitution, %4=1 a
+    * deletion — 'z' never occurs in hex so the substitution is always
+    * real), candidate pairs come from PREFIX BLOCKING (first-2-chars
+    * block plus a ±2 length band — both edit-1-invariant here since
+    * edits land past position 2), matches verify with the BOUNDED
+    * Levenshtein (threshold 2 — the DP cuts off, the d_editdist
+    * pattern), and each B record takes its best match as min(lev, a_id)
+    * encoded in ONE integer so best-match is a plain min aggregation —
+    * no window. Unmatched B rows surface with NULLs (never silently
+    * dropped).
+    *
+    * Scale shape: blocking bounds candidates to per-block products
+    * (the production knob is a more selective q-gram inverted index
+    * with document-frequency pruning — same knob as the LSH bucket
+    * caps); one block-keyed join, one b-keyed min. */
+  def eRecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(s, dir)
+      .select(col("c_custkey").as("a_id"),
+        substring(md5(col("c_custkey").cast("string")), 1, 12).as("a_name"))
+    val b0 = Tables.customer(s, dir)
+      .select((col("c_custkey") + 1000000L).as("b_id"), col("c_custkey").as("k"),
+        substring(md5(col("c_custkey").cast("string")), 1, 12).as("nm"))
+    val b = b0.select(col("b_id"),
+      when(col("k") % 4 === 0,
+          concat(substring(col("nm"), 1, 2), lit("z"), substring(col("nm"), 4, 9)))
+        .when(col("k") % 4 === 1,
+          concat(substring(col("nm"), 1, 4), substring(col("nm"), 6, 7)))
+        .otherwise(col("nm")).as("b_name"))
+    val cand = a.withColumn("blk", substring(col("a_name"), 1, 2))
+      .join(b.withColumn("blk", substring(col("b_name"), 1, 2)), "blk")
+      .filter(abs(length(col("a_name")) - length(col("b_name"))) <= 2)
+      .withColumn("lev", levenshtein(col("a_name"), col("b_name"), 2))
+      .filter(col("lev") >= 0 && col("lev") <= 2)
+    val best = cand
+      .groupBy(col("b_id"))
+      .agg(min(col("lev") * 100000000L + col("a_id")).as("okey"))
+      .select(col("b_id"), (col("okey") % 100000000L).as("a_id"),
+        expr("okey div 100000000").as("lev"))
+    b.join(best, Seq("b_id"), "left")
+      .select(col("b_id"), col("b_name"), col("a_id"), col("lev"))
+      .orderBy(col("b_id"))
+  }
+
+  val eRecordLinkageSql: String =
+    """WITH a AS (
+      |  SELECT c_custkey AS a_id, substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS a_name
+      |  FROM customer),
+      |b AS (
+      |  SELECT c_custkey + 1000000 AS b_id,
+      |    CASE WHEN c_custkey % 4 = 0
+      |           THEN substr(nm, 1, 2) || 'z' || substr(nm, 4, 9)
+      |         WHEN c_custkey % 4 = 1
+      |           THEN substr(nm, 1, 4) || substr(nm, 6, 7)
+      |         ELSE nm END AS b_name
+      |  FROM (SELECT c_custkey, substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS nm
+      |        FROM customer)),
+      |cand AS (
+      |  SELECT b.b_id, a.a_id, levenshtein(a.a_name, b.b_name) AS lev
+      |  FROM a JOIN b ON substr(a.a_name, 1, 2) = substr(b.b_name, 1, 2)
+      |  WHERE abs(length(a.a_name) - length(b.b_name)) <= 2
+      |    AND levenshtein(a.a_name, b.b_name) <= 2),
+      |best AS (
+      |  SELECT b_id, MIN(lev * 100000000 + a_id) AS okey
+      |  FROM cand GROUP BY b_id)
+      |SELECT b.b_id, b.b_name, best.okey % 100000000 AS a_id,
+      |  best.okey // 100000000 AS lev
+      |FROM b LEFT JOIN best ON best.b_id = b.b_id
+      |ORDER BY b.b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_record_linkage" -> eRecordLinkage _,
     "e_rate_convert" -> eRateConvert _,
     "e_survivorship" -> eSurvivorship _,
     "e_gap_audit"    -> eGapAudit _,
@@ -555,6 +629,7 @@ object Etl2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_record_linkage" -> eRecordLinkageSql,
     "e_rate_convert" -> eRateConvertSql,
     "e_survivorship" -> eSurvivorshipSql,
     "e_gap_audit"    -> eGapAuditSql,
