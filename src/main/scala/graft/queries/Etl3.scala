@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** ETL surface, batch 3 (SURVEY.md §2B): replication-audit table
+  * checksums and ingestion type inference. */
+object Etl3 {
+
+  private val UsPerDay = 86400000000L
+  private val ChecksumBuckets = 16
+
+  /** The checksummed row content: integer/string columns only — money
+    * rides as its DECIMAL micro-unit BIGINT and the date as its epoch
+    * day, because a raw double's VARCHAR form is engine-dependent and a
+    * checksum built on it would be unverifiable. Shared by source and
+    * replica on both engines. */
+  private def rowKey(priceCol: Column): Column = concat_ws("|",
+    col("o_orderkey"), col("o_custkey"), priceCol,
+    col("o_orderstatus"), col("o_orderpriority"),
+    expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $UsPerDay"))
+
+  /** e_table_checksum: ORDER-INVARIANT per-bucket table checksums — the
+    * replication/migration audit that answers "is the copy byte-equal,
+    * and if not, WHERE" without moving either table: each row hashes to
+    * an int64 (md5 → first 15 hex digits), checksums are exact
+    * DECIMAL(38,0) sums of those hashes per key bucket (sum = any
+    * partitioning, any order), and only |buckets| tiny rows cross the
+    * wire to the comparing side. A divergent bucket pins the repair scan
+    * to 1/16th of the table.
+    *
+    * The replica is derived with TWO planted faults so both failure
+    * modes are exercised every run: orderkey % 1009 == 0 rows corrupt
+    * their price by one micro-unit (checksum mismatch, counts equal) and
+    * orderkey % 2003 == 1 rows are dropped (count mismatch). Verdict per
+    * bucket: ok / corrupt / missing_rows.
+    *
+    * Scale shape: one narrow hash projection + ONE map-side-partial
+    * aggregation per side to |buckets| rows; the diff join touches 16
+    * rows. At 100 TB the two sides run on different clusters and ship
+    * only their checksum tables. */
+  def eTableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val micro = (col("o_totalprice").cast(DecimalType(18, 6)) * lit(1000000L)).cast("long")
+    def side(price: Column, keep: Column): DataFrame =
+      Tables.orders(s, dir).filter(keep)
+        .select((col("o_orderkey") % ChecksumBuckets).as("bucket"),
+          conv(substring(md5(rowKey(price)), 1, 15), 16, 10).cast("long").as("h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("h").cast(d38)).cast("string").as("checksum"))
+    val src = side(micro, lit(true))
+    val rep = side(when(col("o_orderkey") % 1009 === 0, micro + 1).otherwise(micro),
+      col("o_orderkey") % 2003 =!= 1)
+    src.as("s").join(rep.as("r"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        col("s.n").as("n_src"), col("r.n").as("n_rep"),
+        col("s.checksum").as("checksum_src"), col("r.checksum").as("checksum_rep"),
+        when(col("s.n") =!= col("r.n"), lit("missing_rows"))
+          .when(col("s.checksum") =!= col("r.checksum"), lit("corrupt"))
+          .otherwise(lit("ok")).as("status"))
+      .orderBy(col("bucket"))
+  }
+
+  val eTableChecksumSql: String =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micro,
+       |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // $UsPerDay AS day
+       |  FROM orders),
+       |src AS (
+       |  SELECT o_orderkey % $ChecksumBuckets AS bucket, COUNT(*) AS n,
+       |    CAST(SUM(CAST(CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey, micro, o_orderstatus, o_orderpriority, day)), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+       |  FROM base GROUP BY 1),
+       |rep AS (
+       |  SELECT o_orderkey % $ChecksumBuckets AS bucket, COUNT(*) AS n,
+       |    CAST(SUM(CAST(CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+       |      CASE WHEN o_orderkey % 1009 = 0 THEN micro + 1 ELSE micro END,
+       |      o_orderstatus, o_orderpriority, day)), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+       |  FROM base WHERE o_orderkey % 2003 <> 1 GROUP BY 1)
+       |SELECT COALESCE(s.bucket, r.bucket) AS bucket,
+       |  s.n AS n_src, r.n AS n_rep,
+       |  s.checksum AS checksum_src, r.checksum AS checksum_rep,
+       |  CASE WHEN s.n <> r.n THEN 'missing_rows'
+       |       WHEN s.checksum <> r.checksum THEN 'corrupt'
+       |       ELSE 'ok' END AS status
+       |FROM src s FULL OUTER JOIN rep r ON s.bucket = r.bucket
+       |ORDER BY bucket""".stripMargin
+
+  // --------------------------------------------------------- e_type_infer
+
+  /** e_type_infer: INGESTION TYPE INFERENCE on a stringified feed — the
+    * first decision a schema-on-read pipeline makes about a CSV-ish
+    * delivery: per column, regex votes over every non-null value decide
+    * bigint / decimal / date / text, with ANY non-conforming value
+    * demoting the column (the all-match rule — one 'N/A' sentinel makes
+    * a column text, which is exactly the bug silent best-effort casting
+    * hides). The feed is derived from orders with five characteristic
+    * columns: a pure integer, free text, an ISO date, an integer column
+    * polluted by a sentinel, and a constructed decimal with planted
+    * NULLs (engine-stable digits — never a raw double's VARCHAR form).
+    *
+    * Scale shape: one narrow stack/unpivot projection + ONE map-side-
+    * partial aggregation keyed by column name; output is |cols| fixed
+    * rows. Regex classes are literal and RE2-and-Java-identical. */
+  def eTypeInfer(s: SparkSession, dir: String): DataFrame = {
+    val micro = "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    val feed = Tables.orders(s, dir).selectExpr(
+      "CAST(o_orderkey AS STRING) AS c_order_key",
+      "o_orderpriority AS c_priority",
+      "date_format(CAST(o_orderdate AS TIMESTAMP), 'yyyy-MM-dd') AS c_order_date",
+      "CASE WHEN o_orderkey % 5 = 0 THEN 'N/A' ELSE CAST(o_custkey AS STRING) END AS c_cust",
+      s"CASE WHEN o_orderkey % 13 = 2 THEN NULL ELSE concat(CAST($micro div 1000000 AS STRING), '.', lpad(CAST($micro % 1000000 AS STRING), 6, '0')) END AS c_amount")
+    val long_ = feed.selectExpr(
+      """stack(5,
+        |  'c_order_key', c_order_key, 'c_priority', c_priority,
+        |  'c_order_date', c_order_date, 'c_cust', c_cust,
+        |  'c_amount', c_amount) AS (col_name, v)""".stripMargin)
+    long_.groupBy(col("col_name")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v").isNull || col("v") === "", 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("v").rlike("^[0-9]+$"), 1L).otherwise(0L)).as("n_int"),
+        sum(when(col("v").rlike("^[0-9]+\\.[0-9]+$"), 1L).otherwise(0L)).as("n_dec"),
+        sum(when(col("v").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), 1L).otherwise(0L)).as("n_date"))
+      .withColumn("inferred",
+        when(col("n") === col("n_null"), lit("unknown"))
+          .when(col("n_int") === col("n") - col("n_null"), lit("bigint"))
+          .when(col("n_int") + col("n_dec") === col("n") - col("n_null"), lit("decimal"))
+          .when(col("n_date") === col("n") - col("n_null"), lit("date"))
+          .otherwise(lit("text")))
+      .orderBy(col("col_name"))
+  }
+
+  val eTypeInferSql: String =
+    """WITH feed AS (
+      |  SELECT CAST(o_orderkey AS VARCHAR) AS c_order_key,
+      |    o_orderpriority AS c_priority,
+      |    strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS c_order_date,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN 'N/A' ELSE CAST(o_custkey AS VARCHAR) END AS c_cust,
+      |    CASE WHEN o_orderkey % 13 = 2 THEN NULL ELSE
+      |      CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) // 1000000 AS VARCHAR)
+      |      || '.' ||
+      |      lpad(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) % 1000000 AS VARCHAR), 6, '0')
+      |    END AS c_amount
+      |  FROM orders),
+      |l AS (
+      |  SELECT 'c_order_key' AS col_name, c_order_key AS v FROM feed
+      |  UNION ALL SELECT 'c_priority', c_priority FROM feed
+      |  UNION ALL SELECT 'c_order_date', c_order_date FROM feed
+      |  UNION ALL SELECT 'c_cust', c_cust FROM feed
+      |  UNION ALL SELECT 'c_amount', c_amount FROM feed)
+      |SELECT col_name, COUNT(*) AS n,
+      |  SUM(CASE WHEN v IS NULL OR v = '' THEN 1 ELSE 0 END) AS n_null,
+      |  SUM(CASE WHEN regexp_full_match(v, '[0-9]+') THEN 1 ELSE 0 END) AS n_int,
+      |  SUM(CASE WHEN regexp_full_match(v, '[0-9]+\.[0-9]+') THEN 1 ELSE 0 END) AS n_dec,
+      |  SUM(CASE WHEN regexp_full_match(v, '[0-9]{4}-[0-9]{2}-[0-9]{2}') THEN 1 ELSE 0 END) AS n_date,
+      |  CASE WHEN COUNT(*) = SUM(CASE WHEN v IS NULL OR v = '' THEN 1 ELSE 0 END) THEN 'unknown'
+      |       WHEN SUM(CASE WHEN regexp_full_match(v, '[0-9]+') THEN 1 ELSE 0 END) = COUNT(*) - SUM(CASE WHEN v IS NULL OR v = '' THEN 1 ELSE 0 END) THEN 'bigint'
+      |       WHEN SUM(CASE WHEN regexp_full_match(v, '[0-9]+') THEN 1 ELSE 0 END) + SUM(CASE WHEN regexp_full_match(v, '[0-9]+\.[0-9]+') THEN 1 ELSE 0 END) = COUNT(*) - SUM(CASE WHEN v IS NULL OR v = '' THEN 1 ELSE 0 END) THEN 'decimal'
+      |       WHEN SUM(CASE WHEN regexp_full_match(v, '[0-9]{4}-[0-9]{2}-[0-9]{2}') THEN 1 ELSE 0 END) = COUNT(*) - SUM(CASE WHEN v IS NULL OR v = '' THEN 1 ELSE 0 END) THEN 'date'
+      |       ELSE 'text' END AS inferred
+      |FROM l GROUP BY col_name ORDER BY col_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_table_checksum" -> eTableChecksum _,
+    "e_type_infer"     -> eTypeInfer _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e_table_checksum" -> eTableChecksumSql,
+    "e_type_infer"     -> eTypeInferSql,
+  )
+}

@@ -316,6 +316,42 @@ object Modal {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start_us, segment""".stripMargin
 
+  /** st_anomaly: the STREAMING METRIC-ANOMALY monitor's batch face —
+    * Streaming.anomalyFlags run over the odd-epoch-day slice against a
+    * baseline built from the even days (the deterministic stand-in for
+    * "history vs live": hour-of-day patterns repeat daily, so the parity
+    * split is a fair baseline and needs no corpus-dependent constant).
+    * Flags are the exact integer band rule — see the operator doc;
+    * StreamingSpec proves the watermarked stream emits a subset of this
+    * batch answer. Scale shape: one windowed count (the stream's only
+    * state) + a &#124;types&#124;×24-row broadcast baseline. */
+  def stAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("ts_us2", expr("(ts div 1000)"))
+    val day = expr("ts_us2 div 86400000000")
+    val baseline = ev.filter(day % 2 === 0)
+      .select(col("event_type"), expr("(ts_us2 div 3600000000) % 24").as("hod"), day.as("d"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("base_tot"), countDistinct(col("d")).as("base_days"))
+    Streaming.anomalyFlags(ev.filter(day % 2 === 1).drop("ts_us2"),
+        baseline, withWatermark = false)
+      .orderBy(col("hour_start_us"), col("event_type"))
+  }
+
+  val stAnomalySql: String =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+      |base AS (
+      |  SELECT event_type, (us // 3600000000) % 24 AS hod,
+      |    COUNT(*) AS base_tot, COUNT(DISTINCT us // 86400000000) AS base_days
+      |  FROM e WHERE (us // 86400000000) % 2 = 0 GROUP BY 1, 2),
+      |live AS (
+      |  SELECT event_type, (us // 3600000000) * 3600000000 AS hour_start_us, COUNT(*) AS n
+      |  FROM e WHERE (us // 86400000000) % 2 = 1 GROUP BY 1, 2)
+      |SELECT hour_start_us, l.event_type, n, base_tot, base_days,
+      |  (n * base_days * 2 < base_tot OR n * base_days * 2 > base_tot * 3) AS is_anomaly
+      |FROM live l JOIN base b
+      |  ON l.event_type = b.event_type AND (l.hour_start_us // 3600000000) % 24 = b.hod
+      |ORDER BY hour_start_us, l.event_type""".stripMargin
+
   private val TopK = 3
 
   /** st_topk: per-hour top-k event types — the trending-now shape. Batch
@@ -784,6 +820,7 @@ object Modal {
     "st_sliding"        -> stSliding _,
     "st_topk"           -> stTopk _,
     "st_enrich"         -> stEnrich _,
+    "st_anomaly"        -> stAnomaly _,
     "st_dedup"          -> stDedup _,
     "st_interval_join"  -> stIntervalJoin _,
     "st_outer_join"     -> stOuterJoin _,
@@ -808,6 +845,7 @@ object Modal {
     "st_sliding"        -> stSlidingSql,
     "st_topk"           -> stTopkSql,
     "st_enrich"         -> stEnrichSql,
+    "st_anomaly"        -> stAnomalySql,
     "st_dedup"          -> stDedupSql,
     "st_interval_join"  -> stIntervalJoinSql,
     "st_outer_join"     -> stOuterJoinSql,

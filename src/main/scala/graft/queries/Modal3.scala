@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal columns, batch 3 (SURVEY.md §2F): container METADATA
+  * extraction (PNG chunk walking) and a pixel-domain histogram
+  * equalization — both real-codec gates in the m_resize_px family:
+  * synthesize a genuine container from an md5 formula, run the real
+  * binary/decode path, and hash-check the result against the oracle's
+  * formula replay. */
+object Modal3 {
+
+  // ------------------------------------------------------------ m_png_meta
+
+  /** m_png_meta: TYPED METADATA EXTRACTION from a binary container — the
+    * "image/audio/video as opaque binary + typed metadata" contract made
+    * concrete: a real PNG chunk walker (length/type/data/CRC stream per
+    * the PNG spec) extracts IHDR geometry (big-endian width/height, bit
+    * depth) and tEXt key→value pairs, verifying every chunk's CRC32 as
+    * it goes — the inventory pass a media lake runs on ingest, before
+    * any pixel is decoded (footer/header-only, the parquet-manifest idea
+    * applied to media containers).
+    *
+    * The gate synthesizes real PNGs via javax.imageio, INJECTS two tEXt
+    * chunks (spec-correct CRC over type+data) after IHDR, then parses —
+    * writer, injector, walker and CRC all under the oracle, which
+    * replays the planted metadata by formula. The parse never inflates
+    * IDAT: cost is O(header), not O(pixels).
+    *
+    * Scale shape: one narrow mapPartitions pass; one row per blob. */
+  def mPngMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 3)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def be(b: Array[Byte], o: Int): Int =
+          ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+            ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+        def textChunk(key: String, value: String): Array[Byte] = {
+          val data = key.getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+            value.getBytes("ISO-8859-1")
+          val crc = new java.util.zip.CRC32()
+          crc.update("tEXt".getBytes("ISO-8859-1")); crc.update(data)
+          val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+          bb.putInt(data.length).put("tEXt".getBytes("ISO-8859-1"))
+            .put(data).putInt(crc.getValue.toInt)
+          bb.array()
+        }
+        it.flatMap { id =>
+          md.reset()
+          val hex = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var j = 0
+          while (j < 64) {
+            val v = if (((h1 >> (j % 32)) & 1L) == 1L) 200 else 40
+            img.setRGB(j % 8, j / 8, (v << 16) | (v << 8) | v)
+            j += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val base = bos.toByteArray
+          // inject the two tEXt chunks right after IHDR (8-byte signature
+          // + 25-byte IHDR chunk = offset 33)
+          val inject = textChunk("title", s"doc-$id") ++
+            textChunk("origin", s"src${id % 20}")
+          val png = base.slice(0, 33) ++ inject ++ base.drop(33)
+          // --- the operator under test: a generic PNG chunk walker ---
+          var o = 8
+          var w = -1; var h = -1; var depth = -1
+          var title: String = null; var origin: String = null
+          var crcOk = true; var done = false
+          while (!done && o + 12 <= png.length) {
+            val len = be(png, o)
+            val typ = new String(png, o + 4, 4, "ISO-8859-1")
+            val crc = new java.util.zip.CRC32()
+            crc.update(png, o + 4, 4 + len)
+            if (crc.getValue.toInt != be(png, o + 8 + len)) crcOk = false
+            if (typ == "IHDR") { w = be(png, o + 8); h = be(png, o + 12); depth = png(o + 16) & 0xff }
+            else if (typ == "tEXt") {
+              val data = new String(png, o + 8, len, "ISO-8859-1")
+              val nul = data.indexOf('\u0000')
+              if (nul > 0) {
+                val (k, v) = (data.substring(0, nul), data.substring(nul + 1))
+                if (k == "title") title = v else if (k == "origin") origin = v
+              }
+            } else if (typ == "IEND") done = true
+            o += 12 + len
+          }
+          Some((id, w.toLong, h.toLong, depth.toLong, title, origin, crcOk))
+        }
+      }.toDF("doc_id", "width", "height", "bit_depth", "meta_title", "meta_origin", "crc_ok")
+      .orderBy(col("doc_id"))
+  }
+
+  val mPngMetaSql: String =
+    """SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+      |  CAST(8 AS BIGINT) AS bit_depth,
+      |  'doc-' || CAST(doc_id AS VARCHAR) AS meta_title,
+      |  'src' || CAST(doc_id % 20 AS VARCHAR) AS meta_origin,
+      |  TRUE AS crc_ok
+      |FROM documents WHERE doc_id % 4 = 3 ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- m_hist_eq
+
+  /** m_hist_eq: HISTOGRAM EQUALIZATION in the pixel domain — the contrast
+    * normalization step before perceptual hashing / feature extraction
+    * (two exposures of one scene equalize to near-identical rasters; raw
+    * pixels don't): real 8×8 grayscale PNGs whose 64 pixels are md5
+    * NIBBLES ×17 (16 gray levels spanning 0..255), decoded via
+    * javax.imageio, remapped by the classic integer CDF rule
+    * eq(v) = (cdf(v)·255) div 64 with cdf(v) = #pixels ≤ v — exact
+    * integer arithmetic, no float rounding to diverge on. The oracle
+    * replays the nibble formula AND the CDF remap in SQL, so writer,
+    * codec and kernel are all hash-checked (the m_resize_px discipline).
+    *
+    * Scale shape: one narrow mapPartitions pass; per-image state is the
+    * 64-pixel raster; one digest row per image leaves the executor. */
+  def mHistEq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 0)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { id =>
+          md.reset()
+          val hexA = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          md.reset()
+          val hexB = md.digest(s"${id}b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          def nib(j: Int): Int =
+            if (j < 32) Integer.parseInt(hexA.substring(j, j + 1), 16)
+            else Integer.parseInt(hexB.substring(j - 32, j - 31), 16)
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var j = 0
+          while (j < 64) {
+            val v = nib(j) * 17
+            img.setRGB(j % 8, j / 8, (v << 16) | (v << 8) | v)
+            j += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val dec = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          if (dec == null) None
+          else {
+            val px = Array.tabulate(64)(k => dec.getRGB(k % 8, k / 8) & 0xff)
+            def cdf(v: Int): Int = px.count(_ <= v)
+            val eq = px.map(v => (cdf(v) * 255) / 64)
+            Some((id, eq.map(_.toLong).sum, eq.min.toLong, eq.max.toLong,
+              eq.distinct.length.toLong))
+          }
+        }
+      }.toDF("doc_id", "eq_sum", "eq_min", "eq_max", "n_levels")
+      .orderBy(col("doc_id"))
+  }
+
+  val mHistEqSql: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+      |px AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN j < 32
+      |      THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), j + 1, 1))::BIGINT * 17
+      |      ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'b'), j - 31, 1))::BIGINT * 17
+      |    END AS v
+      |  FROM ids, (SELECT unnest(range(64)) AS j) js),
+      |eq AS (
+      |  SELECT doc_id,
+      |    (COUNT(*) OVER (PARTITION BY doc_id ORDER BY v
+      |       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 255) // 64 AS e
+      |  FROM px)
+      |SELECT doc_id, SUM(e) AS eq_sum, MIN(e) AS eq_min, MAX(e) AS eq_max,
+      |  COUNT(DISTINCT e) AS n_levels
+      |FROM eq GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_png_meta" -> mPngMeta _,
+    "m_hist_eq"  -> mHistEq _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m_png_meta" -> mPngMetaSql,
+    "m_hist_eq"  -> mHistEqSql,
+  )
+}

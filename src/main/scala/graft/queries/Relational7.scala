@@ -260,6 +260,43 @@ object Relational7 {
        |  SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk FROM p)
        |WHERE rnk <= $PathTopK ORDER BY rnk""".stripMargin
 
+  // --------------------------------------------------------------- q_gaps
+
+  /** q_gaps: the INTER-EVENT TIME spectrum — per user the gap between
+    * consecutive events, bucketed by the binary magnitude of the gap in
+    * seconds (t_zipf's exact length(bin(x))−1 trick — never a float
+    * log2): the engagement/latency distribution behind session-gap
+    * tuning (q_sessionize's 30-min threshold should sit in this
+    * spectrum's valley) and bot detection (sub-second spikes). Reports
+    * per bucket the gap count and exact min/max gap.
+    *
+    * Scale shape: ONE user-keyed window (total order on ts_us,
+    * event_id) then a ≤64-row magnitude rollup — the fact table
+    * shuffles once. */
+  def qGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(expr("(ts_us - prev) div 1000000").as("gap_s"))
+      .select((length(bin(col("gap_s"))) - 1).cast("long").as("gap_bucket"), col("gap_s"))
+      .groupBy(col("gap_bucket"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+      .orderBy(col("gap_bucket"))
+  }
+
+  val qGapsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+      |g AS (
+      |  SELECT (ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)) // 1000000 AS gap_s
+      |  FROM e)
+      |SELECT CAST(length(bin(gap_s)) - 1 AS BIGINT) AS gap_bucket,
+      |  COUNT(*) AS n_gaps, MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------- io_bucket_join
 
   /** io_bucket_join: the ZERO-SHUFFLE CO-LOCATED JOIN as an oracle gate —
@@ -313,6 +350,7 @@ object Relational7 {
     "q_cusum"  -> qCusum _,
     "q_pareto" -> qPareto _,
     "q_paths"  -> qPaths _,
+    "q_gaps"   -> qGaps _,
     "io_bucket_join" -> ioBucketJoin _,
   )
 
@@ -321,6 +359,7 @@ object Relational7 {
     "q_cusum"  -> qCusumSql,
     "q_pareto" -> qParetoSql,
     "q_paths"  -> qPathsSql,
+    "q_gaps"   -> qGapsSql,
     "io_bucket_join" -> ioBucketJoinSql,
   )
 }

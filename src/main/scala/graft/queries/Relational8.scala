@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+import graft.functions.OracleParity.x6
+
+/** Round-11 additions, batch 2: statistical data-quality / BI diagnostics —
+  * Benford first-digit conformance (fraud & synthetic-data screening),
+  * Herfindahl market concentration, a chi-square contingency readout, and
+  * the new-vs-returning growth split. Same parity discipline as
+  * Relational7: exact integer/decimal aggregates, pinned IEEE chains only
+  * on output columns. */
+object Relational8 {
+
+  private val UsPerDay = 86400000000L
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+
+  // ------------------------------------------------------------ q_benford
+
+  /** Benford's-law expected share of first digit d = log10(1 + 1/d),
+    * embedded as identical double literals on both engines (the only log
+    * in the operator — never computed at runtime). */
+  private val BenfordP: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  /** q_benford: FIRST-DIGIT (Benford) conformance of order totals — the
+    * fraud-screening / synthetic-data-detection staple: naturally-grown
+    * monetary amounts follow P(d) = log10(1+1/d); fabricated or
+    * re-scaled feeds don't. Reports per digit the count, observed share,
+    * Benford expectation and absolute deviation.
+    *
+    * Parity: the first significant digit comes from the DECIMAL(18,6)
+    * micro-unit integer's string form (both engines print a BIGINT
+    * identically — no float formatting anywhere); shares are pinned
+    * single divisions; expectations are shared literals.
+    *
+    * Scale shape: ONE map-side-partial aggregation to ≤9 rows + a 1-row
+    * total broadcast. Nothing else. */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val micro = (col("o_totalprice").cast(DecimalType(18, 6)) * lit(1000000L))
+      .cast("long")
+    val digits = Tables.orders(s, dir)
+      .select(substring(micro.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1) // guard: zero/negative totals have no Benford digit
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("nn"))
+    val expArr = array(BenfordP.map(lit): _*)
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        x6(col("n").cast(DoubleType) / col("nn").cast(DoubleType)).as("share"),
+        element_at(expArr, col("digit")).as("expected"),
+        x6(abs(x6(col("n").cast(DoubleType) / col("nn").cast(DoubleType)) -
+          element_at(expArr, col("digit")))).as("abs_dev"))
+      .orderBy(col("digit"))
+  }
+
+  val qBenfordSql: String = {
+    val lits = BenfordP.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM orders),
+       |c AS (SELECT digit, COUNT(*) AS n FROM d WHERE digit >= 1 GROUP BY digit),
+       |t AS (SELECT SUM(n) AS nn FROM c)
+       |SELECT digit, n,
+       |  CAST(CAST(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS share,
+       |  ([$lits])[digit] AS expected,
+       |  CAST(CAST(abs(CAST(CAST(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+       |    - ([$lits])[digit]) AS DECIMAL(18,6)) AS DOUBLE) AS abs_dev
+       |FROM c, t ORDER BY digit""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q_hhi
+
+  /** q_hhi: HERFINDAHL–HIRSCHMAN market concentration per supplier nation
+    * — the antitrust/market-structure metric (HHI = Σ share_s² over
+    * suppliers; 1/n when atomized, 1.0 for a monopoly), flagged against
+    * the 0.18 "highly concentrated" threshold. The share division never
+    * happens per supplier: HHI = Σ rev_s² / (Σ rev_s)², so the only
+    * doubles are one pinned division at the end — supplier revenues are
+    * exact DECIMAL(18,6) sums, their squares deterministic double
+    * products frozen to DECIMAL(38,12) per term before the
+    * order-invariant sum (the q_pagerank freezing trick).
+    *
+    * Scale shape: one lineitem-keyed aggregation to |suppliers| rows
+    * (supplier dim broadcasts into it), one nation-keyed rollup of that
+    * bounded frame, nation names broadcast. The fact table shuffles
+    * once. */
+  def qHhi(s: SparkSession, dir: String): DataFrame = {
+    val d18 = DecimalType(18, 6); val d38 = DecimalType(38, 12)
+    val revS = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"), col("s_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(d18)).as("rev"))
+    val byNation = revS.groupBy(col("s_nationkey")).agg(
+      count(lit(1)).as("n_suppliers"),
+      sum(col("rev")).as("tot"),
+      sum((col("rev").cast(DoubleType) * col("rev").cast(DoubleType)).cast(d38)).as("sumsq"))
+    byNation
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_suppliers"),
+        col("tot").cast(DoubleType).as("revenue"),
+        x6(col("sumsq").cast(DoubleType) /
+          (col("tot").cast(DoubleType) * col("tot").cast(DoubleType))).as("hhi"),
+        (x6(col("sumsq").cast(DoubleType) /
+          (col("tot").cast(DoubleType) * col("tot").cast(DoubleType))) > lit(0.18))
+          .as("concentrated"))
+      .orderBy(col("nation"))
+  }
+
+  val qHhiSql: String =
+    """WITH rev_s AS (
+      |  SELECT s_nationkey, s_suppkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS rev
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY s_nationkey, s_suppkey),
+      |n AS (
+      |  SELECT s_nationkey, COUNT(*) AS n_suppliers, SUM(rev) AS tot,
+      |    SUM(CAST(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE) AS DECIMAL(38,12))) AS sumsq
+      |  FROM rev_s GROUP BY s_nationkey)
+      |SELECT n_name AS nation, n_suppliers, CAST(tot AS DOUBLE) AS revenue,
+      |  CAST(CAST(CAST(sumsq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS hhi,
+      |  CAST(CAST(CAST(sumsq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) > 0.18 AS concentrated
+      |FROM n JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY nation""".stripMargin
+
+  // -------------------------------------------------------------- q_chisq
+
+  /** q_chisq: CHI-SQUARE CONTINGENCY readout for event_type × day-of-week
+    * — "is behavior independent of weekday?", the canonical independence
+    * test behind seasonality and cohort-mix checks. Emits the full
+    * contingency drilldown: observed count, expected count under
+    * independence e_ij = r_i·c_j / N, and the per-cell χ² contribution
+    * (n−e)²/e — the cells an analyst actually reads to see WHERE the
+    * dependence lives. The global χ² statistic is deliberately NOT a
+    * single output float: summing |cells| doubles is partition-order-
+    * dependent; the per-cell table is exact and the caller can fold it
+    * in one ordered pass.
+    *
+    * Parity: dow = epoch-day mod 7 (pure integer, timezone-free);
+    * marginals are exact longs promoted to double before the one product
+    * that could overflow a long at 100 TB; e and the contribution are
+    * pinned chains.
+    *
+    * Scale shape: ONE aggregation to the |types|×7 cell frame; marginals
+    * and N are broadcast rollups OF THAT FRAME — the fact table is read
+    * once. */
+  def qChisq(s: SparkSession, dir: String): DataFrame = {
+    val cells = ev(s, dir)
+      .select(col("event_type"), expr(s"(ts_us div $UsPerDay) % 7").as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val rt = cells.groupBy(col("event_type")).agg(sum(col("n")).as("rt"))
+    val ct = cells.groupBy(col("dow")).agg(sum(col("n")).as("ct"))
+    val tot = cells.agg(sum(col("n")).as("nn"))
+    val e = x6(col("rt").cast(DoubleType) * col("ct").cast(DoubleType) /
+      col("nn").cast(DoubleType))
+    cells.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("dow"), col("n"), e.as("expected"),
+        x6((col("n").cast(DoubleType) - e) * (col("n").cast(DoubleType) - e) / e)
+          .as("chisq_term"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val qChisqSql: String =
+    s"""WITH cells AS (
+       |  SELECT event_type, (epoch_us(ts) // $UsPerDay) % 7 AS dow, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |rt AS (SELECT event_type, SUM(n) AS rt FROM cells GROUP BY 1),
+       |ct AS (SELECT dow, SUM(n) AS ct FROM cells GROUP BY 1),
+       |t AS (SELECT SUM(n) AS nn FROM cells),
+       |j AS (
+       |  SELECT c.event_type, c.dow, c.n,
+       |    CAST(CAST(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS expected
+       |  FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow), t)
+       |SELECT event_type, dow, n, expected,
+       |  CAST(CAST((CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected) / expected AS DECIMAL(18,6)) AS DOUBLE) AS chisq_term
+       |FROM j ORDER BY event_type, dow""".stripMargin
+
+  // ------------------------------------------------------ q_new_returning
+
+  /** q_new_returning: the NEW-vs-RETURNING daily split — the growth
+    * dashboard beside q_dau_mau's stickiness: per day, how many active
+    * users are seen for the first time vs coming back, with the
+    * new-user share. A user is "new" on exactly the day of their first
+    * event (min epoch-day).
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct (user, day)
+    * activity frame; the per-user first day is a min over that frame
+    * whose user-keyed shuffle doubles as the flag join (groupBy user_id
+    * carries min(day) back via a window on the same partitioning), and
+    * the day rollup runs on flagged activity rows — the fact table never
+    * joins anything. */
+  def qNewReturning(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val activity = ev(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $UsPerDay").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id"))
+    val flagged = activity
+      .withColumn("first_day", min(col("day")).over(w))
+      .withColumn("is_new", col("day") === col("first_day"))
+    flagged.groupBy(col("day")).agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        x6(col("n_new").cast(DoubleType) / col("n_active").cast(DoubleType))
+          .as("pct_new"))
+      .orderBy(col("day"))
+  }
+
+  val qNewReturningSql: String =
+    s"""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // $UsPerDay AS day FROM events),
+       |f AS (SELECT day, day = MIN(day) OVER (PARTITION BY user_id) AS is_new FROM a)
+       |SELECT day, COUNT(*) AS n_active,
+       |  SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS n_new,
+       |  COUNT(*) - SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS n_returning,
+       |  CAST(CAST(CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS pct_new
+       |FROM f GROUP BY day ORDER BY day""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford"       -> qBenford _,
+    "q_hhi"           -> qHhi _,
+    "q_chisq"         -> qChisq _,
+    "q_new_returning" -> qNewReturning _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_benford"       -> qBenfordSql,
+    "q_hhi"           -> qHhiSql,
+    "q_chisq"         -> qChisqSql,
+    "q_new_returning" -> qNewReturningSql,
+  )
+}

@@ -174,13 +174,80 @@ object Similarity2 {
        |GROUP BY np.nprobe, nq.n ORDER BY np.nprobe""".stripMargin
   }
 
+  // ------------------------------------------------------------------ s_ood
+
+  /** s_ood: OUT-OF-DISTRIBUTION detection by distance-to-centroid — the
+    * embedding-space noise filter a training pipeline runs after encoding
+    * (mislabeled rows, encoder failures and genuine outliers all land far
+    * from their label's mass; SemDeDup keeps the nearest-to-centroid,
+    * this flags the farthest-from-centroid): each vector scores by cosine
+    * to its OWN label's centroid, computed against the exact DECIMAL SUM
+    * vector (cosine is scale-invariant, so the sum IS the centroid — no
+    * per-element division, the s_centroid_drift trick), and flags below
+    * 0.0 (anti-correlated with its own label's mass — the bottom ~10 % on
+    * this corpus, so both verdicts are exercised every run).
+    *
+    * Parity: the dot/norm folds run left-to-right over doubles derived
+    * from the decimal sums on BOTH engines (Spark aggregate ≡ DuckDB
+    * list_reduce), final score pinned.
+    *
+    * Scale shape: ONE label-keyed aggregation (VectorDecimalSum — O(1)
+    * plan size at any dim) to a |labels|-row centroid table that
+    * BROADCASTS back into a narrow scoring scan; the corpus never
+    * shuffles. At 100 TB this composes with the label-partitioned layout
+    * the same way s_filtered_knn's predicate does. */
+  def sOod(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val sumVec = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.VectorDecimalSum(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(col("embedding")), 64)
+        .toAggregateExpression())
+    val cents = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_label"), sumVec.as("m"))
+    val dot = "aggregate(zip_with(ed, md, (x, y) -> x * y), 0D, (a, p) -> a + p)"
+    val ee  = "aggregate(zip_with(ed, ed, (x, y) -> x * y), 0D, (a, p) -> a + p)"
+    val mm  = "aggregate(zip_with(md, md, (x, y) -> x * y), 0D, (a, p) -> a + p)"
+    e.join(broadcast(cents), "label")
+      .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("md", expr("transform(m, x -> CAST(x AS DOUBLE))"))
+      .withColumn("cos_centroid", graft.functions.OracleParity.x6(
+        expr(s"$dot / (sqrt($ee) * sqrt($mm))")))
+      .select(col("vec_id"), col("label"), col("n_label"),
+        col("cos_centroid"), (col("cos_centroid") < 0.0).as("is_ood"))
+      .orderBy(col("vec_id"))
+  }
+
+  val sOodSql: String = {
+    val dot = "list_reduce([ed[i+1] * md[i+1] for i in range(0, 64)], (p, q) -> p + q)"
+    val ee  = "list_reduce([ed[i+1] * ed[i+1] for i in range(0, 64)], (p, q) -> p + q)"
+    val mm  = "list_reduce([md[i+1] * md[i+1] for i in range(0, 64)], (p, q) -> p + q)"
+    s"""WITH cents AS (
+       |  SELECT label, MIN(cnt) AS n_label, list(sd ORDER BY d) AS md FROM (
+       |    SELECT label, d, COUNT(*) AS cnt,
+       |      CAST(SUM(CAST(CAST(embedding[d] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sd
+       |    FROM (SELECT label, embedding, unnest(range(1, 65)) AS d FROM embeddings)
+       |    GROUP BY label, d)
+       |  GROUP BY label),
+       |sc AS (
+       |  SELECT e.vec_id, e.label, CAST(c.n_label AS BIGINT) AS n_label,
+       |    CAST(CAST($dot / (sqrt($ee) * sqrt($mm)) AS DECIMAL(18,6)) AS DOUBLE) AS cos_centroid
+       |  FROM (SELECT vec_id, label,
+       |          [CAST(x AS DOUBLE) for x in embedding] AS ed
+       |        FROM embeddings) e
+       |  JOIN cents c ON e.label = c.label)
+       |SELECT vec_id, label, n_label, cos_centroid, cos_centroid < 0.0 AS is_ood
+       |FROM sc ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_mutual_knn"   -> sMutualKnn _,
     "s_recall_curve" -> sRecallCurve _,
+    "s_ood"          -> sOod _,
   )
 
   val oracle: Map[String, String] = Map(
     "s_mutual_knn"   -> sMutualKnnSql,
     "s_recall_curve" -> sRecallCurveSql,
+    "s_ood"          -> sOodSql,
   )
 }

@@ -163,15 +163,129 @@ object Text2 {
        |  CAST(mass AS DOUBLE) / CAST(t.n AS DOUBLE) AS mass_share
        |FROM spec, tot t ORDER BY f_bucket""".stripMargin
 
+  // ----------------------------------------------------------- t_garbage
+
+  /** t_garbage: OCR-GARBAGE / binary-noise detection — the curation
+    * filter between t_quality's length/stopword heuristics and
+    * t_code_detect's routing: scanned-PDF OCR noise, mis-decoded bytes
+    * and keyboard mash share two signatures natural prose lacks: long
+    * consonant runs and a collapsed vowel share. Features are exact
+    * integer regex counts over literal RE2-and-Java-identical classes;
+    * the verdict fires on (1000·runs) div words ≥ 50 OR vowel share
+    * < 25 % of letters — pure integer arithmetic, no float anywhere.
+    *
+    * The corpus is clean synthetic prose, so garbage docs are PLANTED
+    * (the t_code_detect pattern, derived identically in the oracle):
+    * every doc_id % 41 == 0 document gets a consonant-soup preamble —
+    * those must flag, real prose must not, both verdicts exercised
+    * every run.
+    *
+    * Scale shape: pure narrow maps — regex counts ride the scan, no
+    * shuffle until the presentation sort; IO-bound at 100 TB. */
+  def tGarbage(s: SparkSession, dir: String): DataFrame = {
+    val soup = "qxzkjv wmfptk zzrtkk xkcdqm vvbnmz grplst ;;##@@ "
+    val planted = when(col("doc_id") % 41 === 0,
+      concat(lit(soup * 3), col("text"))).otherwise(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("t2", planted)
+      .select(col("doc_id"),
+        size(regexp_extract_all(lower(col("t2")),
+          lit("[bcdfghjklmnpqrstvwxz]{5,}"), lit(0))).cast("long").as("n_runs"),
+        size(regexp_extract_all(lower(col("t2")), lit("[aeiou]"), lit(0)))
+          .cast("long").as("n_vowels"),
+        size(regexp_extract_all(lower(col("t2")), lit("[a-z]"), lit(0)))
+          .cast("long").as("n_letters"),
+        size(regexp_extract_all(col("t2"), lit("[A-Za-z0-9]+"), lit(0)))
+          .cast("long").as("n_words"))
+      .withColumn("run_score", expr("(1000 * n_runs) div greatest(n_words, 1)"))
+      .withColumn("vowel_pm", expr("(1000 * n_vowels) div greatest(n_letters, 1)"))
+      .withColumn("is_garbage", col("run_score") >= 50 || col("vowel_pm") < 250)
+      .orderBy(col("doc_id"))
+  }
+
+  val tGarbageSql: String = {
+    val soup = "'qxzkjv wmfptk zzrtkk xkcdqm vvbnmz grplst ;;##@@ '"
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 41 = 0 THEN repeat($soup, 3) || text ELSE text END AS t2
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(t2), '[bcdfghjklmnpqrstvwxz]{5,}')) AS BIGINT) AS n_runs,
+       |    CAST(len(regexp_extract_all(lower(t2), '[aeiou]')) AS BIGINT) AS n_vowels,
+       |    CAST(len(regexp_extract_all(lower(t2), '[a-z]')) AS BIGINT) AS n_letters,
+       |    CAST(len(regexp_extract_all(t2, '[A-Za-z0-9]+')) AS BIGINT) AS n_words
+       |  FROM p)
+       |SELECT doc_id, n_runs, n_vowels, n_letters, n_words,
+       |  (1000 * n_runs) // greatest(n_words, 1) AS run_score,
+       |  (1000 * n_vowels) // greatest(n_letters, 1) AS vowel_pm,
+       |  ((1000 * n_runs) // greatest(n_words, 1) >= 50
+       |    OR (1000 * n_vowels) // greatest(n_letters, 1) < 250) AS is_garbage
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------- t_entities
+
+  /** t_entities: PROPER-NOUN ENTITY MINING — capitalized-bigram
+    * candidates counted corpus-wide (the cheap NER proxy behind entity
+    * frequency weighting, PII review and knowledge-coverage audits of a
+    * training corpus). Candidates come from ONE non-overlapping regex
+    * pass ([A-Z][a-z]+ [A-Z][a-z]+ — Java and RE2 share left-to-right
+    * non-overlap semantics), a ≥3-occurrence floor drops hapax noise,
+    * and the top-20 by (occurrences, entity) is TakeOrderedAndProject —
+    * never a global window sort.
+    *
+    * The corpus is lowercase synthetic prose, so entities are PLANTED
+    * with DIFFERENT frequencies (doc_id % 17 plants a two-entity
+    * sentence; % 34 adds a second sentence re-mentioning one of them —
+    * so the ranking itself is exercised, not just extraction).
+    *
+    * Scale shape: narrow extract+explode, one (entity)-keyed map-side-
+    * partial count carrying the distinct-doc count, k-bounded top-k. */
+  def tEntities(s: SparkSession, dir: String): DataFrame = {
+    val sent1 = "Alice Johnson met Bob Smith near the Grand Bazaar . "
+    val sent2 = "Carol White visited Alice Johnson again . "
+    val planted = when(col("doc_id") % 34 === 0,
+        concat(lit(sent1), lit(sent2), col("text")))
+      .when(col("doc_id") % 17 === 0, concat(lit(sent1), col("text")))
+      .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("t2", planted)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("t2"),
+          lit("[A-Z][a-z]+ [A-Z][a-z]+"), lit(0))).as("entity"))
+      .groupBy(col("entity"))
+      .agg(count(lit(1)).as("n_occurs"), countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurs") >= 3)
+      .orderBy(col("n_occurs").desc, col("entity"))
+      .limit(20)
+  }
+
+  val tEntitiesSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 34 = 0 THEN 'Alice Johnson met Bob Smith near the Grand Bazaar . Carol White visited Alice Johnson again . ' || text
+      |         WHEN doc_id % 17 = 0 THEN 'Alice Johnson met Bob Smith near the Grand Bazaar . ' || text
+      |         ELSE text END AS t2
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(regexp_extract_all(t2, '[A-Z][a-z]+ [A-Z][a-z]+')) AS entity FROM p)
+      |SELECT entity, COUNT(*) AS n_occurs, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM e GROUP BY entity HAVING COUNT(*) >= 3
+      |ORDER BY n_occurs DESC, entity LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_collocations" -> tCollocations _,
     "t_readability"  -> tReadability _,
     "t_zipf"         -> tZipf _,
+    "t_garbage"      -> tGarbage _,
+    "t_entities"     -> tEntities _,
   )
 
   val oracle: Map[String, String] = Map(
     "t_collocations" -> tCollocationsSql,
     "t_readability"  -> tReadabilitySql,
     "t_zipf"         -> tZipfSql,
+    "t_garbage"      -> tGarbageSql,
+    "t_entities"     -> tEntitiesSql,
   )
 }

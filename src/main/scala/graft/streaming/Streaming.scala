@@ -79,6 +79,31 @@ object Streaming {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming METRIC-ANOMALY flags: the alerting monitor a production
+    * stream runs against a historical baseline — watermarked hourly
+    * per-type counts joined to a STATIC per-(event_type, hour-of-day)
+    * baseline table (stream-static broadcast, stateless like
+    * enrichedHourly's dim), flagged when the live count leaves the
+    * [0.5×, 1.5×] band of the baseline MEAN. The band test is EXACT
+    * integer arithmetic — n < tot/(2·days) ⇔ 2·n·days < tot and
+    * n > 3·tot/(2·days) ⇔ 2·n·days > 3·tot — so batch and stream (and
+    * engine and oracle) cannot disagree by a rounding hair.
+    *
+    * Baseline columns: event_type, hod, base_tot (Σ counts over the
+    * baseline period), base_days (days observed). The only stateful
+    * operator is the windowed count, watermark-bounded; the baseline
+    * broadcast re-plans per micro-batch so a refreshed baseline table
+    * picks up without restart. */
+  def anomalyFlags(events: DataFrame, baseline: DataFrame,
+      withWatermark: Boolean): DataFrame =
+    hourlyAgg(events, withWatermark)
+      .withColumn("hod", expr("(hour_start_us div 3600000000) % 24"))
+      .join(broadcast(baseline), Seq("event_type", "hod"))
+      .select(col("hour_start_us"), col("event_type"), col("n"),
+        col("base_tot"), col("base_days"),
+        (col("n") * col("base_days") * 2 < col("base_tot") ||
+          col("n") * col("base_days") * 2 > col("base_tot") * 3).as("is_anomaly"))
+
   final case class Ev(user_id: Long, ts_us: Long, value: Double,
       event_time: java.sql.Timestamp = null)
   final case class St(idx: Long, buffer: List[Ev])

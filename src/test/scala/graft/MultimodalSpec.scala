@@ -386,4 +386,22 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("stereo WAV roundtrip: pcmChannels is sample-exact per channel; pcmSamples downmix averages") {
+    val left = Array.tabulate(777)(i => ((i * 131) % 4001 - 2000).toShort)
+    val right = Array.tabulate(777)(i => ((i * 257) % 4001 - 2000).toShort)
+    val wav = graft.multimodal.Audio.wavStereoBytes(left, right)
+    val chans = graft.multimodal.Audio.pcmChannels(wav)
+    assert(chans.length == 2, s"expected 2 channels, got ${chans.length}")
+    assert(chans(0).toSeq == left.toSeq, "left channel must roundtrip sample-exact")
+    assert(chans(1).toSeq == right.toSeq, "right channel must roundtrip sample-exact")
+    // the mono path averages the interleaved frame — channel structure is
+    // gone, which is exactly why the stereo gate uses pcmChannels
+    val mono = graft.multimodal.Audio.pcmSamples(wav)
+    assert(mono.length == left.length)
+    assert(mono.toSeq == left.indices.map(i => ((left(i) + right(i)) / 2).toShort),
+      "mono downmix must be the frame average")
+    // garbage never throws, reports no channels
+    assert(graft.multimodal.Audio.pcmChannels(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }

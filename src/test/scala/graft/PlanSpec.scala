@@ -623,6 +623,91 @@ class PlanSpec extends AnyFunSuite {
       s"the co-located join must not shuffle on the key:\n${p.take(3000)}")
   }
 
+  test("q_gaps: the fact table shuffles once (user-keyed window); rollup is magnitude-bounded") {
+    val p = plan(graft.queries.Relational7.qGaps(spark, dir))
+    val userShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(userShuffles <= 1, s"one user-keyed shuffle expected ($userShuffles):\n${p.take(3000)}")
+    assert(p.linesIterator.count(_.contains("Window")) <= 2, // logical+physical mention
+      s"a single lag window expected:\n${p.take(3000)}")
+  }
+
+  test("q_benford: one map-side-partial aggregation to ≤9 rows; total broadcasts") {
+    val p = plan(graft.queries.Relational8.qBenford(spark, dir))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"digit counts must partial-aggregate map-side:\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"no window anywhere:\n${p.take(3000)}")
+  }
+
+  test("q_hhi: supplier dim broadcasts into the fact scan; fact shuffles once") {
+    val p = plan(graft.queries.Relational8.qHhi(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"supplier and nation must broadcast:\n${p.take(3000)}")
+    val factShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(s_nationkey, s_suppkey"))
+    assert(factShuffles <= 1, s"one fact shuffle expected ($factShuffles):\n${p.take(3000)}")
+  }
+
+  test("q_chisq: marginals roll up the checkpointed cell frame and broadcast back") {
+    val p = plan(graft.queries.Relational8.qChisq(spark, dir))
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2,
+      s"row/col marginals must broadcast into the cell join:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"bounded marginal joins must never sort-merge:\n${p.take(3000)}")
+  }
+
+  test("q_new_returning: first-day min rides the user-keyed window; no fact join") {
+    val p = plan(graft.queries.Relational8.qNewReturning(spark, dir))
+    val userShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(userShuffles <= 2, s"activity distinct + user window only ($userShuffles):\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"the flag must come from the window, never a join back to the fact:\n${p.take(3000)}")
+  }
+
+  test("e_table_checksum: both sides partial-aggregate map-side to bucket rows; no window") {
+    val p = plan(graft.queries.Etl3.eTableChecksum(spark, dir))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"checksums must partial-aggregate map-side:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"no window anywhere:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("e_type_infer: the stack unpivot feeds ONE col-keyed aggregation; no join") {
+    val p = plan(graft.queries.Etl3.eTypeInfer(spark, dir))
+    assert(!p.contains("Join"), s"type votes must not join anything:\n${p.take(3000)}")
+    val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(col_name"))
+    assert(aggShuffles <= 1, s"one keyed shuffle expected ($aggShuffles):\n${p.take(3000)}")
+  }
+
+  test("t_garbage: regex counts ride the scan — no keyed shuffle before the presentation sort") {
+    val p = plan(graft.queries.Text2.tGarbage(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the feature pass must stay narrow:\n${p.take(3000)}")
+    assert(!p.contains("Window") && !p.contains("Join"))
+  }
+
+  test("t_entities: top-20 is a bounded TakeOrdered, never a global window sort") {
+    val p = plan(graft.queries.Text2.tEntities(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"entity top-k must be a per-partition heap:\n${p.take(3000)}")
+    assert(!p.contains("Window"))
+  }
+
+  test("s_ood: centroid table broadcasts back; the corpus pays one label-keyed partial agg") {
+    val p = plan(graft.queries.Similarity2.sOod(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |labels|-row centroid table must broadcast:\n${p.take(3000)}")
+    val labelShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(label"))
+    assert(labelShuffles <= 1, s"one label-keyed shuffle expected ($labelShuffles):\n${p.take(3000)}")
+  }
+
+  test("st_anomaly: the baseline joins as a broadcast — the stream's only state is the windowed count") {
+    val p = plan(graft.queries.Modal.stAnomaly(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |types|x24 baseline must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("e_survivorship: ONE entity-keyed aggregation — no window, all survivorship max_bys ride it") {
     val p = plan(graft.queries.Etl2.eSurvivorship(spark, dir))
     assert(!p.contains("Window"),

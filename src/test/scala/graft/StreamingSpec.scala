@@ -43,6 +43,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch), "every emitted window must match the batch result")
   }
 
+  test("streaming metric anomaly: watermark-closed flags match the batch band rule") {
+    val ev = Tables.events(spark, dir).withColumn("us", expr("ts div 1000"))
+    val day = expr("us div 86400000000")
+    // static baseline from the even epoch-days, persisted like a real
+    // baseline table would be
+    val baseDir = java.nio.file.Files.createTempDirectory("anomaly-base").toString
+    ev.filter(day % 2 === 0)
+      .select(col("event_type"), expr("(us div 3600000000) % 24").as("hod"), day.as("d"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("base_tot"), countDistinct(col("d")).as("base_days"))
+      .write.mode("overwrite").parquet(baseDir)
+    val baseline = spark.read.parquet(baseDir)
+    val stream = spark.readStream.schema(eventsSchema).parquet(streamDir)
+      .filter(expr("(ts div 1000) div 86400000000") % 2 === 1)
+    val q = Streaming.anomalyFlags(stream, baseline, withWatermark = true)
+      .writeStream.outputMode("append").format("memory").queryName("anomaly_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("anomaly_out")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect().toSet
+    val batch = Streaming.anomalyFlags(
+        Tables.events(spark, dir).filter(expr("(ts div 1000) div 86400000000") % 2 === 1),
+        baseline, withWatermark = false)
+      .as[(Long, String, Long, Long, Long, Boolean)].collect().toSet
+    assert(streamed.nonEmpty, "watermark must have closed some windows")
+    assert(streamed.subsetOf(batch), "every emitted flag row must match batch")
+    assert(batch.exists(_._6) && batch.exists(!_._6),
+      "both verdicts must be exercised by the split")
+  }
+
   test("streaming hourly top-k: ranking watermark-closed windows matches batch") {
     val stream = spark.readStream.schema(eventsSchema).parquet(streamDir)
     val ranked = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
