@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
 
@@ -163,13 +163,108 @@ object Etl3 {
       |       ELSE 'text' END AS inferred
       |FROM l GROUP BY col_name ORDER BY col_name""".stripMargin
 
+  // --------------------------------------------------------------- e_mask
+
+  /** e_mask: FORMAT-PRESERVING MASKING — the display-layer PII rule
+    * (support tooling, logs, lower environments) beside e_pseudonymize's
+    * join-preserving surrogates: phone numbers keep their separators and
+    * last four digits, emails keep the first character of the local part
+    * and the full domain. The OPERATOR is the generic regex (Java
+    * lookahead/lookbehind — any phone/email shape masks correctly, not
+    * just this feed's); the ORACLE builds the expected masked strings by
+    * construction from the same derivation — so the generic mechanism is
+    * checked against an independent formulation, the t_bpe_train
+    * cross-check pattern.
+    *
+    * Scale shape: pure narrow maps riding the scan; nothing shuffles
+    * before the presentation sort. */
+  def eMask(s: SparkSession, dir: String): DataFrame = {
+    val phone = concat(lit("+1-"),
+      lpad(((col("c_custkey") * 7) % 900 + 100).cast("string"), 3, "0"), lit("-"),
+      lpad(((col("c_custkey") * 13) % 10000).cast("string"), 4, "0"))
+    val email = concat(lit("user"), col("c_custkey").cast("string"), lit("@example.com"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), phone.as("phone"), email.as("email"))
+      // mask every digit that still has ≥4 digits after it; keep separators
+      .withColumn("phone_masked",
+        regexp_replace(col("phone"), "\\d(?=(?:\\D*\\d){4})", "X"))
+      // mask the local part after its first character
+      .withColumn("email_masked",
+        regexp_replace(col("email"), "(?<=.)[^@](?=[^@]*@)", "*"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val eMaskSql: String =
+    """SELECT c_custkey,
+      |  '+1-' || lpad(CAST((c_custkey * 7) % 900 + 100 AS VARCHAR), 3, '0') || '-'
+      |        || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') AS phone,
+      |  'user' || CAST(c_custkey AS VARCHAR) || '@example.com' AS email,
+      |  '+X-XXX-' || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') AS phone_masked,
+      |  'u' || repeat('*', length('user' || CAST(c_custkey AS VARCHAR)) - 1)
+      |      || '@example.com' AS email_masked
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------ io_mor_roundtrip
+
+  /** io_mor_roundtrip: MERGE-ON-READ — the Iceberg/Delta deletion-vector
+    * pattern under the oracle: an upsert against an immutable base layout
+    * writes only a small EQUALITY-DELETE file (the superseded keys) and an
+    * APPEND file (the replacement rows); readers compose
+    * base ANTI-JOIN deletes UNION ALL appends at scan time, and the base
+    * files are NEVER rewritten (the write-amplification trade every
+    * lakehouse table format makes for fast upserts; compaction folds the
+    * deltas in later — Writers.compact's job). The gate upserts a derived
+    * revision (key % 97 == 3 rows get a +1 micro-unit price), reads
+    * through the MoR view, aggregates per status, and must hash-match the
+    * oracle applying the same revision logically.
+    *
+    * Scale shape: the delete set BROADCASTS into the base scan (an
+    * anti-join on the key — at 100 TB a bloom of the delete keys prunes
+    * row groups first); appends are file-append-only. One aggregation. */
+  def ioMorRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d18 = DecimalType(18, 6)
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_totalprice").cast(d18).as("price"))
+    val root = s"/tmp/graft_mor_${Integer.toHexString(dir.hashCode)}"
+    base.write.mode("overwrite").parquet(s"$root/base")
+    val hot = col("k") % 97 === 3
+    base.filter(hot).select(col("k"))
+      .write.mode("overwrite").parquet(s"$root/deletes")
+    base.filter(hot)
+      .select(col("k"), col("status"), (col("price") + lit(1)).cast(d18).as("price"))
+      .write.mode("overwrite").parquet(s"$root/appends")
+    val b = s.read.parquet(s"$root/base")
+    val del = s.read.parquet(s"$root/deletes")
+    val app = s.read.parquet(s"$root/appends")
+    val morView = b.join(broadcast(del), Seq("k"), "left_anti").unionByName(app)
+    morView.groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast(DoubleType).as("revenue"))
+      .orderBy(col("status"))
+  }
+
+  val ioMorRoundtripSql: String =
+    """WITH rev AS (
+      |  SELECT o_orderstatus AS status,
+      |    CASE WHEN o_orderkey % 97 = 3
+      |         THEN CAST(CAST(o_totalprice AS DECIMAL(18,6)) + 1 AS DECIMAL(18,6))
+      |         ELSE CAST(o_totalprice AS DECIMAL(18,6)) END AS price
+      |  FROM orders)
+      |SELECT status, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS revenue
+      |FROM rev GROUP BY status ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_table_checksum" -> eTableChecksum _,
     "e_type_infer"     -> eTypeInfer _,
+    "e_mask"           -> eMask _,
+    "io_mor_roundtrip" -> ioMorRoundtrip _,
   )
 
   val oracle: Map[String, String] = Map(
     "e_table_checksum" -> eTableChecksumSql,
     "e_type_infer"     -> eTypeInferSql,
+    "e_mask"           -> eMaskSql,
+    "io_mor_roundtrip" -> ioMorRoundtripSql,
   )
 }

@@ -182,13 +182,109 @@ object Modal3 {
       |  COUNT(DISTINCT e) AS n_levels
       |FROM eq GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- m_gif_frames
+
+  /** m_gif_frames: ANIMATED-GIF frame extraction — a real multi-frame
+    * container (the m_frame_sample/MJPEG sibling through an actual
+    * animation format): per document, 1 + doc_id % 3 grayscale 8×8
+    * frames (two gray levels — palette-exact through GIF's indexed
+    * color) write through the JDK's GIF SEQUENCE writer, then the
+    * operator under test re-opens the container, counts frames via the
+    * reader index and decodes each frame to an exact luma sum. Writer,
+    * palette quantizer, LZW codec and reader are all under the oracle,
+    * which replays per-frame luma as 40·64 + 160·popcount(md5 bits) —
+    * codegen'd bit_count on both engines.
+    *
+    * Scale shape: one narrow mapPartitions pass; per-blob state is one
+    * frame; one row per video leaves the executor. */
+  def mGifFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 2)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // explicit 256-entry gray palette: TYPE_BYTE_INDEXED stores the
+        // sample VALUE, GIF carries the palette verbatim, and decode's
+        // getRGB returns the palette color — no sRGB⇄linear colorspace
+        // conversion anywhere (TYPE_BYTE_GRAY's setRGB/getRGB would apply
+        // one and break the oracle's exact 40/200 replay)
+        val grays = Array.tabulate(256)(_.toByte)
+        val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+        def frame(id: Long, f: Int): java.awt.image.BufferedImage = {
+          md.reset()
+          val hex = md.digest(s"$id:$f".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+          val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          val raster = img.getRaster
+          var j = 0
+          while (j < 64) {
+            val bit = if (j < 32) (h1 >> j) & 1L else (h2 >> (j - 32)) & 1L
+            raster.setSample(j % 8, j / 8, 0, if (bit == 1L) 200 else 40)
+            j += 1
+          }
+          img
+        }
+        it.flatMap { id =>
+          val nf = (1 + id % 3).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          (0 until nf).foreach { f =>
+            writer.writeToSequence(new javax.imageio.IIOImage(frame(id, f), null, null), null)
+          }
+          writer.endWriteSequence(); ios.close(); writer.dispose()
+          // --- the operator under test: re-open and decode the container ---
+          val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          var total = 0L; var first = 0L
+          var i = 0
+          while (i < n) {
+            val dec = reader.read(i)
+            var sum = 0L; var j = 0
+            while (j < 64) { sum += (dec.getRGB(j % 8, j / 8) & 0xff); j += 1 }
+            if (i == 0) first = sum
+            total += sum
+            i += 1
+          }
+          reader.dispose(); iis.close()
+          Some((id, n.toLong, first, total))
+        }
+      }.toDF("doc_id", "n_frames", "frame0_luma", "luma_total")
+      .orderBy(col("doc_id"))
+  }
+
+  val mGifFramesSql: String =
+    """WITH ids AS (SELECT doc_id, 1 + doc_id % 3 AS nf
+      |             FROM documents WHERE doc_id % 4 = 2),
+      |fr AS (
+      |  SELECT doc_id, nf, f,
+      |    40 * 64 + 160 * (
+      |      bit_count(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)), 1, 8))::BIGINT)
+      |    + bit_count(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)), 9, 8))::BIGINT)) AS luma
+      |  FROM ids, (SELECT unnest(range(3)) AS f) fs WHERE f < nf)
+      |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(MIN(CASE WHEN f = 0 THEN luma END) AS BIGINT) AS frame0_luma,
+      |  CAST(SUM(luma) AS BIGINT) AS luma_total
+      |FROM fr GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m_png_meta" -> mPngMeta _,
-    "m_hist_eq"  -> mHistEq _,
+    "m_png_meta"   -> mPngMeta _,
+    "m_hist_eq"    -> mHistEq _,
+    "m_gif_frames" -> mGifFrames _,
   )
 
   val oracle: Map[String, String] = Map(
-    "m_png_meta" -> mPngMetaSql,
-    "m_hist_eq"  -> mHistEqSql,
+    "m_png_meta"   -> mPngMetaSql,
+    "m_hist_eq"    -> mHistEqSql,
+    "m_gif_frames" -> mGifFramesSql,
   )
 }

@@ -226,11 +226,144 @@ object Relational8 {
        |  CAST(CAST(CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS pct_new
        |FROM f GROUP BY day ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------- q_skyline
+
+  private val SkyBands = 16
+
+  /** q_skyline: the SKYLINE (Pareto-front) query — "parts no other part
+    * beats on BOTH price and demand": part B is dominated iff some A has
+    * price ≤ B's and demand ≥ B's, strictly better in one. The classic
+    * multi-criteria shortlist (cheapest-for-the-demand frontier) and a
+    * textbook OLAP research operator.
+    *
+    * Distributed without a global sort via the q_pareto BANDED PREFIX
+    * trick: integer micro-prices map to 16 equal-width bands (monotone
+    * in price), the cross-band "best demand among strictly cheaper
+    * bands" prefixes over the 16-row band frame, and the within-band
+    * "best among strictly cheaper" is ONE window PARTITIONED BY BAND
+    * with a RANGE frame ending 1 micro-unit before the current price —
+    * the tie-aware strict inequality, no self-exclusion hacks. A part is
+    * dominated iff that running best ≥ its demand, OR a same-price peer
+    * (RANGE 0..0 frame on the same window sort) has strictly more.
+    *
+    * Everything is exact integers (micro-price, decimal-summed demand
+    * in units of 10⁻⁶); the oracle replays the same two frames over the
+    * flat global price order — band order ≡ global order, so the
+    * results are value-identical. */
+  def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d18 = DecimalType(18, 6)
+    val parts = Tables.part(s, dir)
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast(d18) * lit(1000000L)).cast("long").as("price_i"))
+    val demand = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity").cast(d18)) * lit(1000000L)).cast("long").as("qty_i"))
+    val pts = parts.join(demand, col("p_partkey") === col("l_partkey"))
+      .select(col("p_partkey"), col("price_i"), col("qty_i"))
+    val bounds = pts.agg(min(col("price_i")).as("lo"), max(col("price_i")).as("hi"))
+    val banded = pts.crossJoin(broadcast(bounds))
+      .withColumn("band", expr(s"((price_i - lo) * $SkyBands) div (hi - lo + 1)"))
+      .localCheckpoint(false)
+    val bandMax = banded.groupBy(col("band")).agg(max(col("qty_i")).as("bm"))
+    val wPfx = Window.orderBy(col("band")).rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = bandMax.withColumn("pfx", max(col("bm")).over(wPfx)) // ≤16 rows
+    val wCheaper = Window.partitionBy(col("band")).orderBy(col("price_i"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wPeers = Window.partitionBy(col("band")).orderBy(col("price_i"))
+      .rangeBetween(0, 0)
+    banded.join(broadcast(prefix.select(col("band"), col("pfx"))), Seq("band"))
+      .withColumn("best_cheaper",
+        greatest(coalesce(max(col("qty_i")).over(wCheaper), lit(Long.MinValue)),
+          coalesce(col("pfx"), lit(Long.MinValue))))
+      .withColumn("peer_best", max(col("qty_i")).over(wPeers))
+      .filter(col("best_cheaper") < col("qty_i") && col("peer_best") === col("qty_i"))
+      .select(col("p_partkey"),
+        (col("price_i").cast(DoubleType) / lit(1000000.0)).as("price"),
+        (col("qty_i").cast(DoubleType) / lit(1000000.0)).as("demand"))
+      .orderBy(col("price"), col("p_partkey"))
+  }
+
+  val qSkylineSql: String =
+    """WITH pts AS (
+      |  SELECT p_partkey,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS price_i,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS qty_i
+      |  FROM part JOIN lineitem ON l_partkey = p_partkey
+      |  GROUP BY p_partkey, p_retailprice),
+      |f AS (
+      |  SELECT p_partkey, price_i, qty_i,
+      |    COALESCE(MAX(qty_i) OVER (ORDER BY price_i
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808) AS best_cheaper,
+      |    MAX(qty_i) OVER (ORDER BY price_i
+      |      RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS peer_best
+      |  FROM pts)
+      |SELECT p_partkey, CAST(price_i AS DOUBLE) / 1000000.0 AS price,
+      |  CAST(qty_i AS DOUBLE) / 1000000.0 AS demand
+      |FROM f WHERE best_cheaper < qty_i AND peer_best = qty_i
+      |ORDER BY price, p_partkey""".stripMargin
+
+  // --------------------------------------------------------- q_funnel_time
+
+  /** q_funnel_time: TIME-TO-CONVERT distribution — the "how long from
+    * signup to first purchase" question behind activation dashboards
+    * (q_funnel counts WHO converts; this measures HOW FAST): per user the
+    * lag from first signup to the first purchase AT OR AFTER it,
+    * bucketed by whole days, with per-bucket user counts and exact
+    * min/max lag seconds. Users who never purchase after signing up are
+    * reported in the -1 bucket — silently dropping them would overstate
+    * activation.
+    *
+    * Scale shape: ONE user-keyed shuffle carries the signup-min window
+    * AND the conversion aggregation (supersets of user_id reuse the
+    * partitioning); the day rollup runs on |users| rows. All integer
+    * microseconds. */
+  def qFunnelTime(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val lags = ev(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .withColumn("signup_us",
+        min(when(col("event_type") === "signup", col("ts_us"))).over(w))
+      .filter(col("signup_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "purchase" &&
+          col("ts_us") >= col("signup_us"),
+          col("ts_us") - col("signup_us"))).as("lag_us"))
+    lags.select(
+        when(col("lag_us").isNull, lit(-1L))
+          .otherwise(expr(s"lag_us div $UsPerDay")).as("lag_days"),
+        col("lag_us"))
+      .groupBy(col("lag_days"))
+      .agg(count(lit(1)).as("n_users"),
+        min(expr("lag_us div 1000000")).as("min_lag_s"),
+        max(expr("lag_us div 1000000")).as("max_lag_s"))
+      .orderBy(col("lag_days"))
+  }
+
+  val qFunnelTimeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+       |  WHERE event_type IN ('signup', 'purchase')),
+       |su AS (SELECT user_id, MIN(us) AS signup_us FROM e WHERE event_type = 'signup' GROUP BY 1),
+       |lags AS (
+       |  SELECT su.user_id,
+       |    MIN(CASE WHEN e.event_type = 'purchase' AND e.us >= su.signup_us
+       |             THEN e.us - su.signup_us END) AS lag_us
+       |  FROM su JOIN e ON e.user_id = su.user_id
+       |  GROUP BY su.user_id)
+       |SELECT CASE WHEN lag_us IS NULL THEN -1 ELSE lag_us // $UsPerDay END AS lag_days,
+       |  COUNT(*) AS n_users, MIN(lag_us // 1000000) AS min_lag_s,
+       |  MAX(lag_us // 1000000) AS max_lag_s
+       |FROM lags GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_benford"       -> qBenford _,
     "q_hhi"           -> qHhi _,
     "q_chisq"         -> qChisq _,
     "q_new_returning" -> qNewReturning _,
+    "q_skyline"       -> qSkyline _,
+    "q_funnel_time"   -> qFunnelTime _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -238,5 +371,7 @@ object Relational8 {
     "q_hhi"           -> qHhiSql,
     "q_chisq"         -> qChisqSql,
     "q_new_returning" -> qNewReturningSql,
+    "q_skyline"       -> qSkylineSql,
+    "q_funnel_time"   -> qFunnelTimeSql,
   )
 }

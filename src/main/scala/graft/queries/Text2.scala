@@ -273,12 +273,56 @@ object Text2 {
       |FROM e GROUP BY entity HAVING COUNT(*) >= 3
       |ORDER BY n_occurs DESC, entity LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------- t_ctrlchars
+
+  /** t_ctrlchars: ENCODING-HEALTH audit — control characters and U+FFFD
+    * replacement chars are the residue of binary contamination and
+    * failed charset decodes (the upstream crimes e_sanitize's mojibake
+    * repair can't fix); a corpus whose replacement-char rate climbs has
+    * a broken extractor upstream. Counts per doc over literal
+    * RE2-and-Java-identical classes (C0 controls minus \t\n\r, plus the
+    * replacement char), verdict = any hit. Planted at doc_id % 29 (the
+    * t_code_detect pattern — both verdicts fire every run).
+    *
+    * Scale shape: pure narrow maps; IO-bound at 100 TB. */
+  def tCtrlchars(s: SparkSession, dir: String): DataFrame = {
+    val junk = "\u0001\u0007\u000b payload \uFFFD\uFFFD tail "
+    val planted = when(col("doc_id") % 29 === 0,
+      concat(lit(junk), col("text"))).otherwise(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("t2", planted)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t2"),
+          lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), lit(0))).cast("long").as("n_ctrl"),
+        size(regexp_extract_all(col("t2"), lit("\uFFFD"), lit(0)))
+          .cast("long").as("n_repl"),
+        length(col("t2")).cast("long").as("n_chars"))
+      .withColumn("needs_clean", col("n_ctrl") > 0 || col("n_repl") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val tCtrlcharsSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 29 = 0
+      |      THEN chr(1) || chr(7) || chr(11) || ' payload ' || chr(65533) || chr(65533) || ' tail ' || text
+      |      ELSE text END AS t2
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t2, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS n_ctrl,
+      |  CAST(len(regexp_extract_all(t2, chr(65533))) AS BIGINT) AS n_repl,
+      |  CAST(length(t2) AS BIGINT) AS n_chars,
+      |  (len(regexp_extract_all(t2, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) > 0
+      |    OR len(regexp_extract_all(t2, chr(65533))) > 0) AS needs_clean
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_collocations" -> tCollocations _,
     "t_readability"  -> tReadability _,
     "t_zipf"         -> tZipf _,
     "t_garbage"      -> tGarbage _,
     "t_entities"     -> tEntities _,
+    "t_ctrlchars"    -> tCtrlchars _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -287,5 +331,6 @@ object Text2 {
     "t_zipf"         -> tZipfSql,
     "t_garbage"      -> tGarbageSql,
     "t_entities"     -> tEntitiesSql,
+    "t_ctrlchars"    -> tCtrlcharsSql,
   )
 }

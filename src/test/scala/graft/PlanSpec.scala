@@ -708,6 +708,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_skyline: dominance windows partition by band — no full-frame single-partition sort") {
+    val p = plan(graft.queries.Relational8.qSkyline(spark, dir))
+    // the only single-partition exchange allowed is the ≤16-row band-prefix frame
+    val sp = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(sp <= 1, s"only the 16-row band frame may single-partition ($sp):\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bounds and band prefix must broadcast:\n${p.take(3000)}")
+  }
+
+  test("q_funnel_time: signup window and conversion agg share ONE user-keyed shuffle") {
+    val p = plan(graft.queries.Relational8.qFunnelTime(spark, dir))
+    val userShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(userShuffles <= 1, s"one user-keyed shuffle expected ($userShuffles):\n${p.take(3000)}")
+  }
+
+  test("e_mask: masking is a narrow projection riding the scan") {
+    val p = plan(graft.queries.Etl3.eMask(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no keyed shuffle before the presentation sort:\n${p.take(3000)}")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("io_mor_roundtrip: the delete set applies as a BROADCAST anti-join on the base scan") {
+    val p = plan(graft.queries.Etl3.ioMorRoundtrip(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"deletes must broadcast into an anti-join:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("t_ctrlchars: the audit is a narrow regex pass riding the scan") {
+    val p = plan(graft.queries.Text2.tCtrlchars(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no keyed shuffle before the presentation sort:\n${p.take(3000)}")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
   test("e_survivorship: ONE entity-keyed aggregation — no window, all survivorship max_bys ride it") {
     val p = plan(graft.queries.Etl2.eSurvivorship(spark, dir))
     assert(!p.contains("Window"),
