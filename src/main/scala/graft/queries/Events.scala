@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.OracleParity.xsum
@@ -568,7 +569,143 @@ object Events {
        |FROM spine s LEFT JOIN hist h ON h.lt >= s.t, tot
        |GROUP BY s.t, tot.n_total ORDER BY s.t""".stripMargin
 
+  // ------------------------------------------------------- q_sketch_setops
+
+  /** q_sketch_setops: DISTINCT-COUNT SET ALGEBRA ON SKETCHES — the reason
+    * mergeable sketches exist: "how many users in A∪B / A∩B" across two
+    * corpus slices WITHOUT rescanning either (per-slice KMV sketches
+    * merge into the union's sketch; intersection estimates by
+    * inclusion–exclusion; Jaccard directly from slot agreement). Slices
+    * are the even/odd epoch-day halves. The union sketch derives
+    * IN-QUERY from the two slice sketches (k smallest of the merged
+    * arrays — never a re-aggregation), and the membership test for the
+    * Jaccard estimator is array intersection against the SLICE sketches:
+    * sound because any hash among the union's k minima that belongs to A
+    * is necessarily among A's k minima. Everything is integer hashes and
+    * pinned divisions — deterministic, hash-checkable estimates beside
+    * their exact counterparts.
+    *
+    * Scale shape: one keyed aggregation per slice (O(k) state — the
+    * rollup a 100 TB pipeline stores per partition/day and NEVER
+    * rescans); the algebra runs on two k-element arrays. */
+  def qSketchSetops(s: SparkSession, dir: String): DataFrame = {
+    def sk = org.apache.spark.sql.graftshim.ColumnBridge.column(
+      graft.functions.KmvSketch(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(col("h")), KmvK)
+        .toAggregateExpression())
+    val base = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .withColumn("h", conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10).cast("long"))
+      .withColumn("side", expr(s"(ts div 1000) div $UsPerDay") % 2)
+    val sides = base.groupBy(col("side"))
+      .agg(countDistinct(col("user_id")).as("n_exact"), sk.as("kmv"))
+    val a = sides.filter(col("side") === 0).select(col("n_exact").as("exact_a"), col("kmv").as("ka"))
+    val b = sides.filter(col("side") === 1).select(col("n_exact").as("exact_b"), col("kmv").as("kb"))
+    val exactU = base.agg(countDistinct(col("user_id")).as("exact_union"))
+    def est(arr: Column): Column =
+      when(size(arr) < KmvK, size(arr).cast("double"))
+        .otherwise(lit(KmvScale) / get(arr, lit(KmvK - 1)).cast("double"))
+    a.crossJoin(b).crossJoin(broadcast(exactU))
+      .withColumn("ku", slice(array_sort(array_distinct(concat(col("ka"), col("kb")))), 1, KmvK))
+      .withColumn("est_a", est(col("ka")))
+      .withColumn("est_b", est(col("kb")))
+      .withColumn("est_union", est(col("ku")))
+      .withColumn("jaccard_est",
+        size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb"))).cast("double") /
+          size(col("ku")).cast("double"))
+      .select(col("exact_a"), col("exact_b"), col("exact_union"),
+        col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"),
+        col("jaccard_est"))
+  }
+
+  val qSketchSetopsSql: String = {
+    def sliceCte(name: String, par: Int) =
+      s"""${name}_h AS (
+         |  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM events WHERE user_id IS NOT NULL AND (epoch_us(ts) // $UsPerDay) % 2 = $par),
+         |${name}_r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ${name}_h),
+         |$name AS (SELECT list(h ORDER BY h) AS kmv FROM ${name}_r WHERE rn <= $KmvK)""".stripMargin
+    def est(arr: String) =
+      s"CASE WHEN len($arr) < $KmvK THEN CAST(len($arr) AS DOUBLE) ELSE ($KmvScale) / CAST($arr[$KmvK] AS DOUBLE) END"
+    s"""WITH ${sliceCte("sa", 0)},
+       |${sliceCte("sb", 1)},
+       |ex AS (
+       |  SELECT COUNT(DISTINCT CASE WHEN (epoch_us(ts) // $UsPerDay) % 2 = 0 THEN user_id END) AS exact_a,
+       |    COUNT(DISTINCT CASE WHEN (epoch_us(ts) // $UsPerDay) % 2 = 1 THEN user_id END) AS exact_b,
+       |    COUNT(DISTINCT user_id) AS exact_union
+       |  FROM events WHERE user_id IS NOT NULL),
+       |m AS (
+       |  SELECT sa.kmv AS ka, sb.kmv AS kb,
+       |    list_sort(list_distinct(sa.kmv || sb.kmv))[1:$KmvK] AS ku
+       |  FROM sa, sb)
+       |SELECT exact_a, exact_b, exact_union,
+       |  ${est("ka")} AS est_a, ${est("kb")} AS est_b, ${est("ku")} AS est_union,
+       |  (${est("ka")}) + (${est("kb")}) - (${est("ku")}) AS est_intersect,
+       |  CAST(len(list_intersect(list_intersect(ku, ka), kb)) AS DOUBLE)
+       |    / CAST(len(ku) AS DOUBLE) AS jaccard_est
+       |FROM m, ex""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q_decay
+
+  /** q_decay: TIME-DECAY weighted engagement — the recency-weighted score
+    * behind trending ranks and churn features: each event contributes
+    * value · 2^(−age_days), so yesterday counts half of today. The
+    * whole computation is EXACT INTEGER/DECIMAL arithmetic: the weight
+    * rides as the integer 2^(62−age) (one shifted bit — events older
+    * than 62 days truncate to exactly 0, the documented horizon), the
+    * per-event product value·w is an exact decimal, the sum is
+    * order-invariant, and ONE final division by the exactly-representable
+    * 2^62 rescales — no engine-dependent double→decimal rounding
+    * anywhere (a frozen pow(2, −age) double differed by an ulp between
+    * engines; e^{−λt} weights would be hopeless).
+    *
+    * Scale shape: 1-row frontier broadcast + ONE map-side-partial
+    * aggregation to |types| rows. At 10¹²-event scale the decimal
+    * headroom wants per-day pre-aggregation first (collapse to
+    * |types|×|days| then weight — same answer, bounded terms). */
+  def qDecay(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .withColumn("day", expr(s"(ts div 1000) div $UsPerDay"))
+    val frontier = base.agg(max(col("day")).as("f"))
+    val two62 = 4.611686018427387904e18 // 2^62, exactly representable
+    base.crossJoin(broadcast(frontier))
+      .withColumn("age", col("f") - col("day"))
+      .withColumn("w", when(col("age") > 62, lit(0L))
+        .otherwise(expr("shiftleft(1L, cast(62 - age AS int))")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        // the x6 pin absorbs the one-ulp divergence of the wide
+        // decimal→double conversion (a 28-significant-digit decimal
+        // rounds to double differently between engines)
+        graft.functions.OracleParity.x6(
+          sum((col("value").cast(DecimalType(18, 6)) * col("w")).cast(DecimalType(38, 6)))
+            .cast("double") / lit(two62)).as("decayed_value"),
+        graft.functions.OracleParity.x6(
+          sum(col("w").cast(DecimalType(38, 0))).cast("double") / lit(two62))
+          .as("decayed_count"))
+      .orderBy(col("event_type"))
+  }
+
+  val qDecaySql: String =
+    s"""WITH e AS (SELECT event_type, value, epoch_us(ts) // $UsPerDay AS day FROM events),
+       |f AS (SELECT MAX(day) AS f FROM e),
+       |w AS (
+       |  SELECT event_type, value,
+       |    CASE WHEN f.f - day > 62 THEN 0
+       |         ELSE (1::BIGINT << CAST(62 - (f.f - day) AS INTEGER)) END AS w
+       |  FROM e, f)
+       |SELECT event_type, COUNT(*) AS n,
+       |  CAST(CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * w AS DECIMAL(38,6))) AS DOUBLE)
+       |    / 4.611686018427387904e18 AS DECIMAL(18,6)) AS DOUBLE) AS decayed_value,
+       |  CAST(CAST(CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE)
+       |    / 4.611686018427387904e18 AS DECIMAL(18,6)) AS DOUBLE) AS decayed_count
+       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_setops" -> qSketchSetops _,
+    "q_decay"        -> qDecay _,
     "q_survival"     -> qSurvival _,
     "q_islands"      -> qIslands _,
     "q_ewma"         -> qEwma _,
@@ -588,6 +725,8 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sketch_setops" -> qSketchSetopsSql,
+    "q_decay"        -> qDecaySql,
     "q_survival"     -> qSurvivalSql,
     "q_islands"      -> qIslandsSql,
     "q_ewma"         -> qEwmaSql,

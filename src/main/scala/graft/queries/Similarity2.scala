@@ -9,7 +9,7 @@ import graft.Tables
 /** Round-11 similarity additions (SURVEY.md §2E). */
 object Similarity2 {
 
-  import Similarity.cosSql
+  import Similarity.{cosSql, dotSql, fitCached, kmAssignCte, kmRecenterCte}
 
   private val MutK = 5
 
@@ -239,15 +239,75 @@ object Similarity2 {
        |FROM sc ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s_elbow
+
+  private val ElbowKs = Seq(2, 4, 8)
+
+  /** s_elbow: the K-SELECTION (elbow) curve — inertia (Σ min squared
+    * distance) after 2 Lloyd iterations at k ∈ {2, 4, 8}: the number an
+    * IVF build or SemDeDup clustering reads to pick its cluster budget
+    * (inertia falls monotonically in k; the elbow is where more cells
+    * stop paying). Each k's model comes from the SAME cached trainer the
+    * production operators use (fitCached — k=8/iters=2 is literally the
+    * IVF gate's model, shared via StageCache), and inertia is
+    * order-invariant: the per-point squared distance is a deterministic
+    * double chain (p·p − 2·p·c + c·c, the engine-wide fold), frozen to
+    * DECIMAL(38,12) per term before the sum.
+    *
+    * Scale shape: per k, one broadcast-centroid assign pass over the
+    * corpus and one map-side-partial agg to ONE row — the elbow curve
+    * costs |Ks| corpus scans and shuffles |Ks| rows. */
+  def sElbow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val pts = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("p_id"), col("embedding").cast("array<double>").as("p_vec"))
+    val rows = ElbowKs.map { k =>
+      val cents = fitCached(s, dir, k = k, iters = 2)
+      graft.similarity.Kmeans.assign(s, pts, cents)
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("d").cast(DecimalType(38, 12))).cast(DoubleType).as("inertia"))
+        .select(lit(k).as("k"), col("n_points"), col("inertia"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy(col("k"))
+  }
+
+  val sElbowSql: String = {
+    def dist(p: String, c: String) =
+      s"${dotSql(s"$p.pv", s"$p.pv")} - 2 * ${dotSql(s"$p.pv", s"$c.cv")} + ${dotSql(s"$c.cv", s"$c.cv")}"
+    val stacks = ElbowKs.map { k =>
+      val iters = (1 to 2).flatMap(i => Seq(
+        kmAssignCte("pts", s"k${k}_c${i - 1}", s"k${k}_a$i"),
+        kmRecenterCte(s"k${k}_a$i", s"k${k}_c$i")))
+      s"""k${k}_c0 AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding] AS cv
+         |             FROM embeddings ORDER BY vec_id LIMIT $k),
+         |${iters.mkString(",\n")},
+         |k${k}_fin AS (
+         |  SELECT p_id, d FROM (
+         |    SELECT p.p_id, ${dist("p", "c")} AS d,
+         |      row_number() OVER (PARTITION BY p.p_id
+         |        ORDER BY ${dist("p", "c")}, c.c_id) AS rn
+         |    FROM pts p CROSS JOIN k${k}_c2 c) WHERE rn = 1)""".stripMargin
+    }
+    val selects = ElbowKs.map(k =>
+      s"""SELECT $k AS k, COUNT(*) AS n_points,
+         |  CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS inertia FROM k${k}_fin""".stripMargin)
+    s"""WITH pts AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding] AS pv FROM embeddings),
+       |${stacks.mkString(",\n")}
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_mutual_knn"   -> sMutualKnn _,
     "s_recall_curve" -> sRecallCurve _,
     "s_ood"          -> sOod _,
+    "s_elbow"        -> sElbow _,
   )
 
   val oracle: Map[String, String] = Map(
     "s_mutual_knn"   -> sMutualKnnSql,
     "s_recall_curve" -> sRecallCurveSql,
     "s_ood"          -> sOodSql,
+    "s_elbow"        -> sElbowSql,
   )
 }

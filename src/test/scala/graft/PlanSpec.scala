@@ -744,6 +744,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"))
   }
 
+  test("q_sketch_setops: per-slice O(k)-state aggregation; the set algebra runs on two arrays") {
+    val p = plan(graft.queries.Events.qSketchSetops(spark, dir))
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row sketch frames must never sort-merge:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"no window anywhere:\n${p.take(3000)}")
+  }
+
+  test("q_decay: 1-row frontier broadcast + one map-side-partial aggregation") {
+    val p = plan(graft.queries.Events.qDecay(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the frontier must broadcast:\n${p.take(3000)}")
+    val typeShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(event_type"))
+    assert(typeShuffles <= 1, s"one keyed shuffle expected ($typeShuffles):\n${p.take(3000)}")
+  }
+
+  test("s_elbow: every k assigns against broadcast centroids; min_by shuffles partial-aggregated rows only") {
+    val p = plan(graft.queries.Similarity2.sElbow(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast into the assign pass:\n${p.take(3000)}")
+    // the assign's min_by is partial-aggregated map-side before its p_id
+    // exchange — pin that the partial agg exists and nothing sort-merges
+    assert(p.contains("partial_min_by"),
+      s"assign must partial-aggregate before the exchange:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("e_survivorship: ONE entity-keyed aggregation — no window, all survivorship max_bys ride it") {
     val p = plan(graft.queries.Etl2.eSurvivorship(spark, dir))
     assert(!p.contains("Window"),
