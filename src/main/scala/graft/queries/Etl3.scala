@@ -254,11 +254,63 @@ object Etl3 {
       |SELECT status, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS revenue
       |FROM rev GROUP BY status ORDER BY status""".stripMargin
 
+  // --------------------------------------------------------- e_scd2_compact
+
+  /** e_scd2_compact: SCD2 HISTORY COMPACTION — the warehouse maintenance
+    * job that keeps slowly-changing dimensions readable: when a feed
+    * re-delivers unchanged attributes, naive SCD2 accretes adjacent
+    * versions with IDENTICAL attribute values; compaction merges each
+    * run of equal consecutive versions into one validity interval
+    * (first start, last end, merge count) — semantically lossless, and
+    * the read-side point lookups get proportionally cheaper. The version
+    * stream derives from each customer's orders (attribute = order
+    * priority; consecutive same-priority orders are the redundant
+    * versions), and the run key is the gaps-and-islands difference of
+    * two row numbers over ONE entity-keyed sort.
+    *
+    * Scale shape: both windows AND the run-collapse aggregation ride a
+    * single c_custkey-keyed shuffle (supersets of the partition key);
+    * output is run-bounded. */
+  def eScd2Compact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $UsPerDay")
+    val v = Tables.orders(s, dir)
+      .select(col("o_custkey").as("k"), days.as("day"),
+        col("o_orderkey").as("okey"), col("o_orderpriority").as("attr"))
+    val wAll = Window.partitionBy(col("k")).orderBy(col("day"), col("okey"))
+    val wAttr = Window.partitionBy(col("k"), col("attr")).orderBy(col("day"), col("okey"))
+    v.withColumn("grp", row_number().over(wAll) - row_number().over(wAttr))
+      .groupBy(col("k"), col("attr"), col("grp"))
+      .agg(min(col("day")).as("valid_from_day"), max(col("day")).as("valid_to_day"),
+        count(lit(1)).as("n_merged"))
+      .select(col("k").as("c_custkey"), col("attr").as("priority"),
+        col("valid_from_day"), col("valid_to_day"), col("n_merged"))
+      .orderBy(col("c_custkey"), col("valid_from_day"), col("valid_to_day"),
+        col("priority"), col("n_merged"))
+  }
+
+  val eScd2CompactSql: String =
+    s"""WITH v AS (
+       |  SELECT o_custkey AS k,
+       |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // $UsPerDay AS day,
+       |    o_orderkey AS okey, o_orderpriority AS attr
+       |  FROM orders),
+       |g AS (
+       |  SELECT k, attr, day,
+       |    row_number() OVER (PARTITION BY k ORDER BY day, okey)
+       |      - row_number() OVER (PARTITION BY k, attr ORDER BY day, okey) AS grp
+       |  FROM v)
+       |SELECT k AS c_custkey, attr AS priority,
+       |  MIN(day) AS valid_from_day, MAX(day) AS valid_to_day, COUNT(*) AS n_merged
+       |FROM g GROUP BY k, attr, grp
+       |ORDER BY c_custkey, valid_from_day, valid_to_day, priority, n_merged""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_table_checksum" -> eTableChecksum _,
     "e_type_infer"     -> eTypeInfer _,
     "e_mask"           -> eMask _,
     "io_mor_roundtrip" -> ioMorRoundtrip _,
+    "e_scd2_compact"   -> eScd2Compact _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -266,5 +318,6 @@ object Etl3 {
     "e_type_infer"     -> eTypeInferSql,
     "e_mask"           -> eMaskSql,
     "io_mor_roundtrip" -> ioMorRoundtripSql,
+    "e_scd2_compact"   -> eScd2CompactSql,
   )
 }

@@ -703,9 +703,66 @@ object Events {
        |    / 4.611686018427387904e18 AS DECIMAL(18,6)) AS DOUBLE) AS decayed_count
        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q_wape
+
+  /** q_wape: FORECAST-SKILL evaluation of the seasonal-naive predictor —
+    * the backtest number that justifies (or indicts) q_seasonal's lag-24
+    * choice: WAPE = Σ|actual − forecast| / Σ actual per event type, with
+    * MAE beside it. WAPE over MAPE because it is exact-integer until ONE
+    * pinned division (MAPE's per-row divisions explode on the zero-count
+    * hours a gapless spine exists to keep). Forecast = the same hour one
+    * day earlier on the zero-filled spine.
+    *
+    * Scale shape: one corpus agg to the |types|×|hours| spine, one
+    * type-keyed window, one |types|-row rollup — q_seasonal's budget with
+    * a different tail. */
+  def qWape(s: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(s, dir)
+      .withColumn("hour", expr(s"ts_us div $UsPerHour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("fc", lag(col("n"), 24).over(w))
+      .filter(col("fc").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(abs(col("n") - col("fc"))).as("sae"),
+        sum(col("n")).as("mass"))
+      .select(col("event_type"), col("n_hours"), col("sae"), col("mass"),
+        graft.functions.OracleParity.x6(
+          col("sae").cast("double") / col("mass").cast("double")).as("wape"),
+        graft.functions.OracleParity.x6(
+          col("sae").cast("double") / col("n_hours").cast("double")).as("mae"))
+      .orderBy(col("event_type"))
+  }
+
+  val qWapeSql: String =
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) // $UsPerHour AS hour FROM events),
+       |hourly AS (SELECT event_type, hour, COUNT(*) AS n FROM e GROUP BY 1, 2),
+       |spine AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hour
+       |          FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1 FROM e GROUP BY 1)),
+       |f AS (SELECT s.event_type, s.hour, coalesce(h.n, 0) AS n
+       |      FROM spine s LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour),
+       |lg AS (SELECT event_type, n,
+       |         lag(n, 24) OVER (PARTITION BY event_type ORDER BY hour) AS fc
+       |       FROM f),
+       |agg AS (
+       |  SELECT event_type, COUNT(*) AS n_hours, SUM(abs(n - fc)) AS sae, SUM(n) AS mass
+       |  FROM lg WHERE fc IS NOT NULL GROUP BY event_type)
+       |SELECT event_type, n_hours, sae, mass,
+       |  CAST(CAST(CAST(sae AS DOUBLE) / CAST(mass AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS wape,
+       |  CAST(CAST(CAST(sae AS DOUBLE) / CAST(n_hours AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mae
+       |FROM agg ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_setops" -> qSketchSetops _,
     "q_decay"        -> qDecay _,
+    "q_wape"         -> qWape _,
     "q_survival"     -> qSurvival _,
     "q_islands"      -> qIslands _,
     "q_ewma"         -> qEwma _,
@@ -727,6 +784,7 @@ object Events {
   val oracle: Map[String, String] = Map(
     "q_sketch_setops" -> qSketchSetopsSql,
     "q_decay"        -> qDecaySql,
+    "q_wape"         -> qWapeSql,
     "q_survival"     -> qSurvivalSql,
     "q_islands"      -> qIslandsSql,
     "q_ewma"         -> qEwmaSql,

@@ -276,15 +276,92 @@ object Modal3 {
       |  CAST(SUM(luma) AS BIGINT) AS luma_total
       |FROM fr GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ m_patchify
+
+  /** m_patchify: ViT-style PATCH EXTRACTION — the preprocessing every
+    * vision-language training pipeline runs before the vision encoder
+    * (image → non-overlapping patches → per-patch features): real 8×8
+    * grayscale PNGs (nibble-formula pixels, the m_hist_eq raster) decode
+    * via javax.imageio and split into sixteen 2×2 patches, each reduced
+    * to its exact integer sum and integer-division mean. Writer, codec
+    * and the row-major patch indexing (patch = (y div 2)·4 + x div 2)
+    * are all under the oracle's formula replay — an off-by-one in the
+    * patch walk breaks the hash.
+    *
+    * Scale shape: one narrow mapPartitions pass; 16 fixed rows per
+    * image. */
+  def mPatchify(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 1)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { id =>
+          md.reset()
+          val hexA = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          md.reset()
+          val hexB = md.digest(s"${id}b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          def nib(j: Int): Int =
+            if (j < 32) Integer.parseInt(hexA.substring(j, j + 1), 16)
+            else Integer.parseInt(hexB.substring(j - 32, j - 31), 16)
+          val img = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var j = 0
+          while (j < 64) {
+            val v = nib(j) * 17
+            img.setRGB(j % 8, j / 8, (v << 16) | (v << 8) | v)
+            j += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val dec = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          if (dec == null) Iterator.empty
+          else {
+            val sums = Array.fill(16)(0L)
+            var k = 0
+            while (k < 64) {
+              val (x, y) = (k % 8, k / 8)
+              sums((y / 2) * 4 + x / 2) += (dec.getRGB(x, y) & 0xff).toLong
+              k += 1
+            }
+            sums.iterator.zipWithIndex.map { case (ps, idx) =>
+              (id, idx.toLong, ps, ps / 4)
+            }
+          }
+        }
+      }.toDF("doc_id", "patch_idx", "patch_sum", "patch_mean")
+      .orderBy(col("doc_id"), col("patch_idx"))
+  }
+
+  val mPatchifySql: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1),
+      |px AS (
+      |  SELECT doc_id,
+      |    ((j // 8) // 2) * 4 + (j % 8) // 2 AS patch_idx,
+      |    CASE WHEN j < 32
+      |      THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), j + 1, 1))::BIGINT * 17
+      |      ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'b'), j - 31, 1))::BIGINT * 17
+      |    END AS v
+      |  FROM ids, (SELECT unnest(range(64)) AS j) js)
+      |SELECT doc_id, CAST(patch_idx AS BIGINT) AS patch_idx,
+      |  SUM(v) AS patch_sum, SUM(v) // 4 AS patch_mean
+      |FROM px GROUP BY doc_id, patch_idx
+      |ORDER BY doc_id, patch_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_png_meta"   -> mPngMeta _,
     "m_hist_eq"    -> mHistEq _,
     "m_gif_frames" -> mGifFrames _,
+    "m_patchify"   -> mPatchify _,
   )
 
   val oracle: Map[String, String] = Map(
     "m_png_meta"   -> mPngMetaSql,
     "m_hist_eq"    -> mHistEqSql,
     "m_gif_frames" -> mGifFramesSql,
+    "m_patchify"   -> mPatchifySql,
   )
 }

@@ -297,11 +297,71 @@ object Similarity2 {
        |ORDER BY k""".stripMargin
   }
 
+  // --------------------------------------------------------------- s_purity
+
+  /** s_purity: CLUSTER PURITY against ground-truth labels — the external
+    * clustering-quality check beside s_silhouette's internal one (and
+    * the audit SemDeDup-style cluster blocking deserves: low-purity
+    * clusters mix semantics and over-collapse on dedup): per k-means
+    * cluster (the SAME cached k=8/3-iteration model as s_kmeans), the
+    * member count, majority label (ties → smallest label id) and the
+    * purity share as one pinned division. Exact integers until that
+    * division.
+    *
+    * Scale shape: one broadcast-centroid assign pass, one (cluster,
+    * label)-keyed count whose per-cluster argmax rides the same
+    * clustering (max_by on the rollup — no window), k output rows. */
+  def sPurity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val e = Tables.embeddings(s, dir)
+    val pts = e.select(col("vec_id").as("p_id"),
+      col("embedding").cast("array<double>").as("p_vec"))
+    val assigned = graft.similarity.Kmeans
+      .assign(s, pts, fitCached(s, dir, k = 8, iters = 3))
+      .join(e.select(col("vec_id").as("p_id"), col("label")), "p_id")
+    val cells = assigned.groupBy(col("c_id"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    cells.groupBy(col("c_id"))
+      .agg(sum(col("cnt")).as("n_members"),
+        max_by(struct(col("label"), col("cnt")),
+          struct(col("cnt"), -col("label"))).as("m"))
+      .select(col("c_id"), col("n_members"),
+        col("m.label").as("majority_label"), col("m.cnt").as("majority_n"),
+        graft.functions.OracleParity.x6(
+          col("m.cnt").cast(DoubleType) / col("n_members").cast(DoubleType))
+          .as("purity"))
+      .orderBy(col("c_id"))
+  }
+
+  val sPuritySql: String = {
+    val iters = (1 to 3).flatMap(i => Seq(
+      kmAssignCte("pts", s"c${i - 1}", s"a$i"),
+      kmRecenterCte(s"a$i", s"c$i")))
+    s"""WITH pts AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding] AS pv FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding] AS cv
+       |       FROM embeddings ORDER BY vec_id LIMIT 8),
+       |${iters.mkString(",\n")},
+       |${kmAssignCte("pts", "c3", "a4")},
+       |cells AS (
+       |  SELECT a.c_id, e.label, COUNT(*) AS cnt
+       |  FROM a4 a JOIN embeddings e ON e.vec_id = a.p_id
+       |  GROUP BY a.c_id, e.label),
+       |mj AS (
+       |  SELECT c_id, SUM(cnt) AS n_members,
+       |    MAX_BY(label, cnt * 1000 - label) AS majority_label,
+       |    MAX(cnt) AS majority_n
+       |  FROM cells GROUP BY c_id)
+       |SELECT c_id, n_members, majority_label, CAST(majority_n AS BIGINT) AS majority_n,
+       |  CAST(CAST(CAST(majority_n AS DOUBLE) / CAST(n_members AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS purity
+       |FROM mj ORDER BY c_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_mutual_knn"   -> sMutualKnn _,
     "s_recall_curve" -> sRecallCurve _,
     "s_ood"          -> sOod _,
     "s_elbow"        -> sElbow _,
+    "s_purity"       -> sPurity _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -309,5 +369,6 @@ object Similarity2 {
     "s_recall_curve" -> sRecallCurveSql,
     "s_ood"          -> sOodSql,
     "s_elbow"        -> sElbowSql,
+    "s_purity"       -> sPuritySql,
   )
 }

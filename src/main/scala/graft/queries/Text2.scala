@@ -316,6 +316,59 @@ object Text2 {
       |    OR len(regexp_extract_all(t2, chr(65533))) > 0) AS needs_clean
       |FROM p ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- t_ngram_coverage
+
+  /** t_ngram_coverage: EVAL N-GRAM COVERAGE — the recall-side companion
+    * of t_decontam_ngram's precision question: instead of "which eval
+    * docs leak verbatim from train" (any shared 5-gram), this measures
+    * HOW MUCH of each eval document's token 5-gram mass the training
+    * corpus already contains — the memorization-pressure / novelty
+    * metric a benchmark owner reads before trusting a score. Same
+    * doc_id % 5 split as t_bigram_lm, same shared gram5 definition as
+    * the decontamination gates (md5-keyed — shuffles never carry gram
+    * text).
+    *
+    * Scale shape: one distinct train-gram set + one probe join keyed on
+    * the fixed-width md5; at 100 TB the probe side takes the same
+    * BloomPrune pre-filter t_decontam_ngram ships. */
+  def tNgramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val evalDocs = t.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), Text.gram5Expr.as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"), col("grams"))
+      .localCheckpoint(false)
+    val trainGrams = t.filter(col("doc_id") % 5 =!= 0)
+      .select(explode(Text.gram5Expr).as("g")).distinct()
+    val hits = evalDocs.select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(trainGrams, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    evalDocs.select(col("doc_id"), col("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("coverage",
+        when(col("n_grams") > 0, graft.functions.OracleParity.x6(
+          col("n_covered").cast("double") / col("n_grams").cast("double"))))
+      .orderBy(col("doc_id"))
+  }
+
+  val tNgramCoverageSql: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |ev AS (SELECT doc_id, ${Text.gram5Sql} AS grams FROM t WHERE doc_id % 5 = 0),
+       |tg AS (SELECT DISTINCT unnest(${Text.gram5Sql}) AS g FROM t WHERE doc_id % 5 <> 0),
+       |probe AS (SELECT doc_id, unnest(grams) AS g FROM ev),
+       |hits AS (SELECT doc_id, COUNT(*) AS n_covered
+       |         FROM probe JOIN tg USING (g) GROUP BY doc_id)
+       |SELECT e.doc_id, CAST(len(e.grams) AS BIGINT) AS n_grams,
+       |  COALESCE(h.n_covered, 0) AS n_covered,
+       |  CASE WHEN len(e.grams) > 0 THEN
+       |    CAST(CAST(CAST(COALESCE(h.n_covered, 0) AS DOUBLE) / CAST(len(e.grams) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+       |  END AS coverage
+       |FROM ev e LEFT JOIN hits h ON h.doc_id = e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_collocations" -> tCollocations _,
     "t_readability"  -> tReadability _,
@@ -323,6 +376,7 @@ object Text2 {
     "t_garbage"      -> tGarbage _,
     "t_entities"     -> tEntities _,
     "t_ctrlchars"    -> tCtrlchars _,
+    "t_ngram_coverage" -> tNgramCoverage _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -332,5 +386,6 @@ object Text2 {
     "t_garbage"      -> tGarbageSql,
     "t_entities"     -> tEntitiesSql,
     "t_ctrlchars"    -> tCtrlcharsSql,
+    "t_ngram_coverage" -> tNgramCoverageSql,
   )
 }

@@ -770,6 +770,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_wape: spine window and rollup ride the type-keyed partitioning; no fact re-scan") {
+    val p = plan(graft.queries.Events.qWape(spark, dir))
+    val typeShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(event_type"))
+    assert(typeShuffles <= 3, s"hourly agg + spine window + rollup only ($typeShuffles):\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("e_scd2_compact: both windows AND the run collapse ride one entity-keyed shuffle") {
+    val p = plan(graft.queries.Etl3.eScd2Compact(spark, dir))
+    val keyShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(k"))
+    assert(keyShuffles <= 1, s"one entity-keyed shuffle expected ($keyShuffles):\n${p.take(3000)}")
+  }
+
+  test("s_purity: per-cluster argmax is max_by on the rollup — no window") {
+    val p = plan(graft.queries.Similarity2.sPurity(spark, dir))
+    assert(!p.contains("Window"), s"no window anywhere:\n${p.take(3000)}")
+    assert(p.contains("max_by"), s"argmax must ride the aggregation:\n${p.take(3000)}")
+  }
+
+  test("t_ngram_coverage: the probe joins on the fixed-width md5 key, never gram text") {
+    val p = plan(graft.queries.Text2.tNgramCoverage(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the probe must be an equality join on g:\n${p.take(3000)}")
+  }
+
   test("e_survivorship: ONE entity-keyed aggregation — no window, all survivorship max_bys ride it") {
     val p = plan(graft.queries.Etl2.eSurvivorship(spark, dir))
     assert(!p.contains("Window"),
