@@ -305,7 +305,65 @@ object Etl3 {
        |FROM g GROUP BY k, attr, grp
        |ORDER BY c_custkey, valid_from_day, valid_to_day, priority, n_merged""".stripMargin
 
+  // -------------------------------------------------------- e_json_validate
+
+  /** e_json_validate: SEMI-STRUCTURED PAYLOAD validation — the ingest
+    * contract check for JSON event payloads, one level below
+    * e_expectations' column checks: is the payload parseable JSON at
+    * all, does the required key exist, is its value the required type.
+    * Three fault classes are PLANTED on disjoint modular slices
+    * (truncated JSON at %13, wrong-typed value at %11, missing key at
+    * %7 — derived identically in the oracle) so every rule fires every
+    * run. Type checking is try_cast (never ANSI-throwing cast — one bad
+    * row must not abort the audit).
+    *
+    * Scale shape: ONE narrow projection evaluates all rules + one
+    * map-side-partial aggregation to a single report row. */
+  def eJsonValidate(s: SparkSession, dir: String): DataFrame = {
+    val payload = when(col("event_id") % 13 === 0, lit("{\"k\": "))
+      .when(col("event_id") % 11 === 0, lit("{\"k\": \"x\"}"))
+      .when(col("event_id") % 7 === 0, lit("{}"))
+      .otherwise(col("props"))
+    Tables.events(s, dir)
+      .withColumn("p", payload)
+      .select(
+        (get_json_object(col("p"), "$").isNotNull).as("parseable"),
+        (get_json_object(col("p"), "$.k").isNotNull).as("has_k"),
+        (expr("try_cast(get_json_object(p, '$.k') AS INT)").isNotNull).as("k_is_int"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(!col("parseable"), 1L).otherwise(0L)).as("n_unparseable"),
+        sum(when(col("parseable") && !col("has_k"), 1L).otherwise(0L)).as("n_missing_key"),
+        sum(when(col("has_k") && !col("k_is_int"), 1L).otherwise(0L)).as("n_wrong_type"),
+        sum(when(col("k_is_int"), 1L).otherwise(0L)).as("n_valid"))
+  }
+
+  val eJsonValidateSql: String =
+    """WITH p AS (
+      |  SELECT CASE WHEN event_id % 13 = 0 THEN '{"k": '
+      |              WHEN event_id % 11 = 0 THEN '{"k": "x"}'
+      |              WHEN event_id % 7 = 0 THEN '{}'
+      |              ELSE props END AS p
+      |  FROM events),
+      |g AS (
+      |  -- vectorized json_extract would throw on malformed rows even under
+      |  -- a CASE guard; substitute a valid empty object before extraction
+      |  SELECT json_valid(p) AS parseable,
+      |    CASE WHEN json_valid(p) THEN p ELSE '{}' END AS p2
+      |  FROM p),
+      |f AS (
+      |  SELECT parseable,
+      |    parseable AND json_extract_string(p2, '$.k') IS NOT NULL AS has_k,
+      |    TRY_CAST(json_extract_string(p2, '$.k') AS INT) IS NOT NULL AS k_is_int
+      |  FROM g)
+      |SELECT COUNT(*) AS n_total,
+      |  SUM(CASE WHEN NOT parseable THEN 1 ELSE 0 END) AS n_unparseable,
+      |  SUM(CASE WHEN parseable AND NOT has_k THEN 1 ELSE 0 END) AS n_missing_key,
+      |  SUM(CASE WHEN has_k AND NOT k_is_int THEN 1 ELSE 0 END) AS n_wrong_type,
+      |  SUM(CASE WHEN k_is_int THEN 1 ELSE 0 END) AS n_valid
+      |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_json_validate"  -> eJsonValidate _,
     "e_table_checksum" -> eTableChecksum _,
     "e_type_infer"     -> eTypeInfer _,
     "e_mask"           -> eMask _,
@@ -314,6 +372,7 @@ object Etl3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_json_validate"  -> eJsonValidateSql,
     "e_table_checksum" -> eTableChecksumSql,
     "e_type_infer"     -> eTypeInferSql,
     "e_mask"           -> eMaskSql,

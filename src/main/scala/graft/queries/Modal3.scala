@@ -351,7 +351,153 @@ object Modal3 {
       |FROM px GROUP BY doc_id, patch_idx
       |ORDER BY doc_id, patch_idx""".stripMargin
 
+  // --------------------------------------------------------- m_codec_matrix
+
+  /** m_codec_matrix: CODEC-INVARIANCE audit — the same raster pushed
+    * through THREE real containers (PNG and BMP as 24-bit RGB, GIF
+    * through the indexed gray palette) must decode to the identical
+    * pixel digest: the cross-codec regression net a media pipeline runs
+    * when a JDK/library upgrade lands (a quantizer or colorspace change
+    * in any one path breaks equality instantly — exactly how the
+    * TYPE_BYTE_GRAY trap in m_gif_frames was caught). The oracle replays
+    * the nibble formula once; all three sums and the equality verdict
+    * hash against it.
+    *
+    * Scale shape: one narrow mapPartitions pass; one row per image. */
+  def mCodecMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 3)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val grays = Array.tabulate(256)(_.toByte)
+        val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+        def digest(bytes: Array[Byte]): Long = {
+          val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (dec == null) -1L
+          else {
+            var sum = 0L; var j = 0
+            while (j < 64) { sum += (dec.getRGB(j % 8, j / 8) & 0xff); j += 1 }
+            sum
+          }
+        }
+        it.flatMap { id =>
+          md.reset()
+          val hexA = md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          md.reset()
+          val hexB = md.digest(s"${id}b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          def nib(j: Int): Int =
+            if (j < 32) Integer.parseInt(hexA.substring(j, j + 1), 16)
+            else Integer.parseInt(hexB.substring(j - 32, j - 31), 16)
+          def raster(imgType: Int, icmOpt: Option[java.awt.image.IndexColorModel]) = {
+            val img = icmOpt match {
+              case Some(cm) => new java.awt.image.BufferedImage(8, 8, imgType, cm)
+              case None     => new java.awt.image.BufferedImage(8, 8, imgType)
+            }
+            var j = 0
+            while (j < 64) {
+              val v = nib(j) * 17
+              if (icmOpt.isDefined) img.getRaster.setSample(j % 8, j / 8, 0, v)
+              else img.setRGB(j % 8, j / 8, (v << 16) | (v << 8) | v)
+              j += 1
+            }
+            img
+          }
+          def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+          }
+          val rgb = java.awt.image.BufferedImage.TYPE_INT_RGB
+          val idx = java.awt.image.BufferedImage.TYPE_BYTE_INDEXED
+          val pngSum = digest(enc(raster(rgb, None), "png"))
+          val bmpSum = digest(enc(raster(rgb, None), "bmp"))
+          val gifSum = digest(enc(raster(idx, Some(icm)), "gif"))
+          Some((id, pngSum, bmpSum, gifSum,
+            pngSum == bmpSum && bmpSum == gifSum))
+        }
+      }.toDF("doc_id", "png_sum", "bmp_sum", "gif_sum", "all_equal")
+      .orderBy(col("doc_id"))
+  }
+
+  val mCodecMatrixSql: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+      |px AS (
+      |  SELECT doc_id,
+      |    CASE WHEN j < 32
+      |      THEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), j + 1, 1))::BIGINT * 17
+      |      ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'b'), j - 31, 1))::BIGINT * 17
+      |    END AS v
+      |  FROM ids, (SELECT unnest(range(64)) AS j) js)
+      |SELECT doc_id, SUM(v) AS png_sum, SUM(v) AS bmp_sum, SUM(v) AS gif_sum,
+      |  TRUE AS all_equal
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ m_srt_parse
+
+  /** m_srt_parse: SUBTITLE (SRT) parsing — the video-text alignment step a
+    * multimodal training pipeline runs to pair captions with frame spans:
+    * a spec-shaped SRT document (cue index, HH:MM:SS,mmm --> HH:MM:SS,mmm
+    * timing line, text, blank-line separators) is SYNTHESIZED IN-QUERY
+    * from a formula, then the OPERATOR — a generic cue splitter +
+    * timestamp regex that would parse any real SRT — recovers cue index,
+    * start/end milliseconds and text. The oracle constructs the expected
+    * rows directly from the formula (the e_mask independent-formulation
+    * cross-check), so a parser off-by-one in the timestamp arithmetic
+    * breaks the hash.
+    *
+    * Scale shape: pure narrow string maps (synthesize, split, regex) —
+    * no shuffle before the presentation sort. */
+  def mSrtParse(s: SparkSession, dir: String): DataFrame = {
+    def tsSql(x: String) =
+      s"concat(lpad(cast(($x) div 3600000 AS string), 2, '0'), ':', " +
+        s"lpad(cast((($x) div 60000) % 60 AS string), 2, '0'), ':', " +
+        s"lpad(cast((($x) div 1000) % 60 AS string), 2, '0'), ',', " +
+        s"lpad(cast(($x) % 1000 AS string), 3, '0'))"
+    val start = "cast(i AS bigint) * 2000 + (doc_id % 7) * 10"
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 0)
+      .withColumn("n_cues", lit(1) + (col("doc_id") % 3).cast("int"))
+    // synthesize the SRT text: cue i at start = i*2000 + (doc_id%7)*10 ms
+    val srt = docs.withColumn("srt", expr(
+      s"""concat_ws('\\n\\n', transform(sequence(0, n_cues - 1), i ->
+         |  concat(cast(i + 1 AS string), '\\n',
+         |    ${tsSql(start)}, ' --> ',
+         |    ${tsSql(s"$start + 1500")}, '\\n',
+         |    'cue ', cast(doc_id AS string), '-', cast(i AS string))))""".stripMargin))
+    // --- the operator under test: a generic SRT cue parser ---
+    val cueRe = "(?s)^(\\d+)\\n(\\d{2}):(\\d{2}):(\\d{2}),(\\d{3}) --> (\\d{2}):(\\d{2}):(\\d{2}),(\\d{3})\\n(.*)$"
+    srt.select(col("doc_id"), explode(split(col("srt"), "\n\n")).as("cue"))
+      .select(col("doc_id"),
+        regexp_extract(col("cue"), cueRe, 1).cast("long").as("cue_idx"),
+        (regexp_extract(col("cue"), cueRe, 2).cast("long") * 3600000L +
+          regexp_extract(col("cue"), cueRe, 3).cast("long") * 60000L +
+          regexp_extract(col("cue"), cueRe, 4).cast("long") * 1000L +
+          regexp_extract(col("cue"), cueRe, 5).cast("long")).as("start_ms"),
+        (regexp_extract(col("cue"), cueRe, 6).cast("long") * 3600000L +
+          regexp_extract(col("cue"), cueRe, 7).cast("long") * 60000L +
+          regexp_extract(col("cue"), cueRe, 8).cast("long") * 1000L +
+          regexp_extract(col("cue"), cueRe, 9).cast("long")).as("end_ms"),
+        regexp_extract(col("cue"), cueRe, 10).as("text"))
+      .withColumn("dur_ms", col("end_ms") - col("start_ms"))
+      .orderBy(col("doc_id"), col("cue_idx"))
+  }
+
+  val mSrtParseSql: String =
+    """WITH ids AS (SELECT doc_id, 1 + doc_id % 3 AS n_cues
+      |             FROM documents WHERE doc_id % 4 = 0),
+      |cues AS (SELECT doc_id, i FROM ids, (SELECT unnest(range(3)) AS i) xs WHERE i < n_cues)
+      |SELECT doc_id, CAST(i + 1 AS BIGINT) AS cue_idx,
+      |  CAST(i * 2000 + (doc_id % 7) * 10 AS BIGINT) AS start_ms,
+      |  CAST(i * 2000 + (doc_id % 7) * 10 + 1500 AS BIGINT) AS end_ms,
+      |  'cue ' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS text,
+      |  CAST(1500 AS BIGINT) AS dur_ms
+      |FROM cues ORDER BY doc_id, cue_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_codec_matrix" -> mCodecMatrix _,
+    "m_srt_parse"    -> mSrtParse _,
     "m_png_meta"   -> mPngMeta _,
     "m_hist_eq"    -> mHistEq _,
     "m_gif_frames" -> mGifFrames _,
@@ -363,5 +509,7 @@ object Modal3 {
     "m_hist_eq"    -> mHistEqSql,
     "m_gif_frames" -> mGifFramesSql,
     "m_patchify"   -> mPatchifySql,
+    "m_codec_matrix" -> mCodecMatrixSql,
+    "m_srt_parse"    -> mSrtParseSql,
   )
 }

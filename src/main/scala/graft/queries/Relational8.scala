@@ -357,7 +357,124 @@ object Relational8 {
        |  MAX(lag_us // 1000000) AS max_lag_s
        |FROM lags GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------ q_weighted_median
+
+  /** q_weighted_median: WEIGHTED MEDIAN per group — the BI percentile the
+    * plain median misses ("the price at which half the QUANTITY sold",
+    * not half the line items): lower weighted median = the smallest
+    * price whose cumulative quantity reaches half the group's total.
+    * Everything is exact integers (micro-prices, micro-quantities); the
+    * crossing test 2·cum ≥ total never divides; equal prices share the
+    * crossing value whatever their internal order, so the tiebreak
+    * cannot leak into the answer.
+    *
+    * Scale shape: ONE group-keyed shuffle carries the cumulative window
+    * AND both aggregations (total via window, crossing min via agg on
+    * the same key). Skewed groups take the q_pareto banded-prefix knob. */
+  def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d18 = DecimalType(18, 6)
+    val rows = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("flag"),
+      (col("l_extendedprice").cast(d18) * lit(1000000L)).cast("long").as("price_i"),
+      (col("l_quantity").cast(d18) * lit(1000000L)).cast("long").as("w"),
+      col("l_orderkey").as("okey"), col("l_linenumber").as("ln"))
+    val wCum = Window.partitionBy(col("flag"))
+      .orderBy(col("price_i"), col("okey"), col("ln"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col("flag"))
+    rows.withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("tot", sum(col("w")).over(wTot))
+      .groupBy(col("flag"))
+      .agg(max(col("tot")).as("total_w"),
+        min(when(col("cum") * 2 >= col("tot"), col("price_i"))).as("wm_i"))
+      .select(col("flag"), col("total_w"),
+        (col("wm_i").cast(DoubleType) / lit(1000000.0)).as("weighted_median_price"))
+      .orderBy(col("flag"))
+  }
+
+  val qWeightedMedianSql: String =
+    """WITH rows_ AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS price_i,
+      |    CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS w,
+      |    l_orderkey AS okey, l_linenumber AS ln
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT flag, price_i, w,
+      |    SUM(w) OVER (PARTITION BY flag ORDER BY price_i, okey, ln
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(w) OVER (PARTITION BY flag) AS tot
+      |  FROM rows_)
+      |SELECT flag, MAX(tot) AS total_w,
+      |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN price_i END) AS DOUBLE) / 1000000.0 AS weighted_median_price
+      |FROM c GROUP BY flag ORDER BY flag""".stripMargin
+
+  // --------------------------------------------------------- q_degree_dist
+
+  /** q_degree_dist: DEGREE DISTRIBUTION of the co-purchase graph — the
+    * first graph-observability number (hub detection, the input to
+    * q_triangles' hub pre-filter knob and the LSH bucket caps): distinct
+    * a<b part pairs sharing an order form the edge set, per-vertex
+    * degree counts both directions, and the spectrum buckets by exact
+    * binary magnitude (t_zipf's length(bin(d))−1 — never a float log2).
+    *
+    * Scale shape: edge generation is the q_triangles wedge stage
+    * (fan-out bounded by order size), then two map-side-partial
+    * aggregations to ≤64 rows. */
+  def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    val deg = edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    deg.select((length(bin(col("d"))) - 1).cast("long").as("d_bucket"))
+      .groupBy(col("d_bucket")).agg(count(lit(1)).as("n_vertices"))
+      .orderBy(col("d_bucket"))
+  }
+
+  val qDegreeDistSql: String =
+    """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      |deg AS (
+      |  SELECT x, COUNT(*) AS d FROM (
+      |    SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+      |  GROUP BY x)
+      |SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS d_bucket, COUNT(*) AS n_vertices
+      |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------ q_bool_agg
+
+  /** q_bool_agg: the BOOLEAN-AGGREGATE surface (every / any / count_if) —
+    * the data-quality predicates a contract check compiles to ("ALL rows
+    * priced", "ANY urgent order", "how many high-value"). Null semantics
+    * are the trap this gate pins: every() over a mix of TRUE and NULL is
+    * NULL-tolerant in both engines only when the predicate coalesces —
+    * here all predicates are total, so the parity is on the aggregates
+    * themselves. One map-side-partial aggregation to |priorities| rows. */
+  def qBoolAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        every(col("o_totalprice") > 1000.0).as("all_over_1k"),
+        some(col("o_orderstatus") === "F").as("any_finished"),
+        count_if(col("o_totalprice") > 300000.0).as("n_high_value"))
+      .orderBy(col("o_orderpriority"))
+
+  val qBoolAggSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+      |  bool_or(o_orderstatus = 'F') AS any_finished,
+      |  COUNT(*) FILTER (WHERE o_totalprice > 300000.0) AS n_high_value
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_median" -> qWeightedMedian _,
+    "q_degree_dist"     -> qDegreeDist _,
+    "q_bool_agg"        -> qBoolAgg _,
     "q_benford"       -> qBenford _,
     "q_hhi"           -> qHhi _,
     "q_chisq"         -> qChisq _,
@@ -367,6 +484,9 @@ object Relational8 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_weighted_median" -> qWeightedMedianSql,
+    "q_degree_dist"     -> qDegreeDistSql,
+    "q_bool_agg"        -> qBoolAggSql,
     "q_benford"       -> qBenfordSql,
     "q_hhi"           -> qHhiSql,
     "q_chisq"         -> qChisqSql,

@@ -356,12 +356,49 @@ object Similarity2 {
        |FROM mj ORDER BY c_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ s_norm_hist
+
+  /** s_norm_hist: EMBEDDING-NORM distribution — the encoder-health
+    * monitor beside s_centroid_drift's directional one: a norm
+    * distribution that shifts between corpus snapshots means the encoder
+    * (or its input preprocessing) changed, and un-normalized outliers
+    * poison dot-product retrieval. Norms come from the engine-wide
+    * left-fold dot product (deterministic double), bucketed by
+    * floor(norm·8) — a fixed-width integer binning both engines compute
+    * from the identical IEEE value.
+    *
+    * Scale shape: one narrow fold riding the scan + one map-side-partial
+    * aggregation to a bucket-bounded output. */
+  def sNormHist(s: SparkSession, dir: String): DataFrame = {
+    val dot = "aggregate(zip_with(ed, ed, (x, y) -> x * y), 0D, (a, p) -> a + p)"
+    Tables.embeddings(s, dir)
+      .withColumn("ed", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm", expr(s"sqrt($dot)"))
+      .select(floor(col("norm") * 8).cast("long").as("norm_bucket"), col("norm"))
+      .groupBy(col("norm_bucket"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.OracleParity.x6(min(col("norm"))).as("min_norm"),
+        graft.functions.OracleParity.x6(max(col("norm"))).as("max_norm"))
+      .orderBy(col("norm_bucket"))
+  }
+
+  val sNormHistSql: String = {
+    val dot = "list_reduce([ed[i+1] * ed[i+1] for i in range(0, 64)], (p, q) -> p + q)"
+    s"""WITH e AS (SELECT [CAST(x AS DOUBLE) for x in embedding] AS ed FROM embeddings),
+       |n AS (SELECT sqrt($dot) AS norm FROM e)
+       |SELECT CAST(floor(norm * 8) AS BIGINT) AS norm_bucket, COUNT(*) AS n,
+       |  CAST(CAST(MIN(norm) AS DECIMAL(18,6)) AS DOUBLE) AS min_norm,
+       |  CAST(CAST(MAX(norm) AS DECIMAL(18,6)) AS DOUBLE) AS max_norm
+       |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_mutual_knn"   -> sMutualKnn _,
     "s_recall_curve" -> sRecallCurve _,
     "s_ood"          -> sOod _,
     "s_elbow"        -> sElbow _,
     "s_purity"       -> sPurity _,
+    "s_norm_hist"    -> sNormHist _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -370,5 +407,6 @@ object Similarity2 {
     "s_ood"          -> sOodSql,
     "s_elbow"        -> sElbowSql,
     "s_purity"       -> sPuritySql,
+    "s_norm_hist"    -> sNormHistSql,
   )
 }

@@ -795,6 +795,48 @@ class PlanSpec extends AnyFunSuite {
       s"the probe must be an equality join on g:\n${p.take(3000)}")
   }
 
+  test("q_weighted_median: cumulative window and both aggregations share ONE group-keyed shuffle") {
+    val p = plan(graft.queries.Relational8.qWeightedMedian(spark, dir))
+    val flagShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(flag"))
+    assert(flagShuffles <= 1, s"one flag-keyed shuffle expected ($flagShuffles):\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_degree_dist: edge join is order-keyed; spectrum rollups are map-side partial") {
+    val p = plan(graft.queries.Relational8.qDegreeDist(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"the co-purchase join must be an equality join on the order key:\n${p.take(3000)}")
+    assert(!p.contains("Window"))
+  }
+
+  test("q_bool_agg: the whole boolean suite rides one map-side-partial aggregation") {
+    val p = plan(graft.queries.Relational8.qBoolAgg(spark, dir))
+    val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(o_orderpriority"))
+    assert(aggShuffles <= 1, s"one keyed shuffle expected ($aggShuffles):\n${p.take(3000)}")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("e_json_validate: all rules evaluate in ONE narrow projection + one aggregation") {
+    val p = plan(graft.queries.Etl3.eJsonValidate(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the global agg needs no keyed shuffle:\n${p.take(3000)}")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("m_srt_parse: synthesis and parse are narrow string maps riding the scan") {
+    val p = plan(graft.queries.Modal3.mSrtParse(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no keyed shuffle before the presentation sort:\n${p.take(3000)}")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("s_norm_hist: the norm fold rides the scan; histogram is map-side partial") {
+    val p = plan(graft.queries.Similarity2.sNormHist(spark, dir))
+    val bShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(norm_bucket"))
+    assert(bShuffles <= 1, s"one bucket-keyed shuffle expected ($bShuffles):\n${p.take(3000)}")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
   test("e_survivorship: ONE entity-keyed aggregation — no window, all survivorship max_bys ride it") {
     val p = plan(graft.queries.Etl2.eSurvivorship(spark, dir))
     assert(!p.contains("Window"),
