@@ -1190,7 +1190,72 @@ object DedupQ {
        |ORDER BY bands""".stripMargin
   }
 
+  /** d_cos_hist: the COSINE-THRESHOLD selection curve for embedding
+    * near-dup (d_lsh_tune's sibling for the cosine side — the measured
+    * evidence behind EmbedLsh.Threshold): every hyperplane-band candidate
+    * pair from the SAME twin-augmented corpus as d_embed_neardup, bucketed
+    * by floor(cos·20) — the histogram is bimodal (planted twins near 1.0,
+    * band-collision noise far below), and the threshold belongs in the
+    * valley. Per band: pair count and the exact min/max cosine.
+    *
+    * Scale shape: identical candidate budget to d_embed_neardup (bucketed,
+    * linear per band bucket, never all-pairs); the histogram rollup is
+    * ≤40 rows. */
+  def dCosHist(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val base = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+    val twins = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("""transform(embedding, (x, j) ->
+                 CAST(x AS DOUBLE) * (1.0D + CASE WHEN (vec_id + j) % 2 = 0
+                                             THEN 0.3D ELSE -0.3D END))""").as("embedding"))
+    val aug = base.unionByName(twins)
+    val cands = EmbedLsh.candidatePairs(aug)
+    val ea = aug.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
+    val eb = aug.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))
+    cands.join(ea, "a_id").join(eb, "b_id")
+      .withColumn("cos", expr("cosine_sim(a_e, b_e)"))
+      .select(floor(col("cos") * 20).cast("long").as("cos_bucket"), col("cos"))
+      .groupBy(col("cos_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.functions.OracleParity.x6(min(col("cos"))).as("min_cos"),
+        graft.functions.OracleParity.x6(max(col("cos"))).as("max_cos"))
+      .orderBy(col("cos_bucket"))
+  }
+
+  val dCosHistSql: String =
+    s"""WITH aug AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    [CAST(embedding[j+1] AS DOUBLE) * (1.0 + CASE WHEN (vec_id + j) % 2 = 0
+       |                                              THEN 0.3 ELSE -0.3 END)
+       |     for j in range(0, len(embedding))]
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |${graft.dedup.EmbedLsh.bandsCteSql("aug")},
+       |cand AS (SELECT DISTINCT a_id, b_id FROM (
+       |           SELECT m AS a_id, vec_id AS b_id
+       |           FROM (SELECT vec_id, MIN(vec_id) OVER (PARTITION BY bk) AS m,
+       |                        COUNT(*) OVER (PARTITION BY bk) AS n FROM bk)
+       |           WHERE n > ${MinHashLsh.MaxAllPairsBucket} AND vec_id <> m
+       |           UNION ALL
+       |           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |           FROM bk a JOIN bk b ON a.bk = b.bk AND a.vec_id < b.vec_id
+       |           JOIN (SELECT bk, COUNT(*) AS n FROM bk GROUP BY bk) z ON z.bk = a.bk
+       |           WHERE z.n <= ${MinHashLsh.MaxAllPairsBucket})),
+       |sc AS (
+       |  SELECT ${cosSql("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand JOIN aug ea ON ea.vec_id = a_id
+       |            JOIN aug eb ON eb.vec_id = b_id)
+       |SELECT CAST(floor(cos * 20) AS BIGINT) AS cos_bucket, COUNT(*) AS n_pairs,
+       |  CAST(CAST(MIN(cos) AS DECIMAL(18,6)) AS DOUBLE) AS min_cos,
+       |  CAST(CAST(MAX(cos) AS DECIMAL(18,6)) AS DOUBLE) AS max_cos
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_cos_hist"      -> dCosHist _,
     "d_lsh_tune"      -> dLshTune _,
     "d_cdc_chunks"    -> dCdcChunks _,
     "d_decontam_sem"  -> dDecontamSem _,
@@ -1215,6 +1280,7 @@ object DedupQ {
   )
 
   val oracle: Map[String, String] = Map(
+    "d_cos_hist"      -> dCosHistSql,
     "d_lsh_tune"      -> dLshTuneSql,
     "d_cdc_chunks"    -> dCdcChunksSql,
     "d_decontam_sem"  -> dDecontamSemSql,

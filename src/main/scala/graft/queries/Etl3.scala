@@ -362,7 +362,106 @@ object Etl3 {
       |  SUM(CASE WHEN k_is_int THEN 1 ELSE 0 END) AS n_valid
       |FROM f""".stripMargin
 
+  // ------------------------------------------------------------ e_hash_ring
+
+  private val RingNodes = 8
+  private val RingVnodes = 16
+
+  /** e_hash_ring: CONSISTENT-HASHING placement audit — the data-placement
+    * math behind shard rebalancing (and the reason adding a node moves
+    * ~1/(N+1) of the keys instead of reshuffling everything, unlike
+    * `key mod N`): 8 nodes × 16 vnodes hash onto a 2^60 ring, every
+    * customer key routes to the first vnode clockwise, then a 9th node
+    * joins and the gate reports per-node populations before/after plus
+    * the moved-key share. The clockwise pick is ONE min_by over the
+    * broadcast 144-row ring with a scalar composite order key
+    * (wrap-flag·2^61 + position) — no window, no per-key sort.
+    *
+    * Scale shape: keys never shuffle for routing (broadcast ring, the
+    * assignment collapses map-side); two |nodes|-row rollups + a 1-row
+    * moved count. */
+  /** The pre-checkpoint routing stage — exposed so PlanSpec can pin the
+    * broadcast-ring + map-side-min_by shape the checkpoint otherwise
+    * truncates out of the published plan (the mutualKnnEdges pattern). */
+  private[graft] def eHashRingAssign(s: SparkSession, dir: String): DataFrame = {
+    val wrapPenalty = 2305843009213693952L // 2^61 > any 60-bit ring position
+    def ring(n: Int): DataFrame = {
+      import s.implicits._
+      (0 until n).flatMap(i => (0 until RingVnodes).map(v => (i.toLong, s"node$i:$v")))
+        .toDF("node", "vk")
+        .select(col("node"),
+          conv(substring(md5(col("vk")), 1, 15), 16, 10).cast("long").as("pos"))
+    }
+    val keys = Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        conv(substring(md5(col("c_custkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    // ONE pass over one broadcast table carrying BOTH rings (the 8-node
+    // ring is a prefix of the 9-node one, tagged by the smallest ring
+    // that contains the vnode): each assignment is a min_by whose order
+    // key penalizes vnodes outside its ring past any real position —
+    // half the scan work of two independent assignment passes
+    val rings = ring(RingNodes).withColumn("min_ring", lit(8))
+      .unionByName(ring(RingNodes + 1).filter(col("node") === RingNodes)
+        .withColumn("min_ring", lit(9)))
+    val outside = lit(4611686018427387904L) // 2^62 > wrapPenalty + any position
+    keys.crossJoin(broadcast(rings))
+      .withColumn("okey",
+        when(col("pos") >= col("h"), col("pos"))
+          .otherwise(col("pos") + wrapPenalty))
+      .groupBy(col("c_custkey"))
+      .agg(
+        min_by(col("node"), col("okey") +
+          when(col("min_ring") > 8, outside).otherwise(lit(0L))).as("n8"),
+        min_by(col("node"), col("okey")).as("n9"))
+  }
+
+  def eHashRing(s: SparkSession, dir: String): DataFrame = {
+    // cache, not localCheckpoint: the assignment is one cheap fold and the
+    // three rollups reuse the in-memory blocks without a materialization job
+    val both = eHashRingAssign(s, dir).cache()
+    val moved = both.agg(
+      sum(when(col("n8") =!= col("n9"), 1L).otherwise(0L)).as("n_moved"),
+      count(lit(1)).as("n_keys"))
+    val before = both.groupBy(col("n8").as("node")).agg(count(lit(1)).as("n_before"))
+    val after = both.groupBy(col("n9").as("node")).agg(count(lit(1)).as("n_after"))
+    after.join(before, Seq("node"), "left")
+      .crossJoin(broadcast(moved))
+      .select(col("node"), col("n_before"), col("n_after"),
+        col("n_moved"),
+        graft.functions.OracleParity.x6(
+          col("n_moved").cast(DoubleType) / col("n_keys").cast(DoubleType))
+          .as("moved_share"))
+      .orderBy(col("node"))
+  }
+
+  val eHashRingSql: String =
+    s"""WITH r8 AS (
+       |  SELECT i AS node, ('0x' || substr(md5('node' || CAST(i AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))::BIGINT AS pos
+       |  FROM (SELECT unnest(range($RingNodes)) AS i) ni, (SELECT unnest(range($RingVnodes)) AS v) nv),
+       |r9 AS (
+       |  SELECT i AS node, ('0x' || substr(md5('node' || CAST(i AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 15))::BIGINT AS pos
+       |  FROM (SELECT unnest(range(${RingNodes + 1})) AS i) ni, (SELECT unnest(range($RingVnodes)) AS v) nv),
+       |keys AS (
+       |  SELECT c_custkey, ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM customer),
+       |a8 AS (
+       |  SELECT c_custkey, MIN_BY(node, CASE WHEN pos >= h THEN pos ELSE pos + 2305843009213693952 END) AS n8
+       |  FROM keys, r8 GROUP BY c_custkey),
+       |a9 AS (
+       |  SELECT c_custkey, MIN_BY(node, CASE WHEN pos >= h THEN pos ELSE pos + 2305843009213693952 END) AS n9
+       |  FROM keys, r9 GROUP BY c_custkey),
+       |b AS (SELECT a8.c_custkey, n8, n9 FROM a8 JOIN a9 ON a8.c_custkey = a9.c_custkey),
+       |mv AS (SELECT SUM(CASE WHEN n8 <> n9 THEN 1 ELSE 0 END) AS n_moved, COUNT(*) AS n_keys FROM b),
+       |bef AS (SELECT n8 AS node, COUNT(*) AS n_before FROM b GROUP BY 1),
+       |aft AS (SELECT n9 AS node, COUNT(*) AS n_after FROM b GROUP BY 1)
+       |SELECT aft.node, bef.n_before, aft.n_after, mv.n_moved,
+       |  CAST(CAST(CAST(mv.n_moved AS DOUBLE) / CAST(mv.n_keys AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS moved_share
+       |FROM aft LEFT JOIN bef ON bef.node = aft.node, mv
+       |ORDER BY aft.node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_hash_ring"      -> eHashRing _,
     "e_json_validate"  -> eJsonValidate _,
     "e_table_checksum" -> eTableChecksum _,
     "e_type_infer"     -> eTypeInfer _,
@@ -372,6 +471,7 @@ object Etl3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_hash_ring"      -> eHashRingSql,
     "e_json_validate"  -> eJsonValidateSql,
     "e_table_checksum" -> eTableChecksumSql,
     "e_type_infer"     -> eTypeInferSql,

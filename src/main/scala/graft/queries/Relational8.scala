@@ -471,7 +471,74 @@ object Relational8 {
       |  COUNT(*) FILTER (WHERE o_totalprice > 300000.0) AS n_high_value
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q_gini
+
+  private val GiniBands = 16
+
+  /** q_gini: the GINI COEFFICIENT of customer revenue — the
+    * inequality/concentration scalar beside q_pareto's ABC bands (and
+    * q_hhi's supplier-side HHI): G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)
+    * over ascending revenue ranks. The GLOBAL RANK is computed with the
+    * q_pareto DISTRIBUTED PREFIX: 16 price bands (monotone in revenue),
+    * per-band counts prefix over the 16-row frame, within-band
+    * row_number partitioned BY BAND — no single-partition sort at any
+    * corpus size; band-asc-then-within order ≡ the global (rev, custkey)
+    * order, so the banded rank equals the oracle's flat row_number
+    * exactly. Σ rank·x runs in DECIMAL(38,0); ONE pinned division.
+    */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d18 = DecimalType(18, 6); val d38 = DecimalType(38, 0)
+    val rev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(d18)).as("rev"))
+      .select(col("o_custkey"), (col("rev") * lit(1000000L)).cast("long").as("rev_i"))
+    val bounds = rev.agg(min(col("rev_i")).as("lo"), max(col("rev_i")).as("hi"))
+    val banded = rev.crossJoin(broadcast(bounds))
+      .withColumn("band", expr(s"((rev_i - lo) * $GiniBands) div (hi - lo + 1)"))
+      .localCheckpoint(false)
+    val counts = banded.groupBy(col("band")).agg(count(lit(1)).as("bn"))
+    val wPfx = Window.orderBy(col("band")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("off",
+      coalesce(sum(col("bn")).over(wPfx), lit(0L))) // ≤16 rows
+    val wIn = Window.partitionBy(col("band")).orderBy(col("rev_i"), col("o_custkey"))
+    val ranked = banded
+      .join(broadcast(offsets.select(col("band"), col("off"))), Seq("band"))
+      .withColumn("rank", col("off") + row_number().over(wIn))
+    ranked.agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("rev_i").cast(d38)).as("sx"),
+        // cast BEFORE the product: rank·rev_i would overflow a long near
+        // 10^7 customers × 10^12 micro-revenue
+        sum((col("rank").cast(DecimalType(19, 0)) *
+          col("rev_i").cast(DecimalType(19, 0))).cast(d38)).as("srx"))
+      .select(col("n_customers"),
+        (col("sx").cast(DoubleType) / lit(1000000.0)).as("total_revenue"),
+        x6((lit(2.0) * col("srx").cast(DoubleType) -
+          (col("n_customers") + lit(1)).cast(DoubleType) * col("sx").cast(DoubleType)) /
+          (col("n_customers").cast(DoubleType) * col("sx").cast(DoubleType))).as("gini"))
+  }
+
+  val qGiniSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_i
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (
+      |  SELECT rev_i,
+      |    row_number() OVER (ORDER BY rev_i, o_custkey) AS rank
+      |  FROM rev),
+      |m AS (
+      |  SELECT COUNT(*) AS n, SUM(CAST(rev_i AS DECIMAL(38,0))) AS sx,
+      |    SUM(CAST(CAST(rank AS DECIMAL(19,0)) * CAST(rev_i AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS srx
+      |  FROM r)
+      |SELECT n AS n_customers, CAST(sx AS DOUBLE) / 1000000.0 AS total_revenue,
+      |  CAST(CAST((2.0 * CAST(srx AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS gini
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini"            -> qGini _,
     "q_weighted_median" -> qWeightedMedian _,
     "q_degree_dist"     -> qDegreeDist _,
     "q_bool_agg"        -> qBoolAgg _,
@@ -484,6 +551,7 @@ object Relational8 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_gini"            -> qGiniSql,
     "q_weighted_median" -> qWeightedMedianSql,
     "q_degree_dist"     -> qDegreeDistSql,
     "q_bool_agg"        -> qBoolAggSql,

@@ -369,7 +369,59 @@ object Text2 {
        |FROM ev e LEFT JOIN hits h ON h.doc_id = e.doc_id
        |ORDER BY e.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- t_license
+
+  /** t_license: LICENSE DETECTION — the compliance fork a code/document
+    * crawl takes before training (permissive licenses flow on, copyleft
+    * routes to review, unlicensed gets the conservative default):
+    * characteristic header phrases detected with first-match-wins
+    * priority (apache > mit > gpl — a dual-licensed header reports the
+    * more permissive grant it actually extends), rolled up per license
+    * class per source. Headers are PLANTED on doc_id % 43 cycling
+    * through the three classes so every branch and the priority rule
+    * fire every run.
+    *
+    * Scale shape: narrow regex maps + one map-side-partial rollup to
+    * ≤4·|sources| rows. */
+  def tLicense(s: SparkSession, dir: String): DataFrame = {
+    val headers = Seq(
+      "Licensed under the Apache License, Version 2.0 . ",
+      "Permission is hereby granted under the MIT License . ",
+      "This program is free software under the GNU General Public License . ")
+    val planted = when(col("doc_id") % 43 === 0,
+      concat(element_at(array(headers.map(lit): _*),
+        expr("cast((doc_id div 43) % 3 + 1 AS int)")), col("text")))
+      .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("t2", planted)
+      .withColumn("license",
+        when(col("t2").rlike("Apache License"), lit("apache-2.0"))
+          .when(col("t2").rlike("MIT License"), lit("mit"))
+          .when(col("t2").rlike("General Public License"), lit("gpl"))
+          .otherwise(lit("none")))
+      .groupBy(col("license"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("license"), col("source"))
+  }
+
+  val tLicenseSql: String =
+    """WITH p AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 43 = 0 THEN
+      |      (['Licensed under the Apache License, Version 2.0 . ',
+      |        'Permission is hereby granted under the MIT License . ',
+      |        'This program is free software under the GNU General Public License . '])[CAST((doc_id // 43) % 3 + 1 AS INT)] || text
+      |    ELSE text END AS t2
+      |  FROM documents)
+      |SELECT CASE WHEN regexp_matches(t2, 'Apache License') THEN 'apache-2.0'
+      |            WHEN regexp_matches(t2, 'MIT License') THEN 'mit'
+      |            WHEN regexp_matches(t2, 'General Public License') THEN 'gpl'
+      |            ELSE 'none' END AS license,
+      |  source, COUNT(*) AS n_docs
+      |FROM p GROUP BY 1, 2 ORDER BY license, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_license"      -> tLicense _,
     "t_collocations" -> tCollocations _,
     "t_readability"  -> tReadability _,
     "t_zipf"         -> tZipf _,
@@ -380,6 +432,7 @@ object Text2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_license"      -> tLicenseSql,
     "t_collocations" -> tCollocationsSql,
     "t_readability"  -> tReadabilitySql,
     "t_zipf"         -> tZipfSql,

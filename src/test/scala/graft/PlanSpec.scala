@@ -837,6 +837,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"))
   }
 
+  test("q_gini: the global rank is banded — rank windows partition by band, never one partition") {
+    val p = plan(graft.queries.Relational8.qGini(spark, dir))
+    val sp = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    // the 16-row offset frame and the final 1-row agg may single-partition;
+    // the |customers|-row rank window must not
+    assert(sp <= 2, s"only bounded frames may single-partition ($sp):\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bounds and offsets must broadcast:\n${p.take(3000)}")
+  }
+
+  test("e_hash_ring: routing is a broadcast ring + map-side min_by — keys never shuffle raw") {
+    // pin the pre-checkpoint routing stage; the gate checkpoints it for
+    // the three rollups, which truncates the published plan
+    val p = plan(graft.queries.Etl3.eHashRingAssign(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 144-row ring must broadcast:\n${p.take(3000)}")
+    assert(p.contains("partial_min_by"),
+      s"the clockwise pick must partial-aggregate map-side:\n${p.take(3000)}")
+    assert(!p.contains("Window"))
+  }
+
+  test("t_license: detection is a narrow regex map + one rollup") {
+    val p = plan(graft.queries.Text2.tLicense(spark, dir))
+    val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(license"))
+    assert(aggShuffles <= 1, s"one keyed shuffle expected ($aggShuffles):\n${p.take(3000)}")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("d_cos_hist: candidates come from band buckets — no all-pairs cross join") {
+    val p = plan(graft.queries.DedupQ.dCosHist(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay bucket-local:\n${p.take(3000)}")
+  }
+
   test("e_survivorship: ONE entity-keyed aggregation — no window, all survivorship max_bys ride it") {
     val p = plan(graft.queries.Etl2.eSurvivorship(spark, dir))
     assert(!p.contains("Window"),
