@@ -155,7 +155,7 @@ object Relational8 {
     val cells = ev(s, dir)
       .select(col("event_type"), expr(s"(ts_us div $UsPerDay) % 7").as("dow"))
       .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
+      .cache()
     val rt = cells.groupBy(col("event_type")).agg(sum(col("n")).as("rt"))
     val ct = cells.groupBy(col("dow")).agg(sum(col("n")).as("ct"))
     val tot = cells.agg(sum(col("n")).as("nn"))
@@ -264,7 +264,7 @@ object Relational8 {
     val bounds = pts.agg(min(col("price_i")).as("lo"), max(col("price_i")).as("hi"))
     val banded = pts.crossJoin(broadcast(bounds))
       .withColumn("band", expr(s"((price_i - lo) * $SkyBands) div (hi - lo + 1)"))
-      .localCheckpoint(false)
+      .cache()
     val bandMax = banded.groupBy(col("band")).agg(max(col("qty_i")).as("bm"))
     val wPfx = Window.orderBy(col("band")).rowsBetween(Window.unboundedPreceding, -1)
     val prefix = bandMax.withColumn("pfx", max(col("bm")).over(wPfx)) // ≤16 rows
@@ -496,7 +496,7 @@ object Relational8 {
     val bounds = rev.agg(min(col("rev_i")).as("lo"), max(col("rev_i")).as("hi"))
     val banded = rev.crossJoin(broadcast(bounds))
       .withColumn("band", expr(s"((rev_i - lo) * $GiniBands) div (hi - lo + 1)"))
-      .localCheckpoint(false)
+      .cache()
     val counts = banded.groupBy(col("band")).agg(count(lit(1)).as("bn"))
     val wPfx = Window.orderBy(col("band")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts.withColumn("off",

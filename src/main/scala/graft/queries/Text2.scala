@@ -38,7 +38,7 @@ object Text2 {
     val docs = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(tokens(col("text")).as("toks"))
-      .localCheckpoint(false)
+      .cache()
     val uni = docs.select(explode(col("toks")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
     val nTotal = uni.agg(sum(col("c")).as("n"))
