@@ -710,9 +710,16 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_skyline: dominance windows partition by band — no full-frame single-partition sort") {
     val p = plan(graft.queries.Relational8.qSkyline(spark, dir))
-    // the only single-partition exchange allowed is the ≤16-row band-prefix frame
+    // bounded single-partition frames are fine (the 1-row bounds agg, the
+    // 16-row band-prefix window, the pre-cache agg now visible since the
+    // frame is cached, not checkpointed); what must NOT happen is the
+    // |parts|-row dominance window running unpartitioned — pin that every
+    // point-frame window carries the band partition key
     val sp = p.linesIterator.count(_.contains("Exchange SinglePartition"))
-    assert(sp <= 1, s"only the 16-row band frame may single-partition ($sp):\n${p.take(3000)}")
+    assert(sp <= 3, s"only bounded frames may single-partition ($sp):\n${p.take(3000)}")
+    val badWindow = p.linesIterator.exists(l =>
+      l.contains("Window [") && l.contains("price_i") && !l.contains("band"))
+    assert(!badWindow, s"dominance windows must partition by band:\n${p.take(3000)}")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"bounds and band prefix must broadcast:\n${p.take(3000)}")
   }
@@ -840,9 +847,14 @@ class PlanSpec extends AnyFunSuite {
   test("q_gini: the global rank is banded — rank windows partition by band, never one partition") {
     val p = plan(graft.queries.Relational8.qGini(spark, dir))
     val sp = p.linesIterator.count(_.contains("Exchange SinglePartition"))
-    // the 16-row offset frame and the final 1-row agg may single-partition;
-    // the |customers|-row rank window must not
-    assert(sp <= 2, s"only bounded frames may single-partition ($sp):\n${p.take(3000)}")
+    // bounded frames may single-partition (1-row bounds agg, 16-row offset
+    // frame, the final scalar agg, the pre-cache agg now visible in the
+    // cached lineage); the |customers|-row rank window must not — pin that
+    // it carries the band partition key
+    assert(sp <= 4, s"only bounded frames may single-partition ($sp):\n${p.take(3000)}")
+    val badWindow = p.linesIterator.exists(l =>
+      l.contains("Window [") && l.contains("rev_i") && !l.contains("band"))
+    assert(!badWindow, s"the rank window must partition by band:\n${p.take(3000)}")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"bounds and offsets must broadcast:\n${p.take(3000)}")
   }
