@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("kgram_hashes"), info("kgram_hashes"),
       (es: Seq[Expression]) => VectorExpressions.KgramHashes(es.head, es.lift(1)
         .map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(8))))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"), info("nfc_normalize"),
+      (es: Seq[Expression]) => VectorExpressions.NfcNormalize(es.head)))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

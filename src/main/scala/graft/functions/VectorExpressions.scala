@@ -417,8 +417,36 @@ object VectorExpressions {
   /** Register the expressions as SQL functions on a session, then use them
     * via `expr("cosine_sim(a, b)")` — keeps call sites independent of the
     * Column constructor's visibility. */
+  /** Unicode NFC normalization as a native codegen'd expression — the
+    * canonicalization step BEFORE any content hash: the same visible text
+    * spelled composed (é) vs decomposed (e + U+0301) yields different
+    * md5s, so NFC-variant duplicates silently defeat exact dedup and
+    * content-hash surrogate keys. No Spark SQL built-in exists; DuckDB's
+    * nfc_normalize is the oracle counterpart (both delegate to the same
+    * Unicode normalization tables). */
+  case class NfcNormalize(child: Expression) extends UnaryExpression with Serializable {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize requires string, got ${other.simpleString}")
+    }
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+        |  java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC));
+        |""".stripMargin)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")

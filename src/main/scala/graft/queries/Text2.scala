@@ -420,7 +420,58 @@ object Text2 {
       |  source, COUNT(*) AS n_docs
       |FROM p GROUP BY 1, 2 ORDER BY license, source""".stripMargin
 
+  // ------------------------------------------------------------ t_nfc_dedup
+
+  /** t_nfc_dedup: NFC-VARIANT duplicate detection — the unicode
+    * canonicalization gap that silently defeats exact dedup and every
+    * content-hash surrogate key: the same visible text spelled composed
+    * (é, U+00E9) vs decomposed (e + combining U+0301) yields DIFFERENT
+    * md5s; d_exact's normalized-hash groups miss the pair entirely.
+    * The gate plants byte-different/NFC-equal twins (the d_embed_neardup
+    * union pattern: doc_id % 31 == 0 docs get a composed header, their
+    * +1000000 twins the decomposed spelling of the SAME header) and
+    * retrieves pairs by hashing through the native nfc_normalize
+    * expression (functions/VectorExpressions.NfcNormalize — codegen'd;
+    * no Spark built-in exists), asserting in-row that the RAW hashes
+    * disagree while the NFC hashes collide.
+    *
+    * Scale shape: d_exact's budget — one narrow (normalize+hash)
+    * projection, one hash-keyed collapse; the pair join touches only
+    * colliding groups. */
+  def tNfcDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val composed = "caf\u00e9 r\u00e9sum\u00e9 na\u00efve . "
+    val decomposed = "cafe\u0301 re\u0301sume\u0301 nai\u0308ve . "
+    val base = Tables.documents(s, dir).filter(col("doc_id") % 31 === 0)
+    val corpus = base.select(col("doc_id"), concat(lit(composed), col("text")).as("t2"))
+      .unionByName(base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit(decomposed), col("text")).as("t2")))
+      .select(col("doc_id"), md5(col("t2")).as("raw_h"),
+        md5(expr("nfc_normalize(t2)")).as("nfc_h"))
+    corpus.as("a").join(corpus.as("b"),
+        col("a.nfc_h") === col("b.nfc_h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        (col("a.raw_h") === col("b.raw_h")).as("raw_match"),
+        lit(true).as("nfc_match"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val tNfcDedupSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0),
+      |corpus AS (
+      |  SELECT doc_id, 'caf' || chr(233) || ' r' || chr(233) || 'sum' || chr(233) || ' na' || chr(239) || 've . ' || text AS t2 FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    'cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769) || ' nai' || chr(776) || 've . ' || text
+      |  FROM base),
+      |h AS (SELECT doc_id, md5(t2) AS raw_h, md5(nfc_normalize(t2)) AS nfc_h FROM corpus)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  a.raw_h = b.raw_h AS raw_match, TRUE AS nfc_match
+      |FROM h a JOIN h b ON a.nfc_h = b.nfc_h AND a.doc_id < b.doc_id
+      |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_nfc_dedup"    -> tNfcDedup _,
     "t_license"      -> tLicense _,
     "t_collocations" -> tCollocations _,
     "t_readability"  -> tReadability _,
@@ -432,6 +483,7 @@ object Text2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_nfc_dedup"    -> tNfcDedupSql,
     "t_license"      -> tLicenseSql,
     "t_collocations" -> tCollocationsSql,
     "t_readability"  -> tReadabilitySql,

@@ -883,6 +883,14 @@ class PlanSpec extends AnyFunSuite {
       s"candidate generation must stay bucket-local:\n${p.take(3000)}")
   }
 
+  test("t_nfc_dedup: retrieval is an equality join on the NFC hash; normalize+hash ride the scan") {
+    val p = plan(graft.queries.Text2.tNfcDedup(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must be an equality join on nfc_h:\n${p.take(3000)}")
+    assert(p.contains("nfcnormalize") || p.contains("nfc_normalize"),
+      s"the native expression must be in the plan:\n${p.take(3000)}")
+  }
+
   test("e_survivorship: ONE entity-keyed aggregation — no window, all survivorship max_bys ride it") {
     val p = plan(graft.queries.Etl2.eSurvivorship(spark, dir))
     assert(!p.contains("Window"),

@@ -188,6 +188,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(1).size == 1 && got(2) == Seq(0L) && got(3).size == 1)
   }
 
+  test("nfc_normalize: composed and decomposed spellings converge; composed text is a fixed point") {
+    graft.functions.VectorExpressions.register(spark)
+    import org.apache.spark.sql.functions._
+    val composed = "caf\u00e9 r\u00e9sum\u00e9 na\u00efve"
+    val decomposed = "cafe\u0301 re\u0301sume\u0301 nai\u0308ve"
+    val rows = Seq(composed, decomposed, "plain ascii", null)
+      .toDF("t").select(expr("nfc_normalize(t)").as("n")).collect()
+    assert(rows(0).getString(0) == composed, "composed must be a fixed point")
+    assert(rows(1).getString(0) == composed, "decomposed must normalize to composed")
+    assert(rows(0).getString(0) != decomposed)
+    assert(rows(2).getString(0) == "plain ascii")
+    assert(rows(3).isNullAt(0), "null propagates")
+    // and the whole-stage-codegen path agrees with eval (wider frame so
+    // codegen actually fires)
+    val n = spark.range(100).selectExpr(
+      "nfc_normalize(concat('e', '\u0301', cast(id AS string))) AS v")
+      .where(col("v") === concat(lit("\u00e9"), col("id").cast("string"))).count()
+    assert(n == 100, "codegen path must normalize identically")
+  }
+
   test("t_classify: bootstrapped classifier actually learns the seed rule, not a constant") {
     val out = graft.queries.Text.tClassify(spark, "/root/testdata/sf0.001")
       .as[(Long, Int, Long, Int)].collect()
