@@ -1254,7 +1254,69 @@ object DedupQ {
        |  CAST(CAST(MAX(cos) AS DECIMAL(18,6)) AS DOUBLE) AS max_cos
        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** d_dup_mass: the DEDUP ROI estimate — how much TOKEN MASS duplicates
+    * waste (the number that justifies the dedup pipeline's compute bill:
+    * every duplicated token is training compute spent re-seeing data,
+    * and the inflation factor prices it): total token mass vs the mass
+    * of canonical survivors off the run's shared canonical map, with the
+    * inflation factor and the wasted share as pinned divisions.
+    *
+    * Scale shape: rides the cached fullCanonical stage (computed once
+    * per session/dataset like the signature table) + one narrow token
+    * count; ONE global aggregation to a single report row. */
+  def dDupMass(s: SparkSession, dir: String): DataFrame = {
+    val canon = fullCanonical(s, dir)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+    canon.join(toks, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L)).as("n_survivors"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(when(col("doc_id") === col("canonical_id"), col("n_toks")).otherwise(0L))
+          .as("survivor_tokens"))
+      .select(col("n_docs"), col("n_survivors"), col("total_tokens"), col("survivor_tokens"),
+        (col("total_tokens") - col("survivor_tokens")).as("dup_tokens"),
+        graft.functions.OracleParity.x6(
+          col("total_tokens").cast("double") / col("survivor_tokens").cast("double"))
+          .as("inflation"),
+        graft.functions.OracleParity.x6(
+          (col("total_tokens") - col("survivor_tokens")).cast("double") /
+            col("total_tokens").cast("double")).as("waste_share"))
+  }
+
+  val dDupMassSql: String =
+    s"""WITH RECURSIVE rm AS (
+       |  SELECT doc_id, text,
+       |    MIN(doc_id) OVER (PARTITION BY
+       |      md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f]+', ' ', 'g'))) AS rep
+       |  FROM documents),
+       |qdocs AS (SELECT doc_id, text FROM rm WHERE doc_id = rep),
+       |${shingleCteFor("qdocs")},
+       |$hpCte,
+       |$sigsCte,
+       |$bandsCte,
+       |cand AS ($candSelect),
+       |$pairsCte,
+       |$closureCtes,
+       |canon AS (SELECT rm.doc_id, coalesce(l.canonical_id, rm.rep) AS canonical_id
+       |          FROM rm LEFT JOIN lbl l ON l.id = rm.rep),
+       |toks AS (SELECT doc_id, CAST(len(${graft.queries.Text.toksSql}) AS BIGINT) AS n_toks
+       |         FROM documents),
+       |m AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    SUM(CASE WHEN c.doc_id = c.canonical_id THEN 1 ELSE 0 END) AS n_survivors,
+       |    SUM(t.n_toks) AS total_tokens,
+       |    SUM(CASE WHEN c.doc_id = c.canonical_id THEN t.n_toks ELSE 0 END) AS survivor_tokens
+       |  FROM canon c JOIN toks t ON t.doc_id = c.doc_id)
+       |SELECT n_docs, n_survivors, total_tokens, survivor_tokens,
+       |  total_tokens - survivor_tokens AS dup_tokens,
+       |  CAST(CAST(CAST(total_tokens AS DOUBLE) / CAST(survivor_tokens AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS inflation,
+       |  CAST(CAST(CAST(total_tokens - survivor_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS waste_share
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_dup_mass"      -> dDupMass _,
     "d_cos_hist"      -> dCosHist _,
     "d_lsh_tune"      -> dLshTune _,
     "d_cdc_chunks"    -> dCdcChunks _,
@@ -1280,6 +1342,7 @@ object DedupQ {
   )
 
   val oracle: Map[String, String] = Map(
+    "d_dup_mass"      -> dDupMassSql,
     "d_cos_hist"      -> dCosHistSql,
     "d_lsh_tune"      -> dLshTuneSql,
     "d_cdc_chunks"    -> dCdcChunksSql,

@@ -495,7 +495,65 @@ object Modal3 {
       |  CAST(1500 AS BIGINT) AS dur_ms
       |FROM cues ORDER BY doc_id, cue_idx""".stripMargin
 
+  // ------------------------------------------------------------ m_clipping
+
+  /** m_clipping: AUDIO CLIPPING detection — the first QC gate an audio
+    * corpus runs (clipped recordings poison both acoustic fingerprints
+    * and ASR training; gain staging bugs show up here first): per clip
+    * the count of samples at the int16 rails (|v| ≥ 32700), the clip
+    * rate and a >1 % verdict, measured AFTER a real WAV write→decode
+    * roundtrip so the container and codec are under the oracle too.
+    * Clipped clips are PLANTED (doc_id % 23 takes gain 20, saturating at
+    * ±32767; everyone else gain 8, max ±16 000) so both verdicts fire
+    * every run; the oracle replays the formula with LEAST/GREATEST
+    * clamps.
+    *
+    * Scale shape: one narrow synth→WAV→decode→count pass; one row per
+    * clip. */
+  def mClipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 1)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (1200 + (id % 3) * 400).toInt
+        val gain = if (id % 23 == 0) 20L else 8L
+        val samples = Array.tabulate(n) { i =>
+          val base = (id * 7919L + i.toLong * 131L) % 4001L - 2000L
+          math.max(math.min(base * gain, 32767L), -32767L).toShort
+        }
+        val wav = graft.multimodal.Audio.wavBytes(samples)
+        val dec = graft.multimodal.Audio.pcmSamples(wav)
+        val nClip = dec.count(v => math.abs(v.toInt) >= 32700).toLong
+        (id, dec.length.toLong, nClip)
+      })
+      .toDF("doc_id", "n_samples", "n_clipped")
+      .withColumn("clip_rate", graft.functions.OracleParity.x6(
+        col("n_clipped").cast("double") / col("n_samples").cast("double")))
+      .withColumn("is_clipped", col("n_clipped") * 100 > col("n_samples"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mClippingSql: String =
+    """WITH ids AS (SELECT doc_id, 1200 + (doc_id % 3) * 400 AS n,
+      |               CASE WHEN doc_id % 23 = 0 THEN 20 ELSE 8 END AS gain
+      |             FROM documents WHERE doc_id % 4 = 1),
+      |v AS (SELECT doc_id, n,
+      |        GREATEST(LEAST(((doc_id * 7919 + unnest(range(n)) * 131) % 4001 - 2000) * gain,
+      |                 32767), -32767) AS v
+      |      FROM ids),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_samples,
+      |    SUM(CASE WHEN abs(v) >= 32700 THEN 1 ELSE 0 END) AS n_clipped
+      |  FROM v GROUP BY doc_id)
+      |SELECT doc_id, n_samples, n_clipped,
+      |  CAST(CAST(CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS clip_rate,
+      |  n_clipped * 100 > n_samples AS is_clipped
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_clipping"     -> mClipping _,
     "m_codec_matrix" -> mCodecMatrix _,
     "m_srt_parse"    -> mSrtParse _,
     "m_png_meta"   -> mPngMeta _,
@@ -511,5 +569,6 @@ object Modal3 {
     "m_patchify"   -> mPatchifySql,
     "m_codec_matrix" -> mCodecMatrixSql,
     "m_srt_parse"    -> mSrtParseSql,
+    "m_clipping"     -> mClippingSql,
   )
 }

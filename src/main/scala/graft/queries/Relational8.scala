@@ -537,7 +537,64 @@ object Relational8 {
       |    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS gini
       |FROM m""".stripMargin
 
+  // ------------------------------------------------------------ q_apportion
+
+  private val ApportionSlots = 1000L
+
+  /** q_apportion: LARGEST-REMAINDER APPORTIONMENT (Hamilton's method) —
+    * the exact-k quota allocator behind stratified sampling budgets,
+    * eval-set construction and shard assignment ("split exactly 1000
+    * sample slots across nations proportionally to customer count"):
+    * base quota = floor(N·c_i / C), then the N − Σfloor leftover slots
+    * go to the largest remainders (N·c_i mod C, ties → nation asc). The
+    * entire method is integer arithmetic — no float share ever rounds —
+    * and Σ final quotas ≡ N by construction, the invariant naive
+    * per-group rounding violates.
+    *
+    * Scale shape: one customer aggregation to the |nations|-row frame;
+    * ranking remainders is a window on that bounded frame; 1-row total
+    * broadcast. */
+  def qApportion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation")).agg(count(lit(1)).as("c"))
+    val base = counts.crossJoin(broadcast(counts.agg(sum(col("c")).as("ctot"))))
+      .withColumn("base_quota", expr(s"($ApportionSlots * c) div ctot"))
+      .withColumn("rem", expr(s"($ApportionSlots * c) % ctot"))
+    val extraTotal = base.agg((lit(ApportionSlots) - sum(col("base_quota"))).as("extra"))
+    val wRem = Window.orderBy(col("rem").desc, col("nation"))
+    base.crossJoin(broadcast(extraTotal))
+      .withColumn("rrank", row_number().over(wRem)) // |nations|-row frame
+      .withColumn("extra", when(col("rrank") <= col("extra"), 1L).otherwise(0L))
+      .select(col("nation"), col("c").as("n_customers"),
+        col("base_quota"), col("extra"),
+        (col("base_quota") + col("extra")).as("final_quota"))
+      .orderBy(col("nation"))
+  }
+
+  val qApportionSql: String =
+    s"""WITH counts AS (
+       |  SELECT n_name AS nation, COUNT(*) AS c
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY n_name),
+       |tot AS (SELECT SUM(c) AS ctot FROM counts),
+       |base AS (
+       |  SELECT nation, c, ($ApportionSlots * c) // ctot AS base_quota,
+       |    ($ApportionSlots * c) % ctot AS rem
+       |  FROM counts, tot),
+       |ex AS (SELECT $ApportionSlots - SUM(base_quota) AS extra FROM base),
+       |r AS (
+       |  SELECT nation, c, base_quota,
+       |    row_number() OVER (ORDER BY rem DESC, nation) AS rrank
+       |  FROM base)
+       |SELECT nation, c AS n_customers, base_quota,
+       |  CASE WHEN rrank <= ex.extra THEN 1 ELSE 0 END AS extra,
+       |  base_quota + CASE WHEN rrank <= ex.extra THEN 1 ELSE 0 END AS final_quota
+       |FROM r, ex ORDER BY nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_apportion"       -> qApportion _,
     "q_gini"            -> qGini _,
     "q_weighted_median" -> qWeightedMedian _,
     "q_degree_dist"     -> qDegreeDist _,
@@ -551,6 +608,7 @@ object Relational8 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_apportion"       -> qApportionSql,
     "q_gini"            -> qGiniSql,
     "q_weighted_median" -> qWeightedMedianSql,
     "q_degree_dist"     -> qDegreeDistSql,

@@ -392,7 +392,80 @@ object Similarity2 {
        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------------ s_mrr
+
+  /** s_mrr: MEAN-RECIPROCAL-RANK retrieval evaluation — s_recall's
+    * position-aware sibling (recall@5 says WHETHER truth was retrieved;
+    * MRR says HOW HIGH the first true neighbor landed, which is what a
+    * RAG context window actually experiences): per query the first
+    * IVF-probe rank whose id is in the exact brute-force top-5, rr =
+    * 1/rank (0 when the probe missed entirely). Per-query rows are the
+    * gate; the corpus MRR folds from the bounded frame. rr values are
+    * pinned per query so the metric aggregates identically at any
+    * partitioning.
+    *
+    * Scale shape: both ranked lists are k·|Q| id sets (s_recall's
+    * budget); the hit join and min ride the bounded frame. */
+  def sMrr(s: SparkSession, dir: String): DataFrame = {
+    val brute = Similarity.sKnnBrute(s, dir).select(col("q_id"), col("n_id"))
+    val ann = Similarity.sKnnIvf(s, dir)
+      .select(col("q_id"), col("n_id"), col("rnk").cast("long").as("rnk"))
+    val firsts = ann.join(brute, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(min(col("rnk")).as("first_hit_rank"))
+    brute.select(col("q_id")).distinct()
+      .join(firsts, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("first_hit_rank"), lit(0L)).as("first_hit_rank"),
+        graft.functions.OracleParity.x6(
+          when(col("first_hit_rank").isNotNull,
+            lit(1.0) / col("first_hit_rank").cast("double")).otherwise(lit(0.0)))
+          .as("rr"))
+      .orderBy(col("q_id"))
+  }
+
+  val sMrrSql: String = {
+    // the s_recall oracle's CTE stack (IVF replay + brute truth), with a
+    // min-first-hit-rank tail instead of the hit count
+    val iters = (1 to 2).flatMap(i => Seq(
+      kmAssignCte("pts", s"c${i - 1}", s"a$i"), kmRecenterCte(s"a$i", s"c$i")))
+    s"""WITH pts AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding] AS pv FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding] AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+       |${iters.mkString(",\n")},
+       |bk AS (
+       |  SELECT n_id, nv, bucket FROM (
+       |    SELECT p.p_id AS n_id, p.pv AS nv, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY p.p_id ORDER BY COALESCE(${cosSql("p.pv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM pts p CROSS JOIN c2 c) WHERE rn = 1),
+       |q AS (SELECT p_id AS q_id, pv AS qv FROM pts WHERE p_id % 50 = 0),
+       |pr AS (
+       |  SELECT q_id, qv, bucket FROM (
+       |    SELECT q.q_id, q.qv, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY COALESCE(${cosSql("q.qv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM q CROSS JOIN c2 c) WHERE rn <= 2),
+       |sc AS (
+       |  SELECT pr.q_id, b.n_id, ${cosSql("pr.qv", "b.nv")} AS cs
+       |  FROM pr JOIN bk b ON b.bucket = pr.bucket AND b.n_id <> pr.q_id),
+       |ann AS (SELECT q_id, n_id, rnk FROM (
+       |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC NULLS LAST, n_id) AS rnk FROM sc)
+       |  WHERE rnk <= 5),
+       |bscored AS (
+       |  SELECT q.q_id, p.p_id AS n_id, ${cosSql("q.qv", "p.pv")} AS cos
+       |  FROM q CROSS JOIN pts p WHERE p.p_id <> q.q_id),
+       |brute AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk FROM bscored)
+       |  WHERE rnk <= 5),
+       |firsts AS (
+       |  SELECT a.q_id, MIN(a.rnk) AS fh
+       |  FROM ann a JOIN brute b ON b.q_id = a.q_id AND b.n_id = a.n_id
+       |  GROUP BY a.q_id)
+       |SELECT q.q_id, CAST(COALESCE(f.fh, 0) AS BIGINT) AS first_hit_rank,
+       |  CAST(CAST(CASE WHEN f.fh IS NOT NULL THEN 1.0 / CAST(f.fh AS DOUBLE) ELSE 0.0 END AS DECIMAL(18,6)) AS DOUBLE) AS rr
+       |FROM (SELECT DISTINCT q_id FROM brute) q LEFT JOIN firsts f ON f.q_id = q.q_id
+       |ORDER BY q.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_mrr"          -> sMrr _,
     "s_mutual_knn"   -> sMutualKnn _,
     "s_recall_curve" -> sRecallCurve _,
     "s_ood"          -> sOod _,
@@ -402,6 +475,7 @@ object Similarity2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "s_mrr"          -> sMrrSql,
     "s_mutual_knn"   -> sMutualKnnSql,
     "s_recall_curve" -> sRecallCurveSql,
     "s_ood"          -> sOodSql,

@@ -891,6 +891,28 @@ class PlanSpec extends AnyFunSuite {
       s"the native expression must be in the plan:\n${p.take(3000)}")
   }
 
+  test("q_apportion: quotas and remainder ranking live on the |nations|-row frame") {
+    val p = plan(graft.queries.Relational8.qApportion(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"nation dim and totals must broadcast:\n${p.take(3000)}")
+    val keyShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(c_custkey"))
+    assert(keyShuffles == 0, s"customers must aggregate without a raw-key shuffle:\n${p.take(3000)}")
+  }
+
+  test("s_mrr: both ranked lists are k-bounded; the hit join rides the bounded frame") {
+    val p = plan(graft.queries.Similarity2.sMrr(spark, dir))
+    assert(p.contains("TopKPerKey"),
+      s"ANN ranking must be the k-bounded shuffle:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d_dup_mass: rides the cached canonical map — one global aggregation, no window") {
+    val p = plan(graft.queries.DedupQ.dDupMass(spark, dir))
+    assert(!p.contains("Window"), s"no window anywhere:\n${p.take(3000)}")
+    assert(p.contains("Scan ExistingRDD") || p.contains("InMemory"),
+      s"the canonical map must come from the cached stage:\n${p.take(3000)}")
+  }
+
   test("e_survivorship: ONE entity-keyed aggregation — no window, all survivorship max_bys ride it") {
     val p = plan(graft.queries.Etl2.eSurvivorship(spark, dir))
     assert(!p.contains("Window"),
