@@ -460,7 +460,53 @@ object Etl3 {
        |FROM aft LEFT JOIN bef ON bef.node = aft.node, mv
        |ORDER BY aft.node""".stripMargin
 
+  // ------------------------------------------------------------ e_key_infer
+
+  /** e_key_infer: CANDIDATE-KEY discovery — e_type_infer's sibling on the
+    * constraint side: which columns (or combinations) are unique over the
+    * delivered feed, the decision an ingest pipeline needs before it can
+    * pick a merge key (guessing wrong turns upserts into cross-joins or
+    * silent overwrites). Each candidate's distinct count rides ONE
+    * aggregation pass (multi-distinct Expand — at 100 TB swap the exact
+    * counts for approx_count_distinct and verify only the survivors
+    * exactly, the e_profile toggle); verdict = n_distinct == n_rows.
+    * Output long-form via stack: |candidates| fixed rows. */
+  def eKeyInfer(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_orderkey")).as("d_orderkey"),
+      countDistinct(col("o_custkey")).as("d_custkey"),
+      countDistinct(col("o_custkey"), col("o_orderdate")).as("d_cust_date"),
+      countDistinct(col("o_orderstatus"), col("o_orderpriority")).as("d_status_prio"))
+    wide.selectExpr(
+        """stack(4,
+          |  'o_orderkey', d_orderkey,
+          |  'o_custkey', d_custkey,
+          |  'o_custkey+o_orderdate', d_cust_date,
+          |  'o_orderstatus+o_orderpriority', d_status_prio) AS (candidate, n_distinct)""".stripMargin,
+        "n_rows")
+      .withColumn("is_key", col("n_distinct") === col("n_rows"))
+      .orderBy(col("candidate"))
+  }
+
+  val eKeyInferSql: String =
+    """WITH w AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    COUNT(DISTINCT o_orderkey) AS d_orderkey,
+      |    COUNT(DISTINCT o_custkey) AS d_custkey,
+      |    COUNT(DISTINCT (o_custkey, o_orderdate)) AS d_cust_date,
+      |    COUNT(DISTINCT (o_orderstatus, o_orderpriority)) AS d_status_prio
+      |  FROM orders),
+      |l AS (
+      |  SELECT 'o_orderkey' AS candidate, d_orderkey AS n_distinct, n_rows FROM w
+      |  UNION ALL SELECT 'o_custkey', d_custkey, n_rows FROM w
+      |  UNION ALL SELECT 'o_custkey+o_orderdate', d_cust_date, n_rows FROM w
+      |  UNION ALL SELECT 'o_orderstatus+o_orderpriority', d_status_prio, n_rows FROM w)
+      |SELECT candidate, n_distinct, n_rows, n_distinct = n_rows AS is_key
+      |FROM l ORDER BY candidate""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_key_infer"      -> eKeyInfer _,
     "e_hash_ring"      -> eHashRing _,
     "e_json_validate"  -> eJsonValidate _,
     "e_table_checksum" -> eTableChecksum _,
@@ -471,6 +517,7 @@ object Etl3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_key_infer"      -> eKeyInferSql,
     "e_hash_ring"      -> eHashRingSql,
     "e_json_validate"  -> eJsonValidateSql,
     "e_table_checksum" -> eTableChecksumSql,

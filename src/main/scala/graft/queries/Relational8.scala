@@ -593,7 +593,95 @@ object Relational8 {
        |  base_quota + CASE WHEN rrank <= ex.extra THEN 1 ELSE 0 END AS final_quota
        |FROM r, ex ORDER BY nation""".stripMargin
 
+  // ---------------------------------------------------------- q_growth_acct
+
+  /** q_growth_acct: GROWTH ACCOUNTING — the canonical DAU decomposition
+    * (new + retained + resurrected = today's actives; churned = yesterday's
+    * actives who didn't return) that every growth team reads before the
+    * topline: per user-day, classify against the previous active day
+    * (first day → new; prev = day−1 → retained; prev < day−1 →
+    * resurrected), roll up per day, and derive churn from the previous
+    * day's actives minus today's retained — the identity that makes the
+    * four series internally consistent (naive independent counts drift).
+    *
+    * Scale shape: ONE user-keyed window over the collapsed (user, day)
+    * activity frame classifies everything; the day rollup and the
+    * |days|-row lag window are bounded. */
+  def qGrowthAcct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val activity = ev(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $UsPerDay").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val classified = activity
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("cls",
+        when(col("prev").isNull, lit("new"))
+          .when(col("prev") === col("day") - 1, lit("retained"))
+          .otherwise(lit("resurrected")))
+    val daily = classified.groupBy(col("day")).agg(
+      count(lit(1)).as("n_active"),
+      sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val wDay = Window.orderBy(col("day")) // |days|-row frame
+    daily.withColumn("prev_active", lag(col("n_active"), 1).over(wDay))
+      .withColumn("n_churned",
+        when(col("prev_active").isNotNull, col("prev_active") - col("n_retained")))
+      .drop("prev_active")
+      .orderBy(col("day"))
+  }
+
+  val qGrowthAcctSql: String =
+    s"""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // $UsPerDay AS day FROM events),
+       |c AS (
+       |  SELECT day,
+       |    CASE WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL THEN 'new'
+       |         WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day) = day - 1 THEN 'retained'
+       |         ELSE 'resurrected' END AS cls
+       |  FROM a),
+       |d AS (
+       |  SELECT day, COUNT(*) AS n_active,
+       |    SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
+       |    SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+       |    SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS n_resurrected
+       |  FROM c GROUP BY day)
+       |SELECT day, n_active, n_new, n_retained, n_resurrected,
+       |  lag(n_active) OVER (ORDER BY day) - n_retained AS n_churned
+       |FROM d ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------ q_punchcard
+
+  /** q_punchcard: the DOW × HOUR activity heatmap (the "punchcard" every
+    * product dashboard ships — when is the audience awake): counts per
+    * (epoch-day mod 7, hour-of-day) cell with the share of total, all
+    * timezone-free integer bucketing. ONE map-side-partial aggregation
+    * to ≤168 rows + a 1-row total broadcast. */
+  def qPunchcard(s: SparkSession, dir: String): DataFrame = {
+    val cells = ev(s, dir)
+      .select(expr(s"(ts_us div $UsPerDay) % 7").as("dow"),
+        expr("(ts_us div 3600000000) % 24").as("hod"))
+      .groupBy(col("dow"), col("hod")).agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).as("nn"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hod"), col("n"),
+        x6(col("n").cast(DoubleType) / col("nn").cast(DoubleType)).as("share"))
+      .orderBy(col("dow"), col("hod"))
+  }
+
+  val qPunchcardSql: String =
+    s"""WITH cells AS (
+       |  SELECT (epoch_us(ts) // $UsPerDay) % 7 AS dow,
+       |    (epoch_us(ts) // 3600000000) % 24 AS hod, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |t AS (SELECT SUM(n) AS nn FROM cells)
+       |SELECT dow, hod, n,
+       |  CAST(CAST(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS share
+       |FROM cells, t ORDER BY dow, hod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_growth_acct"     -> qGrowthAcct _,
+    "q_punchcard"       -> qPunchcard _,
     "q_apportion"       -> qApportion _,
     "q_gini"            -> qGini _,
     "q_weighted_median" -> qWeightedMedian _,
@@ -608,6 +696,8 @@ object Relational8 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_growth_acct"     -> qGrowthAcctSql,
+    "q_punchcard"       -> qPunchcardSql,
     "q_apportion"       -> qApportionSql,
     "q_gini"            -> qGiniSql,
     "q_weighted_median" -> qWeightedMedianSql,

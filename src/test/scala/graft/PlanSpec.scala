@@ -913,6 +913,26 @@ class PlanSpec extends AnyFunSuite {
       s"the canonical map must come from the cached stage:\n${p.take(3000)}")
   }
 
+  test("q_growth_acct: ONE user-keyed window classifies everything; churn lag rides the |days| frame") {
+    val p = plan(graft.queries.Relational8.qGrowthAcct(spark, dir))
+    val userShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(userShuffles <= 2, s"activity distinct + user window only ($userShuffles):\n${p.take(3000)}")
+    assert(!p.contains("Join"), s"all four series from one pass — no self-joins:\n${p.take(3000)}")
+  }
+
+  test("q_punchcard: one map-side-partial aggregation to <=168 cells") {
+    val p = plan(graft.queries.Relational8.qPunchcard(spark, dir))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n${p.take(3000)}")
+  }
+
+  test("e_key_infer: all candidate distinct counts ride ONE aggregation pass") {
+    val p = plan(graft.queries.Etl3.eKeyInfer(spark, dir))
+    assert(!p.contains("Join"), s"no join — one pass:\n${p.take(3000)}")
+    assert(p.contains("Expand"), s"the multi-distinct Expand is the expected shape:\n${p.take(3000)}")
+  }
+
   test("e_survivorship: ONE entity-keyed aggregation — no window, all survivorship max_bys ride it") {
     val p = plan(graft.queries.Etl2.eSurvivorship(spark, dir))
     assert(!p.contains("Window"),
