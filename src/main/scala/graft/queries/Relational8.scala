@@ -679,7 +679,48 @@ object Relational8 {
        |  CAST(CAST(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS share
        |FROM cells, t ORDER BY dow, hod""".stripMargin
 
+  // --------------------------------------------------------------- q_movers
+
+  /** q_movers: TOP MOVERS — the "biggest month-over-month changes"
+    * dashboard tile beside q_mom_yoy's full series: per (priority,
+    * month) decimal-exact revenue, MoM delta via ONE lag window on the
+    * bounded aggregate frame, top-10 by absolute delta as
+    * TakeOrderedAndProject (never a global window sort). Delta stays an
+    * exact decimal; only the output casts. */
+  def qMovers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d18 = DecimalType(18, 6)
+    val monthly = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        expr("date_format(CAST(o_orderdate AS TIMESTAMP), 'yyyy-MM')").as("month"))
+      .agg(sum(col("o_totalprice").cast(d18)).as("rev"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("month"))
+    monthly.withColumn("prev", lag(col("rev"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("delta", (col("rev") - col("prev")).cast(DecimalType(19, 6)))
+      .select(col("priority"), col("month"),
+        col("rev").cast(DoubleType).as("revenue"),
+        col("delta").cast(DoubleType).as("delta"))
+      .orderBy(abs(col("delta")).desc, col("priority"), col("month"))
+      .limit(10)
+  }
+
+  val qMoversSql: String =
+    """WITH m AS (
+      |  SELECT o_orderpriority AS priority,
+      |    strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |d AS (
+      |  SELECT priority, month, rev,
+      |    CAST(rev - lag(rev) OVER (PARTITION BY priority ORDER BY month) AS DECIMAL(19,6)) AS delta
+      |  FROM m)
+      |SELECT priority, month, CAST(rev AS DOUBLE) AS revenue, CAST(delta AS DOUBLE) AS delta
+      |FROM d WHERE delta IS NOT NULL
+      |ORDER BY abs(delta) DESC, priority, month LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_movers"          -> qMovers _,
     "q_growth_acct"     -> qGrowthAcct _,
     "q_punchcard"       -> qPunchcard _,
     "q_apportion"       -> qApportion _,
@@ -696,6 +737,7 @@ object Relational8 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_movers"          -> qMoversSql,
     "q_growth_acct"     -> qGrowthAcctSql,
     "q_punchcard"       -> qPunchcardSql,
     "q_apportion"       -> qApportionSql,

@@ -464,7 +464,64 @@ object Similarity2 {
        |ORDER BY q.q_id""".stripMargin
   }
 
+  // ------------------------------------------------------------ s_dim_stats
+
+  /** s_dim_stats: PER-DIMENSION embedding statistics — the
+    * dead/collapsed-dimension detector (a dimension whose variance
+    * collapses after an encoder change wastes PQ codebook bits and
+    * flattens cosine contrast; this is the per-axis view s_norm_hist's
+    * per-vector view can't give): per dimension the exact decimal sum
+    * and sum of squares (per-term double products frozen to
+    * DECIMAL(38,12) — the q_hhi discipline), mean and variance as
+    * pinned chains, plus a near-zero-variance flag.
+    *
+    * Scale shape: one explode to (dim, x) pairs + ONE dim-keyed
+    * map-side-partial aggregation to 64 rows; at 100 TB this rides the
+    * same pass that computes VectorDecimalSum centroids. */
+  def sDimStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val d38 = DecimalType(38, 12)
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .select((col("d") + 1).as("dim"), col("x").cast(DoubleType).as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"))
+      .select(col("dim"), col("n"),
+        graft.functions.OracleParity.x6(
+          col("sx").cast(DoubleType) / col("n").cast(DoubleType)).as("mean"),
+        graft.functions.OracleParity.x6(
+          (col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) /
+            (col("n").cast(DoubleType) * col("n").cast(DoubleType))).as("variance"),
+        (graft.functions.OracleParity.x6(
+          (col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) /
+            (col("n").cast(DoubleType) * col("n").cast(DoubleType))) < lit(0.001))
+          .as("is_dead"))
+      .orderBy(col("dim"))
+  }
+
+  val sDimStatsSql: String =
+    """WITH px AS (
+      |  SELECT d AS dim, CAST(embedding[d] AS DOUBLE) AS x
+      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS d) ds),
+      |m AS (
+      |  SELECT dim, COUNT(*) AS n,
+      |    SUM(CAST(x AS DECIMAL(38,12))) AS sx,
+      |    SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+      |  FROM px GROUP BY dim)
+      |SELECT dim, n,
+      |  CAST(CAST(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean,
+      |  CAST(CAST((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS variance,
+      |  CAST(CAST((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) < 0.001 AS is_dead
+      |FROM m ORDER BY dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_dim_stats"    -> sDimStats _,
     "s_mrr"          -> sMrr _,
     "s_mutual_knn"   -> sMutualKnn _,
     "s_recall_curve" -> sRecallCurve _,
@@ -475,6 +532,7 @@ object Similarity2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "s_dim_stats"    -> sDimStatsSql,
     "s_mrr"          -> sMrrSql,
     "s_mutual_knn"   -> sMutualKnnSql,
     "s_recall_curve" -> sRecallCurveSql,

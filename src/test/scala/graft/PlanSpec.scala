@@ -933,6 +933,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Expand"), s"the multi-distinct Expand is the expected shape:\n${p.take(3000)}")
   }
 
+  test("q_movers: top-10 is a bounded TakeOrdered; the lag rides the monthly frame") {
+    val p = plan(graft.queries.Relational8.qMovers(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"movers top-k must be a per-partition heap:\n${p.take(3000)}")
+    val factShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(priority, month"))
+    assert(factShuffles <= 1, s"one monthly-agg shuffle expected ($factShuffles):\n${p.take(3000)}")
+  }
+
+  test("s_dim_stats: one dim-keyed map-side-partial aggregation to 64 rows") {
+    val p = plan(graft.queries.Similarity2.sDimStats(spark, dir))
+    val dimShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(dim"))
+    assert(dimShuffles <= 1, s"one dim-keyed shuffle expected ($dimShuffles):\n${p.take(3000)}")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
   test("e_survivorship: ONE entity-keyed aggregation — no window, all survivorship max_bys ride it") {
     val p = plan(graft.queries.Etl2.eSurvivorship(spark, dir))
     assert(!p.contains("Window"),
