@@ -505,7 +505,79 @@ object Etl3 {
       |SELECT candidate, n_distinct, n_rows, n_distinct = n_rows AS is_key
       |FROM l ORDER BY candidate""".stripMargin
 
+  // ------------------------------------------------------------ e_hash_chain
+
+  /** e_hash_chain: TAMPER-EVIDENT hash chaining — the append-only audit-log
+    * integrity check (each record's hash folds the previous record's
+    * hash, so editing ANY historical row changes every chain head after
+    * it — the blockchain-lite pattern compliance logs use): per customer,
+    * the chain head over their orders in (day, orderkey) sequence,
+    * computed on both the source and a replica with ONE tampered order
+    * (orderkey % 1009 == 0 gets a +1 micro-unit price); a chain mismatch
+    * convicts the entire customer's history while per-row hashes would
+    * need row-by-row comparison. The fold runs as an in-row array
+    * aggregate over the customer's collected, sorted order list —
+    * per-entity state bounded by that entity's history.
+    *
+    * Scale shape: ONE customer-keyed aggregation per side (collect +
+    * in-row fold — no iterative joins); the diff join carries
+    * |customers| (key, chain) pairs. */
+  def eHashChain(s: SparkSession, dir: String): DataFrame = {
+    val micro = "CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    def side(tampered: Boolean): DataFrame = {
+      val m = if (tampered)
+        s"CASE WHEN o_orderkey % 1009 = 0 THEN $micro + 1 ELSE $micro END"
+      else micro
+      Tables.orders(s, dir)
+        .selectExpr("o_custkey", "o_orderkey",
+          s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $UsPerDay AS day",
+          s"concat_ws('|', o_orderkey, $m, o_orderstatus) AS payload")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), expr(
+          """aggregate(
+            |  transform(array_sort(collect_list(struct(day, o_orderkey, payload))),
+            |            r -> r.payload),
+            |  'genesis', (acc, x) -> md5(concat(acc, x)))""".stripMargin).as("chain"))
+    }
+    side(tampered = false).as("s")
+      .join(side(tampered = true)
+        .select(col("o_custkey"), col("chain").as("chain_rep")), "o_custkey")
+      .select(col("o_custkey"), col("n_orders"), col("chain"),
+        (col("chain") === col("chain_rep")).as("chain_intact"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val eHashChainSql: String =
+    s"""WITH base AS (
+       |  SELECT o_custkey, o_orderkey,
+       |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) // $UsPerDay AS day,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micro,
+       |    o_orderstatus FROM orders),
+       |src AS (
+       |  SELECT o_custkey, COUNT(*) AS n_orders,
+       |    list_reduce(
+       |      list_prepend('genesis',
+       |        list_transform(
+       |          list_sort(list((day, o_orderkey, concat_ws('|', o_orderkey, micro, o_orderstatus)))),
+       |          r -> r[3])),
+       |      (acc, x) -> md5(acc || x)) AS chain
+       |  FROM base GROUP BY o_custkey),
+       |rep AS (
+       |  SELECT o_custkey,
+       |    list_reduce(
+       |      list_prepend('genesis',
+       |        list_transform(
+       |          list_sort(list((day, o_orderkey, concat_ws('|', o_orderkey,
+       |            CASE WHEN o_orderkey % 1009 = 0 THEN micro + 1 ELSE micro END, o_orderstatus)))),
+       |          r -> r[3])),
+       |      (acc, x) -> md5(acc || x)) AS chain_rep
+       |  FROM base GROUP BY o_custkey)
+       |SELECT s.o_custkey, s.n_orders, s.chain, s.chain = r.chain_rep AS chain_intact
+       |FROM src s JOIN rep r ON r.o_custkey = s.o_custkey
+       |ORDER BY s.o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_hash_chain"     -> eHashChain _,
     "e_key_infer"      -> eKeyInfer _,
     "e_hash_ring"      -> eHashRing _,
     "e_json_validate"  -> eJsonValidate _,
@@ -517,6 +589,7 @@ object Etl3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_hash_chain"     -> eHashChainSql,
     "e_key_infer"      -> eKeyInferSql,
     "e_hash_ring"      -> eHashRingSql,
     "e_json_validate"  -> eJsonValidateSql,

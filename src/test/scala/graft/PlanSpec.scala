@@ -948,6 +948,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"))
   }
 
+  test("e_hash_chain: each side is ONE entity-keyed aggregation with an in-row fold — no window, no iterative joins") {
+    val p = plan(graft.queries.Etl3.eHashChain(spark, dir))
+    assert(!p.contains("Window"), s"the chain folds in-row, never a window:\n${p.take(3000)}")
+    val keyShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(o_custkey"))
+    assert(keyShuffles <= 3, s"two side aggs + diff join only ($keyShuffles):\n${p.take(3000)}")
+  }
+
   test("e_survivorship: ONE entity-keyed aggregation — no window, all survivorship max_bys ride it") {
     val p = plan(graft.queries.Etl2.eSurvivorship(spark, dir))
     assert(!p.contains("Window"),
