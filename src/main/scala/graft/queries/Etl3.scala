@@ -576,7 +576,69 @@ object Etl3 {
        |FROM src s JOIN rep r ON r.o_custkey = s.o_custkey
        |ORDER BY s.o_custkey""".stripMargin
 
+  // ----------------------------------------------------------- e_hwm_extract
+
+  /** e_hwm_extract: HIGH-WATER-MARK incremental extraction — the
+    * "WHERE updated_at > :last_mark" pattern every CDC-less source system
+    * is ingested by, PROVEN rather than assumed: two consecutive extracts
+    * windowed by order-date marks must partition the table — counts add
+    * up AND the order-invariant checksums (e_table_checksum's md5-int64
+    * decimal sums) recompose to the full table's, so overlap or loss at
+    * the boundary (the classic ≥-vs-> off-by-one) is caught by value, not
+    * just by count. Output: one row per extract window + the recomposed
+    * union vs the full-table truth.
+    *
+    * Scale shape: each extract is one filtered scan + a map-side-partial
+    * checksum agg to ONE row; the recomposition adds 3-row arithmetic. */
+  def eHwmExtract(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val day = expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $UsPerDay")
+    val base = Tables.orders(s, dir)
+      .select(day.as("day"),
+        conv(substring(md5(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))), 1, 15), 16, 10).cast("long").as("h"))
+    // integer div, not /2-then-cast: double division + CAST rounds
+    // half-even in DuckDB but truncates in Spark — the classic boundary
+    // off-by-one this gate exists to catch
+    val mark = base.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .selectExpr("(d0 + d1) div 2 AS t1")
+    val marked = base.crossJoin(broadcast(mark))
+    def window(name: String, cond: Column): DataFrame =
+      marked.filter(cond).agg(count(lit(1)).as("n"), sum(col("h").cast(d38)).as("cs"))
+        .select(lit(name).as("extract"), col("n"), col("cs"))
+    val e1 = window("w1_upto_mark", col("day") <= col("t1"))
+    val e2 = window("w2_after_mark", col("day") > col("t1"))
+    val full = window("full_table", lit(true))
+    val union = e1.as("a").crossJoin(e2.as("b"))
+      .select(lit("w1_plus_w2").as("extract"),
+        (col("a.n") + col("b.n")).as("n"),
+        (col("a.cs") + col("b.cs")).cast(d38).as("cs"))
+    e1.unionByName(e2).unionByName(union).unionByName(full)
+      .select(col("extract"), col("n"), col("cs").cast("string").as("checksum"))
+      .orderBy(col("extract"))
+  }
+
+  val eHwmExtractSql: String =
+    s"""WITH base AS (
+       |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // $UsPerDay AS day,
+       |    CAST(('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus)), 1, 15)) AS BIGINT) AS h
+       |  FROM orders),
+       |mk AS (SELECT (MIN(day) + MAX(day)) // 2 AS t1 FROM base),
+       |e1 AS (SELECT 'w1_upto_mark' AS extract, COUNT(*) AS n,
+       |         SUM(CAST(h AS DECIMAL(38,0))) AS cs FROM base, mk WHERE day <= t1),
+       |e2 AS (SELECT 'w2_after_mark' AS extract, COUNT(*) AS n,
+       |         SUM(CAST(h AS DECIMAL(38,0))) AS cs FROM base, mk WHERE day > t1),
+       |fl AS (SELECT 'full_table' AS extract, COUNT(*) AS n,
+       |         SUM(CAST(h AS DECIMAL(38,0))) AS cs FROM base),
+       |un AS (SELECT 'w1_plus_w2' AS extract, e1.n + e2.n AS n,
+       |         CAST(e1.cs + e2.cs AS DECIMAL(38,0)) AS cs FROM e1, e2)
+       |SELECT extract, n, CAST(cs AS VARCHAR) AS checksum FROM (
+       |  SELECT * FROM e1 UNION ALL SELECT * FROM e2
+       |  UNION ALL SELECT * FROM un UNION ALL SELECT * FROM fl)
+       |ORDER BY extract""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_hwm_extract"    -> eHwmExtract _,
     "e_hash_chain"     -> eHashChain _,
     "e_key_infer"      -> eKeyInfer _,
     "e_hash_ring"      -> eHashRing _,
@@ -589,6 +651,7 @@ object Etl3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "e_hwm_extract"    -> eHwmExtractSql,
     "e_hash_chain"     -> eHashChainSql,
     "e_key_infer"      -> eKeyInferSql,
     "e_hash_ring"      -> eHashRingSql,

@@ -719,7 +719,54 @@ object Relational8 {
       |FROM d WHERE delta IS NOT NULL
       |ORDER BY abs(delta) DESC, priority, month LIMIT 10""".stripMargin
 
+  // ------------------------------------------------------------ q_trailing7
+
+  /** q_trailing7: TRAILING 7-DAY revenue per day — the smoothing window
+    * every revenue dashboard defaults to (daily noise out, weekly
+    * seasonality in): the corpus collapses ONCE to the |days|-row daily
+    * frame, then the trailing sum and day count ride a RANGE 6-PRECEDING
+    * frame on exact day keys — missing days correctly shrink the window
+    * (a ROWS frame would silently reach further back). Decimal-exact
+    * sums; the daily average is one pinned division.
+    *
+    * Scale shape: one fact aggregation (map-side partial); everything
+    * after runs on the bounded day frame. */
+  def qTrailing7(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d18 = DecimalType(18, 6)
+    val daily = Tables.orders(s, dir)
+      .groupBy(expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $UsPerDay").as("day"))
+      .agg(sum(col("o_totalprice").cast(d18)).as("rev"), count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rev7", sum(col("rev")).over(w).cast(DecimalType(38, 6)))
+      .withColumn("days_in_window", count(lit(1)).over(w))
+      .select(col("day"), col("n_orders"),
+        col("rev").cast(DoubleType).as("revenue"),
+        col("rev7").cast(DoubleType).as("revenue_7d"),
+        col("days_in_window"),
+        x6(col("rev7").cast(DoubleType) / col("days_in_window").cast(DoubleType))
+          .as("daily_avg_7d"))
+      .orderBy(col("day"))
+  }
+
+  val qTrailing7Sql: String =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // $UsPerDay AS day,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev, COUNT(*) AS n_orders
+       |  FROM orders GROUP BY 1),
+       |t AS (
+       |  SELECT day, n_orders, rev,
+       |    CAST(SUM(rev) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS rev7,
+       |    COUNT(*) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS days_in_window
+       |  FROM daily)
+       |SELECT day, n_orders, CAST(rev AS DOUBLE) AS revenue,
+       |  CAST(rev7 AS DOUBLE) AS revenue_7d, days_in_window,
+       |  CAST(CAST(CAST(rev7 AS DOUBLE) / CAST(days_in_window AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS daily_avg_7d
+       |FROM t ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trailing7"       -> qTrailing7 _,
     "q_movers"          -> qMovers _,
     "q_growth_acct"     -> qGrowthAcct _,
     "q_punchcard"       -> qPunchcard _,
@@ -737,6 +784,7 @@ object Relational8 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_trailing7"       -> qTrailing7Sql,
     "q_movers"          -> qMoversSql,
     "q_growth_acct"     -> qGrowthAcctSql,
     "q_punchcard"       -> qPunchcardSql,

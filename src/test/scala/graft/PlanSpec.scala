@@ -955,6 +955,20 @@ class PlanSpec extends AnyFunSuite {
     assert(keyShuffles <= 3, s"two side aggs + diff join only ($keyShuffles):\n${p.take(3000)}")
   }
 
+  test("e_hwm_extract: each extract is a filtered scan + one global checksum agg — no window") {
+    val p = plan(graft.queries.Etl3.eHwmExtract(spark, dir))
+    assert(!p.contains("Window"), s"no window anywhere:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row frames must never sort-merge:\n${p.take(3000)}")
+  }
+
+  test("q_trailing7: the fact aggregates once; the RANGE window rides the |days| frame") {
+    val p = plan(graft.queries.Relational8.qTrailing7(spark, dir))
+    val dayShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(day"))
+    assert(dayShuffles <= 1, s"one daily-agg shuffle expected ($dayShuffles):\n${p.take(3000)}")
+    assert(!p.contains("Join"))
+  }
+
   test("e_survivorship: ONE entity-keyed aggregation — no window, all survivorship max_bys ride it") {
     val p = plan(graft.queries.Etl2.eSurvivorship(spark, dir))
     assert(!p.contains("Window"),
