@@ -765,7 +765,60 @@ object Relational8 {
        |  CAST(CAST(CAST(rev7 AS DOUBLE) / CAST(days_in_window AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS daily_avg_7d
        |FROM t ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------------- q_ab_srm
+
+  /** q_ab_srm: SAMPLE-RATIO MISMATCH — the A/B-test validity guard that
+    * must pass BEFORE q_abtest's effect readout means anything (a lost
+    * logging path or crashing variant silently skews the split, and
+    * every downstream metric with it): users hash-split 50/50, a
+    * logging-loss bug PLANTED on one arm (variant-1 users at
+    * user_id % 3 == 0 vanish — a third of the arm, detectable from
+    * sf0.01 up), and the 1-dof
+    * chi-square of observed counts vs the expected equal split flags at
+    * the 95 % critical value 3.841. Exact integer counts; E and the
+    * statistic are pinned chains.
+    *
+    * Scale shape: one user-distinct aggregation to 2 counts; everything
+    * after is scalar arithmetic on one row. */
+  def qAbSrm(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir).select(col("user_id")).distinct()
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2)
+      .filter(!(col("variant") === 1 && col("user_id") % 3 === 0)) // the planted bug
+    val wide = users.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"))
+    val e = x6((col("n0") + col("n1")).cast(DoubleType) / lit(2.0))
+    wide.select(col("n0"), col("n1"), e.as("expected_each"),
+        x6((col("n0").cast(DoubleType) - e) * (col("n0").cast(DoubleType) - e) / e +
+          (col("n1").cast(DoubleType) - e) * (col("n1").cast(DoubleType) - e) / e)
+          .as("chisq"))
+      .withColumn("srm_detected", col("chisq") > lit(3.841))
+  }
+
+  val qAbSrmSql: String =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant
+      |  FROM events),
+      |k AS (
+      |  SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+      |    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1
+      |  FROM u WHERE NOT (variant = 1 AND user_id % 3 = 0)),
+      |m AS (
+      |  SELECT n0, n1,
+      |    CAST(CAST(CAST(n0 + n1 AS DOUBLE) / 2.0 AS DECIMAL(18,6)) AS DOUBLE) AS e
+      |  FROM k)
+      |SELECT n0, n1, e AS expected_each,
+      |  CAST(CAST((CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e) / e
+      |    + (CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e) / e AS DECIMAL(18,6)) AS DOUBLE) AS chisq,
+      |  CAST(CAST((CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e) / e
+      |    + (CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e) / e AS DECIMAL(18,6)) AS DOUBLE) > 3.841 AS srm_detected
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_srm"          -> qAbSrm _,
     "q_trailing7"       -> qTrailing7 _,
     "q_movers"          -> qMovers _,
     "q_growth_acct"     -> qGrowthAcct _,
@@ -784,6 +837,7 @@ object Relational8 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ab_srm"          -> qAbSrmSql,
     "q_trailing7"       -> qTrailing7Sql,
     "q_movers"          -> qMoversSql,
     "q_growth_acct"     -> qGrowthAcctSql,

@@ -470,7 +470,57 @@ object Text2 {
       |FROM h a JOIN h b ON a.nfc_h = b.nfc_h AND a.doc_id < b.doc_id
       |ORDER BY a_id, b_id""".stripMargin
 
+  // --------------------------------------------------------- t_prefix_share
+
+  /** t_prefix_share: SHARED-PREFIX measurement — the KV-cache reuse
+    * opportunity in a prompt/document corpus (requests sharing a token
+    * prefix re-use attention state; serving stacks batch by it, and a
+    * template-heavy corpus shows up here before anyone reads a log):
+    * documents group by the md5 of their first 16 tokens, and every
+    * group of ≥2 reports its size and the redundant token mass
+    * (16 · (n−1) — the tokens a prefix cache would not recompute).
+    * Top-20 groups by reuse via TakeOrderedAndProject. Templates are
+    * PLANTED at doc_id % 19 (three rotating preambles) so group sizes
+    * differ and the ranking is exercised.
+    *
+    * Scale shape: one narrow tokenize+hash pass, one prefix-keyed
+    * map-side-partial count, k-bounded top-k. */
+  def tPrefixShare(s: SparkSession, dir: String): DataFrame = {
+    val pre = Seq(
+      "system you are a helpful assistant . user ",
+      "system answer concisely in json . user ",
+      "system translate to french . user ")
+    val planted = when(col("doc_id") % 19 === 0,
+      concat(element_at(array(pre.map(lit): _*),
+        expr("cast((doc_id div 19) % 3 + 1 AS int)")), col("text")))
+      .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("t2", planted)
+      .select(md5(concat_ws(" ",
+        slice(tokens(col("t2")), 1, 16))).as("prefix_fp"))
+      .groupBy(col("prefix_fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("cached_tokens", (col("n_docs") - 1) * 16)
+      .orderBy(col("n_docs").desc, col("prefix_fp"))
+      .limit(20)
+  }
+
+  val tPrefixShareSql: String =
+    s"""WITH p AS (
+       |  SELECT CASE WHEN doc_id % 19 = 0 THEN
+       |    (['system you are a helpful assistant . user ',
+       |      'system answer concisely in json . user ',
+       |      'system translate to french . user '])[CAST((doc_id // 19) % 3 + 1 AS INT)] || text
+       |  ELSE text END AS t2
+       |  FROM documents),
+       |f AS (SELECT md5(array_to_string(($toks)[1:16], ' ')) AS prefix_fp
+       |      FROM (SELECT t2 AS text FROM p)),
+       |g AS (SELECT prefix_fp, COUNT(*) AS n_docs FROM f GROUP BY 1 HAVING COUNT(*) >= 2)
+       |SELECT prefix_fp, n_docs, (n_docs - 1) * 16 AS cached_tokens
+       |FROM g ORDER BY n_docs DESC, prefix_fp LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_prefix_share" -> tPrefixShare _,
     "t_nfc_dedup"    -> tNfcDedup _,
     "t_license"      -> tLicense _,
     "t_collocations" -> tCollocations _,
@@ -483,6 +533,7 @@ object Text2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_prefix_share" -> tPrefixShareSql,
     "t_nfc_dedup"    -> tNfcDedupSql,
     "t_license"      -> tLicenseSql,
     "t_collocations" -> tCollocationsSql,

@@ -969,6 +969,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("t_prefix_share: prefix-keyed map-side-partial count; top-20 is a bounded TakeOrdered") {
+    val p = plan(graft.queries.Text2.tPrefixShare(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"prefix top-k must be a per-partition heap:\n${p.take(3000)}")
+    assert(!p.contains("Window") && !p.contains("Join"))
+  }
+
+  test("q_ab_srm: one user-distinct aggregation to two counts; scalar arithmetic after") {
+    val p = plan(graft.queries.Relational8.qAbSrm(spark, dir))
+    assert(!p.contains("Window") && !p.contains("Join"))
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"counts must partial-aggregate map-side:\n${p.take(3000)}")
+  }
+
   test("e_survivorship: ONE entity-keyed aggregation — no window, all survivorship max_bys ride it") {
     val p = plan(graft.queries.Etl2.eSurvivorship(spark, dir))
     assert(!p.contains("Window"),
