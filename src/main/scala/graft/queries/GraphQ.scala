@@ -486,23 +486,129 @@ object GraphQ {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------ q_local_cc
+
+  /** q_local_cc: per-vertex LOCAL clustering coefficient over the
+    * co-purchase graph — cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the
+    * Watts–Strogatz "how clique-like is this vertex's neighborhood"
+    * measure. Complements q_triangles, which reports the GLOBAL
+    * transitivity ratio (3·triangles/wedges) — the two disagree exactly
+    * when clustering concentrates on low-degree vertices, which is why
+    * graph dashboards report both.
+    *
+    * Parity: tri(v) and deg(v) are exact BIGINTs; cc is ONE pinned
+    * division per vertex.
+    *
+    * Scale shape: the oriented a<m<c triangle enumeration (work
+    * ∝ Σ deg², the same bound q_triangles carries — on a 100 TB skewed
+    * graph, cap hub degrees first, same knob), a 3-way corner
+    * projection, and a per-vertex count. No global sort: output rides
+    * an id ORDER BY, which range-partitions. */
+  def qLocalCc(s: SparkSession, dir: String): DataFrame = {
+    val (und, bi) = edgeFrames(s, dir)
+    val wedges = und.select(col("a"), col("b").as("m"))
+      .join(und.select(col("a").as("m"), col("b").as("c")), "m")
+    val tris = wedges.join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    val triPerV = tris.select(col("a").as("v"))
+      .unionByName(tris.select(col("m").as("v")))
+      .unionByName(tris.select(col("c").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    val deg = bi.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triPerV, Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        graft.functions.OracleParity.x6(
+          (lit(2L) * coalesce(col("tri"), lit(0L))).cast("double") /
+            (col("deg") * (col("deg") - lit(1L))).cast("double")).as("cc"))
+      .orderBy(col("v"))
+  }
+
+  val qLocalCcSql: String =
+    s"""WITH $edgeCtes,
+       |wedges AS (
+       |  SELECT e1.a, e1.b AS m, e2.b AS c FROM und e1 JOIN und e2 ON e2.a = e1.b),
+       |tris AS (
+       |  SELECT w.a, w.m, w.c FROM wedges w JOIN und e ON e.a = w.a AND e.b = w.c),
+       |tpv AS (
+       |  SELECT v, COUNT(*) AS tri FROM (
+       |    SELECT a AS v FROM tris UNION ALL SELECT m FROM tris UNION ALL SELECT c FROM tris)
+       |  GROUP BY v),
+       |deg AS (SELECT v, COUNT(*) AS deg FROM bi GROUP BY v)
+       |SELECT d.v, d.deg, COALESCE(t.tri, 0) AS tri,
+       |  CAST(CAST(CAST(2 * COALESCE(t.tri, 0) AS DOUBLE) /
+       |    CAST(d.deg * (d.deg - 1) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS cc
+       |FROM deg d LEFT JOIN tpv t ON t.v = d.v
+       |WHERE d.deg >= 2 ORDER BY d.v""".stripMargin
+
+  // ------------------------------------------------------ q_assortativity
+
+  /** q_assortativity: DEGREE ASSORTATIVITY of the co-purchase graph —
+    * the Pearson correlation of endpoint degrees over the directed edge
+    * list, the Newman mixing coefficient ("do hubs connect to hubs?").
+    * Social graphs are assortative (r > 0), product/dependency graphs
+    * usually disassortative (r < 0) — a one-number topology fingerprint.
+    *
+    * Parity: because the directed edge list is symmetric, Σx = Σy and
+    * Σx² = Σy², so r collapses to (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) —
+    * every sum an exact BIGINT over integer degrees, ONE pinned
+    * division at the end (no float corr(), which is partition-order-
+    * dependent).
+    *
+    * Scale shape: one degree aggregation, two broadcast-able degree
+    * joins onto the edge list, one scalar aggregate with map-side
+    * partials. Linear in |E|. */
+  def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val (_, bi) = edgeFrames(s, dir)
+    val deg = bi.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val pairs = bi
+      .join(deg.select(col("v"), col("deg").as("dx")), "v")
+      .join(deg.select(col("v").as("nbr"), col("deg").as("dy")), "nbr")
+      .select(col("dx").cast("long").as("dx"), col("dy").cast("long").as("dy"))
+    pairs.agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dx")).as("sxx"), sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("n"), col("sx"), col("sxx"), col("sxy"),
+        graft.functions.OracleParity.x6(
+          (col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("assortativity"))
+  }
+
+  val qAssortativitySql: String =
+    s"""WITH $edgeCtes,
+       |deg AS (SELECT v, COUNT(*) AS deg FROM bi GROUP BY v),
+       |pairs AS (
+       |  SELECT CAST(dx.deg AS BIGINT) AS dx, CAST(dy.deg AS BIGINT) AS dy
+       |  FROM bi JOIN deg dx ON dx.v = bi.v JOIN deg dy ON dy.v = bi.nbr),
+       |a AS (
+       |  SELECT COUNT(*) AS n, SUM(dx) AS sx, SUM(dx * dx) AS sxx, SUM(dx * dy) AS sxy
+       |  FROM pairs)
+       |SELECT n, sx, sxx, sxy,
+       |  CAST(CAST(CAST(n * sxy - sx * sx AS DOUBLE) /
+       |    CAST(n * sxx - sx * sx AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS assortativity
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank"   -> qPagerank _,
-    "q_triangles"  -> qTriangles _,
-    "q_basket"     -> qBasket _,
-    "q_label_prop" -> qLabelProp _,
-    "q_link_pred"  -> qLinkPred _,
-    "q_kcore"      -> qKcore _,
-    "q_bfs"        -> qBfs _,
+    "q_pagerank"       -> qPagerank _,
+    "q_triangles"      -> qTriangles _,
+    "q_basket"         -> qBasket _,
+    "q_label_prop"     -> qLabelProp _,
+    "q_link_pred"      -> qLinkPred _,
+    "q_kcore"          -> qKcore _,
+    "q_bfs"            -> qBfs _,
+    "q_local_cc"       -> qLocalCc _,
+    "q_assortativity"  -> qAssortativity _,
   )
 
   val oracle: Map[String, String] = Map(
-    "q_pagerank"   -> qPagerankSql,
-    "q_triangles"  -> qTrianglesSql,
-    "q_basket"     -> qBasketSql,
-    "q_label_prop" -> qLabelPropSql,
-    "q_link_pred"  -> qLinkPredSql,
-    "q_kcore"      -> qKcoreSql,
-    "q_bfs"        -> qBfsSql,
+    "q_pagerank"       -> qPagerankSql,
+    "q_triangles"      -> qTrianglesSql,
+    "q_basket"         -> qBasketSql,
+    "q_label_prop"     -> qLabelPropSql,
+    "q_link_pred"      -> qLinkPredSql,
+    "q_kcore"          -> qKcoreSql,
+    "q_bfs"            -> qBfsSql,
+    "q_local_cc"       -> qLocalCcSql,
+    "q_assortativity"  -> qAssortativitySql,
   )
 }

@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+import graft.functions.OracleParity.x6
+
+/** Round-11 additions, batch 3: non-parametric / robust statistics — the
+  * analyst toolkit that complements Relational8's distribution
+  * diagnostics: Spearman rank correlation, the Mann-Whitney U test (the
+  * non-parametric A/B companion to q_abtest / q_ab_srm), Simpson
+  * diversity, winsorized means, and moment-based skewness/kurtosis.
+  *
+  * Parity discipline (SURVEY §6): every statistic is computed from EXACT
+  * integer or decimal aggregates (ranks, counts, integer cents, rank-sum
+  * products), with floating point appearing only in one final pinned
+  * IEEE chain per output column. No ln/pow anywhere (libm-dependent);
+  * sqrt only (correctly-rounded by IEEE 754 in both engines). */
+object Relational9 {
+
+  // ---------------------------------------------------------- q_spearman
+
+  /** q_spearman: SPEARMAN rank correlation per nation between a
+    * customer's account balance and their lifetime order spend — the
+    * robust (outlier-immune) alternative to Pearson that every analyst
+    * reaches for on heavy-tailed monetary data.
+    *
+    * Rho is computed by the exact no-ties formula 1 − 6·Σd²/(n(n²−1))
+    * with row_number ranks (deterministic custkey tiebreak shared with
+    * the oracle), so every aggregate is an exact BIGINT and the only
+    * float is the final pinned division. Pearson-on-ranks would need a
+    * float corr() — order-dependent across engines.
+    *
+    * Scale shape: one keyed spend aggregation (map-side partial), one
+    * broadcast-able join, two windows PARTITIONED BY nation (never a
+    * global sort — ranking is per-group and range-partitions cleanly at
+    * 100 TB), one ≤|nations|-row aggregate. */
+  def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 6))).as("spend"))
+    val joined = Tables.customer(s, dir)
+      .join(spend, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_nationkey").as("nationkey"), col("c_custkey").as("ck"),
+        col("c_acctbal").as("x"),
+        coalesce(col("spend"), lit(0).cast(DecimalType(18, 6))).as("y"))
+    val rx = row_number().over(
+      Window.partitionBy(col("nationkey")).orderBy(col("x"), col("ck")))
+    val ry = row_number().over(
+      Window.partitionBy(col("nationkey")).orderBy(col("y"), col("ck")))
+    val d = (rx.cast("long") - ry.cast("long"))
+    joined
+      .select(col("nationkey"), (d * d).as("d2"))
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      .filter(col("n") >= 2)
+      .select(col("nationkey"), col("n"), col("sum_d2"),
+        x6(lit(1.0) - (lit(6L) * col("sum_d2")).cast(DoubleType) /
+          (col("n") * (col("n") * col("n") - lit(1L))).cast(DoubleType))
+          .as("rho"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qSpearmanSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+      |  FROM orders GROUP BY o_custkey),
+      |r AS (
+      |  SELECT c_nationkey AS nationkey,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rx,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY COALESCE(spend, CAST(0 AS DECIMAL(18,6))), c_custkey) AS ry
+      |  FROM customer LEFT JOIN spend ON o_custkey = c_custkey),
+      |a AS (
+      |  SELECT nationkey, COUNT(*) AS n,
+      |    SUM((CAST(rx AS BIGINT) - ry) * (CAST(rx AS BIGINT) - ry)) AS sum_d2
+      |  FROM r GROUP BY nationkey)
+      |SELECT nationkey, n, sum_d2,
+      |  CAST(CAST(1.0 - CAST(6 * sum_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE)
+      |    AS DECIMAL(18,6)) AS DOUBLE) AS rho
+      |FROM a WHERE n >= 2 ORDER BY nationkey""".stripMargin
+
+  // ------------------------------------------------------ q_mann_whitney
+
+  /** q_mann_whitney: MANN-WHITNEY U test per event type — the
+    * non-parametric two-sample test for "does variant B shift the value
+    * distribution", robust where q_abtest's mean comparison is not. The
+    * variant split reuses q_ab_srm's md5 bucketing so the two
+    * experiment gates read the same assignment.
+    *
+    * U₁ = R₁ − n₁(n₁+1)/2 from row_number ranks (value then event_id —
+    * the deterministic-tiebreak variant of rank ties, identical in the
+    * oracle), so R₁/U₁ are exact BIGINTs; the normal-approximation z
+    * uses only one pinned chain (sqrt is IEEE-exact).
+    *
+    * Scale shape: ranks window PARTITIONED BY event_type (range-
+    * partitioned per-group sort, no global order), then one ≤|types|-row
+    * aggregate with map-side partials. */
+  def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2)
+    val ranked = ev.withColumn("rnk",
+      row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))).cast("long"))
+    val agg = ranked.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("variant") === 0, col("rnk")).otherwise(0L)).as("r1"))
+    // Spark's `/` on BIGINT is double division — `div` keeps U exact
+    // (n1(n1+1) is always even, so the integer division is lossless)
+    val u1 = expr("r1 - n1 * (n1 + 1L) div 2L")
+    val mu = (col("n1") * col("n2")).cast(DoubleType) / lit(2.0)
+    val sigma = sqrt((col("n1") * col("n2")).cast(DoubleType) *
+      (col("n1") + col("n2") + lit(1L)).cast(DoubleType) / lit(12.0))
+    agg.select(col("event_type"), col("n1"), col("n2"), u1.as("u1"),
+        x6((u1.cast(DoubleType) - mu) / sigma).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  val qMannWhitneySql: String =
+    """WITH ev AS (
+      |  SELECT event_type, event_id, value,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, variant,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rnk
+      |  FROM ev),
+      |a AS (
+      |  SELECT event_type,
+      |    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n1,
+      |    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n2,
+      |    SUM(CASE WHEN variant = 0 THEN rnk ELSE 0 END) AS r1
+      |  FROM r GROUP BY event_type)
+      |SELECT event_type, n1, n2,
+      |  r1 - n1 * (n1 + 1) // 2 AS u1,
+      |  CAST(CAST((CAST(r1 - n1 * (n1 + 1) // 2 AS DOUBLE) - CAST(n1 * n2 AS DOUBLE) / 2.0)
+      |    / sqrt(CAST(n1 * n2 AS DOUBLE) * CAST(n1 + n2 + 1 AS DOUBLE) / 12.0)
+      |    AS DECIMAL(18,6)) AS DOUBLE) AS z
+      |FROM a ORDER BY event_type""".stripMargin
+
+  // ----------------------------------------------------------- q_simpson
+
+  /** q_simpson: SIMPSON DIVERSITY of a user cohort's event mix —
+    * 1 − Σpᵢ², the log-free entropy analog (Shannon needs ln, which is
+    * libm-implementation-dependent and would break bitwise parity — the
+    * same deviation t_tfidf documents). High = the cohort spreads across
+    * event types; low = dominated by one action. Σpᵢ² = Σnᵢ²/n², so the
+    * whole statistic is exact integers plus ONE pinned division.
+    *
+    * Scale shape: one (cohort, type) count (map-side partials), one
+    * ≤|cohorts|-row re-aggregate. */
+  def qSimpson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select((col("user_id") % 10).as("cohort"), col("event_type"))
+      .groupBy(col("cohort"), col("event_type"))
+      .agg(count(lit(1)).as("ni"))
+      .groupBy(col("cohort"))
+      .agg(sum(col("ni")).as("n"), count(lit(1)).as("n_types"),
+        sum(col("ni") * col("ni")).as("sum_sq"))
+      .select(col("cohort"), col("n"), col("n_types"),
+        x6(lit(1.0) - col("sum_sq").cast(DoubleType) /
+          (col("n") * col("n")).cast(DoubleType)).as("simpson"))
+      .orderBy(col("cohort"))
+
+  val qSimpsonSql: String =
+    """WITH c AS (
+      |  SELECT user_id % 10 AS cohort, event_type, COUNT(*) AS ni
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT cohort, SUM(ni) AS n, COUNT(*) AS n_types, SUM(ni * ni) AS sum_sq
+      |  FROM c GROUP BY cohort)
+      |SELECT cohort, n, n_types,
+      |  CAST(CAST(1.0 - CAST(sum_sq AS DOUBLE) / CAST(n * n AS DOUBLE)
+      |    AS DECIMAL(18,6)) AS DOUBLE) AS simpson
+      |FROM a ORDER BY cohort""".stripMargin
+
+  // --------------------------------------------------------- q_winsorize
+
+  /** q_winsorize: WINSORIZED mean per nation — clamp account balances to
+    * the group's [p05, p95] before averaging, the standard
+    * outlier-robust mean for reporting. Exact percentile (linear
+    * interpolation, identical formula both engines — q_quantiles'
+    * established parity); clamps are pure comparisons; the mean follows
+    * the decimal-sum convention.
+    *
+    * The mean itself is NOT an x6-rounded double quotient: rounding
+    * sum/n to 6 decimals flips between engines when the quotient sits
+    * on a .5·10⁻⁶ boundary (Spark casts double→decimal via the shortest
+    * string representation, DuckDB via the exact binary value — the
+    * sf0.001 probe caught exactly that). Instead the mean is an exact
+    * HALF-UP INTEGER DIVISION in micro-units — (2s+n) div (2n),
+    * sign-symmetric — so no double is ever rounded.
+    *
+    * Scale shape: percentile agg to ≤|nations| rows, broadcast back,
+    * narrow clamp scan, integer re-aggregate. At 100 TB swap
+    * percentile → percentile_approx exactly like q_rfm's toggle. */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nationkey"), col("c_acctbal").as("x"))
+    val pct = c.groupBy(col("nationkey")).agg(
+      expr("percentile(x, 0.05)").as("lo"),
+      expr("percentile(x, 0.95)").as("hi"))
+    c.join(broadcast(pct), "nationkey")
+      .withColumn("w", least(greatest(col("x"), col("lo")), col("hi")))
+      .withColumn("wm", (col("w").cast(DecimalType(18, 6)) * lit(1000000L)).cast("long"))
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(col("wm")).as("s"))
+      .withColumn("mm", expr(
+        "CASE WHEN s >= 0 THEN (2*s + n) div (2*n) ELSE -((-2*s + n) div (2*n)) END"))
+      .select(col("nationkey"), col("n"), x6(col("lo")).as("lo"),
+        x6(col("hi")).as("hi"),
+        (col("mm").cast(DoubleType) / lit(1000000.0)).as("wmean"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qWinsorizeSql: String =
+    """WITH pct AS (
+      |  SELECT c_nationkey AS nationkey,
+      |    quantile_cont(c_acctbal, 0.05) AS lo, quantile_cont(c_acctbal, 0.95) AS hi
+      |  FROM customer GROUP BY c_nationkey),
+      |w AS (
+      |  SELECT c.c_nationkey AS nationkey, p.lo, p.hi,
+      |    CAST(CAST(least(greatest(c.c_acctbal, p.lo), p.hi) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS wm
+      |  FROM customer c JOIN pct p ON p.nationkey = c.c_nationkey),
+      |a AS (
+      |  SELECT nationkey, COUNT(*) AS n, MAX(lo) AS lo, MAX(hi) AS hi, SUM(wm) AS s
+      |  FROM w GROUP BY nationkey)
+      |SELECT nationkey, n,
+      |  CAST(CAST(lo AS DECIMAL(18,6)) AS DOUBLE) AS lo,
+      |  CAST(CAST(hi AS DECIMAL(18,6)) AS DOUBLE) AS hi,
+      |  CAST(CASE WHEN s >= 0 THEN (2*s + n) // (2*n) ELSE -((-2*s + n) // (2*n)) END AS DOUBLE)
+      |    / 1000000.0 AS wmean
+      |FROM a ORDER BY nationkey""".stripMargin
+
+  // ----------------------------------------------------------- q_moments
+
+  /** q_moments: moment-based SKEWNESS and KURTOSIS per nation — the
+    * distribution-shape profile (is the balance distribution symmetric?
+    * heavy-tailed?) a data-quality dashboard reports next to mean/std.
+    *
+    * Spark's built-in skewness()/kurtosis() stream float partials whose
+    * totals are partition-order-dependent; instead the four raw power
+    * sums Σx..Σx⁴ are computed EXACTLY over integer cents (DECIMAL(38,0)
+    * in Spark, HUGEINT in the oracle — both exact, both convert to
+    * double by round-to-nearest), and the central-moment formulas run as
+    * one pinned IEEE chain per output. m2^1.5 is written m2·√m2 because
+    * pow() is libm-dependent while sqrt is IEEE-exact.
+    *
+    * Scale shape: ONE map-side-partial aggregation to ≤|nations| rows;
+    * exact decimal partials merge associatively under any AQE
+    * re-partitioning. */
+  def qMoments(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("c_acctbal").cast(DecimalType(18, 6)) * lit(100L))
+      .cast("long").cast(DecimalType(38, 0))
+    val a = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nationkey"), cents.as("x"))
+      .groupBy(col("nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("x") * col("x")).as("sxxx"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("sxxxx"))
+    val nd = col("n").cast(DoubleType)
+    val mean = col("sx").cast(DoubleType) / nd
+    val m2 = col("sxx").cast(DoubleType) / nd - mean * mean
+    val m3 = col("sxxx").cast(DoubleType) / nd -
+      lit(3.0) * mean * (col("sxx").cast(DoubleType) / nd) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("sxxxx").cast(DoubleType) / nd -
+      lit(4.0) * mean * (col("sxxx").cast(DoubleType) / nd) +
+      lit(6.0) * mean * mean * (col("sxx").cast(DoubleType) / nd) -
+      lit(3.0) * mean * mean * mean * mean
+    a.select(col("nationkey"), col("n"),
+        x6(mean / lit(100.0)).as("mean"),
+        x6(m3 / (m2 * sqrt(m2))).as("skewness"),
+        x6(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qMomentsSql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS nationkey,
+      |    CAST(CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 100 AS BIGINT) AS HUGEINT) AS x
+      |  FROM customer),
+      |a AS (
+      |  SELECT nationkey, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+      |    SUM(x * x * x) AS sxxx, SUM(x * x * x * x) AS sxxxx
+      |  FROM c GROUP BY nationkey),
+      |m AS (
+      |  SELECT nationkey, n,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+      |    CAST(sxxx AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+      |    CAST(sxxxx AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+      |  FROM a),
+      |k AS (
+      |  SELECT nationkey, n, mean,
+      |    e2 - mean * mean AS m2,
+      |    e3 - 3.0 * mean * e2 + 2.0 * mean * mean * mean AS m3,
+      |    e4 - 4.0 * mean * e3 + 6.0 * mean * mean * e2
+      |      - 3.0 * mean * mean * mean * mean AS m4
+      |  FROM m)
+      |SELECT nationkey, n,
+      |  CAST(CAST(mean / 100.0 AS DECIMAL(18,6)) AS DOUBLE) AS mean,
+      |  CAST(CAST(m3 / (m2 * sqrt(m2)) AS DECIMAL(18,6)) AS DOUBLE) AS skewness,
+      |  CAST(CAST(m4 / (m2 * m2) - 3.0 AS DECIMAL(18,6)) AS DOUBLE) AS kurtosis
+      |FROM k ORDER BY nationkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spearman"     -> qSpearman _,
+    "q_mann_whitney" -> qMannWhitney _,
+    "q_simpson"      -> qSimpson _,
+    "q_winsorize"    -> qWinsorize _,
+    "q_moments"      -> qMoments _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_spearman"     -> qSpearmanSql,
+    "q_mann_whitney" -> qMannWhitneySql,
+    "q_simpson"      -> qSimpsonSql,
+    "q_winsorize"    -> qWinsorizeSql,
+    "q_moments"      -> qMomentsSql,
+  )
+}

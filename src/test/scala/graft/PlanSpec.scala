@@ -990,4 +990,57 @@ class PlanSpec extends AnyFunSuite {
     val keyShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(c_custkey"))
     assert(keyShuffles <= 1, s"one keyed shuffle expected ($keyShuffles):\n${p.take(3000)}")
   }
+
+  test("q_spearman: both rank windows PARTITIONED BY nation — never a global sort") {
+    val p = plan(graft.queries.Relational9.qSpearman(spark, dir))
+    assert(p.contains("Window"), s"rank windows expected:\n${p.take(3000)}")
+    assert(!p.linesIterator.exists(l => l.contains("Window") && !l.contains("nationkey")),
+      s"every window must partition by nationkey:\n${p.take(3000)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a global rank sort would single-thread at 100 TB:\n${p.take(3000)}")
+  }
+
+  test("q_mann_whitney: rank window partitioned by event_type; one keyed aggregate after") {
+    val p = plan(graft.queries.Relational9.qMannWhitney(spark, dir))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"pooled ranking must stay per-group:\n${p.take(3000)}")
+    assert(!p.contains("Join"), s"no join anywhere:\n${p.take(3000)}")
+    val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(event_type"))
+    assert(aggShuffles <= 2, s"window + agg reuse the event_type partitioning ($aggShuffles):\n${p.take(3000)}")
+  }
+
+  test("q_simpson: two stacked map-side-partial aggregations — no window, no join") {
+    val p = plan(graft.queries.Relational9.qSimpson(spark, dir))
+    assert(!p.contains("Window") && !p.contains("Join"))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"type counts must partial-aggregate map-side:\n${p.take(3000)}")
+  }
+
+  test("q_winsorize: percentile bounds broadcast back — the fact never sort-merges") {
+    val p = plan(graft.queries.Relational9.qWinsorize(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤|nations|-row bounds frame must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
+  }
+
+  test("q_moments: ONE map-side-partial aggregation carries all four power sums") {
+    val p = plan(graft.queries.Relational9.qMoments(spark, dir))
+    assert(!p.contains("Window") && !p.contains("Join"))
+    val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(nationkey"))
+    assert(aggShuffles <= 1, s"one keyed shuffle expected ($aggShuffles):\n${p.take(3000)}")
+  }
+
+  test("q_local_cc: oriented triangle enumeration — equality joins only, no global window") {
+    val p = plan(graft.queries.GraphQ.qLocalCc(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"wedge/close joins must stay equality joins:\n${p.take(3000)}")
+    assert(!p.contains("Window"), s"per-vertex counts are aggregations, not windows:\n${p.take(3000)}")
+  }
+
+  test("q_assortativity: exact integer sums ride one scalar aggregate; degree joins never cartesian") {
+    val p = plan(graft.queries.GraphQ.qAssortativity(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"power sums must partial-aggregate map-side:\n${p.take(3000)}")
+  }
 }
