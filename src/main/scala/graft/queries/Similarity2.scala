@@ -520,7 +520,132 @@ object Similarity2 {
       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) < 0.001 AS is_dead
       |FROM m ORDER BY dim""".stripMargin
 
+  // --------------------------------------------------------------- s_ndcg
+
+  /** 1/log2(r+1) discount weights for ranks 1..5 and their prefix sums,
+    * PRE-ROUNDED to the 6-decimal convention in Scala and embedded as
+    * identical literals in both engines — the only logs in the operator,
+    * never computed at runtime (ln is libm-dependent; Benford's-law gate
+    * set the precedent). */
+  private val NdcgW: Seq[Double] = Seq(1.0, 0.630930, 0.5, 0.430677, 0.386853)
+  private val NdcgIdcg: Seq[Double] = NdcgW.scanLeft(0.0) { (a, w) =>
+    BigDecimal(a + w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** s_ndcg: nDCG@5 retrieval evaluation — the GRADED ranking metric
+    * beside s_recall (set overlap) and s_mrr (first hit): position r
+    * contributes rel_r/log2(r+1), so early hits dominate. Relevance is
+    * label agreement with the query (the standard proxy when no human
+    * judgments exist); IDCG for binary relevance is the discount prefix
+    * sum at the hit count, looked up from the same literal table.
+    *
+    * Parity: relevance is an exact 0/1; each DCG term is a shared
+    * pre-rounded literal (or 0), summed order-independently in DECIMAL;
+    * nDCG is ONE pinned division.
+    *
+    * Scale shape: rides s_knn_brute's bounded-panel contract (broadcast
+    * queries, corpus never shuffles), two broadcast-able label joins,
+    * one query-keyed rollup. */
+  def sNdcg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val labels = e.select(col("vec_id"), col("label"))
+    val wArr = array(NdcgW.map(lit): _*)
+    val iArr = array(NdcgIdcg.map(lit): _*)
+    val hits = Similarity.sKnnBrute(s, dir)
+      .join(broadcast(labels.select(col("vec_id").as("q_id"), col("label").as("q_label"))), "q_id")
+      .join(broadcast(labels.select(col("vec_id").as("n_id"), col("label").as("n_label"))), "n_id")
+      .withColumn("rel", when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+      .withColumn("term", when(col("rel") === 1L, element_at(wArr, col("rnk").cast("int")))
+        .otherwise(lit(0.0)))
+    hits.groupBy(col("q_id"))
+      .agg(sum(col("rel")).as("hits"),
+        graft.functions.OracleParity.xsum(col("term")).as("dcg"))
+      .withColumn("idcg", element_at(iArr, (col("hits") + 1L).cast("int")))
+      .withColumn("ndcg", when(col("hits") > 0,
+        graft.functions.OracleParity.x6(col("dcg") / col("idcg"))).otherwise(lit(0.0)))
+      .select(col("q_id"), col("hits"), col("dcg"), col("idcg"), col("ndcg"))
+      .orderBy(col("q_id"))
+  }
+
+  val sNdcgSql: String = {
+    val wLits = NdcgW.mkString(", ")
+    val iLits = NdcgIdcg.mkString(", ")
+    s"""WITH brute AS (${Similarity.sKnnBruteSql}),
+       |t AS (
+       |  SELECT b.q_id, b.rnk,
+       |    CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel,
+       |    CASE WHEN ql.label = nl.label THEN ([$wLits])[CAST(b.rnk AS INT)] ELSE 0.0 END AS term
+       |  FROM brute b
+       |  JOIN embeddings ql ON ql.vec_id = b.q_id
+       |  JOIN embeddings nl ON nl.vec_id = b.n_id),
+       |a AS (
+       |  SELECT q_id, CAST(SUM(rel) AS BIGINT) AS hits,
+       |    CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS dcg
+       |  FROM t GROUP BY q_id)
+       |SELECT q_id, hits, dcg,
+       |  ([$iLits])[CAST(hits + 1 AS INT)] AS idcg,
+       |  CASE WHEN hits > 0 THEN
+       |    CAST(CAST(dcg / ([$iLits])[CAST(hits + 1 AS INT)] AS DECIMAL(18,6)) AS DOUBLE)
+       |  ELSE 0.0 END AS ndcg
+       |FROM a ORDER BY q_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- s_knn_classify
+
+  /** s_knn_classify: LEAVE-ONE-OUT k-NN classification accuracy per label
+    * — the standard "are these embeddings any good for this labeling"
+    * eval (fit-free, no training): each panel query is classified by the
+    * majority label of its 5 brute-force neighbors (ties → smallest
+    * label), scored against its own label, reported per class. The
+    * intrinsic-quality companion to s_purity (cluster-level) and s_ndcg
+    * (ranking-level).
+    *
+    * Parity: votes are exact counts; the winner is a deterministic
+    * (count DESC, label ASC) argmax; accuracy is ONE pinned division.
+    *
+    * Scale shape: rides s_knn_brute's bounded-panel contract; vote
+    * rollup and the winner window are per-query (≤|labels| rows each);
+    * final per-class aggregate is ≤|labels| rows. */
+  def sKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val labels = e.select(col("vec_id"), col("label"))
+    val votes = Similarity.sKnnBrute(s, dir)
+      .join(broadcast(labels.select(col("vec_id").as("n_id"), col("label").as("n_label"))), "n_id")
+      .groupBy(col("q_id"), col("n_label")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cnt").desc, col("n_label"))
+    val pred = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("n_label").as("predicted"))
+    pred
+      .join(broadcast(labels.select(col("vec_id").as("q_id"), col("label").as("q_label"))), "q_id")
+      .groupBy(col("q_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("predicted") === col("q_label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("q_label").as("label"), col("n_queries"), col("n_correct"),
+        graft.functions.OracleParity.x6(
+          col("n_correct").cast("double") / col("n_queries").cast("double")).as("accuracy"))
+      .orderBy(col("label"))
+  }
+
+  val sKnnClassifySql: String =
+    s"""WITH brute AS (${Similarity.sKnnBruteSql}),
+       |votes AS (
+       |  SELECT b.q_id, nl.label AS n_label, COUNT(*) AS cnt
+       |  FROM brute b JOIN embeddings nl ON nl.vec_id = b.n_id
+       |  GROUP BY b.q_id, nl.label),
+       |pred AS (
+       |  SELECT q_id, n_label AS predicted FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cnt DESC, n_label) AS rn
+       |    FROM votes) WHERE rn = 1)
+       |SELECT ql.label AS label, COUNT(*) AS n_queries,
+       |  SUM(CASE WHEN p.predicted = ql.label THEN 1 ELSE 0 END) AS n_correct,
+       |  CAST(CAST(CAST(SUM(CASE WHEN p.predicted = ql.label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS accuracy
+       |FROM pred p JOIN embeddings ql ON ql.vec_id = p.q_id
+       |GROUP BY ql.label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_ndcg"         -> sNdcg _,
+    "s_knn_classify" -> sKnnClassify _,
     "s_dim_stats"    -> sDimStats _,
     "s_mrr"          -> sMrr _,
     "s_mutual_knn"   -> sMutualKnn _,
@@ -532,6 +657,8 @@ object Similarity2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "s_ndcg"         -> sNdcgSql,
+    "s_knn_classify" -> sKnnClassifySql,
     "s_dim_stats"    -> sDimStatsSql,
     "s_mrr"          -> sMrrSql,
     "s_mutual_knn"   -> sMutualKnnSql,

@@ -519,6 +519,141 @@ object Text2 {
        |SELECT prefix_fp, n_docs, (n_docs - 1) * 16 AS cached_tokens
        |FROM g ORDER BY n_docs DESC, prefix_fp LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------- t_rake
+
+  private val RakeMaxPhraseLen = 4
+  private val RakeTopK = 20
+
+  /** t_rake: RAKE keyword extraction — the classic unsupervised
+    * keyword/keyphrase miner (Rose et al.): candidate phrases are maximal
+    * stopword-delimited token runs (≤4 tokens), each word scored
+    * deg(w)/freq(w) over the corpus phrase set (deg counts co-occurring
+    * phrase length, so words that live inside long phrases outrank loners),
+    * a phrase scores the sum of its words. Unlike t_collocations (pairwise
+    * PMI) this surfaces multi-word UNITS and is what doc-tagging / search
+    * facet pipelines run at ingest.
+    *
+    * Parity: phrase segmentation is the gaps-and-islands grp = pos − rn
+    * trick on the ONE shared tokenizer — pure integers; deg/freq are exact
+    * BIGINTs; word scores are x6-pinned single divisions and phrase scores
+    * their order-independent DECIMAL sum. Top-20 by (score, phrase) via
+    * orderBy().limit() — TakeOrderedAndProject, no global window.
+    *
+    * Scale shape: posexplode → per-doc islands window (PARTITIONED BY
+    * doc — never global), one word-keyed stat aggregation (map-side
+    * partial), one broadcast-able word-score join back onto phrase
+    * members, a phrase-keyed rollup, and a k-bounded top-k. Linear in
+    * token count. */
+  def tRake(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = graft.functions.TextFunctions.Stopwords
+    val tk = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .filter(col("token") =!= "" && !col("token").isin(stop.map(x => x: Any): _*))
+    val rn = row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+    val isl = tk.withColumn("grp", col("pos") - rn)
+    val withLen = isl.withColumn("len",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"), col("grp"))))
+      .filter(col("len") <= RakeMaxPhraseLen)
+    val wordStats = withLen.groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .withColumn("wscore",
+        graft.functions.OracleParity.x6(
+          col("deg").cast("double") / col("freq").cast("double")))
+    val phrases = withLen.join(broadcast(wordStats.select(col("token"), col("wscore"))), "token")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ").as("phrase"),
+        max(col("len")).as("len"),
+        graft.functions.OracleParity.xsum(col("wscore")).as("score"))
+    val ranked = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occ"), max(col("len")).as("len"), max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("phrase")).limit(RakeTopK)
+    val w = Window.orderBy(col("score").desc, col("phrase"))
+    ranked.withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("phrase"), col("len"), col("n_occ"), col("score"))
+      .orderBy(col("rnk"))
+  }
+
+  val tRakeSql: String = {
+    val stopList = graft.functions.TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, u.pos AS pos, u.tok AS token
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(tt) + 1),
+       |            i -> struct_pack(pos := i, tok := tt[i]))) AS u
+       |        FROM (SELECT doc_id, $toks AS tt FROM documents))
+       |  WHERE u.tok <> '' AND u.tok NOT IN ($stopList)),
+       |isl AS (
+       |  SELECT doc_id, pos, token,
+       |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM tk),
+       |wl AS (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY doc_id, grp) AS len FROM isl
+       |  QUALIFY len <= $RakeMaxPhraseLen),
+       |ws AS (
+       |  SELECT token, CAST(CAST(CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS DECIMAL(18,6)) AS DOUBLE) AS wscore
+       |  FROM wl GROUP BY token),
+       |ph AS (
+       |  SELECT wl.doc_id, wl.grp,
+       |    string_agg(wl.token, ' ' ORDER BY wl.pos) AS phrase,
+       |    MAX(wl.len) AS len,
+       |    CAST(SUM(CAST(ws.wscore AS DECIMAL(18,6))) AS DOUBLE) AS score
+       |  FROM wl JOIN ws ON ws.token = wl.token
+       |  GROUP BY wl.doc_id, wl.grp),
+       |agg AS (
+       |  SELECT phrase, COUNT(*) AS n_occ, MAX(len) AS len, MAX(score) AS score
+       |  FROM ph GROUP BY phrase
+       |  ORDER BY score DESC, phrase LIMIT $RakeTopK)
+       |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, phrase) AS rnk,
+       |  phrase, len, n_occ, score
+       |FROM agg ORDER BY rnk""".stripMargin
+  }
+
+  // ------------------------------------------------------ t_jsonl_export
+
+  /** t_jsonl_export: canonical JSONL training-export rendering — the last
+    * hop of every curation pipeline: one self-describing JSON record per
+    * document with deterministic key order and escaping, plus the shard
+    * assignment and byte size a shard-writer needs for balanced output
+    * files. Neither engine's to_json is used (key order / whitespace
+    * differ); the record is built by explicit concatenation with an
+    * identical backslash-then-quote escape chain, so the gate hash pins
+    * the exact BYTES a trainer would read.
+    *
+    * Scale shape: pure narrow map + octet_length; the only ordering is
+    * the presentation sort. Shard = doc_id % 8 is the deterministic
+    * round-robin a writer turns into one file per shard via
+    * partitionBy(shard). */
+  def tJsonlExport(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("esc",
+        expr("replace(replace(text, '\\\\', '\\\\\\\\'), '\"', '\\\\\"')"))
+      .withColumn("record", concat(
+        lit("{\"id\":"), col("doc_id").cast("string"),
+        lit(",\"lang\":\""), col("lang"),
+        lit("\",\"source\":\""), col("source"),
+        lit("\",\"text\":\""), col("esc"), lit("\"}")))
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        octet_length(col("record")).as("rec_bytes"),
+        md5(col("record")).as("rec_hash"))
+      .orderBy(col("doc_id"))
+
+  val tJsonlExportSql: String =
+    """SELECT doc_id, doc_id % 8 AS shard,
+      |  octet_length(encode(record)) AS rec_bytes, md5(record) AS rec_hash
+      |FROM (
+      |  SELECT doc_id,
+      |    '{"id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang ||
+      |    '","source":"' || source || '","text":"' ||
+      |    replace(replace(text, '\', '\\'), '"', '\"') || '"}' AS record
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_prefix_share" -> tPrefixShare _,
     "t_nfc_dedup"    -> tNfcDedup _,
@@ -530,6 +665,8 @@ object Text2 {
     "t_entities"     -> tEntities _,
     "t_ctrlchars"    -> tCtrlchars _,
     "t_ngram_coverage" -> tNgramCoverage _,
+    "t_rake"         -> tRake _,
+    "t_jsonl_export" -> tJsonlExport _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -543,5 +680,7 @@ object Text2 {
     "t_entities"     -> tEntitiesSql,
     "t_ctrlchars"    -> tCtrlcharsSql,
     "t_ngram_coverage" -> tNgramCoverageSql,
+    "t_rake"         -> tRakeSql,
+    "t_jsonl_export" -> tJsonlExportSql,
   )
 }

@@ -1043,4 +1043,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"),
       s"power sums must partial-aggregate map-side:\n${p.take(3000)}")
   }
+
+  test("t_rake: islands window partitions by doc; word scores broadcast back; top-20 is a bounded TakeOrdered") {
+    val p = plan(graft.queries.Text2.tRake(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"phrase top-k must be a per-partition heap:\n${p.take(3000)}")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx < 0 || !p.substring(0, p.indexOf("TakeOrderedAndProject"))
+      .contains("Exchange SinglePartition"),
+      s"no single-partition exchange before the bounded top-k:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the word-score table must broadcast onto phrase members:\n${p.take(3000)}")
+  }
+
+  test("t_jsonl_export: pure narrow map — no join, no window, no aggregate shuffle") {
+    val p = plan(graft.queries.Text2.tJsonlExport(spark, dir))
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(!p.contains("HashAggregate"), s"rendering must not aggregate:\n${p.take(3000)}")
+  }
+
+  test("s_ndcg: label joins broadcast; one query-keyed rollup; no corpus shuffle") {
+    val p = plan(graft.queries.Similarity2.sNdcg(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"label tables must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("s_knn_classify: vote rollup + per-query argmax window partitioned by q_id; labels broadcast") {
+    val p = plan(graft.queries.Similarity2.sKnnClassify(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"label tables must broadcast:\n${p.take(3000)}")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && !p.substring(0, winIdx).contains("Exchange SinglePartition"),
+      s"the argmax window must partition by q_id:\n${p.take(3000)}")
+  }
 }
