@@ -552,6 +552,43 @@ object Modal3 {
       |  n_clipped * 100 > n_samples AS is_clipped
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- st_cep
+
+  /** st_cep: COMPLEX-EVENT-PROCESSING first-match detection — the
+    * Flink-CEP staple SELECT click -> purchase WITHIN 30min: each click
+    * matches (and is consumed by) the FIRST purchase strictly after it
+    * inside the window; purchases may close many clicks; unmatched
+    * clicks expire silently. This is the batch face of
+    * Streaming.cepBatch/cepStream — ONE shared in-order matcher whose
+    * only carried state is the pending-click set, which is exactly what
+    * bounds the streaming state to O(clicks-per-window) per user
+    * (StreamingSpec proves the watermarked stream emits a subset of this
+    * answer). The oracle replays the same semantics relationally:
+    * first-purchase-after via a per-click row_number — provably equal
+    * because first-match CEP with click-consumption IS "first B after
+    * each A within T" when only Bs consume.
+    *
+    * Scale shape: ONE user-keyed shuffle; per-group work linear in the
+    * user's event count with an O(window) working set. */
+  def stCep(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streaming.cepBatch(s, Tables.events(s, dir))
+      .toDF().orderBy(col("a_id"))
+
+  val stCepSql: String =
+    """WITH c AS (
+      |  SELECT event_id AS a_id, user_id, epoch_us(ts) AS a_us
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT event_id AS b_id, user_id, epoch_us(ts) AS b_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT c.user_id, c.a_id, p.b_id, p.b_us - c.a_us AS latency_us,
+      |    ROW_NUMBER() OVER (PARTITION BY c.a_id ORDER BY p.b_us, p.b_id) AS rn
+      |  FROM c JOIN p ON p.user_id = c.user_id
+      |    AND p.b_us > c.a_us AND p.b_us < c.a_us + 1800000000)
+      |SELECT user_id, a_id, b_id, latency_us FROM j WHERE rn = 1
+      |ORDER BY a_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_clipping"     -> mClipping _,
     "m_codec_matrix" -> mCodecMatrix _,
@@ -560,6 +597,7 @@ object Modal3 {
     "m_hist_eq"    -> mHistEq _,
     "m_gif_frames" -> mGifFrames _,
     "m_patchify"   -> mPatchify _,
+    "st_cep"       -> stCep _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -570,5 +608,6 @@ object Modal3 {
     "m_codec_matrix" -> mCodecMatrixSql,
     "m_srt_parse"    -> mSrtParseSql,
     "m_clipping"     -> mClippingSql,
+    "st_cep"         -> stCepSql,
   )
 }

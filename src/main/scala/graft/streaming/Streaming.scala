@@ -192,6 +192,92 @@ object Streaming {
   def dedupBatch(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
 
+  final case class CepEv(user_id: Long, event_id: Long, ts_us: Long,
+      is_b: Boolean, event_time: java.sql.Timestamp)
+  final case class CepMatch(user_id: Long, a_id: Long, b_id: Long, latency_us: Long)
+  final case class CepSt(pending: List[(Long, Long)], buffer: List[CepEv])
+
+  /** CEP first-match window: a click matches the FIRST purchase strictly
+    * after it within this horizon. */
+  val CepWindowUs: Long = 30L * 60 * 1000000
+
+  /** The CEP matcher shared by the batch and streaming paths: scan events
+    * in (ts, event_id) order carrying the pending-click set; a purchase
+    * matches (and CONSUMES) every pending click within the window — for
+    * each click that is provably its FIRST purchase-after, the semantics
+    * a pattern engine's strict-contiguity-free SELECT A->B WITHIN T
+    * compiles to; clicks expire silently past the window. Resumable: the
+    * surviving pending set is the ONLY state a prefix hand-off needs
+    * (processed purchases never matter again), which is what keeps the
+    * streaming state O(clicks-in-window) per user. */
+  private def cepOf(events: Seq[CepEv], pendingIn: List[(Long, Long)])
+      : (List[CepMatch], List[(Long, Long)]) = {
+    val out = List.newBuilder[CepMatch]
+    var pending = pendingIn // (a_id, a_ts) — ascending ts
+    for (e <- events.sortBy(ev => (ev.ts_us, ev.event_id))) {
+      if (e.is_b) {
+        pending = pending.filter(_._2 > e.ts_us - CepWindowUs) // expire
+        val (hit, stay) = pending.partition(_._2 < e.ts_us)    // strict after
+        hit.foreach { case (aId, aTs) =>
+          out += CepMatch(e.user_id, aId, e.event_id, e.ts_us - aTs) }
+        pending = stay
+      } else {
+        pending = pending.filter(_._2 > e.ts_us - CepWindowUs) :+ ((e.event_id, e.ts_us))
+      }
+    }
+    (out.result(), pending)
+  }
+
+  private def cepEvents(events: DataFrame): DataFrame =
+    events.filter(col("event_type").isin("click", "purchase"))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        (col("event_type") === "purchase").as("is_b"),
+        timestamp_micros(col("ts_us")).cast("timestamp").as("event_time"))
+
+  /** Batch face of the CEP operator: one user-keyed shuffle, per-group
+    * matcher run over the full history with an empty initial pending set. */
+  def cepBatch(spark: SparkSession, events: DataFrame): Dataset[CepMatch] = {
+    import spark.implicits._
+    cepEvents(events).as[CepEv]
+      .groupByKey(_.user_id)
+      .flatMapGroups((_: Long, it: Iterator[CepEv]) => cepOf(it.toSeq, Nil)._1.iterator)
+  }
+
+  /** Streaming path: flatMapGroupsWithState with event-time timeout.
+    * Events buffer per user until the watermark proves their prefix
+    * complete (a purchase may only match once no earlier click can still
+    * arrive); the matcher then runs on the closed prefix and hands its
+    * surviving pending-click set forward — state is the open buffer plus
+    * O(window) pending clicks, never full history. */
+  def cepStream(spark: SparkSession, events: DataFrame): Dataset[CepMatch] = {
+    import spark.implicits._
+    cepEvents(events)
+      .withWatermark("event_time", "30 minutes")
+      .as[CepEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepSt, CepMatch](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[CepEv], state: GroupState[CepSt]) =>
+          val st = state.getOption.getOrElse(CepSt(Nil, Nil))
+          val buf = (st.buffer ++ it.toList).sortBy(e => (e.ts_us, e.event_id))
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (closed, open) = buf.partition(_.ts_us <= wmUs)
+          val (matches, pending) = cepOf(closed, st.pending)
+          if (open.isEmpty && pending.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(CepSt(pending, open))
+            // wake when the watermark passes the open prefix (or the last
+            // pending click's expiry) so the tail flushes without new
+            // input; Spark requires the timeout to sit beyond the current
+            // watermark, so clamp
+            val deadline = (open.map(_.ts_us) ++ pending.map(_._2 + CepWindowUs))
+              .max / 1000 + 1
+            state.setTimeoutTimestamp(math.max(deadline, state.getCurrentWatermarkMs() + 1))
+          }
+          matches.iterator
+      }
+  }
+
   /** Streaming path: flatMapGroupsWithState with EVENT-time timeout.
     * Gap-closed sessions flush as soon as the closing event arrives; the
     * trailing open session stays in state until the watermark passes its

@@ -1069,6 +1069,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("st_cep: ONE user-keyed shuffle feeds the typed matcher — no window, no join") {
+    val p = plan(graft.queries.Modal3.stCep(spark, dir))
+    assert(p.contains("MapGroups"),
+      s"the matcher must run as typed per-group logic:\n${p.take(3000)}")
+    val keyShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(keyShuffles <= 1, s"one user-key shuffle expected ($keyShuffles):\n${p.take(3000)}")
+    assert(!p.contains("Join"), s"no join in the batch face:\n${p.take(3000)}")
+    assert(p.contains("PushedFilters: [In(event_type"),
+      s"the click/purchase filter must reach the parquet scan:\n${p.take(3000)}")
+  }
+
   test("s_knn_classify: vote rollup + per-query argmax window partitioned by q_id; labels broadcast") {
     val p = plan(graft.queries.Similarity2.sKnnClassify(spark, dir))
     assert(p.contains("BroadcastHashJoin"),

@@ -530,4 +530,24 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet
     assert(bad.toSet == expected, "streaming quarantine must equal the batch split")
   }
+
+  test("streaming CEP first-match: watermark-closed matches equal the batch matcher") {
+    // click -> FIRST purchase within 30min, click-consuming: the stateful
+    // stream buffers each user's open suffix, runs the shared matcher on
+    // the watermark-closed prefix and carries only the pending-click set
+    val stream = spark.readStream.schema(eventsSchema).parquet(streamDir)
+    val q = Streaming.cepStream(spark, stream)
+      .writeStream.outputMode("append").format("memory").queryName("cep_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cep_out")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Streaming.cepBatch(spark, Tables.events(spark, dir))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty, "the watermark must have closed some matches")
+    assert(streamed.subsetOf(batch), "every emitted match must agree with the batch matcher")
+    // the only legitimate holdback is the open tail (purchases within the
+    // 30min watermark delay of max event time) — most matches must close
+    assert(streamed.size >= batch.size / 2,
+      s"watermark should close most matches (${streamed.size} of ${batch.size})")
+  }
 }
