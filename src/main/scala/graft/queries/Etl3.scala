@@ -648,7 +648,97 @@ object Etl3 {
     "e_mask"           -> eMask _,
     "io_mor_roundtrip" -> ioMorRoundtrip _,
     "e_scd2_compact"   -> eScd2Compact _,
+    "e_dq_score"       -> eDqScore _,
   )
+
+  // ------------------------------------------------------------ e_dq_score
+
+  /** e_dq_score: the composite DATA-QUALITY SCORECARD — the one-screen
+    * per-table health line a pipeline dashboard shows, rolling the
+    * individual check families (e_check_unique's key duplication,
+    * e_check_fk / e_fk_orphans' referential integrity, e_validate's null
+    * discipline) into comparable rates and one 0–100 score per table.
+    * The synthetic lineitem's non-unique (l_orderkey, l_linenumber) makes
+    * the duplicate term fire for real (the dup_rows count is the known
+    * data wart the gotcha list documents).
+    *
+    * Parity: every metric is an exact count; rates and the score are
+    * x6-pinned chains. score = 100·(1 − (dup_rate + orphan_rate +
+    * null_rate)/3).
+    *
+    * Scale shape: per table ONE distinct-key aggregation (the dominant
+    * cost, map-side partial), one broadcast-able/left-anti FK probe
+    * against the parent KEY SET (a ≤|parent-keys| frame — at 100 TB this
+    * is the bloom-filter probe e_check_fk documents), and a narrow null
+    * scan; the union is 3 rows. */
+  def eDqScore(s: SparkSession, dir: String): DataFrame = {
+    def score(dup: Column, orph: Column, nul: Column, n: Column): Column = {
+      import graft.functions.OracleParity.x6
+      val d = x6(dup.cast(DoubleType) / n.cast(DoubleType))
+      val o = x6(orph.cast(DoubleType) / n.cast(DoubleType))
+      val u = x6(nul.cast(DoubleType) / n.cast(DoubleType))
+      x6(lit(100.0) * (lit(1.0) - (d + o + u) / lit(3.0)))
+    }
+    val cust = Tables.customer(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct(col("c_custkey"))).as("dup_rows"),
+      lit(0L).as("orphan_rows"),
+      sum(when(col("c_name").isNull || col("c_mktsegment").isNull ||
+        col("c_acctbal").isNull, 1L).otherwise(0L)).as("null_rows"))
+      .select(lit("customer").as("table_name"), col("*"))
+    val custKeys = Tables.customer(s, dir).select(col("c_custkey")).distinct()
+    val ordOrph = Tables.orders(s, dir)
+      .join(broadcast(custKeys), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_rows"))
+    val ord = Tables.orders(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_rows"),
+      sum(when(col("o_orderstatus").isNull || col("o_totalprice").isNull ||
+        col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_rows"))
+      .crossJoin(broadcast(ordOrph))
+      .select(lit("orders").as("table_name"), col("n_rows"), col("dup_rows"),
+        col("orphan_rows"), col("null_rows"))
+    val ordKeys = Tables.orders(s, dir).select(col("o_orderkey")).distinct()
+    val liOrph = Tables.lineitem(s, dir)
+      .join(ordKeys, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_rows"))
+    val li = Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("dup_rows"),
+      sum(when(col("l_quantity").isNull || col("l_extendedprice").isNull ||
+        col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_rows"))
+      .crossJoin(broadcast(liOrph))
+      .select(lit("lineitem").as("table_name"), col("n_rows"), col("dup_rows"),
+        col("orphan_rows"), col("null_rows"))
+    cust.unionByName(ord).unionByName(li)
+      .withColumn("dq_score",
+        score(col("dup_rows"), col("orphan_rows"), col("null_rows"), col("n_rows")))
+      .orderBy(col("table_name"))
+  }
+
+  val eDqScoreSql: String = {
+    def block(table: String, nExpr: String, dupExpr: String, orphExpr: String,
+        nullExpr: String) =
+      s"""SELECT '$table' AS table_name, $nExpr AS n_rows, $dupExpr AS dup_rows,
+         |  $orphExpr AS orphan_rows, $nullExpr AS null_rows FROM $table""".stripMargin
+    val cust = block("customer", "COUNT(*)", "COUNT(*) - COUNT(DISTINCT c_custkey)",
+      "CAST(0 AS BIGINT)",
+      "SUM(CASE WHEN c_name IS NULL OR c_mktsegment IS NULL OR c_acctbal IS NULL THEN 1 ELSE 0 END)")
+    val ord = block("orders", "COUNT(*)", "COUNT(*) - COUNT(DISTINCT o_orderkey)",
+      "(SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))",
+      "SUM(CASE WHEN o_orderstatus IS NULL OR o_totalprice IS NULL OR o_orderdate IS NULL THEN 1 ELSE 0 END)")
+    val li = block("lineitem", "COUNT(*)", "COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))",
+      "(SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))",
+      "SUM(CASE WHEN l_quantity IS NULL OR l_extendedprice IS NULL OR l_shipdate IS NULL THEN 1 ELSE 0 END)")
+    def x6(e: String) = s"CAST(CAST($e AS DECIMAL(18,6)) AS DOUBLE)"
+    val d = x6("CAST(dup_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+    val o = x6("CAST(orphan_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+    val u = x6("CAST(null_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+    s"""WITH t AS ($cust UNION ALL $ord UNION ALL $li)
+       |SELECT table_name, n_rows, dup_rows, orphan_rows, null_rows,
+       |  ${x6(s"100.0 * (1.0 - ($d + $o + $u) / 3.0)")} AS dq_score
+       |FROM t ORDER BY table_name""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "e_hwm_extract"    -> eHwmExtractSql,
@@ -661,5 +751,6 @@ object Etl3 {
     "e_mask"           -> eMaskSql,
     "io_mor_roundtrip" -> ioMorRoundtripSql,
     "e_scd2_compact"   -> eScd2CompactSql,
+    "e_dq_score"       -> eDqScoreSql,
   )
 }

@@ -759,7 +759,106 @@ object Events {
        |  CAST(CAST(CAST(sae AS DOUBLE) / CAST(n_hours AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mae
        |FROM agg ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------------ q_holt
+
+  /** Sign-symmetric half-up integer division — the same exact-rounding
+    * primitive q_winsorize's mean uses ((2v+d) div 2d for v ≥ 0, mirrored
+    * for v < 0; `div`/`//` truncate identically on non-negative
+    * operands). */
+  private def halfUp(v: String, d: Long, div: String) =
+    s"(CASE WHEN ($v) >= 0 THEN (2 * ($v) + $d) $div ${2 * d} " +
+      s"ELSE -((-2 * ($v) + $d) $div ${2 * d}) END)"
+
+  /** The Holt update in EXACT INTEGER MICRO-UNITS, shared verbatim by the
+    * Spark fold lambda and the oracle's recursive step (α=0.5 → /2,
+    * β=0.25 → /4, each with half-up integer rounding). A float recursion
+    * x6-pinned per step was tried first and DIVERGED at sf0.01: ~240
+    * chained double→decimal casts make a rounding-boundary hit (Spark
+    * rounds the shortest decimal string, DuckDB the exact binary value)
+    * near-certain; integer state makes cross-engine drift impossible by
+    * construction. Level recomputes inside the trend expression because
+    * neither engine's lambda/recursion has a local binding — both
+    * evaluate the IDENTICAL tree. */
+  private def holtLevelM(x: String, l: String, t: String, div: String) =
+    halfUp(s"$x + $l + $t", 2, div)
+  private def holtTrendM(x: String, l: String, t: String, div: String) =
+    halfUp(s"${holtLevelM(x, l, t, div)} - $l + 3 * $t", 4, div)
+
+  /** q_holt: HOLT double-exponential smoothing per order priority — the
+    * trend-aware forecaster q_ewma's level-only taps cannot express (a
+    * steadily growing series makes EWMA lag forever; Holt carries an
+    * explicit trend term). Recursive by nature: level_t depends on
+    * level_{t−1}, which no window/tap truncation reproduces exactly — so
+    * the Spark side folds the collected monthly series with
+    * `aggregate()` (a catalyst higher-order function, codegen-friendly,
+    * no UDF) and the oracle replays the SAME per-step expression via a
+    * recursive CTE. Every step is x6-pinned, so the recursion cannot
+    * accumulate cross-engine drift by construction.
+    *
+    * Scale shape: ONE keyed aggregation builds the |priorities|×|months|
+    * series arrays (map-side partial collect; a series fits memory
+    * because |months| is bounded — at 100 TB the GROUP is the time
+    * series, never the fact rows); the fold is per-row compute. */
+  def qHolt(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"), date_trunc("month", col("o_orderdate")).as("month"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 6))) * lit(1000000L))
+        .cast("long").as("rev_m"))
+    val fold =
+      s"""aggregate(
+         |  slice(revs, 2, size(revs) - 1),
+         |  named_struct(
+         |    'level', element_at(revs, 1),
+         |    'trend', element_at(revs, 2) - element_at(revs, 1)),
+         |  (acc, x) -> named_struct(
+         |    'level', ${holtLevelM("x", "acc.level", "acc.trend", "div")},
+         |    'trend', ${holtTrendM("x", "acc.level", "acc.trend", "div")}))""".stripMargin
+    monthly.groupBy(col("o_orderpriority"))
+      .agg(expr("transform(array_sort(collect_list(struct(month, rev_m))), z -> z.rev_m)")
+        .as("revs"))
+      .filter(size(col("revs")) >= 2)
+      .withColumn("st", expr(fold))
+      .select(col("o_orderpriority"), size(col("revs")).cast("long").as("n_periods"),
+        (col("st.level").cast("double") / lit(1000000.0)).as("level"),
+        (col("st.trend").cast("double") / lit(1000000.0)).as("trend"),
+        ((col("st.level") + col("st.trend")).cast("double") / lit(1000000.0)).as("f1"),
+        ((col("st.level") + lit(2L) * col("st.trend")).cast("double") / lit(1000000.0)).as("f2"),
+        ((col("st.level") + lit(3L) * col("st.trend")).cast("double") / lit(1000000.0)).as("f3"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qHoltSql: String =
+    s"""WITH RECURSIVE monthly AS (
+       |  SELECT o_orderpriority AS pri, date_trunc('month', o_orderdate) AS month,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_m
+       |  FROM orders GROUP BY 1, 2),
+       |ser AS (
+       |  SELECT pri, rev_m,
+       |    ROW_NUMBER() OVER (PARTITION BY pri ORDER BY month) AS idx
+       |  FROM monthly),
+       |nn AS (SELECT pri, MAX(idx) AS n FROM ser GROUP BY pri),
+       |st AS (
+       |  SELECT s1.pri, CAST(1 AS BIGINT) AS idx, s1.rev_m AS level,
+       |    s2.rev_m - s1.rev_m AS trend
+       |  FROM ser s1 JOIN ser s2 ON s2.pri = s1.pri AND s2.idx = 2
+       |  WHERE s1.idx = 1
+       |  UNION ALL
+       |  SELECT s.pri, s.idx + 1,
+       |    ${holtLevelM("v.rev_m", "s.level", "s.trend", "//")},
+       |    ${holtTrendM("v.rev_m", "s.level", "s.trend", "//")}
+       |  FROM st s JOIN ser v ON v.pri = s.pri AND v.idx = s.idx + 1)
+       |SELECT st.pri AS o_orderpriority, nn.n AS n_periods,
+       |  CAST(st.level AS DOUBLE) / 1000000.0 AS level,
+       |  CAST(st.trend AS DOUBLE) / 1000000.0 AS trend,
+       |  CAST(st.level + st.trend AS DOUBLE) / 1000000.0 AS f1,
+       |  CAST(st.level + 2 * st.trend AS DOUBLE) / 1000000.0 AS f2,
+       |  CAST(st.level + 3 * st.trend AS DOUBLE) / 1000000.0 AS f3
+       |FROM st JOIN nn ON nn.pri = st.pri AND st.idx = nn.n
+       |WHERE nn.n >= 2
+       |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_holt"          -> qHolt _,
     "q_sketch_setops" -> qSketchSetops _,
     "q_decay"        -> qDecay _,
     "q_wape"         -> qWape _,
@@ -782,6 +881,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_holt"          -> qHoltSql,
     "q_sketch_setops" -> qSketchSetopsSql,
     "q_decay"        -> qDecaySql,
     "q_wape"         -> qWapeSql,

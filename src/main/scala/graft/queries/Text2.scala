@@ -654,7 +654,48 @@ object Text2 {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- t_fertility
+
+  /** t_fertility: TOKENIZER FERTILITY per language — tokens-per-word and
+    * bytes-per-token, THE multilingual-tokenizer health metrics (a
+    * tokenizer trained on English "explodes" CJK/diacritic text into many
+    * more pieces; fertility quantifies the compute tax per language and
+    * drives vocab rebalancing decisions). Uses the ONE shared
+    * script-aware word tokenizer and the shared BPE-ish piece counter so
+    * both engines count the identical streams.
+    *
+    * Parity: all sums exact BIGINTs; the two ratios are x6-pinned single
+    * divisions. Scale shape: ONE lang-keyed map-side-partial aggregation
+    * to ≤|langs| rows. */
+  def tFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_words"),
+        sum(bpeTokenCount(col("text")).cast("long")).as("n_pieces"),
+        sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"), col("n_bytes"),
+        graft.functions.OracleParity.x6(
+          col("n_pieces").cast("double") / col("n_words").cast("double")).as("fertility"),
+        graft.functions.OracleParity.x6(
+          col("n_bytes").cast("double") / col("n_pieces").cast("double")).as("bytes_per_piece"))
+      .orderBy(col("lang"))
+
+  val tFertilitySql: String =
+    s"""WITH a AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    SUM(len($toks)) AS n_words,
+       |    SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]'))) AS n_pieces,
+       |    SUM(octet_length(encode(text))) AS n_bytes
+       |  FROM documents GROUP BY lang)
+       |SELECT lang, n_docs, n_words, n_pieces, n_bytes,
+       |  CAST(CAST(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS fertility,
+       |  CAST(CAST(CAST(n_bytes AS DOUBLE) / CAST(n_pieces AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS bytes_per_piece
+       |FROM a ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_fertility"    -> tFertility _,
     "t_prefix_share" -> tPrefixShare _,
     "t_nfc_dedup"    -> tNfcDedup _,
     "t_license"      -> tLicense _,
@@ -670,6 +711,7 @@ object Text2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_fertility"    -> tFertilitySql,
     "t_prefix_share" -> tPrefixShareSql,
     "t_nfc_dedup"    -> tNfcDedupSql,
     "t_license"      -> tLicenseSql,

@@ -1069,6 +1069,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_holt: the recursion folds collected series arrays — one keyed agg builds them, no per-step shuffle") {
+    val p = plan(graft.queries.Events.qHolt(spark, dir))
+    assert(!p.contains("Join"), s"the fold must not join per step:\n${p.take(3000)}")
+    val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(aggShuffles <= 2, s"monthly rollup + series collect only ($aggShuffles):\n${p.take(3000)}")
+  }
+
+  test("t_fertility: ONE lang-keyed map-side-partial aggregation — no window, no join") {
+    val p = plan(graft.queries.Text2.tFertility(spark, dir))
+    assert(!p.contains("Window") && !p.contains("Join"))
+    val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(lang"))
+    assert(aggShuffles <= 1, s"one lang shuffle expected ($aggShuffles):\n${p.take(3000)}")
+  }
+
+  test("e_dq_score: FK probes are broadcast anti-joins; no sort-merge anywhere") {
+    val p = plan(graft.queries.Etl3.eDqScore(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"parent key sets must broadcast into the anti-join probes:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
+  }
+
   test("st_cep: ONE user-keyed shuffle feeds the typed matcher — no window, no join") {
     val p = plan(graft.queries.Modal3.stCep(spark, dir))
     assert(p.contains("MapGroups"),
