@@ -175,4 +175,30 @@ object Wap {
       throw new IllegalArgumentException(s"no version $version under $root"))
     spark.read.parquet(s"$root/$label")
   }
+
+  /** Expire all but the newest `keepLast` published versions — the
+    * expire-snapshots/VACUUM half of the snapshot-store lifecycle (the
+    * version log grows monotonically; storage does not get to). Deletes
+    * each expired version's snapshot directory AND its log entry;
+    * version ordinals stay stable (gaps are legal — history stays
+    * version-ascending). Refuses to expire the version `current` points
+    * at: production must never lose its table out from under it, however
+    * aggressive the retention. Returns the expired (version, label)
+    * pairs, oldest first. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[(Long, String)] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, root)
+    val hist = history(spark, root)
+    val (expire, keep) = hist.splitAt(math.max(hist.size - keepLast, 0))
+    currentLabel(spark, root).foreach { cur =>
+      require(!expire.exists(_._2 == cur),
+        s"refusing to expire $cur — the current pointer still references it " +
+          s"(kept: ${keep.map(_._2)})")
+    }
+    expire.foreach { case (v, label) =>
+      f.delete(new Path(s"$root/$label"), true)
+      f.delete(new Path(versionDir(root), s"v-$v"), false)
+    }
+    expire
+  }
 }

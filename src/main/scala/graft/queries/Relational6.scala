@@ -476,7 +476,69 @@ object Relational6 {
        |ORDER BY version, o_orderpriority""".stripMargin
   }
 
+  /** io_vacuum: SNAPSHOT RETENTION over the WAP version store — the
+    * expire-snapshots/VACUUM lifecycle io_timetravel's ever-growing log
+    * needs (at 100 TB yesterday's snapshots are most of the bill): four
+    * yearly snapshots publish, retention keeps the newest two, and the
+    * gate pins EVERYTHING the contract promises in-query — expired
+    * versions report (1,2) oldest-first, history collapses to exactly
+    * (3,4), expired reads now FAIL, kept reads still answer, production
+    * still points at the newest label, and a keepLast that would expire
+    * the current pointer REFUSES. The emitted aggregate covers the two
+    * surviving versions; the oracle replays their source windows. */
+  def ioVacuum(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Quarantine, Wap}
+    val root = roundtripPath(dir, "vacuum")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true) // idempotent reruns
+    def window(yr: String) = Tables.orders(s, dir)
+      .filter(expr(s"o_orderdate >= TIMESTAMP_NTZ '$yr-01-01 00:00:00' AND " +
+        s"o_orderdate < TIMESTAMP_NTZ '${yr.toInt + 1}-01-01 00:00:00'"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val rules = Seq(Quarantine.Rule("price_nonnull", col("o_totalprice").isNotNull))
+    Seq("1994", "1995", "1996", "1997").foreach { yr =>
+      Wap.stage(s, root, yr, window(yr))
+      Wap.publishVersioned(s, root, yr, rules)
+    }
+    // retention so aggressive it would expire production must refuse
+    require(scala.util.Try(Wap.vacuum(s, root, 0)).isFailure, "keepLast=0 must refuse")
+    val expired = Wap.vacuum(s, root, keepLast = 2)
+    require(expired.map(_._1) == Seq(1L, 2L), s"expected v1,v2 expired: $expired")
+    require(Wap.history(s, root).map(_._1) == Seq(3L, 4L),
+      "history must collapse to the kept tail")
+    require(scala.util.Try(Wap.readAsOf(s, root, 1L).count()).isFailure,
+      "an expired version must no longer read")
+    require(Wap.currentLabel(s, root).contains("snap-1997"),
+      "production must still point at the newest label")
+    def agg(v: Long) = Wap.readAsOf(s, root, v)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("rev"))
+      .withColumn("version", lit(v))
+    agg(3L).unionByName(agg(4L))
+      .withColumn("n_expired", lit(expired.size.toLong))
+      .select(col("version"), col("o_orderpriority"), col("n_orders"),
+        col("rev"), col("n_expired"))
+      .orderBy(col("version"), col("o_orderpriority"))
+  }
+
+  val ioVacuumSql: String = {
+    val years = Seq((3, "1996"), (4, "1997"))
+    val parts = years.map { case (v, yr) =>
+      s"""SELECT CAST($v AS BIGINT) AS version, o_orderpriority, COUNT(*) AS n_orders,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS rev,
+         |    CAST(2 AS BIGINT) AS n_expired
+         |  FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '$yr-01-01' AND o_orderdate < TIMESTAMP '${yr.toInt + 1}-01-01'
+         |  GROUP BY o_orderpriority""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""SELECT version, o_orderpriority, n_orders, rev, n_expired FROM (
+       |  $parts) t
+       |ORDER BY version, o_orderpriority""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_vacuum"         -> ioVacuum _,
     "io_timetravel"     -> ioTimetravel _,
     "q_mom_yoy"         -> qMomYoy _,
     "q_attribution"     -> qAttribution _,
@@ -490,6 +552,7 @@ object Relational6 {
   )
 
   val oracle: Map[String, String] = Map(
+    "io_vacuum"         -> ioVacuumSql,
     "io_timetravel"     -> ioTimetravelSql,
     "q_mom_yoy"         -> qMomYoySql,
     "q_attribution"     -> qAttributionSql,

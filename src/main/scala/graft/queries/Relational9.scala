@@ -314,7 +314,80 @@ object Relational9 {
       |  CAST(CAST(m4 / (m2 * m2) - 3.0 AS DECIMAL(18,6)) AS DOUBLE) AS kurtosis
       |FROM k ORDER BY nationkey""".stripMargin
 
+  // ---------------------------------------------------------- q_bollinger
+
+  /** q_bollinger: rolling VOLATILITY BANDS over daily revenue — the
+    * trailing-window mean ± 2σ breakout monitor (the metric-ops classic
+    * beside q_cusum's drift detector and q_trailing7's smoother: CUSUM
+    * finds sustained shifts, Bollinger flags single-day excursions
+    * relative to RECENT volatility, which a fixed threshold can't do on
+    * a seasonal series). Bands come from the trailing 7 days EXCLUDING
+    * today, so today's spike can't widen its own band.
+    *
+    * Parity: daily revenue in exact integer cents; window sums Σx
+    * (BIGINT) and Σx² (DECIMAL(38,0) Spark / HUGEINT oracle — x² passes
+    * 2⁶³ at sf0.1) are exact; mean/σ/bands are ONE pinned IEEE chain
+    * (sqrt only) emitted UN-rounded — with exact integer inputs the
+    * chain is already bitwise-deterministic, and adding x6 would
+    * INTRODUCE the only nondeterminism (2392×3 double→decimal casts ≈
+    * a guaranteed shortest-string-vs-exact-binary boundary hit, which
+    * the first sf0.01 run of this gate demonstrated on one row).
+    *
+    * Scale shape: the fact table aggregates ONCE to the |days| frame;
+    * the ROWS window rides that bounded calendar frame (q_trailing7's
+    * documented pattern — never a fact-sized sort). */
+  def qBollinger(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 6))) * lit(100L))
+        .cast("long").as("x"))
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    val xd = col("x").cast(DoubleType)
+    val mean = col("sx").cast(DoubleType) / lit(7.0)
+    val variance = (lit(7.0) * col("sxx").cast(DoubleType) -
+      col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) / lit(49.0)
+    val lower = mean - lit(2.0) * sqrt(variance)
+    val upper = mean + lit(2.0) * sqrt(variance)
+    daily
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sxx", sum((col("x").cast(DecimalType(38, 0)) *
+        col("x").cast(DecimalType(38, 0)))).over(w))
+      .filter(col("n7") === 7)
+      .select(col("day"), (xd / lit(100.0)).as("rev"),
+        (mean / lit(100.0)).as("mean7"),
+        (lower / lit(100.0)).as("lower"),
+        (upper / lit(100.0)).as("upper"),
+        (xd < lower || xd > upper).as("is_breakout"))
+      .orderBy(col("day"))
+  }
+
+  val qBollingerSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |win AS (
+      |  SELECT day, x,
+      |    COUNT(*) OVER w AS n7, SUM(x) OVER w AS sx,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER w AS sxx
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |m AS (
+      |  SELECT day, x,
+      |    CAST(sx AS DOUBLE) / 7.0 AS mean,
+      |    (7.0 * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 49.0 AS var
+      |  FROM win WHERE n7 = 7)
+      |SELECT day, CAST(x AS DOUBLE) / 100.0 AS rev,
+      |  mean / 100.0 AS mean7,
+      |  (mean - 2.0 * sqrt(var)) / 100.0 AS lower,
+      |  (mean + 2.0 * sqrt(var)) / 100.0 AS upper,
+      |  (CAST(x AS DOUBLE) < mean - 2.0 * sqrt(var) OR
+      |   CAST(x AS DOUBLE) > mean + 2.0 * sqrt(var)) AS is_breakout
+      |FROM m ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bollinger"    -> qBollinger _,
     "q_spearman"     -> qSpearman _,
     "q_mann_whitney" -> qMannWhitney _,
     "q_simpson"      -> qSimpson _,
@@ -323,6 +396,7 @@ object Relational9 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bollinger"    -> qBollingerSql,
     "q_spearman"     -> qSpearmanSql,
     "q_mann_whitney" -> qMannWhitneySql,
     "q_simpson"      -> qSimpsonSql,

@@ -694,7 +694,60 @@ object Text2 {
        |  CAST(CAST(CAST(n_bytes AS DOUBLE) / CAST(n_pieces AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS bytes_per_piece
        |FROM a ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------ t_langid_margin
+
+  /** t_langid_margin: LANGUAGE-ID CONFIDENCE routing — the margin between
+    * the best and second-best stopword-profile hit counts, the
+    * abstain/route signal t_langid's hard argmax hides (a production
+    * curation pipeline routes margin-0 docs to the script fallback or a
+    * model, rather than trusting a coin-flip argmax). Reported per
+    * DECLARED lang so profile weaknesses surface per corpus slice.
+    *
+    * Parity: hit counts are exact integers from the ONE shared tokenizer
+    * + profiles; the top-2 come from sorting the 5-element hit array —
+    * no argmax tiebreak enters the margin at all. Pure integer outputs.
+    *
+    * Scale shape: narrow per-doc map + ONE lang-keyed map-side-partial
+    * rollup. */
+  def tLangidMargin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{langHits, LangProfiles}
+    val hitsSorted = array_sort(array(
+      LangProfiles.map { case (_, p) => langHits(tokens(col("text")), p).cast("long") }: _*))
+    val n = LangProfiles.size
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("hs", hitsSorted)
+      .withColumn("top1", element_at(col("hs"), n))
+      .withColumn("margin", element_at(col("hs"), n) - element_at(col("hs"), n - 1))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("top1") === 0, 1L).otherwise(0L)).as("n_nohit"),
+        sum(when(col("top1") > 0 && col("margin") === 0, 1L).otherwise(0L)).as("n_ambiguous"),
+        sum(when(col("margin") >= 2, 1L).otherwise(0L)).as("n_confident"),
+        max(col("margin")).as("max_margin"))
+      .orderBy(col("lang"))
+  }
+
+  val tLangidMarginSql: String = {
+    val inList = (p: Seq[String]) => p.map(w => s"'$w'").mkString(", ")
+    val hits = graft.functions.TextFunctions.LangProfiles
+      .map { case (_, p) => s"CAST(len(list_filter(tt, t -> t IN (${inList(p)}))) AS BIGINT)" }
+    val n = hits.size
+    s"""WITH h AS (
+       |  SELECT lang, list_sort([${hits.mkString(", ")}]) AS hs
+       |  FROM (SELECT lang, $toks AS tt FROM documents)),
+       |m AS (
+       |  SELECT lang, hs[$n] AS top1, hs[$n] - hs[${n - 1}] AS margin FROM h)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  SUM(CASE WHEN top1 = 0 THEN 1 ELSE 0 END) AS n_nohit,
+       |  SUM(CASE WHEN top1 > 0 AND margin = 0 THEN 1 ELSE 0 END) AS n_ambiguous,
+       |  SUM(CASE WHEN margin >= 2 THEN 1 ELSE 0 END) AS n_confident,
+       |  MAX(margin) AS max_margin
+       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_langid_margin" -> tLangidMargin _,
     "t_fertility"    -> tFertility _,
     "t_prefix_share" -> tPrefixShare _,
     "t_nfc_dedup"    -> tNfcDedup _,
@@ -711,6 +764,7 @@ object Text2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_langid_margin" -> tLangidMarginSql,
     "t_fertility"    -> tFertilitySql,
     "t_prefix_share" -> tPrefixShareSql,
     "t_nfc_dedup"    -> tNfcDedupSql,

@@ -1069,6 +1069,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_bollinger: the fact aggregates ONCE to the day frame; only the bounded frame sorts") {
+    val p = plan(graft.queries.Relational9.qBollinger(spark, dir))
+    assert(!p.contains("Join"))
+    val factShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(day"))
+    assert(factShuffles <= 1, s"one day-keyed shuffle expected ($factShuffles):\n${p.take(3000)}")
+    // the single-partition exchange is legal ONLY because it carries the
+    // ≤|calendar-days| frame, never fact rows (q_trailing7's documented shape)
+    assert(p.contains("HashAggregate"), s"daily rollup must partial-aggregate:\n${p.take(3000)}")
+  }
+
+  test("t_langid_margin: narrow per-doc map + ONE lang-keyed rollup — no join, no window") {
+    val p = plan(graft.queries.Text2.tLangidMargin(spark, dir))
+    assert(!p.contains("Join") && !p.contains("Window"))
+    val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(lang"))
+    assert(aggShuffles <= 1, s"one lang shuffle expected ($aggShuffles):\n${p.take(3000)}")
+  }
+
   test("q_holt: the recursion folds collected series arrays — one keyed agg builds them, no per-step shuffle") {
     val p = plan(graft.queries.Events.qHolt(spark, dir))
     assert(!p.contains("Join"), s"the fold must not join per step:\n${p.take(3000)}")
