@@ -386,7 +386,70 @@ object Relational9 {
       |   CAST(x AS DOUBLE) > mean + 2.0 * sqrt(var)) AS is_breakout
       |FROM m ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------------- q_ols
+
+  /** q_ols: ORDINARY LEAST SQUARES fit per group — slope, intercept and
+    * R² of quantity on discount percentage (the price-elasticity /
+    * promo-lift readout), the regression companion of q_corr (which
+    * reports association but no fitted line to act on).
+    *
+    * Parity: x = discount in exact integer percent (via the decimal
+    * micro-unit trick), y = integer quantity units; all five sums are
+    * exact BIGINTs (bounded well under 2⁶³), and slope/intercept/R² are
+    * pinned IEEE chains over those integers, emitted UN-rounded — the
+    * q_bollinger rule: exact inputs make the chain bitwise-deterministic,
+    * and rounding would INTRODUCE the only cross-engine risk. Spark's
+    * regr_slope/regr_r2 stream float partials (partition-order-
+    * dependent) and are deliberately not used.
+    *
+    * Scale shape: ONE map-side-partial aggregation to ≤|flags| rows;
+    * everything after is scalar arithmetic. */
+  def qOls(s: SparkSession, dir: String): DataFrame = {
+    val x = (col("l_discount").cast(DecimalType(18, 6)) * lit(100L)).cast("long")
+    val y = col("l_quantity").cast("long")
+    val a = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val cxy = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    val cxx = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val cyy = (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+    val slope = cxy / cxx
+    a.select(col("l_returnflag"), col("n"),
+        slope.as("slope"),
+        ((col("sy").cast(DoubleType) - slope * col("sx").cast(DoubleType)) /
+          col("n").cast(DoubleType)).as("intercept"),
+        (cxy * cxy / (cxx * cyy)).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qOlsSql: String =
+    """WITH p AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_discount AS DECIMAL(18,6)) * 100 AS BIGINT) AS x,
+      |    CAST(l_quantity AS BIGINT) AS y
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      |  FROM p GROUP BY l_returnflag),
+      |c AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+      |    CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM a)
+      |SELECT l_returnflag, n,
+      |  cxy / cxx AS slope,
+      |  (syd - (cxy / cxx) * sxd) / CAST(n AS DOUBLE) AS intercept,
+      |  cxy * cxy / (cxx * cyy) AS r2
+      |FROM c ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ols"          -> qOls _,
     "q_bollinger"    -> qBollinger _,
     "q_spearman"     -> qSpearman _,
     "q_mann_whitney" -> qMannWhitney _,
@@ -396,6 +459,7 @@ object Relational9 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ols"          -> qOlsSql,
     "q_bollinger"    -> qBollingerSql,
     "q_spearman"     -> qSpearmanSql,
     "q_mann_whitney" -> qMannWhitneySql,

@@ -643,7 +643,85 @@ object Similarity2 {
        |FROM pred p JOIN embeddings ql ON ql.vec_id = p.q_id
        |GROUP BY ql.label ORDER BY label""".stripMargin
 
+  // --------------------------------------------------------- s_probe_cost
+
+  /** s_probe_cost: the COST axis of the nprobe tuning curve —
+    * candidates scanned per query at each operating point
+    * (s_recall_curve gives the recall axis; together they are the
+    * recall-vs-cost tradeoff an ANN operator is actually tuned on, and
+    * what IvfIndex.tuneNprobe's recall SLO implicitly prices). No
+    * distance is computed anywhere: cost is pure bucket-membership
+    * counting, so the gate isolates the scan volume from the scoring.
+    *
+    * Parity: all counts exact integers; the per-query average is the
+    * only pinned division. Scale shape: probe ranks from a
+    * |queries|×|centroids| broadcast cross, ONE bucket-membership join
+    * counted per (query, nprobe), two bounded rollups. */
+  def sProbeCost(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val path = Similarity.ivfPath(dir)
+    graft.similarity.IvfIndex.build(s, e, "vec_id", "embedding", path,
+      numCentroids = Some(8), iters = 2,
+      pretrained = Some(Similarity.fitCached(s, dir, k = 8, iters = 2)))
+    val centroids = s.read.parquet(s"$path/centroids")
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", coalesce(expr("cosine_sim(q_vec, c_vec)"), lit(-1.0)))
+      .withColumn("proberank", row_number().over(wProbe))
+      .select(col("q_id"), col("c_id").as("bucket"), col("proberank"))
+    val nps = s.createDataFrame(CurveNprobes.map(Tuple1(_))).toDF("nprobe")
+    val perQ = s.read.parquet(s"$path/buckets")
+      .join(broadcast(probes), "bucket")
+      .filter(col("n_id") =!= col("q_id"))
+      .crossJoin(broadcast(nps))
+      .filter(col("proberank") <= col("nprobe"))
+      .groupBy(col("q_id"), col("nprobe")).agg(count(lit(1)).as("c"))
+    perQ.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("c")).as("total_candidates"),
+        min(col("c")).as("min_per_q"), max(col("c")).as("max_per_q"))
+      .select(col("nprobe"), col("n_queries"), col("total_candidates"),
+        col("min_per_q"), col("max_per_q"),
+        graft.functions.OracleParity.x6(col("total_candidates").cast("double") /
+          col("n_queries").cast("double")).as("avg_per_q"))
+      .orderBy(col("nprobe"))
+  }
+
+  val sProbeCostSql: String = {
+    import Similarity.{cosSql, kmAssignCte, kmRecenterCte}
+    val iters = (1 to 2).flatMap(i => Seq(
+      kmAssignCte("pts", s"c${i - 1}", s"a$i"), kmRecenterCte(s"a$i", s"c$i")))
+    val npList = CurveNprobes.map(n => s"($n)").mkString(", ")
+    s"""WITH pts AS (SELECT vec_id AS p_id, [x::DOUBLE for x in embedding] AS pv FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, [x::DOUBLE for x in embedding] AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+       |${iters.mkString(",\n")},
+       |bk AS (
+       |  SELECT n_id, bucket FROM (
+       |    SELECT p.p_id AS n_id, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY p.p_id ORDER BY COALESCE(${cosSql("p.pv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM pts p CROSS JOIN c2 c) WHERE rn = 1),
+       |q AS (SELECT p_id AS q_id, pv AS qv FROM pts WHERE p_id % 50 = 0),
+       |pr AS (
+       |  SELECT q_id, bucket, rn AS proberank FROM (
+       |    SELECT q.q_id, c.c_id AS bucket,
+       |      row_number() OVER (PARTITION BY q.q_id ORDER BY COALESCE(${cosSql("q.qv", "c.cv")}, -1.0) DESC, c.c_id) AS rn
+       |    FROM q CROSS JOIN c2 c)),
+       |perq AS (
+       |  SELECT pr.q_id, np.nprobe, COUNT(*) AS c
+       |  FROM pr JOIN bk b ON b.bucket = pr.bucket AND b.n_id <> pr.q_id
+       |  CROSS JOIN (VALUES $npList) np(nprobe)
+       |  WHERE pr.proberank <= np.nprobe
+       |  GROUP BY pr.q_id, np.nprobe)
+       |SELECT nprobe, COUNT(*) AS n_queries, SUM(c) AS total_candidates,
+       |  MIN(c) AS min_per_q, MAX(c) AS max_per_q,
+       |  CAST(CAST(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS avg_per_q
+       |FROM perq GROUP BY nprobe ORDER BY nprobe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_probe_cost"   -> sProbeCost _,
     "s_ndcg"         -> sNdcg _,
     "s_knn_classify" -> sKnnClassify _,
     "s_dim_stats"    -> sDimStats _,
@@ -657,6 +735,7 @@ object Similarity2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "s_probe_cost"   -> sProbeCostSql,
     "s_ndcg"         -> sNdcgSql,
     "s_knn_classify" -> sKnnClassifySql,
     "s_dim_stats"    -> sDimStatsSql,

@@ -1069,6 +1069,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_ols: all five regression sums ride ONE map-side-partial aggregation") {
+    val p = plan(graft.queries.Relational9.qOls(spark, dir))
+    assert(!p.contains("Window") && !p.contains("Join"))
+    val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(l_returnflag"))
+    assert(aggShuffles <= 1, s"one keyed shuffle expected ($aggShuffles):\n${p.take(3000)}")
+  }
+
+  test("s_probe_cost: pure bucket-membership counting — probes broadcast, no cosine in the cost path") {
+    val p = plan(graft.queries.Similarity2.sProbeCost(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe frame must broadcast into the bucket join:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q_bollinger: the fact aggregates ONCE to the day frame; only the bounded frame sorts") {
     val p = plan(graft.queries.Relational9.qBollinger(spark, dir))
     assert(!p.contains("Join"))
