@@ -589,7 +589,64 @@ object Modal3 {
       |SELECT user_id, a_id, b_id, latency_us FROM j WHERE rn = 1
       |ORDER BY a_id""".stripMargin
 
+  // ------------------------------------------------------ m_subtitle_align
+
+  /** Frame duration for the cut-time axis: frame_idx → ms. */
+  private val AlignFrameMs = 200L
+
+  /** m_subtitle_align: CAPTION/SCENE-CUT ALIGNMENT QC — the multimodal
+    * join a video-curation pipeline runs before training on (clip,
+    * caption) pairs: a subtitle cue that SPANS a scene cut usually
+    * describes two different shots, the classic bad-pair signal
+    * (caption-resync bugs also show up here first). Composes the two
+    * derived modal frames — m_srt_parse's cue intervals and
+    * m_scene_cut's histogram-L1 cuts on the 200 ms frame axis — through
+    * an interval join, strictly inside the cue (a cut AT a boundary is
+    * a clean transition).
+    *
+    * Parity: both inputs are already oracle-pinned derivations; times
+    * and counts are exact integers; no floats anywhere.
+    *
+    * Scale shape: ONE doc-keyed join between two doc-bounded frames
+    * (cues ≤3/doc, cuts ≤frames/doc), then a doc rollup — at 100 TB
+    * this stays a co-partitioned same-key join, never a cross. */
+  def mSubtitleAlign(s: SparkSession, dir: String): DataFrame = {
+    val cues = mSrtParse(s, dir)
+      .select(col("doc_id"), col("cue_idx"), col("start_ms"), col("end_ms"))
+    val cuts = Modal.mSceneCut(s, dir)
+      .filter(col("is_cut"))
+      .select(col("doc_id"), (col("frame_idx") * lit(AlignFrameMs)).as("cut_ms"))
+    val spanning = cues.join(cuts,
+        Seq("doc_id"), "left")
+      .withColumn("spans",
+        col("cut_ms").isNotNull &&
+          col("cut_ms") > col("start_ms") && col("cut_ms") < col("end_ms"))
+      .groupBy(col("doc_id"), col("cue_idx"))
+      .agg(sum(when(col("spans"), 1L).otherwise(0L)).as("n_cuts_inside"))
+    spanning.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cues"),
+        sum(col("n_cuts_inside")).as("n_cut_hits"),
+        sum(when(col("n_cuts_inside") > 0, 1L).otherwise(0L)).as("n_spanning_cues"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mSubtitleAlignSql: String =
+    s"""WITH cues AS ($mSrtParseSql),
+       |allcuts AS (${graft.queries.Modal.mSceneCutSql}),
+       |cuts AS (SELECT doc_id, frame_idx * $AlignFrameMs AS cut_ms
+       |         FROM allcuts WHERE is_cut),
+       |per_cue AS (
+       |  SELECT c.doc_id, c.cue_idx,
+       |    SUM(CASE WHEN k.cut_ms IS NOT NULL AND k.cut_ms > c.start_ms
+       |             AND k.cut_ms < c.end_ms THEN 1 ELSE 0 END) AS n_cuts_inside
+       |  FROM cues c LEFT JOIN cuts k ON k.doc_id = c.doc_id
+       |  GROUP BY c.doc_id, c.cue_idx)
+       |SELECT doc_id, COUNT(*) AS n_cues, SUM(n_cuts_inside) AS n_cut_hits,
+       |  SUM(CASE WHEN n_cuts_inside > 0 THEN 1 ELSE 0 END) AS n_spanning_cues
+       |FROM per_cue GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_subtitle_align" -> mSubtitleAlign _,
     "m_clipping"     -> mClipping _,
     "m_codec_matrix" -> mCodecMatrix _,
     "m_srt_parse"    -> mSrtParse _,
@@ -609,5 +666,6 @@ object Modal3 {
     "m_srt_parse"    -> mSrtParseSql,
     "m_clipping"     -> mClippingSql,
     "st_cep"         -> stCepSql,
+    "m_subtitle_align" -> mSubtitleAlignSql,
   )
 }

@@ -1069,6 +1069,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("m_subtitle_align: cue/cut frames join on the doc key — no cartesian, no sort-merge blowup") {
+    val p = plan(graft.queries.Modal3.mSubtitleAlign(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"the alignment must join on doc_id:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the alignment must be an equality join:\n${p.take(3000)}")
+  }
+
   test("q_ols: all five regression sums ride ONE map-side-partial aggregation") {
     val p = plan(graft.queries.Relational9.qOls(spark, dir))
     assert(!p.contains("Window") && !p.contains("Join"))
