@@ -799,20 +799,24 @@ object Events {
     * series arrays (map-side partial collect; a series fits memory
     * because |months| is bounded — at 100 TB the GROUP is the time
     * series, never the fact rows); the fold is per-row compute. */
+  /** The Holt fold over a BIGINT-micro series column named `revs` —
+    * exposed for InvariantSpec's exact-line-recovery property. */
+  private[graft] val holtFold: String =
+    s"""aggregate(
+       |  slice(revs, 2, size(revs) - 1),
+       |  named_struct(
+       |    'level', element_at(revs, 1),
+       |    'trend', element_at(revs, 2) - element_at(revs, 1)),
+       |  (acc, x) -> named_struct(
+       |    'level', ${holtLevelM("x", "acc.level", "acc.trend", "div")},
+       |    'trend', ${holtTrendM("x", "acc.level", "acc.trend", "div")}))""".stripMargin
+
   def qHolt(s: SparkSession, dir: String): DataFrame = {
     val monthly = Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"), date_trunc("month", col("o_orderdate")).as("month"))
       .agg((sum(col("o_totalprice").cast(DecimalType(18, 6))) * lit(1000000L))
         .cast("long").as("rev_m"))
-    val fold =
-      s"""aggregate(
-         |  slice(revs, 2, size(revs) - 1),
-         |  named_struct(
-         |    'level', element_at(revs, 1),
-         |    'trend', element_at(revs, 2) - element_at(revs, 1)),
-         |  (acc, x) -> named_struct(
-         |    'level', ${holtLevelM("x", "acc.level", "acc.trend", "div")},
-         |    'trend', ${holtTrendM("x", "acc.level", "acc.trend", "div")}))""".stripMargin
+    val fold = holtFold
     monthly.groupBy(col("o_orderpriority"))
       .agg(expr("transform(array_sort(collect_list(struct(month, rev_m))), z -> z.rev_m)")
         .as("revs"))

@@ -628,16 +628,21 @@ object Text2 {
     * the presentation sort. Shard = doc_id % 8 is the deterministic
     * round-robin a writer turns into one file per shard via
     * partitionBy(shard). */
+  /** The canonical record expression over (doc_id, lang, source, text) —
+    * exposed for InvariantSpec's from_json round-trip property. */
+  private[graft] def jsonlRecord: org.apache.spark.sql.Column = {
+    val esc = expr("replace(replace(text, '\\\\', '\\\\\\\\'), '\"', '\\\\\"')")
+    concat(
+      lit("{\"id\":"), col("doc_id").cast("string"),
+      lit(",\"lang\":\""), col("lang"),
+      lit("\",\"source\":\""), col("source"),
+      lit("\",\"text\":\""), esc, lit("\"}"))
+  }
+
   def tJsonlExport(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("esc",
-        expr("replace(replace(text, '\\\\', '\\\\\\\\'), '\"', '\\\\\"')"))
-      .withColumn("record", concat(
-        lit("{\"id\":"), col("doc_id").cast("string"),
-        lit(",\"lang\":\""), col("lang"),
-        lit("\",\"source\":\""), col("source"),
-        lit("\",\"text\":\""), col("esc"), lit("\"}")))
+      .withColumn("record", jsonlRecord)
       .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
         octet_length(col("record")).as("rec_bytes"),
         md5(col("record")).as("rec_hash"))

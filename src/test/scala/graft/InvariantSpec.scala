@@ -71,4 +71,230 @@ class InvariantSpec extends AnyFunSuite {
       assert(2 * above >= tot, s"$flag: mass at or above the median is under half")
     }
   }
+
+  test("q_spearman: rho in [-1,1] and recomposes exactly from the emitted exact sums") {
+    val rows = graft.queries.Relational9.qSpearman(spark, dir)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((nk, n, d2, rho) <- rows) {
+      assert(rho >= -1.0 && rho <= 1.0, s"nation $nk: rho=$rho")
+      val recomposed = BigDecimal(1.0 - 6.0 * d2 / (n.toDouble * (n.toDouble * n - 1)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(recomposed - rho) <= 1e-6, s"nation $nk: $recomposed vs $rho")
+    }
+  }
+
+  test("q_mann_whitney: U within [0, n1*n2]; z sign agrees with U vs its midpoint") {
+    val rows = graft.queries.Relational9.qMannWhitney(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((t, n1, n2, u1, z) <- rows) {
+      assert(u1 >= 0 && u1 <= n1 * n2, s"$t: U=$u1 outside [0, ${n1 * n2}]")
+      val mid = n1.toDouble * n2 / 2.0
+      assert((z > 0) == (u1 > mid) || z == 0.0, s"$t: z=$z disagrees with U=$u1 mid=$mid")
+    }
+  }
+
+  test("q_simpson: diversity in [0, 1 - 1/k] — the k-type ceiling") {
+    val rows = graft.queries.Relational9.qSimpson(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((c, _, k, d) <- rows) {
+      assert(d >= 0.0 && d <= 1.0 - 1.0 / k + 1e-6, s"cohort $c: $d exceeds the $k-type ceiling")
+    }
+  }
+
+  test("q_winsorize: the winsorized mean lies inside the clamp bounds") {
+    val rows = graft.queries.Relational9.qWinsorize(spark, dir)
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((nk, _, lo, hi, wm) <- rows)
+      assert(lo - 1e-6 <= wm && wm <= hi + 1e-6, s"nation $nk: $wm outside [$lo, $hi]")
+  }
+
+  test("q_moments: kurtosis >= skewness^2 - 2 (the universal moment inequality)") {
+    val rows = graft.queries.Relational9.qMoments(spark, dir)
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((nk, _, _, sk, ku) <- rows)
+      assert(ku >= sk * sk - 2.0 - 1e-6, s"nation $nk: kurt=$ku < skew^2-2=${sk * sk - 2}")
+  }
+
+  test("q_local_cc: cc in [0,1] and triangles never exceed the wedge capacity") {
+    val rows = graft.queries.GraphQ.qLocalCc(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((v, deg, tri, cc) <- rows) {
+      assert(cc >= 0.0 && cc <= 1.0 + 1e-9, s"v=$v: cc=$cc")
+      assert(2 * tri <= deg * (deg - 1), s"v=$v: tri=$tri exceeds deg=$deg capacity")
+    }
+  }
+
+  test("q_assortativity: the mixing coefficient is a correlation — |r| <= 1") {
+    val r = graft.queries.GraphQ.qAssortativity(spark, dir)
+      .select(col("assortativity")).as[Double].head()
+    assert(math.abs(r) <= 1.0 + 1e-9, s"r=$r")
+  }
+
+  test("t_rake: phrases are stopword-free, at most 4 tokens, positively scored") {
+    val stop = graft.functions.TextFunctions.Stopwords.toSet
+    val rows = graft.queries.Text2.tRake(spark, dir)
+      .select(col("phrase"), col("len"), col("score")).as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((p, len, score) <- rows) {
+      val words = p.split(" ")
+      assert(words.length <= 4 && words.length == len, s"'$p' len mismatch")
+      assert(!words.exists(stop), s"'$p' contains a stopword")
+      assert(score > 0.0, s"'$p' score=$score")
+    }
+  }
+
+  test("t_jsonl_export: every record round-trips through from_json with exact field recovery") {
+    val schema = "id BIGINT, lang STRING, source STRING, text STRING"
+    val bad = Tables.documents(spark, dir)
+      .withColumn("record", graft.queries.Text2.jsonlRecord)
+      .withColumn("back", from_json(col("record"), org.apache.spark.sql.types.StructType.fromDDL(schema)))
+      .filter(col("back.id") =!= col("doc_id") || col("back.lang") =!= col("lang") ||
+        col("back.source") =!= col("source") || col("back.text") =!= col("text") ||
+        col("back.id").isNull)
+      .count()
+    assert(bad == 0L, s"$bad records failed the JSON round-trip")
+  }
+
+  test("s_ndcg: dcg <= idcg, ndcg in [0,1], and 5 hits means a perfect 1.0") {
+    val rows = graft.queries.Similarity2.sNdcg(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((q, hits, dcg, idcg, ndcg) <- rows) {
+      assert(dcg <= idcg + 1e-9, s"q=$q: dcg=$dcg > idcg=$idcg")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"q=$q: ndcg=$ndcg")
+      if (hits == 5) assert(ndcg == 1.0, s"q=$q: 5 hits must score exactly 1.0, got $ndcg")
+    }
+  }
+
+  test("s_knn_classify: per-class accuracies in [0,1]; query counts cover the whole panel") {
+    val rows = graft.queries.Similarity2.sKnnClassify(spark, dir)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, n, c, a) => c <= n && a >= 0.0 && a <= 1.0 })
+    val panel = Tables.embeddings(spark, dir).filter(col("vec_id") % 50 === 0).count()
+    assert(rows.map(_._2).sum == panel, "every panel query must be classified")
+  }
+
+  test("st_cep: each click matches at most once, strictly inside the window, type-correct") {
+    val m = graft.queries.Modal3.stCep(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(m.nonEmpty)
+    assert(m.map(_._2).distinct.length == m.length, "a click matched twice")
+    assert(m.forall { case (_, _, _, lat) => lat > 0 && lat < 1800000000L },
+      "latency must sit strictly inside the 30min window")
+    val types = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type")).as[(Long, String)].collect().toMap
+    assert(m.forall { case (_, a, b, _) => types(a) == "click" && types(b) == "purchase" })
+  }
+
+  test("q_holt: the integer-micro fold recovers a perfect line EXACTLY (level=last, trend=slope)") {
+    val revs = (0 until 24).map(t => 5000000L + 137000L * t)
+    val st = spark.range(1).select(typedLit(revs).as("revs"))
+      .selectExpr(s"(${graft.queries.Events.holtFold}) AS st")
+      .select(col("st.level"), col("st.trend")).as[(Long, Long)].head()
+    assert(st._1 == revs.last, s"level=${st._1} must equal the last point ${revs.last}")
+    assert(st._2 == 137000L, s"trend=${st._2} must equal the slope")
+  }
+
+  test("q_bollinger: bands bracket the trailing mean; breakouts sit outside the bands") {
+    val rows = graft.queries.Relational9.qBollinger(spark, dir)
+      .select(col("rev"), col("mean7"), col("lower"), col("upper"), col("is_breakout"))
+      .as[(Double, Double, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    for ((rev, m, lo, hi, brk) <- rows) {
+      assert(lo <= m + 1e-9 && m <= hi + 1e-9, s"bands must bracket the mean: $lo $m $hi")
+      if (brk) assert(rev <= lo + 1e-6 || rev >= hi - 1e-6, s"flagged $rev inside ($lo, $hi)")
+      else assert(rev >= lo - 1e-6 && rev <= hi + 1e-6, s"unflagged $rev outside [$lo, $hi]")
+    }
+    assert(rows.exists(_._5), "the sf data must exercise at least one breakout")
+  }
+
+  test("q_ols: R^2 in [0,1] and the fitted line passes through the mean point") {
+    val rows = graft.queries.Relational9.qOls(spark, dir)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((flag, n, slope, intercept, r2) <- rows) {
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"$flag: r2=$r2")
+      val d18 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val mm = Tables.lineitem(spark, dir).filter(col("l_returnflag") === flag)
+        .agg(sum((col("l_discount").cast(d18) * lit(100L)).cast("long")).as("sx"),
+          sum(col("l_quantity").cast("long")).as("sy"))
+        .as[(Long, Long)].head()
+      val (mx, my) = (mm._1.toDouble / n, mm._2.toDouble / n)
+      assert(math.abs(my - (slope * mx + intercept)) < 1e-6,
+        s"$flag: the OLS line must pass through the mean point")
+    }
+  }
+
+  test("t_fertility: pure-ASCII word soup has fertility exactly 1; planted CJK pays the piece tax") {
+    // the synthetic corpus is ASCII word soup under every lang label, so
+    // the word tokenizer and the BPE-ish splitter agree token-for-token —
+    // fertility must be EXACTLY 1.0 for every slice (a drift here means
+    // the two tokenizers diverged)
+    val m = graft.queries.Text2.tFertility(spark, dir)
+      .select(col("lang"), col("fertility"), col("bytes_per_piece"))
+      .as[(String, Double, Double)].collect()
+    assert(m.nonEmpty)
+    assert(m.forall(_._2 == 1.0), s"ASCII fertility must be exactly 1.0: ${m.mkString(",")}")
+    assert(m.forall(_._3 > 1.0), "pieces are at least one byte plus separators")
+    // the piece tax itself, verified on planted text: punctuation is
+    // invisible to the word tokenizer but each mark is a BPE piece
+    import graft.functions.TextFunctions.{bpeTokenCount, tokens}
+    val planted = spark.createDataFrame(Seq(Tuple1("Hello, world! (ok?)"))).toDF("text")
+      .select(size(tokens(col("text"))).as("words"), bpeTokenCount(col("text")).as("pieces"))
+      .as[(Int, Long)].head()
+    assert(planted._2 > planted._1,
+      s"punctuated text must explode: ${planted._2} pieces vs ${planted._1} words")
+  }
+
+  test("t_langid_margin: the routing counts partition consistently; English resolves confidently") {
+    val rows = graft.queries.Text2.tLangidMargin(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    for ((lang, n, nohit, amb, conf, mx) <- rows) {
+      assert(nohit + amb + conf <= n, s"$lang: buckets overlap")
+      assert(mx >= 0, s"$lang: negative margin")
+    }
+    val en = rows.find(_._1 == "en").get
+    assert(en._5 > 0, "some English docs must resolve confidently")
+  }
+
+  test("e_dq_score: scores capped at 100; the known lineitem dup wart scores below clean tables") {
+    val rows = graft.queries.Etl3.eDqScore(spark, dir)
+      .select(col("table_name"), col("dup_rows"), col("dq_score"))
+      .as[(String, Long, Double)].collect()
+    val m = rows.map(r => r._1 -> r).toMap
+    assert(rows.forall(_._3 <= 100.0 + 1e-9))
+    assert(m("lineitem")._2 > 0, "the synthetic lineitem dup must fire")
+    assert(m("lineitem")._3 < m("customer")._3, "the dup wart must cost lineitem score")
+  }
+
+  test("s_probe_cost: cost grows monotonically with nprobe; probing every bucket scans the corpus") {
+    val rows = graft.queries.Similarity2.sProbeCost(spark, dir)
+      .select(col("nprobe"), col("n_queries"), col("total_candidates"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.sliding(2).forall { case Array(a, b) => b._3 >= a._3; case _ => true },
+      "candidates must be monotone in nprobe")
+    val full = rows.last
+    val n = Tables.embeddings(spark, dir).count()
+    if (full._1 >= 8) // 8 centroids: probing all buckets scans everyone but self
+      assert(full._3 == full._2 * (n - 1), s"full probe must scan the corpus: $full vs n=$n")
+  }
+
+  test("m_subtitle_align: spanning cues bounded by cue count; hits bounded below by spanning cues") {
+    val rows = graft.queries.Modal3.mSubtitleAlign(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    for ((d, nCues, hits, spanning) <- rows) {
+      assert(spanning <= nCues, s"doc $d: spanning > cues")
+      assert(hits >= spanning, s"doc $d: hits < spanning cues")
+    }
+  }
 }
