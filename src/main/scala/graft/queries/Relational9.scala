@@ -448,7 +448,110 @@ object Relational9 {
       |  cxy * cxy / (cxx * cyy) AS r2
       |FROM c ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q_ndr
+
+  private val UsPerDay = 86400000000L
+
+  /** q_ndr: NET DOLLAR RETENTION per signup cohort — the revenue-weighted
+    * retention curve (q_cohort_retention counts heads; NDR answers "is
+    * the money retained?", the SaaS board metric): purchase revenue of
+    * cohort c in week w divided by the cohort's week-0 revenue.
+    *
+    * Parity: per-row revenue → exact integer micro-units; cohort-week
+    * sums exact BIGINTs; NDR is ONE division of two exact integers,
+    * emitted UN-rounded (the q_bollinger rule). Same d0-filter-before-
+    * bucket discipline as q_cohort_retention (div truncates, // floors —
+    * negative deltas would bucket differently).
+    *
+    * Scale shape: one signup agg, one broadcast-able cohort join, one
+    * (cohort, week)-keyed sum, a broadcast week-0 join back. */
+  def qNdr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("day", expr(s"ts_us div $UsPerDay"))
+    val signup = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    val rev = e.filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .join(signup, "user_id")
+      .filter(col("day") >= col("d0"))
+      .withColumn("week", expr("(day - d0) div 7"))
+      .groupBy(expr("d0 div 7").as("cohort_week"), col("week"))
+      .agg(sum((col("value").cast(DecimalType(18, 6)) * lit(1000000L)).cast("long"))
+        .as("rev_m"))
+    val w0 = rev.filter(col("week") === 0)
+      .select(col("cohort_week"), col("rev_m").as("rev0_m"))
+    rev.join(broadcast(w0), "cohort_week")
+      .filter(col("rev0_m") > 0)
+      .select(col("cohort_week"), col("week"), col("rev_m"),
+        (col("rev_m").cast(DoubleType) / col("rev0_m").cast(DoubleType)).as("ndr"))
+      .orderBy(col("cohort_week"), col("week"))
+  }
+
+  val qNdrSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, value, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |signup AS (SELECT user_id, MIN(day) AS d0 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+      |rev AS (
+      |  SELECT d0 // 7 AS cohort_week, (day - d0) // 7 AS week,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS rev_m
+      |  FROM e JOIN signup USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND value IS NOT NULL AND day >= d0
+      |  GROUP BY 1, 2),
+      |w0 AS (SELECT cohort_week, rev_m AS rev0_m FROM rev WHERE week = 0)
+      |SELECT rev.cohort_week AS cohort_week, week, rev_m,
+      |  CAST(rev_m AS DOUBLE) / CAST(rev0_m AS DOUBLE) AS ndr
+      |FROM rev JOIN w0 ON w0.cohort_week = rev.cohort_week
+      |WHERE rev0_m > 0
+      |ORDER BY rev.cohort_week, week""".stripMargin
+
+  // ----------------------------------------------------------- q_drawdown
+
+  /** q_drawdown: PEAK-TO-CURRENT DECLINE of the daily revenue level — the
+    * running-extreme diagnostic beside q_bollinger's volatility bands
+    * (bands flag excursions vs recent noise; drawdown measures distance
+    * from the best-ever level, the recovery-tracking metric): running
+    * max over the day frame, drawdown = peak − today in EXACT cents,
+    * percentage as one un-rounded division of exact integers.
+    *
+    * Scale shape: the fact aggregates ONCE to the |days| frame; the
+    * running max rides that bounded calendar frame (the q_trailing7 /
+    * q_bollinger documented shape). */
+  def qDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 6))) * lit(100L))
+        .cast("long").as("x"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("peak", max(col("x")).over(w))
+      .select(col("day"),
+        (col("x").cast(DoubleType) / lit(100.0)).as("rev"),
+        (col("peak").cast(DoubleType) / lit(100.0)).as("peak"),
+        ((col("peak") - col("x")).cast(DoubleType) / lit(100.0)).as("drawdown"),
+        ((col("peak") - col("x")).cast(DoubleType) /
+          col("peak").cast(DoubleType)).as("dd_frac"))
+      .orderBy(col("day"))
+  }
+
+  val qDrawdownSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT day, x,
+      |    MAX(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM daily)
+      |SELECT day, CAST(x AS DOUBLE) / 100.0 AS rev,
+      |  CAST(peak AS DOUBLE) / 100.0 AS peak,
+      |  CAST(peak - x AS DOUBLE) / 100.0 AS drawdown,
+      |  CAST(peak - x AS DOUBLE) / CAST(peak AS DOUBLE) AS dd_frac
+      |FROM p ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ndr"          -> qNdr _,
+    "q_drawdown"     -> qDrawdown _,
     "q_ols"          -> qOls _,
     "q_bollinger"    -> qBollinger _,
     "q_spearman"     -> qSpearman _,
@@ -459,6 +562,8 @@ object Relational9 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ndr"          -> qNdrSql,
+    "q_drawdown"     -> qDrawdownSql,
     "q_ols"          -> qOlsSql,
     "q_bollinger"    -> qBollingerSql,
     "q_spearman"     -> qSpearmanSql,

@@ -288,6 +288,27 @@ class InvariantSpec extends AnyFunSuite {
       assert(full._3 == full._2 * (n - 1), s"full probe must scan the corpus: $full vs n=$n")
   }
 
+  test("q_ndr: week-0 retention is exactly 1.0 for every cohort; all NDRs positive") {
+    val rows = graft.queries.Relational9.qNdr(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.filter(_._2 == 0L).forall(_._4 == 1.0), "week 0 must self-normalize to 1.0")
+    assert(rows.forall(_._4 > 0.0))
+  }
+
+  test("q_drawdown: peak is a running max (never decreases, never below rev); drawdown consistent") {
+    val rows = graft.queries.Relational9.qDrawdown(spark, dir)
+      .select(col("rev"), col("peak"), col("drawdown")).as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    var seen = Double.MinValue
+    for ((rev, peak, dd) <- rows) {
+      assert(peak >= rev - 1e-9, "peak below the day's own revenue")
+      assert(peak >= seen - 1e-9, "the running max decreased")
+      seen = math.max(seen, peak)
+      assert(math.abs(dd - (peak - rev)) < 1e-6, "drawdown identity broken")
+    }
+  }
+
   test("m_subtitle_align: spanning cues bounded by cue count; hits bounded below by spanning cues") {
     val rows = graft.queries.Modal3.mSubtitleAlign(spark, dir)
       .as[(Long, Long, Long, Long)].collect()

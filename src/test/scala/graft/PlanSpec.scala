@@ -1069,6 +1069,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_ndr: cohort joins broadcast; one (cohort, week)-keyed revenue sum") {
+    val p = plan(graft.queries.Relational9.qNdr(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the signup cohort and week-0 frames must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("Window"))
+  }
+
+  test("q_drawdown: the running max rides the bounded day frame after ONE fact rollup") {
+    val p = plan(graft.queries.Relational9.qDrawdown(spark, dir))
+    assert(!p.contains("Join"))
+    val factShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(day"))
+    assert(factShuffles <= 1, s"one day-keyed shuffle expected ($factShuffles):\n${p.take(3000)}")
+  }
+
   test("m_subtitle_align: cue/cut frames join on the doc key — no cartesian, no sort-merge blowup") {
     val p = plan(graft.queries.Modal3.mSubtitleAlign(spark, dir))
     assert(!p.contains("CartesianProduct"),
