@@ -765,7 +765,7 @@ object Events {
     * primitive q_winsorize's mean uses ((2v+d) div 2d for v ≥ 0, mirrored
     * for v < 0; `div`/`//` truncate identically on non-negative
     * operands). */
-  private def halfUp(v: String, d: Long, div: String) =
+  private[graft] def halfUp(v: String, d: Long, div: String) =
     s"(CASE WHEN ($v) >= 0 THEN (2 * ($v) + $d) $div ${2 * d} " +
       s"ELSE -((-2 * ($v) + $d) $div ${2 * d}) END)"
 
@@ -779,9 +779,9 @@ object Events {
     * construction. Level recomputes inside the trend expression because
     * neither engine's lambda/recursion has a local binding — both
     * evaluate the IDENTICAL tree. */
-  private def holtLevelM(x: String, l: String, t: String, div: String) =
+  private[graft] def holtLevelM(x: String, l: String, t: String, div: String) =
     halfUp(s"$x + $l + $t", 2, div)
-  private def holtTrendM(x: String, l: String, t: String, div: String) =
+  private[graft] def holtTrendM(x: String, l: String, t: String, div: String) =
     halfUp(s"${holtLevelM(x, l, t, div)} - $l + 3 * $t", 4, div)
 
   /** q_holt: HOLT double-exponential smoothing per order priority — the

@@ -645,7 +645,62 @@ object Modal3 {
        |  SUM(CASE WHEN n_cuts_inside > 0 THEN 1 ELSE 0 END) AS n_spanning_cues
        |FROM per_cue GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- st_holt
+
+  /** st_holt: the ONLINE FORECASTER — Holt level+trend state per event
+    * type over the hourly count series, the streaming twin of q_holt
+    * (monthly revenue): a capacity/alerting stack keeps exactly this
+    * (level, trend) pair per metric and updates it as each watermark
+    * closes an hour. The batch face folds the full hourly series through
+    * the SAME integer fold q_holt uses (counts are already exact
+    * integers — no micro scaling needed); Streaming.holtStep is the
+    * Scala twin of that fold, and StreamingSpec proves (a) twin == SQL
+    * fold and (b) the carry property — folding a watermark-closed prefix
+    * from a REAL stream and then the remainder equals folding everything
+    * at once, which is what makes the online update correct.
+    *
+    * Scale shape: one (type, hour) count, one type-keyed bounded series
+    * collect, per-row fold; state per metric is TWO integers. */
+  def stHolt(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(hour, n))), z -> z.n)").as("revs"))
+      .filter(size(col("revs")) >= 2)
+      .withColumn("st", expr(graft.queries.Events.holtFold))
+      .select(col("event_type"), size(col("revs")).cast("long").as("n_hours"),
+        col("st.level").as("level"), col("st.trend").as("trend"),
+        (col("st.level") + col("st.trend")).as("f1"))
+      .orderBy(col("event_type"))
+
+  val stHoltSql: String = {
+    import graft.queries.Events.{holtLevelM, holtTrendM}
+    s"""WITH RECURSIVE hourly AS (
+       |  SELECT event_type AS ty, epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |ser AS (
+       |  SELECT ty, n, ROW_NUMBER() OVER (PARTITION BY ty ORDER BY hour) AS idx
+       |  FROM hourly),
+       |nn AS (SELECT ty, MAX(idx) AS n FROM ser GROUP BY ty),
+       |st AS (
+       |  SELECT s1.ty, CAST(1 AS BIGINT) AS idx, s1.n AS level, s2.n - s1.n AS trend
+       |  FROM ser s1 JOIN ser s2 ON s2.ty = s1.ty AND s2.idx = 2
+       |  WHERE s1.idx = 1
+       |  UNION ALL
+       |  SELECT s.ty, s.idx + 1,
+       |    ${holtLevelM("v.n", "s.level", "s.trend", "//")},
+       |    ${holtTrendM("v.n", "s.level", "s.trend", "//")}
+       |  FROM st s JOIN ser v ON v.ty = s.ty AND v.idx = s.idx + 1)
+       |SELECT st.ty AS event_type, nn.n AS n_hours, st.level, st.trend,
+       |  st.level + st.trend AS f1
+       |FROM st JOIN nn ON nn.ty = st.ty AND st.idx = nn.n
+       |WHERE nn.n >= 2
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_holt"          -> stHolt _,
     "m_subtitle_align" -> mSubtitleAlign _,
     "m_clipping"     -> mClipping _,
     "m_codec_matrix" -> mCodecMatrix _,
@@ -667,5 +722,6 @@ object Modal3 {
     "m_clipping"     -> mClippingSql,
     "st_cep"         -> stCepSql,
     "m_subtitle_align" -> mSubtitleAlignSql,
+    "st_holt"        -> stHoltSql,
   )
 }

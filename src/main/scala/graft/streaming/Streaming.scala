@@ -192,6 +192,31 @@ object Streaming {
   def dedupBatch(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
 
+  /** One Holt update step in exact integer units — the Scala twin of the
+    * SQL fold in queries.Events.holtFold (α=1/2, β=1/4, half-up integer
+    * division, sign-symmetric). Shared by the streaming forecaster and
+    * the StreamingSpec parity test so the online path can never drift
+    * from the batch gate. */
+  def holtStep(level: Long, trend: Long, x: Long): (Long, Long) = {
+    def halfUp(v: Long, d: Long): Long =
+      if (v >= 0) (2 * v + d) / (2 * d) else -((-2 * v + d) / (2 * d))
+    val l2 = halfUp(x + level + trend, 2)
+    val t2 = halfUp(l2 - level + 3 * trend, 4)
+    (l2, t2)
+  }
+
+  /** Fold a closed, ascending series prefix through Holt, carrying state
+    * — (level, trend) after x₁, x₂ initialization, or a prior carry. */
+  def holtFoldSeries(init: Option[(Long, Long)], xs: Seq[Long]): Option[(Long, Long)] =
+    init match {
+      case Some(st) => Some(xs.foldLeft(st) { case ((l, t), x) => holtStep(l, t, x) })
+      case None if xs.size >= 2 =>
+        Some(xs.drop(2).foldLeft((xs.head, xs(1) - xs.head)) {
+          case ((l, t), x) => holtStep(l, t, x)
+        })
+      case None => None // need two points to initialize level/trend
+    }
+
   final case class CepEv(user_id: Long, event_id: Long, ts_us: Long,
       is_b: Boolean, event_time: java.sql.Timestamp)
   final case class CepMatch(user_id: Long, a_id: Long, b_id: Long, latency_us: Long)

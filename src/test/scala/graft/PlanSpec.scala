@@ -1069,6 +1069,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("st_holt: two stacked keyed aggs build the bounded series; the fold is per-row compute") {
+    val p = plan(graft.queries.Modal3.stHolt(spark, dir))
+    assert(!p.contains("Join"), s"no per-step join:\n${p.take(3000)}")
+    val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(aggShuffles <= 2, s"hourly count + series collect only ($aggShuffles):\n${p.take(3000)}")
+  }
+
   test("q_ndr: cohort joins broadcast; one (cohort, week)-keyed revenue sum") {
     val p = plan(graft.queries.Relational9.qNdr(spark, dir))
     assert(p.contains("BroadcastHashJoin"),

@@ -531,6 +531,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad.toSet == expected, "streaming quarantine must equal the batch split")
   }
 
+  test("streaming Holt forecaster: the scala step twins the SQL fold; a real stream's closed prefix carries") {
+    // (a) twin property: Streaming.holtStep folded over the full hourly
+    // series equals the st_holt gate's SQL fold, per event type
+    val hourly = Tables.events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+      .groupBy(col("event_type"), expr("ts_us div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("hour"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val gate = graft.queries.Modal3.stHolt(spark, dir)
+      .select(col("event_type"), col("level"), col("trend"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((ty, xs) <- hourly if xs.size >= 2) {
+      val scala = Streaming.holtFoldSeries(None, xs).get
+      assert(scala == gate(ty), s"$ty: scala twin $scala != SQL fold ${gate(ty)}")
+    }
+    // (b) carry property on a REAL watermarked stream: fold the closed
+    // prefix the stream emitted, then the remainder — must equal (a)
+    val stream = spark.readStream.schema(eventsSchema).parquet(streamDir)
+    val q = Streaming.hourlyAgg(stream, withWatermark = true)
+      .writeStream.outputMode("append").format("memory").queryName("holt_hours").start()
+    try q.processAllAvailable() finally q.stop()
+    val closed = spark.table("holt_hours")
+      .select(col("event_type"), (col("hour_start_us") / 3600000000L).cast("long").as("hour"),
+        col("n"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._2, x._3)).toSeq).toMap
+    var carriedTypes = 0
+    for ((ty, xs) <- hourly if xs.size >= 2; closedTy <- closed.get(ty)) {
+      val allHours = Tables.events(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+        .filter(col("event_type") === ty)
+        .groupBy(expr("ts_us div 3600000000").as("hour")).agg(count(lit(1)).as("n"))
+        .orderBy(col("hour")).as[(Long, Long)].collect().toSeq
+      // the stream's closed set must be a PREFIX of the full hour series
+      val prefix = closedTy.map(_._2)
+      assert(allHours.take(prefix.size).map(_._2) == prefix,
+        s"$ty: the watermark-closed hours are not a prefix")
+      if (prefix.size >= 2) {
+        val mid = Streaming.holtFoldSeries(None, prefix)
+        val rest = allHours.drop(prefix.size).map(_._2)
+        val resumed = Streaming.holtFoldSeries(mid, rest).get
+        assert(resumed == Streaming.holtFoldSeries(None, xs).get,
+          s"$ty: prefix-carry fold diverged from the one-shot fold")
+        carriedTypes += 1
+      }
+    }
+    assert(carriedTypes > 0, "at least one type must exercise the carry path")
+  }
+
   test("streaming CEP first-match: watermark-closed matches equal the batch matcher") {
     // click -> FIRST purchase within 30min, click-consuming: the stateful
     // stream buffers each user's open suffix, runs the shared matcher on
