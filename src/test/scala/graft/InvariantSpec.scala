@@ -309,6 +309,29 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pvm_bridge: the bridge closes EXACTLY — price + volume + mix == matched delta") {
+    val rows = graft.queries.Relational9.qPvmBridge(spark, dir)
+      .select(col("price_effect"), col("volume_effect"), col("mix_effect"), col("delta_matched"))
+      .as[(Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((pe, ve, mix, dr) <- rows)
+      assert(math.abs(pe + ve + mix - dr) < 1e-6,
+        s"bridge must close: $pe + $ve + $mix != $dr")
+  }
+
+  test("q_rev_rec: recognized revenue closes to the order-book total TO THE CENT") {
+    val recognized = graft.queries.Relational9.qRevRec(spark, dir)
+      .select(col("recognized")).as[Double].collect()
+      .map(v => math.round(v * 100.0)).sum // recover exact monthly cents
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val booked = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"))
+      .agg(sum((col("o_totalprice").cast(d18) * lit(100L)).cast("long"))).as[Long].head()
+    assert(recognized == booked,
+      s"proration must close exactly: recognized $recognized vs booked $booked cents")
+  }
+
   test("m_subtitle_align: spanning cues bounded by cue count; hits bounded below by spanning cues") {
     val rows = graft.queries.Modal3.mSubtitleAlign(spark, dir)
       .as[(Long, Long, Long, Long)].collect()

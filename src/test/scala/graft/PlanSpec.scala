@@ -1069,6 +1069,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_pvm_bridge: year frames join part-keyed; exact-integer effects partial-aggregate") {
+    val p = plan(graft.queries.Relational9.qPvmBridge(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+    assert(p.contains("HashAggregate"),
+      s"per-part effects must partial-aggregate:\n${p.take(3000)}")
+  }
+
+  test("q_rev_rec: the spine explodes MONTHS, never days — no window, one month-keyed sum") {
+    val p = plan(graft.queries.Relational9.qRevRec(spark, dir))
+    assert(!p.contains("Window"))
+    assert(p.contains("Generate"), s"the month spine must be a generator:\n${p.take(3000)}")
+    val monthShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(month"))
+    assert(monthShuffles <= 1, s"one month shuffle expected ($monthShuffles):\n${p.take(3000)}")
+  }
+
   test("st_holt: two stacked keyed aggs build the bounded series; the fold is per-row compute") {
     val p = plan(graft.queries.Modal3.stHolt(spark, dir))
     assert(!p.contains("Join"), s"no per-step join:\n${p.take(3000)}")
