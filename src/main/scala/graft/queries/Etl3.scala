@@ -688,7 +688,10 @@ object Etl3 {
       .select(lit("customer").as("table_name"), col("*"))
     val custKeys = Tables.customer(s, dir).select(col("c_custkey")).distinct()
     val ordOrph = Tables.orders(s, dir)
-      .join(broadcast(custKeys), col("o_custkey") === col("c_custkey"), "left_anti")
+      // no broadcast hint: the parent KEY SET is table-sized — planner
+      // stats / AQE decide (at 100 TB this probe becomes the bloom
+      // pre-filter e_check_fk documents, not a forced broadcast)
+      .join(custKeys, col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("orphan_rows"))
     val ord = Tables.orders(s, dir).agg(
       count(lit(1)).as("n_rows"),

@@ -551,9 +551,12 @@ object Similarity2 {
     val labels = e.select(col("vec_id"), col("label"))
     val wArr = array(NdcgW.map(lit): _*)
     val iArr = array(NdcgIdcg.map(lit): _*)
+    // no broadcast hints: the label table is CORPUS-sized (unbounded at
+    // 100 TB) — let size-based planning / AQE decide, per the engine rule
+    // against forcing corpus-derived broadcasts
     val hits = Similarity.sKnnBrute(s, dir)
-      .join(broadcast(labels.select(col("vec_id").as("q_id"), col("label").as("q_label"))), "q_id")
-      .join(broadcast(labels.select(col("vec_id").as("n_id"), col("label").as("n_label"))), "n_id")
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+      .join(labels.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
       .withColumn("rel", when(col("q_label") === col("n_label"), 1L).otherwise(0L))
       .withColumn("term", when(col("rel") === 1L, element_at(wArr, col("rnk").cast("int")))
         .otherwise(lit(0.0)))
@@ -609,14 +612,15 @@ object Similarity2 {
   def sKnnClassify(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val labels = e.select(col("vec_id"), col("label"))
+    // corpus-sized label table: no broadcast hint (see s_ndcg)
     val votes = Similarity.sKnnBrute(s, dir)
-      .join(broadcast(labels.select(col("vec_id").as("n_id"), col("label").as("n_label"))), "n_id")
+      .join(labels.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
       .groupBy(col("q_id"), col("n_label")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cnt").desc, col("n_label"))
     val pred = votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("q_id"), col("n_label").as("predicted"))
     pred
-      .join(broadcast(labels.select(col("vec_id").as("q_id"), col("label").as("q_label"))), "q_id")
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
       .groupBy(col("q_label"))
       .agg(count(lit(1)).as("n_queries"),
         sum(when(col("predicted") === col("q_label"), 1L).otherwise(0L)).as("n_correct"))

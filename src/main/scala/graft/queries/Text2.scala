@@ -561,7 +561,10 @@ object Text2 {
       .withColumn("wscore",
         graft.functions.OracleParity.x6(
           col("deg").cast("double") / col("freq").cast("double")))
-    val phrases = withLen.join(broadcast(wordStats.select(col("token"), col("wscore"))), "token")
+    // no broadcast hint: the word-score table is VOCABULARY-sized
+    // (corpus-derived, unbounded at 100 TB) — size-based planning / AQE
+    // decides, the same rule t_lm_score's model join follows
+    val phrases = withLen.join(wordStats.select(col("token"), col("wscore")), "token")
       .groupBy(col("doc_id"), col("grp"))
       .agg(
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("token")))),
