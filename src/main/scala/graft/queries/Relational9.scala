@@ -729,7 +729,60 @@ object Relational9 {
       |    / 100.0 AS recognized
       |FROM k GROUP BY month ORDER BY month""".stripMargin
 
+  // ------------------------------------------------------------ q_backlog
+
+  /** q_backlog: the OPEN-ORDER BACKLOG curve — event-sourced
+    * work-in-progress over time (orders open at their order date, close
+    * when their last line ships): backlog(d) = cumulative opened −
+    * cumulative closed, the ops dashboard's WIP line that q_drawdown's
+    * revenue lens doesn't show. Orders whose lines never ship stay open
+    * forever — exactly what the metric is for.
+    *
+    * Parity: pure integer counts and running sums over the bounded day
+    * frame; no floats at all.
+    *
+    * Scale shape: two day-keyed counts (map-side partial), a day-frame
+    * full outer join, running sums on the bounded calendar frame (the
+    * q_trailing7/q_bollinger documented shape). */
+  def qBacklog(s: SparkSession, dir: String): DataFrame = {
+    val opened = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_opened"))
+    val closed = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("last_ship"))
+      .groupBy(date_trunc("day", col("last_ship")).as("day"))
+      .agg(count(lit(1)).as("n_closed"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    opened.join(closed, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      .withColumn("backlog",
+        sum(col("n_opened")).over(w) - sum(col("n_closed")).over(w))
+      .orderBy(col("day"))
+  }
+
+  val qBacklogSql: String =
+    """WITH opened AS (
+      |  SELECT date_trunc('day', o_orderdate) AS day, COUNT(*) AS n_opened
+      |  FROM orders GROUP BY 1),
+      |closed AS (
+      |  SELECT date_trunc('day', last_ship) AS day, COUNT(*) AS n_closed
+      |  FROM (SELECT l_orderkey, MAX(l_shipdate) AS last_ship FROM lineitem GROUP BY 1)
+      |  GROUP BY 1),
+      |j AS (
+      |  SELECT COALESCE(o.day, c.day) AS day,
+      |    COALESCE(n_opened, 0) AS n_opened, COALESCE(n_closed, 0) AS n_closed
+      |  FROM opened o FULL OUTER JOIN closed c ON c.day = o.day)
+      |SELECT day, n_opened, n_closed,
+      |  SUM(n_opened) OVER w - SUM(n_closed) OVER w AS backlog
+      |FROM j
+      |WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_backlog"      -> qBacklog _,
     "q_pvm_bridge"   -> qPvmBridge _,
     "q_rev_rec"      -> qRevRec _,
     "q_ndr"          -> qNdr _,
@@ -744,6 +797,7 @@ object Relational9 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_backlog"      -> qBacklogSql,
     "q_pvm_bridge"   -> qPvmBridgeSql,
     "q_rev_rec"      -> qRevRecSql,
     "q_ndr"          -> qNdrSql,

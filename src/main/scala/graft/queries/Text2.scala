@@ -754,7 +754,87 @@ object Text2 {
        |FROM m GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t_oov
+
+  /** t_oov: OUT-OF-VOCABULARY rate of the eval split against the train
+    * split's vocabulary — the coverage metric that complements
+    * t_ngram_coverage (5-gram memorization pressure) and t_fertility
+    * (piece tax): a high OOV share per language means the tokenizer/
+    * vocab under-serves that slice and eval perplexity will read
+    * unfairly high. Splits come from the ONE shared content-hash
+    * assignment (t_split's buckets), so this gate and the
+    * decontamination family see the same train/eval boundary.
+    *
+    * Parity: vocabulary membership via a left anti/semi structure on
+    * exact token strings; counts exact BIGINTs; rate ONE pinned
+    * division. The train-vocab join carries NO broadcast hint
+    * (vocabulary-sized — stats/AQE decide).
+    *
+    * Scale shape: one train-side distinct (map-side partial), one
+    * token-keyed membership join, one lang rollup. */
+  def tOov(s: SparkSession, dir: String): DataFrame = {
+    val withSplit = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("bucket", Text.splitBucket(col("text")))
+      .withColumn("split",
+        Text.SplitBounds.foldRight(lit(null).cast("string")) { case ((name, bound), acc) =>
+          when(col("bucket") < bound, lit(name)).otherwise(acc)
+        })
+    val vocab = withSplit.filter(col("split") === "train")
+      .select(explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "").distinct()
+    // planted OOV: the synthetic corpus shares one closed ~40-word
+    // vocabulary, so raw OOV is 0 everywhere and the counting path would
+    // be unverified (the q_basket 0-row lesson) — eval docs at doc_id%7
+    // get a deterministic token family ('qzv0'..'qzv4') that train has
+    // never seen; planting happens AFTER split assignment (the split
+    // hashes the ORIGINAL text), identically in the oracle
+    val evalToks = withSplit.filter(col("split") === "val")
+      .withColumn("t2", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" qzv"), (col("doc_id") % 5).cast("string")))
+        .otherwise(col("text")))
+      .select(col("lang"), explode(tokens(col("t2"))).as("token"))
+      .filter(col("token") =!= "")
+    evalToks
+      .join(vocab.withColumn("in_vocab", lit(1)), Seq("token"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        graft.functions.OracleParity.x6(
+          col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+      .orderBy(col("lang"))
+  }
+
+  val tOovSql: String = {
+    val cases = Text.SplitBounds.map { case (name, bound) =>
+      s"WHEN bucket < $bound THEN '$name'" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, text, CASE $cases END AS split
+       |  FROM (SELECT doc_id, lang, text, ${Text.splitBucketSql} AS bucket FROM documents)),
+       |vocab AS (
+       |  SELECT DISTINCT t AS token FROM (
+       |    SELECT unnest($toks) AS t FROM (SELECT text FROM d WHERE split = 'train'))
+       |  WHERE t <> ''),
+       |ev AS (
+       |  SELECT lang, t AS token FROM (
+       |    SELECT lang, unnest($toks) AS t FROM (
+       |      SELECT lang,
+       |        CASE WHEN doc_id % 7 = 0
+       |             THEN text || ' qzv' || CAST(doc_id % 5 AS VARCHAR)
+       |             ELSE text END AS text
+       |      FROM d WHERE split = 'val'))
+       |  WHERE t <> '')
+       |SELECT lang, COUNT(*) AS n_tokens,
+       |  SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       |  CAST(CAST(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS oov_rate
+       |FROM ev LEFT JOIN vocab v USING (token)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_oov"           -> tOov _,
     "t_langid_margin" -> tLangidMargin _,
     "t_fertility"    -> tFertility _,
     "t_prefix_share" -> tPrefixShare _,
@@ -772,6 +852,7 @@ object Text2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_oov"           -> tOovSql,
     "t_langid_margin" -> tLangidMarginSql,
     "t_fertility"    -> tFertilitySql,
     "t_prefix_share" -> tPrefixShareSql,

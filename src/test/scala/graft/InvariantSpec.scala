@@ -332,6 +332,25 @@ class InvariantSpec extends AnyFunSuite {
       s"proration must close exactly: recognized $recognized vs booked $booked cents")
   }
 
+  test("q_backlog: the curve never goes negative and ends at opened-minus-closed") {
+    val rows = graft.queries.Relational9.qBacklog(spark, dir)
+      .select(col("n_opened"), col("n_closed"), col("backlog"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 >= 0L), "an order cannot close before it opens")
+    assert(rows.last._3 == rows.map(_._1).sum - rows.map(_._2).sum,
+      "the final backlog must equal total opened minus total closed")
+  }
+
+  test("t_oov: rates in [0,1]; the planted unseen tokens actually fire the OOV path") {
+    val rows = graft.queries.Text2.tOov(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, n, oov, r) => oov <= n && r >= 0.0 && r <= 1.0 })
+    assert(rows.map(_._3).sum > 0L,
+      "the planted qzv tokens must register as OOV — a 0 here means the counting path is dead")
+  }
+
   test("m_subtitle_align: spanning cues bounded by cue count; hits bounded below by spanning cues") {
     val rows = graft.queries.Modal3.mSubtitleAlign(spark, dir)
       .as[(Long, Long, Long, Long)].collect()

@@ -1069,6 +1069,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("t_oov: one train-vocab distinct + an UNHINTED membership join + one lang rollup") {
+    val p = plan(graft.queries.Text2.tOov(spark, dir))
+    assert(!p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_backlog: two day-keyed counts; running sums ride the bounded day frame") {
+    val p = plan(graft.queries.Relational9.qBacklog(spark, dir))
+    assert(p.contains("Window"), s"running sums expected:\n${p.take(3000)}")
+    val factShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(l_orderkey"))
+    assert(factShuffles <= 1, s"one order-keyed rollup expected ($factShuffles):\n${p.take(3000)}")
+  }
+
   test("q_pvm_bridge: year frames join part-keyed; exact-integer effects partial-aggregate") {
     val p = plan(graft.queries.Relational9.qPvmBridge(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
