@@ -761,13 +761,15 @@ object Events {
 
   // ------------------------------------------------------------------ q_holt
 
-  /** Sign-symmetric half-up integer division — the same exact-rounding
-    * primitive q_winsorize's mean uses ((2v+d) div 2d for v ≥ 0, mirrored
+  /** Sign-symmetric half-up integer division — the ONE exact-rounding
+    * primitive shared by q_winsorize's mean, the Holt folds and
+    * q_pvm_bridge's per-part effects ((2v+d) div 2d for v ≥ 0, mirrored
     * for v < 0; `div`/`//` truncate identically on non-negative
-    * operands). */
-  private[graft] def halfUp(v: String, d: Long, div: String) =
-    s"(CASE WHEN ($v) >= 0 THEN (2 * ($v) + $d) $div ${2 * d} " +
-      s"ELSE -((-2 * ($v) + $d) $div ${2 * d}) END)"
+    * operands). `d` is any positive SQL expression — constant or
+    * column. */
+  private[graft] def halfUp(v: String, d: String, div: String) =
+    s"(CASE WHEN ($v) >= 0 THEN (2 * ($v) + ($d)) $div (2 * ($d)) " +
+      s"ELSE -((-2 * ($v) + ($d)) $div (2 * ($d))) END)"
 
   /** The Holt update in EXACT INTEGER MICRO-UNITS, shared verbatim by the
     * Spark fold lambda and the oracle's recursive step (α=0.5 → /2,
@@ -780,9 +782,9 @@ object Events {
     * neither engine's lambda/recursion has a local binding — both
     * evaluate the IDENTICAL tree. */
   private[graft] def holtLevelM(x: String, l: String, t: String, div: String) =
-    halfUp(s"$x + $l + $t", 2, div)
+    halfUp(s"$x + $l + $t", "2", div)
   private[graft] def holtTrendM(x: String, l: String, t: String, div: String) =
-    halfUp(s"${holtLevelM(x, l, t, div)} - $l + 3 * $t", 4, div)
+    halfUp(s"${holtLevelM(x, l, t, div)} - $l + 3 * $t", "4", div)
 
   /** q_holt: HOLT double-exponential smoothing per order priority — the
     * trend-aware forecaster q_ewma's level-only taps cannot express (a

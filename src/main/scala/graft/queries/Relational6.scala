@@ -503,6 +503,18 @@ object Relational6 {
     }
     // retention so aggressive it would expire production must refuse
     require(scala.util.Try(Wap.vacuum(s, root, 0)).isFailure, "keepLast=0 must refuse")
+    // exercise the CURRENT-POINTER guard itself (keepLast=0 only trips the
+    // argument check): roll production back to the 1995 snapshot
+    // (idempotent re-publish reuses v2 and swings the pointer), then a
+    // keepLast=2 vacuum — which would expire v1 AND v2 — must refuse
+    // because production sits on v2; swing back and verify nothing expired
+    Wap.publishVersioned(s, root, "1995", rules)
+    require(Wap.currentLabel(s, root).contains("snap-1995"), "rollback must re-point")
+    require(scala.util.Try(Wap.vacuum(s, root, 2)).isFailure,
+      "vacuum must refuse to expire the version production points at")
+    require(Wap.history(s, root).map(_._1) == Seq(1L, 2L, 3L, 4L),
+      "a refused vacuum must expire nothing")
+    Wap.publishVersioned(s, root, "1997", rules)
     val expired = Wap.vacuum(s, root, keepLast = 2)
     require(expired.map(_._1) == Seq(1L, 2L), s"expected v1,v2 expired: $expired")
     require(Wap.history(s, root).map(_._1) == Seq(3L, 4L),

@@ -549,11 +549,11 @@ object Relational9 {
       |  CAST(peak - x AS DOUBLE) / CAST(peak AS DOUBLE) AS dd_frac
       |FROM p ORDER BY day""".stripMargin
 
-  /** Half-up integer division with a COLUMN denominator (positive) —
-    * the q_winsorize/q_holt exact-rounding primitive generalized. */
+  /** The ONE shared sign-symmetric half-up division kernel (any positive
+    * denominator expression) — never duplicated: parity-critical rounding
+    * must have a single definition. */
   private def halfUpCol(v: String, d: String, div: String) =
-    s"(CASE WHEN ($v) >= 0 THEN (2 * ($v) + ($d)) $div (2 * ($d)) " +
-      s"ELSE -((-2 * ($v) + ($d)) $div (2 * ($d))) END)"
+    Events.halfUp(v, d, div)
 
   // ----------------------------------------------------------- q_pvm_bridge
 

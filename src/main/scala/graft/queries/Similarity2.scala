@@ -94,7 +94,12 @@ object Similarity2 {
     * Scale shape: rides the persisted index + cached centroids; probe
     * list broadcast; the only corpus-sized work is the single bucket
     * scan. */
-  def sRecallCurve(s: SparkSession, dir: String): DataFrame = {
+  /** The shared probe stage of the nprobe tuning pair: (re)build the
+    * index, rank every centroid per panel query, checkpoint the
+    * (q_id, q_vec, bucket, proberank) frame. s_recall_curve scores it,
+    * s_probe_cost only counts it — ONE definition so the two axes of the
+    * tuning curve can never desynchronize. Returns (probes, indexPath). */
+  private def ivfProbeFrame(s: SparkSession, dir: String): (DataFrame, String) = {
     graft.functions.VectorExpressions.register(s)
     val e = Tables.embeddings(s, dir)
     val path = Similarity.ivfPath(dir)
@@ -110,6 +115,11 @@ object Similarity2 {
       .withColumn("proberank", row_number().over(wProbe))
       .select(col("q_id"), col("q_vec"), col("c_id").as("bucket"), col("proberank"))
       .localCheckpoint(false)
+    (probes, path)
+  }
+
+  def sRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    val (probes, path) = ivfProbeFrame(s, dir)
     val scored = s.read.parquet(s"$path/buckets")
       .join(broadcast(probes), "bucket")
       .filter(col("n_id") =!= col("q_id"))
@@ -122,7 +132,7 @@ object Similarity2 {
       Seq(col("cos").desc, col("n_id").asc), 5)
     val ann = top.select(col("q_id"), col("nprobe"), col("n_id"), lit(1).as("hit"))
     val brute = Similarity.sKnnBrute(s, dir).select(col("q_id"), col("n_id"))
-    val nQ = q.agg(count(lit(1)).as("nq"))
+    val nQ = probes.select(col("q_id")).distinct().agg(count(lit(1)).as("nq"))
     brute.crossJoin(broadcast(nps))
       .join(ann, Seq("q_id", "nprobe", "n_id"), "left")
       .groupBy(col("nprobe")).agg(count(col("hit")).as("n_hits"))
@@ -662,20 +672,8 @@ object Similarity2 {
     * |queries|×|centroids| broadcast cross, ONE bucket-membership join
     * counted per (query, nprobe), two bounded rollups. */
   def sProbeCost(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExpressions.register(s)
-    val e = Tables.embeddings(s, dir)
-    val path = Similarity.ivfPath(dir)
-    graft.similarity.IvfIndex.build(s, e, "vec_id", "embedding", path,
-      numCentroids = Some(8), iters = 2,
-      pretrained = Some(Similarity.fitCached(s, dir, k = 8, iters = 2)))
-    val centroids = s.read.parquet(s"$path/centroids")
-    val q = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", coalesce(expr("cosine_sim(q_vec, c_vec)"), lit(-1.0)))
-      .withColumn("proberank", row_number().over(wProbe))
-      .select(col("q_id"), col("c_id").as("bucket"), col("proberank"))
+    val (probeFrame, path) = ivfProbeFrame(s, dir)
+    val probes = probeFrame.select(col("q_id"), col("bucket"), col("proberank"))
     val nps = s.createDataFrame(CurveNprobes.map(Tuple1(_))).toDF("nprobe")
     val perQ = s.read.parquet(s"$path/buckets")
       .join(broadcast(probes), "bucket")

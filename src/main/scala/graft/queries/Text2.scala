@@ -35,10 +35,14 @@ object Text2 {
     * above-floor pairs only. The k-bounded top-k is the only global
     * ordering. */
   def tCollocations(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint, not cache(): cache() blocks from a gate function
+    // are never unpersisted and pin executor memory for the rest of a
+    // 330-gate session; checkpoint blocks release via the context
+    // cleaner once the plan is dropped (Bench settles between gates)
     val docs = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(tokens(col("text")).as("toks"))
-      .cache()
+      .localCheckpoint(false)
     val uni = docs.select(explode(col("toks")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
     val nTotal = uni.agg(sum(col("c")).as("n"))

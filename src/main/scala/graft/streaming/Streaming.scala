@@ -211,7 +211,12 @@ object Streaming {
     init match {
       case Some(st) => Some(xs.foldLeft(st) { case ((l, t), x) => holtStep(l, t, x) })
       case None if xs.size >= 2 =>
-        Some(xs.drop(2).foldLeft((xs.head, xs(1) - xs.head)) {
+        // init (x₁, x₂−x₁), then fold x₂..xn INCLUDING x₂ — exactly the
+        // SQL fold's slice(revs, 2, size−1). (An xs.drop(2) variant
+        // shipped first and diverged on short series: the contraction
+        // hides the off-by-one on long ones, which is why only an
+        // exact-value check on a 3-point series catches it.)
+        Some(xs.drop(1).foldLeft((xs.head, xs(1) - xs.head)) {
           case ((l, t), x) => holtStep(l, t, x)
         })
       case None => None // need two points to initialize level/trend
@@ -287,7 +292,12 @@ object Streaming {
           val buf = (st.buffer ++ it.toList).sortBy(e => (e.ts_us, e.event_id))
           val wmUs = state.getCurrentWatermarkMs() * 1000
           val (closed, open) = buf.partition(_.ts_us <= wmUs)
-          val (matches, pending) = cepOf(closed, st.pending)
+          val (matches, pending0) = cepOf(closed, st.pending)
+          // expire pending clicks the watermark has passed out of the
+          // match window: no future purchase (ts > wm) can reach them,
+          // and without this a user whose stream ends on an unmatched
+          // click would re-arm its timeout and hold state forever
+          val pending = pending0.filter(_._2 + CepWindowUs > wmUs)
           if (open.isEmpty && pending.isEmpty) { if (state.exists) state.remove() }
           else {
             state.update(CepSt(pending, open))

@@ -193,6 +193,21 @@ class InvariantSpec extends AnyFunSuite {
     assert(m.forall { case (_, a, b, _) => types(a) == "click" && types(b) == "purchase" })
   }
 
+  test("holtFoldSeries: the Scala twin equals the SQL fold on SHORT series (the cold-start off-by-one)") {
+    // the α/β contraction hides an init off-by-one on long series — only
+    // short exact-value checks catch it (review finding: an xs.drop(2)
+    // variant shipped and passed the long-series twin test while
+    // diverging on every 3-5 point series)
+    for (xs <- Seq(Seq(10L, 20L, 30L), Seq(7L, 19L, 4L, 40L, 12L), Seq(5L, 5L))) {
+      val sql = spark.range(1)
+        .select(typedLit(xs).as("revs"))
+        .selectExpr(s"(${graft.queries.Events.holtFold}) AS st")
+        .select(col("st.level"), col("st.trend")).as[(Long, Long)].head()
+      val scalaTwin = graft.streaming.Streaming.holtFoldSeries(None, xs).get
+      assert(scalaTwin == sql, s"series $xs: scala $scalaTwin != sql $sql")
+    }
+  }
+
   test("q_holt: the integer-micro fold recovers a perfect line EXACTLY (level=last, trend=slope)") {
     val revs = (0 until 24).map(t => 5000000L + 137000L * t)
     val st = spark.range(1).select(typedLit(revs).as("revs"))
