@@ -31,9 +31,15 @@ object StageCache {
   private final class Holder(f: () => DataFrame) {
     @volatile private var computed = false
     lazy val value: DataFrame = { val v = f(); computed = true; v }
-    /** The frame if (or once) built — waits out an in-flight build (the
-      * lazy-val monitor), never triggers one. */
-    def peek: Option[DataFrame] = synchronized { if (computed) Some(value) else None }
+    /** The frame if already built; None for an in-flight or never-run
+      * build. Deliberately NOT synchronized on the lazy-val monitor: a
+      * blocking peek would make release() wait out an in-flight build and
+      * then unpersist the frame the builder is about to return —
+      * localCheckpoint blocks are not recomputable, so that frees state
+      * under a live caller. Non-blocking peek keeps the contract
+      * "uncomputed holders evict without touching blocks"; the builder's
+      * re-map in getOrCompute makes the finished stage releasable again. */
+    def peek: Option[DataFrame] = if (computed) Some(value) else None
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Holder]()

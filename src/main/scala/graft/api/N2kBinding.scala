@@ -358,18 +358,22 @@ object N2kBinding {
     * — it proves key hashing, classification, stamps and despawn for the
     * ENTIRE graph in one comparable frame. */
   /** One table's summary rows (see summary). */
-  private def summaryOf(t: Table, df: DataFrame): DataFrame = {
+  private def summaryOf(t: Table, df: DataFrame, hashAlgo: String = "md5"): DataFrame = {
     val nk = concat_ws(":", t.keyCols.map(c => col(c).cast("string")): _*)
     val (f, l, d) =
       if (t.stamped) (col("first_imported"), col("last_imported"), col("despawned"))
       else (lit(null).cast("long"), lit(null).cast("long"), lit(null).cast("boolean"))
     df.select(lit(t.name).as("table_name"), nk.as("nk"),
-      StableId.stableId(t.keyCols.map(col)).as("sid"),
+      StableId.stableId(t.keyCols.map(col), hashAlgo).as("sid"),
       col("action"), f.as("first_imported"), l.as("last_imported"), d.as("despawned"))
   }
 
-  def summary(state: Map[String, DataFrame]): DataFrame =
-    Graph.map(t => summaryOf(t, state(t.name))).reduce(_ unionByName _)
+  /** @param hashAlgo surrogate-id digest (StableId.Algos): "md5" default;
+    *   "sha256" for new schemas (oracle-gated); "sha1" to RECONCILE ids
+    *   against an existing n2kresult database (the reference's actual
+    *   fingerprint — Spark-spec-verified, no DuckDB oracle). */
+  def summary(state: Map[String, DataFrame], hashAlgo: String = "md5"): DataFrame =
+    Graph.map(t => summaryOf(t, state(t.name), hashAlgo)).reduce(_ unionByName _)
       // store-sized output: hash the ids map-side in parallel, then one
       // exchange into a single sorted partition — same fully-sorted
       // result as orderBy without its extra range-partitioner sampling

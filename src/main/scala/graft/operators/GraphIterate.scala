@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** CONVERGENCE-CHECKED iteration for the edge-sized graph loops (BFS
+  * relaxation, k-core peeling, synchronous label propagation) — the
+  * Hierarchy.resolve contract lifted to the other iterative gates: a
+  * fixed unroll silently under-converges the moment the graph's diameter
+  * or peeling depth outgrows the constant (exactly what happens at 100×
+  * data), so every loop here runs to a PROVEN fixed point or fails
+  * loudly.
+  *
+  * Mechanics shared by all three:
+  *  - each round is one edge-keyed join + one vertex-keyed aggregate
+  *    (work ∝ |E|), state localCheckpoint'd per round to keep lineage
+  *    flat — identical plans to the unrolled gates;
+  *  - the convergence signal rides the checkpoint job as an observe()
+  *    metric (the Hierarchy/Components discipline — no second pass);
+  *  - `strict = true` (the production default) materializes each round
+  *    (eager localCheckpoint, metric on that job), EARLY-EXITS at the
+  *    proven fixed point, and RAISES on round exhaustion instead of
+  *    returning a truncated answer;
+  *  - `strict = false` is the FIXED-DEPTH semantics the oracle gates pin
+  *    (exactly `maxRounds` rounds): rounds stay LAZY (lazy
+  *    localCheckpoint, no per-round job), so the plan and cost are
+  *    identical to a hand-unrolled loop — convergence bookkeeping costs
+  *    the gates nothing (measured: eager rounds were +0.7 s on q_kcore
+  *    at sf0.1).
+  */
+object GraphIterate {
+
+  /** Bounded poll for an observe() metric with a recompute fallback —
+    * the Hierarchy.resolve listener-bus discipline. */
+  private def metric(obs: Observation, key: String, fallback: => Long): Long = {
+    import org.apache.spark.sql.graftshim.ObservationBridge
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var m = ObservationBridge.getOrEmpty(obs)
+    while (m.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(25); m = ObservationBridge.getOrEmpty(obs)
+    }
+    m.get(key) match {
+      case Some(n: Long) => n
+      case Some(null)    => 0L // aggregate over zero rows
+      case _             => fallback
+    }
+  }
+
+  private def exhausted(what: String, maxRounds: Int): Nothing =
+    throw new IllegalStateException(
+      s"$what did not converge within $maxRounds rounds — the graph's " +
+        "diameter/peeling depth exceeds the round budget; raise maxRounds " +
+        "(a truncated answer is never silently returned under strict=true)")
+
+  /** BFS distance relaxation from `seed` (v, dist) over directed adjacency
+    * `bi` (v, nbr): dist' = min(dist, min over in-neighbors dist+1) until a
+    * round changes nothing. Monotone — rows only append and distances only
+    * decrease — so "(row count, Σdist) unchanged" is a SOUND fixed-point
+    * test and rides the round's checkpoint job as two observe() metrics.
+    * Returns (v, dist) for every reached vertex. */
+  def bfs(bi: DataFrame, seed: DataFrame, maxRounds: Int,
+      strict: Boolean = true): DataFrame = {
+    def step(dist: DataFrame): DataFrame = dist.join(bi, "v")
+      .select(col("nbr").as("v"), (col("dist") + lit(1L)).as("dist"))
+      .unionByName(dist)
+      .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+    if (!strict) { // fixed-depth gate semantics: lazy fused rounds
+      var dist = seed.localCheckpoint(false)
+      for (_ <- 1 to maxRounds) dist = step(dist).localCheckpoint(false)
+      return dist
+    }
+    var dist = seed.localCheckpoint()
+    var prev = (-1L, -1L)
+    var round = 0
+    while (round < maxRounds) {
+      val obs = new Observation()
+      val next = step(dist)
+        .observe(obs, count(lit(1)).as("n"), sum(col("dist")).as("s"))
+      dist = next.localCheckpoint()
+      val cur = (metric(obs, "n", dist.count()),
+        metric(obs, "s", dist.agg(sum(col("dist"))).head.getLong(0)))
+      if (cur == prev) return dist // fixed point: further rounds are identity
+      prev = cur
+      round += 1
+    }
+    exhausted("BFS", maxRounds)
+  }
+
+  /** k-core peeling over undirected edges `und` (a, b): simultaneously
+    * drop vertices with degree < k until no round removes anything.
+    * Monotone — the edge set only shrinks — so "edge count unchanged" is
+    * a sound fixed-point test, observed on the round's checkpoint job.
+    * Returns the surviving edge list (a, b). */
+  def kcore(und: DataFrame, k: Int, maxRounds: Int,
+      strict: Boolean = true): DataFrame = {
+    def step(edges: DataFrame): DataFrame = {
+      val bi = edges.select(col("a").as("v"), col("b").as("nbr"))
+        .unionByName(edges.select(col("b").as("v"), col("a").as("nbr")))
+      val keep = bi.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("v"))
+      edges
+        .join(keep.select(col("v").as("a")), "a", "left_semi")
+        .join(keep.select(col("v").as("b")), "b", "left_semi")
+        .select(col("a"), col("b"))
+    }
+    if (!strict) { // fixed-depth gate semantics: lazy fused rounds
+      var edges = und
+      for (_ <- 1 to maxRounds) edges = step(edges).localCheckpoint(false)
+      return edges
+    }
+    var edges = und.localCheckpoint()
+    var prev = -1L
+    var round = 0
+    while (round < maxRounds) {
+      val obs = new Observation()
+      val next = step(edges).observe(obs, count(lit(1)).as("n"))
+      edges = next.localCheckpoint()
+      val cur = metric(obs, "n", edges.count())
+      if (cur == prev) return edges // nothing peeled: stable core reached
+      prev = cur
+      round += 1
+    }
+    exhausted("k-core peeling", maxRounds)
+  }
+
+  /** Synchronous label propagation over directed adjacency `edges`
+    * (v, nbr), labels seeded as vertex ids, deterministic argmax
+    * (count desc, label asc). NOT monotone — sync LPA can 2-cycle on
+    * bipartite structures — so the fixed-point test is EXACT: each
+    * round's result joins back to the previous labels and the changed-
+    * vertex count rides the checkpoint job as an observe() metric
+    * (every vertex keeps a row each round, so the inner join is total).
+    * Returns (v, label). Exhaustion under strict raises — for LPA that
+    * can mean oscillation, which a larger budget will NOT fix; the error
+    * says so. */
+  def labelProp(edges: DataFrame, maxRounds: Int,
+      strict: Boolean = true): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("n").desc, col("label"))
+    def step(labels: DataFrame): DataFrame = edges
+      .join(labels.select(col("v").as("nbr"), col("label")), "nbr")
+      .groupBy(col("v"), col("label")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("v"), col("label"))
+    val seed = edges.select(col("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    if (!strict) { // fixed-depth gate semantics: lazy fused rounds
+      var labels = seed.localCheckpoint(false)
+      for (_ <- 1 to maxRounds) labels = step(labels).localCheckpoint(false)
+      return labels
+    }
+    var labels = seed.localCheckpoint()
+    var round = 0
+    while (round < maxRounds) {
+      val obs = new Observation()
+      val next = step(labels)
+        .join(labels.select(col("v"), col("label").as("prev_label")), "v")
+        .observe(obs,
+          sum(when(col("label") =!= col("prev_label"), 1L).otherwise(0L)).as("changed"))
+        .select(col("v"), col("label"))
+      labels = next.localCheckpoint()
+      val changed = metric(obs, "changed", -1L)
+      if (changed == 0L) return labels // fixed point: sync LPA is stationary
+      round += 1
+    }
+    throw new IllegalStateException(
+      s"label propagation did not stabilize within $maxRounds rounds — " +
+        "either raise maxRounds or, if the change count is oscillating " +
+        "(sync LPA 2-cycles on bipartite structure), switch the consumer " +
+        "to a fixed-round semantics (strict = false)")
+  }
+}

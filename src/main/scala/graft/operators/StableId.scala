@@ -11,13 +11,25 @@ import org.apache.spark.sql.functions._
   * sequence generator. That is exactly what a 1000-executor cluster wants —
   * id assignment is embarrassingly parallel, no coordination, no shuffle.
   *
-  * We use md5 (same stability properties; present in every engine for
-  * oracle parity). Nulls are sentinel-encoded before concatenation because
-  * concat_ws silently drops nulls, which would make ("a", null) collide
-  * with (null, "a") across column boundaries.
+  * The DEFAULT algorithm is md5 (same stability properties; present in
+  * every engine for oracle parity). The `algo` knob selects the digest for
+  * schema compatibility:
+  *  - "md5"    — the engine default; DuckDB-oracle-gated (e_stable_id);
+  *  - "sha256" — for new schemas wanting a modern digest; DuckDB ships
+  *               sha256, so this path is oracle-gated too (e_stable_id_sha);
+  *  - "sha1"   — the actual n2kupdate fingerprint (n2kupdate computes
+  *               sha1 over natural keys), for RECONCILING ids against an
+  *               existing n2kresult database. DuckDB has no sha1, so this
+  *               is a DECLARED no-oracle boundary: Spark-side spec only
+  *               (EtlOperatorsSpec pins the digest against known vectors).
+  *
+  * Nulls are sentinel-encoded before concatenation because concat_ws
+  * silently drops nulls, which would make ("a", null) collide with
+  * (null, "a") across column boundaries.
   */
 object StableId {
   val Sep = "|"
+  val Algos: Set[String] = Set("md5", "sha1", "sha256")
 
   /** Escape a value so the concatenation is injective: backslashes double,
     * separators escape — so no value can fake a column boundary. After
@@ -26,19 +38,43 @@ object StableId {
   private def esc(c: Column): Column =
     regexp_replace(regexp_replace(c.cast("string"), "\\\\", "\\\\\\\\"), "\\|", "\\\\|")
 
-  /** Expression form: md5 over the escaped, sentinel-encoded key columns. */
-  def stableId(cols: Seq[Column]): Column =
-    md5(concat_ws(Sep, cols.map(c => coalesce(esc(c), lit("\\N"))): _*))
+  /** Expression form: digest over the escaped, sentinel-encoded key
+    * columns. All three algorithms hash the IDENTICAL payload bytes, so
+    * switching algo never changes which rows collide — only the id
+    * format. */
+  def stableId(cols: Seq[Column], algo: String = "md5"): Column = {
+    val payload = concat_ws(Sep, cols.map(c => coalesce(esc(c), lit("\\N"))): _*)
+    algo match {
+      case "md5"    => md5(payload)
+      case "sha256" => sha2(payload, 256)
+      case "sha1"   => sha1(payload) // legacy n2kupdate parity; no DuckDB oracle
+      case other => throw new IllegalArgumentException(
+        s"unknown hash algo '$other' — one of ${Algos.mkString("/")}")
+    }
+  }
 
   /** Append a surrogate-key column derived from `keyCols`. */
-  def withStableId(df: DataFrame, keyCols: Seq[String], outCol: String = "sk"): DataFrame =
-    df.withColumn(outCol, stableId(keyCols.map(col)))
+  def withStableId(df: DataFrame, keyCols: Seq[String], outCol: String = "sk",
+      algo: String = "md5"): DataFrame =
+    df.withColumn(outCol, stableId(keyCols.map(col), algo))
 
-  /** The same expression as DuckDB SQL, for oracle queries. */
-  def oracleExpr(cols: Seq[String]): String = {
+  /** The same expression as DuckDB SQL, for oracle queries. sha1 is the
+    * declared no-oracle boundary (DuckDB ships md5/sha256 only): ids for
+    * a legacy n2kresult reconcile are verified by the Spark-side digest
+    * spec, not a cross-engine gate. */
+  def oracleExpr(cols: Seq[String], algo: String = "md5"): String = {
     val parts = cols.map { c =>
       s"coalesce(replace(replace(CAST($c AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N')"
     }
-    s"md5(concat_ws('$Sep', ${parts.mkString(", ")}))"
+    val payload = s"concat_ws('$Sep', ${parts.mkString(", ")})"
+    algo match {
+      case "md5"    => s"md5($payload)"
+      case "sha256" => s"sha256($payload)"
+      case "sha1" => throw new IllegalArgumentException(
+        "sha1 is the legacy-n2kresult algorithm and DuckDB ships no sha1 — " +
+          "no oracle parity; verify through the Spark-side digest spec")
+      case other => throw new IllegalArgumentException(
+        s"unknown hash algo '$other' — one of ${Algos.mkString("/")}")
+    }
   }
 }

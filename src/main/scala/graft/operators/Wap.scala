@@ -196,8 +196,11 @@ object Wap {
           s"(kept: ${keep.map(_._2)})")
     }
     expire.foreach { case (v, label) =>
-      f.delete(new Path(s"$root/$label"), true)
+      // log entry FIRST: a crash between the two deletes then leaves an
+      // orphaned snapshot directory (benign, re-vacuumable) instead of a
+      // dangling v-<n> entry whose readAsOf would die on FileNotFound.
       f.delete(new Path(versionDir(root), s"v-$v"), false)
+      f.delete(new Path(s"$root/$label"), true)
     }
     expire
   }

@@ -1305,9 +1305,9 @@ object DedupQ {
        |         FROM documents),
        |m AS (
        |  SELECT COUNT(*) AS n_docs,
-       |    SUM(CASE WHEN c.doc_id = c.canonical_id THEN 1 ELSE 0 END) AS n_survivors,
-       |    SUM(t.n_toks) AS total_tokens,
-       |    SUM(CASE WHEN c.doc_id = c.canonical_id THEN t.n_toks ELSE 0 END) AS survivor_tokens
+       |    CAST(SUM(CASE WHEN c.doc_id = c.canonical_id THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       |    CAST(SUM(t.n_toks) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(CASE WHEN c.doc_id = c.canonical_id THEN t.n_toks ELSE 0 END) AS BIGINT) AS survivor_tokens
        |  FROM canon c JOIN toks t ON t.doc_id = c.doc_id)
        |SELECT n_docs, n_survivors, total_tokens, survivor_tokens,
        |  total_tokens - survivor_tokens AS dup_tokens,

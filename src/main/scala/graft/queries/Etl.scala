@@ -28,6 +28,23 @@ object Etl {
     s"SELECT c_custkey, $e AS sk FROM customer ORDER BY c_custkey"
   }
 
+  /** e_stable_id_sha: the hashAlgo knob's sha256 face (VERDICT r11
+    * stretch #10) — the SAME escaped/sentinel-encoded payload as
+    * e_stable_id through SHA-256 (Spark sha2(…, 256) vs DuckDB sha256),
+    * the digest a NEW n2k-style schema would pick. sha1 — the legacy
+    * n2kresult reconcile — is the declared no-oracle boundary (DuckDB
+    * ships no sha1); its digest is pinned by spec instead. */
+  def eStableIdSha(s: SparkSession, dir: String): DataFrame =
+    StableId.withStableId(Tables.customer(s, dir),
+      Seq("c_name", "c_nationkey", "c_mktsegment"), "sk", algo = "sha256")
+      .select(col("c_custkey"), col("sk"))
+      .orderBy(col("c_custkey"))
+
+  val eStableIdShaSql: String = {
+    val e = StableId.oracleExpr(Seq("c_name", "c_nationkey", "c_mktsegment"), "sha256")
+    s"SELECT c_custkey, $e AS sk FROM customer ORDER BY c_custkey"
+  }
+
   /** e_validate: one-pass rule report on orders. */
   def eValidate(s: SparkSession, dir: String): DataFrame =
     Validate.report(Tables.orders(s, dir), Seq(
@@ -749,6 +766,7 @@ object Etl {
     "e_salted_join"   -> eSaltedJoin _,
     "e_cdc_apply"     -> eCdcApply _,
     "e_stable_id"     -> eStableId _,
+    "e_stable_id_sha" -> eStableIdSha _,
     "e_validate"      -> eValidate _,
     "e_check_unique"  -> eCheckUnique _,
     "e_check_fk"      -> eCheckFk _,
@@ -778,6 +796,7 @@ object Etl {
     "e_salted_join"   -> eSaltedJoinSql,
     "e_cdc_apply"     -> eCdcApplySql,
     "e_stable_id"     -> eStableIdSql,
+    "e_stable_id_sha" -> eStableIdShaSql,
     "e_validate"      -> eValidateSql,
     "e_check_unique"  -> eCheckUniqueSql,
     "e_check_fk"      -> eCheckFkSql,

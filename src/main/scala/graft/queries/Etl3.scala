@@ -152,10 +152,10 @@ object Etl3 {
       |  UNION ALL SELECT 'c_cust', c_cust FROM feed
       |  UNION ALL SELECT 'c_amount', c_amount FROM feed)
       |SELECT col_name, COUNT(*) AS n,
-      |  SUM(CASE WHEN v IS NULL OR v = '' THEN 1 ELSE 0 END) AS n_null,
-      |  SUM(CASE WHEN regexp_full_match(v, '[0-9]+') THEN 1 ELSE 0 END) AS n_int,
-      |  SUM(CASE WHEN regexp_full_match(v, '[0-9]+\.[0-9]+') THEN 1 ELSE 0 END) AS n_dec,
-      |  SUM(CASE WHEN regexp_full_match(v, '[0-9]{4}-[0-9]{2}-[0-9]{2}') THEN 1 ELSE 0 END) AS n_date,
+      |  CAST(SUM(CASE WHEN v IS NULL OR v = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  CAST(SUM(CASE WHEN regexp_full_match(v, '[0-9]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+      |  CAST(SUM(CASE WHEN regexp_full_match(v, '[0-9]+\.[0-9]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_dec,
+      |  CAST(SUM(CASE WHEN regexp_full_match(v, '[0-9]{4}-[0-9]{2}-[0-9]{2}') THEN 1 ELSE 0 END) AS BIGINT) AS n_date,
       |  CASE WHEN COUNT(*) = SUM(CASE WHEN v IS NULL OR v = '' THEN 1 ELSE 0 END) THEN 'unknown'
       |       WHEN SUM(CASE WHEN regexp_full_match(v, '[0-9]+') THEN 1 ELSE 0 END) = COUNT(*) - SUM(CASE WHEN v IS NULL OR v = '' THEN 1 ELSE 0 END) THEN 'bigint'
       |       WHEN SUM(CASE WHEN regexp_full_match(v, '[0-9]+') THEN 1 ELSE 0 END) + SUM(CASE WHEN regexp_full_match(v, '[0-9]+\.[0-9]+') THEN 1 ELSE 0 END) = COUNT(*) - SUM(CASE WHEN v IS NULL OR v = '' THEN 1 ELSE 0 END) THEN 'decimal'
@@ -356,10 +356,10 @@ object Etl3 {
       |    TRY_CAST(json_extract_string(p2, '$.k') AS INT) IS NOT NULL AS k_is_int
       |  FROM g)
       |SELECT COUNT(*) AS n_total,
-      |  SUM(CASE WHEN NOT parseable THEN 1 ELSE 0 END) AS n_unparseable,
-      |  SUM(CASE WHEN parseable AND NOT has_k THEN 1 ELSE 0 END) AS n_missing_key,
-      |  SUM(CASE WHEN has_k AND NOT k_is_int THEN 1 ELSE 0 END) AS n_wrong_type,
-      |  SUM(CASE WHEN k_is_int THEN 1 ELSE 0 END) AS n_valid
+      |  CAST(SUM(CASE WHEN NOT parseable THEN 1 ELSE 0 END) AS BIGINT) AS n_unparseable,
+      |  CAST(SUM(CASE WHEN parseable AND NOT has_k THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_key,
+      |  CAST(SUM(CASE WHEN has_k AND NOT k_is_int THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_type,
+      |  CAST(SUM(CASE WHEN k_is_int THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
       |FROM f""".stripMargin
 
   // ------------------------------------------------------------ e_hash_ring
@@ -452,7 +452,7 @@ object Etl3 {
        |  SELECT c_custkey, MIN_BY(node, CASE WHEN pos >= h THEN pos ELSE pos + 2305843009213693952 END) AS n9
        |  FROM keys, r9 GROUP BY c_custkey),
        |b AS (SELECT a8.c_custkey, n8, n9 FROM a8 JOIN a9 ON a8.c_custkey = a9.c_custkey),
-       |mv AS (SELECT SUM(CASE WHEN n8 <> n9 THEN 1 ELSE 0 END) AS n_moved, COUNT(*) AS n_keys FROM b),
+       |mv AS (SELECT CAST(SUM(CASE WHEN n8 <> n9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved, COUNT(*) AS n_keys FROM b),
        |bef AS (SELECT n8 AS node, COUNT(*) AS n_before FROM b GROUP BY 1),
        |aft AS (SELECT n9 AS node, COUNT(*) AS n_after FROM b GROUP BY 1)
        |SELECT aft.node, bef.n_before, aft.n_after, mv.n_moved,
@@ -707,7 +707,13 @@ object Etl3 {
       .agg(count(lit(1)).as("orphan_rows"))
     val li = Tables.lineitem(s, dir).agg(
       count(lit(1)).as("n_rows"),
-      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("dup_rows"),
+      // COALESCE sentinel: Spark's multi-col countDistinct SKIPS rows with
+      // any NULL key while DuckDB's COUNT(DISTINCT (a, b)) counts the
+      // row-struct including NULL fields — a NULL key would silently break
+      // parity in the gate whose job is surfacing data warts. Keys are
+      // positive in the feed, so -1 cannot collide.
+      (count(lit(1)) - countDistinct(coalesce(col("l_orderkey"), lit(-1L)),
+        coalesce(col("l_linenumber"), lit(-1)))).as("dup_rows"),
       sum(when(col("l_quantity").isNull || col("l_extendedprice").isNull ||
         col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_rows"))
       .crossJoin(broadcast(liOrph))
@@ -723,14 +729,15 @@ object Etl3 {
     def block(table: String, nExpr: String, dupExpr: String, orphExpr: String,
         nullExpr: String) =
       s"""SELECT '$table' AS table_name, $nExpr AS n_rows, $dupExpr AS dup_rows,
-         |  $orphExpr AS orphan_rows, $nullExpr AS null_rows FROM $table""".stripMargin
+         |  $orphExpr AS orphan_rows, CAST($nullExpr AS BIGINT) AS null_rows FROM $table""".stripMargin
     val cust = block("customer", "COUNT(*)", "COUNT(*) - COUNT(DISTINCT c_custkey)",
       "CAST(0 AS BIGINT)",
       "SUM(CASE WHEN c_name IS NULL OR c_mktsegment IS NULL OR c_acctbal IS NULL THEN 1 ELSE 0 END)")
     val ord = block("orders", "COUNT(*)", "COUNT(*) - COUNT(DISTINCT o_orderkey)",
       "(SELECT COUNT(*) FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))",
       "SUM(CASE WHEN o_orderstatus IS NULL OR o_totalprice IS NULL OR o_orderdate IS NULL THEN 1 ELSE 0 END)")
-    val li = block("lineitem", "COUNT(*)", "COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))",
+    val li = block("lineitem", "COUNT(*)",
+      "COUNT(*) - COUNT(DISTINCT (COALESCE(l_orderkey, -1), COALESCE(l_linenumber, -1)))",
       "(SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))",
       "SUM(CASE WHEN l_quantity IS NULL OR l_extendedprice IS NULL OR l_shipdate IS NULL THEN 1 ELSE 0 END)")
     def x6(e: String) = s"CAST(CAST($e AS DECIMAL(18,6)) AS DOUBLE)"

@@ -752,7 +752,8 @@ object Events {
        |         lag(n, 24) OVER (PARTITION BY event_type ORDER BY hour) AS fc
        |       FROM f),
        |agg AS (
-       |  SELECT event_type, COUNT(*) AS n_hours, SUM(abs(n - fc)) AS sae, SUM(n) AS mass
+       |  SELECT event_type, COUNT(*) AS n_hours,
+       |    CAST(SUM(abs(n - fc)) AS BIGINT) AS sae, CAST(SUM(n) AS BIGINT) AS mass
        |  FROM lg WHERE fc IS NOT NULL GROUP BY event_type)
        |SELECT event_type, n_hours, sae, mass,
        |  CAST(CAST(CAST(sae AS DOUBLE) / CAST(mass AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS wape,

@@ -178,7 +178,7 @@ object Modal3 {
       |    (COUNT(*) OVER (PARTITION BY doc_id ORDER BY v
       |       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 255) // 64 AS e
       |  FROM px)
-      |SELECT doc_id, SUM(e) AS eq_sum, MIN(e) AS eq_min, MAX(e) AS eq_max,
+      |SELECT doc_id, CAST(SUM(e) AS BIGINT) AS eq_sum, MIN(e) AS eq_min, MAX(e) AS eq_max,
       |  COUNT(DISTINCT e) AS n_levels
       |FROM eq GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -347,7 +347,7 @@ object Modal3 {
       |    END AS v
       |  FROM ids, (SELECT unnest(range(64)) AS j) js)
       |SELECT doc_id, CAST(patch_idx AS BIGINT) AS patch_idx,
-      |  SUM(v) AS patch_sum, SUM(v) // 4 AS patch_mean
+      |  CAST(SUM(v) AS BIGINT) AS patch_sum, CAST(SUM(v) // 4 AS BIGINT) AS patch_mean
       |FROM px GROUP BY doc_id, patch_idx
       |ORDER BY doc_id, patch_idx""".stripMargin
 
@@ -430,7 +430,8 @@ object Modal3 {
       |      ELSE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'b'), j - 31, 1))::BIGINT * 17
       |    END AS v
       |  FROM ids, (SELECT unnest(range(64)) AS j) js)
-      |SELECT doc_id, SUM(v) AS png_sum, SUM(v) AS bmp_sum, SUM(v) AS gif_sum,
+      |SELECT doc_id, CAST(SUM(v) AS BIGINT) AS png_sum, CAST(SUM(v) AS BIGINT) AS bmp_sum,
+      |  CAST(SUM(v) AS BIGINT) AS gif_sum,
       |  TRUE AS all_equal
       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -545,7 +546,7 @@ object Modal3 {
       |      FROM ids),
       |agg AS (
       |  SELECT doc_id, COUNT(*) AS n_samples,
-      |    SUM(CASE WHEN abs(v) >= 32700 THEN 1 ELSE 0 END) AS n_clipped
+      |    CAST(SUM(CASE WHEN abs(v) >= 32700 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
       |  FROM v GROUP BY doc_id)
       |SELECT doc_id, n_samples, n_clipped,
       |  CAST(CAST(CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS clip_rate,
@@ -641,8 +642,8 @@ object Modal3 {
        |             AND k.cut_ms < c.end_ms THEN 1 ELSE 0 END) AS n_cuts_inside
        |  FROM cues c LEFT JOIN cuts k ON k.doc_id = c.doc_id
        |  GROUP BY c.doc_id, c.cue_idx)
-       |SELECT doc_id, COUNT(*) AS n_cues, SUM(n_cuts_inside) AS n_cut_hits,
-       |  SUM(CASE WHEN n_cuts_inside > 0 THEN 1 ELSE 0 END) AS n_spanning_cues
+       |SELECT doc_id, COUNT(*) AS n_cues, CAST(SUM(n_cuts_inside) AS BIGINT) AS n_cut_hits,
+       |  CAST(SUM(CASE WHEN n_cuts_inside > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning_cues
        |FROM per_cue GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- st_holt

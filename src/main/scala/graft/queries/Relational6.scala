@@ -284,11 +284,24 @@ object Relational6 {
     * map — NEVER a global ntile sort, which is the single-point-of-truth
     * anti-pattern at 100 TB). Per bucket: row count and true value
     * range. Boundary-tied values land in the lower bucket on both
-    * engines. */
-  def qHistogramEqd(s: SparkSession, dir: String): DataFrame = {
+    * engines.
+    *
+    * `approx = true` is the 100 TB path (the q_rfm toggle): exact
+    * `percentile` holds a per-partition map of every distinct price —
+    * at full scale that state IS the job — so the boundaries swap for
+    * the mergeable percentile_approx sketch; same plan shape, same
+    * bucketing map. SketchToggleSpec bounds the bucket disagreement at
+    * sf0.1. The gate keeps exact for the oracle. */
+  def qHistogramEqd(s: SparkSession, dir: String): DataFrame =
+    qHistogramEqd(s, dir, approx = false)
+
+  def qHistogramEqd(s: SparkSession, dir: String, approx: Boolean): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+    val pct = if (approx) "percentile_approx" else "percentile"
+    val acc = if (approx) ", 10000" else "" // rank error ~1e-4 ≪ bucket width
     val th = li.agg(expr(
-      "percentile(x, array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D))").as("th"))
+      s"$pct(x, array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D)$acc)")
+      .cast("array<double>").as("th"))
     li.crossJoin(broadcast(th))
       .withColumn("bucket",
         expr("1 + aggregate(th, 0, (a, t) -> a + (CASE WHEN x > t THEN 1 ELSE 0 END))"))

@@ -221,8 +221,8 @@ object Relational8 {
     s"""WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // $UsPerDay AS day FROM events),
        |f AS (SELECT day, day = MIN(day) OVER (PARTITION BY user_id) AS is_new FROM a)
        |SELECT day, COUNT(*) AS n_active,
-       |  SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS n_new,
-       |  COUNT(*) - SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS n_returning,
+       |  CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |  CAST(COUNT(*) - SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
        |  CAST(CAST(CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS pct_new
        |FROM f GROUP BY day ORDER BY day""".stripMargin
 
@@ -406,7 +406,7 @@ object Relational8 {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
       |    SUM(w) OVER (PARTITION BY flag) AS tot
       |  FROM rows_)
-      |SELECT flag, MAX(tot) AS total_w,
+      |SELECT flag, CAST(MAX(tot) AS BIGINT) AS total_w,
       |  CAST(MIN(CASE WHEN cum * 2 >= tot THEN price_i END) AS DOUBLE) / 1000000.0 AS weighted_median_price
       |FROM c GROUP BY flag ORDER BY flag""".stripMargin
 
@@ -580,7 +580,7 @@ object Relational8 {
        |  GROUP BY n_name),
        |tot AS (SELECT SUM(c) AS ctot FROM counts),
        |base AS (
-       |  SELECT nation, c, ($ApportionSlots * c) // ctot AS base_quota,
+       |  SELECT nation, c, CAST(($ApportionSlots * c) // ctot AS BIGINT) AS base_quota,
        |    ($ApportionSlots * c) % ctot AS rem
        |  FROM counts, tot),
        |ex AS (SELECT $ApportionSlots - SUM(base_quota) AS extra FROM base),
@@ -589,8 +589,8 @@ object Relational8 {
        |    row_number() OVER (ORDER BY rem DESC, nation) AS rrank
        |  FROM base)
        |SELECT nation, c AS n_customers, base_quota,
-       |  CASE WHEN rrank <= ex.extra THEN 1 ELSE 0 END AS extra,
-       |  base_quota + CASE WHEN rrank <= ex.extra THEN 1 ELSE 0 END AS final_quota
+       |  CAST(CASE WHEN rrank <= ex.extra THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       |  base_quota + CAST(CASE WHEN rrank <= ex.extra THEN 1 ELSE 0 END AS BIGINT) AS final_quota
        |FROM r, ex ORDER BY nation""".stripMargin
 
   // ---------------------------------------------------------- q_growth_acct
@@ -642,9 +642,9 @@ object Relational8 {
        |  FROM a),
        |d AS (
        |  SELECT day, COUNT(*) AS n_active,
-       |    SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
-       |    SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS n_retained,
-       |    SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS n_resurrected
+       |    CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |    CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       |    CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
        |  FROM c GROUP BY day)
        |SELECT day, n_active, n_new, n_retained, n_resurrected,
        |  lag(n_active) OVER (ORDER BY day) - n_retained AS n_churned
@@ -803,8 +803,8 @@ object Relational8 {
       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant
       |  FROM events),
       |k AS (
-      |  SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
-      |    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1
+      |  SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
       |  FROM u WHERE NOT (variant = 1 AND user_id % 3 = 0)),
       |m AS (
       |  SELECT n0, n1,

@@ -28,11 +28,15 @@ object Relational9 {
     * robust (outlier-immune) alternative to Pearson that every analyst
     * reaches for on heavy-tailed monetary data.
     *
-    * Rho is computed by the exact no-ties formula 1 − 6·Σd²/(n(n²−1))
-    * with row_number ranks (deterministic custkey tiebreak shared with
-    * the oracle), so every aggregate is an exact BIGINT and the only
-    * float is the final pinned division. Pearson-on-ranks would need a
-    * float corr() — order-dependent across engines.
+    * Rho comes from the Σd² formula 1 − 6·Σd²/(n(n²−1)) over AVERAGE
+    * MIDRANKS — tied values share (min_rank + max_rank)/2, the canonical
+    * tie treatment, carried in exact HALF-UNITS (midrank·2 =
+    * 2·rank + tie_count − 1, an integer) so every aggregate stays an
+    * exact BIGINT: Σd² in quarter-units makes rho = 1 − 1.5·Σd²ₓ₄/
+    * (n(n²−1)), ONE pinned float chain. (With heavy ties the Σd² formula
+    * is the standard midrank approximation to Pearson-on-midranks —
+    * exact-equal without ties; the full tie-corrected form needs float
+    * corr(), which is partition-order-dependent across engines.)
     *
     * Scale shape: one keyed spend aggregation (map-side partial), one
     * broadcast-able join, two windows PARTITIONED BY nation (never a
@@ -47,18 +51,19 @@ object Relational9 {
       .select(col("c_nationkey").as("nationkey"), col("c_custkey").as("ck"),
         col("c_acctbal").as("x"),
         coalesce(col("spend"), lit(0).cast(DecimalType(18, 6))).as("y"))
-    val rx = row_number().over(
-      Window.partitionBy(col("nationkey")).orderBy(col("x"), col("ck")))
-    val ry = row_number().over(
-      Window.partitionBy(col("nationkey")).orderBy(col("y"), col("ck")))
-    val d = (rx.cast("long") - ry.cast("long"))
+    // midrank in half-units: 2·midrank = 2·rank + ties − 1 (exact BIGINT)
+    def mid2(v: String) =
+      rank().over(Window.partitionBy(col("nationkey")).orderBy(col(v)))
+        .cast("long") * 2 +
+        count(lit(1)).over(Window.partitionBy(col("nationkey"), col(v))) - 1L
+    val d = mid2("x") - mid2("y")
     joined
-      .select(col("nationkey"), (d * d).as("d2"))
+      .select(col("nationkey"), (d * d).as("d2x4"))
       .groupBy(col("nationkey"))
-      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      .agg(count(lit(1)).as("n"), sum(col("d2x4")).as("sum_d2x4"))
       .filter(col("n") >= 2)
-      .select(col("nationkey"), col("n"), col("sum_d2"),
-        x6(lit(1.0) - (lit(6L) * col("sum_d2")).cast(DoubleType) /
+      .select(col("nationkey"), col("n"), col("sum_d2x4"),
+        x6(lit(1.0) - lit(1.5) * col("sum_d2x4").cast(DoubleType) /
           (col("n") * (col("n") * col("n") - lit(1L))).cast(DoubleType))
           .as("rho"))
       .orderBy(col("nationkey"))
@@ -68,18 +73,23 @@ object Relational9 {
     """WITH spend AS (
       |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
       |  FROM orders GROUP BY o_custkey),
-      |r AS (
-      |  SELECT c_nationkey AS nationkey,
-      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rx,
-      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
-      |      ORDER BY COALESCE(spend, CAST(0 AS DECIMAL(18,6))), c_custkey) AS ry
+      |v AS (
+      |  SELECT c_nationkey AS nationkey, c_acctbal AS x,
+      |    COALESCE(spend, CAST(0 AS DECIMAL(18,6))) AS y
       |  FROM customer LEFT JOIN spend ON o_custkey = c_custkey),
+      |r AS (
+      |  SELECT nationkey,
+      |    CAST(2 * RANK() OVER (PARTITION BY nationkey ORDER BY x) AS BIGINT)
+      |      + COUNT(*) OVER (PARTITION BY nationkey, x) - 1 AS rx2,
+      |    CAST(2 * RANK() OVER (PARTITION BY nationkey ORDER BY y) AS BIGINT)
+      |      + COUNT(*) OVER (PARTITION BY nationkey, y) - 1 AS ry2
+      |  FROM v),
       |a AS (
       |  SELECT nationkey, COUNT(*) AS n,
-      |    SUM((CAST(rx AS BIGINT) - ry) * (CAST(rx AS BIGINT) - ry)) AS sum_d2
+      |    CAST(SUM((rx2 - ry2) * (rx2 - ry2)) AS BIGINT) AS sum_d2x4
       |  FROM r GROUP BY nationkey)
-      |SELECT nationkey, n, sum_d2,
-      |  CAST(CAST(1.0 - CAST(6 * sum_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE)
+      |SELECT nationkey, n, sum_d2x4,
+      |  CAST(CAST(1.0 - 1.5 * CAST(sum_d2x4 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE)
       |    AS DECIMAL(18,6)) AS DOUBLE) AS rho
       |FROM a WHERE n >= 2 ORDER BY nationkey""".stripMargin
 
@@ -91,60 +101,78 @@ object Relational9 {
     * variant split reuses q_ab_srm's md5 bucketing so the two
     * experiment gates read the same assignment.
     *
-    * U₁ = R₁ − n₁(n₁+1)/2 from row_number ranks (value then event_id —
-    * the deterministic-tiebreak variant of rank ties, identical in the
-    * oracle), so R₁/U₁ are exact BIGINTs; the normal-approximation z
-    * uses only one pinned chain (sqrt is IEEE-exact).
+    * CANONICAL TIE HANDLING: ranks are average midranks (tied values
+    * share (min_rank + max_rank)/2), carried in exact HALF-UNITS
+    * (2·midrank = 2·rank + tie_count − 1, an integer) so R₁ and U₁ stay
+    * exact BIGINTs — u1x2 = 2·U₁. The normal-approximation z uses the
+    * TIE-CORRECTED variance n₁n₂/12·((n+1) − Σ(t³−t)/(n(n−1))) with the
+    * tie-group term an exact integer aggregate; the whole z is ONE
+    * pinned chain (sqrt is IEEE-exact).
     *
-    * Scale shape: ranks window PARTITIONED BY event_type (range-
-    * partitioned per-group sort, no global order), then one ≤|types|-row
-    * aggregate with map-side partials. */
+    * Scale shape: midranks window PARTITIONED BY event_type (range-
+    * partitioned per-group sort, no global order), a (type, value) tie
+    * count with map-side partials, then one ≤|types|-row aggregate. */
   def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .filter(col("value").isNotNull)
       .withColumn("variant",
         conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
           .cast("long") % 2)
-    val ranked = ev.withColumn("rnk",
-      row_number().over(Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))).cast("long"))
-    val agg = ranked.groupBy(col("event_type"))
+    val rnk2 = rank().over(Window.partitionBy(col("event_type"))
+      .orderBy(col("value"))).cast("long") * 2 +
+      count(lit(1)).over(Window.partitionBy(col("event_type"), col("value"))) - 1L
+    val agg = ev.withColumn("rnk2", rnk2)
+      .groupBy(col("event_type"))
       .agg(
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n1"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n2"),
-        sum(when(col("variant") === 0, col("rnk")).otherwise(0L)).as("r1"))
-    // Spark's `/` on BIGINT is double division — `div` keeps U exact
-    // (n1(n1+1) is always even, so the integer division is lossless)
-    val u1 = expr("r1 - n1 * (n1 + 1L) div 2L")
-    val mu = (col("n1") * col("n2")).cast(DoubleType) / lit(2.0)
-    val sigma = sqrt((col("n1") * col("n2")).cast(DoubleType) *
-      (col("n1") + col("n2") + lit(1L)).cast(DoubleType) / lit(12.0))
-    agg.select(col("event_type"), col("n1"), col("n2"), u1.as("u1"),
-        x6((u1.cast(DoubleType) - mu) / sigma).as("z"))
+        sum(when(col("variant") === 0, col("rnk2")).otherwise(0L)).as("r1x2"))
+    val ties = ev.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c") * col("c") * col("c") - col("c")).as("tt"))
+    val u1x2 = col("r1x2") - col("n1") * (col("n1") + lit(1L))
+    val num = (u1x2 - col("n1") * col("n2")).cast(DoubleType)
+    val varr = (col("n1") * col("n2")).cast(DoubleType) *
+      ((col("n1") + col("n2") + lit(1L)).cast(DoubleType) -
+        col("tt").cast(DoubleType) /
+          ((col("n1") + col("n2")) * (col("n1") + col("n2") - lit(1L))).cast(DoubleType)) /
+      lit(12.0)
+    agg.join(ties, "event_type")
+      .select(col("event_type"), col("n1"), col("n2"), u1x2.as("u1x2"),
+        when(varr > 0.0, x6(num / (lit(2.0) * sqrt(varr)))).as("z"))
       .orderBy(col("event_type"))
   }
 
   val qMannWhitneySql: String =
     """WITH ev AS (
-      |  SELECT event_type, event_id, value,
+      |  SELECT event_type, value,
       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant
       |  FROM events WHERE value IS NOT NULL),
       |r AS (
       |  SELECT event_type, variant,
-      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rnk
+      |    CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT)
+      |      + COUNT(*) OVER (PARTITION BY event_type, value) - 1 AS rnk2
       |  FROM ev),
       |a AS (
       |  SELECT event_type,
-      |    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n1,
-      |    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n2,
-      |    SUM(CASE WHEN variant = 0 THEN rnk ELSE 0 END) AS r1
-      |  FROM r GROUP BY event_type)
-      |SELECT event_type, n1, n2,
-      |  r1 - n1 * (n1 + 1) // 2 AS u1,
-      |  CAST(CAST((CAST(r1 - n1 * (n1 + 1) // 2 AS DOUBLE) - CAST(n1 * n2 AS DOUBLE) / 2.0)
-      |    / sqrt(CAST(n1 * n2 AS DOUBLE) * CAST(n1 + n2 + 1 AS DOUBLE) / 12.0)
-      |    AS DECIMAL(18,6)) AS DOUBLE) AS z
-      |FROM a ORDER BY event_type""".stripMargin
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN rnk2 ELSE 0 END) AS BIGINT) AS r1x2
+      |  FROM r GROUP BY event_type),
+      |t AS (
+      |  SELECT event_type, CAST(SUM(c * c * c - c) AS BIGINT) AS tt FROM (
+      |    SELECT event_type, value, COUNT(*) AS c FROM ev GROUP BY 1, 2)
+      |  GROUP BY event_type)
+      |SELECT a.event_type AS event_type, n1, n2,
+      |  r1x2 - n1 * (n1 + 1) AS u1x2,
+      |  CASE WHEN CAST(n1 * n2 AS DOUBLE) * (CAST(n1 + n2 + 1 AS DOUBLE)
+      |         - CAST(tt AS DOUBLE) / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) / 12.0 > 0.0
+      |  THEN CAST(CAST(CAST(r1x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+      |    / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) * (CAST(n1 + n2 + 1 AS DOUBLE)
+      |         - CAST(tt AS DOUBLE) / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) / 12.0))
+      |    AS DECIMAL(18,6)) AS DOUBLE) END AS z
+      |FROM a JOIN t ON t.event_type = a.event_type ORDER BY a.event_type""".stripMargin
 
   // ----------------------------------------------------------- q_simpson
 
@@ -175,7 +203,8 @@ object Relational9 {
       |  SELECT user_id % 10 AS cohort, event_type, COUNT(*) AS ni
       |  FROM events GROUP BY 1, 2),
       |a AS (
-      |  SELECT cohort, SUM(ni) AS n, COUNT(*) AS n_types, SUM(ni * ni) AS sum_sq
+      |  SELECT cohort, CAST(SUM(ni) AS BIGINT) AS n, COUNT(*) AS n_types,
+      |    SUM(ni * ni) AS sum_sq
       |  FROM c GROUP BY cohort)
       |SELECT cohort, n, n_types,
       |  CAST(CAST(1.0 - CAST(sum_sq AS DOUBLE) / CAST(n * n AS DOUBLE)
@@ -278,10 +307,14 @@ object Relational9 {
       lit(4.0) * mean * (col("sxxx").cast(DoubleType) / nd) +
       lit(6.0) * mean * mean * (col("sxx").cast(DoubleType) / nd) -
       lit(3.0) * mean * mean * mean * mean
+    // zero-variance guard: m2 = 0 makes the ratios NaN, which Spark's x6
+    // cast silently NULLs while DuckDB ERRORS on CAST('nan' AS DECIMAL) —
+    // the oracle run would abort. Both engines share the identical pinned
+    // m2 (same IEEE chain), so the m2 > 0 predicate agrees bitwise.
     a.select(col("nationkey"), col("n"),
         x6(mean / lit(100.0)).as("mean"),
-        x6(m3 / (m2 * sqrt(m2))).as("skewness"),
-        x6(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+        when(m2 > 0.0, x6(m3 / (m2 * sqrt(m2)))).as("skewness"),
+        when(m2 > 0.0, x6(m4 / (m2 * m2) - lit(3.0))).as("kurtosis"))
       .orderBy(col("nationkey"))
   }
 
@@ -310,8 +343,8 @@ object Relational9 {
       |  FROM m)
       |SELECT nationkey, n,
       |  CAST(CAST(mean / 100.0 AS DECIMAL(18,6)) AS DOUBLE) AS mean,
-      |  CAST(CAST(m3 / (m2 * sqrt(m2)) AS DECIMAL(18,6)) AS DOUBLE) AS skewness,
-      |  CAST(CAST(m4 / (m2 * m2) - 3.0 AS DECIMAL(18,6)) AS DOUBLE) AS kurtosis
+      |  CASE WHEN m2 > 0.0 THEN CAST(CAST(m3 / (m2 * sqrt(m2)) AS DECIMAL(18,6)) AS DOUBLE) END AS skewness,
+      |  CASE WHEN m2 > 0.0 THEN CAST(CAST(m4 / (m2 * m2) - 3.0 AS DECIMAL(18,6)) AS DOUBLE) END AS kurtosis
       |FROM k ORDER BY nationkey""".stripMargin
 
   // ---------------------------------------------------------- q_bollinger
@@ -493,7 +526,7 @@ object Relational9 {
       |signup AS (SELECT user_id, MIN(day) AS d0 FROM e WHERE event_type = 'signup' GROUP BY user_id),
       |rev AS (
       |  SELECT d0 // 7 AS cohort_week, (day - d0) // 7 AS week,
-      |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS rev_m
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT) AS rev_m
       |  FROM e JOIN signup USING (user_id)
       |  WHERE e.event_type = 'purchase' AND value IS NOT NULL AND day >= d0
       |  GROUP BY 1, 2),
@@ -724,7 +757,7 @@ object Relational9 {
       |    greatest(datediff('day', start, month), 0) AS k0,
       |    least(datediff('day', start, month + INTERVAL 1 MONTH), d) AS k1
       |  FROM mo)
-      |SELECT month, SUM(k1 - k0) AS n_order_days,
+      |SELECT month, CAST(SUM(k1 - k0) AS BIGINT) AS n_order_days,
       |  CAST(SUM((t // d) * (k1 - k0) + (least(t % d, k1) - least(t % d, k0))) AS DOUBLE)
       |    / 100.0 AS recognized
       |FROM k GROUP BY month ORDER BY month""".stripMargin
@@ -745,12 +778,14 @@ object Relational9 {
     * full outer join, running sums on the bounded calendar frame (the
     * q_trailing7/q_bollinger documented shape). */
   def qBacklog(s: SparkSession, dir: String): DataFrame = {
+    // to_date, NOT date_trunc: Spark's date_trunc returns TIMESTAMP where
+    // DuckDB's date_trunc('day', DATE) stays DATE — the r11 type-parity slip.
     val opened = Tables.orders(s, dir)
-      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n_opened"))
     val closed = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("last_ship"))
-      .groupBy(date_trunc("day", col("last_ship")).as("day"))
+      .groupBy(to_date(col("last_ship")).as("day"))
       .agg(count(lit(1)).as("n_closed"))
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -765,10 +800,10 @@ object Relational9 {
 
   val qBacklogSql: String =
     """WITH opened AS (
-      |  SELECT date_trunc('day', o_orderdate) AS day, COUNT(*) AS n_opened
+      |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_opened
       |  FROM orders GROUP BY 1),
       |closed AS (
-      |  SELECT date_trunc('day', last_ship) AS day, COUNT(*) AS n_closed
+      |  SELECT CAST(last_ship AS DATE) AS day, COUNT(*) AS n_closed
       |  FROM (SELECT l_orderkey, MAX(l_shipdate) AS last_ship FROM lineitem GROUP BY 1)
       |  GROUP BY 1),
       |j AS (
@@ -776,7 +811,7 @@ object Relational9 {
       |    COALESCE(n_opened, 0) AS n_opened, COALESCE(n_closed, 0) AS n_closed
       |  FROM opened o FULL OUTER JOIN closed c ON c.day = o.day)
       |SELECT day, n_opened, n_closed,
-      |  SUM(n_opened) OVER w - SUM(n_closed) OVER w AS backlog
+      |  CAST(SUM(n_opened) OVER w - SUM(n_closed) OVER w AS BIGINT) AS backlog
       |FROM j
       |WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY day""".stripMargin

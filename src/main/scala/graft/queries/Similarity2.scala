@@ -357,7 +357,7 @@ object Similarity2 {
        |  FROM a4 a JOIN embeddings e ON e.vec_id = a.p_id
        |  GROUP BY a.c_id, e.label),
        |mj AS (
-       |  SELECT c_id, SUM(cnt) AS n_members,
+       |  SELECT c_id, CAST(SUM(cnt) AS BIGINT) AS n_members,
        |    MAX_BY(label, cnt * 1000 - label) AS majority_label,
        |    MAX(cnt) AS majority_n
        |  FROM cells GROUP BY c_id)
@@ -651,7 +651,7 @@ object Similarity2 {
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cnt DESC, n_label) AS rn
        |    FROM votes) WHERE rn = 1)
        |SELECT ql.label AS label, COUNT(*) AS n_queries,
-       |  SUM(CASE WHEN p.predicted = ql.label THEN 1 ELSE 0 END) AS n_correct,
+       |  CAST(SUM(CASE WHEN p.predicted = ql.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        |  CAST(CAST(CAST(SUM(CASE WHEN p.predicted = ql.label THEN 1 ELSE 0 END) AS DOUBLE)
        |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS accuracy
        |FROM pred p JOIN embeddings ql ON ql.vec_id = p.q_id
@@ -716,7 +716,7 @@ object Similarity2 {
        |  CROSS JOIN (VALUES $npList) np(nprobe)
        |  WHERE pr.proberank <= np.nprobe
        |  GROUP BY pr.q_id, np.nprobe)
-       |SELECT nprobe, COUNT(*) AS n_queries, SUM(c) AS total_candidates,
+       |SELECT nprobe, COUNT(*) AS n_queries, CAST(SUM(c) AS BIGINT) AS total_candidates,
        |  MIN(c) AS min_per_q, MAX(c) AS max_per_q,
        |  CAST(CAST(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS avg_per_q
        |FROM perq GROUP BY nprobe ORDER BY nprobe""".stripMargin

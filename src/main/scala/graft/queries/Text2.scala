@@ -697,9 +697,9 @@ object Text2 {
   val tFertilitySql: String =
     s"""WITH a AS (
        |  SELECT lang, COUNT(*) AS n_docs,
-       |    SUM(len($toks)) AS n_words,
-       |    SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]'))) AS n_pieces,
-       |    SUM(octet_length(encode(text))) AS n_bytes
+       |    CAST(SUM(len($toks)) AS BIGINT) AS n_words,
+       |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r\\f]'))) AS BIGINT) AS n_pieces,
+       |    CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes
        |  FROM documents GROUP BY lang)
        |SELECT lang, n_docs, n_words, n_pieces, n_bytes,
        |  CAST(CAST(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS fertility,
@@ -751,9 +751,9 @@ object Text2 {
        |m AS (
        |  SELECT lang, hs[$n] AS top1, hs[$n] - hs[${n - 1}] AS margin FROM h)
        |SELECT lang, COUNT(*) AS n_docs,
-       |  SUM(CASE WHEN top1 = 0 THEN 1 ELSE 0 END) AS n_nohit,
-       |  SUM(CASE WHEN top1 > 0 AND margin = 0 THEN 1 ELSE 0 END) AS n_ambiguous,
-       |  SUM(CASE WHEN margin >= 2 THEN 1 ELSE 0 END) AS n_confident,
+       |  CAST(SUM(CASE WHEN top1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nohit,
+       |  CAST(SUM(CASE WHEN top1 > 0 AND margin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ambiguous,
+       |  CAST(SUM(CASE WHEN margin >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_confident,
        |  MAX(margin) AS max_margin
        |FROM m GROUP BY lang ORDER BY lang""".stripMargin
   }
@@ -830,7 +830,7 @@ object Text2 {
        |      FROM d WHERE split = 'val'))
        |  WHERE t <> '')
        |SELECT lang, COUNT(*) AS n_tokens,
-       |  SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
        |  CAST(CAST(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
        |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS oov_rate
        |FROM ev LEFT JOIN vocab v USING (token)

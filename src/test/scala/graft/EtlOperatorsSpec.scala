@@ -17,6 +17,29 @@ class EtlOperatorsSpec extends AnyFunSuite {
     assert(ids.sameElements(again))
   }
 
+  test("StableId hashAlgo knob: sha1 digests pinned against known vectors (the legacy-n2kresult reconcile); sha1 oracle loudly refused") {
+    // payload for a single non-null column c is just its escaped string, so
+    // the expected digests are ordinary sha1/sha256 of the value bytes —
+    // pinned here against externally-computable vectors because this path
+    // has NO DuckDB oracle (DuckDB ships no sha1; the declared boundary)
+    val df = Seq("abc", "n2k").toDF("c")
+    def ids(algo: String) = StableId.withStableId(df, Seq("c"), "sk", algo)
+      .select("c", "sk").as[(String, String)].collect().toMap
+    val sha1 = ids("sha1")
+    assert(sha1("abc") == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(sha1.values.forall(_.length == 40))
+    val sha256 = ids("sha256")
+    assert(sha256("abc") ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    // the three algos hash the SAME payload — collisions are algo-invariant
+    assert(ids("md5").keySet == sha1.keySet)
+    val e = intercept[IllegalArgumentException] {
+      StableId.oracleExpr(Seq("c"), "sha1")
+    }
+    assert(e.getMessage.contains("no sha1"))
+    intercept[IllegalArgumentException] { StableId.stableId(Seq(col("c")), "crc32") }
+  }
+
   test("Validate.report counts violations in one pass, nulls count as violations") {
     val df = Seq(Some(5), Some(-1), None, Some(10)).toDF("v")
     val rep = Validate.report(df, Seq(

@@ -73,25 +73,30 @@ class InvariantSpec extends AnyFunSuite {
   }
 
   test("q_spearman: rho in [-1,1] and recomposes exactly from the emitted exact sums") {
+    // midrank semantics: sum_d2x4 is Σd² in QUARTER units (midranks carried
+    // as 2·midrank integers), so rho = 1 − 1.5·sum_d2x4/(n(n²−1))
     val rows = graft.queries.Relational9.qSpearman(spark, dir)
       .as[(Int, Long, Long, Double)].collect()
     assert(rows.nonEmpty)
-    for ((nk, n, d2, rho) <- rows) {
+    for ((nk, n, d2x4, rho) <- rows) {
       assert(rho >= -1.0 && rho <= 1.0, s"nation $nk: rho=$rho")
-      val recomposed = BigDecimal(1.0 - 6.0 * d2 / (n.toDouble * (n.toDouble * n - 1)))
+      val recomposed = BigDecimal(1.0 - 1.5 * d2x4 / (n.toDouble * (n.toDouble * n - 1)))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(math.abs(recomposed - rho) <= 1e-6, s"nation $nk: $recomposed vs $rho")
     }
   }
 
   test("q_mann_whitney: U within [0, n1*n2]; z sign agrees with U vs its midpoint") {
+    // midrank semantics: u1x2 = 2·U₁ (midranks can be half-integers);
+    // z's midpoint test runs in the same doubled units
     val rows = graft.queries.Relational9.qMannWhitney(spark, dir)
-      .as[(String, Long, Long, Long, Double)].collect()
+      .as[(String, Long, Long, Long, Option[Double])].collect()
     assert(rows.nonEmpty)
-    for ((t, n1, n2, u1, z) <- rows) {
-      assert(u1 >= 0 && u1 <= n1 * n2, s"$t: U=$u1 outside [0, ${n1 * n2}]")
-      val mid = n1.toDouble * n2 / 2.0
-      assert((z > 0) == (u1 > mid) || z == 0.0, s"$t: z=$z disagrees with U=$u1 mid=$mid")
+    for ((t, n1, n2, u1x2, zOpt) <- rows) {
+      assert(u1x2 >= 0 && u1x2 <= 2 * n1 * n2, s"$t: 2U=$u1x2 outside [0, ${2 * n1 * n2}]")
+      val z = zOpt.getOrElse(fail(s"$t: z null — zero tie-corrected variance on real data"))
+      val mid2 = n1.toDouble * n2
+      assert((z > 0) == (u1x2 > mid2) || z == 0.0, s"$t: z=$z disagrees with 2U=$u1x2 mid=$mid2")
     }
   }
 

@@ -48,6 +48,28 @@ class SketchToggleSpec extends AnyFunSuite {
     } finally j.unpersist()
   }
 
+  test("q_histogram_eqd approx=true: bucket masses agree with exact within 1% at sf0.1") {
+    // bucket identity is positional (1..8), so compare per-bucket row
+    // counts: a sketch boundary can only move rows within its rank error
+    // of the cut, bounding each bucket's mass shift to ~1e-4 of the corpus
+    val exact = graft.queries.Relational6.qHistogramEqd(spark, sf, approx = false)
+      .select(col("bucket"), col("n"))
+    val approx = graft.queries.Relational6.qHistogramEqd(spark, sf, approx = true)
+      .select(col("bucket"), col("n").as("na"))
+    val rows = exact.join(approx, "bucket").collect()
+    assert(rows.length == 8, s"both paths must produce all 8 buckets, got ${rows.length}")
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val drift = math.abs(r.getLong(1) - r.getLong(2)).toDouble / total
+      assert(drift <= 0.01,
+        s"bucket ${r.get(0)}: exact=${r.getLong(1)} approx=${r.getLong(2)} — mass drift $drift > 1%")
+    }
+    val approxPlan = graft.queries.Relational6.qHistogramEqd(spark, sf, approx = true)
+      .queryExecution.optimizedPlan.toString
+    assert(approxPlan.contains("percentile_approx"),
+      s"approx path must use the sketch aggregate:\n${approxPlan.take(1500)}")
+  }
+
   test("e_mad_outliers approx=true: flagged row sets agree with exact on >= 99% at sf0.1") {
     // the flag rule |x−med|/(1.4826·MAD) > 3 compares against sketch
     // medians under approx — only rows within the sketch's rank error of

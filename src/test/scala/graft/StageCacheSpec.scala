@@ -71,6 +71,42 @@ class StageCacheSpec extends AnyFunSuite {
     assert(StageCache.release(spark, "nest:") == 403)
   }
 
+  test("cyclic stage prerequisites fail fast instead of deadlocking") {
+    // two threads building mutually-dependent stages would deadlock on
+    // each other's lazy-val monitors; the per-thread build stack turns
+    // any cycle into a loud error at the point of re-entry.
+    val e = intercept[IllegalArgumentException] {
+      StageCache.getOrCompute(spark, "cyc:a") {
+        StageCache.getOrCompute(spark, "cyc:b") {
+          StageCache.getOrCompute(spark, "cyc:a") { // re-enters a: cycle
+            Seq(1).toDF("v").localCheckpoint(false)
+          }
+        }
+      }
+    }
+    assert(e.getMessage.contains("cycle"))
+    StageCache.release(spark, "cyc:")
+  }
+
+  test("release during an in-flight build leaks nothing: the built stage re-maps") {
+    // a release that lands while the builder is running evicts an
+    // UNCOMPUTED holder (no blocks to free yet). getOrCompute must re-map
+    // the freshly-built holder so the checkpoint blocks stay reachable —
+    // the NEXT release frees them instead of leaking to session end.
+    val frame = StageCache.getOrCompute(spark, "race:ds:stage") {
+      // simulate the race deterministically: the eviction happens while
+      // THIS build is in flight
+      assert(StageCache.release(spark, "race:ds:") == 1)
+      Seq(1, 2).toDF("v").localCheckpoint(false)
+    }
+    assert(frame.count() == 2)
+    assert(StageCache.isLive(spark, "race:ds:stage"),
+      "built-during-release stage must be re-mapped, not orphaned")
+    assert(StageCache.release(spark, "race:ds:") == 1)
+    assert(!org.apache.spark.sql.graftshim.CheckpointBridge.isPersisted(frame),
+      "the re-mapped stage's blocks must be freed by the next release")
+  }
+
   test("DedupQ.release drops the dedup family's stages for one dataset") {
     val dir = "/root/testdata/sf0.001"
     // drive a gate that populates the signature stage

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming
+
+/** The message-bus source seam (SURVEY §2G boundary, VERDICT r11 missing
+  * #1): a DataSourceV2 micro-batch "topic" with Kafka-shaped offset
+  * semantics proves the streaming operators are source-agnostic — the
+  * same watermark/state machinery that runs on file/memory streams runs
+  * unchanged on an offset-planned bus, with rate limiting
+  * (maxOffsetsPerTrigger), mid-topic starts (startingOffset), and
+  * exactly-once range planning across many micro-batches. */
+class StreamBusSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("the short name registers through the DataSourceRegister SPI and batch-reads the topic") {
+    val df = spark.read.format("graftbus").option("rows", 100).load()
+    assert(df.count() == 100)
+    assert(df.columns.toSeq ==
+      Seq("event_id", "user_id", "event_type", "ts", "value"))
+    // value nulls every 11th record — null handling crosses the seam
+    assert(df.filter("value IS NULL").count() == 10)
+  }
+
+  test("maxOffsetsPerTrigger drains a backlog across many micro-batches, exactly once") {
+    val q = spark.readStream.format("graftbus")
+      .option("rows", 500).option("maxOffsetsPerTrigger", 64).load()
+      .writeStream.outputMode("append").format("memory").queryName("bus_drain")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("bus_drain").select("event_id").as[Long].collect()
+    assert(ids.length == 500, s"exactly-once: got ${ids.length} of 500 records")
+    assert(ids.toSet == (0L until 500L).toSet,
+      "offset-range planning must lose and duplicate nothing")
+    // 500 records at <=64/trigger needs >= 8 distinct micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 8,
+      s"rate limit must split the backlog; batches: " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
+  test("startingOffset begins mid-topic, skipping exactly the earlier records") {
+    val q = spark.readStream.format("graftbus")
+      .option("rows", 200).option("startingOffset", 150).load()
+      .writeStream.outputMode("append").format("memory").queryName("bus_mid")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("bus_mid").select("event_id").as[Long].collect().toSet
+    assert(ids == (150L until 200L).toSet)
+  }
+
+  test("the watermarked hourly operator runs UNCHANGED on the bus source and matches its batch twin") {
+    // the same hourlyAgg every file/memory-stream spec drives — zero
+    // operator changes across sources is the entire point of the seam
+    val stream = spark.readStream.format("graftbus")
+      .option("rows", 2000).option("maxOffsetsPerTrigger", 700).load()
+    val q = Streaming.hourlyAgg(stream, withWatermark = true)
+      .writeStream.outputMode("append").format("memory").queryName("bus_hourly")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bus_hourly")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = Streaming.hourlyAgg(
+      spark.read.format("graftbus").option("rows", 2000).load(),
+      withWatermark = false)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty, "watermark must have closed windows")
+    assert(streamed.subsetOf(batch),
+      "every window emitted over the bus must match the batch twin")
+    // records arrive in offset order == event-time order here, so only
+    // the (hour, type) windows inside the 2h watermark of the topic
+    // frontier stay open: <= 3 hour buckets x 5 types
+    assert(streamed.size >= batch.size - 15,
+      s"watermark closed ${streamed.size} of ${batch.size} windows — too few")
+  }
+}

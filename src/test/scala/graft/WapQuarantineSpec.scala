@@ -5,6 +5,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Quarantine, Wap}
 
+/** Local filesystem under a scheme with NO AbstractFileSystem binding —
+  * the spec double for an object store where FileContext (and thus atomic
+  * Rename.OVERWRITE) is unavailable. */
+class GraftLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+}
+
 /** Write–Audit–Publish + Quarantine: the divert-don't-abort ingest
   * contract and the atomic snapshot-pointer publish. */
 class WapQuarantineSpec extends AnyFunSuite {
@@ -93,6 +100,36 @@ class WapQuarantineSpec extends AnyFunSuite {
     assert(Wap.publishVersioned(spark, root, "v1", rules) == 1L)
     assert(Wap.history(spark, root).map(_._1) == Seq(1L, 2L))
     assert(Wap.currentLabel(spark, root).contains("snap-v1"), "re-publish swings the pointer (rollback via republish)")
+  }
+
+  test("publish falls back to delete-then-rename when FileContext rejects the scheme (object-store shape)") {
+    // graftfs:// resolves a FileSystem (fs.graftfs.impl below) but has NO
+    // AbstractFileSystem binding, so FileContext.getFileContext throws
+    // UnsupportedFileSystemException (an IOException) — the exact shape of
+    // an object-store binding without atomic rename. Publish must route to
+    // the delete-then-rename fallback instead of stranding the tmp pointer.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", classOf[GraftLocalFs].getName)
+    intercept[java.io.IOException] { // prove the FileContext path is closed
+      org.apache.hadoop.fs.FileContext.getFileContext(
+        java.net.URI.create("graftfs:///"), spark.sessionState.newHadoopConf())
+    }
+    val root = "graftfs:///tmp/graft_wap_fallback_spec"
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+
+    val v1 = Seq((1, Some("a"), 5)).toDF("id", "name", "v")
+    Wap.stage(spark, root, "v1", v1)
+    Wap.publish(spark, root, "v1", rules) // first publish: no pointer yet
+    assert(Wap.currentLabel(spark, root).contains("snap-v1"))
+    val v2 = Seq((1, Some("a"), 5), (2, Some("b"), 7)).toDF("id", "name", "v")
+    Wap.stage(spark, root, "v2", v2)
+    Wap.publish(spark, root, "v2", rules) // re-publish: delete + rename path
+    assert(Wap.currentLabel(spark, root).contains("snap-v2"))
+    assert(Wap.readCurrent(spark, root).count() == 2)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/current.tmp")),
+      "fallback must consume the tmp pointer, not strand it")
   }
 
   test("e_quarantine gate: reasons are deterministic and every lineitem row is either clean or diverted") {

@@ -28,18 +28,36 @@ def main(sfdir, outdir):
         if not files:
             results[name] = "EMPTY-DIR"
             continue
-        got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchdf()
+        grel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        got = grel.fetchdf()
         if name not in oracle:
             results[name] = f"rows-only: {len(got)} rows" + (" OK" if len(got) > 0 else " FAIL(0 rows)")
             continue
         try:
-            exp = con.execute(oracle[name]).fetchdf()
+            erel = con.sql(oracle[name])
+            exp = erel.fetchdf()
         except Exception as e:
             results[name] = f"ORACLE-SQL-ERROR: {str(e)[:200]}"
             continue
         gcols, ecols = sorted(got.columns), sorted(exp.columns)
         if gcols != ecols:
             results[name] = f"SCHEMA-MISMATCH spark={gcols} oracle={ecols}"
+            continue
+        # Driver-faithful type gate (the class that cost round 11): the
+        # driver hashes pandas-coerced values, so what matters is the pandas
+        # dtype KIND, not the DuckDB logical type. DuckDB coerces BIGINT/
+        # INTEGER -> int64/int32 (both kind 'i': equal hash), DATE and
+        # TIMESTAMP -> datetime64 (equal), DECIMAL and DOUBLE -> float64
+        # (equal) — but SUM(BIGINT) -> HUGEINT -> float64 (kind 'f'), which
+        # renders 42.0 vs the int64 42 and breaks the hash. Comparing kinds
+        # reproduces exactly the driver's pass/fail set; oracles must CAST
+        # widening aggregates (SUM -> BIGINT) to stay in the int kind.
+        gtypes = dict(zip(grel.columns, (str(t) for t in grel.types)))
+        etypes = dict(zip(erel.columns, (str(t) for t in erel.types)))
+        tbad = [f"{c}: spark={got[c].dtype}({gtypes[c]}) oracle={exp[c].dtype}({etypes[c]})"
+                for c in gcols if got[c].dtype.kind != exp[c].dtype.kind]
+        if tbad:
+            results[name] = "TYPE-MISMATCH " + "; ".join(tbad[:4])
             continue
         if len(got) != len(exp):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(got)} oracle={len(exp)}"

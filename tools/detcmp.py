@@ -23,10 +23,17 @@ def main(a, b):
         if not fa or not fb:
             bad.append(f"{n}: empty dump ({len(fa)} vs {len(fb)} files)")
             continue
-        xa = con.execute(f"SELECT * FROM read_parquet('{da}/*.parquet')").fetchdf()
-        xb = con.execute(f"SELECT * FROM read_parquet('{db}/*.parquet')").fetchdf()
+        ra = con.sql(f"SELECT * FROM read_parquet('{da}/*.parquet')")
+        rb = con.sql(f"SELECT * FROM read_parquet('{db}/*.parquet')")
+        xa, xb = ra.fetchdf(), rb.fetchdf()
         if sorted(xa.columns) != sorted(xb.columns):
             bad.append(f"{n}: schema {sorted(xa.columns)} vs {sorted(xb.columns)}")
+            continue
+        ta = dict(zip(ra.columns, (str(t) for t in ra.types)))
+        tb = dict(zip(rb.columns, (str(t) for t in rb.types)))
+        tdiff = [c for c in sorted(xa.columns) if ta[c] != tb[c]]
+        if tdiff:
+            bad.append(f"{n}: types differ on {[(c, ta[c], tb[c]) for c in tdiff[:4]]}")
             continue
         cols = sorted(xa.columns)
         xa = xa[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
