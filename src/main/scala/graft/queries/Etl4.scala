@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.OracleParity.x6
+
+/** Round-12 ETL batch: source-to-target reconciliation (the audit every
+  * finance-adjacent pipeline runs before sign-off) and late-arrival
+  * profiling (the measurement that PICKS a watermark, rather than
+  * guessing one). */
+object Etl4 {
+
+  // ----------------------------------------------------------- e_reconcile
+
+  /** e_reconcile: SOURCE-TO-TARGET AMOUNT RECONCILIATION — recompute each
+    * order's total from its lines (Σ extprice·(1−disc)·(1+tax)) and
+    * reconcile against the order header's o_totalprice, classified per
+    * order status: exact match / within a cent / off, with the absolute
+    * drift mass. The double-entry audit a warehouse runs between a fact
+    * table and its rollup before a close — and on synthetic data the
+    * point is exactly that the identity need NOT hold: the gate REPORTS
+    * the discrepancy profile instead of assuming it away.
+    *
+    * Parity: ALL integer micro-units — each factor decimal-casts from
+    * its double then scales to micros, and the per-line amount is two
+    * chained integer `div`s (truncation identical in both engines on
+    * non-negative operands). No float arithmetic anywhere before the one
+    * pinned share division.
+    *
+    * Scale shape: one line-level narrow map + orderkey-keyed sum
+    * (map-side partial), broadcast-able header join keyed the same, one
+    * ≤|statuses|-row rollup. */
+  def eReconcile(s: SparkSession, dir: String): DataFrame = {
+    val M = 1000000L
+    val lineMicro = expr(
+      s"""CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * $M AS BIGINT)
+         |  * ($M - CAST(CAST(l_discount AS DECIMAL(18,6)) * $M AS BIGINT)) div $M
+         |  * ($M + CAST(CAST(l_tax AS DECIMAL(18,6)) * $M AS BIGINT)) div $M
+         |""".stripMargin.replace("\n", " "))
+    val recomputed = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), lineMicro.as("line_micro"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("line_micro")).as("recomputed_micro"))
+    val diff = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(M)).cast("long").as("stated_micro"))
+      .join(recomputed, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderstatus"),
+        (coalesce(col("recomputed_micro"), lit(0L)) - col("stated_micro")).as("diff"))
+    diff.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("diff") === 0L, 1L).otherwise(0L)).as("n_exact"),
+        sum(when(abs(col("diff")) <= 10000L, 1L).otherwise(0L)).as("n_within_cent"),
+        sum(abs(col("diff"))).as("abs_drift_micro"))
+      .select(col("o_orderstatus"), col("n_orders"), col("n_exact"),
+        col("n_within_cent"),
+        (col("n_orders") - col("n_within_cent")).as("n_off"),
+        col("abs_drift_micro"),
+        x6(col("n_within_cent").cast("double") / col("n_orders").cast("double"))
+          .as("reconciled_share"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val eReconcileSql: String = {
+    val M = 1000000L
+    s"""WITH lm AS (
+       |  SELECT l_orderkey,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * $M AS BIGINT)
+       |      * ($M - CAST(CAST(l_discount AS DECIMAL(18,6)) * $M AS BIGINT)) // $M
+       |      * ($M + CAST(CAST(l_tax AS DECIMAL(18,6)) * $M AS BIGINT)) // $M AS line_micro
+       |  FROM lineitem),
+       |rc AS (SELECT l_orderkey, CAST(SUM(line_micro) AS BIGINT) AS recomputed_micro
+       |       FROM lm GROUP BY 1),
+       |d AS (
+       |  SELECT o_orderstatus,
+       |    COALESCE(recomputed_micro, 0) - CAST(CAST(o_totalprice AS DECIMAL(18,6)) * $M AS BIGINT) AS diff
+       |  FROM orders LEFT JOIN rc ON l_orderkey = o_orderkey)
+       |SELECT o_orderstatus, COUNT(*) AS n_orders,
+       |  CAST(SUM(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |  CAST(SUM(CASE WHEN abs(diff) <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_cent,
+       |  CAST(COUNT(*) - SUM(CASE WHEN abs(diff) <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_off,
+       |  CAST(SUM(abs(diff)) AS BIGINT) AS abs_drift_micro,
+       |  CAST(CAST(CAST(SUM(CASE WHEN abs(diff) <= 10000 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS reconciled_share
+       |FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  }
+
+  // ------------------------------------------------------- e_late_arrivals
+
+  /** e_late_arrivals: LATE-ARRIVAL PROFILE — per event day, how many rows
+    * physically arrive after the day has closed, how late the stragglers
+    * run, and what share a 6-hour grace window would still miss. This is
+    * the measurement that CHOOSES a watermark/grace period (st_* gates
+    * assume 2 h — this gate is how that number is justified from data)
+    * and sizes the backfill surface for e_partition_overwrite. Ingest
+    * time is synthesized deterministically (event time + an md5-derived
+    * 0–48 h delay — the q_ab_srm hashing convention) so both engines
+    * replay the identical arrival process.
+    *
+    * Parity: pure integer epoch arithmetic. Scale shape: one narrow map
+    * + one day-keyed map-side-partial rollup. */
+  def eLateArrivals(s: SparkSession, dir: String): DataFrame = {
+    val UsPerDay = 86400000000L
+    val UsPerHour = 3600000000L
+    val ev = Tables.events(s, dir).withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("delay_us",
+        conv(substring(md5(col("event_id").cast("string")), 1, 12), 16, 10)
+          .cast("long") % (48L * UsPerHour))
+      .withColumn("day", expr(s"ts_us div $UsPerDay"))
+      .withColumn("arrive_us", col("ts_us") + col("delay_us"))
+    ev.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("arrive_us") >= (col("day") + 1) * UsPerDay, 1L).otherwise(0L))
+          .as("n_late"),
+        sum(when(col("arrive_us") >= (col("day") + 1) * UsPerDay + 6 * UsPerHour, 1L)
+          .otherwise(0L)).as("n_past_grace"),
+        max(col("arrive_us") - col("ts_us")).as("max_delay_us"))
+      .select(col("day"), col("n_events"), col("n_late"), col("n_past_grace"),
+        (col("max_delay_us") / UsPerHour).cast("long").as("max_delay_h"),
+        x6(col("n_late").cast("double") / col("n_events").cast("double")).as("late_share"),
+        x6(col("n_past_grace").cast("double") / col("n_events").cast("double"))
+          .as("past_grace_share"))
+      .orderBy(col("day"))
+  }
+
+  val eLateArrivalsSql: String =
+    """WITH ev AS (
+      |  SELECT epoch_us(ts) AS ts_us,
+      |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT % 172800000000 AS delay_us
+      |  FROM events),
+      |f AS (
+      |  SELECT ts_us // 86400000000 AS day, ts_us, ts_us + delay_us AS arrive_us
+      |  FROM ev)
+      |SELECT day, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN arrive_us >= (day + 1) * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(SUM(CASE WHEN arrive_us >= (day + 1) * 86400000000 + 21600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_past_grace,
+      |  CAST(MAX(arrive_us - ts_us) // 3600000000 AS BIGINT) AS max_delay_h,
+      |  CAST(CAST(CAST(SUM(CASE WHEN arrive_us >= (day + 1) * 86400000000 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS late_share,
+      |  CAST(CAST(CAST(SUM(CASE WHEN arrive_us >= (day + 1) * 86400000000 + 21600000000 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS past_grace_share
+      |FROM f GROUP BY day ORDER BY day""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_reconcile"     -> eReconcile _,
+    "e_late_arrivals" -> eLateArrivals _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e_reconcile"     -> eReconcileSql,
+    "e_late_arrivals" -> eLateArrivalsSql,
+  )
+}

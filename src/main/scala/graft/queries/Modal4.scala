@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.OracleParity.x6
+import graft.streaming.Streaming
+
+/** Round-12 multimodal/streaming additions: the aspect-ratio bucketing a
+  * vision-training pipeline shards batches by, and the message-bus source
+  * formula pinned cross-engine through the windowed operator. */
+object Modal4 {
+
+  // --------------------------------------------------------- m_aspect_bucket
+
+  /** The canonical training buckets: (name, w_ratio, h_ratio). */
+  private val AspectBuckets = Seq(
+    ("square_1_1", 1L, 1L), ("landscape_4_3", 4L, 3L), ("portrait_3_4", 3L, 4L),
+    ("wide_16_9", 16L, 9L), ("tall_9_16", 9L, 16L))
+
+  /** m_aspect_bucket: ASPECT-RATIO BUCKETING — the batch-sharding knob of
+    * every vision/multimodal training pipeline (variable-aspect images
+    * batch efficiently only when grouped into a few canonical aspect
+    * buckets and resized within the bucket; bucketing is what m_letterbox
+    * and m_resize compose with). Synthetic per-image dimensions derive
+    * from doc_id (the m_resize_px convention); each image maps to the
+    * nearest of 5 canonical buckets by EXACT INTEGER cross-multiplication
+    * — |w·hr − h·wr| scaled to a common denominator, argmin with a
+    * deterministic bucket-order tiebreak — so no float ratio ever
+    * compares. Per bucket: population, true min/max ratios as one pinned
+    * division each.
+    *
+    * Scale shape: a narrow per-image map (the argmin folds over a
+    * 5-element literal array) + one ≤5-row rollup. On a real corpus the
+    * (w, h) come from m_png_meta's header walk — no decode needed. */
+  def mAspectBucket(s: SparkSession, dir: String): DataFrame = {
+    val w = (lit(256L) + (col("doc_id") % 13) * 96L).as("w")
+    val h = (lit(256L) + ((col("doc_id") % 7) * 128L)).as("h")
+    // per bucket i: score_i = |w·hr_i − h·wr_i| · (K / (wr_i·hr_i)) — the
+    // common-denominator scaling that makes cross-bucket scores comparable
+    // (K = 16·9·4·3 covers every wr·hr product exactly)
+    val K = 16L * 9L * 4L * 3L
+    val scoreExprs = AspectBuckets.map { case (name, wr, hr) =>
+      (name, s"abs(w * $hr - h * $wr) * ${K / (wr * hr)}")
+    }
+    val best = scoreExprs.map { case (name, e) => s"struct($e AS s, '$name' AS b)" }
+      .mkString("array_min(array(", ", ", "))")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), w, h)
+      .withColumn("bucket", expr(s"$best.b"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_images"),
+        min(col("w")).as("min_w"), max(col("w")).as("max_w"),
+        x6(min(col("w").cast("double") / col("h").cast("double"))).as("min_ratio"),
+        x6(max(col("w").cast("double") / col("h").cast("double"))).as("max_ratio"))
+      .orderBy(col("bucket"))
+  }
+
+  val mAspectBucketSql: String = {
+    val K = 16L * 9L * 4L * 3L
+    val structs = AspectBuckets.map { case (name, wr, hr) =>
+      s"{'s': abs(w * $hr - h * $wr) * ${K / (wr * hr)}, 'b': '$name'}"
+    }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    256 + (doc_id % 13) * 96 AS w, 256 + (doc_id % 7) * 128 AS h
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, w, h, list_min([$structs]).b AS bucket
+       |  FROM d)
+       |SELECT bucket, COUNT(*) AS n_images,
+       |  CAST(MIN(w) AS BIGINT) AS min_w, CAST(MAX(w) AS BIGINT) AS max_w,
+       |  CAST(CAST(MIN(CAST(w AS DOUBLE) / CAST(h AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS min_ratio,
+       |  CAST(CAST(MAX(CAST(w AS DOUBLE) / CAST(h AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS max_ratio
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------- st_bus_hourly
+
+  private val BusRows = 5000L
+
+  /** st_bus_hourly: the MESSAGE-BUS SOURCE under the oracle gate — the
+    * kappa-backfill (batch) face of the `graftbus` DataSourceV2 topic
+    * runs through the SAME hourlyAgg as st_hourly, and DuckDB replays the
+    * topic's generating formula independently (generate_series → the
+    * identical user/type/event-time/value derivation). This pins the
+    * source's row formula, null placement, and offset-range completeness
+    * cross-engine; StreamBusSourceSpec pins the streaming face
+    * (rate-limited micro-batches, exactly-once) against this same batch
+    * answer.
+    *
+    * Scale shape: the source plans 4 offset-range partitions (a real bus
+    * maps partitions 1:1); the windowed rollup is the st_hourly shape. */
+  def stBusHourly(s: SparkSession, dir: String): DataFrame =
+    Streaming.hourlyAgg(
+      s.read.format("graftbus").option("rows", BusRows).load(), // ts = epoch nanos
+      withWatermark = false)
+      .orderBy(col("hour_start_us"), col("event_type"))
+
+  val stBusHourlySql: String =
+    s"""WITH topic AS (
+       |  SELECT i % 97 AS user_id,
+       |    ['view', 'click', 'purchase', 'signup', 'refund'][CAST(i % 5 AS INT) + 1] AS event_type,
+       |    1735689600000000 + i * 90000000 AS ts_us,
+       |    CASE WHEN i % 11 = 0 THEN NULL ELSE CAST(i % 1000 AS DOUBLE) / 100.0 END AS value
+       |  FROM (SELECT unnest(range($BusRows)) AS i))
+       |SELECT (ts_us // 3600000000) * 3600000000 AS hour_start_us, event_type,
+       |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       |FROM topic GROUP BY 1, 2 ORDER BY hour_start_us, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_aspect_bucket" -> mAspectBucket _,
+    "st_bus_hourly"   -> stBusHourly _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m_aspect_bucket" -> mAspectBucketSql,
+    "st_bus_hourly"   -> stBusHourlySql,
+  )
+}

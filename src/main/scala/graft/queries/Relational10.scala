@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+import graft.functions.OracleParity.x6
+
+/** Round-12 analytics batch: distribution-comparison tests that complete
+  * the non-parametric toolkit of Relational9 — Kolmogorov–Smirnov (is the
+  * whole SHAPE different, not just the location Mann-Whitney tests),
+  * Cramér's V (categorical association strength, the effect size q_chisq's
+  * per-cell terms don't roll up), and the Wald–Wolfowitz runs test (is a
+  * time series random around its level, the autocorrelation-free cousin of
+  * q_acf).
+  *
+  * Parity discipline (SURVEY §6): exact integer aggregates everywhere;
+  * floats only in one final pinned IEEE chain per output (sqrt only, no
+  * libm); chi-square terms sum as exact micro-unit BIGINTs so the total
+  * is summation-order-free. */
+object Relational10 {
+
+  // ------------------------------------------------------------ q_ks_test
+
+  /** q_ks_test: two-sample KOLMOGOROV–SMIRNOV per event type between the
+    * md5 variants (the q_ab_srm assignment, so the experiment family
+    * reads ONE bucketing): D = max |F₁(x) − F₂(x)| over the pooled
+    * support. The ECDF difference is carried as the exact integer
+    * |cum₁·n₂ − cum₂·n₁| (max of BIGINTs — no float ever compares), and
+    * D plus the α=0.01 significance threshold 1.628·√((n₁+n₂)/(n₁n₂))
+    * are one pinned chain each. At 100 TB-scale counts the cross product
+    * cum·n approaches 2⁶³ around n₁n₂ ≈ 9·10¹⁸ — switch the numerator to
+    * DECIMAL(38,0) there (the q_moments power-sum pattern).
+    *
+    * Scale shape: one (type, value) count (map-side partial), cumulative
+    * sums over per-type windows (range-partitioned, never global), one
+    * ≤|types|-row rollup. */
+  def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2)
+    val g = ev.groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c2"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = g.select(col("event_type"),
+      sum(col("c1")).over(wCum).as("cum1"), sum(col("c2")).over(wCum).as("cum2"),
+      sum(col("c1")).over(wAll).as("n1"), sum(col("c2")).over(wAll).as("n2"))
+    val a = c.groupBy(col("event_type"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("d_num"))
+    val d = col("d_num").cast(DoubleType) / (col("n1") * col("n2")).cast(DoubleType)
+    val crit = lit(1.628) *
+      sqrt((col("n1") + col("n2")).cast(DoubleType) / (col("n1") * col("n2")).cast(DoubleType))
+    a.select(col("event_type"), col("n1"), col("n2"), col("d_num"),
+        x6(d).as("d"), x6(crit).as("d_crit"), (d > crit).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  val qKsTestSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, value,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (
+      |  SELECT event_type, value,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM ev GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type,
+      |    CAST(SUM(c1) OVER wc AS BIGINT) AS cum1, CAST(SUM(c2) OVER wc AS BIGINT) AS cum2,
+      |    CAST(SUM(c1) OVER wa AS BIGINT) AS n1, CAST(SUM(c2) OVER wa AS BIGINT) AS n2
+      |  FROM g
+      |  WINDOW wc AS (PARTITION BY event_type ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wa AS (PARTITION BY event_type ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |a AS (
+      |  SELECT event_type, MAX(n1) AS n1, MAX(n2) AS n2,
+      |    CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num
+      |  FROM c GROUP BY event_type)
+      |SELECT event_type, n1, n2, d_num,
+      |  CAST(CAST(CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS d,
+      |  CAST(CAST(1.628 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS d_crit,
+      |  CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
+      |    > 1.628 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS significant
+      |FROM a ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------- q_runs_test
+
+  /** q_runs_test: WALD–WOLFOWITZ runs test on daily revenue around its
+    * discrete median — "is the series randomly scattered about its level,
+    * or does it trend/cluster?" (too FEW runs = momentum/regime-stickiness,
+    * too MANY = oscillation; the model-free cousin of q_acf's lag
+    * correlations). Days equal to the median drop (the standard
+    * treatment — both engines agree exactly because revenue is exact
+    * integer cents and the median is PERCENTILE_DISC, an actual data
+    * value). Runs count = 1 + sign changes over the bounded day frame;
+    * μ and σ of the run count under H₀ are the classic exact-integer
+    * formulas; z is one pinned chain.
+    *
+    * Scale shape: the fact aggregates ONCE to the |days| frame; the
+    * median is a single bounded-frame aggregate; lag + rollup ride the
+    * same bounded frame. */
+  def qRunsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,6)")) * lit(100L))
+        .cast("long").as("cents"))
+    val med = daily.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").as("med"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("cents") =!= col("med"))
+      .select(col("day"), when(col("cents") > col("med"), 1L).otherwise(0L).as("s"))
+    val wLag = Window.orderBy(col("day"))
+    val runs = signed
+      .withColumn("chg",
+        when(lag(col("s"), 1).over(wLag).isNull ||
+          lag(col("s"), 1).over(wLag) === col("s"), 0L).otherwise(1L))
+      .agg(sum(when(col("s") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("s") === 0, 1L).otherwise(0L)).as("n2"),
+        (sum(col("chg")) + lit(1L)).as("runs"))
+    val n = col("n1") + col("n2")
+    val mu = lit(2.0) * (col("n1") * col("n2")).cast(DoubleType) / n.cast(DoubleType) + lit(1.0)
+    val sig2 = lit(2.0) * (col("n1") * col("n2")).cast(DoubleType) *
+      (lit(2L) * col("n1") * col("n2") - col("n1") - col("n2")).cast(DoubleType) /
+      ((n * n).cast(DoubleType) * (n - lit(1L)).cast(DoubleType))
+    runs.select(col("n1"), col("n2"), col("runs"),
+      x6(mu).as("mu"),
+      when(sig2 > 0.0, x6((col("runs").cast(DoubleType) - mu) / sqrt(sig2))).as("z"))
+  }
+
+  val qRunsTestSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |med AS (SELECT quantile_disc(cents, 0.5) AS med FROM daily),
+      |signed AS (
+      |  SELECT day, CASE WHEN cents > med THEN 1 ELSE 0 END AS s
+      |  FROM daily, med WHERE cents <> med),
+      |r AS (
+      |  SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+      |              OR lag(s) OVER (ORDER BY day) = s THEN 0 ELSE 1 END AS chg
+      |  FROM signed),
+      |a AS (
+      |  SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(chg) + 1 AS BIGINT) AS runs
+      |  FROM r)
+      |SELECT n1, n2, runs,
+      |  CAST(CAST(2.0 * CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0 AS DECIMAL(18,6)) AS DOUBLE) AS mu,
+      |  CASE WHEN 2.0 * CAST(n1 * n2 AS DOUBLE) * CAST(2 * n1 * n2 - n1 - n2 AS DOUBLE)
+      |         / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)) > 0.0
+      |  THEN CAST(CAST((CAST(runs AS DOUBLE)
+      |    - (2.0 * CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0))
+      |    / sqrt(2.0 * CAST(n1 * n2 AS DOUBLE) * CAST(2 * n1 * n2 - n1 - n2 AS DOUBLE)
+      |         / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
+      |    AS DECIMAL(18,6)) AS DOUBLE) END AS z
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------- q_cramers_v
+
+  /** q_cramers_v: CRAMÉR'S V between order priority and order status —
+    * the [0,1] effect size q_chisq's per-cell terms deliberately don't
+    * roll up (a total χ² needs a summation-order-free reduction): each
+    * cell's x6-pinned term converts to EXACT MICRO-UNITS via the decimal
+    * cast (never double·10⁶-then-truncate), the BIGINT micro-sum is
+    * order-free, and V = √(χ²/(n·min(r−1,c−1))) is one pinned chain.
+    *
+    * Scale shape: one (prio, status) count (map-side partial) to ≤r·c
+    * rows; broadcast marginals; 1-row output. */
+  def qCramersV(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val rt = cells.groupBy(col("prio")).agg(sum(col("n")).as("rt"))
+    val ct = cells.groupBy(col("status")).agg(sum(col("n")).as("ct"))
+    val tot = cells.agg(sum(col("n")).as("nn"),
+      countDistinct(col("prio")).as("r"), countDistinct(col("status")).as("c"))
+    val e = col("rt").cast(DoubleType) * col("ct").cast(DoubleType) /
+      col("nn").cast(DoubleType)
+    val term = (col("n").cast(DoubleType) - e) * (col("n").cast(DoubleType) - e) / e
+    val joined = cells.join(broadcast(rt), "prio").join(broadcast(ct), "status")
+      .crossJoin(broadcast(tot))
+      .select(col("nn"), col("r"), col("c"),
+        (term.cast("decimal(18,6)") * lit(1000000L)).cast("long").as("term_micro"))
+    val chi2 = col("chi2_micro").cast(DoubleType) / lit(1000000.0)
+    joined.groupBy(col("nn"), col("r"), col("c"))
+      .agg(sum(col("term_micro")).as("chi2_micro"))
+      .select(col("nn").as("n"), col("r"), col("c"),
+        x6(chi2).as("chisq"),
+        x6(sqrt(chi2 / (col("nn").cast(DoubleType) *
+          least(col("r") - 1, col("c") - 1).cast(DoubleType)))).as("v"))
+  }
+
+  val qCramersVSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS prio, o_orderstatus AS status, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT prio, CAST(SUM(n) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT status, CAST(SUM(n) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+      |        CAST(COUNT(DISTINCT prio) AS BIGINT) AS r,
+      |        CAST(COUNT(DISTINCT status) AS BIGINT) AS c FROM cells),
+      |j AS (
+      |  SELECT nn, r, c,
+      |    CAST(CAST((CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS term_micro
+      |  FROM cells JOIN rt USING (prio) JOIN ct USING (status), t),
+      |a AS (SELECT nn, r, c, CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
+      |      FROM j GROUP BY 1, 2, 3)
+      |SELECT nn AS n, r, c,
+      |  CAST(CAST(CAST(chi2_micro AS DOUBLE) / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS chisq,
+      |  CAST(CAST(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+      |    / (CAST(nn AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))) AS DECIMAL(18,6)) AS DOUBLE) AS v
+      |FROM a""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test"   -> qKsTest _,
+    "q_runs_test" -> qRunsTest _,
+    "q_cramers_v" -> qCramersV _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_ks_test"   -> qKsTestSql,
+    "q_runs_test" -> qRunsTestSql,
+    "q_cramers_v" -> qCramersVSql,
+  )
+}

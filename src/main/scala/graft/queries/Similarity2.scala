@@ -722,7 +722,70 @@ object Similarity2 {
        |FROM perq GROUP BY nprobe ORDER BY nprobe""".stripMargin
   }
 
+  // ------------------------------------------------------------- s_margin
+
+  /** s_margin: 1-NN vs 2-NN COSINE MARGIN per query — the per-query
+    * retrieval-confidence signal (a wide margin means the top hit is
+    * unambiguous; a near-zero margin means rank 1 and 2 are
+    * interchangeable and downstream consumers should treat the result as
+    * a tie — the retrieval analog of t_langid_margin's abstain rule).
+    * Ambiguity threshold 0.02 on the RAW margin (identical IEEE value in
+    * both engines via the shared left-fold dot product) so the boolean
+    * can't straddle a rounding boundary.
+    *
+    * Scale shape: the query panel broadcasts over the corpus scan; the
+    * per-query top-2 rides the k-bounded TopKPerKey shuffle; output is
+    * |queries| rows. */
+  def sMargin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      .crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", expr("cosine_sim(q_vec, n_vec)"))
+      .select(col("q_id"), col("n_id"), col("cos"))
+    val top2 = graft.plans.TopK.perKey(scored, Seq("q_id"),
+      Seq(col("cos").desc, col("n_id").asc), 2)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val ranked = top2.withColumn("rnk", row_number().over(w))
+    val x6 = graft.functions.OracleParity.x6 _
+    ranked.groupBy(col("q_id"))
+      .agg(max(when(col("rnk") === 1, col("n_id"))).as("n1_id"),
+        max(when(col("rnk") === 1, col("cos"))).as("cos1"),
+        max(when(col("rnk") === 2, col("cos"))).as("cos2"))
+      .select(col("q_id"), col("n1_id"), x6(col("cos1")).as("cos1"),
+        x6(col("cos2")).as("cos2"),
+        x6(col("cos1") - col("cos2")).as("margin"),
+        (col("cos1") - col("cos2") < 0.02).as("ambiguous"))
+      .orderBy(col("q_id"))
+  }
+
+  val sMarginSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q_id, e.vec_id AS n_id, ${cosSql("qe", "e.embedding")} AS cos
+       |  FROM q, embeddings e WHERE e.vec_id <> q_id),
+       |r AS (
+       |  SELECT q_id, n_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |  FROM scored),
+       |p AS (
+       |  SELECT q_id,
+       |    MAX(CASE WHEN rnk = 1 THEN n_id END) AS n1_id,
+       |    MAX(CASE WHEN rnk = 1 THEN cos END) AS cos1,
+       |    MAX(CASE WHEN rnk = 2 THEN cos END) AS cos2
+       |  FROM r WHERE rnk <= 2 GROUP BY q_id)
+       |SELECT q_id, n1_id,
+       |  CAST(CAST(cos1 AS DECIMAL(18,6)) AS DOUBLE) AS cos1,
+       |  CAST(CAST(cos2 AS DECIMAL(18,6)) AS DOUBLE) AS cos2,
+       |  CAST(CAST(cos1 - cos2 AS DECIMAL(18,6)) AS DOUBLE) AS margin,
+       |  cos1 - cos2 < 0.02 AS ambiguous
+       |FROM p ORDER BY q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_margin"       -> sMargin _,
     "s_probe_cost"   -> sProbeCost _,
     "s_ndcg"         -> sNdcg _,
     "s_knn_classify" -> sKnnClassify _,
@@ -737,6 +800,7 @@ object Similarity2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "s_margin"       -> sMarginSql,
     "s_probe_cost"   -> sProbeCostSql,
     "s_ndcg"         -> sNdcgSql,
     "s_knn_classify" -> sKnnClassifySql,

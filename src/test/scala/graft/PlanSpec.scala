@@ -1201,4 +1201,27 @@ class PlanSpec extends AnyFunSuite {
     assert(winIdx >= 0 && !p.substring(0, winIdx).contains("Exchange SinglePartition"),
       s"the argmax window must partition by q_id:\n${p.take(3000)}")
   }
+
+  test("s_margin: query panel broadcasts; top-2 rides the k-bounded TopKPerKey operator") {
+    val p = plan(graft.queries.Similarity2.sMargin(spark, dir))
+    assert(p.contains("TopKPerKey"), s"top-2 must be k-bounded:\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the query panel must broadcast over the corpus scan:\n${p.take(3000)}")
+  }
+
+  test("q_ks_test: cumulative windows partition by event_type — never a global sort") {
+    val p = plan(graft.queries.Relational10.qKsTest(spark, dir))
+    assert(p.contains("Window"), s"cumulative windows expected:\n${p.take(3000)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a global ECDF sort would single-thread at 100 TB:\n${p.take(3000)}")
+  }
+
+  test("e_reconcile: line rollup meets the header on ONE orderkey-keyed join, no cartesian") {
+    val p = plan(graft.queries.Etl4.eReconcile(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"reconcile must join on the key:\n${p.take(3000)}")
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("HashJoin"))
+    assert(joins == 1, s"exactly one header join expected ($joins):\n${p.take(3000)}")
+  }
 }
