@@ -270,4 +270,35 @@ object Audio {
       }
     }
   }
+
+  final case class WavMeta(audio_format: Int, channels: Int, sample_rate: Long,
+      bits: Int, data_bytes: Long)
+
+  /** RIFF/WAVE HEADER WALK — the m_png_meta sibling for audio: fmt and
+    * data chunk fields read directly from the container bytes (generic
+    * chunk iteration with even-padding, exactly per the RIFF spec), with
+    * NO decode — the metadata pass a media pipeline runs over petabytes
+    * of audio where touching sample data would be the whole job. Returns
+    * None on anything that is not a RIFF/WAVE with a fmt chunk. */
+  def wavMeta(payload: Array[Byte]): Option[WavMeta] = {
+    def u16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+      ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(payload, o, 4, "US-ASCII")
+    if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Long, Int)] = None
+    var dataBytes = -1L
+    while (off + 8 <= payload.length) {
+      val id = tag(off)
+      val size = u32(off + 4)
+      if (id == "fmt " && off + 24 <= payload.length)
+        fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12), u16(off + 22)))
+      if (id == "data") dataBytes = size
+      off += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    fmt.collect { case (af, ch, sr, bits) if dataBytes >= 0 =>
+      WavMeta(af, ch, sr, bits, dataBytes)
+    }
+  }
 }

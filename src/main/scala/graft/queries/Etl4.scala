@@ -143,13 +143,76 @@ object Etl4 {
       |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS past_grace_share
       |FROM f GROUP BY day ORDER BY day""".stripMargin
 
+  // ----------------------------------------------------- e_interval_audit
+
+  /** e_interval_audit: VALIDITY-INTERVAL QA over an SCD2-shaped history —
+    * the invariant e_scd2's BUILDER guarantees by construction, audited
+    * here on a table that arrives from OUTSIDE (a vendor feed, a legacy
+    * migration) where nothing guarantees it: consecutive versions per
+    * entity must chain exactly (valid_to(i) = valid_from(i+1)); a
+    * smaller valid_to leaves a coverage GAP, a larger one an OVERLAP
+    * (double-counted history in as-of joins). Versions derive from each
+    * customer's order dates; defects are PLANTED deterministically
+    * (%17 → −1 day = gap, %19 → +1 day = overlap, the e_mask
+    * independent-construction convention) so the classifier provably
+    * fires on both classes.
+    *
+    * Parity: pure integer epoch-day arithmetic. Scale shape: one
+    * entity-keyed lead window (range-partitions by entity) + a bucketed
+    * rollup — no joins. */
+  def eIntervalAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("ck")).orderBy(col("od"), col("okey"))
+    val v = Tables.orders(s, dir)
+      .select(col("o_custkey").as("ck"), col("o_orderkey").as("okey"),
+        expr("datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01')").cast("long").as("od"))
+      .withColumn("next_od", lead(col("od"), 1).over(w))
+      .filter(col("next_od").isNotNull)
+      .withColumn("valid_to", col("next_od") +
+        when(col("okey") % 17 === 0, -1L)
+          .when(col("okey") % 19 === 0, 1L).otherwise(0L))
+    v.select((col("ck") % 10).as("bucket"),
+        when(col("valid_to") < col("next_od"), "gap")
+          .when(col("valid_to") > col("next_od"), "overlap")
+          .otherwise("ok").as("cls"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cls") === "gap", 1L).otherwise(0L)).as("n_gaps"),
+        sum(when(col("cls") === "overlap", 1L).otherwise(0L)).as("n_overlaps"),
+        sum(when(col("cls") === "ok", 1L).otherwise(0L)).as("n_ok"))
+      .orderBy(col("bucket"))
+  }
+
+  val eIntervalAuditSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS ck, o_orderkey AS okey,
+      |    CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS od
+      |  FROM orders),
+      |v AS (
+      |  SELECT ck, okey, od,
+      |    lead(od) OVER (PARTITION BY ck ORDER BY od, okey) AS next_od
+      |  FROM o),
+      |c AS (
+      |  SELECT ck % 10 AS bucket,
+      |    CASE WHEN okey % 17 = 0 THEN 'gap'
+      |         WHEN okey % 19 = 0 THEN 'overlap'
+      |         ELSE 'ok' END AS cls
+      |  FROM v WHERE next_od IS NOT NULL)
+      |SELECT bucket, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CASE WHEN cls = 'gap' THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+      |  CAST(SUM(CASE WHEN cls = 'overlap' THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+      |  CAST(SUM(CASE WHEN cls = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+      |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e_reconcile"     -> eReconcile _,
-    "e_late_arrivals" -> eLateArrivals _,
+    "e_reconcile"      -> eReconcile _,
+    "e_late_arrivals"  -> eLateArrivals _,
+    "e_interval_audit" -> eIntervalAudit _,
   )
 
   val oracle: Map[String, String] = Map(
-    "e_reconcile"     -> eReconcileSql,
-    "e_late_arrivals" -> eLateArrivalsSql,
+    "e_reconcile"      -> eReconcileSql,
+    "e_late_arrivals"  -> eLateArrivalsSql,
+    "e_interval_audit" -> eIntervalAuditSql,
   )
 }

@@ -109,13 +109,61 @@ object Modal4 {
        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
        |FROM topic GROUP BY 1, 2 ORDER BY hour_start_us, event_type""".stripMargin
 
+  // ------------------------------------------------------------ m_wav_meta
+
+  /** m_wav_meta: RIFF/WAVE HEADER METADATA — the m_png_meta sibling for
+    * audio: real WAV containers (JDK-written, rate/length varying by
+    * formula) walked by a real chunk iterator (Audio.wavMeta — fmt and
+    * data chunks, even-padding per the RIFF spec) with NO sample decode.
+    * This is the metadata pass a media pipeline runs over petabytes of
+    * audio (sample-rate census, duration accounting, format routing)
+    * where touching PCM data would be the whole job; the oracle replays
+    * the generator formulas (rate = 8000·(1 + id%3), n = 400 + (id%5)·200
+    * mono 16-bit → data_bytes = 2n, duration = 1000n // rate), so a
+    * parser off-by-one in any header offset breaks the hash.
+    *
+    * Scale shape: one narrow mapPartitions pass, 6 integers per blob
+    * leave the executor. */
+  def mWavMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val metas = Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 2)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (400 + (id % 5) * 200).toInt
+        val rate = 8000f * (1 + id % 3)
+        val samples = Array.tabulate(n)(i =>
+          (((id * 131L + i.toLong) % 2001L - 1000L) * 8L).toShort)
+        val wav = graft.multimodal.Audio.wavBytes(samples, rate)
+        val m = graft.multimodal.Audio.wavMeta(wav)
+          .getOrElse(sys.error(s"unparseable WAV container for doc $id"))
+        (id, m.audio_format.toLong, m.channels.toLong, m.sample_rate,
+          m.bits.toLong, m.data_bytes)
+      }).toDF("doc_id", "audio_format", "channels", "sample_rate", "bits", "data_bytes")
+    metas.select(col("doc_id"), col("audio_format"), col("channels"),
+        col("sample_rate"), col("bits"), col("data_bytes"),
+        expr("(data_bytes div 2) * 1000 div sample_rate").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
+  val mWavMetaSql: String =
+    """SELECT doc_id, CAST(1 AS BIGINT) AS audio_format, CAST(1 AS BIGINT) AS channels,
+      |  CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+      |  CAST(16 AS BIGINT) AS bits,
+      |  CAST((400 + (doc_id % 5) * 200) * 2 AS BIGINT) AS data_bytes,
+      |  CAST((400 + (doc_id % 5) * 200) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
+      |FROM documents WHERE doc_id % 4 = 2 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_aspect_bucket" -> mAspectBucket _,
+    "m_wav_meta"      -> mWavMeta _,
     "st_bus_hourly"   -> stBusHourly _,
   )
 
   val oracle: Map[String, String] = Map(
     "m_aspect_bucket" -> mAspectBucketSql,
+    "m_wav_meta"      -> mWavMetaSql,
     "st_bus_hourly"   -> stBusHourlySql,
   )
 }

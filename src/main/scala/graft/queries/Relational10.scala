@@ -225,15 +225,143 @@ object Relational10 {
       |    / (CAST(nn AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))) AS DECIMAL(18,6)) AS DOUBLE) AS v
       |FROM a""".stripMargin
 
+  // ----------------------------------------------------------- q_mk_trend
+
+  /** q_mk_trend: MANN–KENDALL trend test on the daily revenue series —
+    * THE standard monotone-trend detector for time series (hydrology /
+    * metric-ops): S = Σ_{i<j} sign(xⱼ − xᵢ) exactly over the bounded day
+    * frame (|days|² pairs — the frame is calendar-bounded at ANY corpus
+    * scale, which is what makes the quadratic pair join safe), the
+    * tie-corrected variance an exact integer numerator, and the
+    * continuity-corrected z one pinned chain. Complements q_runs_test
+    * (randomness) and q_cusum (changepoint): MK answers "is there a
+    * monotone drift at all".
+    *
+    * Scale shape: the fact aggregates ONCE to |days|; the pair join and
+    * tie rollup ride that bounded frame. */
+  def qMkTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,6)")) * lit(100L))
+        .cast("long").as("cents"))
+      .localCheckpoint(false)
+    val a = daily.select(col("day").as("da"), col("cents").as("ca"))
+    val b = daily.select(col("day").as("db"), col("cents").as("cb"))
+    val sStat = a.join(b, col("da") < col("db"))
+      .agg(sum(when(col("cb") > col("ca"), 1L)
+        .when(col("cb") < col("ca"), -1L).otherwise(0L)).as("s_stat"))
+    val nRow = daily.agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col("cents")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tt"))
+    val varNum = col("n_days") * (col("n_days") - 1) *
+      (lit(2L) * col("n_days") + 5) - col("tt")
+    val varS = varNum.cast(DoubleType) / lit(18.0)
+    val z = when(col("s_stat") > 0,
+        (col("s_stat") - lit(1L)).cast(DoubleType) / sqrt(varS))
+      .when(col("s_stat") < 0,
+        (col("s_stat") + lit(1L)).cast(DoubleType) / sqrt(varS))
+      .otherwise(lit(0.0))
+    sStat.crossJoin(nRow).crossJoin(ties)
+      .select(col("n_days"), col("s_stat"), varNum.as("var_num"),
+        x6(z).as("z"),
+        (abs(z) > lit(1.96)).as("trend_detected"))
+  }
+
+  val qMkTrendSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+      |                       WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |n AS (SELECT COUNT(*) AS n_days FROM daily),
+      |tt AS (SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+      |       FROM (SELECT COUNT(*) AS t FROM daily GROUP BY cents)),
+      |k AS (SELECT n_days, s_stat,
+      |        CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tt AS BIGINT) AS var_num
+      |      FROM s, n, tt)
+      |SELECT n_days, s_stat, var_num,
+      |  CAST(CAST(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+      |       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+      |       ELSE 0.0 END AS DECIMAL(18,6)) AS DOUBLE) AS z,
+      |  abs(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+      |       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+      |       ELSE 0.0 END) > 1.96 AS trend_detected
+      |FROM k""".stripMargin
+
+  // -------------------------------------------------------- q_changepoint
+
+  /** q_changepoint: single CHANGEPOINT detection on daily revenue — the
+    * offline face of q_cusum's online drift detector: the split t
+    * maximizing the mean shift, located by the EXACT INTEGER score
+    * |n·cumₜ − t·total| (∝ t(n−t)·|mean₁−mean₂| — monotone in the CUSUM
+    * statistic, so the argmax is identical, and no float ever enters the
+    * comparison), earliest-day tiebreak. Means are the only pinned
+    * divisions.
+    *
+    * Scale shape: the fact aggregates ONCE to the bounded |days| frame;
+    * prefix sums ride the day window; the argmax is orderBy().limit(1) —
+    * TakeOrderedAndProject over |days| rows. */
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,6)")) * lit(100L))
+        .cast("long").as("cents"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = daily
+      .select(col("day"),
+        sum(col("cents")).over(wCum).as("cum"),
+        count(lit(1)).over(wCum).as("k"),
+        sum(col("cents")).over(wAll).as("total"),
+        count(lit(1)).over(wAll).as("n"))
+      .filter(col("k") < col("n"))
+      .withColumn("score", abs(col("n") * col("cum") - col("k") * col("total")))
+    scored.orderBy(col("score").desc, col("day")).limit(1)
+      .select(col("day").as("split_day"), col("k").as("n_before"),
+        (col("n") - col("k")).as("n_after"), col("score"),
+        x6(col("cum").cast(DoubleType) / (col("k") * lit(100L)).cast(DoubleType))
+          .as("mean_before"),
+        x6((col("total") - col("cum")).cast(DoubleType) /
+          ((col("n") - col("k")) * lit(100L)).cast(DoubleType)).as("mean_after"))
+  }
+
+  val qChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |c AS (
+      |  SELECT day,
+      |    CAST(SUM(cents) OVER wc AS BIGINT) AS cum,
+      |    CAST(COUNT(*) OVER wc AS BIGINT) AS k,
+      |    CAST(SUM(cents) OVER wa AS BIGINT) AS total,
+      |    CAST(COUNT(*) OVER wa AS BIGINT) AS n
+      |  FROM daily
+      |  WINDOW wc AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wa AS (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |sc AS (SELECT *, abs(n * cum - k * total) AS score FROM c WHERE k < n)
+      |SELECT day AS split_day, k AS n_before, n - k AS n_after, score,
+      |  CAST(CAST(CAST(cum AS DOUBLE) / CAST(k * 100 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_before,
+      |  CAST(CAST(CAST(total - cum AS DOUBLE) / CAST((n - k) * 100 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_after
+      |FROM sc ORDER BY score DESC, day LIMIT 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ks_test"   -> qKsTest _,
-    "q_runs_test" -> qRunsTest _,
-    "q_cramers_v" -> qCramersV _,
+    "q_ks_test"     -> qKsTest _,
+    "q_runs_test"   -> qRunsTest _,
+    "q_cramers_v"   -> qCramersV _,
+    "q_mk_trend"    -> qMkTrend _,
+    "q_changepoint" -> qChangepoint _,
   )
 
   val oracle: Map[String, String] = Map(
-    "q_ks_test"   -> qKsTestSql,
-    "q_runs_test" -> qRunsTestSql,
-    "q_cramers_v" -> qCramersVSql,
+    "q_ks_test"     -> qKsTestSql,
+    "q_runs_test"   -> qRunsTestSql,
+    "q_cramers_v"   -> qCramersVSql,
+    "q_mk_trend"    -> qMkTrendSql,
+    "q_changepoint" -> qChangepointSql,
   )
 }

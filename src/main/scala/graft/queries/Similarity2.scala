@@ -784,7 +784,63 @@ object Similarity2 {
        |  cos1 - cos2 < 0.02 AS ambiguous
        |FROM p ORDER BY q_id""".stripMargin
 
+  // -------------------------------------------------------- s_calibration
+
+  /** s_calibration: the RETRIEVAL CALIBRATION CURVE — per cosine bin,
+    * what fraction of retrieved top-5 neighbors actually share the
+    * query's label. This is how a similarity threshold is PICKED (what
+    * cosine buys what precision — s_range_search's radius, d_semdedup's
+    * cut, t_decontam's match bar all come from exactly this curve) and
+    * how encoder regressions surface (the curve flattens). Bins are
+    * floor(cos·10) — floor of the identical IEEE cosine is exact in both
+    * engines.
+    *
+    * Scale shape: the brute top-5 panel (broadcast queries + TopKPerKey)
+    * with two broadcast label joins and a ≤20-row rollup. */
+  def sCalibration(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val scored = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+        col("label").as("n_label"))
+      .crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", expr("cosine_sim(q_vec, n_vec)"))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"), col("cos"))
+    val top = graft.plans.TopK.perKey(scored, Seq("q_id"),
+      Seq(col("cos").desc, col("n_id").asc), 5)
+    val x6 = graft.functions.OracleParity.x6 _
+    top.select(floor(col("cos") * 10).cast("long").as("cos_bin"),
+        when(col("n_label") === col("q_label"), 1L).otherwise(0L).as("same"))
+      .groupBy(col("cos_bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("same")).as("n_same_label"))
+      .select(col("cos_bin"), col("n_pairs"), col("n_same_label"),
+        x6(col("n_same_label").cast("double") / col("n_pairs").cast("double"))
+          .as("precision"))
+      .orderBy(col("cos_bin"))
+  }
+
+  val sCalibrationSql: String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS q_label
+       |           FROM embeddings WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q_id, q_label, e.vec_id AS n_id, e.label AS n_label,
+       |    ${cosSql("qe", "e.embedding")} AS cos
+       |  FROM q, embeddings e WHERE e.vec_id <> q_id),
+       |top AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+       |    FROM scored) WHERE rnk <= 5)
+       |SELECT CAST(floor(cos * 10) AS BIGINT) AS cos_bin, COUNT(*) AS n_pairs,
+       |  CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+       |  CAST(CAST(CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS precision
+       |FROM top GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_calibration"  -> sCalibration _,
     "s_margin"       -> sMargin _,
     "s_probe_cost"   -> sProbeCost _,
     "s_ndcg"         -> sNdcg _,
@@ -800,6 +856,7 @@ object Similarity2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "s_calibration"  -> sCalibrationSql,
     "s_margin"       -> sMarginSql,
     "s_probe_cost"   -> sProbeCostSql,
     "s_ndcg"         -> sNdcgSql,

@@ -894,7 +894,40 @@ object Text2 {
       |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS routed_share
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------ t_len_hist
+
+  /** t_len_hist: DOCUMENT-LENGTH spectrum per language — log2 bins of
+    * n_chars (the t_zipf length(bin(x))−1 idiom, never a float log), the
+    * distribution every curation decision consults first: truncation
+    * points, packing sequence length (t_pack), chunk sizes (t_chunk) and
+    * the Gopher min/max-length cut all read off this histogram, per lang
+    * because length profiles differ radically across languages. Counts
+    * from the n_chars METADATA column — the 100 TB point is that the
+    * histogram never touches text bytes.
+    *
+    * Scale shape: one narrow map + a ≤|langs|·64-row map-side-partial
+    * rollup. */
+  def tLenHist(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        (length(bin(col("n_chars"))) - 1).cast("long").as("len_bin"),
+        col("n_chars"))
+      .groupBy(col("lang"), col("len_bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("char_mass"))
+      .orderBy(col("lang"), col("len_bin"))
+
+  val tLenHistSql: String =
+    """SELECT lang, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS len_bin,
+      |  COUNT(*) AS n_docs,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS char_mass
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, len_bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_len_hist"      -> tLenHist _,
     "t_astral"        -> tAstral _,
     "t_oov"           -> tOov _,
     "t_langid_margin" -> tLangidMargin _,
@@ -914,6 +947,7 @@ object Text2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_len_hist"      -> tLenHistSql,
     "t_astral"        -> tAstralSql,
     "t_oov"           -> tOovSql,
     "t_langid_margin" -> tLangidMarginSql,

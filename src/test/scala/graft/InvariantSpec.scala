@@ -476,6 +476,70 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mk_trend: S bounded by the pair count; variance numerator positive") {
+    val (n, sStat, varNum, _, _) = graft.queries.Relational10.qMkTrend(spark, dir)
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(n >= 2)
+    assert(math.abs(sStat) <= n * (n - 1) / 2, s"S=$sStat exceeds the pair count")
+    assert(varNum > 0, "tie-corrected variance must be positive on a non-constant series")
+  }
+
+  test("q_changepoint: the split partitions the day frame; means recompose around the global mean") {
+    val (_, k, nAfter, score, mB, mA) = graft.queries.Relational10.qChangepoint(spark, dir)
+      .as[(java.sql.Date, Long, Long, Long, Double, Double)].head()
+    assert(k >= 1 && nAfter >= 1, "split must leave both segments non-empty")
+    assert(score > 0, "a constant series cannot be the argmax on real data")
+    val n = k + nAfter
+    val globalMean = (mB * k + mA * nAfter) / n
+    assert(mB.min(mA) <= globalMean && globalMean <= mB.max(mA),
+      "weighted segment means must bracket the global mean")
+  }
+
+  test("e_interval_audit: planted gap and overlap classes both fire; classes partition the pairs") {
+    val rows = graft.queries.Etl4.eIntervalAudit(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, pairs, gaps, overlaps, ok) =>
+      assert(gaps + overlaps + ok == pairs, s"bucket $b: classes must partition")
+    }
+    assert(rows.map(_._3).sum > 0, "planted %17 gaps must fire")
+    assert(rows.map(_._4).sum > 0, "planted %19 overlaps must fire")
+  }
+
+  test("s_calibration: precision within [0,1]; pair mass = 5 per query") {
+    val rows = graft.queries.Similarity2.sCalibration(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (bin, n, same, p) =>
+      assert(same <= n && p >= 0.0 && p <= 1.0, s"bin $bin inconsistent")
+    }
+    val nq = Tables.embeddings(spark, dir).filter(col("vec_id") % 50 === 0).count()
+    assert(rows.map(_._2).sum == 5 * nq, "every query must contribute exactly 5 pairs")
+  }
+
+  test("t_len_hist: bins partition the corpus and ranges respect the bin boundaries") {
+    val rows = graft.queries.Text2.tLenHist(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sum == Tables.documents(spark, dir).count())
+    rows.foreach { case (lang, bin, _, minC, maxC, _) =>
+      assert(minC >= (1L << bin) && maxC < (1L << (bin + 1)),
+        s"$lang/bin $bin: [$minC,$maxC] outside [2^$bin, 2^${bin + 1})")
+    }
+  }
+
+  test("m_wav_meta: the header walk agrees with the JDK writer on every field") {
+    val rows = graft.queries.Modal4.mWavMeta(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, af, ch, rate, bits, dataBytes, durMs) =>
+      assert(af == 1 && ch == 1 && bits == 16, s"doc $id: PCM mono 16-bit expected")
+      assert(rate == 8000 * (1 + id % 3), s"doc $id: rate mismatch")
+      assert(dataBytes == (400 + (id % 5) * 200) * 2, s"doc $id: data size mismatch")
+      assert(durMs == dataBytes / 2 * 1000 / rate)
+    }
+  }
+
   test("st_bus_hourly: the topic's full offset range lands in the windows — no loss, no dup") {
     val rows = graft.queries.Modal4.stBusHourly(spark, dir)
       .as[(Long, String, Long, Option[Double])].collect()
