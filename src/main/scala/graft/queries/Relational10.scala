@@ -349,7 +349,56 @@ object Relational10 {
       |  CAST(CAST(CAST(total - cum AS DOUBLE) / CAST((n - k) * 100 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_after
       |FROM sc ORDER BY score DESC, day LIMIT 1""".stripMargin
 
+  // --------------------------------------------------------------- q_otif
+
+  /** q_otif: ON-TIME FULFILLMENT ladder per order priority — the ops SLA
+    * metric (what share of lines ship within 30/60/90 days of order
+    * placement) that complements q12_late_lines' shipmode audit and
+    * q_backlog's WIP curve: a nested service-level ladder per priority
+    * with the exact lateness tail. Pure integer day arithmetic; shares
+    * are pinned divisions.
+    *
+    * Scale shape: ONE orderkey-keyed join (lineitem → orders, the
+    * q12 shape), then a ≤|priorities|-row map-side-partial rollup. */
+  def qOtif(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("CAST(o_orderdate AS DATE)").as("od"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), expr("CAST(l_shipdate AS DATE)").as("sd"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), datediff(col("sd"), col("od")).cast("long").as("lag"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("lag") <= 30, 1L).otherwise(0L)).as("n_30d"),
+        sum(when(col("lag") <= 60, 1L).otherwise(0L)).as("n_60d"),
+        sum(when(col("lag") <= 90, 1L).otherwise(0L)).as("n_90d"),
+        max(col("lag")).as("max_lag_days"))
+      .select(col("o_orderpriority"), col("n_lines"), col("n_30d"), col("n_60d"),
+        col("n_90d"), col("max_lag_days"),
+        x6(col("n_30d").cast(DoubleType) / col("n_lines").cast(DoubleType)).as("otif_30"),
+        x6(col("n_90d").cast(DoubleType) / col("n_lines").cast(DoubleType)).as("otif_90"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qOtifSql: String =
+    """WITH j AS (
+      |  SELECT o_orderpriority,
+      |    CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS lag
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_30d,
+      |  CAST(SUM(CASE WHEN lag <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_60d,
+      |  CAST(SUM(CASE WHEN lag <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_90d,
+      |  CAST(MAX(lag) AS BIGINT) AS max_lag_days,
+      |  CAST(CAST(CAST(SUM(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS otif_30,
+      |  CAST(CAST(CAST(SUM(CASE WHEN lag <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS otif_90
+      |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_otif"        -> qOtif _,
     "q_ks_test"     -> qKsTest _,
     "q_runs_test"   -> qRunsTest _,
     "q_cramers_v"   -> qCramersV _,
@@ -358,6 +407,7 @@ object Relational10 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_otif"        -> qOtifSql,
     "q_ks_test"     -> qKsTestSql,
     "q_runs_test"   -> qRunsTestSql,
     "q_cramers_v"   -> qCramersVSql,

@@ -926,7 +926,63 @@ object Text2 {
       |  CAST(SUM(n_chars) AS BIGINT) AS char_mass
       |FROM documents GROUP BY 1, 2 ORDER BY lang, len_bin""".stripMargin
 
+  // ---------------------------------------------------------- t_code_fence
+
+  /** t_code_fence: FENCED CODE-BLOCK extraction from markdown-ish text —
+    * the routing step that sends code content to the code-curation
+    * pipeline (t_code_detect scores whole docs; this finds EMBEDDED
+    * blocks inside prose docs, the common crawl shape): count of
+    * ```-fenced blocks per doc via ONE non-greedy dotall regex match
+    * count — identical in Java regex and RE2, and counting MATCHES
+    * (never matched-span lengths, which are UTF-16-unit vs codepoint
+    * across engines). Blocks are PLANTED at %23 (1 + doc_id%2 fences
+    * appended) on top of whatever the corpus carries — the t_astral
+    * planting convention.
+    *
+    * Scale shape: one narrow regexp map + a ≤|langs|-row rollup. */
+  def tCodeFence(s: SparkSession, dir: String): DataFrame = {
+    val fence = "```py\nx = 1\n```"
+    val planted = when(col("doc_id") % 23 === 0,
+      concat(col("text"), lit("\n"),
+        // repeat with separator: n fenced blocks, newline-joined
+        array_join(array_repeat(lit(fence), (lit(1) + col("doc_id") % 2).cast("int")), "\n")))
+      .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        regexp_count(planted, lit("(?s)```.*?```")).cast("long").as("n_blocks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_blocks") > 0, 1L).otherwise(0L)).as("n_docs_with_code"),
+        sum(col("n_blocks")).as("n_blocks"))
+      .select(col("lang"), col("n_docs"), col("n_docs_with_code"), col("n_blocks"),
+        graft.functions.OracleParity.x6(
+          col("n_docs_with_code").cast("double") / col("n_docs").cast("double"))
+          .as("code_doc_share"))
+      .orderBy(col("lang"))
+  }
+
+  val tCodeFenceSql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CASE WHEN doc_id % 23 = 0
+      |         THEN text || chr(10) ||
+      |           array_to_string([ '```py' || chr(10) || 'x = 1' || chr(10) || '```'
+      |                             for i in range(CAST(1 + doc_id % 2 AS INT)) ], chr(10))
+      |         ELSE text END AS t
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang,
+      |    CAST(len(regexp_extract_all(t, '(?s)```.*?```')) AS BIGINT) AS n_blocks
+      |  FROM d)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_blocks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_code,
+      |  CAST(SUM(n_blocks) AS BIGINT) AS n_blocks,
+      |  CAST(CAST(CAST(SUM(CASE WHEN n_blocks > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS code_doc_share
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_code_fence"    -> tCodeFence _,
     "t_len_hist"      -> tLenHist _,
     "t_astral"        -> tAstral _,
     "t_oov"           -> tOov _,
@@ -947,6 +1003,7 @@ object Text2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_code_fence"    -> tCodeFenceSql,
     "t_len_hist"      -> tLenHistSql,
     "t_astral"        -> tAstralSql,
     "t_oov"           -> tOovSql,

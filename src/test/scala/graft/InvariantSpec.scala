@@ -540,6 +540,31 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q_otif: the service ladder nests (30d <= 60d <= 90d <= lines)") {
+    val rows = graft.queries.Relational10.qOtif(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((p, n, d30, d60, d90, maxLag, o30, o90) <- rows) {
+      assert(d30 <= d60 && d60 <= d90 && d90 <= n, s"$p: ladder must nest")
+      assert(o30 <= o90 + 1e-9 && o90 <= 1.0)
+      assert(maxLag >= 0)
+    }
+  }
+
+  test("t_code_fence: planted fences all count; docs-with-code bounded by docs") {
+    val rows = graft.queries.Text2.tCodeFence(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long].collect()
+    val plantedBlocks = docs.filter(_ % 23 == 0).map(id => 1 + id % 2).sum
+    assert(rows.map(_._4).sum >= plantedBlocks, "every planted fence must count")
+    rows.foreach { case (lang, n, withCode, blocks, share) =>
+      assert(withCode <= n && blocks >= withCode, s"$lang: counts inconsistent")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
   test("st_bus_hourly: the topic's full offset range lands in the windows — no loss, no dup") {
     val rows = graft.queries.Modal4.stBusHourly(spark, dir)
       .as[(Long, String, Long, Option[Double])].collect()
