@@ -289,13 +289,19 @@ object Audio {
     var off = 12
     var fmt: Option[(Int, Int, Long, Int)] = None
     var dataBytes = -1L
-    while (off + 8 <= payload.length) {
+    var corrupt = false
+    while (!corrupt && off + 8 <= payload.length) {
       val id = tag(off)
       val size = u32(off + 4)
-      if (id == "fmt " && off + 24 <= payload.length)
-        fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12), u16(off + 22)))
-      if (id == "data") dataBytes = size
-      off += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      // a corrupt/hostile size field must neither loop forever nor walk
+      // past the buffer — stop the walk, keep whatever parsed so far
+      if (size < 0 || size > payload.length.toLong) corrupt = true
+      else {
+        if (id == "fmt " && off + 24 <= payload.length)
+          fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12), u16(off + 22)))
+        if (id == "data") dataBytes = size
+        off += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
     }
     fmt.collect { case (af, ch, sr, bits) if dataBytes >= 0 =>
       WavMeta(af, ch, sr, bits, dataBytes)

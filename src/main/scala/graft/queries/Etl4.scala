@@ -118,7 +118,10 @@ object Etl4 {
           .otherwise(0L)).as("n_past_grace"),
         max(col("arrive_us") - col("ts_us")).as("max_delay_us"))
       .select(col("day"), col("n_events"), col("n_late"), col("n_past_grace"),
-        (col("max_delay_us") / UsPerHour).cast("long").as("max_delay_h"),
+        // integer div, NOT `/`-then-cast: double division rounds to nearest
+        // before the cast truncates, so a quotient just under an integer
+        // can round UP where DuckDB's `//` floors — the d_url_dedup class
+        expr(s"max_delay_us div $UsPerHour").as("max_delay_h"),
         x6(col("n_late").cast("double") / col("n_events").cast("double")).as("late_share"),
         x6(col("n_past_grace").cast("double") / col("n_events").cast("double"))
           .as("past_grace_share"))

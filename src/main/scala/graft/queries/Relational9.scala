@@ -110,27 +110,26 @@ object Relational9 {
     * pinned chain (sqrt is IEEE-exact).
     *
     * Scale shape: midranks window PARTITIONED BY event_type (range-
-    * partitioned per-group sort, no global order), a (type, value) tie
-    * count with map-side partials, then one ≤|types|-row aggregate. */
+    * partitioned per-group sort, no global order), then ONE ≤|types|-row
+    * aggregate — the tie term needs NO second scan or join because
+    * Σ(t³−t) over tie groups = Σ_rows(c²−1) where c is the row's tie
+    * count, already computed inside the midrank window. */
   def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .filter(col("value").isNotNull)
       .withColumn("variant",
         conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
           .cast("long") % 2)
+    val cnt = count(lit(1)).over(Window.partitionBy(col("event_type"), col("value")))
     val rnk2 = rank().over(Window.partitionBy(col("event_type"))
-      .orderBy(col("value"))).cast("long") * 2 +
-      count(lit(1)).over(Window.partitionBy(col("event_type"), col("value"))) - 1L
-    val agg = ev.withColumn("rnk2", rnk2)
+      .orderBy(col("value"))).cast("long") * 2 + col("cnt") - 1L
+    val agg = ev.withColumn("cnt", cnt).withColumn("rnk2", rnk2)
       .groupBy(col("event_type"))
       .agg(
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n1"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n2"),
-        sum(when(col("variant") === 0, col("rnk2")).otherwise(0L)).as("r1x2"))
-    val ties = ev.groupBy(col("event_type"), col("value"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("event_type"))
-      .agg(sum(col("c") * col("c") * col("c") - col("c")).as("tt"))
+        sum(when(col("variant") === 0, col("rnk2")).otherwise(0L)).as("r1x2"),
+        sum(col("cnt") * col("cnt") - 1L).as("tt"))
     val u1x2 = col("r1x2") - col("n1") * (col("n1") + lit(1L))
     val num = (u1x2 - col("n1") * col("n2")).cast(DoubleType)
     val varr = (col("n1") * col("n2")).cast(DoubleType) *
@@ -138,7 +137,7 @@ object Relational9 {
         col("tt").cast(DoubleType) /
           ((col("n1") + col("n2")) * (col("n1") + col("n2") - lit(1L))).cast(DoubleType)) /
       lit(12.0)
-    agg.join(ties, "event_type")
+    agg
       .select(col("event_type"), col("n1"), col("n2"), u1x2.as("u1x2"),
         when(varr > 0.0, x6(num / (lit(2.0) * sqrt(varr)))).as("z"))
       .orderBy(col("event_type"))
@@ -151,6 +150,7 @@ object Relational9 {
       |  FROM events WHERE value IS NOT NULL),
       |r AS (
       |  SELECT event_type, variant,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type, value) AS BIGINT) AS cnt,
       |    CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT)
       |      + COUNT(*) OVER (PARTITION BY event_type, value) - 1 AS rnk2
       |  FROM ev),
@@ -158,13 +158,10 @@ object Relational9 {
       |  SELECT event_type,
       |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
       |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-      |    CAST(SUM(CASE WHEN variant = 0 THEN rnk2 ELSE 0 END) AS BIGINT) AS r1x2
-      |  FROM r GROUP BY event_type),
-      |t AS (
-      |  SELECT event_type, CAST(SUM(c * c * c - c) AS BIGINT) AS tt FROM (
-      |    SELECT event_type, value, COUNT(*) AS c FROM ev GROUP BY 1, 2)
-      |  GROUP BY event_type)
-      |SELECT a.event_type AS event_type, n1, n2,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN rnk2 ELSE 0 END) AS BIGINT) AS r1x2,
+      |    CAST(SUM(cnt * cnt - 1) AS BIGINT) AS tt
+      |  FROM r GROUP BY event_type)
+      |SELECT event_type, n1, n2,
       |  r1x2 - n1 * (n1 + 1) AS u1x2,
       |  CASE WHEN CAST(n1 * n2 AS DOUBLE) * (CAST(n1 + n2 + 1 AS DOUBLE)
       |         - CAST(tt AS DOUBLE) / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) / 12.0 > 0.0
@@ -172,7 +169,7 @@ object Relational9 {
       |    / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) * (CAST(n1 + n2 + 1 AS DOUBLE)
       |         - CAST(tt AS DOUBLE) / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) / 12.0))
       |    AS DECIMAL(18,6)) AS DOUBLE) END AS z
-      |FROM a JOIN t ON t.event_type = a.event_type ORDER BY a.event_type""".stripMargin
+      |FROM a ORDER BY event_type""".stripMargin
 
   // ----------------------------------------------------------- q_simpson
 

@@ -143,7 +143,15 @@ private[streaming] class BusMicroBatchStream(total: Long, starting: Long,
 
   override def createReaderFactory(): PartitionReaderFactory = BusReaderFactory
 
-  override def deserializeOffset(json: String): Offset = BusOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    // restart recovery: the engine replays offsets from its checkpoint —
+    // the admission-control cursor must never trail a recovered offset,
+    // or the first post-restart triggers would plan empty ranges until
+    // the cursor catches up
+    val o = json.toLong
+    if (o > lastEnd) lastEnd = o
+    BusOffset(o)
+  }
 
   override def commit(end: Offset): Unit = ()
 

@@ -1000,17 +1000,15 @@ class PlanSpec extends AnyFunSuite {
       s"a global rank sort would single-thread at 100 TB:\n${p.take(3000)}")
   }
 
-  test("q_mann_whitney: rank window partitioned by event_type; bounded tie-stats join only") {
+  test("q_mann_whitney: rank window partitioned by event_type; ONE aggregate, no join") {
     val p = plan(graft.queries.Relational9.qMannWhitney(spark, dir))
     assert(!p.contains("Exchange SinglePartition"),
       s"pooled ranking must stay per-group:\n${p.take(3000)}")
-    // the tie-corrected sigma adds exactly ONE join — two ≤|types|-row
-    // aggregates meeting; anything fact-sized joining would show more
-    val joins = p.linesIterator.count(l =>
-      l.contains("HashJoin") || l.contains("SortMergeJoin"))
-    assert(joins <= 1, s"only the tie-stats join is allowed ($joins):\n${p.take(3000)}")
+    // the tie term rides the midrank window's cnt column (Σ(t³−t) =
+    // Σ_rows(c²−1)) — tie correction must cost no second scan or join
+    assert(!p.contains("Join"), s"no join anywhere:\n${p.take(3000)}")
     val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(event_type"))
-    assert(aggShuffles <= 4, s"window/aggs ride event_type partitioning ($aggShuffles):\n${p.take(3000)}")
+    assert(aggShuffles <= 3, s"windows/agg ride event_type partitioning ($aggShuffles):\n${p.take(3000)}")
   }
 
   test("q_simpson: two stacked map-side-partial aggregations — no window, no join") {
