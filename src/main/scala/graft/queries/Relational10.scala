@@ -397,7 +397,69 @@ object Relational10 {
       |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS otif_90
       |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // --------------------------------------------------------------- q_power
+
+  /** q_power: A/B SAMPLE-SIZE calculator per event type — the missing
+    * PLANNING piece of the experiment toolkit (q_ab_srm guards the split,
+    * q_abtest/q_mann_whitney/q_ks_test read the result; THIS says how
+    * long to run): n per variant = 2(z_α + z_β)²σ²/δ² at α=0.05 two-sided
+    * / 80% power, against a minimum detectable effect of 5% of the mean.
+    * Variance comes from exact integer micro-unit power sums (the
+    * q_moments discipline — never Spark's float var_samp, whose partials
+    * are partition-order-dependent); the n formula is one pinned chain
+    * with an exact ceil.
+    *
+    * Scale shape: ONE map-side-partial aggregation to ≤|types| rows. */
+  def qPower(s: SparkSession, dir: String): DataFrame = {
+    val micro = (col("value").cast("decimal(18,6)") * lit(1000000L))
+      .cast("long").cast("decimal(38,0)")
+    val a = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), micro.as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 2)
+    val nd = col("n").cast(DoubleType)
+    val mean = col("sx").cast(DoubleType) / nd / lit(1000000.0)
+    val varr = (col("sxx").cast(DoubleType) -
+      col("sx").cast(DoubleType) * col("sx").cast(DoubleType) / nd) /
+      (nd - lit(1.0)) / lit(1000000.0) / lit(1000000.0)
+    val delta = lit(0.05) * mean
+    // 2 * (1.96 + 0.842)^2 = 15.702448 — spelled as the explicit product
+    // so both engines evaluate the identical literal chain
+    val nReq = ceil(lit(2.0) * (lit(1.96) + lit(0.842)) * (lit(1.96) + lit(0.842)) *
+      varr / (delta * delta))
+    a.select(col("event_type"), col("n"),
+        x6(mean).as("mean"), x6(varr).as("variance"),
+        when(delta > 0.0, nReq.cast("long")).as("n_required"))
+      .orderBy(col("event_type"))
+  }
+
+  val qPowerSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS HUGEINT) AS x
+      |  FROM events WHERE value IS NOT NULL),
+      |a AS (
+      |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+      |  FROM e GROUP BY event_type),
+      |m AS (
+      |  SELECT event_type, n,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean,
+      |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) - 1.0) / 1000000.0 / 1000000.0 AS varr
+      |  FROM a WHERE n >= 2)
+      |SELECT event_type, n,
+      |  CAST(CAST(mean AS DECIMAL(18,6)) AS DOUBLE) AS mean,
+      |  CAST(CAST(varr AS DECIMAL(18,6)) AS DOUBLE) AS variance,
+      |  CASE WHEN 0.05 * mean > 0.0 THEN
+      |    CAST(ceil(2.0 * (1.96 + 0.842) * (1.96 + 0.842) * varr
+      |      / ((0.05 * mean) * (0.05 * mean))) AS BIGINT) END AS n_required
+      |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_power"       -> qPower _,
     "q_otif"        -> qOtif _,
     "q_ks_test"     -> qKsTest _,
     "q_runs_test"   -> qRunsTest _,
@@ -407,6 +469,7 @@ object Relational10 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_power"       -> qPowerSql,
     "q_otif"        -> qOtifSql,
     "q_ks_test"     -> qKsTestSql,
     "q_runs_test"   -> qRunsTestSql,

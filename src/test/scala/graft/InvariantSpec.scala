@@ -540,6 +540,21 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q_power: required n recomposes from the emitted mean/variance; positive throughout") {
+    val rows = graft.queries.Relational10.qPower(spark, dir)
+      .as[(String, Long, Double, Double, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    for ((t, n, mean, varr, nReqOpt) <- rows) {
+      assert(n >= 2 && varr >= 0.0, s"$t: degenerate inputs")
+      val nReq = nReqOpt.getOrElse(fail(s"$t: n_required null on positive-mean data"))
+      // recompose within the 6-decimal pinning of the emitted mean/var
+      val delta = 0.05 * mean
+      val expected = math.ceil(2.0 * 2.802 * 2.802 * varr / (delta * delta)).toLong
+      assert(math.abs(nReq - expected) <= math.max(1L, expected / 1000),
+        s"$t: n_required=$nReq vs recomposed $expected")
+    }
+  }
+
   test("q_otif: the service ladder nests (30d <= 60d <= 90d <= lines)") {
     val rows = graft.queries.Relational10.qOtif(spark, dir)
       .as[(String, Long, Long, Long, Long, Long, Double, Double)].collect()
