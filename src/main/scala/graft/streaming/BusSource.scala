@@ -122,36 +122,53 @@ private[streaming] class BusTable(properties: util.Map[String, String])
 }
 
 /** Offset bookkeeping face of the seam: initial → latest (admission-
-  * controlled) → plan [start, end) → commit. The engine persists offsets
-  * in its checkpoint and replays [lastCommitted, latest) on restart —
-  * which is why `planInputPartitions` must be a pure function of the
-  * range (it is: the topic is a formula). */
+  * controlled) → plan [start, end) → commit. The stream is STATELESS:
+  * rate limiting runs through SupportsAdmissionControl.latestOffset(start,
+  * limit) — the engine hands the source its recovered start offset, so a
+  * checkpoint restart resumes exactly where the last run committed (the
+  * Kafka source's contract). A mutable argless-latestOffset cursor was
+  * built first and is the measured NEGATIVE result: a fresh instance's
+  * cursor restarts at zero, the engine plans an end offset BEHIND the
+  * recovered start, and the next batch re-covers committed ranges — the
+  * file sink double-writes them under new batch ids (120 duplicated rows
+  * of 300 in the restart spec). `planInputPartitions` stays a pure
+  * function of the range (the topic is a formula), which is what makes
+  * uncommitted-batch replay idempotent. */
 private[streaming] class BusMicroBatchStream(total: Long, starting: Long,
-    maxPerTrigger: Long) extends MicroBatchStream {
-  @volatile private var lastEnd: Long = starting
+    maxPerTrigger: Long) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  private def pos(o: Offset): Long = o match {
+    case BusOffset(n) => n
+    case other        => other.json().toLong // engine-side serialized form
+  }
 
   override def initialOffset(): Offset = BusOffset(starting)
 
-  override def latestOffset(): Offset = {
-    // admission control: advance at most maxPerTrigger records per trigger
-    lastEnd += math.max(math.min(maxPerTrigger, total - lastEnd), 0L)
-    BusOffset(lastEnd)
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxPerTrigger)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = pos(start)
+    val step = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => r.maxRows()
+      case _ => maxPerTrigger
+    }
+    BusOffset(s + math.max(math.min(step, total - s), 0L))
   }
 
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-controlled entry point")
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    BusSource.plan(start.asInstanceOf[BusOffset].n, end.asInstanceOf[BusOffset].n, 4)
+    BusSource.plan(pos(start), pos(end), 4)
 
   override def createReaderFactory(): PartitionReaderFactory = BusReaderFactory
 
-  override def deserializeOffset(json: String): Offset = {
-    // restart recovery: the engine replays offsets from its checkpoint —
-    // the admission-control cursor must never trail a recovered offset,
-    // or the first post-restart triggers would plan empty ranges until
-    // the cursor catches up
-    val o = json.toLong
-    if (o > lastEnd) lastEnd = o
-    BusOffset(o)
-  }
+  override def deserializeOffset(json: String): Offset = BusOffset(json.toLong)
 
   override def commit(end: Offset): Unit = ()
 

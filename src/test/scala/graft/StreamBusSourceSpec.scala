@@ -50,6 +50,36 @@ class StreamBusSourceSpec extends AnyFunSuite {
     assert(ids == (150L until 200L).toSet)
   }
 
+  test("checkpoint restart resumes from the committed offset — a fresh stream instance picks up mid-topic") {
+    // a NEW query (new BusMicroBatchStream, admission cursor reset to 0)
+    // started on the SAME checkpoint must resume from the recovered
+    // offset, not re-drain from the start — the deserializeOffset cursor
+    // bump; without it the first post-restart triggers plan empty ranges.
+    val ckpt = java.nio.file.Files.createTempDirectory("bus-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("bus-out").toString
+    // file sink: supports checkpoint recovery AND is exactly-once through
+    // its own _spark_metadata commit log — so the final read asserts the
+    // strongest form (every offset exactly once across BOTH runs)
+    def start() = spark.readStream.format("graftbus")
+      .option("rows", 300).option("maxOffsetsPerTrigger", 60).load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (q1.recentProgress.length < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally q1.stop()
+    val mid = spark.read.parquet(out).count()
+    assert(mid > 0 && mid < 300, s"first run must stop mid-topic (visible: $mid)")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect()
+    assert(ids.length == 300 && ids.toSet == (0L until 300L).toSet,
+      s"restart must deliver every offset exactly once (got ${ids.length} rows, " +
+        s"${ids.toSet.size} distinct)")
+  }
+
   test("the watermarked hourly operator runs UNCHANGED on the bus source and matches its batch twin") {
     // the same hourlyAgg every file/memory-stream spec drives — zero
     // operator changes across sources is the entire point of the seam
