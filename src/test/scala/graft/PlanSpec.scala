@@ -1214,6 +1214,19 @@ class PlanSpec extends AnyFunSuite {
       s"a global ECDF sort would single-thread at 100 TB:\n${p.take(3000)}")
   }
 
+  test("q_changepoint: the argmax is TakeOrderedAndProject over the bounded day frame") {
+    val p = plan(graft.queries.Relational10.qChangepoint(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy().limit(1) must plan as a bounded top-k, not a global sort:\n${p.take(3000)}")
+  }
+
+  test("s_calibration: top-5 rides TopKPerKey; labels join broadcast") {
+    val p = plan(graft.queries.Similarity2.sCalibration(spark, dir))
+    assert(p.contains("TopKPerKey"), s"top-5 must be k-bounded:\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the query panel must broadcast:\n${p.take(3000)}")
+  }
+
   test("e_reconcile: line rollup meets the header on ONE orderkey-keyed join, no cartesian") {
     val p = plan(graft.queries.Etl4.eReconcile(spark, dir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
