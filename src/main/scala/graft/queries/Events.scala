@@ -864,7 +864,90 @@ object Events {
        |WHERE nn.n >= 2
        |ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------ q_holt_backtest
+
+  /** q_holt_backtest: ROLLING-ORIGIN BACKTEST of the Holt forecaster —
+    * the evaluation q_holt itself cannot provide (its f1/f2/f3 are
+    * unaudited predictions): at every month m, the 1-step-ahead forecast
+    * from the state over months < m compares against the actual, and the
+    * absolute errors roll up to the forecaster's WAPE/MAE per priority —
+    * the number that says whether to TRUST the forecast (and tunes α/β
+    * against a naive baseline). The whole backtest rides the SAME exact
+    * integer fold as q_holt with (sae, mass) carried IN the accumulator
+    * (forecast = level + trend read BEFORE each update), so evaluating
+    * the forecaster costs one extra addition per step — no second pass,
+    * no per-cutoff refits (the rolling-origin identity: Holt's state
+    * after a prefix IS the refit on that prefix). The first folded step
+    * contributes zero error by construction (the seed consumed that
+    * month) — the standard cold-start artifact, counted in n_evals.
+    *
+    * Scale shape: identical to q_holt — one keyed agg builds the bounded
+    * monthly series arrays; the fold is per-row. */
+  def qHoltBacktest(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"), date_trunc("month", col("o_orderdate")).as("month"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 6))) * lit(1000000L))
+        .cast("long").as("rev_m"))
+    val fold =
+      s"""aggregate(
+         |  slice(revs, 2, size(revs) - 1),
+         |  named_struct(
+         |    'level', element_at(revs, 1),
+         |    'trend', element_at(revs, 2) - element_at(revs, 1),
+         |    'sae', CAST(0 AS BIGINT), 'mass', CAST(0 AS BIGINT)),
+         |  (acc, x) -> named_struct(
+         |    'level', ${holtLevelM("x", "acc.level", "acc.trend", "div")},
+         |    'trend', ${holtTrendM("x", "acc.level", "acc.trend", "div")},
+         |    'sae', acc.sae + abs(x - (acc.level + acc.trend)),
+         |    'mass', acc.mass + x))""".stripMargin
+    monthly.groupBy(col("o_orderpriority"))
+      .agg(expr("transform(array_sort(collect_list(struct(month, rev_m))), z -> z.rev_m)")
+        .as("revs"))
+      .filter(size(col("revs")) >= 3)
+      .withColumn("st", expr(fold))
+      .select(col("o_orderpriority"),
+        (size(col("revs")) - 1).cast("long").as("n_evals"),
+        col("st.sae").as("sae_micro"), col("st.mass").as("mass_micro"),
+        graft.functions.OracleParity.x6(col("st.sae").cast("double") /
+          col("st.mass").cast("double")).as("wape"),
+        graft.functions.OracleParity.x6(col("st.sae").cast("double") /
+          (size(col("revs")) - 1).cast("double") / lit(1000000.0)).as("mae"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qHoltBacktestSql: String =
+    s"""WITH RECURSIVE monthly AS (
+       |  SELECT o_orderpriority AS pri, date_trunc('month', o_orderdate) AS month,
+       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_m
+       |  FROM orders GROUP BY 1, 2),
+       |ser AS (
+       |  SELECT pri, rev_m,
+       |    ROW_NUMBER() OVER (PARTITION BY pri ORDER BY month) AS idx
+       |  FROM monthly),
+       |nn AS (SELECT pri, MAX(idx) AS n FROM ser GROUP BY pri),
+       |st AS (
+       |  SELECT s1.pri, CAST(1 AS BIGINT) AS idx, s1.rev_m AS level,
+       |    s2.rev_m - s1.rev_m AS trend,
+       |    CAST(0 AS BIGINT) AS sae, CAST(0 AS BIGINT) AS mass
+       |  FROM ser s1 JOIN ser s2 ON s2.pri = s1.pri AND s2.idx = 2
+       |  WHERE s1.idx = 1
+       |  UNION ALL
+       |  SELECT s.pri, s.idx + 1,
+       |    ${holtLevelM("v.rev_m", "s.level", "s.trend", "//")},
+       |    ${holtTrendM("v.rev_m", "s.level", "s.trend", "//")},
+       |    s.sae + abs(v.rev_m - (s.level + s.trend)),
+       |    s.mass + v.rev_m
+       |  FROM st s JOIN ser v ON v.pri = s.pri AND v.idx = s.idx + 1)
+       |SELECT st.pri AS o_orderpriority, nn.n - 1 AS n_evals,
+       |  st.sae AS sae_micro, st.mass AS mass_micro,
+       |  CAST(CAST(CAST(st.sae AS DOUBLE) / CAST(st.mass AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS wape,
+       |  CAST(CAST(CAST(st.sae AS DOUBLE) / CAST(nn.n - 1 AS DOUBLE) / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS mae
+       |FROM st JOIN nn ON nn.pri = st.pri AND st.idx = nn.n
+       |WHERE nn.n >= 3
+       |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_holt_backtest" -> qHoltBacktest _,
     "q_holt"          -> qHolt _,
     "q_sketch_setops" -> qSketchSetops _,
     "q_decay"        -> qDecay _,
@@ -888,6 +971,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_holt_backtest" -> qHoltBacktestSql,
     "q_holt"          -> qHoltSql,
     "q_sketch_setops" -> qSketchSetopsSql,
     "q_decay"        -> qDecaySql,

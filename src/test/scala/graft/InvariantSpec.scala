@@ -540,6 +540,20 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q_holt_backtest: error mass recomposes exactly (mae*n*1e6 == sae) and WAPE is sane") {
+    val rows = graft.queries.Events.qHoltBacktest(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((p, n, sae, mass, wape, mae) <- rows) {
+      assert(n >= 2 && sae >= 0 && mass > 0, s"$p: degenerate backtest")
+      assert(wape >= 0.0, s"$p: wape=$wape")
+      // mae is the 6-decimal pinning of sae/(n*1e6) — recompose within one ulp of the pin
+      val recomposed = BigDecimal(sae.toDouble / n / 1000000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(recomposed - mae) <= 1e-6, s"$p: $recomposed vs $mae")
+    }
+  }
+
   test("q_power: required n recomposes from the emitted mean/variance; positive throughout") {
     val rows = graft.queries.Relational10.qPower(spark, dir)
       .as[(String, Long, Double, Double, Option[Long])].collect()
