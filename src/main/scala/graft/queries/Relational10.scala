@@ -458,7 +458,45 @@ object Relational10 {
       |      / ((0.05 * mean) * (0.05 * mean))) AS BIGINT) END AS n_required
       |FROM m ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------- q_topn_share
+
+  /** q_topn_share: TOP-N REVENUE CONCENTRATION — the "our top 10
+    * customers are X% of revenue" number executives actually quote,
+    * beside q_hhi's index and q_gini/q_pareto's full curves (those
+    * characterize the whole distribution; this one names the headline).
+    * Exact integer micro revenue; the top-10 is orderBy().limit(10) —
+    * TakeOrderedAndProject (per-partition heaps, 10-row driver merge),
+    * never a global sort; share is ONE pinned division.
+    *
+    * Scale shape: one customer-keyed aggregation (map-side partial), a
+    * k-bounded top-k, a 1-row broadcast total. */
+  def qTopnShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,6)")) * lit(1000000L))
+        .cast("long").as("rev_m"))
+    val tot = rev.agg(sum(col("rev_m")).as("total_m"), count(lit(1)).as("n_customers"))
+    rev.orderBy(col("rev_m").desc, col("o_custkey")).limit(10)
+      .agg(sum(col("rev_m")).as("top10_m"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_customers"), col("top10_m"), col("total_m"),
+        x6(col("top10_m").cast(DoubleType) / col("total_m").cast(DoubleType))
+          .as("top10_share"))
+  }
+
+  val qTopnShareSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_m
+      |  FROM orders GROUP BY o_custkey),
+      |tot AS (SELECT CAST(SUM(rev_m) AS BIGINT) AS total_m, COUNT(*) AS n_customers FROM rev),
+      |top AS (SELECT CAST(SUM(rev_m) AS BIGINT) AS top10_m FROM (
+      |  SELECT rev_m FROM rev ORDER BY rev_m DESC, o_custkey LIMIT 10))
+      |SELECT n_customers, top10_m, total_m,
+      |  CAST(CAST(CAST(top10_m AS DOUBLE) / CAST(total_m AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS top10_share
+      |FROM top, tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topn_share"  -> qTopnShare _,
     "q_power"       -> qPower _,
     "q_otif"        -> qOtif _,
     "q_ks_test"     -> qKsTest _,
@@ -469,6 +507,7 @@ object Relational10 {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_topn_share"  -> qTopnShareSql,
     "q_power"       -> qPowerSql,
     "q_otif"        -> qOtifSql,
     "q_ks_test"     -> qKsTestSql,

@@ -981,7 +981,70 @@ object Text2 {
       |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS code_doc_share
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------- t_vocab_growth
+
+  /** t_vocab_growth: HEAPS-LAW vocabulary saturation — distinct-token
+    * count at corpus prefixes (10/25/50/100% by doc_id order), the curve
+    * that says whether more data still buys vocabulary (steep = keep
+    * crawling; flat = the tokenizer/vocab budget is saturated) — the
+    * corpus-level complement of t_vocab's frequency table and t_oov's
+    * split coverage. NO global sort anywhere: prefix boundaries are
+    * PERCENTILE_DISC doc_ids (actual values, exact in both engines), a
+    * token's prefix membership is first_seen ≤ boundary via one min
+    * aggregation, and the four checkpoints are a broadcast 4-row frame.
+    *
+    * Scale shape: one token explode + min agg (map-side partial), one
+    * ≤|vocab|×4 broadcast-filtered rollup, one 4-value doc count. */
+  def tVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cps = docs.agg(
+      expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY doc_id)").as("p10"),
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY doc_id)").as("p25"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY doc_id)").as("p50"),
+      max(col("doc_id")).as("p100"))
+    val cpRows = cps.selectExpr(
+      "stack(4, 10L, CAST(p10 AS BIGINT), 25L, CAST(p25 AS BIGINT), " +
+        "50L, CAST(p50 AS BIGINT), 100L, CAST(p100 AS BIGINT)) AS (pct, cp)")
+    val firstSeen = docs
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(min(col("doc_id")).as("first_seen"))
+    val vocab = firstSeen.crossJoin(broadcast(cpRows))
+      .filter(col("first_seen") <= col("cp"))
+      .groupBy(col("pct")).agg(count(lit(1)).as("vocab"))
+    val nDocs = docs.crossJoin(broadcast(cpRows))
+      .filter(col("doc_id") <= col("cp"))
+      .groupBy(col("pct")).agg(count(lit(1)).as("n_docs"))
+    vocab.join(nDocs, "pct")
+      .select(col("pct"), col("n_docs"), col("vocab"),
+        graft.functions.OracleParity.x6(
+          col("vocab").cast("double") / col("n_docs").cast("double"))
+          .as("vocab_per_doc"))
+      .orderBy(col("pct"))
+  }
+
+  val tVocabGrowthSql: String =
+    s"""WITH cps AS (
+       |  SELECT quantile_disc(doc_id, 0.1) AS p10, quantile_disc(doc_id, 0.25) AS p25,
+       |    quantile_disc(doc_id, 0.5) AS p50, MAX(doc_id) AS p100
+       |  FROM documents),
+       |cpv AS (
+       |  SELECT CAST(pct AS BIGINT) AS pct,
+       |    CASE pct WHEN 10 THEN p10 WHEN 25 THEN p25 WHEN 50 THEN p50 ELSE p100 END AS cp
+       |  FROM (VALUES (10), (25), (50), (100)) v(pct), cps),
+       |fs AS (
+       |  SELECT t AS token, MIN(doc_id) AS first_seen
+       |  FROM (SELECT doc_id, unnest($toks) AS t FROM documents)
+       |  WHERE t <> '' GROUP BY t),
+       |voc AS (SELECT pct, COUNT(*) AS vocab FROM fs, cpv WHERE first_seen <= cp GROUP BY pct),
+       |nd AS (SELECT pct, COUNT(*) AS n_docs FROM documents, cpv WHERE doc_id <= cp GROUP BY pct)
+       |SELECT pct, n_docs, vocab,
+       |  CAST(CAST(CAST(vocab AS DOUBLE) / CAST(n_docs AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS vocab_per_doc
+       |FROM voc JOIN nd USING (pct) ORDER BY pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_vocab_growth"  -> tVocabGrowth _,
     "t_code_fence"    -> tCodeFence _,
     "t_len_hist"      -> tLenHist _,
     "t_astral"        -> tAstral _,
@@ -1003,6 +1066,7 @@ object Text2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_vocab_growth"  -> tVocabGrowthSql,
     "t_code_fence"    -> tCodeFenceSql,
     "t_len_hist"      -> tLenHistSql,
     "t_astral"        -> tAstralSql,

@@ -540,6 +540,25 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("q_topn_share: the share is in (0,1] and bounded below by 10/n customers' uniform share") {
+    val (n, top, tot, share) = graft.queries.Relational10.qTopnShare(spark, dir)
+      .as[(Long, Long, Long, Double)].head()
+    assert(top <= tot && share > 0.0 && share <= 1.0)
+    assert(share >= math.min(1.0, 10.0 / n) - 1e-6,
+      "top-10 can never hold less than a uniform 10/n of revenue")
+  }
+
+  test("t_vocab_growth: vocabulary and doc counts are monotone over the prefix ladder") {
+    val rows = graft.queries.Text2.tVocabGrowth(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(10L, 25L, 50L, 100L))
+    rows.sliding(2).foreach { case Array((_, d1, v1, _), (p, d2, v2, _)) =>
+      assert(d1 <= d2 && v1 <= v2, s"prefix $p: growth must be monotone")
+    }
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.last._2 == total, "the 100% checkpoint must cover the corpus")
+  }
+
   test("q_holt_backtest: error mass recomposes exactly (mae*n*1e6 == sae) and WAPE is sane") {
     val rows = graft.queries.Events.qHoltBacktest(spark, dir)
       .as[(String, Long, Long, Long, Double, Double)].collect()
