@@ -53,8 +53,9 @@ object StageCache {
     * must form a DAG (fullCanonical → jaccardScored → candidates → stage).
     * Two threads building stages with INVERSE prerequisite orders would
     * deadlock on each other's lazy-val monitors, so a cyclic request
-    * fails fast (IllegalStateException via the per-thread build stack)
-    * instead of hanging.
+    * fails fast (IllegalArgumentException — a require() on the
+    * per-thread build stack, pinned by StageCacheSpec) instead of
+    * hanging.
     *
     * If release() concurrently evicts the entry while the build is in
     * flight (peek waits out the lazy-val monitor on a COMPUTED holder,

@@ -294,9 +294,17 @@ object Audio {
       val id = tag(off)
       val size = u32(off + 4)
       // a corrupt/hostile size field must neither loop forever nor walk
-      // past the buffer — stop the walk, keep whatever parsed so far
-      if (size < 0 || size > payload.length.toLong) corrupt = true
-      else {
+      // past the buffer — stop the walk, keep whatever parsed so far.
+      // A size that fits numerically but extends past the buffer is a
+      // TRUNCATED container: accepting it as-is would report data_bytes
+      // for bytes that are not present and inflate every derived
+      // duration, so a truncated data chunk is CLAMPED to the bytes
+      // actually in the buffer and the walk stops.
+      if (size < 0 || off + 8 + size > payload.length.toLong) {
+        if (id == "data" && size >= 0 && off + 8 <= payload.length)
+          dataBytes = payload.length.toLong - (off + 8)
+        corrupt = true
+      } else {
         if (id == "fmt " && off + 24 <= payload.length)
           fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12), u16(off + 22)))
         if (id == "data") dataBytes = size

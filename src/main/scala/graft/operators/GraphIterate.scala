@@ -129,8 +129,14 @@ object GraphIterate {
     * (count desc, label asc). NOT monotone — sync LPA can 2-cycle on
     * bipartite structures — so the fixed-point test is EXACT: each
     * round's result joins back to the previous labels and the changed-
-    * vertex count rides the checkpoint job as an observe() metric
-    * (every vertex keeps a row each round, so the inner join is total).
+    * vertex count rides the checkpoint job as an observe() metric.
+    * On SYMMETRIC adjacency every vertex keeps a row each round and the
+    * inner join is total; on a general DIRECTED adjacency a vertex whose
+    * out-neighbors all lack labels drops out of step(), which the join
+    * alone cannot observe — so the row count rides the same observe()
+    * (the bfs discipline) and a count change is treated as
+    * non-convergence: strict mode then exhausts rather than return a
+    * silently partial labeling.
     * Returns (v, label). Exhaustion under strict raises — for LPA that
     * can mean oscillation, which a larger budget will NOT fix; the error
     * says so. */
@@ -151,23 +157,34 @@ object GraphIterate {
       return labels
     }
     var labels = seed.localCheckpoint()
+    val seedN = labels.count()
     var round = 0
     while (round < maxRounds) {
       val obs = new Observation()
       val next = step(labels)
         .join(labels.select(col("v"), col("label").as("prev_label")), "v")
         .observe(obs,
-          sum(when(col("label") =!= col("prev_label"), 1L).otherwise(0L)).as("changed"))
+          sum(when(col("label") =!= col("prev_label"), 1L).otherwise(0L)).as("changed"),
+          count(lit(1)).as("n"))
         .select(col("v"), col("label"))
       labels = next.localCheckpoint()
       val changed = metric(obs, "changed", -1L)
-      if (changed == 0L) return labels // fixed point: sync LPA is stationary
+      val curN = metric(obs, "n", -1L)
+      // fixed point requires BOTH no label flips AND every seed vertex
+      // still holding a row — on directed adjacency step() can silently
+      // drop vertices whose out-neighbors all lack labels, which the
+      // inner join alone cannot observe. Loss is permanent (the join is
+      // inner), so a lossy run exhausts with the loud error below.
+      if (changed == 0L && curN == seedN) return labels
       round += 1
     }
     throw new IllegalStateException(
       s"label propagation did not stabilize within $maxRounds rounds — " +
         "either raise maxRounds or, if the change count is oscillating " +
         "(sync LPA 2-cycles on bipartite structure), switch the consumer " +
-        "to a fixed-round semantics (strict = false)")
+        "to a fixed-round semantics (strict = false); if the adjacency is " +
+        "DIRECTED and vertices dropped out (sinks with unlabeled " +
+        "out-neighborhoods), no budget converges — symmetrize the " +
+        "adjacency instead")
   }
 }

@@ -17,11 +17,19 @@ import org.apache.spark.sql.functions._
   *  - "md5"    — the engine default; DuckDB-oracle-gated (e_stable_id);
   *  - "sha256" — for new schemas wanting a modern digest; DuckDB ships
   *               sha256, so this path is oracle-gated too (e_stable_id_sha);
-  *  - "sha1"   — the actual n2kupdate fingerprint (n2kupdate computes
-  *               sha1 over natural keys), for RECONCILING ids against an
+  *  - "sha1"   — the digest n2kupdate is understood to compute over
+  *               natural keys, offered for RECONCILING ids against an
   *               existing n2kresult database. DuckDB has no sha1, so this
   *               is a DECLARED no-oracle boundary: Spark-side spec only
   *               (EtlOperatorsSpec pins the digest against known vectors).
+  *               CAVEAT: the reference checkout available to this build
+  *               is empty, so only sha1-of-payload is pinned — the
+  *               reference's actual payload LAYOUT (separator, escaping,
+  *               null sentinel) is unverified. Before relying on this
+  *               knob for legacy reconciliation, add a pinned vector
+  *               taken from a real n2kresult row (key tuple → expected
+  *               sid) to prove layout compatibility, not just digest
+  *               correctness.
   *
   * Nulls are sentinel-encoded before concatenation because concat_ws
   * silently drops nulls, which would make ("a", null) collide with

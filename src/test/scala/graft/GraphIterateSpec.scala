@@ -74,6 +74,21 @@ class GraphIterateSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("labelProp: directed adjacency that drops a vertex never reports convergence (strict raises)") {
+    // vertex 1's only out-neighbor (9) is never a source, so 9 has no
+    // label and vertex 1 drops out of step() on round 1. The survivors
+    // (a directed triangle that stabilizes) would let the label-flip test
+    // alone report convergence WITHOUT vertex 1 — the row-count guard
+    // must turn that silent loss into the loud exhaustion error instead.
+    val edges = (Seq((1L, 9L)) ++
+      Seq((2L, 3L), (3L, 2L), (2L, 4L), (4L, 2L), (3L, 4L), (4L, 3L)))
+      .toDF("v", "nbr")
+    val e = intercept[IllegalStateException] {
+      GraphIterate.labelProp(edges, maxRounds = 10, strict = true).count()
+    }
+    assert(e.getMessage.contains("did not stabilize"))
+  }
+
   test("labelProp: sync LPA 2-cycles on a bipartite path — strict raises loudly instead of spinning") {
     // min-label sync LPA oscillates on bipartite structure (each side
     // adopts the other's labels every round); the budget exhaustion error

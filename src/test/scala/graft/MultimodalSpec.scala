@@ -404,4 +404,33 @@ class MultimodalSpec extends AnyFunSuite {
     // garbage never throws, reports no channels
     assert(graft.multimodal.Audio.pcmChannels(Array[Byte](1, 2, 3)).isEmpty)
   }
+
+  test("wavMeta: a truncated container clamps data_bytes to the bytes present instead of reporting full length") {
+    val full = wav(Array.tabulate[Short](1024)(i => (i % 100).toShort))
+    val meta = graft.multimodal.Audio.wavMeta(full).get
+    assert(meta.data_bytes == 2048L, "intact file reports the full data chunk")
+    // cut mid-data: the data chunk's SIZE field still says 2048 and fits
+    // numerically within the buffer, but the payload runs past the end —
+    // the walker must clamp to the bytes actually present, never report
+    // 2048 (which would inflate every derived duration)
+    val dataOff = {
+      // locate the data chunk the same way the walker does
+      var off = 12; var found = -1
+      while (found < 0 && off + 8 <= full.length) {
+        if (new String(full, off, 4, "US-ASCII") == "data") found = off
+        else off += 8 + ((full(off + 4) & 0xff) | ((full(off + 5) & 0xff) << 8) |
+          ((full(off + 6) & 0xff) << 16) | ((full(off + 7) & 0xff) << 24))
+      }
+      found
+    }
+    assert(dataOff > 0)
+    val cut = full.take(dataOff + 8 + 500) // 500 of 2048 data bytes survive
+    val tm = graft.multimodal.Audio.wavMeta(cut).get
+    assert(tm.data_bytes == 500L,
+      s"truncated file must report the 500 bytes present, got ${tm.data_bytes}")
+    assert(tm.sample_rate == meta.sample_rate && tm.channels == meta.channels,
+      "fmt metadata parsed before the truncation point is kept")
+    // cut INSIDE the data chunk header: nothing data-sized parses; None
+    assert(graft.multimodal.Audio.wavMeta(full.take(dataOff + 4)).isEmpty)
+  }
 }
