@@ -28,16 +28,24 @@ object Relational10 {
     * md5 variants (the q_ab_srm assignment, so the experiment family
     * reads ONE bucketing): D = max |F₁(x) − F₂(x)| over the pooled
     * support. The ECDF difference is carried as the exact integer
-    * |cum₁·n₂ − cum₂·n₁| (max of BIGINTs — no float ever compares), and
+    * |cum₁·n₂ − cum₂·n₁| in DECIMAL(38,0) — no float ever compares, and
+    * the 2⁶³ cliff the BIGINT form hit near n₁n₂ ≈ 9·10¹⁸ is gone: with
+    * cum ≤ n ≤ 2⁶³ the cross product stays < 8.6·10³⁷ and the difference
+    * < n₁n₂ < 2.2·10³⁷, both inside DECIMAL(38,0) (DecimalPrecisionSpec
+    * pins the arithmetic beyond 2⁶³; the oracle mirrors via HUGEINT).
     * D plus the α=0.01 significance threshold 1.628·√((n₁+n₂)/(n₁n₂))
-    * are one pinned chain each. At 100 TB-scale counts the cross product
-    * cum·n approaches 2⁶³ around n₁n₂ ≈ 9·10¹⁸ — switch the numerator to
-    * DECIMAL(38,0) there (the q_moments power-sum pattern).
+    * are one pinned chain each.
     *
-    * Scale shape: one (type, value) count (map-side partial), cumulative
-    * sums over per-type windows (range-partitioned, never global), one
-    * ≤|types|-row rollup. */
+    * Scale shape (the VERDICT r12 banded-rank rewrite): one (type, value)
+    * count (map-side partial), then the two ECDFs are DISTRIBUTED prefix
+    * sums over the collapsed frame via BandedRank.withPrefixSums — 16
+    * broadcast value bands, within-band running sums PARTITION BY
+    * (type, band), cross-band offsets on the ≤|types|·16-row band frame —
+    * replacing the flat per-type cumulative window that sorted each
+    * type's whole value support through one reducer. One ≤|types|-row
+    * rollup closes it. */
   def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
     val ev = Tables.events(s, dir)
       .filter(col("value").isNotNull)
       .withColumn("variant",
@@ -46,19 +54,19 @@ object Relational10 {
     val g = ev.groupBy(col("event_type"), col("value"))
       .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c1"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c2"))
-    val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("event_type"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val c = g.select(col("event_type"),
-      sum(col("c1")).over(wCum).as("cum1"), sum(col("c2")).over(wCum).as("cum2"),
-      sum(col("c1")).over(wAll).as("n1"), sum(col("c2")).over(wAll).as("n2"))
-    val a = c.groupBy(col("event_type"))
+      .localCheckpoint(false) // consumed twice: prefix sums + per-type totals
+    val c = graft.operators.BandedRank.withPrefixSums(
+      g, Seq("event_type"), "value", Seq("c1" -> "cum1", "c2" -> "cum2"))
+    val tot = g.groupBy(col("event_type"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val a = c.join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"))
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
-        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("d_num"))
-    val d = col("d_num").cast(DoubleType) / (col("n1") * col("n2")).cast(DoubleType)
-    val crit = lit(1.628) *
-      sqrt((col("n1") + col("n2")).cast(DoubleType) / (col("n1") * col("n2")).cast(DoubleType))
+        max(abs(col("cum1").cast(d19) * col("n2").cast(d19) -
+          col("cum2").cast(d19) * col("n1").cast(d19))).as("d_num"))
+    val n1n2 = (col("n1").cast(d19) * col("n2").cast(d19)).cast(DoubleType)
+    val d = col("d_num").cast(DoubleType) / n1n2
+    val crit = lit(1.628) * sqrt((col("n1") + col("n2")).cast(DoubleType) / n1n2)
     a.select(col("event_type"), col("n1"), col("n2"), col("d_num"),
         x6(d).as("d"), x6(crit).as("d_crit"), (d > crit).as("significant"))
       .orderBy(col("event_type"))
@@ -83,13 +91,13 @@ object Relational10 {
       |         wa AS (PARTITION BY event_type ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
       |a AS (
       |  SELECT event_type, MAX(n1) AS n1, MAX(n2) AS n2,
-      |    CAST(MAX(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num
+      |    CAST(MAX(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)) AS DECIMAL(38,0)) AS d_num
       |  FROM c GROUP BY event_type)
       |SELECT event_type, n1, n2, d_num,
-      |  CAST(CAST(CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS d,
-      |  CAST(CAST(1.628 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS d_crit,
-      |  CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
-      |    > 1.628 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS significant
+      |  CAST(CAST(CAST(d_num AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS d,
+      |  CAST(CAST(1.628 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS d_crit,
+      |  CAST(d_num AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+      |    > 1.628 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) AS significant
       |FROM a ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------- q_runs_test

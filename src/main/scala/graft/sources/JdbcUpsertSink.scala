@@ -22,7 +22,14 @@ import org.apache.spark.sql.types._
   * rows make retries safe), at-least-once under task retry which MERGE
   * semantics absorb.
   *
-  * Tested against embedded Derby (the JDBC engine that ships with Spark).
+  * DIALECTS: the staging/merge SQL goes through a [[Dialect]] seam. The
+  * EXECUTED (spec-driven) path is embedded Derby — the JDBC engine that
+  * ships with Spark; zero-egress holds. The reference's actual target is a
+  * PostgreSQL result schema, so [[PostgresDialect]] generates the
+  * equivalent statements (`INSERT ... ON CONFLICT (pk) DO UPDATE SET ...
+  * WHERE changed`) with Postgres type names; JdbcUpsertSinkSpec pins both
+  * dialects' generated SQL, and a deployment against Postgres only swaps
+  * the dialect (plus the JDBC driver on the classpath).
   */
 object JdbcUpsertSink {
 
@@ -30,28 +37,104 @@ object JdbcUpsertSink {
       url: String,
       table: String,
       keyCols: Seq[String],
-      batchSize: Int = 1000)
+      batchSize: Int = 1000,
+      dialect: Dialect = DerbyDialect)
 
-  private def sqlType(dt: DataType): String = dt match {
-    case LongType => "BIGINT"
-    case IntegerType => "INT"
-    case DoubleType => "DOUBLE"
-    case FloatType => "REAL"
-    case BooleanType => "BOOLEAN"
-    case TimestampType | TimestampNTZType => "TIMESTAMP"
-    case DateType => "DATE"
-    case _: DecimalType => "DECIMAL(18,6)"
-    case StringType => "VARCHAR(1000)"
-    case other => throw new IllegalArgumentException(s"unsupported JDBC sink type: $other")
+  /** One table's staged-merge description (staging → target). */
+  final case class MergeStep(staging: String, target: String,
+      schema: StructType, keyCols: Seq[String])
+
+  /** Target-database SQL generation: the only parts of the sink that are
+    * engine-specific. Everything that EXECUTES SQL takes the dialect from
+    * the Config / parameter; the staging INSERT/DELETE and the bind loop
+    * are standard JDBC and shared. */
+  sealed trait Dialect {
+    def name: String
+    /** Column type for CREATE TABLE. */
+    def sqlType(dt: DataType): String
+    /** The atomic staging→target upsert statement. */
+    def mergeSql(st: MergeStep): String
+    /** CREATE TABLE DDL for a dataframe's schema (target + staging). */
+    final def ddl(table: String, schema: StructType, keyCols: Seq[String],
+        extraCols: String = ""): String = {
+      val cols = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+      val pk = if (keyCols.nonEmpty) s", PRIMARY KEY (${keyCols.mkString(", ")})" else ""
+      s"CREATE TABLE $table ($cols$extraCols$pk)"
+    }
   }
 
-  /** CREATE TABLE DDL for a dataframe's schema (used for target + staging). */
+  /** Embedded Derby — the executed/spec path. Standard SQL:2003 MERGE. */
+  case object DerbyDialect extends Dialect {
+    val name = "derby"
+    def sqlType(dt: DataType): String = dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case DateType => "DATE"
+      case _: DecimalType => "DECIMAL(18,6)"
+      case StringType => "VARCHAR(1000)"
+      case other => throw new IllegalArgumentException(s"unsupported JDBC sink type: $other")
+    }
+    def mergeSql(st: MergeStep): String = {
+      val attrs = st.schema.fieldNames.filterNot(st.keyCols.contains)
+      val on = st.keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
+      val setClause = attrs.map(a => s"t.$a = s.$a").mkString(", ")
+      val insCols = st.schema.fieldNames.mkString(", ")
+      val insVals = st.schema.fieldNames.map(c => s"s.$c").mkString(", ")
+      val matched = if (attrs.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setClause " else ""
+      s"""MERGE INTO ${st.target} t USING ${st.staging} s ON $on
+         |${matched}WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin
+    }
+  }
+
+  /** PostgreSQL — the reference's actual n2kresult target engine.
+    * Generates `INSERT ... SELECT ... ON CONFLICT (pk) DO UPDATE SET ...
+    * WHERE changed`: the conflict target rides the primary key the ddl()
+    * declares, EXCLUDED carries the incoming row, and the IS DISTINCT
+    * FROM guard skips no-op updates (no dead tuples / trigger storms when
+    * a feed re-delivers unchanged rows — the reference's stamp-preserving
+    * behavior). All-key link tables degrade to DO NOTHING. Generated-SQL
+    * contract is spec-pinned; execution stays on Derby in this build. */
+  case object PostgresDialect extends Dialect {
+    val name = "postgres"
+    def sqlType(dt: DataType): String = dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INT"
+      case DoubleType => "DOUBLE PRECISION"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case DateType => "DATE"
+      case _: DecimalType => "NUMERIC(18,6)"
+      case StringType => "TEXT"
+      case other => throw new IllegalArgumentException(s"unsupported JDBC sink type: $other")
+    }
+    def mergeSql(st: MergeStep): String = {
+      val attrs = st.schema.fieldNames.filterNot(st.keyCols.contains)
+      val insCols = st.schema.fieldNames.mkString(", ")
+      val conflict = st.keyCols.mkString(", ")
+      val action =
+        if (attrs.isEmpty) "DO NOTHING"
+        else {
+          val setClause = attrs.map(a => s"$a = EXCLUDED.$a").mkString(", ")
+          val tTuple = attrs.map(a => s"${st.target}.$a").mkString(", ")
+          val eTuple = attrs.map(a => s"EXCLUDED.$a").mkString(", ")
+          s"DO UPDATE SET $setClause WHERE ($tTuple) IS DISTINCT FROM ($eTuple)"
+        }
+      s"""INSERT INTO ${st.target} ($insCols)
+         |SELECT $insCols FROM ${st.staging}
+         |ON CONFLICT ($conflict) $action""".stripMargin
+    }
+  }
+
+  /** CREATE TABLE DDL under the DEFAULT (executed) dialect — kept as the
+    * historical entry point; dialect-specific DDL via `Dialect.ddl`. */
   def ddl(table: String, schema: StructType, keyCols: Seq[String],
-      extraCols: String = ""): String = {
-    val cols = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
-    val pk = if (keyCols.nonEmpty) s", PRIMARY KEY (${keyCols.mkString(", ")})" else ""
-    s"CREATE TABLE $table ($cols$extraCols$pk)"
-  }
+      extraCols: String = ""): String =
+    DerbyDialect.ddl(table, schema, keyCols, extraCols)
 
   private def bind(ps: PreparedStatement, i: Int, dt: DataType, row: Row, field: Int): Unit = {
     if (row.isNullAt(field)) ps.setObject(i, null)
@@ -103,21 +186,6 @@ object JdbcUpsertSink {
     }
   }
 
-  /** One table's staged-merge description (staging → target). */
-  final case class MergeStep(staging: String, target: String,
-      schema: StructType, keyCols: Seq[String])
-
-  private def mergeSql(st: MergeStep): String = {
-    val attrs = st.schema.fieldNames.filterNot(st.keyCols.contains)
-    val on = st.keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
-    val setClause = attrs.map(a => s"t.$a = s.$a").mkString(", ")
-    val insCols = st.schema.fieldNames.mkString(", ")
-    val insVals = st.schema.fieldNames.map(c => s"s.$c").mkString(", ")
-    val matched = if (attrs.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setClause " else ""
-    s"""MERGE INTO ${st.target} t USING ${st.staging} s ON $on
-       |${matched}WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin
-  }
-
   /** All merges on ONE connection in ONE transaction — the cross-table
     * atomicity the reference's store functions get from wrapping dims +
     * facts in a single DBI transaction. A failure at any step rolls the
@@ -127,13 +195,14 @@ object JdbcUpsertSink {
     *                      each merge statement executes, BEFORE commit —
     *                      throwing simulates a death mid-transaction. */
   def mergeAllStagedAtomically(url: String, steps: Seq[MergeStep],
-      onStepForTest: Int => Unit = _ => ()): Unit = {
+      onStepForTest: Int => Unit = _ => (),
+      dialect: Dialect = DerbyDialect): Unit = {
     val conn = DriverManager.getConnection(url)
     try {
       conn.setAutoCommit(false)
       try {
         steps.zipWithIndex.foreach { case (st, i) =>
-          conn.createStatement().executeUpdate(mergeSql(st))
+          conn.createStatement().executeUpdate(dialect.mergeSql(st))
           onStepForTest(i)
         }
         conn.commit()
@@ -175,6 +244,9 @@ object JdbcUpsertSink {
     val url = writes.head._2.url
     require(writes.forall(_._2.url == url),
       "cross-table atomicity needs all writes on one database/connection")
+    val dialect = writes.head._2.dialect
+    require(writes.forall(_._2.dialect == dialect),
+      "one database, one dialect")
     val steps = writes.map { case (df, cfg) =>
       MergeStep(s"${cfg.table}_staging", cfg.table, df.schema, cfg.keyCols)
     }
@@ -191,7 +263,7 @@ object JdbcUpsertSink {
           withConn(url) { conn =>
             dropIfExists(conn, st.staging)
             conn.createStatement().executeUpdate(
-              ddl(st.staging, df.schema, Nil, extraCols = ", graft_part INT"))
+              dialect.ddl(st.staging, df.schema, Nil, extraCols = ", graft_part INT"))
           }
           stage(df, cfg.copy(table = st.staging))
         }
@@ -202,7 +274,7 @@ object JdbcUpsertSink {
       // Spark jobs finish and are ignored)
       jobs.foreach(Await.result(_, scala.concurrent.duration.Duration(4, "hours")))
     } finally pool.shutdownNow()
-    mergeAllStagedAtomically(url, steps, onStepForTest)
+    mergeAllStagedAtomically(url, steps, onStepForTest, dialect)
     withConn(url)(conn => steps.foreach(st => dropIfExists(conn, st.staging)))
   }
 
