@@ -136,13 +136,25 @@ private[streaming] class BusTable(properties: util.Map[String, String])
   * uncommitted-batch replay idempotent. */
 private[streaming] class BusMicroBatchStream(total: Long, starting: Long,
     maxPerTrigger: Long) extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   private def pos(o: Offset): Long = o match {
     case BusOffset(n) => n
     case other        => other.json().toLong // engine-side serialized form
   }
+
+  // Trigger.AvailableNow (the backfill-then-stop production pattern):
+  // the engine calls prepare ONCE at query start; the offset visible at
+  // that moment becomes the drain target — micro-batches advance toward
+  // it under the same admission control, and the query self-terminates
+  // when latestOffset stops moving (Kafka's contract; on this stub the
+  // topic is static so the snapshot equals `total`, but the seam keeps
+  // the real shape: a post-start append would NOT extend the run).
+  @volatile private var availableNowEnd: Long = -1L
+  override def prepareForTriggerAvailableNow(): Unit = { availableNowEnd = total }
+  private def target: Long = if (availableNowEnd >= 0) availableNowEnd else total
 
   override def initialOffset(): Offset = BusOffset(starting)
 
@@ -156,7 +168,7 @@ private[streaming] class BusMicroBatchStream(total: Long, starting: Long,
       case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => r.maxRows()
       case _ => maxPerTrigger
     }
-    BusOffset(s + math.max(math.min(step, total - s), 0L))
+    BusOffset(s + math.max(math.min(step, target - s), 0L))
   }
 
   override def latestOffset(): Offset =
