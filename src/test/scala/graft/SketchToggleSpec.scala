@@ -110,4 +110,45 @@ class SketchToggleSpec extends AnyFunSuite {
     assert(approxPlan.contains("percentile_approx"),
       s"approx path must use the sketch aggregate:\n${approxPlan.take(1500)}")
   }
+
+  test("percentile_approx split-dependence: measured REAL, and the bounds-only gate contract holds under every split") {
+    // SURVEY §6 caveat, now TESTED instead of observed: percentile_approx's
+    // QuantileSummaries compression IS split-dependent — running this with
+    // a byte-equality assertion showed the continuous column's p90 drift
+    // across partition counts at sf0.1 (94527.87 / 94524.73 / …, all
+    // within the accuracy-10000 window). That is exactly why
+    // q_approx_quantiles NEVER hashes sketch values: its output is exact
+    // percentiles plus IN-WINDOW booleans. This spec pins the contract
+    // that makes the gate split-safe: across 5 partitionings and a
+    // resorted layout, every sketch value stays inside the gate's own
+    // exact-percentile error window (so the hashed booleans are TRUE under
+    // ANY split), even though the raw sketch bytes may differ.
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    // the gate's error windows, from the exact percentile pair (computed once)
+    val windows = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.23, 0.27, 0.48, 0.52, 0.73, 0.77))").as("eq"),
+        expr("percentile(l_extendedprice, array(0.88, 0.92))").as("ep"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Double](1), r.getSeq[Double](2)))).toMap
+    def check(df: org.apache.spark.sql.DataFrame, label: String): Unit =
+      df.groupBy(col("l_returnflag"))
+        .agg(expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("aq"),
+          expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("ap90"))
+        .collect().foreach { r =>
+          val (eq, ep) = windows(r.getString(0))
+          val aq = r.getSeq[Double](1)
+          assert(aq(0) >= eq(0) && aq(0) <= eq(1), s"$label q25 ${aq(0)} outside [${eq(0)},${eq(1)}]")
+          assert(aq(1) >= eq(2) && aq(1) <= eq(3), s"$label q50 ${aq(1)} outside window")
+          assert(aq(2) >= eq(4) && aq(2) <= eq(5), s"$label q75 ${aq(2)} outside window")
+          assert(r.getDouble(2) >= ep(0) && r.getDouble(2) <= ep(1),
+            s"$label p90 ${r.getDouble(2)} outside [${ep(0)},${ep(1)}]")
+        }
+    check(li.repartition(3), "p3")
+    check(li.repartition(8), "p8")
+    check(li.repartition(32), "p32")
+    check(li.repartition(97), "p97")
+    check(li.repartition(8, col("l_returnflag")), "keyed")
+    check(li.orderBy(col("l_extendedprice")).repartition(8), "resorted")
+  }
 }
