@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.{Components, Dedup, EmbedLsh, MinHashLsh, SimHash128, SimHashDedup}
 import graft.functions.TextFunctions.P
+import graft.Ckpt._
 
 /** Deduplication queries (SURVEY.md §2D). The MinHash oracle SQL is
   * *generated* from the same band/row/prime constants as the Spark
@@ -115,7 +116,7 @@ object DedupQ {
         .drop("__toks")
       MinHashLsh.signatures(docs, "doc_id", "text",
         carry = Seq("content_hash", "split_bucket", "simhash", "n_tokens", "quality"))
-        .localCheckpoint(false)
+        .cpLazy
     }
 
   /** Cached full-corpus LSH candidate pairs and their exact-Jaccard
@@ -126,7 +127,7 @@ object DedupQ {
     * lifecycle as `stage`. */
   private def candidates(s: SparkSession, dir: String): DataFrame =
     graft.StageCache.getOrCompute(s, s"dedup:$dir:cand") {
-      MinHashLsh.candidatePairsFromSigs(stage(s, dir), "doc_id").localCheckpoint(false)
+      MinHashLsh.candidatePairsFromSigs(stage(s, dir), "doc_id").cpLazy
     }
 
   /** (a_id, b_id, jaccard) for every candidate pair, UNFILTERED — each
@@ -134,7 +135,7 @@ object DedupQ {
   private def jaccardScored(s: SparkSession, dir: String): DataFrame =
     graft.StageCache.getOrCompute(s, s"dedup:$dir:jaccard") {
       Dedup.jaccardOnPairs(candidates(s, dir), Tables.documents(s, dir), "doc_id", "text")
-        .localCheckpoint(false)
+        .cpLazy
     }
 
   /** The full-corpus canonical assignment (doc_id, canonical_id), the
@@ -154,7 +155,7 @@ object DedupQ {
       Components.canonicalize(Tables.documents(s, dir).select(col("doc_id")), "doc_id",
           jaccardScored(s, dir).filter(col("jaccard") >= JaccardThreshold)
             .select(col("a_id"), col("b_id")))
-        .localCheckpoint(false)
+        .cpLazy
     }
 
   /** The winnowing fingerprint stage BOTH substring-level consumers read
@@ -174,7 +175,7 @@ object DedupQ {
         .withColumn("fps", expr(
           s"array_sort(array_distinct(transform(sequence(0, greatest(size(hs) - $w, 0)), j -> array_min(slice(hs, j + 1, $w)))))"))
         .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"), col("fps"))
-        .localCheckpoint(false)
+        .cpLazy
     }
 
   /** Return the executor memory of this dataset's cached dedup stages
@@ -380,8 +381,8 @@ object DedupQ {
       val sided = stage(s, dir).withColumn("__side", side).filter(col("__side").isNotNull)
       val cands = MinHashLsh.bipartiteCandidatesFromSigs(sided, "doc_id")
         .select(col("right_id").as("a_id"), col("left_id").as("b_id"))
-        .localCheckpoint()
-      Dedup.jaccardOnPairs(cands, docs, "doc_id", "text").localCheckpoint(false)
+        .cpEager
+      Dedup.jaccardOnPairs(cands, docs, "doc_id", "text").cpLazy
     }
 
   def dContamination(s: SparkSession, dir: String): DataFrame =
@@ -475,7 +476,7 @@ object DedupQ {
     val cands = graft.dedup.IncrementalDedup.probe(
         s, path, docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
       .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id"))
-      .localCheckpoint() // tiny pair set feeds the jaccard three-way join
+      .cpEager // tiny pair set feeds the jaccard three-way join
     Dedup.jaccardOnPairs(cands, docs, "doc_id", "text")
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("a_id").as("batch_id"), col("b_id").as("corpus_id"), col("jaccard"))
@@ -683,7 +684,7 @@ object DedupQ {
                  CAST(x AS DOUBLE) * (1.0D + CASE WHEN (vec_id + j) % 2 = 0
                                              THEN 0.3D ELSE -0.3D END))""").as("embedding"))
     val aug = base.unionByName(twins).filter(col("vec_id") % 5 === 0)
-      .localCheckpoint() // feeds training, assignment and the final expand
+      .cpEager // feeds training, assignment and the final expand
     // k derives from the cluster budget (125-row slice / 16 → k = 8 at
     // the gate's sf0.01, the same k the static oracle SQL unrolls); the
     // budget rule, not the caller, bounds per-cluster pair work
@@ -800,7 +801,7 @@ object DedupQ {
     // re-running the whole fuzzy pass d_components just produced
     val canon = fullCanonical(s, dir)
     val sizes = canon.groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
-      .localCheckpoint() // feeds five metric aggregations
+      .cpEager // feeds five metric aggregations
     def m(name: String, v: org.apache.spark.sql.Column, src: DataFrame): DataFrame =
       src.agg(v.cast("double").as("value")).select(lit(name).as("metric"), col("value"))
     val metrics = Seq(

@@ -275,15 +275,15 @@ object Etl3 {
     import org.apache.spark.sql.expressions.Window
     val days = expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $UsPerDay")
     val v = Tables.orders(s, dir)
-      .select(col("o_custkey").as("k"), days.as("day"),
+      .select(col("o_custkey").as("custkey"), days.as("day"),
         col("o_orderkey").as("okey"), col("o_orderpriority").as("attr"))
-    val wAll = Window.partitionBy(col("k")).orderBy(col("day"), col("okey"))
-    val wAttr = Window.partitionBy(col("k"), col("attr")).orderBy(col("day"), col("okey"))
+    val wAll = Window.partitionBy(col("custkey")).orderBy(col("day"), col("okey"))
+    val wAttr = Window.partitionBy(col("custkey"), col("attr")).orderBy(col("day"), col("okey"))
     v.withColumn("grp", row_number().over(wAll) - row_number().over(wAttr))
-      .groupBy(col("k"), col("attr"), col("grp"))
+      .groupBy(col("custkey"), col("attr"), col("grp"))
       .agg(min(col("day")).as("valid_from_day"), max(col("day")).as("valid_to_day"),
         count(lit(1)).as("n_merged"))
-      .select(col("k").as("c_custkey"), col("attr").as("priority"),
+      .select(col("custkey").as("c_custkey"), col("attr").as("priority"),
         col("valid_from_day"), col("valid_to_day"), col("n_merged"))
       .orderBy(col("c_custkey"), col("valid_from_day"), col("valid_to_day"),
         col("priority"), col("n_merged"))

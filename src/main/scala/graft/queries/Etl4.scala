@@ -165,16 +165,16 @@ object Etl4 {
     * rollup — no joins. */
   def eIntervalAudit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("ck")).orderBy(col("od"), col("okey"))
+    val w = Window.partitionBy(col("custkey")).orderBy(col("od"), col("okey"))
     val v = Tables.orders(s, dir)
-      .select(col("o_custkey").as("ck"), col("o_orderkey").as("okey"),
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("okey"),
         expr("datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01')").cast("long").as("od"))
       .withColumn("next_od", lead(col("od"), 1).over(w))
       .filter(col("next_od").isNotNull)
       .withColumn("valid_to", col("next_od") +
         when(col("okey") % 17 === 0, -1L)
           .when(col("okey") % 19 === 0, 1L).otherwise(0L))
-    v.select((col("ck") % 10).as("bucket"),
+    v.select((col("custkey") % 10).as("bucket"),
         when(col("valid_to") < col("next_od"), "gap")
           .when(col("valid_to") > col("next_od"), "overlap")
           .otherwise("ok").as("cls"))

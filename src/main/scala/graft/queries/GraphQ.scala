@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Ckpt._
 
 /** Graph analytics over relational data (SURVEY.md §2A) — the iterative
   * and join-explosive workloads that complete the engine's graph story
@@ -39,11 +40,11 @@ object GraphQ {
     val edges = nodes.filter(col("id") >= 7)
       .select(col("id").as("src"), expr("CAST(id div 7 AS BIGINT)").as("dst"))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(false)
+      .cpLazy
     val nTotal = nodes.agg(count(lit(1)).as("n"))
     var rank = nodes.crossJoin(broadcast(nTotal))
       .select(col("id"), (lit(1.0) / col("n").cast("double")).as("rank"))
-      .localCheckpoint(false)
+      .cpLazy
     for (_ <- 1 to PrIters) {
       val contrib = edges.join(rank, col("src") === col("id"))
         .join(outdeg, "src")
@@ -53,7 +54,7 @@ object GraphQ {
         .crossJoin(broadcast(nTotal))
         .select(col("id"),
           expr(s"$Teleport / CAST(n AS DOUBLE) + $Damping * COALESCE(s, 0.0D)").as("rank"))
-        .localCheckpoint(false)
+        .cpLazy
     }
     rank.orderBy(col("id")).select(col("id").as("c_custkey"), col("rank"))
   }
@@ -101,7 +102,7 @@ object GraphQ {
       .join(li.select(col("ok"), col("p").as("b")), "ok")
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-      .localCheckpoint(false)
+      .cpLazy
     val wedges = edges.select(col("a"), col("b").as("m"))
       .join(edges.select(col("a").as("m"), col("b").as("c")), "m")
       .select(col("a"), col("m"), col("c"))
@@ -163,7 +164,7 @@ object GraphQ {
           .select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-      .localCheckpoint(false)
+      .cpLazy
     val nOrders = li.select(col("ok")).distinct().count()
     val item = li.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
     val pairs = li.select(col("ok"), col("p").as("a"))
@@ -239,7 +240,7 @@ object GraphQ {
       .select(col("a"), col("b")).distinct()
     val edges = und.select(col("a").as("v"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("v"), col("a").as("nbr")))
-      .localCheckpoint(false)
+      .cpLazy
     // GraphIterate.labelProp: strict=false is the oracle-pinned fixed
     // unroll (lazy fused rounds — identical plan/cost to hand-unrolling);
     // production callers use strict=true for convergence-checked rounds
@@ -311,7 +312,7 @@ object GraphQ {
       .join(li.select(col("ok"), col("p").as("b")), "ok")
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-      .localCheckpoint(false)
+      .cpLazy
     val bi = und.select(col("a").as("v"), col("b").as("nbr"))
       .unionByName(und.select(col("b").as("v"), col("a").as("nbr")))
     (und, bi)

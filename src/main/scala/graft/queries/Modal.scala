@@ -7,6 +7,7 @@ import graft.Tables
 import graft.functions.OracleParity.xsum
 import graft.multimodal.Multimodal
 import graft.streaming.Streaming
+import graft.Ckpt._
 
 /** Multimodal + streaming query bindings (SURVEY.md §2F/§2G). */
 object Modal {
@@ -88,7 +89,7 @@ object Modal {
       .as[Multimodal.Blob]
     // corpus and query branches both consume the extraction — materialize
     // once (same reuse pattern as t_heavy_hitters' sketch row)
-    val feats = Multimodal.byteHistogram(blobs).toDF().localCheckpoint()
+    val feats = Multimodal.byteHistogram(blobs).toDF().cpEager
     val queries = feats.filter(col("doc_id") % 100 === 0)
     graft.similarity.Knn.bruteForce(s, feats, queries, "doc_id", "features", k = 3)
       .orderBy(col("q_id"), col("rnk"))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.api.N2kBinding
 import graft.api.N2kBinding.{Graph, Table}
 import graft.operators.{AnalysisVersion, StableId}
+import graft.Ckpt._
 
 /** Gate queries for the concrete n2kresult binding (SURVEY.md §2B):
   * e_store_n2k drives the reference's WHOLE table graph through two
@@ -26,7 +27,7 @@ object N2k {
     * `StageCache.release(s, "n2k:<dir>:")` when done with a dataset. */
   private def span(s: SparkSession, dir: String): DataFrame =
     graft.StageCache.getOrCompute(s, s"n2k:$dir:span") {
-      N2kBinding.window(s, dir, Lo1, Hi2, keepDate = true).localCheckpoint(false)
+      N2kBinding.window(s, dir, Lo1, Hi2, keepDate = true).cpLazy
     }
 
   private def windows(s: SparkSession, dir: String): (DataFrame, DataFrame) = {

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 import graft.functions.OracleParity.x6
+import graft.Ckpt._
 
 /** Round-12 analytics batch: distribution-comparison tests that complete
   * the non-parametric toolkit of Relational9 — Kolmogorov–Smirnov (is the
@@ -54,7 +55,7 @@ object Relational10 {
     val g = ev.groupBy(col("event_type"), col("value"))
       .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c1"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c2"))
-      .localCheckpoint(false) // consumed twice: prefix sums + per-type totals
+      .cpLazy // consumed twice: prefix sums + per-type totals
     val c = graft.operators.BandedRank.withPrefixSums(
       g, Seq("event_type"), "value", Seq("c1" -> "cum1", "c2" -> "cum2"))
     val tot = g.groupBy(col("event_type"))
@@ -188,7 +189,7 @@ object Relational10 {
     val cells = Tables.orders(s, dir)
       .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
+      .cpLazy
     val rt = cells.groupBy(col("prio")).agg(sum(col("n")).as("rt"))
     val ct = cells.groupBy(col("status")).agg(sum(col("n")).as("ct"))
     val tot = cells.agg(sum(col("n")).as("nn"),
@@ -252,7 +253,7 @@ object Relational10 {
       .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
       .agg((sum(col("o_totalprice").cast("decimal(18,6)")) * lit(100L))
         .cast("long").as("cents"))
-      .localCheckpoint(false)
+      .cpLazy
     val a = daily.select(col("day").as("da"), col("cents").as("ca"))
     val b = daily.select(col("day").as("db"), col("cents").as("cb"))
     val sStat = a.join(b, col("da") < col("db"))

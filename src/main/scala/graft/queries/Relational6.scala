@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.OracleParity.xsum
 import graft.sources.Manifest
+import graft.Ckpt._
 
 /** Round-10 relational/product-analytics additions (SURVEY.md §2A):
   * period-over-period growth and marketing attribution — two BI staples
@@ -28,7 +29,7 @@ object Relational6 {
       .agg(count(lit(1)).as("n_orders"), xsum(col("o_totalprice")).as("rev"))
       // |months|-row frame consumed twice (window + YoY self-join):
       // materialize so the fact table scans and aggregates exactly once
-      .localCheckpoint()
+      .cpEager
     val w = Window.orderBy(col("yr"), col("mo"))
     val withMom = m
       .withColumn("prev_rev", lag(col("rev"), 1).over(w))
@@ -80,7 +81,7 @@ object Relational6 {
       .filter(col("event_type") === "purchase")
       // purchase-only frame feeds BOTH model rollups: materialize so the
       // event scan and the per-user window sort run exactly once
-      .localCheckpoint()
+      .cpEager
     def rollup(modelCol: String, model: String) = attributed
       .groupBy(coalesce(col(modelCol), lit("none")).as("channel"))
       .agg(count(lit(1)).as("n_purchases"), xsum(col("value")).as("attributed_rev"))
@@ -345,7 +346,7 @@ object Relational6 {
       .repartitionByRange(8, col("o_orderkey"))
       .write.mode("overwrite").parquet(out)
     val m = Manifest.collect(s, out, Seq("o_orderkey", "o_custkey", "o_orderstatus"))
-      .localCheckpoint()
+      .cpEager
     def rollup(c: String, numeric: Boolean) = {
       val (mn, mx) =
         if (numeric) (min(col("min_value").cast("long")).cast("string"),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
+import graft.Ckpt._
 
 /** Round-11 additions to the relational/analytics core: time-series
   * diagnostics (autocorrelation, CUSUM change detection) and the ABC /
@@ -49,7 +50,7 @@ object Relational7 {
       .select(explode(sequence(col("h0"), col("h1"))).as("hour"))
     val series = spine.join(hourly, Seq("hour"), "left")
       .select(col("hour"), coalesce(col("x"), lit(0L)).as("x"))
-      .localCheckpoint(false)
+      .cpLazy
     val lags = s.createDataFrame(AcfLags.map(Tuple1(_))).toDF("lag_h")
     val pairs = series.crossJoin(broadcast(lags))
       .select(col("lag_h"), (col("hour") + col("lag_h")).as("hour2"), col("x"))
@@ -173,7 +174,7 @@ object Relational7 {
     val bounds = rev.agg(min(col("rev_i")).as("lo"), max(col("rev_i")).as("hi"))
     val banded = rev.crossJoin(broadcast(bounds))
       .withColumn("band", expr(s"((rev_i - lo) * $ParetoBands) div (hi - lo + 1)"))
-      .localCheckpoint(false)
+      .cpLazy
     val bandMass = banded.groupBy(col("band"))
       .agg(sum(col("rev_i").cast(d38)).as("bmass"))
     val wOff = Window.orderBy(col("band").desc)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
 import graft.functions.OracleParity.x6
+import graft.Ckpt._
 
 /** Round-11 additions, batch 2: statistical data-quality / BI diagnostics —
   * Benford first-digit conformance (fraud & synthetic-data screening),
@@ -368,23 +369,28 @@ object Relational8 {
     * crossing value whatever their internal order, so the tiebreak
     * cannot leak into the answer.
     *
-    * Scale shape: ONE group-keyed shuffle carries the cumulative window
-    * AND both aggregations (total via window, crossing min via agg on
-    * the same key). Skewed groups take the q_pareto banded-prefix knob. */
+    * Scale shape (the r13 window-lint catch): the raw fact first
+    * COLLAPSES to per-(flag, price) weight sums — a map-side-partial
+    * groupBy, and the collapse that makes the cumulative frame
+    * tie-free — then the cumulative quantity is a DISTRIBUTED banded
+    * prefix (BandedRank.withPrefixSums: within-band running sums
+    * PARTITION BY (flag, band), cross-band offsets on the ≤|flags|·bands
+    * band frame), replacing the flat per-flag cumulative window that
+    * sorted every line item through one reducer per flag. Group totals
+    * broadcast back from a ≤|flags|-row aggregate. */
   def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d18 = DecimalType(18, 6)
-    val rows = Tables.lineitem(s, dir).select(
-      col("l_returnflag").as("flag"),
-      (col("l_extendedprice").cast(d18) * lit(1000000L)).cast("long").as("price_i"),
-      (col("l_quantity").cast(d18) * lit(1000000L)).cast("long").as("w"),
-      col("l_orderkey").as("okey"), col("l_linenumber").as("ln"))
-    val wCum = Window.partitionBy(col("flag"))
-      .orderBy(col("price_i"), col("okey"), col("ln"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wTot = Window.partitionBy(col("flag"))
-    rows.withColumn("cum", sum(col("w")).over(wCum))
-      .withColumn("tot", sum(col("w")).over(wTot))
+    val collapsed = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("flag"),
+        (col("l_extendedprice").cast(d18) * lit(1000000L)).cast("long").as("price_i"),
+        (col("l_quantity").cast(d18) * lit(1000000L)).cast("long").as("w"))
+      .groupBy(col("flag"), col("price_i"))
+      .agg(sum(col("w")).as("w"))
+      .cpLazy // consumed 3x: banded prefix (bounds+bands) + totals
+    val cum = graft.operators.BandedRank.withPrefixSums(
+      collapsed, Seq("flag"), "price_i", Seq("w" -> "cum"))
+    val tot = collapsed.groupBy(col("flag")).agg(sum(col("w")).as("tot"))
+    cum.join(broadcast(tot), "flag")
       .groupBy(col("flag"))
       .agg(max(col("tot")).as("total_w"),
         min(when(col("cum") * 2 >= col("tot"), col("price_i"))).as("wm_i"))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables
 import graft.functions.OracleParity.x6
+import graft.Ckpt._
 
 /** Round-11 additions, batch 3: non-parametric / robust statistics — the
   * analyst toolkit that complements Relational8's distribution
@@ -55,15 +56,16 @@ object Relational9 {
     val joined = Tables.customer(s, dir)
       .join(spend, col("o_custkey") === col("c_custkey"), "left")
       .select(col("c_nationkey").as("nationkey"), col("c_custkey").as("ck"),
-        col("c_acctbal").as("x"),
-        coalesce(col("spend"), lit(0).cast(DecimalType(18, 6))).as("y"))
+        col("c_acctbal").as("x_val"),
+        coalesce(col("spend"), lit(0).cast(DecimalType(18, 6))).as("y_val"))
     val ranked = graft.operators.BandedRank.withMinRanks(
-      joined.localCheckpoint(false), // consumed 4x by the banded rank
-      Seq("nationkey"), Seq("x" -> "rkx", "y" -> "rky"))
-    // midrank in half-units: 2·midrank = 2·rank + ties − 1 (exact BIGINT)
+      joined.cpLazy, // consumed 4x by the banded rank
+      Seq("nationkey"), Seq("x_val" -> "rkx", "y_val" -> "rky"))
+    // midrank in half-units: 2·midrank = 2·rank + ties − 1 (exact BIGINT);
+    // the tie windows partition by (nation, value) — corpus-cardinality
     def mid2(rk: String, v: String) = col(rk) * 2 +
       count(lit(1)).over(Window.partitionBy(col("nationkey"), col(v))) - 1L
-    val d = mid2("rkx", "x") - mid2("rky", "y")
+    val d = mid2("rkx", "x_val") - mid2("rky", "y_val")
     ranked
       .select(col("nationkey"), (d * d).as("d2x4"))
       .groupBy(col("nationkey"))
@@ -141,7 +143,7 @@ object Relational9 {
       .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c1"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c2"))
       .withColumn("cnt", col("c1") + col("c2"))
-      .localCheckpoint(false) // consumed 3x by the banded prefix
+      .cpLazy // consumed 3x by the banded prefix
     val ranked = graft.operators.BandedRank.withPrefixSums(
       g, Seq("event_type"), "value", Seq("cnt" -> "cum"))
     val rnk2 = (col("cum") - col("cnt")) * 2 + col("cnt") + 1L

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.similarity.{Kmeans, Knn}
+import graft.Ckpt._
 
 /** Similarity-search queries (SURVEY.md §2E). Top-k queries emit
   * (q_id, n_id, rank) — ids and ranks, stable across engines because
@@ -28,7 +29,7 @@ object Similarity {
   private[queries] def fitCached(s: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
     graft.StageCache.getOrCompute(s, s"sim:$dir:centroids:$k:$iters") {
       Kmeans.fit(s, Tables.embeddings(s, dir), "vec_id", "embedding", k, iters)
-        .localCheckpoint(false)
+        .cpLazy
     }
 
   /** Release this dataset's cached trained models (StageCache lifecycle —
@@ -191,7 +192,7 @@ object Similarity {
     val even = e.filter(col("vec_id") % 2 === 0)
     val path = ivfPath(dir) + "_app"
     val cent = graft.StageCache.getOrCompute(s, s"sim:$dir:centroids:app8:2") {
-      Kmeans.fit(s, even, "vec_id", "embedding", 8, iters = 2).localCheckpoint(false)
+      Kmeans.fit(s, even, "vec_id", "embedding", 8, iters = 2).cpLazy
     }
     graft.similarity.IvfIndex.build(s, even, "vec_id", "embedding", path,
       numCentroids = Some(8), iters = 2, pretrained = Some(cent))
@@ -403,14 +404,14 @@ object Similarity {
       .withColumn("rel", coalesce(expr("cosine_sim(q_vec, n_vec)"), lit(-1.0)))
       .select(col("q_id"), col("n_id"), col("rel"), col("n_vec"))
     val cand = graft.plans.TopK.perKey(scored, Seq("q_id"),
-      Seq(col("rel").desc, col("n_id").asc), MmrDepth).localCheckpoint(false)
+      Seq(col("rel").desc, col("n_id").asc), MmrDepth).cpLazy
     // pairwise candidate sims within each query's pool (≤ depth²·|Q| rows)
     val sims = cand.select(col("q_id"), col("n_id").as("a_id"), col("n_vec").as("a_vec"))
       .join(cand.select(col("q_id"), col("n_id").as("b_id"), col("n_vec").as("b_vec")), "q_id")
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("sim", coalesce(expr("cosine_sim(a_vec, b_vec)"), lit(-1.0)))
       .select(col("q_id"), col("a_id"), col("b_id"), col("sim"))
-      .localCheckpoint(false)
+      .cpLazy
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id"))
     var selected = cand.withColumn("score", col("rel"))
@@ -430,7 +431,7 @@ object Similarity {
       // flatten per-round lineage: round r's anti-join + max-sim would
       // otherwise recompute every earlier round's windows (frames are
       // k·|Q|-sized, so each checkpoint is a tiny job)
-      selected = selected.unionByName(pick).localCheckpoint()
+      selected = selected.unionByName(pick).cpEager
     }
     selected.orderBy(col("q_id"), col("pick_rank"))
   }
@@ -574,7 +575,7 @@ object Similarity {
     }
     val books = subs.zipWithIndex.map { case (sub, m) =>
       graft.StageCache.getOrCompute(s, s"sim:$cacheKey:pqbook:$m") {
-        Kmeans.fit(s, sub, "vec_id", "emb", PqK, iters = 1).localCheckpoint(false)
+        Kmeans.fit(s, sub, "vec_id", "emb", PqK, iters = 1).cpLazy
       }
     }
     subs.zip(books)
@@ -587,7 +588,7 @@ object Similarity {
   private def pqCodesCached(s: SparkSession, e: DataFrame, books: Seq[DataFrame],
       cacheKey: String): DataFrame =
     graft.StageCache.getOrCompute(s, s"sim:$cacheKey:pqcodes") {
-      pqCodes(s, e, books).localCheckpoint(false)
+      pqCodes(s, e, books).cpLazy
     }
 
   /** vec_id + code_0..code_{M-1} in ONE projection: per subspace, the
@@ -751,7 +752,7 @@ object Similarity {
     // compressed corpus: M byte codes + coarse bucket per vector
     val parts = pqParts(s, e, s"$dir:raw")
     val codes = pqCodesCached(s, e, parts.map(_._2), s"$dir:raw")
-      .join(buckets, "vec_id").localCheckpoint()
+      .join(buckets, "vec_id").cpEager
     // bucket pruning FIRST (broadcast probe list), then the ADC LUT fold
     val pruned = codes.join(broadcast(probes), Seq("bucket"))
     pqLuts(parts).zipWithIndex.foldLeft(pruned) { case (df, (lut, m)) =>
@@ -923,11 +924,11 @@ object Similarity {
       .join(broadcast(coarse.select(col("c_id").as("bucket"), col("c_vec"))), "bucket")
       .select(col("n_id").as("vec_id"), col("bucket"),
         expr("zip_with(cast(n_vec AS array<double>), c_vec, (a, b) -> a - b)").as("embedding"))
-      .localCheckpoint(false)
+      .cpLazy
     // PQ training + code assembly run UNCHANGED over the residual frame
     val parts = pqParts(s, res, s"$dir:residual")
     val codes = pqCodesCached(s, res, parts.map(_._2), s"$dir:residual")
-      .join(res.select(col("vec_id"), col("bucket")), "vec_id").localCheckpoint()
+      .join(res.select(col("vec_id"), col("bucket")), "vec_id").cpEager
     // probes and per-(query, cell) residual LUTs
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
@@ -938,7 +939,7 @@ object Similarity {
       .withColumn("r", row_number().over(wProbe)).filter(col("r") <= 2)
       .select(col("q_id"), col("c_id").as("bucket"),
         expr("zip_with(cast(q_vec AS array<double>), c_vec, (a, b) -> a - b)").as("qr"))
-      .localCheckpoint(false)
+      .cpLazy
     val pruned = codes.join(broadcast(probes.select(col("q_id"), col("bucket"))), Seq("bucket"))
     val scored = parts.map(_._2).zipWithIndex.foldLeft(pruned) { case (df, (cb, m)) =>
       val lut = probes

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Ckpt._
 
 /** Round-11 similarity additions (SURVEY.md §2E). */
 object Similarity2 {
@@ -50,7 +51,7 @@ object Similarity2 {
   }
 
   def sMutualKnn(s: SparkSession, dir: String): DataFrame = {
-    val edges = mutualKnnEdges(s, dir).localCheckpoint(false)
+    val edges = mutualKnnEdges(s, dir).cpLazy
     val fwd = edges.filter(col("q_id") < col("n_id"))
       .select(col("q_id").as("a"), col("n_id").as("b"),
         col("cos"), col("rnk").as("rank_ab"))
@@ -114,7 +115,7 @@ object Similarity2 {
       .withColumn("c_cos", coalesce(expr("cosine_sim(q_vec, c_vec)"), lit(-1.0)))
       .withColumn("proberank", row_number().over(wProbe))
       .select(col("q_id"), col("q_vec"), col("c_id").as("bucket"), col("proberank"))
-      .localCheckpoint(false)
+      .cpLazy
     (probes, path)
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.Ckpt._
 
 /** Text-analysis queries (SURVEY.md §2C) over the documents table. Oracle
   * SQL strings are generated from the same constants as the Spark side so
@@ -344,7 +345,7 @@ object Text {
       ColumnBridge.expression(col("token")), HeavyHitterK).toAggregateExpression())
     val sk = toks.agg(sketch.as("sk"))
       .select(col("sk.n_total").as("n_total"), col("sk.cands").as("cands"))
-      .localCheckpoint() // one row; truncates the sketch pass out of pass 2
+      .cpEager // one row; truncates the sketch pass out of pass 2
     val cands = sk.select(explode(col("cands")).as("token"))
     toks.join(broadcast(cands), "token")
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
@@ -479,7 +480,7 @@ object Text {
     val tagged = d.select(col("doc_id"), langId(col("text"), col("toks")).as("domain"),
         (conv(substring(md5(concat(lit(salt), col("text"))), 1, 15), 16, 10)
           .cast("long") % 100).as("bucket"))
-      .localCheckpoint(false) // feeds the count agg AND the per-doc join
+      .cpLazy // feeds the count agg AND the per-doc join
     val counts = tagged.groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
     val total = counts.agg(sum(col("n_docs")).as("total"))
     val weights = counts.crossJoin(broadcast(total))
@@ -528,17 +529,27 @@ object Text {
     * layout step. Documents concatenate in (source, doc_id) order into
     * fixed-budget token sequences; each doc reports the sequence its first
     * token lands in and the offset inside it (docs may straddle sequence
-    * boundaries, as real packing does). The running sum is windowed PER
-    * SOURCE, so at 100 TB each shard packs in parallel — a single global
-    * order would funnel the corpus through one reducer. All-integer
-    * arithmetic → exact oracle parity. */
+    * boundaries, as real packing does). All-integer arithmetic → exact
+    * oracle parity.
+    *
+    * Scale shape (the r13 window-lint catch): `source` has BOUNDED
+    * cardinality, so the old flat running sum PARTITION BY source funneled
+    * each source's whole corpus through one reducer. The running token
+    * count is now a DISTRIBUTED banded prefix over doc_id
+    * (BandedRank.withPrefixSums: within-band running sums PARTITION BY
+    * (source, band), cross-band subtotal offsets on the ≤|sources|·bands
+    * band frame) — doc_id is unique per source, so the ROWS frame is
+    * tie-free by construction. Tokenization happens ONCE on the narrow
+    * checkpointed frame; only (source, doc_id, n_tokens) enters the
+    * prefix machinery. */
   def tPack(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
-      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
-      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val counted = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .cpLazy // consumed 3x by the banded prefix; tokenize once
+    graft.operators.BandedRank.withPrefixSums(
+        counted, Seq("source"), "doc_id", Seq("n_tokens" -> "cum_incl"))
+      .withColumn("start_tok", col("cum_incl") - col("n_tokens"))
       .select(col("source"), col("doc_id"), col("n_tokens"),
         expr(s"start_tok div $PackBudget").as("seq_id"),
         (col("start_tok") % PackBudget).as("offset_in_seq"))
@@ -799,7 +810,7 @@ object Text {
       .drop("sents")
       // two consumers below (gram explode + final join) — materialize the
       // tokenized frame once instead of re-running the tokenizer per branch
-      .localCheckpoint()
+      .cpEager
     // typed empty arrays: bare array() is array<null> and won't unify with
     // the struct arrays under concat
     val noGrams = array().cast("array<struct<n:int,g:string>>")
@@ -983,7 +994,7 @@ object Text {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), splitBucket(col("text")).as("bucket"),
         tokens(col("text")).as("toks"))
-      .localCheckpoint()
+      .cpEager
     // gram totals per test doc (size of the gram list — 0 for <5-token
     // docs), taken before any pruning so every test doc stays covered
     val perDoc = t.filter(col("bucket") >= 90)
@@ -1178,7 +1189,7 @@ object Text {
     var words = tVocab(s, dir)
       .filter(col("token").rlike("^[a-z0-9]+$"))
       .select(expr("filter(split(token, ''), x -> x <> '')").as("syms"), col("n"))
-      .localCheckpoint()
+      .cpEager
     val out = (1 to BpeMerges).map { rank =>
       // guard: sequence(0, -1) is DESCENDING for 1-symbol words and would
       // emit spurious (sym, null)/(null, sym) pairs the oracle never sees
@@ -1193,7 +1204,7 @@ object Text {
            |  (acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$p1' AND x = '$p2'
            |              THEN concat(slice(acc, 1, size(acc) - 1), array('$p1$p2'))
            |              ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"), col("n"))
-        .localCheckpoint()
+        .cpEager
       (rank, p1, p2, p1 + p2, cnt)
     }
     import s.implicits._
@@ -1260,7 +1271,7 @@ object Text {
       .select(col("doc_id"), col("lang"), col("source"),
         length(col("text")).cast("long").as("len"),
         size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("toks"))
-      .localCheckpoint() // one corpus pass feeds all the card sections
+      .cpEager // one corpus pass feeds all the card sections
     def m(name: String, v: org.apache.spark.sql.Column, src: DataFrame): DataFrame =
       src.agg(v.cast("double").as("value")).select(lit(name).as("metric"), col("value"))
     val scalars = Seq(

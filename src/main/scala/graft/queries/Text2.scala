@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.Ckpt._
 
 /** Round-11 text-analysis additions (SURVEY.md §2C): collocation mining,
   * readability scoring, and the corpus frequency spectrum. All three ride
@@ -42,7 +43,7 @@ object Text2 {
     val docs = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(tokens(col("text")).as("toks"))
-      .localCheckpoint(false)
+      .cpLazy
     val uni = docs.select(explode(col("toks")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
     val nTotal = uni.agg(sum(col("c")).as("n"))
@@ -342,7 +343,7 @@ object Text2 {
     val evalDocs = t.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), Text.gram5Expr.as("grams"))
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"), col("grams"))
-      .localCheckpoint(false)
+      .cpLazy
     val trainGrams = t.filter(col("doc_id") % 5 =!= 0)
       .select(explode(Text.gram5Expr).as("g")).distinct()
     val hits = evalDocs.select(col("doc_id"), explode(col("grams")).as("g"))

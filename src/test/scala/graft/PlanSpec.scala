@@ -120,14 +120,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
-  test("t_pack: packing parallelizes per source — no single-partition global window") {
+  test("t_pack: the running token count is banded — no flat per-source sort of the corpus") {
     val df = Text.tPack(spark, dir)
     df.collect()
     val p = plan(df)
-    // the running sum must hash-partition on source; a window with an empty
-    // partitionBy would plan Exchange SinglePartition and single-thread the
-    // corpus at scale (the final presentation orderBy may range-shuffle)
-    assert(p.contains("hashpartitioning(source"), p.take(3000))
+    // any window touching the running count must partition by the band
+    // column — the flat PARTITION BY source ORDER BY doc_id form funnels
+    // each source's whole corpus through one reducer (source is bounded)
+    val badWindow = p.linesIterator.exists(l =>
+      l.contains("Window [") && l.contains("n_tokens") && !l.contains("band"))
+    assert(!badWindow, s"running sum must partition by (source, band):\n${p.take(3000)}")
     val winIdx = p.indexOf("Window")
     assert(winIdx >= 0 && !p.substring(0, winIdx).contains("SinglePartition"),
       s"global window detected:\n${p.take(3000)}")
@@ -802,11 +804,16 @@ class PlanSpec extends AnyFunSuite {
       s"the probe must be an equality join on g:\n${p.take(3000)}")
   }
 
-  test("q_weighted_median: cumulative window and both aggregations share ONE group-keyed shuffle") {
+  test("q_weighted_median: the cumulative quantity is banded — no flat per-flag sort of the fact") {
     val p = plan(graft.queries.Relational8.qWeightedMedian(spark, dir))
-    val flagShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(flag"))
-    assert(flagShuffles <= 1, s"one flag-keyed shuffle expected ($flagShuffles):\n${p.take(3000)}")
+    // any window touching price_i must partition by the band column — the
+    // flat PARTITION BY flag ORDER BY price form single-reduces per flag
+    val badWindow = p.linesIterator.exists(l =>
+      l.contains("Window [") && l.contains("price_i") && !l.contains("band"))
+    assert(!badWindow, s"cumulative window must partition by (flag, band):\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"band offsets and group totals must broadcast back:\n${p.take(3000)}")
   }
 
   test("q_degree_dist: edge join is order-keyed; spectrum rollups are map-side partial") {
@@ -1000,15 +1007,18 @@ class PlanSpec extends AnyFunSuite {
       s"a global rank sort would single-thread at 100 TB:\n${p.take(3000)}")
   }
 
-  test("q_mann_whitney: rank window partitioned by event_type; ONE aggregate, no join") {
+  test("q_mann_whitney: banded midrank — no flat per-type sort, band frames broadcast") {
     val p = plan(graft.queries.Relational9.qMannWhitney(spark, dir))
     assert(!p.contains("Exchange SinglePartition"),
       s"pooled ranking must stay per-group:\n${p.take(3000)}")
-    // the tie term rides the midrank window's cnt column (Σ(t³−t) =
-    // Σ_rows(c²−1)) — tie correction must cost no second scan or join
-    assert(!p.contains("Join"), s"no join anywhere:\n${p.take(3000)}")
-    val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(event_type"))
-    assert(aggShuffles <= 3, s"windows/agg ride event_type partitioning ($aggShuffles):\n${p.take(3000)}")
+    // the banded-prefix rewrite: any window touching the pooled value must
+    // partition by (event_type, band) — bare event_type single-reduces
+    val badWindow = p.linesIterator.exists(l =>
+      l.contains("Window [") && l.contains("value") && !l.contains("band"))
+    assert(!badWindow, s"midrank window must partition by (type, band):\n${p.take(3000)}")
+    // band bounds and cross-band offsets come back as broadcasts, never a
+    // fact-sized sort-merge join
+    assert(!p.contains("SortMergeJoin"), s"band frames must broadcast:\n${p.take(3000)}")
   }
 
   test("q_simpson: two stacked map-side-partial aggregations — no window, no join") {
