@@ -300,6 +300,147 @@ object Relational10 {
       |       ELSE 0.0 END) > 1.96 AS trend_detected
       |FROM k""".stripMargin
 
+  // ---------------------------------------------------------- q_theil_sen
+
+  /** q_theil_sen: THEIL–SEN slope of the daily revenue series — the robust
+    * trend SIZE beside q_mk_trend's trend EXISTENCE (the standard pairing:
+    * MK detects monotone drift, Theil–Sen sizes it as the median of all
+    * pairwise slopes, insensitive to ~29% outliers).
+    *
+    * Exactness: a pairwise slope is the RATIONAL Δcents/Δdays; ordering
+    * rationals by float division invites last-ulp disagreement between
+    * engines, so pairs order by the exact integer key (Δcents·S) div Δdays
+    * with S = 10⁸ (exact DECIMAL(38,0) product, integer division). Key
+    * equality ⟺ slope equality and key order ⟺ slope order: distinct
+    * pairwise slopes over a |days|-bounded calendar differ by ≥ 1/span²,
+    * and S > span² keeps scaled gaps > 1 (span 2 406 days → gap ≥ 17; the
+    * margin also absorbs the floor-vs-truncate division-convention
+    * difference between engines, so neither needs pinning — only the
+    * SELECTED rational must agree, and it does). The ONE float division
+    * (the reported slope) happens on the median key's representative —
+    * equal-key pairs yield bit-identical doubles because IEEE division
+    * correctly rounds the same rational.
+    *
+    * Selection: lower median, index m = (n+1) div 2 — deterministic for
+    * even n where an interpolating percentile would average two rationals
+    * in float — by HISTOGRAM SELECTION, the classic distributed exact
+    * order statistic. Pairwise slopes are almost all DISTINCT, so a
+    * per-key collapse buys nothing (measured: 2 890 780 groups from
+    * 2 890 810 pairs) and a distributed rank would sort the whole pair
+    * frame; instead pass 1 takes (min, max, count) of the key, pass 2
+    * histograms the keys into B = 8192 fixed-width bands (map-side
+    * partial; ≤B rows collect — the same bounded-collect budget as the
+    * IVF centroid frames), the driver locates the band holding index m,
+    * and pass 3 collapses ONLY that band's keys (expected n/B rows) for
+    * the in-band crossing. No global sort at any scale; B is the knob
+    * balancing collect size against in-band frame size.
+    *
+    * Scale shape: the fact aggregates ONCE to the calendar-bounded |days|
+    * frame; the |days|²/2 pair frame (itself calendar-bounded) is scanned
+    * three times from one eager 3-long-column checkpoint. S is the
+    * documented knob: S > span² for key injectivity and |slope|max·S < 2⁶³
+    * for the BIGINT key; a wider calendar or heavier series raises S and
+    * moves the key to DECIMAL(38,0).
+    *
+    * Invariants (TheilSenSpec): exact median on a hand-computed series;
+    * slope sign agrees with Mann–Kendall's S on planted monotone trends;
+    * constant series → slope 0. */
+  def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,6)")) * lit(100L))
+        .cast("long").as("cents"))
+      .cpLazy // consumed twice: both pair-join sides
+    theilSen(daily)
+  }
+
+  /** Histogram-selection band count — the knob balancing the bounded
+    * driver collect (≤ TheilSenBands rows) against the expected in-band
+    * frame (n_pairs / TheilSenBands rows). */
+  val TheilSenBands = 8192L
+
+  /** The slope core over any (day DATE, cents BIGINT) daily frame —
+    * factored out so TheilSenSpec can plant synthetic trends. */
+  private[graft] def theilSen(daily: DataFrame): DataFrame = {
+    // repartition the LEFT side: the inequality pair join plans as a
+    // broadcast nested loop whose output parallelism = left partitions,
+    // and AQE coalesces the tiny |days| aggregate to ~1 partition — which
+    // would funnel the |days|²/2 pair expansion and keying into one task
+    val par = daily.sparkSession.sparkContext.defaultParallelism
+    val a = daily.repartition(par).select(col("day").as("da"), col("cents").as("ca"))
+    val b = daily.select(col("day").as("db"), col("cents").as("cb"))
+    // skey = trunc(dc·S/dd) in pure codegen'd LONG arithmetic:
+    // (dc div dd)·S + ((dc mod dd)·S) div dd — the decomposition is exact
+    // because Spark's div/mod pair truncates toward zero with matching
+    // signs, and (dc mod dd)·S ≤ span·S never overflows; the DECIMAL(38,0)
+    // single-expression form computed the same value ~20× slower per row
+    val keyed = a.join(b, col("da") < col("db"))
+      .select((col("cb") - col("ca")).as("dc"),
+        datediff(col("db"), col("da")).cast("long").as("dd"))
+      .withColumn("skey",
+        expr("(dc div dd) * 100000000 + ((dc % dd) * 100000000) div dd"))
+      .cpEager // scanned 3x by the selection passes (bounds, histogram,
+               // in-band); eager because the passes are independent jobs —
+               // a lazy checkpoint would recompute the pair expansion per pass
+    // pass 1: key bounds + pair count (one 1-row aggregate)
+    val h = keyed.agg(min(col("skey")), max(col("skey")), count(lit(1))).head()
+    if (h.isNullAt(0)) return theilSenEmpty(daily)
+    val (lo, hi, n) = (h.getLong(0), h.getLong(1), h.getLong(2))
+    val m = (n + 1) / 2 // 1-based lower-median index
+    val w = math.max(1L, (hi - lo) / TheilSenBands + 1L) // band width ≥ 1
+    val band = expr(s"(skey - ${lo}L) div ${w}L")
+    // pass 2: the key histogram — ≤TheilSenBands rows to the driver, the
+    // same bounded-collect class as centroid/probe frames
+    val hist = keyed.groupBy(band.as("b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val cums = hist.scanLeft(0L)(_ + _._2).tail
+    val ti = cums.indexWhere(_ >= m)
+    val (tBand, inBandIdx) = (hist(ti)._1, m - (if (ti == 0) 0L else cums(ti - 1)))
+    // pass 3: collapse ONLY the median band's keys (n/TheilSenBands rows
+    // expected) and walk the crossing on that bounded frame
+    val wCum = Window.orderBy(col("skey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.filter(band === lit(tBand))
+      .groupBy(col("skey"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("dc").cast(DoubleType) / col("dd").cast(DoubleType)).as("slope_raw"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .filter(col("cum") >= inBandIdx && col("cum") - col("cnt") < inBandIdx)
+      .select(lit(n).as("n_pairs"), x6(col("slope_raw")).as("slope_cents_per_day"))
+  }
+
+  /** Zero-pair degenerate (a 0/1-day frame): empty result, gate schema. */
+  private def theilSenEmpty(daily: DataFrame): DataFrame =
+    daily.sparkSession.createDataFrame(
+      daily.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_pairs",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("slope_cents_per_day",
+          DoubleType))))
+
+  val qTheilSenSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |pairs AS (
+      |  SELECT b.cents - a.cents AS dc,
+      |    CAST(datediff('day', a.day, b.day) AS BIGINT) AS dd
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |keyed AS (
+      |  SELECT CAST(dc AS HUGEINT) * 100000000 // dd AS skey,
+      |    COUNT(*) AS cnt, MIN(CAST(dc AS DOUBLE) / dd) AS slope_raw
+      |  FROM pairs GROUP BY 1),
+      |c AS (
+      |  SELECT cnt, slope_raw,
+      |    SUM(cnt) OVER (ORDER BY skey) AS cum,
+      |    SUM(cnt) OVER () AS n_pairs
+      |  FROM keyed)
+      |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(CAST(slope_raw AS DECIMAL(18,6)) AS DOUBLE) AS slope_cents_per_day
+      |FROM c WHERE cum >= (n_pairs + 1) // 2 AND cum - cnt < (n_pairs + 1) // 2""".stripMargin
+
   // -------------------------------------------------------- q_changepoint
 
   /** q_changepoint: single CHANGEPOINT detection on daily revenue — the
@@ -512,6 +653,7 @@ object Relational10 {
     "q_runs_test"   -> qRunsTest _,
     "q_cramers_v"   -> qCramersV _,
     "q_mk_trend"    -> qMkTrend _,
+    "q_theil_sen"   -> qTheilSen _,
     "q_changepoint" -> qChangepoint _,
   )
 
@@ -523,6 +665,7 @@ object Relational10 {
     "q_runs_test"   -> qRunsTestSql,
     "q_cramers_v"   -> qCramersVSql,
     "q_mk_trend"    -> qMkTrendSql,
+    "q_theil_sen"   -> qTheilSenSql,
     "q_changepoint" -> qChangepointSql,
   )
 }

@@ -149,6 +149,8 @@ class WindowLintSpec extends AnyFunSuite {
       "per-query centroid ranking: C≈√N rows per partition (the IVF probe-list frame)"),
     "s_recall_curve" -> (Seq("(q_id)"),
       "per-query centroid ranking: C≈√N rows per partition (the IVF probe-list frame)"),
+    "q_theil_sen" -> (Seq("GLOBAL"),
+      "in-band key frame of the histogram selection — n_pairs/8192 rows expected, B is the knob"),
     "q_trailing7" -> (Seq("GLOBAL"),
       "7-row rolling frame on the bounded day frame"),
     "q_wape" -> (Seq("(event_type)"),
