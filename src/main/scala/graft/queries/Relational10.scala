@@ -55,7 +55,8 @@ object Relational10 {
     val g = ev.groupBy(col("event_type"), col("value"))
       .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c1"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c2"))
-      .cpLazy // consumed twice: prefix sums + per-type totals
+      .cpEager // consumed by two INDEPENDENT stages (prefix sums + per-type
+      // totals) — lazy would recompute the (type, value) collapse per stage
     val c = graft.operators.BandedRank.withPrefixSums(
       g, Seq("event_type"), "value", Seq("c1" -> "cum1", "c2" -> "cum2"))
     val tot = g.groupBy(col("event_type"))
@@ -189,7 +190,7 @@ object Relational10 {
     val cells = Tables.orders(s, dir)
       .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
       .agg(count(lit(1)).as("n"))
-      .cpLazy
+      .cpEager // 3 independent marginal aggs — lazy would rescan orders per agg
     val rt = cells.groupBy(col("prio")).agg(sum(col("n")).as("rt"))
     val ct = cells.groupBy(col("status")).agg(sum(col("n")).as("ct"))
     val tot = cells.agg(sum(col("n")).as("nn"),

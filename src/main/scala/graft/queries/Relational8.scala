@@ -386,7 +386,8 @@ object Relational8 {
         (col("l_quantity").cast(d18) * lit(1000000L)).cast("long").as("w"))
       .groupBy(col("flag"), col("price_i"))
       .agg(sum(col("w")).as("w"))
-      .cpLazy // consumed 3x: banded prefix (bounds+bands) + totals
+      .cpEager // consumed 3x by INDEPENDENT stages (banded prefix bounds/bands
+      // + totals) — lazy would recompute the price collapse per stage
     val cum = graft.operators.BandedRank.withPrefixSums(
       collapsed, Seq("flag"), "price_i", Seq("w" -> "cum"))
     val tot = collapsed.groupBy(col("flag")).agg(sum(col("w")).as("tot"))

@@ -59,7 +59,8 @@ object Relational9 {
         col("c_acctbal").as("x_val"),
         coalesce(col("spend"), lit(0).cast(DecimalType(18, 6))).as("y_val"))
     val ranked = graft.operators.BandedRank.withMinRanks(
-      joined.cpLazy, // consumed 4x by the banded rank
+      joined.cpEager, // consumed 4x by INDEPENDENT stages of the banded rank
+        // (bounds, band counts, joins) — lazy would recompute it per stage
       Seq("nationkey"), Seq("x_val" -> "rkx", "y_val" -> "rky"))
     // midrank in half-units: 2·midrank = 2·rank + ties − 1 (exact BIGINT);
     // the tie windows partition by (nation, value) — corpus-cardinality
@@ -143,7 +144,8 @@ object Relational9 {
       .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c1"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c2"))
       .withColumn("cnt", col("c1") + col("c2"))
-      .cpLazy // consumed 3x by the banded prefix
+      .cpEager // consumed 3x by INDEPENDENT stages of the banded prefix —
+      // lazy would recompute the (type, value) collapse per stage
     val ranked = graft.operators.BandedRank.withPrefixSums(
       g, Seq("event_type"), "value", Seq("cnt" -> "cum"))
     val rnk2 = (col("cum") - col("cnt")) * 2 + col("cnt") + 1L

@@ -546,7 +546,8 @@ object Text {
     val counted = Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .cpLazy // consumed 3x by the banded prefix; tokenize once
+      .cpEager // consumed 3x by INDEPENDENT stages of the banded prefix —
+      // eager so tokenization runs ONCE, not once per stage
     graft.operators.BandedRank.withPrefixSums(
         counted, Seq("source"), "doc_id", Seq("n_tokens" -> "cum_incl"))
       .withColumn("start_tok", col("cum_incl") - col("n_tokens"))
