@@ -360,6 +360,12 @@ object Relational10 {
     * frame (n_pairs / TheilSenBands rows). */
   val TheilSenBands = 8192L
 
+  /** Slope scale S: S > calendar-span² for key injectivity and
+    * |slope|max·S < 2⁶³ for the BIGINT key — ONE constant interpolated
+    * into the Spark key expression, the DuckDB oracle, and TheilProbe so
+    * the knob cannot drift between them. */
+  val TheilSenScale = 100000000L
+
   /** The slope core over any (day DATE, cents BIGINT) daily frame —
     * factored out so TheilSenSpec can plant synthetic trends. */
   private[graft] def theilSen(daily: DataFrame): DataFrame = {
@@ -379,7 +385,7 @@ object Relational10 {
       .select((col("cb") - col("ca")).as("dc"),
         datediff(col("db"), col("da")).cast("long").as("dd"))
       .withColumn("skey",
-        expr("(dc div dd) * 100000000 + ((dc % dd) * 100000000) div dd"))
+        expr(s"(dc div dd) * ${TheilSenScale}L + ((dc % dd) * ${TheilSenScale}L) div dd"))
       .cpEager // scanned 3x by the selection passes (bounds, histogram,
                // in-band); eager because the passes are independent jobs —
                // a lazy checkpoint would recompute the pair expansion per pass
@@ -388,8 +394,17 @@ object Relational10 {
     if (h.isNullAt(0)) return theilSenEmpty(daily)
     val (lo, hi, n) = (h.getLong(0), h.getLong(1), h.getLong(2))
     val m = (n + 1) / 2 // 1-based lower-median index
-    val w = math.max(1L, (hi - lo) / TheilSenBands + 1L) // band width ≥ 1
-    val band = expr(s"(skey - ${lo}L) div ${w}L")
+    // hi − lo can exceed Long when the extreme slopes straddle zero with
+    // large magnitudes (each within the |slope|·S < 2⁶³ contract, their
+    // span up to 2⁶⁴): width math runs in BigInt, and the per-row
+    // subtraction falls back to DECIMAL(38,0) exactly when the span
+    // wraps — non-ANSI Long arithmetic would wrap SILENTLY and deband
+    // the histogram (TheilSenSpec pins the straddling case)
+    val span = BigInt(hi) - BigInt(lo)
+    val w = ((span / TheilSenBands + 1) max BigInt(1)).toLong // ≤ 2⁶⁴/B, fits
+    val band =
+      if (span.isValidLong) expr(s"(skey - ${lo}L) div ${w}L")
+      else expr(s"(CAST(skey AS DECIMAL(38,0)) - ${lo}) div ${w}L")
     // pass 2: the key histogram — ≤TheilSenBands rows to the driver, the
     // same bounded-collect class as centroid/probe frames
     val hist = keyed.groupBy(band.as("b")).agg(count(lit(1)).as("c"))
@@ -421,7 +436,7 @@ object Relational10 {
           DoubleType))))
 
   val qTheilSenSql: String =
-    """WITH daily AS (
+    s"""WITH daily AS (
       |  SELECT CAST(o_orderdate AS DATE) AS day,
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 100 AS BIGINT) AS cents
       |  FROM orders GROUP BY 1),
@@ -430,7 +445,7 @@ object Relational10 {
       |    CAST(datediff('day', a.day, b.day) AS BIGINT) AS dd
       |  FROM daily a JOIN daily b ON a.day < b.day),
       |keyed AS (
-      |  SELECT CAST(dc AS HUGEINT) * 100000000 // dd AS skey,
+      |  SELECT CAST(dc AS HUGEINT) * $TheilSenScale // dd AS skey,
       |    COUNT(*) AS cnt, MIN(CAST(dc AS DOUBLE) / dd) AS slope_raw
       |  FROM pairs GROUP BY 1),
       |c AS (

@@ -41,8 +41,9 @@ object TheilProbe {
       .select((col("cb") - col("ca")).as("dc"),
         datediff(col("db"), col("da")).cast("long").as("dd"))
     t("pairs")(pairs.count())
+    val S = graft.queries.Relational10.TheilSenScale
     val withKey = pairs.withColumn("skey",
-      expr("(dc div dd) * 100000000 + ((dc % dd) * 100000000) div dd"))
+      expr(s"(dc div dd) * ${S}L + ((dc % dd) * ${S}L) div dd"))
     t("keyed-nogroup")(withKey.count())
     val keyed = withKey.groupBy(col("skey"))
       .agg(count(lit(1)).as("cnt"),

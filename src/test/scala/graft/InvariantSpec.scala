@@ -390,7 +390,7 @@ class InvariantSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     for ((t, n1, n2, dNum, d, crit, sig) <- rows) {
       assert(dNum >= 0 && dNum <= BigDecimal(n1) * BigDecimal(n2),
-        s"$t: d_num=$dNum outside [0, ${n1 * n2}]")
+        s"$t: d_num=$dNum outside [0, ${BigDecimal(n1) * BigDecimal(n2)}]")
       assert(d >= 0.0 && d <= 1.0, s"$t: D=$d")
       assert(crit > 0.0)
       // 6-decimal-pinned d/crit must agree with the raw-compared flag

@@ -49,6 +49,18 @@ class TheilSenSpec extends AnyFunSuite {
     assert(n == 6L && slope == 0.0)
   }
 
+  test("extreme slopes straddling zero: the key span exceeds Long, the banding must not wrap") {
+    // slopes +5e18/S, 0, −5e18/S: each key honors |slope|·S < 2⁶³ but
+    // hi − lo = 1e19 wraps Long — the histogram must band on the
+    // DECIMAL(38,0) fallback (a silent wrap debands the histogram and
+    // selects a wrong median; the true lower median is the middle pair, 0)
+    val rows = Seq("2020-01-01" -> 0L, "2020-01-02" -> 50000000000L,
+      "2020-01-03" -> 0L)
+    val (n, slope) = run(rows)
+    assert(n == 3L)
+    assert(slope == 0.0, s"median of (+5e10, 0, -5e10) slopes must be 0, got $slope")
+  }
+
   test("negative fractional slope: the key's division convention cannot leak into the output") {
     // one pair, slope −1/3 — the scaled key is a NON-INTEGER negative
     // rational, where floor (DuckDB) and truncate (Spark) disagree by 1;
