@@ -167,9 +167,15 @@ class WindowLintSpec extends AnyFunSuite {
   private def sig(ws: Seq[Seq[String]]): Seq[String] =
     ws.map(n => if (n.isEmpty) "GLOBAL" else n.mkString("(", ",", ")")).sorted
 
-  test("every batch gate's sort-windows are keyed, banded, rank-limited, or allowlisted-bounded") {
+  private def cartesians(p: SparkPlan): Int = unwrap(p) match {
+    case _: org.apache.spark.sql.execution.joins.CartesianProductExec => 1
+    case other => other.children.map(cartesians).sum
+  }
+
+  test("every batch gate's sort-windows are keyed, banded, rank-limited, or allowlisted-bounded; no gate plans a CartesianProduct") {
     val gates = SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("st_"))
     val flagged = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    val carts = scala.collection.mutable.LinkedHashMap[String, Int]()
     System.setProperty("graft.lint.noCheckpoint", "true")
     // StageCache would defeat the bypass order-dependently: stages cached
     // by earlier suites were built WITH checkpoints (lineage truncated at a
@@ -178,8 +184,14 @@ class WindowLintSpec extends AnyFunSuite {
     // the sweep's un-checkpointed frames
     StageCache.release(spark)
     try gates.foreach { g =>
-      val f = flaggedWindows(SparkEntry.queries(g)(spark, dir))
+      val df = SparkEntry.queries(g)(spark, dir)
+      val f = flaggedWindows(df)
       if (f.nonEmpty) flagged(g) = sig(f)
+      // same sweep, second global guard: a non-broadcast CartesianProduct
+      // is corpus² work at any scale (the calendar pair joins are
+      // BroadcastNestedLoopJoin — a bounded side broadcast — never this)
+      val nc = cartesians(df.queryExecution.executedPlan)
+      if (nc > 0) carts(g) = nc
     } finally {
       System.clearProperty("graft.lint.noCheckpoint")
       StageCache.release(spark)
@@ -195,6 +207,7 @@ class WindowLintSpec extends AnyFunSuite {
         s"with the exact signature and the bound):\n$report\nviolations: ${violations.keys.toSeq.sorted}")
     val stale = boundedFrames.keySet -- flagged.keySet
     assert(stale.isEmpty, s"stale allowlist entries (no flagged window anymore): $stale")
+    assert(carts.isEmpty, s"CartesianProductExec in gate plans: $carts")
   }
 
   test("control: a debanded q_mann_whitney (flat rank over event_type) is flagged") {
