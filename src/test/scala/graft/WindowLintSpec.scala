@@ -219,4 +219,20 @@ class WindowLintSpec extends AnyFunSuite {
     assert(f.nonEmpty, "the lint must flag a flat rank window over a bounded group key")
     assert(f.exists(_.exists(_.contains("event_type"))), f.toString)
   }
+
+  test("control: a limit on ONE join side does not bless a window over the fact-sized join") {
+    // the joined frame is still fact-sized — only the dim side is limited;
+    // hasKBound must demand every input of a multi-child node be bounded
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val dim = ev.select(col("event_type")).distinct()
+      .orderBy(col("event_type")).limit(2)
+    val joined = ev.join(dim, "event_type")
+    val flat = joined.withColumn("r",
+      rank().over(Window.partitionBy(col("event_type")).orderBy(col("value"))))
+      .groupBy(col("event_type")).agg(sum(col("r")).as("rsum"))
+    val f = flaggedWindows(flat)
+    assert(f.nonEmpty,
+      "a join-side limit must not classify the fact-sized window as rank-limited")
+  }
 }
