@@ -61,6 +61,14 @@ class TheilSenSpec extends AnyFunSuite {
     assert(slope == 0.0, s"median of (+5e10, 0, -5e10) slopes must be 0, got $slope")
   }
 
+  test("degenerate single-day frame: zero pairs, empty result, gate schema intact") {
+    val out = graft.queries.Relational10.theilSen(daily(Seq("2020-01-01" -> 42L)))
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq == Seq("n_pairs", "slope_cents_per_day"))
+    assert(out.schema("n_pairs").dataType.typeName == "long")
+    assert(out.schema("slope_cents_per_day").dataType.typeName == "double")
+  }
+
   test("negative fractional slope: the key's division convention cannot leak into the output") {
     // one pair, slope −1/3 — the scaled key is a NON-INTEGER negative
     // rational, where floor (DuckDB) and truncate (Spark) disagree by 1;
