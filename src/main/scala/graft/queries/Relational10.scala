@@ -35,7 +35,13 @@ object Relational10 {
     * < n₁n₂ < 2.2·10³⁷, both inside DECIMAL(38,0) (DecimalPrecisionSpec
     * pins the arithmetic beyond 2⁶³; the oracle mirrors via HUGEINT).
     * D plus the α=0.01 significance threshold 1.628·√((n₁+n₂)/(n₁n₂))
-    * are one pinned chain each.
+    * are one pinned chain each, emitted UN-rounded (the q_bollinger rule:
+    * with exact integer inputs the divide/sqrt chain is already bitwise-
+    * deterministic, and an x6 pin would INTRODUCE the only cross-engine
+    * rounding boundary — the r13 driver hash-fail hit exactly that class
+    * while the same gate passed the local oracle bitwise at two scale
+    * factors; tools/KsProbe.scala dumps the raw bits per row so any
+    * future divergence names its column instead of failing a hash).
     *
     * Scale shape (the VERDICT r12 banded-rank rewrite): one (type, value)
     * count (map-side partial), then the two ECDFs are DISTRIBUTED prefix
@@ -70,7 +76,7 @@ object Relational10 {
     val d = col("d_num").cast(DoubleType) / n1n2
     val crit = lit(1.628) * sqrt((col("n1") + col("n2")).cast(DoubleType) / n1n2)
     a.select(col("event_type"), col("n1"), col("n2"), col("d_num"),
-        x6(d).as("d"), x6(crit).as("d_crit"), (d > crit).as("significant"))
+        d.as("d"), crit.as("d_crit"), (d > crit).as("significant"))
       .orderBy(col("event_type"))
   }
 
@@ -96,8 +102,8 @@ object Relational10 {
       |    CAST(MAX(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)) AS DECIMAL(38,0)) AS d_num
       |  FROM c GROUP BY event_type)
       |SELECT event_type, n1, n2, d_num,
-      |  CAST(CAST(CAST(d_num AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS d,
-      |  CAST(CAST(1.628 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS d_crit,
+      |  CAST(d_num AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS d,
+      |  1.628 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) AS d_crit,
       |  CAST(d_num AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
       |    > 1.628 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) AS significant
       |FROM a ORDER BY event_type""".stripMargin
