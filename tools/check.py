@@ -14,7 +14,32 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def warn_poisoned_ledger():
+    """Loud warning when the working-tree BENCH_LOCAL.json total exceeds the
+    committed one by >10% — the r12/r13 round-close failure mode where a
+    contention-inflated one-shot overwrote the quiet min-merged record.
+    WARN, not refuse: correctness results must never be held hostage to a
+    bench file (the driver runs this gate at round close and a refusal
+    would turn a ledger hygiene issue into 353 red queries). graft.Bench
+    now min-merges the canonical file on write, so this firing at all
+    means someone bypassed it."""
+    try:
+        import subprocess
+        here = os.path.dirname(os.path.abspath(__file__)) + "/.."
+        cur = json.load(open(os.path.join(here, "BENCH_LOCAL.json")))
+        prev = json.loads(subprocess.run(
+            ["git", "show", "HEAD:BENCH_LOCAL.json"],
+            capture_output=True, text=True, check=True, cwd=here).stdout)
+        if cur["value"] > 1.1 * prev["value"]:
+            print(f"[bench-ledger] WARNING: working-tree BENCH_LOCAL.json total "
+                  f"{cur['value']:.1f}s exceeds committed {prev['value']:.1f}s by >10% — "
+                  f"POISONED ledger; min-merge before committing (tools/bench_tripwire.py)")
+    except Exception:
+        pass
+
+
 def main(sfdir, outdir):
+    warn_poisoned_ledger()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
