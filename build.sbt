@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// WindowLintSpec mutates global JVM state (a system property + StageCache
+// releases on the shared session) — suites must run SERIALLY in the forked
+// test JVM. false is the default; pinned so a parallel-test speedup can't
+// silently break the lint's correctness.
+Test / testForkedParallel := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

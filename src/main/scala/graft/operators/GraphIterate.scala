@@ -58,12 +58,19 @@ object GraphIterate {
     * decrease — so "(row count, Σdist) unchanged" is a SOUND fixed-point
     * test and rides the round's checkpoint job as two observe() metrics.
     * Returns (v, dist) for every reached vertex. */
-  def bfs(bi: DataFrame, seed: DataFrame, maxRounds: Int,
-      strict: Boolean = true): DataFrame = {
-    def step(dist: DataFrame): DataFrame = dist.join(bi, "v")
+  /** ONE bfs relaxation round — factored `private[graft]` so the window
+    * lint sweeps a representative round plan: the loop checkpoints per
+    * round, which truncates lineage and hides every round from any
+    * gate-level plan sweep (WindowLintSpec "operator rounds"). */
+  private[graft] def bfsRound(bi: DataFrame, dist: DataFrame): DataFrame =
+    dist.join(bi, "v")
       .select(col("nbr").as("v"), (col("dist") + lit(1L)).as("dist"))
       .unionByName(dist)
       .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+
+  def bfs(bi: DataFrame, seed: DataFrame, maxRounds: Int,
+      strict: Boolean = true): DataFrame = {
+    def step(dist: DataFrame): DataFrame = bfsRound(bi, dist)
     if (!strict) { // fixed-depth gate semantics: lazy fused rounds
       var dist = seed.localCheckpoint(false)
       for (_ <- 1 to maxRounds) dist = step(dist).localCheckpoint(false)
@@ -91,19 +98,23 @@ object GraphIterate {
     * Monotone — the edge set only shrinks — so "edge count unchanged" is
     * a sound fixed-point test, observed on the round's checkpoint job.
     * Returns the surviving edge list (a, b). */
+  /** ONE k-core peel round — lint-visible for the same reason as
+    * [[bfsRound]]. */
+  private[graft] def kcoreRound(edges: DataFrame, k: Int): DataFrame = {
+    val bi = edges.select(col("a").as("v"), col("b").as("nbr"))
+      .unionByName(edges.select(col("b").as("v"), col("a").as("nbr")))
+    val keep = bi.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .select(col("v"))
+    edges
+      .join(keep.select(col("v").as("a")), "a", "left_semi")
+      .join(keep.select(col("v").as("b")), "b", "left_semi")
+      .select(col("a"), col("b"))
+  }
+
   def kcore(und: DataFrame, k: Int, maxRounds: Int,
       strict: Boolean = true): DataFrame = {
-    def step(edges: DataFrame): DataFrame = {
-      val bi = edges.select(col("a").as("v"), col("b").as("nbr"))
-        .unionByName(edges.select(col("b").as("v"), col("a").as("nbr")))
-      val keep = bi.groupBy(col("v")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("v"))
-      edges
-        .join(keep.select(col("v").as("a")), "a", "left_semi")
-        .join(keep.select(col("v").as("b")), "b", "left_semi")
-        .select(col("a"), col("b"))
-    }
+    def step(edges: DataFrame): DataFrame = kcoreRound(edges, k)
     if (!strict) { // fixed-depth gate semantics: lazy fused rounds
       var edges = und
       for (_ <- 1 to maxRounds) edges = step(edges).localCheckpoint(false)
@@ -140,17 +151,32 @@ object GraphIterate {
     * Returns (v, label). Exhaustion under strict raises — for LPA that
     * can mean oscillation, which a larger budget will NOT fix; the error
     * says so. */
-  def labelProp(edges: DataFrame, maxRounds: Int,
-      strict: Boolean = true): DataFrame = {
+  /** ONE synchronous label-propagation round (deterministic argmax) —
+    * lint-visible for the same reason as [[bfsRound]]. The argmax window
+    * partitions by the VERTEX id: |V| partitions of ≤|neighbor labels|
+    * rows each, the keyed-scalable shape (a bounded partition key here —
+    * e.g. the label — would single-reduce at 100×; the lint's negative
+    * control pins that). */
+  private[graft] def labelPropRound(edges: DataFrame, labels: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("v")).orderBy(col("n").desc, col("label"))
-    def step(labels: DataFrame): DataFrame = edges
+    edges
       .join(labels.select(col("v").as("nbr"), col("label")), "nbr")
       .groupBy(col("v"), col("label")).agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("v"), col("label"))
-    val seed = edges.select(col("v")).distinct()
+  }
+
+  /** The labelProp identity seed — exposed with [[labelPropRound]] so the
+    * lint builds a faithful round-1 plan. */
+  private[graft] def labelPropSeed(edges: DataFrame): DataFrame =
+    edges.select(col("v")).distinct()
       .select(col("v"), col("v").as("label"))
+
+  def labelProp(edges: DataFrame, maxRounds: Int,
+      strict: Boolean = true): DataFrame = {
+    def step(labels: DataFrame): DataFrame = labelPropRound(edges, labels)
+    val seed = labelPropSeed(edges)
     if (!strict) { // fixed-depth gate semantics: lazy fused rounds
       var labels = seed.localCheckpoint(false)
       for (_ <- 1 to maxRounds) labels = step(labels).localCheckpoint(false)

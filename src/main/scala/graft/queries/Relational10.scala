@@ -395,10 +395,25 @@ object Relational10 {
       .cpEager // scanned 3x by the selection passes (bounds, histogram,
                // in-band); eager because the passes are independent jobs —
                // a lazy checkpoint would recompute the pair expansion per pass
-    // pass 1: key bounds + pair count (one 1-row aggregate)
-    val h = keyed.agg(min(col("skey")), max(col("skey")), count(lit(1))).head()
+    // pass 1: key bounds + pair count (one 1-row aggregate), plus the
+    // RUNTIME enforcement of the documented |slope|·S < 2⁶³ key contract:
+    // every term of the skey decomposition is bounded by |dc|·S (both
+    // |dc div dd| and |dc mod dd| are ≤ |dc|), so max|dc| ≤ (2⁶³−1)/S ⇒
+    // no term wraps. Under Spark 4's default ANSI mode a breach already
+    // throws in the keying job (loud, but a generic arithmetic error);
+    // under ansi.enabled=false it would wrap SILENTLY and select a wrong
+    // median — this guard names the contract and the remediation there
+    // (TheilSenSpec pins that a breached series never returns a result).
+    val h = keyed.agg(min(col("skey")), max(col("skey")), count(lit(1)),
+      max(abs(col("dc")))).head()
     if (h.isNullAt(0)) return theilSenEmpty(daily)
     val (lo, hi, n) = (h.getLong(0), h.getLong(1), h.getLong(2))
+    val maxAbsDc = h.getLong(3)
+    require(maxAbsDc <= Long.MaxValue / TheilSenScale,
+      s"theilSen slope-key contract breach: max|Δcents| = $maxAbsDc but the " +
+        s"BIGINT key holds only |Δcents| ≤ ${Long.MaxValue / TheilSenScale} " +
+        s"at S = $TheilSenScale — lower S (coarser slope resolution) or " +
+        "move the key to DECIMAL(38,0) for this series")
     val m = (n + 1) / 2 // 1-based lower-median index
     // hi − lo can exceed Long when the extreme slopes straddle zero with
     // large magnitudes (each within the |slope|·S < 2⁶³ contract, their

@@ -61,6 +61,22 @@ class TheilSenSpec extends AnyFunSuite {
     assert(slope == 0.0, s"median of (+5e10, 0, -5e10) slopes must be 0, got $slope")
   }
 
+  test("slope-key contract breach fails loudly instead of wrapping the key") {
+    // |Δcents| = 1e11 > (2⁶³−1)/S ≈ 9.22e10: the skey terms exceed Long.
+    // Under Spark 4's default ANSI mode the multiplication itself throws
+    // (SparkArithmeticException, loud); under ansi.enabled=false it would
+    // wrap SILENTLY and select a wrong median — the pass-1 max|dc| guard
+    // raises the domain-named IllegalArgumentException there. Either way
+    // the invariant is: a breached series NEVER returns a result.
+    val rows = Seq("2020-01-01" -> 0L, "2020-01-02" -> 100000000000L)
+    val e = intercept[Exception] {
+      graft.queries.Relational10.theilSen(daily(rows)).count()
+    }
+    val loud = e.isInstanceOf[IllegalArgumentException] ||
+      e.getClass.getName.contains("Arithmetic")
+    assert(loud, s"expected a loud overflow failure, got ${e.getClass}: ${e.getMessage}")
+  }
+
   test("degenerate single-day frame: zero pairs, empty result, gate schema intact") {
     val out = graft.queries.Relational10.theilSen(daily(Seq("2020-01-01" -> 42L)))
     assert(out.count() == 0L)
