@@ -23,13 +23,14 @@ import org.apache.spark.sql.functions._
   *               is a DECLARED no-oracle boundary: Spark-side spec only
   *               (EtlOperatorsSpec pins the digest against known vectors).
   *               CAVEAT: the reference checkout available to this build
-  *               is empty, so only sha1-of-payload is pinned — the
-  *               reference's actual payload LAYOUT (separator, escaping,
-  *               null sentinel) is unverified. Before relying on this
-  *               knob for legacy reconciliation, add a pinned vector
-  *               taken from a real n2kresult row (key tuple → expected
-  *               sid) to prove layout compatibility, not just digest
-  *               correctness.
+  *               is empty, so sha1-of-payload is pinned by digest vectors
+  *               and THIS ENGINE's payload layout (separator, escaping,
+  *               null sentinel) is cross-engine verified as a string on
+  *               adversarial values (e_payload_vectors) — but whether the
+  *               REFERENCE's layout matches remains unverifiable. Before
+  *               relying on this knob for legacy reconciliation, add a
+  *               pinned vector taken from a real n2kresult row (key tuple
+  *               → expected sid) to prove layout compatibility.
   *
   * Nulls are sentinel-encoded before concatenation because concat_ws
   * silently drops nulls, which would make ("a", null) collide with
@@ -46,12 +47,23 @@ object StableId {
   private def esc(c: Column): Column =
     regexp_replace(regexp_replace(c.cast("string"), "\\\\", "\\\\\\\\"), "\\|", "\\\\|")
 
+  /** The escaped, sentinel-encoded payload STRING the digests hash —
+    * public so the payload LAYOUT itself (separator, escaping, null
+    * sentinel) is cross-engine verified as a string (e_payload_vectors,
+    * on constructed adversarial values: embedded separators, embedded
+    * backslashes, nulls, the literal "\N"). That narrows the sha1 leg's
+    * no-oracle boundary to the DIGEST alone: the bytes sha1 hashes are
+    * the same bytes the oracle-gated md5/sha256 legs hash, and those
+    * bytes are compared engine-to-engine directly. */
+  def payload(cols: Seq[Column]): Column =
+    concat_ws(Sep, cols.map(c => coalesce(esc(c), lit("\\N"))): _*)
+
   /** Expression form: digest over the escaped, sentinel-encoded key
     * columns. All three algorithms hash the IDENTICAL payload bytes, so
     * switching algo never changes which rows collide — only the id
     * format. */
   def stableId(cols: Seq[Column], algo: String = "md5"): Column = {
-    val payload = concat_ws(Sep, cols.map(c => coalesce(esc(c), lit("\\N"))): _*)
+    val payload = this.payload(cols)
     algo match {
       case "md5"    => md5(payload)
       case "sha256" => sha2(payload, 256)
@@ -70,11 +82,18 @@ object StableId {
     * declared no-oracle boundary (DuckDB ships md5/sha256 only): ids for
     * a legacy n2kresult reconcile are verified by the Spark-side digest
     * spec, not a cross-engine gate. */
-  def oracleExpr(cols: Seq[String], algo: String = "md5"): String = {
+  /** The payload construction as DuckDB SQL — the oracle twin of
+    * [[payload]], shared by [[oracleExpr]] and the e_payload_vectors
+    * layout gate so the two cannot drift. */
+  def oraclePayload(cols: Seq[String]): String = {
     val parts = cols.map { c =>
       s"coalesce(replace(replace(CAST($c AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N')"
     }
-    val payload = s"concat_ws('$Sep', ${parts.mkString(", ")})"
+    s"concat_ws('$Sep', ${parts.mkString(", ")})"
+  }
+
+  def oracleExpr(cols: Seq[String], algo: String = "md5"): String = {
+    val payload = oraclePayload(cols)
     algo match {
       case "md5"    => s"md5($payload)"
       case "sha256" => s"sha256($payload)"

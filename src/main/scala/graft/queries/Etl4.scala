@@ -207,15 +207,67 @@ object Etl4 {
       |  CAST(SUM(CASE WHEN cls = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
       |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ----------------------------------------------------- e_payload_vectors
+
+  /** e_payload_vectors: CROSS-ENGINE STRING VECTORS for the StableId
+    * payload layout (r13 VERDICT stretch #7) — adversarial key values
+    * constructed from the nation dim exercise every layout rule the
+    * digest gates' natural data never hits: an embedded separator
+    * ("NAME|x" must not fake a column boundary), an embedded backslash
+    * ("a\NAME" must double, so no value ends in a lone backslash), real
+    * NULLs (the "\N" sentinel), and the LITERAL string "\N" (whose
+    * backslash doubles to "\\N" — provably distinct from the null
+    * sentinel). The payload STRING itself is compared engine-to-engine,
+    * plus the md5/sha256 digests of it — so the sha1 reconcile leg's
+    * unverified surface narrows to the digest function alone: sha1
+    * hashes the very bytes this gate proves identical across engines.
+    *
+    * Scale shape: a narrow row-local projection (regexp escapes +
+    * concat_ws + digests, all codegen'd) — on a 100 TB fact this is a
+    * map-only pass; the dim here just supplies deterministic strings. */
+  def ePayloadVectors(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.StableId
+    val vec = Tables.nation(s, dir).select(
+      col("n_nationkey").cast("long").as("k"),
+      concat(col("n_name"), lit("|x")).as("k1"),
+      concat(lit("a\\"), col("n_name")).as("k2"),
+      when(col("n_nationkey") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("n_name")).as("k3"),
+      when(col("n_nationkey") % 4 === 0, lit("\\N"))
+        .otherwise(lower(col("n_name"))).as("k4"))
+    val keys = Seq(col("k1"), col("k2"), col("k3"), col("k4"))
+    vec.select(col("k"),
+        StableId.payload(keys).as("payload"),
+        StableId.stableId(keys, "md5").as("sid_md5"),
+        StableId.stableId(keys, "sha256").as("sid_sha256"))
+      .orderBy(col("k"))
+  }
+
+  val ePayloadVectorsSql: String = {
+    val payload = graft.operators.StableId.oraclePayload(Seq("k1", "k2", "k3", "k4"))
+    s"""WITH v AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+       |    n_name || '|x' AS k1,
+       |    'a\\' || n_name AS k2,
+       |    CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_name END AS k3,
+       |    CASE WHEN n_nationkey % 4 = 0 THEN '\\N' ELSE lower(n_name) END AS k4
+       |  FROM nation),
+       |p AS (SELECT k, $payload AS payload FROM v)
+       |SELECT k, payload, md5(payload) AS sid_md5, sha256(payload) AS sid_sha256
+       |FROM p ORDER BY k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "e_reconcile"      -> eReconcile _,
-    "e_late_arrivals"  -> eLateArrivals _,
-    "e_interval_audit" -> eIntervalAudit _,
+    "e_reconcile"       -> eReconcile _,
+    "e_late_arrivals"   -> eLateArrivals _,
+    "e_interval_audit"  -> eIntervalAudit _,
+    "e_payload_vectors" -> ePayloadVectors _,
   )
 
   val oracle: Map[String, String] = Map(
-    "e_reconcile"      -> eReconcileSql,
-    "e_late_arrivals"  -> eLateArrivalsSql,
-    "e_interval_audit" -> eIntervalAuditSql,
+    "e_reconcile"       -> eReconcileSql,
+    "e_late_arrivals"   -> eLateArrivalsSql,
+    "e_interval_audit"  -> eIntervalAuditSql,
+    "e_payload_vectors" -> ePayloadVectorsSql,
   )
 }
