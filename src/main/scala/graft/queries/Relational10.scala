@@ -108,6 +108,163 @@ object Relational10 {
       |    > 1.628 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) AS significant
       |FROM a ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------------------- q_brunner_munzel
+
+  /** q_brunner_munzel: the BRUNNER–MUNZEL generalized Wilcoxon test per
+    * event type on the md5 variant split — the heteroscedasticity-robust
+    * companion to q_mann_whitney (whose U assumes equal variances under
+    * H₀; BM tests P(X<Y)+½P(X=Y) = ½ without that assumption, the
+    * recommended default in the modern nonparametrics literature).
+    *
+    * EXACT INTEGER CORE (the midrank discipline): with pooled and
+    * within-sample average midranks carried in half-units, the per-value
+    * quantities are integers —
+    *   pooled   2·midrank  p2 = 2·(cumT − cnt) + cnt + 1
+    *   within-k 2·midrank  wk = 2·(cumk − ck) + ck + 1
+    *   dk = p2 − wk  (2·(pooled − within) — the BM placement deviation)
+    * and because within-sample midranks sum to n_k(n_k+1)/2 exactly, the
+    * per-type aggregates (n_k, T_k = Σ c_k·p2, B_k = Σ c_k·d_k²) carry
+    * the WHOLE statistic: A_k = T_k − n_k(n_k+1) = Σ c_k·d_k, the
+    * deviations sum to zero, so S_k² = (n_k·B_k − A_k²)/(4·n_k·(n_k−1)).
+    * W = n₁n₂·(m̄₂ − m̄₁)/((n₁+n₂)·√(n₁S₁² + n₂S₂²)) and the Welch df
+    * are single pinned IEEE chains over those exact integers, emitted
+    * UN-rounded (the q_bollinger rule), as is p̂ = (m̄₂ − (n₂+1)/2)/n₁.
+    *
+    * WIDTHS: aggregates ride DECIMAL(38,0) (DuckDB mirrors in HUGEINT);
+    * B_k ≤ 4N³ and A_k² ≤ 4N⁴ keep everything inside 38 digits for
+    * per-type sample sizes up to ~2·10⁹ — past that Spark's ANSI decimal
+    * overflow fails loudly, never silently.
+    *
+    * Scale shape: IDENTICAL to q_mann_whitney/q_ks_test — one (type,
+    * value) collapse (map-side partial), BandedRank.withPrefixSums for
+    * the distributed cumulative counts, one ≤|types|-row rollup. */
+  def qBrunnerMunzel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2)
+    val g = ev.groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c2"))
+      .cpEager // consumed 3x by INDEPENDENT stages of the banded prefix
+    brunnerMunzel(g)
+  }
+
+  /** The BM core over any collapsed (event_type, value, c1, c2) frame —
+    * factored out so BrunnerMunzelSpec can plant hand-computed samples. */
+  private[graft] def brunnerMunzel(g: DataFrame): DataFrame = {
+    val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val c = graft.operators.BandedRank.withPrefixSums(
+      g, Seq("event_type"), "value", Seq("c1" -> "cum1", "c2" -> "cum2"))
+    val cnt = col("c1") + col("c2")
+    val p2 = (col("cum1") + col("cum2") - cnt) * 2 + cnt + 1L
+    val w1 = (col("cum1") - col("c1")) * 2 + col("c1") + 1L
+    val w2 = (col("cum2") - col("c2")) * 2 + col("c2") + 1L
+    val a = c.select(col("event_type"), col("c1"), col("c2"),
+        p2.cast(d12).as("p2"), (p2 - w1).cast(d12).as("d1"), (p2 - w2).cast(d12).as("d2"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1").cast(d12) * col("p2")).cast(d38).as("t1"),
+        sum(col("c2").cast(d12) * col("p2")).cast(d38).as("t2"),
+        sum(col("c1").cast(d12) * col("d1") * col("d1")).cast(d38).as("b1"),
+        sum(col("c2").cast(d12) * col("d2") * col("d2")).cast(d38).as("b2"))
+    val a1 = col("t1") - (col("n1").cast(d19) * (col("n1") + 1L).cast(d19)).cast(d38)
+    val a2 = col("t2") - (col("n2").cast(d19) * (col("n2") + 1L).cast(d19)).cast(d38)
+    // S_k² numerators exact in DECIMAL(38,0); every division/√ below is
+    // the one pinned chain per output, written in the same order as the
+    // oracle so the IEEE results are bitwise identical
+    val s1num = (col("n1").cast(d19) * col("b1") - a1 * a1).cast(d38)
+    val s2num = (col("n2").cast(d19) * col("b2") - a2 * a2).cast(d38)
+    // null-safe divisor: under ANSI a zero divisor THROWS even when an
+    // enclosing when() should mask the branch (shared subexpressions can
+    // evaluate eagerly) — a NULL divisor propagates NULL instead, and the
+    // explicit guards below still own the output semantics
+    def nz(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(b === 0.0, lit(null).cast(DoubleType)).otherwise(b)
+    val v1 = s1num.cast(DoubleType) /
+      nz(lit(4.0) * col("n1").cast(DoubleType) * (col("n1") - 1L).cast(DoubleType))
+    val v2 = s2num.cast(DoubleType) /
+      nz(lit(4.0) * col("n2").cast(DoubleType) * (col("n2") - 1L).cast(DoubleType))
+    val m1 = col("t1").cast(DoubleType) / nz(lit(2.0) * col("n1").cast(DoubleType))
+    val m2 = col("t2").cast(DoubleType) / nz(lit(2.0) * col("n2").cast(DoubleType))
+    val nv1 = col("n1").cast(DoubleType) * v1
+    val nv2 = col("n2").cast(DoubleType) * v2
+    val pHat = (m2 - (col("n2") + 1L).cast(DoubleType) / lit(2.0)) /
+      nz(col("n1").cast(DoubleType))
+    val wBm = col("n1").cast(DoubleType) * col("n2").cast(DoubleType) * (m2 - m1) /
+      nz((col("n1") + col("n2")).cast(DoubleType) * sqrt(nv1 + nv2))
+    val dfW = (nv1 + nv2) * (nv1 + nv2) /
+      nz(nv1 * nv1 / nz((col("n1") - 1L).cast(DoubleType)) +
+        nv2 * nv2 / nz((col("n2") - 1L).cast(DoubleType)))
+    val ok = col("n1") > 1L && col("n2") > 1L
+    a.select(col("event_type"), col("n1"), col("n2"),
+        when(col("n1") > 0L && col("n2") > 0L, pHat).as("p_hat"),
+        when(ok && (nv1 + nv2) > 0.0, wBm).as("w_bm"),
+        when(ok && (nv1 + nv2) > 0.0 && nv1 > 0.0 && nv2 > 0.0, dfW).as("df_welch"))
+      .orderBy(col("event_type"))
+  }
+
+  val qBrunnerMunzelSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, value,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (
+      |  SELECT event_type, value,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM ev GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, c1, c2,
+      |    CAST(SUM(c1) OVER wc AS BIGINT) AS cum1,
+      |    CAST(SUM(c2) OVER wc AS BIGINT) AS cum2
+      |  FROM g
+      |  WINDOW wc AS (PARTITION BY event_type ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |r AS (
+      |  SELECT event_type, c1, c2,
+      |    CAST((cum1 + cum2 - (c1 + c2)) * 2 + (c1 + c2) + 1 AS HUGEINT) AS p2,
+      |    CAST((cum1 + cum2 - (c1 + c2)) * 2 + (c1 + c2) + 1
+      |      - ((cum1 - c1) * 2 + c1 + 1) AS HUGEINT) AS d1,
+      |    CAST((cum1 + cum2 - (c1 + c2)) * 2 + (c1 + c2) + 1
+      |      - ((cum2 - c2) * 2 + c2 + 1) AS HUGEINT) AS d2
+      |  FROM c),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+      |    SUM(c1 * p2) AS t1, SUM(c2 * p2) AS t2,
+      |    SUM(c1 * d1 * d1) AS b1, SUM(c2 * d2 * d2) AS b2
+      |  FROM r GROUP BY event_type),
+      |k AS (
+      |  SELECT event_type, n1, n2, t1, t2, b1, b2,
+      |    t1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS a1,
+      |    t2 - CAST(n2 AS HUGEINT) * (n2 + 1) AS a2
+      |  FROM a),
+      |f AS (
+      |  -- HUGEINT->DOUBLE routes through DECIMAL(38,0): the conversion
+      |  -- path the q_ks_test gate already proves bitwise against Spark's
+      |  -- Decimal.toDouble
+      |  SELECT event_type, n1, n2,
+      |    CAST(CAST(t1 AS DECIMAL(38,0)) AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) AS m1,
+      |    CAST(CAST(t2 AS DECIMAL(38,0)) AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE)) AS m2,
+      |    CAST(n1 AS DOUBLE) * (CAST(CAST(CAST(n1 AS HUGEINT) * b1 - a1 * a1 AS DECIMAL(38,0)) AS DOUBLE)
+      |      / (4.0 * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))) AS nv1,
+      |    CAST(n2 AS DOUBLE) * (CAST(CAST(CAST(n2 AS HUGEINT) * b2 - a2 * a2 AS DECIMAL(38,0)) AS DOUBLE)
+      |      / (4.0 * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))) AS nv2
+      |  FROM k)
+      |SELECT event_type, n1, n2,
+      |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |    (m2 - CAST(n2 + 1 AS DOUBLE) / 2.0) / CAST(n1 AS DOUBLE) END AS p_hat,
+      |  CASE WHEN n1 > 1 AND n2 > 1 AND nv1 + nv2 > 0.0 THEN
+      |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (m2 - m1)
+      |      / (CAST(n1 + n2 AS DOUBLE) * sqrt(nv1 + nv2)) END AS w_bm,
+      |  CASE WHEN n1 > 1 AND n2 > 1 AND nv1 + nv2 > 0.0 AND nv1 > 0.0 AND nv2 > 0.0 THEN
+      |    (nv1 + nv2) * (nv1 + nv2)
+      |      / (nv1 * nv1 / CAST(n1 - 1 AS DOUBLE) + nv2 * nv2 / CAST(n2 - 1 AS DOUBLE)) END AS df_welch
+      |FROM f ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------- q_runs_test
 
   /** q_runs_test: WALD–WOLFOWITZ runs test on daily revenue around its
@@ -687,6 +844,7 @@ object Relational10 {
     "q_power"       -> qPower _,
     "q_otif"        -> qOtif _,
     "q_ks_test"     -> qKsTest _,
+    "q_brunner_munzel" -> qBrunnerMunzel _,
     "q_runs_test"   -> qRunsTest _,
     "q_cramers_v"   -> qCramersV _,
     "q_mk_trend"    -> qMkTrend _,
@@ -699,6 +857,7 @@ object Relational10 {
     "q_power"       -> qPowerSql,
     "q_otif"        -> qOtifSql,
     "q_ks_test"     -> qKsTestSql,
+    "q_brunner_munzel" -> qBrunnerMunzelSql,
     "q_runs_test"   -> qRunsTestSql,
     "q_cramers_v"   -> qCramersVSql,
     "q_mk_trend"    -> qMkTrendSql,
