@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
-import graft.functions.OracleParity.x6
 import graft.Ckpt._
 
 /** Round-12 analytics batch: distribution-comparison tests that complete
@@ -305,8 +304,8 @@ object Relational10 {
       (lit(2L) * col("n1") * col("n2") - col("n1") - col("n2")).cast(DoubleType) /
       ((n * n).cast(DoubleType) * (n - lit(1L)).cast(DoubleType))
     runs.select(col("n1"), col("n2"), col("runs"),
-      x6(mu).as("mu"),
-      when(sig2 > 0.0, x6((col("runs").cast(DoubleType) - mu) / sqrt(sig2))).as("z"))
+      mu.as("mu"),
+      when(sig2 > 0.0, (col("runs").cast(DoubleType) - mu) / sqrt(sig2)).as("z"))
   }
 
   val qRunsTestSql: String =
@@ -328,14 +327,14 @@ object Relational10 {
       |    CAST(SUM(chg) + 1 AS BIGINT) AS runs
       |  FROM r)
       |SELECT n1, n2, runs,
-      |  CAST(CAST(2.0 * CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0 AS DECIMAL(18,6)) AS DOUBLE) AS mu,
+      |  2.0 * CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0 AS mu,
       |  CASE WHEN 2.0 * CAST(n1 * n2 AS DOUBLE) * CAST(2 * n1 * n2 - n1 - n2 AS DOUBLE)
       |         / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)) > 0.0
-      |  THEN CAST(CAST((CAST(runs AS DOUBLE)
+      |  THEN (CAST(runs AS DOUBLE)
       |    - (2.0 * CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) + 1.0))
       |    / sqrt(2.0 * CAST(n1 * n2 AS DOUBLE) * CAST(2 * n1 * n2 - n1 - n2 AS DOUBLE)
       |         / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
-      |    AS DECIMAL(18,6)) AS DOUBLE) END AS z
+      |  END AS z
       |FROM a""".stripMargin
 
   // ---------------------------------------------------------- q_cramers_v
@@ -369,9 +368,9 @@ object Relational10 {
     joined.groupBy(col("nn"), col("r"), col("c"))
       .agg(sum(col("term_micro")).as("chi2_micro"))
       .select(col("nn").as("n"), col("r"), col("c"),
-        x6(chi2).as("chisq"),
-        x6(sqrt(chi2 / (col("nn").cast(DoubleType) *
-          least(col("r") - 1, col("c") - 1).cast(DoubleType)))).as("v"))
+        chi2.as("chisq"),
+        sqrt(chi2 / (col("nn").cast(DoubleType) *
+          least(col("r") - 1, col("c") - 1).cast(DoubleType))).as("v"))
   }
 
   val qCramersVSql: String =
@@ -393,9 +392,9 @@ object Relational10 {
       |a AS (SELECT nn, r, c, CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
       |      FROM j GROUP BY 1, 2, 3)
       |SELECT nn AS n, r, c,
-      |  CAST(CAST(CAST(chi2_micro AS DOUBLE) / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS chisq,
-      |  CAST(CAST(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
-      |    / (CAST(nn AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))) AS DECIMAL(18,6)) AS DOUBLE) AS v
+      |  CAST(chi2_micro AS DOUBLE) / 1000000.0 AS chisq,
+      |  sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+      |    / (CAST(nn AS DOUBLE) * CAST(least(r - 1, c - 1) AS DOUBLE))) AS v
       |FROM a""".stripMargin
 
   // ----------------------------------------------------------- q_mk_trend
@@ -436,7 +435,7 @@ object Relational10 {
       .otherwise(lit(0.0))
     sStat.crossJoin(nRow).crossJoin(ties)
       .select(col("n_days"), col("s_stat"), varNum.as("var_num"),
-        x6(z).as("z"),
+        z.as("z"),
         (abs(z) > lit(1.96)).as("trend_detected"))
   }
 
@@ -456,9 +455,9 @@ object Relational10 {
       |        CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tt AS BIGINT) AS var_num
       |      FROM s, n, tt)
       |SELECT n_days, s_stat, var_num,
-      |  CAST(CAST(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+      |  CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
       |       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
-      |       ELSE 0.0 END AS DECIMAL(18,6)) AS DOUBLE) AS z,
+      |       ELSE 0.0 END AS z,
       |  abs(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
       |       WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE) / 18.0)
       |       ELSE 0.0 END) > 1.96 AS trend_detected
@@ -600,7 +599,7 @@ object Relational10 {
         min(col("dc").cast(DoubleType) / col("dd").cast(DoubleType)).as("slope_raw"))
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .filter(col("cum") >= inBandIdx && col("cum") - col("cnt") < inBandIdx)
-      .select(lit(n).as("n_pairs"), x6(col("slope_raw")).as("slope_cents_per_day"))
+      .select(lit(n).as("n_pairs"), col("slope_raw").as("slope_cents_per_day"))
   }
 
   /** Zero-pair degenerate (a 0/1-day frame): empty result, gate schema. */
@@ -632,7 +631,7 @@ object Relational10 {
       |    SUM(cnt) OVER () AS n_pairs
       |  FROM keyed)
       |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
-      |  CAST(CAST(slope_raw AS DECIMAL(18,6)) AS DOUBLE) AS slope_cents_per_day
+      |  slope_raw AS slope_cents_per_day
       |FROM c WHERE cum >= (n_pairs + 1) // 2 AND cum - cnt < (n_pairs + 1) // 2""".stripMargin
 
   // -------------------------------------------------------- q_changepoint
@@ -667,9 +666,9 @@ object Relational10 {
     scored.orderBy(col("score").desc, col("day")).limit(1)
       .select(col("day").as("split_day"), col("k").as("n_before"),
         (col("n") - col("k")).as("n_after"), col("score"),
-        x6(col("cum").cast(DoubleType) / (col("k") * lit(100L)).cast(DoubleType))
+        (col("cum").cast(DoubleType) / (col("k") * lit(100L)).cast(DoubleType))
           .as("mean_before"),
-        x6((col("total") - col("cum")).cast(DoubleType) /
+        ((col("total") - col("cum")).cast(DoubleType) /
           ((col("n") - col("k")) * lit(100L)).cast(DoubleType)).as("mean_after"))
   }
 
@@ -689,8 +688,8 @@ object Relational10 {
       |         wa AS (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
       |sc AS (SELECT *, abs(n * cum - k * total) AS score FROM c WHERE k < n)
       |SELECT day AS split_day, k AS n_before, n - k AS n_after, score,
-      |  CAST(CAST(CAST(cum AS DOUBLE) / CAST(k * 100 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_before,
-      |  CAST(CAST(CAST(total - cum AS DOUBLE) / CAST((n - k) * 100 AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mean_after
+      |  CAST(cum AS DOUBLE) / CAST(k * 100 AS DOUBLE) AS mean_before,
+      |  CAST(total - cum AS DOUBLE) / CAST((n - k) * 100 AS DOUBLE) AS mean_after
       |FROM sc ORDER BY score DESC, day LIMIT 1""".stripMargin
 
   // --------------------------------------------------------------- q_otif
@@ -720,8 +719,8 @@ object Relational10 {
         max(col("lag")).as("max_lag_days"))
       .select(col("o_orderpriority"), col("n_lines"), col("n_30d"), col("n_60d"),
         col("n_90d"), col("max_lag_days"),
-        x6(col("n_30d").cast(DoubleType) / col("n_lines").cast(DoubleType)).as("otif_30"),
-        x6(col("n_90d").cast(DoubleType) / col("n_lines").cast(DoubleType)).as("otif_90"))
+        (col("n_30d").cast(DoubleType) / col("n_lines").cast(DoubleType)).as("otif_30"),
+        (col("n_90d").cast(DoubleType) / col("n_lines").cast(DoubleType)).as("otif_90"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -735,10 +734,10 @@ object Relational10 {
       |  CAST(SUM(CASE WHEN lag <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_60d,
       |  CAST(SUM(CASE WHEN lag <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_90d,
       |  CAST(MAX(lag) AS BIGINT) AS max_lag_days,
-      |  CAST(CAST(CAST(SUM(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS otif_30,
-      |  CAST(CAST(CAST(SUM(CASE WHEN lag <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS otif_90
+      |  CAST(SUM(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS otif_30,
+      |  CAST(SUM(CASE WHEN lag <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS otif_90
       |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // --------------------------------------------------------------- q_power
@@ -775,7 +774,7 @@ object Relational10 {
     val nReq = ceil(lit(2.0) * (lit(1.96) + lit(0.842)) * (lit(1.96) + lit(0.842)) *
       varr / (delta * delta))
     a.select(col("event_type"), col("n"),
-        x6(mean).as("mean"), x6(varr).as("variance"),
+        mean.as("mean"), varr.as("variance"),
         when(delta > 0.0, nReq.cast("long")).as("n_required"))
       .orderBy(col("event_type"))
   }
@@ -795,8 +794,8 @@ object Relational10 {
       |      / (CAST(n AS DOUBLE) - 1.0) / 1000000.0 / 1000000.0 AS varr
       |  FROM a WHERE n >= 2)
       |SELECT event_type, n,
-      |  CAST(CAST(mean AS DECIMAL(18,6)) AS DOUBLE) AS mean,
-      |  CAST(CAST(varr AS DECIMAL(18,6)) AS DOUBLE) AS variance,
+      |  mean,
+      |  varr AS variance,
       |  CASE WHEN 0.05 * mean > 0.0 THEN
       |    CAST(ceil(2.0 * (1.96 + 0.842) * (1.96 + 0.842) * varr
       |      / ((0.05 * mean) * (0.05 * mean))) AS BIGINT) END AS n_required
@@ -824,7 +823,7 @@ object Relational10 {
       .agg(sum(col("rev_m")).as("top10_m"))
       .crossJoin(broadcast(tot))
       .select(col("n_customers"), col("top10_m"), col("total_m"),
-        x6(col("top10_m").cast(DoubleType) / col("total_m").cast(DoubleType))
+        (col("top10_m").cast(DoubleType) / col("total_m").cast(DoubleType))
           .as("top10_share"))
   }
 
@@ -836,7 +835,7 @@ object Relational10 {
       |top AS (SELECT CAST(SUM(rev_m) AS BIGINT) AS top10_m FROM (
       |  SELECT rev_m FROM rev ORDER BY rev_m DESC, o_custkey LIMIT 10))
       |SELECT n_customers, top10_m, total_m,
-      |  CAST(CAST(CAST(top10_m AS DOUBLE) / CAST(total_m AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS top10_share
+      |  CAST(top10_m AS DOUBLE) / CAST(total_m AS DOUBLE) AS top10_share
       |FROM top, tot""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
