@@ -73,7 +73,7 @@ object Relational9 {
       .agg(count(lit(1)).as("n"), sum(col("d2x4")).as("sum_d2x4"))
       .filter(col("n") >= 2)
       .select(col("nationkey"), col("n"), col("sum_d2x4"),
-        x6(lit(1.0) - lit(1.5) * col("sum_d2x4").cast(DoubleType) /
+        (lit(1.0) - lit(1.5) * col("sum_d2x4").cast(DoubleType) /
           (col("n") * (col("n") * col("n") - lit(1L))).cast(DoubleType))
           .as("rho"))
       .orderBy(col("nationkey"))
@@ -99,8 +99,7 @@ object Relational9 {
       |    CAST(SUM((rx2 - ry2) * (rx2 - ry2)) AS BIGINT) AS sum_d2x4
       |  FROM r GROUP BY nationkey)
       |SELECT nationkey, n, sum_d2x4,
-      |  CAST(CAST(1.0 - 1.5 * CAST(sum_d2x4 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE)
-      |    AS DECIMAL(18,6)) AS DOUBLE) AS rho
+      |  1.0 - 1.5 * CAST(sum_d2x4 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE) AS rho
       |FROM a WHERE n >= 2 ORDER BY nationkey""".stripMargin
 
   // ------------------------------------------------------ q_mann_whitney
@@ -165,7 +164,7 @@ object Relational9 {
       lit(12.0)
     agg
       .select(col("event_type"), col("n1"), col("n2"), u1x2.as("u1x2"),
-        when(varr > 0.0, x6(num / (lit(2.0) * sqrt(varr)))).as("z"))
+        when(varr > 0.0, num / (lit(2.0) * sqrt(varr))).as("z"))
       .orderBy(col("event_type"))
   }
 
@@ -191,10 +190,10 @@ object Relational9 {
       |  r1x2 - n1 * (n1 + 1) AS u1x2,
       |  CASE WHEN CAST(n1 * n2 AS DOUBLE) * (CAST(n1 + n2 + 1 AS DOUBLE)
       |         - CAST(tt AS DOUBLE) / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) / 12.0 > 0.0
-      |  THEN CAST(CAST(CAST(r1x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+      |  THEN CAST(r1x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
       |    / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE) * (CAST(n1 + n2 + 1 AS DOUBLE)
       |         - CAST(tt AS DOUBLE) / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) / 12.0))
-      |    AS DECIMAL(18,6)) AS DOUBLE) END AS z
+      |  END AS z
       |FROM a ORDER BY event_type""".stripMargin
 
   // ----------------------------------------------------------- q_simpson
@@ -217,7 +216,7 @@ object Relational9 {
       .agg(sum(col("ni")).as("n"), count(lit(1)).as("n_types"),
         sum(col("ni") * col("ni")).as("sum_sq"))
       .select(col("cohort"), col("n"), col("n_types"),
-        x6(lit(1.0) - col("sum_sq").cast(DoubleType) /
+        (lit(1.0) - col("sum_sq").cast(DoubleType) /
           (col("n") * col("n")).cast(DoubleType)).as("simpson"))
       .orderBy(col("cohort"))
 
@@ -230,8 +229,7 @@ object Relational9 {
       |    SUM(ni * ni) AS sum_sq
       |  FROM c GROUP BY cohort)
       |SELECT cohort, n, n_types,
-      |  CAST(CAST(1.0 - CAST(sum_sq AS DOUBLE) / CAST(n * n AS DOUBLE)
-      |    AS DECIMAL(18,6)) AS DOUBLE) AS simpson
+      |  1.0 - CAST(sum_sq AS DOUBLE) / CAST(n * n AS DOUBLE) AS simpson
       |FROM a ORDER BY cohort""".stripMargin
 
   // --------------------------------------------------------- q_winsorize
@@ -302,10 +300,12 @@ object Relational9 {
     * Spark's built-in skewness()/kurtosis() stream float partials whose
     * totals are partition-order-dependent; instead the four raw power
     * sums Σx..Σx⁴ are computed EXACTLY over integer cents (DECIMAL(38,0)
-    * in Spark, HUGEINT in the oracle — both exact, both convert to
-    * double by round-to-nearest), and the central-moment formulas run as
-    * one pinned IEEE chain per output. m2^1.5 is written m2·√m2 because
-    * pow() is libm-dependent while sqrt is IEEE-exact.
+    * in Spark, HUGEINT in the oracle), and the central-moment formulas
+    * run as one pinned IEEE chain per output — pinned WITH x6, which is
+    * load-bearing here (see the select below: cancellation amplifies a
+    * 1-ulp big-integer→double conversion difference to ~10⁻¹³ relative).
+    * m2^1.5 is written m2·√m2 because pow() is libm-dependent while sqrt
+    * is IEEE-exact.
     *
     * Scale shape: ONE map-side-partial aggregation to ≤|nations| rows;
     * exact decimal partials merge associatively under any AQE
@@ -330,10 +330,17 @@ object Relational9 {
       lit(4.0) * mean * (col("sxxx").cast(DoubleType) / nd) +
       lit(6.0) * mean * mean * (col("sxx").cast(DoubleType) / nd) -
       lit(3.0) * mean * mean * mean * mean
-    // zero-variance guard: m2 = 0 makes the ratios NaN, which Spark's x6
-    // cast silently NULLs while DuckDB ERRORS on CAST('nan' AS DECIMAL) —
-    // the oracle run would abort. Both engines share the identical pinned
-    // m2 (same IEEE chain), so the m2 > 0 predicate agrees bitwise.
+    // zero-variance guard: m2 = 0 makes the ratios NaN — NULL beats
+    // comparing engine NaN bit patterns. Both engines share the identical
+    // pinned m2 (same IEEE chain), so the m2 > 0 predicate agrees bitwise.
+    // The x6 pins here are LOAD-BEARING, unlike the exact-single-chain
+    // gates the r14 sweep un-pinned: m3/m4 are tiny differences of
+    // ~10²⁰-scale terms (catastrophic cancellation), so a single-ulp
+    // difference in the DECIMAL(38,0)→double vs HUGEINT→double
+    // conversions amplifies to ~4·10⁻¹³ relative — measured at sf0.1
+    // when the un-pinned form was tried (skewness 0.00585768579036529 vs
+    // ...36625). The exact-integer-numerator alternative overflows 38
+    // digits at m4 (n³·Σx⁴ ~ 10⁴⁰), so the pin stays.
     a.select(col("nationkey"), col("n"),
         x6(mean / lit(100.0)).as("mean"),
         when(m2 > 0.0, x6(m3 / (m2 * sqrt(m2)))).as("skewness"),
