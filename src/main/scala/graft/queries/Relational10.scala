@@ -101,10 +101,10 @@ object Relational10 {
       |    CAST(MAX(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)) AS DECIMAL(38,0)) AS d_num
       |  FROM c GROUP BY event_type)
       |SELECT event_type, n1, n2, d_num,
-      |  CAST(d_num AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS d,
-      |  1.628 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) AS d_crit,
-      |  CAST(d_num AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
-      |    > 1.628 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)) AS significant
+      |  CAST(CAST(d_num AS VARCHAR) AS DOUBLE) / CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS DOUBLE) AS d,
+      |  1.628 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS DOUBLE)) AS d_crit,
+      |  CAST(CAST(d_num AS VARCHAR) AS DOUBLE) / CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS DOUBLE)
+      |    > 1.628 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS DOUBLE)) AS significant
       |FROM a ORDER BY event_type""".stripMargin
 
   // ----------------------------------------------------- q_brunner_munzel
@@ -242,15 +242,16 @@ object Relational10 {
       |    t2 - CAST(n2 AS HUGEINT) * (n2 + 1) AS a2
       |  FROM a),
       |f AS (
-      |  -- HUGEINT->DOUBLE routes through DECIMAL(38,0): the conversion
-      |  -- path the q_ks_test gate already proves bitwise against Spark's
-      |  -- Decimal.toDouble
+      |  -- big-int -> double via VARCHAR: DuckDB's int128->double cast
+      |  -- misrounds ~1% of >2^53 values (the n*B - A^2 numerators pass
+      |  -- 2^53 from sf0.1 up); the string parse is correctly rounded
+      |  -- like Spark's Decimal.toDouble
       |  SELECT event_type, n1, n2,
-      |    CAST(CAST(t1 AS DECIMAL(38,0)) AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) AS m1,
-      |    CAST(CAST(t2 AS DECIMAL(38,0)) AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE)) AS m2,
-      |    CAST(n1 AS DOUBLE) * (CAST(CAST(CAST(n1 AS HUGEINT) * b1 - a1 * a1 AS DECIMAL(38,0)) AS DOUBLE)
+      |    CAST(CAST(t1 AS VARCHAR) AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) AS m1,
+      |    CAST(CAST(t2 AS VARCHAR) AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE)) AS m2,
+      |    CAST(n1 AS DOUBLE) * (CAST(CAST(CAST(n1 AS HUGEINT) * b1 - a1 * a1 AS VARCHAR) AS DOUBLE)
       |      / (4.0 * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))) AS nv1,
-      |    CAST(n2 AS DOUBLE) * (CAST(CAST(CAST(n2 AS HUGEINT) * b2 - a2 * a2 AS DECIMAL(38,0)) AS DOUBLE)
+      |    CAST(n2 AS DOUBLE) * (CAST(CAST(CAST(n2 AS HUGEINT) * b2 - a2 * a2 AS VARCHAR) AS DOUBLE)
       |      / (4.0 * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))) AS nv2
       |  FROM k)
       |SELECT event_type, n1, n2,
@@ -788,9 +789,13 @@ object Relational10 {
       |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
       |  FROM e GROUP BY event_type),
       |m AS (
+      |  -- big-int -> double via VARCHAR: DuckDB's int128->double cast
+      |  -- misrounds ~1% of >2^53 values (near-tie cases; fuzz-measured),
+      |  -- while its string->double parse is correctly rounded like
+      |  -- Spark's Decimal.toDouble. sxx ~ 2e21 at sf0.01 is past 2^53.
       |  SELECT event_type, n,
-      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean,
-      |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean,
+      |    (CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
       |      / (CAST(n AS DOUBLE) - 1.0) / 1000000.0 / 1000000.0 AS varr
       |  FROM a WHERE n >= 2)
       |SELECT event_type, n,

@@ -55,10 +55,10 @@ object Relational8 {
     val expArr = array(BenfordP.map(lit): _*)
     digits.crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),
-        x6(col("n").cast(DoubleType) / col("nn").cast(DoubleType)).as("share"),
+        (col("n").cast(DoubleType) / col("nn").cast(DoubleType)).as("share"),
         element_at(expArr, col("digit")).as("expected"),
-        x6(abs(x6(col("n").cast(DoubleType) / col("nn").cast(DoubleType)) -
-          element_at(expArr, col("digit")))).as("abs_dev"))
+        abs(col("n").cast(DoubleType) / col("nn").cast(DoubleType) -
+          element_at(expArr, col("digit"))).as("abs_dev"))
       .orderBy(col("digit"))
   }
 
@@ -70,10 +70,10 @@ object Relational8 {
        |c AS (SELECT digit, COUNT(*) AS n FROM d WHERE digit >= 1 GROUP BY digit),
        |t AS (SELECT SUM(n) AS nn FROM c)
        |SELECT digit, n,
-       |  CAST(CAST(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS share,
+       |  CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS share,
        |  ([$lits])[digit] AS expected,
-       |  CAST(CAST(abs(CAST(CAST(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
-       |    - ([$lits])[digit]) AS DECIMAL(18,6)) AS DOUBLE) AS abs_dev
+       |  abs(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+       |    - ([$lits])[digit]) AS abs_dev
        |FROM c, t ORDER BY digit""".stripMargin
   }
 
@@ -213,7 +213,7 @@ object Relational8 {
         sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
       .select(col("day"), col("n_active"), col("n_new"),
         (col("n_active") - col("n_new")).as("n_returning"),
-        x6(col("n_new").cast(DoubleType) / col("n_active").cast(DoubleType))
+        (col("n_new").cast(DoubleType) / col("n_active").cast(DoubleType))
           .as("pct_new"))
       .orderBy(col("day"))
   }
@@ -224,7 +224,7 @@ object Relational8 {
        |SELECT day, COUNT(*) AS n_active,
        |  CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
        |  CAST(COUNT(*) - SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
-       |  CAST(CAST(CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS pct_new
+       |  CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pct_new
        |FROM f GROUP BY day ORDER BY day""".stripMargin
 
   // ------------------------------------------------------------- q_skyline
@@ -672,7 +672,7 @@ object Relational8 {
     val tot = cells.agg(sum(col("n")).as("nn"))
     cells.crossJoin(broadcast(tot))
       .select(col("dow"), col("hod"), col("n"),
-        x6(col("n").cast(DoubleType) / col("nn").cast(DoubleType)).as("share"))
+        (col("n").cast(DoubleType) / col("nn").cast(DoubleType)).as("share"))
       .orderBy(col("dow"), col("hod"))
   }
 
@@ -752,7 +752,7 @@ object Relational8 {
         col("rev").cast(DoubleType).as("revenue"),
         col("rev7").cast(DoubleType).as("revenue_7d"),
         col("days_in_window"),
-        x6(col("rev7").cast(DoubleType) / col("days_in_window").cast(DoubleType))
+        (col("rev7").cast(DoubleType) / col("days_in_window").cast(DoubleType))
           .as("daily_avg_7d"))
       .orderBy(col("day"))
   }
@@ -769,7 +769,7 @@ object Relational8 {
        |  FROM daily)
        |SELECT day, n_orders, CAST(rev AS DOUBLE) AS revenue,
        |  CAST(rev7 AS DOUBLE) AS revenue_7d, days_in_window,
-       |  CAST(CAST(CAST(rev7 AS DOUBLE) / CAST(days_in_window AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS daily_avg_7d
+       |  CAST(rev7 AS DOUBLE) / CAST(days_in_window AS DOUBLE) AS daily_avg_7d
        |FROM t ORDER BY day""".stripMargin
 
   // --------------------------------------------------------------- q_ab_srm

@@ -300,10 +300,10 @@ object Relational9 {
     * Spark's built-in skewness()/kurtosis() stream float partials whose
     * totals are partition-order-dependent; instead the four raw power
     * sums Σx..Σx⁴ are computed EXACTLY over integer cents (DECIMAL(38,0)
-    * in Spark, HUGEINT in the oracle), and the central-moment formulas
-    * run as one pinned IEEE chain per output — pinned WITH x6, which is
-    * load-bearing here (see the select below: cancellation amplifies a
-    * 1-ulp big-integer→double conversion difference to ~10⁻¹³ relative).
+    * in Spark, HUGEINT in the oracle — converted to double via the
+    * oracle's VARCHAR route, the r14 rule: DuckDB's direct int128→double
+    * cast misrounds near-tie values), and the central-moment formulas
+    * run as one pinned IEEE chain per output, emitted un-rounded.
     * m2^1.5 is written m2·√m2 because pow() is libm-dependent while sqrt
     * is IEEE-exact.
     *
@@ -333,18 +333,18 @@ object Relational9 {
     // zero-variance guard: m2 = 0 makes the ratios NaN — NULL beats
     // comparing engine NaN bit patterns. Both engines share the identical
     // pinned m2 (same IEEE chain), so the m2 > 0 predicate agrees bitwise.
-    // The x6 pins here are LOAD-BEARING, unlike the exact-single-chain
-    // gates the r14 sweep un-pinned: m3/m4 are tiny differences of
-    // ~10²⁰-scale terms (catastrophic cancellation), so a single-ulp
-    // difference in the DECIMAL(38,0)→double vs HUGEINT→double
-    // conversions amplifies to ~4·10⁻¹³ relative — measured at sf0.1
-    // when the un-pinned form was tried (skewness 0.00585768579036529 vs
-    // ...36625). The exact-integer-numerator alternative overflows 38
-    // digits at m4 (n³·Σx⁴ ~ 10⁴⁰), so the pin stays.
+    // Un-pinned (r14): the first un-pinning attempt FAILED at sf0.1 with
+    // a ~4·10⁻¹³ skew divergence, which root-caused to DuckDB's
+    // int128→double cast misrounding ~1% of >2⁵³ values (near-tie cases,
+    // fuzz-measured) — amplified here because m3/m4 subtract ~10²⁰-scale
+    // terms. The fix is in the ORACLE: big sums convert via
+    // CAST(CAST(x AS VARCHAR) AS DOUBLE), whose string parse is correctly
+    // rounded like Spark's Decimal.toDouble — with both engines' inputs
+    // bitwise-equal doubles, the cancellation-heavy chain is bitwise too.
     a.select(col("nationkey"), col("n"),
-        x6(mean / lit(100.0)).as("mean"),
-        when(m2 > 0.0, x6(m3 / (m2 * sqrt(m2)))).as("skewness"),
-        when(m2 > 0.0, x6(m4 / (m2 * m2) - lit(3.0))).as("kurtosis"))
+        (mean / lit(100.0)).as("mean"),
+        when(m2 > 0.0, m3 / (m2 * sqrt(m2))).as("skewness"),
+        when(m2 > 0.0, m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
       .orderBy(col("nationkey"))
   }
 
@@ -358,11 +358,14 @@ object Relational9 {
       |    SUM(x * x * x) AS sxxx, SUM(x * x * x * x) AS sxxxx
       |  FROM c GROUP BY nationkey),
       |m AS (
+      |  -- big-int -> double via VARCHAR: DuckDB's int128->double cast
+      |  -- misrounds ~1% of >2^53 values; the string parse is correctly
+      |  -- rounded like Spark's Decimal.toDouble (SURVEY §6 r14 rule)
       |  SELECT nationkey, n,
-      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-      |    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
-      |    CAST(sxxx AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
-      |    CAST(sxxxx AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+      |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+      |    CAST(CAST(sxxx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+      |    CAST(CAST(sxxxx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS e4
       |  FROM a),
       |k AS (
       |  SELECT nationkey, n, mean,
@@ -372,9 +375,9 @@ object Relational9 {
       |      - 3.0 * mean * mean * mean * mean AS m4
       |  FROM m)
       |SELECT nationkey, n,
-      |  CAST(CAST(mean / 100.0 AS DECIMAL(18,6)) AS DOUBLE) AS mean,
-      |  CASE WHEN m2 > 0.0 THEN CAST(CAST(m3 / (m2 * sqrt(m2)) AS DECIMAL(18,6)) AS DOUBLE) END AS skewness,
-      |  CASE WHEN m2 > 0.0 THEN CAST(CAST(m4 / (m2 * m2) - 3.0 AS DECIMAL(18,6)) AS DOUBLE) END AS kurtosis
+      |  mean / 100.0 AS mean,
+      |  CASE WHEN m2 > 0.0 THEN m3 / (m2 * sqrt(m2)) END AS skewness,
+      |  CASE WHEN m2 > 0.0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis
       |FROM k ORDER BY nationkey""".stripMargin
 
   // ---------------------------------------------------------- q_bollinger
