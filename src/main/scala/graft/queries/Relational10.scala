@@ -243,8 +243,8 @@ object Relational10 {
       |  FROM a),
       |f AS (
       |  -- big-int -> double via VARCHAR: DuckDB's int128->double cast
-      |  -- misrounds ~1% of >2^53 values (the n*B - A^2 numerators pass
-      |  -- 2^53 from sf0.1 up); the string parse is correctly rounded
+      |  -- misrounds values above 2^64 (the n*B - A^2 numerators pass
+      |  -- 2^64 from sf0.1 up); the string parse is correctly rounded
       |  -- like Spark's Decimal.toDouble
       |  SELECT event_type, n1, n2,
       |    CAST(CAST(t1 AS VARCHAR) AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) AS m1,
@@ -790,9 +790,9 @@ object Relational10 {
       |  FROM e GROUP BY event_type),
       |m AS (
       |  -- big-int -> double via VARCHAR: DuckDB's int128->double cast
-      |  -- misrounds ~1% of >2^53 values (near-tie cases; fuzz-measured),
+      |  -- misrounds values above 2^64 (never below; fuzz-measured),
       |  -- while its string->double parse is correctly rounded like
-      |  -- Spark's Decimal.toDouble. sxx ~ 2e21 at sf0.01 is past 2^53.
+      |  -- Spark's Decimal.toDouble. sxx ~ 2e21 at sf0.01 is past 2^64.
       |  SELECT event_type, n,
       |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean,
       |    (CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))

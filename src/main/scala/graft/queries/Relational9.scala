@@ -359,7 +359,7 @@ object Relational9 {
       |  FROM c GROUP BY nationkey),
       |m AS (
       |  -- big-int -> double via VARCHAR: DuckDB's int128->double cast
-      |  -- misrounds ~1% of >2^53 values; the string parse is correctly
+      |  -- misrounds values above 2^64 (never below); the string parse is correctly
       |  -- rounded like Spark's Decimal.toDouble (SURVEY §6 r14 rule)
       |  SELECT nationkey, n,
       |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
