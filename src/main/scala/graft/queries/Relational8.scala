@@ -107,6 +107,11 @@ object Relational8 {
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .select(col("n_name").as("nation"), col("n_suppliers"),
         col("tot").cast(DoubleType).as("revenue"),
+        // the x6 pin is LOAD-BEARING here (r14 sweep, measured 1-ulp
+        // divergence un-pinned at all three SFs): the per-supplier term
+        // freeze double→DECIMAL(38,12) rounds differently between the
+        // engines, so sumsq itself differs in the last micro-digit —
+        // the float-sourced-freeze class, not the exact-chain class
         x6(col("sumsq").cast(DoubleType) /
           (col("tot").cast(DoubleType) * col("tot").cast(DoubleType))).as("hhi"),
         (x6(col("sumsq").cast(DoubleType) /
@@ -125,9 +130,12 @@ object Relational8 {
       |  SELECT s_nationkey, COUNT(*) AS n_suppliers, SUM(rev) AS tot,
       |    SUM(CAST(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE) AS DECIMAL(38,12))) AS sumsq
       |  FROM rev_s GROUP BY s_nationkey)
+      |-- sumsq's unscaled int128 (~1e31) is far past 2^64 — varchar-route
+      |-- (SURVEY §6 r14 rule); the x6 pin on hhi stays: the per-term
+      |-- double->DECIMAL(38,12) freeze rounds differently between engines
       |SELECT n_name AS nation, n_suppliers, CAST(tot AS DOUBLE) AS revenue,
-      |  CAST(CAST(CAST(sumsq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS hhi,
-      |  CAST(CAST(CAST(sumsq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) > 0.18 AS concentrated
+      |  CAST(CAST(CAST(CAST(sumsq AS VARCHAR) AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS hhi,
+      |  CAST(CAST(CAST(CAST(sumsq AS VARCHAR) AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) > 0.18 AS concentrated
       |FROM n JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY nation""".stripMargin
 
@@ -160,12 +168,12 @@ object Relational8 {
     val rt = cells.groupBy(col("event_type")).agg(sum(col("n")).as("rt"))
     val ct = cells.groupBy(col("dow")).agg(sum(col("n")).as("ct"))
     val tot = cells.agg(sum(col("n")).as("nn"))
-    val e = x6(col("rt").cast(DoubleType) * col("ct").cast(DoubleType) /
-      col("nn").cast(DoubleType))
+    val e = col("rt").cast(DoubleType) * col("ct").cast(DoubleType) /
+      col("nn").cast(DoubleType)
     cells.join(broadcast(rt), "event_type").join(broadcast(ct), "dow")
       .crossJoin(broadcast(tot))
       .select(col("event_type"), col("dow"), col("n"), e.as("expected"),
-        x6((col("n").cast(DoubleType) - e) * (col("n").cast(DoubleType) - e) / e)
+        ((col("n").cast(DoubleType) - e) * (col("n").cast(DoubleType) - e) / e)
           .as("chisq_term"))
       .orderBy(col("event_type"), col("dow"))
   }
@@ -179,10 +187,10 @@ object Relational8 {
        |t AS (SELECT SUM(n) AS nn FROM cells),
        |j AS (
        |  SELECT c.event_type, c.dow, c.n,
-       |    CAST(CAST(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS expected
+       |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE) AS expected
        |  FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow), t)
        |SELECT event_type, dow, n, expected,
-       |  CAST(CAST((CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected) / expected AS DECIMAL(18,6)) AS DOUBLE) AS chisq_term
+       |  (CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected) / expected AS chisq_term
        |FROM j ORDER BY event_type, dow""".stripMargin
 
   // ------------------------------------------------------ q_new_returning
@@ -521,7 +529,7 @@ object Relational8 {
           col("rev_i").cast(DecimalType(19, 0))).cast(d38)).as("srx"))
       .select(col("n_customers"),
         (col("sx").cast(DoubleType) / lit(1000000.0)).as("total_revenue"),
-        x6((lit(2.0) * col("srx").cast(DoubleType) -
+        ((lit(2.0) * col("srx").cast(DoubleType) -
           (col("n_customers") + lit(1)).cast(DoubleType) * col("sx").cast(DoubleType)) /
           (col("n_customers").cast(DoubleType) * col("sx").cast(DoubleType))).as("gini"))
   }
@@ -539,9 +547,11 @@ object Relational8 {
       |  SELECT COUNT(*) AS n, SUM(CAST(rev_i AS DECIMAL(38,0))) AS sx,
       |    SUM(CAST(CAST(rank AS DECIMAL(19,0)) * CAST(rev_i AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS srx
       |  FROM r)
-      |SELECT n AS n_customers, CAST(sx AS DOUBLE) / 1000000.0 AS total_revenue,
-      |  CAST(CAST((2.0 * CAST(srx AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
-      |    / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS gini
+      |-- srx passes 2^64 (rank*rev sums) — varchar-route the casts
+      |-- (SURVEY §6 r14 rule: DuckDB's int128->double misrounds above 2^64)
+      |SELECT n AS n_customers, CAST(CAST(sx AS VARCHAR) AS DOUBLE) / 1000000.0 AS total_revenue,
+      |  (2.0 * CAST(CAST(srx AS VARCHAR) AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS gini
       |FROM m""".stripMargin
 
   // ------------------------------------------------------------ q_apportion
@@ -796,9 +806,9 @@ object Relational8 {
     val wide = users.agg(
       sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
       sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"))
-    val e = x6((col("n0") + col("n1")).cast(DoubleType) / lit(2.0))
+    val e = (col("n0") + col("n1")).cast(DoubleType) / lit(2.0)
     wide.select(col("n0"), col("n1"), e.as("expected_each"),
-        x6((col("n0").cast(DoubleType) - e) * (col("n0").cast(DoubleType) - e) / e +
+        ((col("n0").cast(DoubleType) - e) * (col("n0").cast(DoubleType) - e) / e +
           (col("n1").cast(DoubleType) - e) * (col("n1").cast(DoubleType) - e) / e)
           .as("chisq"))
       .withColumn("srm_detected", col("chisq") > lit(3.841))
@@ -815,13 +825,13 @@ object Relational8 {
       |  FROM u WHERE NOT (variant = 1 AND user_id % 3 = 0)),
       |m AS (
       |  SELECT n0, n1,
-      |    CAST(CAST(CAST(n0 + n1 AS DOUBLE) / 2.0 AS DECIMAL(18,6)) AS DOUBLE) AS e
+      |    CAST(n0 + n1 AS DOUBLE) / 2.0 AS e
       |  FROM k)
       |SELECT n0, n1, e AS expected_each,
-      |  CAST(CAST((CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e) / e
-      |    + (CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e) / e AS DECIMAL(18,6)) AS DOUBLE) AS chisq,
-      |  CAST(CAST((CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e) / e
-      |    + (CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e) / e AS DECIMAL(18,6)) AS DOUBLE) > 3.841 AS srm_detected
+      |  (CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e) / e
+      |    + (CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e) / e AS chisq,
+      |  (CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e) / e
+      |    + (CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e) / e > 3.841 AS srm_detected
       |FROM m""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
