@@ -224,12 +224,13 @@ object Relational2 {
         sum((y * y).cast(d24)).cast(DoubleType).as("syy"))
     val (n, sx, sy, sxy, sxx, syy) =
       (col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
-    // the huge squared-sum moments exceed 2^53 in unscaled decimal units,
-    // where the two engines' decimal→double conversions round apart by an
-    // ulp — so the FINAL correlation is pinned to 6 decimals (x6), which
-    // both conversions agree on away from exact rounding boundaries
+    // the huge squared-sum moments exceed 2^64 in unscaled decimal units,
+    // where DuckDB's direct int128->double conversion misrounds — the
+    // oracle varchar-routes those casts (SURVEY §6 r14 rule), making both
+    // engines' sums bitwise-equal doubles, so the correlation chain emits
+    // RAW (the x6 pin this replaces was the boundary-flip hazard)
     m.select(col("l_returnflag"), n,
-        graft.functions.OracleParity.x6((n * sxy - sx * sy) /
+        ((n * sxy - sx * sy) /
           nullif(sqrt(greatest(n * sxx - sx * sx, lit(0.0))) *
                  sqrt(greatest(n * syy - sy * sy, lit(0.0))), lit(0.0)))
           .as("corr_qty_price"))
@@ -238,15 +239,15 @@ object Relational2 {
 
   val qCorrSql: String =
     """SELECT l_returnflag, n,
-      |  CAST(CAST((n*sxy - sx*sy) / nullif(sqrt(greatest(n*sxx - sx*sx, 0.0))
-      |    * sqrt(greatest(n*syy - sy*sy, 0.0)), 0.0) AS DECIMAL(18,6)) AS DOUBLE) AS corr_qty_price
+      |  (n*sxy - sx*sy) / nullif(sqrt(greatest(n*sxx - sx*sx, 0.0))
+      |    * sqrt(greatest(n*syy - sy*sy, 0.0)), 0.0) AS corr_qty_price
       |FROM (
       |  SELECT l_returnflag, COUNT(*) AS n,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS sxy,
-      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS syy
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+      |    CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS syy
       |  FROM lineitem GROUP BY l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 

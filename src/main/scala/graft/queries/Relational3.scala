@@ -344,15 +344,17 @@ object Relational3 {
       .withColumn("bin", floor(col("o_totalprice") / 25000.0).cast("long"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
-        x6(min(col("o_totalprice"))).as("lo"),
-        x6(max(col("o_totalprice"))).as("hi"))
+        // raw (r14 un-pin): min/max of a stored double column is exact
+        // value SELECTION — both engines return the same stored bits
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
       .orderBy(col("bin"))
   }
 
   val qHistogramSql: String =
     """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin, COUNT(*) AS n,
-      |  CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,6)) AS DOUBLE) AS lo,
-      |  CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,6)) AS DOUBLE) AS hi
+      |  MIN(o_totalprice) AS lo,
+      |  MAX(o_totalprice) AS hi
       |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
 
   /** q_unpivot: wide → long melt (the inverse of q_pivot) — per-measure

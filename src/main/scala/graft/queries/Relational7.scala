@@ -64,8 +64,11 @@ object Relational7 {
       sum((col("y") * col("y")).cast(d38)).cast(DoubleType).as("syy"))
     val (n, sx, sy, sxy, sxx, syy) =
       (col("n_pairs"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
+    // raw chain (r14 un-pin): inputs are correctly-rounded doubles of
+    // exact decimal sums on BOTH sides (oracle varchar-routes the casts —
+    // x^2 sums pass 2^64 at real scale), so the chain is bitwise
     m.select(col("lag_h"), n,
-        graft.functions.OracleParity.x6((n * sxy - sx * sy) /
+        ((n * sxy - sx * sy) /
           nullif(sqrt(greatest(n * sxx - sx * sx, lit(0.0))) *
                  sqrt(greatest(n * syy - sy * sy, lit(0.0))), lit(0.0)))
           .as("acf"))
@@ -84,15 +87,15 @@ object Relational7 {
        |          FROM lags l JOIN series a ON TRUE
        |          JOIN series c ON c.hour = a.hour + l.lag_h),
        |m AS (SELECT lag_h, COUNT(*) AS n_pairs,
-       |        CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
-       |        CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-       |        CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-       |        CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-       |        CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+       |        CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sx,
+       |        CAST(CAST(SUM(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sy,
+       |        CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxy,
+       |        CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sxx,
+       |        CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS syy
        |      FROM pairs GROUP BY lag_h)
        |SELECT lag_h, n_pairs,
-       |  CAST(CAST((n_pairs*sxy - sx*sy) / nullif(sqrt(greatest(n_pairs*sxx - sx*sx, 0.0))
-       |    * sqrt(greatest(n_pairs*syy - sy*sy, 0.0)), 0.0) AS DECIMAL(18,6)) AS DOUBLE) AS acf
+       |  (n_pairs*sxy - sx*sy) / nullif(sqrt(greatest(n_pairs*sxx - sx*sx, 0.0))
+       |    * sqrt(greatest(n_pairs*syy - sy*sy, 0.0)), 0.0) AS acf
        |FROM m ORDER BY lag_h""".stripMargin
 
   // -------------------------------------------------------------- q_cusum
