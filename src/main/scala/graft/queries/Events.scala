@@ -676,14 +676,13 @@ object Events {
         .otherwise(expr("shiftleft(1L, cast(62 - age AS int))")))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        // the x6 pin absorbs the one-ulp divergence of the wide
-        // decimal→double conversion (a 28-significant-digit decimal
-        // rounds to double differently between engines)
-        graft.functions.OracleParity.x6(
-          sum((col("value").cast(DecimalType(18, 6)) * col("w")).cast(DecimalType(38, 6)))
+        // raw (r14 un-pin): the one-ulp divergence the old x6 pin
+        // absorbed was DuckDB's direct int128->double cast misrounding —
+        // the oracle now varchar-routes the wide-decimal casts (SURVEY §6
+        // r14 rule), making both engines' sums bitwise-equal doubles
+        (sum((col("value").cast(DecimalType(18, 6)) * col("w")).cast(DecimalType(38, 6)))
             .cast("double") / lit(two62)).as("decayed_value"),
-        graft.functions.OracleParity.x6(
-          sum(col("w").cast(DecimalType(38, 0))).cast("double") / lit(two62))
+        (sum(col("w").cast(DecimalType(38, 0))).cast("double") / lit(two62))
           .as("decayed_count"))
       .orderBy(col("event_type"))
   }
@@ -697,10 +696,10 @@ object Events {
        |         ELSE (1::BIGINT << CAST(62 - (f.f - day) AS INTEGER)) END AS w
        |  FROM e, f)
        |SELECT event_type, COUNT(*) AS n,
-       |  CAST(CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * w AS DECIMAL(38,6))) AS DOUBLE)
-       |    / 4.611686018427387904e18 AS DECIMAL(18,6)) AS DOUBLE) AS decayed_value,
-       |  CAST(CAST(CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE)
-       |    / 4.611686018427387904e18 AS DECIMAL(18,6)) AS DOUBLE) AS decayed_count
+       |  CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * w AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       |    / 4.611686018427387904e18 AS decayed_value,
+       |  CAST(CAST(SUM(CAST(w AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+       |    / 4.611686018427387904e18 AS decayed_count
        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q_wape
@@ -734,10 +733,8 @@ object Events {
         sum(abs(col("n") - col("fc"))).as("sae"),
         sum(col("n")).as("mass"))
       .select(col("event_type"), col("n_hours"), col("sae"), col("mass"),
-        graft.functions.OracleParity.x6(
-          col("sae").cast("double") / col("mass").cast("double")).as("wape"),
-        graft.functions.OracleParity.x6(
-          col("sae").cast("double") / col("n_hours").cast("double")).as("mae"))
+        (col("sae").cast("double") / col("mass").cast("double")).as("wape"),
+        (col("sae").cast("double") / col("n_hours").cast("double")).as("mae"))
       .orderBy(col("event_type"))
   }
 
@@ -756,8 +753,8 @@ object Events {
        |    CAST(SUM(abs(n - fc)) AS BIGINT) AS sae, CAST(SUM(n) AS BIGINT) AS mass
        |  FROM lg WHERE fc IS NOT NULL GROUP BY event_type)
        |SELECT event_type, n_hours, sae, mass,
-       |  CAST(CAST(CAST(sae AS DOUBLE) / CAST(mass AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS wape,
-       |  CAST(CAST(CAST(sae AS DOUBLE) / CAST(n_hours AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS mae
+       |  CAST(sae AS DOUBLE) / CAST(mass AS DOUBLE) AS wape,
+       |  CAST(sae AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mae
        |FROM agg ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------------ q_holt
@@ -908,9 +905,9 @@ object Events {
       .select(col("o_orderpriority"),
         (size(col("revs")) - 1).cast("long").as("n_evals"),
         col("st.sae").as("sae_micro"), col("st.mass").as("mass_micro"),
-        graft.functions.OracleParity.x6(col("st.sae").cast("double") /
+        (col("st.sae").cast("double") /
           col("st.mass").cast("double")).as("wape"),
-        graft.functions.OracleParity.x6(col("st.sae").cast("double") /
+        (col("st.sae").cast("double") /
           (size(col("revs")) - 1).cast("double") / lit(1000000.0)).as("mae"))
       .orderBy(col("o_orderpriority"))
   }
@@ -940,8 +937,8 @@ object Events {
        |  FROM st s JOIN ser v ON v.pri = s.pri AND v.idx = s.idx + 1)
        |SELECT st.pri AS o_orderpriority, nn.n - 1 AS n_evals,
        |  st.sae AS sae_micro, st.mass AS mass_micro,
-       |  CAST(CAST(CAST(st.sae AS DOUBLE) / CAST(st.mass AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS wape,
-       |  CAST(CAST(CAST(st.sae AS DOUBLE) / CAST(nn.n - 1 AS DOUBLE) / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS mae
+       |  CAST(st.sae AS DOUBLE) / CAST(st.mass AS DOUBLE) AS wape,
+       |  CAST(st.sae AS DOUBLE) / CAST(nn.n - 1 AS DOUBLE) / 1000000.0 AS mae
        |FROM st JOIN nn ON nn.pri = st.pri AND st.idx = nn.n
        |WHERE nn.n >= 3
        |ORDER BY o_orderpriority""".stripMargin

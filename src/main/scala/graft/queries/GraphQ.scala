@@ -504,8 +504,7 @@ object GraphQ {
       .join(triPerV, Seq("v"), "left")
       .select(col("v"), col("deg"),
         coalesce(col("tri"), lit(0L)).as("tri"),
-        graft.functions.OracleParity.x6(
-          (lit(2L) * coalesce(col("tri"), lit(0L))).cast("double") /
+        ((lit(2L) * coalesce(col("tri"), lit(0L))).cast("double") /
             (col("deg") * (col("deg") - lit(1L))).cast("double")).as("cc"))
       .orderBy(col("v"))
   }
@@ -522,8 +521,8 @@ object GraphQ {
        |  GROUP BY v),
        |deg AS (SELECT v, COUNT(*) AS deg FROM bi GROUP BY v)
        |SELECT d.v, d.deg, COALESCE(t.tri, 0) AS tri,
-       |  CAST(CAST(CAST(2 * COALESCE(t.tri, 0) AS DOUBLE) /
-       |    CAST(d.deg * (d.deg - 1) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS cc
+       |  CAST(2 * COALESCE(t.tri, 0) AS DOUBLE) /
+       |    CAST(d.deg * (d.deg - 1) AS DOUBLE) AS cc
        |FROM deg d LEFT JOIN tpv t ON t.v = d.v
        |WHERE d.deg >= 2 ORDER BY d.v""".stripMargin
 
@@ -554,8 +553,7 @@ object GraphQ {
     pairs.agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"),
         sum(col("dx") * col("dx")).as("sxx"), sum(col("dx") * col("dy")).as("sxy"))
       .select(col("n"), col("sx"), col("sxx"), col("sxy"),
-        graft.functions.OracleParity.x6(
-          (col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+        ((col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
             (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
           .as("assortativity"))
   }
@@ -571,8 +569,8 @@ object GraphQ {
        |    CAST(SUM(dx * dx) AS BIGINT) AS sxx, CAST(SUM(dx * dy) AS BIGINT) AS sxy
        |  FROM pairs)
        |SELECT n, sx, sxx, sxy,
-       |  CAST(CAST(CAST(n * sxy - sx * sx AS DOUBLE) /
-       |    CAST(n * sxx - sx * sx AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS assortativity
+       |  CAST(n * sxy - sx * sx AS DOUBLE) /
+       |    CAST(n * sxx - sx * sx AS DOUBLE) AS assortativity
        |FROM a""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
