@@ -510,11 +510,10 @@ object Etl2 {
     resolved.select(col("cur"), col("m"), col("n_orders"),
         col("rev").cast(DoubleType).as("revenue"),
         col("rate_micros").cast("long").as("rate_micros"),
-        // the decimal product's unscaled value exceeds 2^53, where the two
-        // engines' decimal→double conversions can differ by an ulp — pin
-        // the POST-division value to 6 decimals (q_corr's convention)
-        graft.functions.OracleParity.x6(
-          (col("rev") * col("rate_micros")).cast(DoubleType) / lit(1000000.0))
+        // raw (r14 un-pin): the ulp divergence came from DuckDB's direct
+        // int128->double cast on the wide decimal product — the oracle
+        // varchar-routes it (SURVEY §6 r14 rule), so the chain is bitwise
+        ((col("rev") * col("rate_micros")).cast(DoubleType) / lit(1000000.0))
           .as("revenue_conv"))
       .orderBy(col("cur"), col("m"))
   }
@@ -537,7 +536,7 @@ object Etl2 {
       |  GROUP BY mo.cur, mo.m)
       |SELECT cur, m, n_orders, CAST(rev AS DOUBLE) AS revenue,
       |  CAST(rate_micros AS BIGINT) AS rate_micros,
-      |  CAST(CAST(CAST(rev * rate_micros AS DOUBLE) / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS revenue_conv
+      |  CAST(CAST(rev * rate_micros AS VARCHAR) AS DOUBLE) / 1000000.0 AS revenue_conv
       |FROM resolved ORDER BY cur, m""".stripMargin
 
   /** e_record_linkage: typo-tolerant ENTITY RESOLUTION between two

@@ -429,8 +429,7 @@ object Etl3 {
       .crossJoin(broadcast(moved))
       .select(col("node"), col("n_before"), col("n_after"),
         col("n_moved"),
-        graft.functions.OracleParity.x6(
-          col("n_moved").cast(DoubleType) / col("n_keys").cast(DoubleType))
+        (col("n_moved").cast(DoubleType) / col("n_keys").cast(DoubleType))
           .as("moved_share"))
       .orderBy(col("node"))
   }
@@ -456,7 +455,7 @@ object Etl3 {
        |bef AS (SELECT n8 AS node, COUNT(*) AS n_before FROM b GROUP BY 1),
        |aft AS (SELECT n9 AS node, COUNT(*) AS n_after FROM b GROUP BY 1)
        |SELECT aft.node, bef.n_before, aft.n_after, mv.n_moved,
-       |  CAST(CAST(CAST(mv.n_moved AS DOUBLE) / CAST(mv.n_keys AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS moved_share
+       |  CAST(mv.n_moved AS DOUBLE) / CAST(mv.n_keys AS DOUBLE) AS moved_share
        |FROM aft LEFT JOIN bef ON bef.node = aft.node, mv
        |ORDER BY aft.node""".stripMargin
 
@@ -673,11 +672,11 @@ object Etl3 {
     * scan; the union is 3 rows. */
   def eDqScore(s: SparkSession, dir: String): DataFrame = {
     def score(dup: Column, orph: Column, nul: Column, n: Column): Column = {
-      import graft.functions.OracleParity.x6
-      val d = x6(dup.cast(DoubleType) / n.cast(DoubleType))
-      val o = x6(orph.cast(DoubleType) / n.cast(DoubleType))
-      val u = x6(nul.cast(DoubleType) / n.cast(DoubleType))
-      x6(lit(100.0) * (lit(1.0) - (d + o + u) / lit(3.0)))
+      // raw chains over exact counts (r14 un-pin), mirrored in the oracle
+      val d = dup.cast(DoubleType) / n.cast(DoubleType)
+      val o = orph.cast(DoubleType) / n.cast(DoubleType)
+      val u = nul.cast(DoubleType) / n.cast(DoubleType)
+      lit(100.0) * (lit(1.0) - (d + o + u) / lit(3.0))
     }
     val cust = Tables.customer(s, dir).agg(
       count(lit(1)).as("n_rows"),
@@ -740,13 +739,12 @@ object Etl3 {
       "COUNT(*) - COUNT(DISTINCT (COALESCE(l_orderkey, -1), COALESCE(l_linenumber, -1)))",
       "(SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))",
       "SUM(CASE WHEN l_quantity IS NULL OR l_extendedprice IS NULL OR l_shipdate IS NULL THEN 1 ELSE 0 END)")
-    def x6(e: String) = s"CAST(CAST($e AS DECIMAL(18,6)) AS DOUBLE)"
-    val d = x6("CAST(dup_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)")
-    val o = x6("CAST(orphan_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)")
-    val u = x6("CAST(null_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+    val d = "CAST(dup_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+    val o = "CAST(orphan_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+    val u = "CAST(null_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)"
     s"""WITH t AS ($cust UNION ALL $ord UNION ALL $li)
        |SELECT table_name, n_rows, dup_rows, orphan_rows, null_rows,
-       |  ${x6(s"100.0 * (1.0 - ($d + $o + $u) / 3.0)")} AS dq_score
+       |  100.0 * (1.0 - ($d + $o + $u) / 3.0) AS dq_score
        |FROM t ORDER BY table_name""".stripMargin
   }
 

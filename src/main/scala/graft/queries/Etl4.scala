@@ -58,7 +58,7 @@ object Etl4 {
         col("n_within_cent"),
         (col("n_orders") - col("n_within_cent")).as("n_off"),
         col("abs_drift_micro"),
-        x6(col("n_within_cent").cast("double") / col("n_orders").cast("double"))
+        (col("n_within_cent").cast("double") / col("n_orders").cast("double"))
           .as("reconciled_share"))
       .orderBy(col("o_orderstatus"))
   }
@@ -82,8 +82,8 @@ object Etl4 {
        |  CAST(SUM(CASE WHEN abs(diff) <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_cent,
        |  CAST(COUNT(*) - SUM(CASE WHEN abs(diff) <= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_off,
        |  CAST(SUM(abs(diff)) AS BIGINT) AS abs_drift_micro,
-       |  CAST(CAST(CAST(SUM(CASE WHEN abs(diff) <= 10000 THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS reconciled_share
+       |  CAST(SUM(CASE WHEN abs(diff) <= 10000 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS reconciled_share
        |FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   }
 
@@ -122,8 +122,8 @@ object Etl4 {
         // before the cast truncates, so a quotient just under an integer
         // can round UP where DuckDB's `//` floors — the d_url_dedup class
         expr(s"max_delay_us div $UsPerHour").as("max_delay_h"),
-        x6(col("n_late").cast("double") / col("n_events").cast("double")).as("late_share"),
-        x6(col("n_past_grace").cast("double") / col("n_events").cast("double"))
+        (col("n_late").cast("double") / col("n_events").cast("double")).as("late_share"),
+        (col("n_past_grace").cast("double") / col("n_events").cast("double"))
           .as("past_grace_share"))
       .orderBy(col("day"))
   }
@@ -140,10 +140,10 @@ object Etl4 {
       |  CAST(SUM(CASE WHEN arrive_us >= (day + 1) * 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
       |  CAST(SUM(CASE WHEN arrive_us >= (day + 1) * 86400000000 + 21600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_past_grace,
       |  CAST(MAX(arrive_us - ts_us) // 3600000000 AS BIGINT) AS max_delay_h,
-      |  CAST(CAST(CAST(SUM(CASE WHEN arrive_us >= (day + 1) * 86400000000 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS late_share,
-      |  CAST(CAST(CAST(SUM(CASE WHEN arrive_us >= (day + 1) * 86400000000 + 21600000000 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS past_grace_share
+      |  CAST(SUM(CASE WHEN arrive_us >= (day + 1) * 86400000000 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS late_share,
+      |  CAST(SUM(CASE WHEN arrive_us >= (day + 1) * 86400000000 + 21600000000 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS past_grace_share
       |FROM f GROUP BY day ORDER BY day""".stripMargin
 
   // ----------------------------------------------------- e_interval_audit

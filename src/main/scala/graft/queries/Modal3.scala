@@ -530,8 +530,8 @@ object Modal3 {
         (id, dec.length.toLong, nClip)
       })
       .toDF("doc_id", "n_samples", "n_clipped")
-      .withColumn("clip_rate", graft.functions.OracleParity.x6(
-        col("n_clipped").cast("double") / col("n_samples").cast("double")))
+      .withColumn("clip_rate",
+        col("n_clipped").cast("double") / col("n_samples").cast("double"))
       .withColumn("is_clipped", col("n_clipped") * 100 > col("n_samples"))
       .orderBy(col("doc_id"))
   }
@@ -549,7 +549,7 @@ object Modal3 {
       |    CAST(SUM(CASE WHEN abs(v) >= 32700 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
       |  FROM v GROUP BY doc_id)
       |SELECT doc_id, n_samples, n_clipped,
-      |  CAST(CAST(CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS clip_rate,
+      |  CAST(n_clipped AS DOUBLE) / CAST(n_samples AS DOUBLE) AS clip_rate,
       |  n_clipped * 100 > n_samples AS is_clipped
       |FROM agg ORDER BY doc_id""".stripMargin
 

@@ -52,8 +52,8 @@ object Modal4 {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_images"),
         min(col("w")).as("min_w"), max(col("w")).as("max_w"),
-        x6(min(col("w").cast("double") / col("h").cast("double"))).as("min_ratio"),
-        x6(max(col("w").cast("double") / col("h").cast("double"))).as("max_ratio"))
+        min(col("w").cast("double") / col("h").cast("double")).as("min_ratio"),
+        max(col("w").cast("double") / col("h").cast("double")).as("max_ratio"))
       .orderBy(col("bucket"))
   }
 
@@ -71,8 +71,8 @@ object Modal4 {
        |  FROM d)
        |SELECT bucket, COUNT(*) AS n_images,
        |  CAST(MIN(w) AS BIGINT) AS min_w, CAST(MAX(w) AS BIGINT) AS max_w,
-       |  CAST(CAST(MIN(CAST(w AS DOUBLE) / CAST(h AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS min_ratio,
-       |  CAST(CAST(MAX(CAST(w AS DOUBLE) / CAST(h AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS max_ratio
+       |  MIN(CAST(w AS DOUBLE) / CAST(h AS DOUBLE)) AS min_ratio,
+       |  MAX(CAST(w AS DOUBLE) / CAST(h AS DOUBLE)) AS max_ratio
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
