@@ -354,8 +354,8 @@ object Text2 {
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_covered"), lit(0L)).as("n_covered"))
       .withColumn("coverage",
-        when(col("n_grams") > 0, graft.functions.OracleParity.x6(
-          col("n_covered").cast("double") / col("n_grams").cast("double"))))
+        when(col("n_grams") > 0,
+          col("n_covered").cast("double") / col("n_grams").cast("double")))
       .orderBy(col("doc_id"))
   }
 
@@ -369,7 +369,7 @@ object Text2 {
        |SELECT e.doc_id, CAST(len(e.grams) AS BIGINT) AS n_grams,
        |  COALESCE(h.n_covered, 0) AS n_covered,
        |  CASE WHEN len(e.grams) > 0 THEN
-       |    CAST(CAST(CAST(COALESCE(h.n_covered, 0) AS DOUBLE) / CAST(len(e.grams) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE)
+       |    CAST(COALESCE(h.n_covered, 0) AS DOUBLE) / CAST(len(e.grams) AS DOUBLE)
        |  END AS coverage
        |FROM ev e LEFT JOIN hits h ON h.doc_id = e.doc_id
        |ORDER BY e.doc_id""".stripMargin
@@ -689,10 +689,8 @@ object Text2 {
         sum(bpeTokenCount(col("text")).cast("long")).as("n_pieces"),
         sum(octet_length(col("text")).cast("long")).as("n_bytes"))
       .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"), col("n_bytes"),
-        graft.functions.OracleParity.x6(
-          col("n_pieces").cast("double") / col("n_words").cast("double")).as("fertility"),
-        graft.functions.OracleParity.x6(
-          col("n_bytes").cast("double") / col("n_pieces").cast("double")).as("bytes_per_piece"))
+        (col("n_pieces").cast("double") / col("n_words").cast("double")).as("fertility"),
+        (col("n_bytes").cast("double") / col("n_pieces").cast("double")).as("bytes_per_piece"))
       .orderBy(col("lang"))
 
   val tFertilitySql: String =
@@ -703,8 +701,8 @@ object Text2 {
        |    CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes
        |  FROM documents GROUP BY lang)
        |SELECT lang, n_docs, n_words, n_pieces, n_bytes,
-       |  CAST(CAST(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS fertility,
-       |  CAST(CAST(CAST(n_bytes AS DOUBLE) / CAST(n_pieces AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS bytes_per_piece
+       |  CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+       |  CAST(n_bytes AS DOUBLE) / CAST(n_pieces AS DOUBLE) AS bytes_per_piece
        |FROM a ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------ t_langid_margin
@@ -806,8 +804,7 @@ object Text2 {
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col("lang"), col("n_tokens"), col("n_oov"),
-        graft.functions.OracleParity.x6(
-          col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+        (col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
       .orderBy(col("lang"))
   }
 
@@ -832,8 +829,8 @@ object Text2 {
        |  WHERE t <> '')
        |SELECT lang, COUNT(*) AS n_tokens,
        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-       |  CAST(CAST(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS oov_rate
+       |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
        |FROM ev LEFT JOIN vocab v USING (token)
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
@@ -871,8 +868,7 @@ object Text2 {
         sum(when(col("cp") > 0, 1L).otherwise(0L)).as("n_routed_docs"),
         sum(col("cp")).as("n_astral_cp"))
       .select(col("lang"), col("n_docs"), col("n_routed_docs"), col("n_astral_cp"),
-        graft.functions.OracleParity.x6(
-          col("n_routed_docs").cast("double") / col("n_docs").cast("double"))
+        (col("n_routed_docs").cast("double") / col("n_docs").cast("double"))
           .as("routed_share"))
       .orderBy(col("lang"))
   }
@@ -891,8 +887,8 @@ object Text2 {
       |SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN cp > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_routed_docs,
       |  CAST(SUM(cp) AS BIGINT) AS n_astral_cp,
-      |  CAST(CAST(CAST(SUM(CASE WHEN cp > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS routed_share
+      |  CAST(SUM(CASE WHEN cp > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS routed_share
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
   // ------------------------------------------------------------ t_len_hist
@@ -956,8 +952,7 @@ object Text2 {
         sum(when(col("n_blocks") > 0, 1L).otherwise(0L)).as("n_docs_with_code"),
         sum(col("n_blocks")).as("n_blocks"))
       .select(col("lang"), col("n_docs"), col("n_docs_with_code"), col("n_blocks"),
-        graft.functions.OracleParity.x6(
-          col("n_docs_with_code").cast("double") / col("n_docs").cast("double"))
+        (col("n_docs_with_code").cast("double") / col("n_docs").cast("double"))
           .as("code_doc_share"))
       .orderBy(col("lang"))
   }
@@ -978,8 +973,8 @@ object Text2 {
       |SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN n_blocks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_code,
       |  CAST(SUM(n_blocks) AS BIGINT) AS n_blocks,
-      |  CAST(CAST(CAST(SUM(CASE WHEN n_blocks > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS code_doc_share
+      |  CAST(SUM(CASE WHEN n_blocks > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS code_doc_share
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
   // -------------------------------------------------------- t_vocab_growth
@@ -1019,8 +1014,7 @@ object Text2 {
       .groupBy(col("pct")).agg(count(lit(1)).as("n_docs"))
     vocab.join(nDocs, "pct")
       .select(col("pct"), col("n_docs"), col("vocab"),
-        graft.functions.OracleParity.x6(
-          col("vocab").cast("double") / col("n_docs").cast("double"))
+        (col("vocab").cast("double") / col("n_docs").cast("double"))
           .as("vocab_per_doc"))
       .orderBy(col("pct"))
   }
@@ -1041,7 +1035,7 @@ object Text2 {
        |voc AS (SELECT pct, COUNT(*) AS vocab FROM fs, cpv WHERE first_seen <= cp GROUP BY pct),
        |nd AS (SELECT pct, COUNT(*) AS n_docs FROM documents, cpv WHERE doc_id <= cp GROUP BY pct)
        |SELECT pct, n_docs, vocab,
-       |  CAST(CAST(CAST(vocab AS DOUBLE) / CAST(n_docs AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS vocab_per_doc
+       |  CAST(vocab AS DOUBLE) / CAST(n_docs AS DOUBLE) AS vocab_per_doc
        |FROM voc JOIN nd USING (pct) ORDER BY pct""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
