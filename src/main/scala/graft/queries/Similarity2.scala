@@ -338,8 +338,7 @@ object Similarity2 {
           struct(col("cnt"), -col("label"))).as("m"))
       .select(col("c_id"), col("n_members"),
         col("m.label").as("majority_label"), col("m.cnt").as("majority_n"),
-        graft.functions.OracleParity.x6(
-          col("m.cnt").cast(DoubleType) / col("n_members").cast(DoubleType))
+        (col("m.cnt").cast(DoubleType) / col("n_members").cast(DoubleType))
           .as("purity"))
       .orderBy(col("c_id"))
   }
@@ -363,7 +362,7 @@ object Similarity2 {
        |    MAX(cnt) AS majority_n
        |  FROM cells GROUP BY c_id)
        |SELECT c_id, n_members, majority_label, CAST(majority_n AS BIGINT) AS majority_n,
-       |  CAST(CAST(CAST(majority_n AS DOUBLE) / CAST(n_members AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS purity
+       |  CAST(majority_n AS DOUBLE) / CAST(n_members AS DOUBLE) AS purity
        |FROM mj ORDER BY c_id""".stripMargin
   }
 
@@ -427,9 +426,8 @@ object Similarity2 {
       .join(firsts, Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("first_hit_rank"), lit(0L)).as("first_hit_rank"),
-        graft.functions.OracleParity.x6(
-          when(col("first_hit_rank").isNotNull,
-            lit(1.0) / col("first_hit_rank").cast("double")).otherwise(lit(0.0)))
+        when(col("first_hit_rank").isNotNull,
+          lit(1.0) / col("first_hit_rank").cast("double")).otherwise(lit(0.0))
           .as("rr"))
       .orderBy(col("q_id"))
   }
@@ -470,7 +468,7 @@ object Similarity2 {
        |  FROM ann a JOIN brute b ON b.q_id = a.q_id AND b.n_id = a.n_id
        |  GROUP BY a.q_id)
        |SELECT q.q_id, CAST(COALESCE(f.fh, 0) AS BIGINT) AS first_hit_rank,
-       |  CAST(CAST(CASE WHEN f.fh IS NOT NULL THEN 1.0 / CAST(f.fh AS DOUBLE) ELSE 0.0 END AS DECIMAL(18,6)) AS DOUBLE) AS rr
+       |  CASE WHEN f.fh IS NOT NULL THEN 1.0 / CAST(f.fh AS DOUBLE) ELSE 0.0 END AS rr
        |FROM (SELECT DISTINCT q_id FROM brute) q LEFT JOIN firsts f ON f.q_id = q.q_id
        |ORDER BY q.q_id""".stripMargin
   }
@@ -636,8 +634,7 @@ object Similarity2 {
       .agg(count(lit(1)).as("n_queries"),
         sum(when(col("predicted") === col("q_label"), 1L).otherwise(0L)).as("n_correct"))
       .select(col("q_label").as("label"), col("n_queries"), col("n_correct"),
-        graft.functions.OracleParity.x6(
-          col("n_correct").cast("double") / col("n_queries").cast("double")).as("accuracy"))
+        (col("n_correct").cast("double") / col("n_queries").cast("double")).as("accuracy"))
       .orderBy(col("label"))
   }
 
@@ -653,8 +650,8 @@ object Similarity2 {
        |    FROM votes) WHERE rn = 1)
        |SELECT ql.label AS label, COUNT(*) AS n_queries,
        |  CAST(SUM(CASE WHEN p.predicted = ql.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-       |  CAST(CAST(CAST(SUM(CASE WHEN p.predicted = ql.label THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS accuracy
+       |  CAST(SUM(CASE WHEN p.predicted = ql.label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS accuracy
        |FROM pred p JOIN embeddings ql ON ql.vec_id = p.q_id
        |GROUP BY ql.label ORDER BY label""".stripMargin
 
@@ -687,7 +684,7 @@ object Similarity2 {
         min(col("c")).as("min_per_q"), max(col("c")).as("max_per_q"))
       .select(col("nprobe"), col("n_queries"), col("total_candidates"),
         col("min_per_q"), col("max_per_q"),
-        graft.functions.OracleParity.x6(col("total_candidates").cast("double") /
+        (col("total_candidates").cast("double") /
           col("n_queries").cast("double")).as("avg_per_q"))
       .orderBy(col("nprobe"))
   }
@@ -719,7 +716,7 @@ object Similarity2 {
        |  GROUP BY pr.q_id, np.nprobe)
        |SELECT nprobe, COUNT(*) AS n_queries, CAST(SUM(c) AS BIGINT) AS total_candidates,
        |  MIN(c) AS min_per_q, MAX(c) AS max_per_q,
-       |  CAST(CAST(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS avg_per_q
+       |  CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_per_q
        |FROM perq GROUP BY nprobe ORDER BY nprobe""".stripMargin
   }
 
@@ -818,7 +815,7 @@ object Similarity2 {
       .groupBy(col("cos_bin"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("same")).as("n_same_label"))
       .select(col("cos_bin"), col("n_pairs"), col("n_same_label"),
-        x6(col("n_same_label").cast("double") / col("n_pairs").cast("double"))
+        (col("n_same_label").cast("double") / col("n_pairs").cast("double"))
           .as("precision"))
       .orderBy(col("cos_bin"))
   }
@@ -836,8 +833,8 @@ object Similarity2 {
        |    FROM scored) WHERE rnk <= 5)
        |SELECT CAST(floor(cos * 10) AS BIGINT) AS cos_bin, COUNT(*) AS n_pairs,
        |  CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
-       |  CAST(CAST(CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
-       |    / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(18,6)) AS DOUBLE) AS precision
+       |  CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS precision
        |FROM top GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
