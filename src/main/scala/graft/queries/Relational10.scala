@@ -265,6 +265,119 @@ object Relational10 {
       |      / (nv1 * nv1 / CAST(n1 - 1 AS DOUBLE) + nv2 * nv2 / CAST(n2 - 1 AS DOUBLE)) END AS df_welch
       |FROM f ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------- q_cliff_delta
+
+  /** q_cliff_delta: CLIFF'S DELTA per event type on the md5 variant split —
+    * the EFFECT SIZE the experiment family's tests don't report
+    * (q_mann_whitney/q_brunner_munzel answer "is there a difference";
+    * δ = P(X>Y) − P(X<Y) answers "how BIG is it", scale-free and robust,
+    * with the standard Romano et al. magnitude bands).
+    *
+    * EXACT INTEGER CORE: from the collapsed (type, value, c1, c2) frame
+    * with the inclusive prefix cum2,
+    *   n_gt  = Σ_v c1·(cum2 − c2)   (variant-0 rows strictly above a
+    *                                 variant-1 row: Y mass strictly below v)
+    *   n_ties = Σ_v c1·c2
+    *   n_lt  = n1·n2 − n_gt − n_ties (the pair-count identity — no second
+    *                                  scan and no n2-broadcast join needed)
+    * all carried in DECIMAL(38,0) (DuckDB mirrors in HUGEINT): per-term
+    * c1·cum2 ≤ n1·n2 keeps everything inside 38 digits to ~10¹⁸ pairs per
+    * type; past that Spark's ANSI decimal overflow fails loudly. δ is ONE
+    * raw division (q_bollinger rule — exact integer inputs, both engines'
+    * big-int→double conversions correctly rounded: Spark Decimal.toDouble
+    * natively, the oracle via the §6 VARCHAR route). δ = 1 − 2·p̂ against
+    * q_brunner_munzel's p̂ is the cross-gate identity CliffDeltaSpec pins.
+    *
+    * Scale shape: IDENTICAL to q_ks_test — one (type, value) collapse
+    * (map-side partial), BandedRank.withPrefixSums for the distributed
+    * cumulative Y-counts, one ≤|types|-row rollup. */
+  def qCliffDelta(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2)
+    val g = ev.groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c2"))
+      .cpEager // consumed twice: the banded prefix's internal stages
+    cliffDelta(g)
+  }
+
+  /** The δ core over any collapsed (event_type, value, c1, c2) frame —
+    * factored out so CliffDeltaSpec plants hand-computed samples. */
+  private[graft] def cliffDelta(g: DataFrame): DataFrame = {
+    val d12 = org.apache.spark.sql.types.DecimalType(12, 0)
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val c = graft.operators.BandedRank.withPrefixSums(
+      g, Seq("event_type"), "value", Seq("c2" -> "cum2"))
+    val a = c.groupBy(col("event_type"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1").cast(d12) * (col("cum2") - col("c2")).cast(d12))
+          .cast(d38).as("n_gt"),
+        sum(col("c1").cast(d12) * col("c2").cast(d12)).cast(d38).as("n_ties"))
+    val pairs = (col("n1").cast(d19) * col("n2").cast(d19)).cast(d38)
+    val nLt = (pairs - col("n_gt") - col("n_ties")).cast(d38)
+    // null-safe divisor (the brunnerMunzel nz discipline): a zero pair
+    // count propagates NULL instead of risking an eager ANSI evaluation
+    val den = when(pairs === 0L, lit(null).cast(DoubleType))
+      .otherwise(pairs.cast(DoubleType))
+    val delta = (col("n_gt") - col("n_lt")).cast(DoubleType) / den
+    val mag = when(delta.isNull, lit(null).cast("string"))
+      .when(abs(delta) < 0.147, lit("negligible"))
+      .when(abs(delta) < 0.33, lit("small"))
+      .when(abs(delta) < 0.474, lit("medium"))
+      .otherwise(lit("large"))
+    a.withColumn("n_lt", nLt)
+      .select(col("event_type"), col("n1"), col("n2"),
+        col("n_gt"), col("n_lt"), col("n_ties"),
+        delta.as("delta"), mag.as("magnitude"))
+      .orderBy(col("event_type"))
+  }
+
+  val qCliffDeltaSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, value,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (
+      |  SELECT event_type, value,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM ev GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, c1, c2,
+      |    CAST(SUM(c2) OVER wc AS BIGINT) AS cum2
+      |  FROM g
+      |  WINDOW wc AS (PARTITION BY event_type ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+      |    CAST(SUM(CAST(c1 AS HUGEINT) * (cum2 - c2)) AS DECIMAL(38,0)) AS n_gt,
+      |    CAST(SUM(CAST(c1 AS HUGEINT) * c2) AS DECIMAL(38,0)) AS n_ties
+      |  FROM c GROUP BY event_type),
+      |k AS (
+      |  SELECT event_type, n1, n2, n_gt, n_ties,
+      |    CAST(CAST(n1 AS HUGEINT) * n2 - n_gt - n_ties AS DECIMAL(38,0)) AS n_lt
+      |  FROM a),
+      |f AS (
+      |  -- big-int -> double via VARCHAR (SURVEY §6 r14 rule): the pair
+      |  -- counts pass 2^64 on heavy types at scale, where DuckDB's direct
+      |  -- int128->double cast misrounds
+      |  SELECT event_type, n1, n2, n_gt, n_lt, n_ties,
+      |    CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |      CAST(CAST(n_gt - n_lt AS VARCHAR) AS DOUBLE)
+      |        / CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS DOUBLE) END AS delta
+      |  FROM k)
+      |SELECT event_type, n1, n2, n_gt, n_lt, n_ties, delta,
+      |  CASE WHEN delta IS NULL THEN NULL
+      |       WHEN abs(delta) < 0.147 THEN 'negligible'
+      |       WHEN abs(delta) < 0.33 THEN 'small'
+      |       WHEN abs(delta) < 0.474 THEN 'medium'
+      |       ELSE 'large' END AS magnitude
+      |FROM f ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------- q_runs_test
 
   /** q_runs_test: WALD–WOLFOWITZ runs test on daily revenue around its
@@ -849,6 +962,7 @@ object Relational10 {
     "q_otif"        -> qOtif _,
     "q_ks_test"     -> qKsTest _,
     "q_brunner_munzel" -> qBrunnerMunzel _,
+    "q_cliff_delta" -> qCliffDelta _,
     "q_runs_test"   -> qRunsTest _,
     "q_cramers_v"   -> qCramersV _,
     "q_mk_trend"    -> qMkTrend _,
@@ -862,6 +976,7 @@ object Relational10 {
     "q_otif"        -> qOtifSql,
     "q_ks_test"     -> qKsTestSql,
     "q_brunner_munzel" -> qBrunnerMunzelSql,
+    "q_cliff_delta" -> qCliffDeltaSql,
     "q_runs_test"   -> qRunsTestSql,
     "q_cramers_v"   -> qCramersVSql,
     "q_mk_trend"    -> qMkTrendSql,
