@@ -145,6 +145,13 @@ object Relational9 {
       .withColumn("cnt", col("c1") + col("c2"))
       .cpEager // consumed 3x by INDEPENDENT stages of the banded prefix —
       // lazy would recompute the (type, value) collapse per stage
+    mannWhitney(g)
+  }
+
+  /** The U/z core over any collapsed (event_type, value, c1, c2, cnt)
+    * frame — factored out (r14) so KruskalWallisSpec can pin the k=2
+    * identity H_adj = z² against it on the same planted frame. */
+  private[graft] def mannWhitney(g: DataFrame): DataFrame = {
     val ranked = graft.operators.BandedRank.withPrefixSums(
       g, Seq("event_type"), "value", Seq("cnt" -> "cum"))
     val rnk2 = (col("cum") - col("cnt")) * 2 + col("cnt") + 1L
