@@ -642,12 +642,163 @@ object Relational11 {
       |  CAST(n_exceed + 1 AS DOUBLE) / CAST(n_perm + 1 AS DOUBLE) AS p_value
       |FROM rolled ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------ q_cuped
+
+  /** q_cuped: CUPED variance reduction per event type — the modern
+    * experimentation workhorse the family's tests all benefit from
+    * (adjusting the experiment metric by each user's PRE-period baseline
+    * removes the between-user variance a randomized split can't, often
+    * 30-50% of it — smaller n for the same power, read against q_power).
+    * Pre/post boundary = the midpoint of the observed time range (exact
+    * integer epoch-micro arithmetic, both engines floor identically on
+    * positives); covariate x = a user's pre-period value sum, metric
+    * y = the post-period sum; θ = cov(x,y)/var(x) from the POOLED users
+    * (the standard choice — under randomization θ is treatment-free);
+    *   diff_cuped = (ȳ₁ − ȳ₀) − θ(x̄₁ − x̄₀)
+    * and var_reduction = ρ²(x,y), the fraction of metric variance the
+    * adjustment removes.
+    *
+    * EXACT INTEGER CORE (the q_power micro discipline): per-user micro
+    * sums in LONG (ANSI-loud), per-type moment sums Σx, Σy, Σxy, Σx²,
+    * Σy² and the θ numerator/denominator n·Σxy − ΣxΣy / n·Σx² − (Σx)²
+    * all in DECIMAL(38,0) — θ, the two diffs, and ρ² are each ONE pinned
+    * chain over exact integers (ρ² squares the already-double numerator,
+    * never the 10³⁰-digit integer). Oracle mirrors in HUGEINT and
+    * VARCHAR-routes every moment cast (Σxy passes 2⁶⁴ from ~10⁴ users of
+    * 10¹⁰-micro sums). Headroom: n·Σxy < 10³⁸ ⇒ ~10⁶ users/type at
+    * 10¹²-micro per-user sums, ANSI-loud past it.
+    *
+    * Scale shape: one 1-row bounds aggregate broadcast back (the
+    * q_runs_test crossJoin class), ONE user-keyed aggregation of the
+    * fact, one ≤|types|-row rollup. */
+  def qCuped(s: SparkSession, dir: String): DataFrame = {
+    val micro = (col("value").cast("decimal(18,6)") * lit(1000000L))
+      .cast("long")
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        // integer div, never `/`: lang-level division on longs routes
+        // through DOUBLE, and epoch-nano magnitudes (~1.7·10¹⁸) don't fit
+        // a double's 53-bit mantissa
+        expr("ts div 1000").as("ts_us"), micro.as("x6"))
+    val bounds = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .withColumn("pre", col("ts_us") < expr("(lo + hi) div 2"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(when(col("pre"), col("x6")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("x6")).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2)
+    cuped(perUser)
+  }
+
+  /** The CUPED core over any (event_type, variant ∈ {0,1}, x, y BIGINT
+    * micros) per-user frame — factored out so CupedSpec plants
+    * hand-correlated samples with chosen variants. */
+  private[graft] def cuped(perUser: DataFrame): DataFrame = {
+    val a = perUser.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 0, col("x")).otherwise(0L))
+          .cast(d38).as("sx0"),
+        sum(when(col("variant") === 1, col("x")).otherwise(0L))
+          .cast(d38).as("sx1"),
+        sum(when(col("variant") === 0, col("y")).otherwise(0L))
+          .cast(d38).as("sy0"),
+        sum(when(col("variant") === 1, col("y")).otherwise(0L))
+          .cast(d38).as("sy1"),
+        sum((col("x").cast(d19) * col("y").cast(d19)).cast(d38))
+          .cast(d38).as("sxy"),
+        sum((col("x").cast(d19) * col("x").cast(d19)).cast(d38))
+          .cast(d38).as("sxx"),
+        sum((col("y").cast(d19) * col("y").cast(d19)).cast(d38))
+          .cast(d38).as("syy"))
+    val n = (col("n0") + col("n1")).cast(d19)
+    val sx = col("sx0") + col("sx1")
+    val sy = col("sy0") + col("sy1")
+    val numTh = (n * col("sxy") - sx * sy).cast(d38)
+    val denTh = (n * col("sxx") - sx * sx).cast(d38)
+    val denY = (n * col("syy") - sy * sy).cast(d38)
+    val theta = when(denTh > 0L,
+      numTh.cast(DoubleType) / denTh.cast(DoubleType))
+    def mean(s: Column, nk: Column): Column =
+      s.cast(DoubleType) / nk.cast(DoubleType) / lit(1000000.0)
+    val bothSides = col("n0") > 0L && col("n1") > 0L
+    val diffRaw = when(bothSides,
+      mean(col("sy1"), col("n1")) - mean(col("sy0"), col("n0")))
+    val diffCuped = when(bothSides && denTh > 0L,
+      diffRaw - theta *
+        (mean(col("sx1"), col("n1")) - mean(col("sx0"), col("n0"))))
+    val varRed = when(denTh > 0L && denY > 0L,
+      numTh.cast(DoubleType) * numTh.cast(DoubleType)
+        / (denTh.cast(DoubleType) * denY.cast(DoubleType)))
+    a.select(col("event_type"), col("n0"), col("n1"),
+        theta.as("theta"), diffRaw.as("diff_raw"),
+        diffCuped.as("diff_cuped"), varRed.as("var_reduction"))
+      .orderBy(col("event_type"))
+  }
+
+  val qCupedSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id, epoch_us(ts) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6
+      |  FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid FROM ev),
+      |u AS (
+      |  SELECT event_type, user_id,
+      |    CAST(COALESCE(SUM(CASE WHEN ts_us < mid THEN x6 END), 0) AS BIGINT) AS x,
+      |    CAST(COALESCE(SUM(CASE WHEN ts_us >= mid THEN x6 END), 0) AS BIGINT) AS y,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant
+      |  FROM ev, b GROUP BY event_type, user_id),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN CAST(x AS HUGEINT) ELSE 0 END) AS HUGEINT) AS sx0,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN CAST(x AS HUGEINT) ELSE 0 END) AS HUGEINT) AS sx1,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN CAST(y AS HUGEINT) ELSE 0 END) AS HUGEINT) AS sy0,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN CAST(y AS HUGEINT) ELSE 0 END) AS HUGEINT) AS sy1,
+      |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      |  FROM u GROUP BY event_type),
+      |k AS (
+      |  -- big-int -> double via VARCHAR (SURVEY §6 r14 rule): every
+      |  -- moment and the theta numerator/denominator pass 2^64 at scale
+      |  SELECT event_type, n0, n1,
+      |    CAST(n0 + n1 AS HUGEINT) * sxy - (sx0 + sx1) * (sy0 + sy1) AS num_th,
+      |    CAST(n0 + n1 AS HUGEINT) * sxx - (sx0 + sx1) * (sx0 + sx1) AS den_th,
+      |    CAST(n0 + n1 AS HUGEINT) * syy - (sy0 + sy1) * (sy0 + sy1) AS den_y,
+      |    sx0, sx1, sy0, sy1
+      |  FROM a),
+      |f AS (
+      |  SELECT event_type, n0, n1, num_th, den_th, den_y,
+      |    CASE WHEN den_th > 0 THEN
+      |      CAST(CAST(num_th AS VARCHAR) AS DOUBLE) / CAST(CAST(den_th AS VARCHAR) AS DOUBLE) END AS theta,
+      |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+      |      CAST(CAST(sy1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0
+      |        - CAST(CAST(sy0 AS VARCHAR) AS DOUBLE) / CAST(n0 AS DOUBLE) / 1000000.0 END AS diff_raw,
+      |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+      |      CAST(CAST(sx1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000000.0
+      |        - CAST(CAST(sx0 AS VARCHAR) AS DOUBLE) / CAST(n0 AS DOUBLE) / 1000000.0 END AS dx
+      |  FROM k)
+      |SELECT event_type, n0, n1, theta, diff_raw,
+      |  CASE WHEN n0 > 0 AND n1 > 0 AND den_th > 0 THEN
+      |    diff_raw - theta * dx END AS diff_cuped,
+      |  CASE WHEN den_th > 0 AND den_y > 0 THEN
+      |    CAST(CAST(num_th AS VARCHAR) AS DOUBLE) * CAST(CAST(num_th AS VARCHAR) AS DOUBLE)
+      |      / (CAST(CAST(den_th AS VARCHAR) AS DOUBLE) * CAST(CAST(den_y AS VARCHAR) AS DOUBLE)) END AS var_reduction
+      |FROM f ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kruskal_wallis" -> qKruskalWallis _,
     "q_kendall_tau"    -> qKendallTau _,
     "q_brown_forsythe" -> qBrownForsythe _,
     "q_anova"          -> qAnova _,
     "q_perm_test"      -> qPermTest _,
+    "q_cuped"          -> qCuped _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -656,5 +807,6 @@ object Relational11 {
     "q_brown_forsythe" -> qBrownForsytheSql,
     "q_anova"          -> qAnovaSql,
     "q_perm_test"      -> qPermTestSql,
+    "q_cuped"          -> qCupedSql,
   )
 }
