@@ -43,7 +43,7 @@ object BandedRank {
   /** Equal-width band of `v` within [lo, hi], clamped to [0, bands-1].
     * Weakly monotone in v (IEEE subtract/divide/floor preserve order),
     * equal values get equal bands; degenerate hi==lo maps all to band 0. */
-  private def bandOf(v: Column, lo: Column, hi: Column, bands: Int): Column =
+  private[graft] def bandOf(v: Column, lo: Column, hi: Column, bands: Int): Column =
     when(hi > lo,
       least(greatest(floor((v - lo) / ((hi - lo) / lit(bands.toDouble))), lit(0.0)),
         lit((bands - 1).toDouble)))

@@ -174,14 +174,18 @@ object Relational11 {
     * the oracle VARCHAR-routes its cast — it passes 2⁶⁴ once the series
     * exceeds ~78k points).
     *
-    * Scale shape (the q_theil_sen precedent): the fact aggregates ONCE to
-    * the bounded |days| frame; the |days|²/2 pair expansion is a
-    * broadcast nested-loop join whose LEFT side is repartitioned to
-    * defaultParallelism (AQE would coalesce the tiny daily frame to ~1
-    * partition and funnel the expansion through one task); one 1-row
-    * rollup closes it. A minute-grain series (|points| ≳ 10⁶) moves to
-    * the banded inversion-count decomposition — the knob is documented,
-    * not silently assumed. */
+    * Scale shape (r14, second pass): the fact aggregates ONCE to the
+    * bounded |days| frame, and the pair statistics come from the BANDED
+    * INVERSION-COUNT decomposition (operators/InversionCount.scala) —
+    * the discordant count splits by the band relation of each pair into
+    * a grid term (no row pairs at all) plus three band-partitioned strip
+    * joins, O(n²/B) pair work instead of the flat join's O(n²); ties and
+    * the concordant count fall out of cheap 1-D aggregates and the
+    * inclusion-exclusion identity C = n₀ − n₁ − n₂ + n_xy − D. The
+    * DuckDB oracle KEEPS the flat O(n²) pair join — that asymmetry is
+    * the cross-check that the decomposition is exact (the BandedRank
+    * convention). B is the knob: raise it until a strip's pair set fits
+    * one task (B ≈ n^(2/3) equalizes strip and grid work). */
   def qKendallTau(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.orders(s, dir)
       .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
@@ -195,32 +199,31 @@ object Relational11 {
   /** The τ-b core over any (day, cents, ords) daily frame — factored out
     * so KendallTauSpec plants hand-enumerated series. */
   private[graft] def kendallTau(daily: DataFrame): DataFrame = {
-    val par = daily.sparkSession.sparkContext.defaultParallelism
-    val a = daily.repartition(par)
-      .select(col("day").as("da"), col("cents").as("xa"), col("ords").as("ya"))
-    val b = daily
-      .select(col("day").as("db"), col("cents").as("xb"), col("ords").as("yb"))
-    val sx = when(col("xb") > col("xa"), 1L)
-      .when(col("xb") < col("xa"), -1L).otherwise(0L)
-    val sy = when(col("yb") > col("ya"), 1L)
-      .when(col("yb") < col("ya"), -1L).otherwise(0L)
-    val pairs = a.join(b, col("da") < col("db"))
-      .select(sx.as("sx"), sy.as("sy"))
-    val agg = pairs.agg(
-      count(lit(1)).as("n_pairs"),
-      coalesce(sum(when(col("sx") * col("sy") === 1L, 1L).otherwise(0L)), lit(0L)).as("conc"),
-      coalesce(sum(when(col("sx") * col("sy") === -1L, 1L).otherwise(0L)), lit(0L)).as("disc"),
-      coalesce(sum(when(col("sx") === 0L, 1L).otherwise(0L)), lit(0L)).as("tie_x"),
-      coalesce(sum(when(col("sy") === 0L, 1L).otherwise(0L)), lit(0L)).as("tie_y"))
-    val nDays = daily.agg(count(lit(1)).as("n_days"))
-    val denom2 = ((col("n_pairs") - col("tie_x")).cast(d19)
-      * (col("n_pairs") - col("tie_y")).cast(d19)).cast(d38)
-    agg.crossJoin(broadcast(nDays))
-      .select(col("n_days"), col("n_pairs"), col("conc"), col("disc"),
-        col("tie_x"), col("tie_y"),
-        when(denom2 > 0L,
-          (col("conc") - col("disc")).cast(DoubleType)
-            / sqrt(denom2.cast(DoubleType))).as("tau_b"))
+    val g = daily.groupBy(col("cents").as("x"), col("ords").as("y"))
+      .agg(count(lit(1)).as("c"))
+      .cpLazy // consumed 5x: the discordant operator + four 1-D rollups
+    def pairs2(n: Column): Column = n * (n - lit(1L)) // 2 * (n choose 2)
+    val tot = g.agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+      coalesce(sum(pairs2(col("c"))), lit(0L)).as("txy2"))
+    val tx = g.groupBy(col("x")).agg(sum(col("c")).as("nx"))
+      .agg(coalesce(sum(pairs2(col("nx"))), lit(0L)).as("tx2"))
+    val ty = g.groupBy(col("y")).agg(sum(col("c")).as("ny"))
+      .agg(coalesce(sum(pairs2(col("ny"))), lit(0L)).as("ty2"))
+    val d = graft.operators.InversionCount.discordant(g, "x", "y", "c")
+    val all = tot.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .crossJoin(broadcast(d))
+    // the "*2" pair counts are exact even ints; halve once at the end
+    val n0 = (pairs2(col("n")) / lit(2L)).cast("long")
+    val tieX = (col("tx2") / lit(2L)).cast("long")
+    val tieY = (col("ty2") / lit(2L)).cast("long")
+    val tieXY = (col("txy2") / lit(2L)).cast("long")
+    val disc = col("d").cast("long") // ANSI-loud past 2^63 pairs, like n0
+    val conc = n0 - tieX - tieY + tieXY - disc
+    val denom2 = ((n0 - tieX).cast(d19) * (n0 - tieY).cast(d19)).cast(d38)
+    all.select(col("n").as("n_days"), n0.as("n_pairs"), conc.as("conc"),
+        disc.as("disc"), tieX.as("tie_x"), tieY.as("tie_y"),
+        when(denom2 > 0L, (conc - disc).cast(DoubleType)
+          / sqrt(denom2.cast(DoubleType))).as("tau_b"))
   }
 
   val qKendallTauSql: String =
