@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.Ckpt._
+
 /** Distributed EXACT discordant-pair count (2-D dominance) via DOUBLE
   * value banding — the scale path for Kendall-τ-class statistics that the
   * flat pair join (O(n²) rows) cannot carry past ~10⁵ points.
@@ -53,9 +55,12 @@ object InversionCount {
       .drop("xlo", "xhi", "ylo", "yhi")
       .select(col(xCol).as("x"), col(yCol).as("y"), col(cCol).as("c"),
         col("bx"), col("by"))
-      .localCheckpoint(false) // consumed 5x (grid + 3 strip joins, both
-      // sides); lazy — the first consumer is the broadcast-side grid
-      // aggregate, which materializes it for the rest
+      .cpLazy // consumed 5x (grid + 3 strip joins, both sides); lazy —
+      // the first consumer is the broadcast-side grid aggregate, which
+      // materializes it for the rest. Through the Ckpt seam (not a raw
+      // localCheckpoint) so the window/cartesian lint sweeps the full
+      // banded-join plan: this is a gate-path checkpoint, not an
+      // operator-internal iterative one
     val par = spark.sparkContext.defaultParallelism
 
     // term 1: coarse grid dominance — G(a,b) · Σ_{a'<a, b'>b} G(a',b')

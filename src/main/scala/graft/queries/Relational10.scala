@@ -531,11 +531,24 @@ object Relational10 {
       .agg((sum(col("o_totalprice").cast("decimal(18,6)")) * lit(100L))
         .cast("long").as("cents"))
       .cpLazy
-    val a = daily.select(col("day").as("da"), col("cents").as("ca"))
-    val b = daily.select(col("day").as("db"), col("cents").as("cb"))
-    val sStat = a.join(b, col("da") < col("db"))
-      .agg(sum(when(col("cb") > col("ca"), 1L)
-        .when(col("cb") < col("ca"), -1L).otherwise(0L)).as("s_stat"))
+    // S = C − D with the day axis strictly increasing (daily is grouped
+    // by day, so x never ties): C + D = n(n−1)/2 − Σt(t−1)/2 and the
+    // discordant count D comes from the banded inversion-count operator
+    // (r14 — operators/InversionCount.scala, O(n²/B) pair work replacing
+    // this gate's original flat O(n²) pair join; the oracle KEEPS the
+    // flat join as the exactness cross-check, the BandedRank convention)
+    val g = daily.select(
+      datediff(col("day"), lit("1970-01-01")).cast("long").as("x"),
+      col("cents").as("y"), lit(1L).as("c"))
+    val d = graft.operators.InversionCount.discordant(g, "x", "y", "c")
+    val tieY2 = daily.groupBy(col("cents")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1)), lit(0L)).as("ty2"))
+    val sStat = d.crossJoin(broadcast(tieY2))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("nn"))))
+      .withColumn("d_l", col("d").cast("long"))
+      // integer div (the q_cuped rule): long `/` routes through double
+      .select((expr("(nn * (nn - 1) - ty2) div 2")
+        - lit(2L) * col("d_l")).as("s_stat"))
     val nRow = daily.agg(count(lit(1)).as("n_days"))
     val ties = daily.groupBy(col("cents")).agg(count(lit(1)).as("t"))
       .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tt"))
