@@ -562,6 +562,9 @@ object Relational11 {
           .cast(d38).as("s0"),
         sum(when(col("variant") === 1, col("x6")).otherwise(0L))
           .cast(d38).as("s1"))
+      .cpLazy // consumed twice (observed row + permutation rows): without
+      // the checkpoint BOTH branches recompute the 60x fan-out; lazy —
+      // the broadcast-side obs materializes it, the perm branch reuses
     // |S0·n1 − S1·n0|: the cross-multiplied mean-difference numerator
     def aNum(s0: Column, n1: Column, s1: Column, n0: Column): Column =
       abs(s0 * n1.cast(d19) - s1 * n0.cast(d19)).cast(d38)

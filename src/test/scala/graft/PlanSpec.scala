@@ -1245,4 +1245,66 @@ class PlanSpec extends AnyFunSuite {
       l.contains("SortMergeJoin") || l.contains("HashJoin"))
     assert(joins == 1, s"exactly one header join expected ($joins):\n${p.take(3000)}")
   }
+
+  test("q_perm_test: ONE md5 per ROW (bits, not salted digests); fan-out agg map-side partial") {
+    // sweep the untruncated plan — the fan-out frame is checkpointed
+    // (it feeds both the observed and the permutation branches)
+    System.setProperty("graft.lint.noCheckpoint", "true")
+    try {
+      val p = plan(graft.queries.Relational11.qPermTest(spark, dir))
+      // the digest must not depend on the permutation index: a salted
+      // md5(concat(user, ':', r)) is the 7x-slower shape
+      assert(!p.contains("md5(concat"),
+        s"digest must be r-independent (one md5 per row):\n${p.take(3000)}")
+      assert(p.contains("shiftright"), p.take(2000))
+      // the (type, r) aggregation over 60x|events| rows must combine
+      // map-side: partial HashAggregate BELOW its exchange
+      val lines = p.linesIterator.toVector
+      val i = lines.indexWhere(l =>
+        l.contains("Exchange hashpartitioning(event_type") && l.contains(" r#"))
+      assert(i >= 0, p.take(3000))
+      assert(lines.slice(i + 1, i + 4).exists(_.contains("HashAggregate")),
+        s"partial aggregate must sit under the fan-out exchange:\n${lines.slice(i, i + 4).mkString("\n")}")
+    } finally System.clearProperty("graft.lint.noCheckpoint")
+  }
+
+  test("q_cuped: bounds broadcast into the fact; ONE user-keyed shuffle; no sort-merge") {
+    val p = plan(graft.queries.Relational11.qCuped(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row bounds frame must broadcast:\n${p.take(3000)}")
+    val userShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(event_type") && l.contains("user_id"))
+    assert(userShuffles <= 1, s"one (type,user) shuffle expected ($userShuffles)")
+  }
+
+  test("q_anova: all moments ride ONE map-side-partial aggregation — no join, no window") {
+    val p = plan(graft.queries.Relational11.qAnova(spark, dir))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(3000))
+    val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(event_type"))
+    assert(aggShuffles <= 1, s"one keyed shuffle expected ($aggShuffles):\n${p.take(3000)}")
+  }
+
+  test("q_brown_forsythe: the per-group median frame broadcasts back — never a sort-merge") {
+    val p = plan(graft.queries.Relational11.qBrownForsythe(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"meds must broadcast into the deviation pass:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_kendall_tau: the inversion strips join on BAND keys — no cartesian, grid side broadcast") {
+    val p = plan(graft.queries.Relational11.qKendallTau(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the checkpointed banded frame hides the strip joins from THIS plan
+    // only if Ckpt truncated them — sweep the untruncated plan too
+    System.setProperty("graft.lint.noCheckpoint", "true")
+    try {
+      val full = plan(graft.queries.Relational11.qKendallTau(spark, dir))
+      assert(!full.contains("CartesianProduct"), full.take(3000))
+      val keyed = full.linesIterator.count(l =>
+        (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+          (l.contains("bx") || l.contains("by")))
+      assert(keyed >= 3, s"three band-keyed strip joins expected ($keyed):\n${full.take(4000)}")
+    } finally System.clearProperty("graft.lint.noCheckpoint")
+  }
 }
