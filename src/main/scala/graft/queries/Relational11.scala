@@ -798,6 +798,84 @@ object Relational11 {
       |      / (CAST(CAST(den_th AS VARCHAR) AS DOUBLE) * CAST(CAST(den_y AS VARCHAR) AS DOUBLE)) END AS var_reduction
       |FROM f ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------------- q_auc
+
+  /** q_auc: ROC AUC (and its Gini coefficient 2·AUC − 1) of order price
+    * as a score discriminating fulfilled orders, per order priority — the
+    * binary-scoring eval metric the ML-eval family lacks (s_ndcg / s_mrr
+    * grade rankings; AUC grades a scalar score against a binary label,
+    * the number every classifier/credit-score report leads with).
+    * AUC = P(score⁺ > score⁻) + ½·P(=) — the Mann-Whitney U identity —
+    * so it RIDES q_cliff_delta's exact pair-count core verbatim
+    * (Relational10.cliffDelta: one BandedRank.withPrefixSums pass over
+    * the collapsed (group, score, c⁺, c⁻) frame):
+    *   AUC = (2·n_gt + n_ties) / (2·n₁n₂)   — exact integers, ONE
+    * pinned division (the spec pins the equivalent identity
+    * AUC = (1 + δ)/2 against the δ the shared core emits).
+    *
+    * Scale shape: inherited from q_cliff_delta — one (group, score)
+    * collapse (map-side partial), one banded prefix, one ≤|groups|-row
+    * rollup. */
+  def qAuc(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,6)") * lit(100L))
+          .cast("long").as("cents"),
+        (col("o_orderstatus") === "F").as("pos"))
+      .groupBy(col("o_orderpriority").as("event_type"), col("cents").as("value"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("c2"))
+      .cpEager // consumed 3x by the banded prefix's independent stages
+    auc(g)
+  }
+
+  /** The AUC chain over any collapsed (event_type, value, c1⁺, c2⁻)
+    * frame — factored out so AucSpec plants hand-scored samples. */
+  private[graft] def auc(g: DataFrame): DataFrame = {
+    val d = Relational10.cliffDelta(g)
+    val pairs2 = (lit(2L).cast(d19) * col("n1").cast(d19)
+      * col("n2").cast(d19)).cast(d38)
+    val aucCol = when(pairs2 > 0L,
+      (lit(2L).cast(d19) * col("n_gt") + col("n_ties")).cast(d38)
+        .cast(DoubleType) / pairs2.cast(DoubleType))
+    d.select(col("event_type").as("o_orderpriority"),
+        col("n1").as("n_pos"), col("n2").as("n_neg"),
+        aucCol.as("auc"),
+        (lit(2.0) * aucCol - lit(1.0)).as("gini"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val qAucSql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS v,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM orders GROUP BY 1, 2),
+      |c AS (
+      |  SELECT grp, c1, c2,
+      |    CAST(SUM(c2) OVER (PARTITION BY grp ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+      |  FROM g),
+      |a AS (
+      |  SELECT grp,
+      |    CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+      |    CAST(SUM(CAST(c1 AS HUGEINT) * (cum2 - c2)) AS HUGEINT) AS n_gt,
+      |    CAST(SUM(CAST(c1 AS HUGEINT) * c2) AS HUGEINT) AS n_ties
+      |  FROM c GROUP BY grp),
+      |f AS (
+      |  -- big-int -> double via VARCHAR (SURVEY §6 r14 rule): the pair
+      |  -- counts pass 2^64 at scale
+      |  SELECT grp, n1, n2,
+      |    CASE WHEN CAST(n1 AS HUGEINT) * n2 > 0 THEN
+      |      CAST(CAST(2 * n_gt + n_ties AS VARCHAR) AS DOUBLE)
+      |        / CAST(CAST(2 * CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS DOUBLE)
+      |    END AS auc
+      |  FROM a)
+      |SELECT grp AS o_orderpriority, n1 AS n_pos, n2 AS n_neg, auc,
+      |  2.0 * auc - 1.0 AS gini
+      |FROM f ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kruskal_wallis" -> qKruskalWallis _,
     "q_kendall_tau"    -> qKendallTau _,
@@ -805,6 +883,7 @@ object Relational11 {
     "q_anova"          -> qAnova _,
     "q_perm_test"      -> qPermTest _,
     "q_cuped"          -> qCuped _,
+    "q_auc"            -> qAuc _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -814,5 +893,6 @@ object Relational11 {
     "q_anova"          -> qAnovaSql,
     "q_perm_test"      -> qPermTestSql,
     "q_cuped"          -> qCupedSql,
+    "q_auc"            -> qAucSql,
   )
 }
