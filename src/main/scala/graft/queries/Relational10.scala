@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.Tables
 import graft.Ckpt._
@@ -74,7 +74,11 @@ object Relational10 {
     val n1n2 = (col("n1").cast(d19) * col("n2").cast(d19)).cast(DoubleType)
     val d = col("d_num").cast(DoubleType) / n1n2
     val crit = lit(1.628) * sqrt((col("n1") + col("n2")).cast(DoubleType) / n1n2)
-    a.select(col("event_type"), col("n1"), col("n2"), col("d_num"),
+    // Output typing contract (r15): gate outputs never carry raw DECIMAL —
+    // d_num ≤ n1·n2 < 2^63 under the documented n ≲ 2·10⁹-per-type bound,
+    // so the final column is BIGINT; the DECIMAL arithmetic stays internal.
+    a.select(col("event_type"), col("n1"), col("n2"),
+        col("d_num").cast(LongType).as("d_num"),
         d.as("d"), crit.as("d_crit"), (d > crit).as("significant"))
       .orderBy(col("event_type"))
   }
@@ -100,7 +104,7 @@ object Relational10 {
       |  SELECT event_type, MAX(n1) AS n1, MAX(n2) AS n2,
       |    CAST(MAX(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)) AS DECIMAL(38,0)) AS d_num
       |  FROM c GROUP BY event_type)
-      |SELECT event_type, n1, n2, d_num,
+      |SELECT event_type, n1, n2, CAST(d_num AS BIGINT) AS d_num,
       |  CAST(CAST(d_num AS VARCHAR) AS DOUBLE) / CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS DOUBLE) AS d,
       |  1.628 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS DOUBLE)) AS d_crit,
       |  CAST(CAST(d_num AS VARCHAR) AS DOUBLE) / CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS DOUBLE)
@@ -329,9 +333,13 @@ object Relational10 {
       .when(abs(delta) < 0.33, lit("small"))
       .when(abs(delta) < 0.474, lit("medium"))
       .otherwise(lit("large"))
+    // Output typing contract (r15): pair counts ≤ n1·n2 < 2^63 under the
+    // documented per-type bound — emit BIGINT, keep DECIMAL internal.
     a.withColumn("n_lt", nLt)
       .select(col("event_type"), col("n1"), col("n2"),
-        col("n_gt"), col("n_lt"), col("n_ties"),
+        col("n_gt").cast(LongType).as("n_gt"),
+        col("n_lt").cast(LongType).as("n_lt"),
+        col("n_ties").cast(LongType).as("n_ties"),
         delta.as("delta"), mag.as("magnitude"))
       .orderBy(col("event_type"))
   }
@@ -370,7 +378,9 @@ object Relational10 {
       |      CAST(CAST(n_gt - n_lt AS VARCHAR) AS DOUBLE)
       |        / CAST(CAST(CAST(n1 AS HUGEINT) * n2 AS VARCHAR) AS DOUBLE) END AS delta
       |  FROM k)
-      |SELECT event_type, n1, n2, n_gt, n_lt, n_ties, delta,
+      |SELECT event_type, n1, n2,
+      |  CAST(n_gt AS BIGINT) AS n_gt, CAST(n_lt AS BIGINT) AS n_lt,
+      |  CAST(n_ties AS BIGINT) AS n_ties, delta,
       |  CASE WHEN delta IS NULL THEN NULL
       |       WHEN abs(delta) < 0.147 THEN 'negligible'
       |       WHEN abs(delta) < 0.33 THEN 'small'
@@ -546,8 +556,10 @@ object Relational10 {
     val sStat = d.crossJoin(broadcast(tieY2))
       .crossJoin(broadcast(daily.agg(count(lit(1)).as("nn"))))
       .withColumn("d_l", col("d").cast("long"))
-      // integer div (the q_cuped rule): long `/` routes through double
-      .select((expr("(nn * (nn - 1) - ty2) div 2")
+      // integer div (the q_cuped rule): long `/` routes through double.
+      // NULL on < 2 days: the oracle's SUM over its then-empty pair join
+      // is NULL, and the engine must agree on the degenerate frame.
+      .select(when(col("nn") >= 2L, expr("(nn * (nn - 1) - ty2) div 2")
         - lit(2L) * col("d_l")).as("s_stat"))
     val nRow = daily.agg(count(lit(1)).as("n_days"))
     val ties = daily.groupBy(col("cents")).agg(count(lit(1)).as("t"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.Tables
 import graft.Ckpt._
@@ -97,8 +97,12 @@ object Relational11 {
     // n³ − n via d12 products: exact to n ≤ 10¹², far past the rank bound
     val nnn = (n.cast(d12) * n.cast(d12) * n.cast(d12) - n.cast(d12)).cast(d38)
     val c = lit(1.0) - col("tt").cast(DoubleType) / nnn.cast(DoubleType)
+    // Output typing contract (r15): the doubled rank sums are ≤ 2n² < 2^63
+    // under the rank-arithmetic n-bound — emit BIGINT, DECIMAL stays internal.
     a.select(col("event_type"), col("n0"), col("n1"), col("n2"),
-        col("r0x2"), col("r1x2"), col("r2x2"),
+        col("r0x2").cast(LongType).as("r0x2"),
+        col("r1x2").cast(LongType).as("r1x2"),
+        col("r2x2").cast(LongType).as("r2x2"),
         when(n > 1L, h).as("h"),
         when(n > 1L && c > 0.0, h / c).as("h_adj"))
       .orderBy(col("event_type"))
@@ -150,7 +154,9 @@ object Relational11 {
       |    1.0 - tt_d / nnn_d AS c,
       |    n
       |  FROM k)
-      |SELECT event_type, n0, n1, n2, r0x2, r1x2, r2x2,
+      |SELECT event_type, n0, n1, n2,
+      |  CAST(r0x2 AS BIGINT) AS r0x2, CAST(r1x2 AS BIGINT) AS r1x2,
+      |  CAST(r2x2 AS BIGINT) AS r2x2,
       |  CASE WHEN n > 1 THEN h_raw END AS h,
       |  CASE WHEN n > 1 AND c > 0.0 THEN h_raw / c END AS h_adj
       |FROM f ORDER BY event_type""".stripMargin
@@ -212,11 +218,13 @@ object Relational11 {
     val d = graft.operators.InversionCount.discordant(g, "x", "y", "c")
     val all = tot.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
       .crossJoin(broadcast(d))
-    // the "*2" pair counts are exact even ints; halve once at the end
-    val n0 = (pairs2(col("n")) / lit(2L)).cast("long")
-    val tieX = (col("tx2") / lit(2L)).cast("long")
-    val tieY = (col("ty2") / lit(2L)).cast("long")
-    val tieXY = (col("txy2") / lit(2L)).cast("long")
+    // the "*2" pair counts are exact even ints; halve once at the end —
+    // by RIGHT SHIFT, not `/` (long `/` routes through DOUBLE, exact only
+    // under 2^53 — the q_cuped integer-div rule; shift carries no n bound)
+    val n0 = shiftright(pairs2(col("n")), 1)
+    val tieX = shiftright(col("tx2"), 1)
+    val tieY = shiftright(col("ty2"), 1)
+    val tieXY = shiftright(col("txy2"), 1)
     val disc = col("d").cast("long") // ANSI-loud past 2^63 pairs, like n0
     val conc = n0 - tieX - tieY + tieXY - disc
     val denom2 = ((n0 - tieX).cast(d19) * (n0 - tieY).cast(d19)).cast(d38)

@@ -37,9 +37,9 @@ class CliffDeltaSpec extends AnyFunSuite {
     // x=[1,2,3], y=[2,4]: gt=1 (3>2), lt=4, ties=1, δ=(1−4)/6=−0.5, large
     val r = cd(Seq(1d, 2d, 3d), Seq(2d, 4d))
     assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
-    assert(r.getDecimal(3).longValueExact == 1L, s"n_gt ${r.getDecimal(3)}")
-    assert(r.getDecimal(4).longValueExact == 4L, s"n_lt ${r.getDecimal(4)}")
-    assert(r.getDecimal(5).longValueExact == 1L, s"n_ties ${r.getDecimal(5)}")
+    assert(r.getLong(3) == 1L, s"n_gt ${r.getLong(3)}")
+    assert(r.getLong(4) == 4L, s"n_lt ${r.getLong(4)}")
+    assert(r.getLong(5) == 1L, s"n_ties ${r.getLong(5)}")
     assert(r.getDouble(6) == -0.5, s"delta ${r.getDouble(6)}")
     assert(r.getString(7) == "large")
   }
@@ -66,9 +66,9 @@ class CliffDeltaSpec extends AnyFunSuite {
     val y = Seq(2d, 2d, 4d, 5d, 5d, 9d)
     val (bg, bl, bt) = brute(x, y)
     val r = cd(x, y)
-    assert(r.getDecimal(3).longValueExact == bg, s"n_gt ${r.getDecimal(3)} vs $bg")
-    assert(r.getDecimal(4).longValueExact == bl, s"n_lt ${r.getDecimal(4)} vs $bl")
-    assert(r.getDecimal(5).longValueExact == bt, s"n_ties ${r.getDecimal(5)} vs $bt")
+    assert(r.getLong(3) == bg, s"n_gt ${r.getLong(3)} vs $bg")
+    assert(r.getLong(4) == bl, s"n_lt ${r.getLong(4)} vs $bl")
+    assert(r.getLong(5) == bt, s"n_ties ${r.getLong(5)} vs $bt")
     assert(r.getDouble(6) == (bg - bl).toDouble / (x.size * y.size))
   }
 

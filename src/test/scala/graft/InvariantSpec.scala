@@ -384,12 +384,13 @@ class InvariantSpec extends AnyFunSuite {
   // ---------------------------------------------------- round-12 additions
 
   test("q_ks_test: D in [0,1], exact numerator bounded by n1*n2, significance consistent") {
-    // d_num is DECIMAL(38,0) since the 2⁶³-cliff fix — decode as BigDecimal
+    // d_num is BIGINT at the gate boundary since the r15 output-typing
+    // contract (DECIMAL arithmetic stays internal to the gate)
     val rows = graft.queries.Relational10.qKsTest(spark, dir)
-      .as[(String, Long, Long, BigDecimal, Double, Double, Boolean)].collect()
+      .as[(String, Long, Long, Long, Double, Double, Boolean)].collect()
     assert(rows.nonEmpty)
     for ((t, n1, n2, dNum, d, crit, sig) <- rows) {
-      assert(dNum >= 0 && dNum <= BigDecimal(n1) * BigDecimal(n2),
+      assert(dNum >= 0 && BigDecimal(dNum) <= BigDecimal(n1) * BigDecimal(n2),
         s"$t: d_num=$dNum outside [0, ${BigDecimal(n1) * BigDecimal(n2)}]")
       assert(d >= 0.0 && d <= 1.0, s"$t: D=$d")
       assert(crit > 0.0)

@@ -7,10 +7,26 @@ graft.Verify. Compares schema (column names sorted), row count, and values
 (exact for ints/strings, bitwise for doubles since both engines follow the
 decimal-sum convention).
 
+READ PATHS (the r15 rework — the blind spot that cost rounds 12-14): the
+SPARK dump is read via pyarrow→pandas, NOT through DuckDB. Reading both
+sides through DuckDB made the compare pass by construction for any type
+DuckDB coerces identically from parquet and from its own result set —
+which is exactly how three gates shipped raw DECIMAL(38,0) output columns
+driver-red for three rounds while this replica said all-green: DuckDB
+coerces DECIMAL→float64 on BOTH sides (28834.0 == 28834.0), while the
+driver reads the Spark parquet on a pyarrow path where decimal128 becomes
+python Decimal objects (Decimal('28834') != 28834.0 under the value hash
+⇒ rows+schema green, hash red — the observed signature). With pyarrow on
+the Spark side, a decimal output column now lands as dtype kind 'O'
+against the oracle's 'f' and fails the type gate HERE, pre-commit.
+The companion lint is OutputTypeLintSpec (gate outputs must stay within
+int/bigint/double/string/boolean/date/timestamp).
+
 Usage: python3 tools/check.py <sfdir> <verify_out_dir>
 """
 import sys, json, glob, os
 import duckdb
+import pyarrow.dataset as pads
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -53,8 +69,12 @@ def main(sfdir, outdir):
         if not files:
             results[name] = "EMPTY-DIR"
             continue
-        grel = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
-        got = grel.fetchdf()
+        # driver-faithful Spark-side read: pyarrow, not DuckDB (see header).
+        # date_as_object=False keeps date32 on the datetime64 kind 'M' that
+        # the DuckDB oracle frame also lands on; decimals deliberately stay
+        # object-dtype Decimal so the type gate below can catch them.
+        gtbl = pads.dataset(files, format="parquet").to_table()
+        got = gtbl.to_pandas(date_as_object=False)
         if name not in oracle:
             results[name] = f"rows-only: {len(got)} rows" + (" OK" if len(got) > 0 else " FAIL(0 rows)")
             continue
@@ -68,16 +88,16 @@ def main(sfdir, outdir):
         if gcols != ecols:
             results[name] = f"SCHEMA-MISMATCH spark={gcols} oracle={ecols}"
             continue
-        # Driver-faithful type gate (the class that cost round 11): the
-        # driver hashes pandas-coerced values, so what matters is the pandas
-        # dtype KIND, not the DuckDB logical type. DuckDB coerces BIGINT/
-        # INTEGER -> int64/int32 (both kind 'i': equal hash), DATE and
-        # TIMESTAMP -> datetime64 (equal), DECIMAL and DOUBLE -> float64
-        # (equal) — but SUM(BIGINT) -> HUGEINT -> float64 (kind 'f'), which
-        # renders 42.0 vs the int64 42 and breaks the hash. Comparing kinds
-        # reproduces exactly the driver's pass/fail set; oracles must CAST
-        # widening aggregates (SUM -> BIGINT) to stay in the int kind.
-        gtypes = dict(zip(grel.columns, (str(t) for t in grel.types)))
+        # Driver-faithful type gate (the class that cost round 11, widened
+        # in r15): the driver hashes pandas-coerced values, so what matters
+        # is the pandas dtype KIND on each side's OWN read path. Spark side
+        # (pyarrow): int32/int64 -> 'i', double -> 'f', decimal128 -> 'O'
+        # (python Decimal — the r12-r14 red class, now caught here). Oracle
+        # side (DuckDB fetchdf): BIGINT/INTEGER -> 'i', DECIMAL/DOUBLE and
+        # HUGEINT -> 'f' (so oracles must CAST widening aggregates back to
+        # BIGINT to stay in the int kind). Comparing kinds across the two
+        # paths reproduces the driver's pass/fail set.
+        gtypes = dict(zip(gtbl.schema.names, (str(t) for t in gtbl.schema.types)))
         etypes = dict(zip(erel.columns, (str(t) for t in erel.types)))
         tbad = [f"{c}: spark={got[c].dtype}({gtypes[c]}) oracle={exp[c].dtype}({etypes[c]})"
                 for c in gcols if got[c].dtype.kind != exp[c].dtype.kind]
