@@ -1303,8 +1303,14 @@ class PlanSpec extends AnyFunSuite {
       assert(!full.contains("CartesianProduct"), full.take(3000))
       val keyed = full.linesIterator.count(l =>
         (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
-          (l.contains("bx") || l.contains("by")))
+          (l.contains("xband") || l.contains("yband")))
       assert(keyed >= 3, s"three band-keyed strip joins expected ($keyed):\n${full.take(4000)}")
+      // the r15 reducer-ceiling fix: every strip join key also carries the
+      // within-band salt, so a hot band fans out past |bands| reducers
+      val salted = full.linesIterator.count(l =>
+        (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+          l.contains("salt"))
+      assert(salted >= 3, s"composite (band, salt) strip keys expected ($salted):\n${full.take(4000)}")
     } finally System.clearProperty("graft.lint.noCheckpoint")
   }
 }
