@@ -1,0 +1,359 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Raw-bits GOLDEN probe for the experiment family's emitted float chains
+  * (VERDICT r14 "Next round" #7 — the KsProbe pattern, generalized):
+  * every double a family gate emits is recomputed here in plain JVM
+  * BigInt/BigDecimal + double arithmetic, written in EXACTLY the same
+  * operation order as the Spark core, and compared by raw IEEE-754 bits.
+  *
+  * ExperimentDeterminismSpec proves each core is a pure function of the
+  * data (partition-layout invariance); this spec proves WHICH function —
+  * the documented exact-integer chain — so a future engine divergence
+  * (a Spark upgrade changing Decimal.toDouble, a refactor reassociating
+  * a float chain, a driver red) names its exact column and bit pattern
+  * here before the driver's opaque hash does. Integer outputs are
+  * asserted exactly; doubles via doubleToRawLongBits equality. The
+  * JVM recomputation deliberately uses ONLY BigInt/BigDecimal for the
+  * exact parts (never long overflow-prone intermediates) and
+  * BigDecimal.doubleValue for big-int→double (the correctly-rounded
+  * conversion Spark's Decimal.toDouble performs).
+  *
+  * Covers: anova, kruskalWallis, brownForsythe, brunnerMunzel,
+  * cliffDelta, permTest, cuped, auc — the full family (mannWhitney and
+  * ksTest already carry probes: tools/KsProbe and their invariant specs).
+  */
+class ExperimentBitsProbeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Deterministic pseudo-values from an index (no RNG state). */
+  private def v(i: Int, m: Int): Long = ((i * 2654435761L) >>> 7) % m
+
+  private def bits(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
+
+  private def assertDouble(got: Any, want: Option[Double], ctx: String): Unit =
+    (got, want) match {
+      case (null, None) => ()
+      case (g: java.lang.Double, Some(w)) =>
+        assert(bits(g) == bits(w),
+          f"$ctx: spark=$g%.17g (${bits(g)}%016x) jvm=$w%.17g (${bits(w)}%016x)")
+      case _ => fail(s"$ctx: spark=$got jvm=$want (null-ness differs)")
+    }
+
+  private def d2(x: BigInt): Double = BigDecimal(x).toDouble
+
+  // ------------------------------------------------------------ frames
+  // Collapsed (type, value, c1, c2) — the cliff/bm/auc core contract.
+  private lazy val coll2: Seq[(String, Double, Long, Long)] =
+    (0 until 600).map { i => (s"t${i % 3}", v(i, 40).toDouble, v(i, 3) + 1L, v(i + 7, 3) + 1L) }
+      .groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((t, x), rs) => (t, x, rs.map(_._3).sum, rs.map(_._4).sum) }
+      .sortBy(r => (r._1, r._2))
+
+  // Collapsed (type, value, c0, c1, c2, cnt) — the kruskalWallis contract.
+  private lazy val coll3: Seq[(String, Double, Long, Long, Long)] =
+    (0 until 600).map { i => (s"t${i % 3}", v(i, 40).toDouble, v(i, 3), v(i + 7, 3), v(i + 13, 2)) }
+      .groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((t, x), rs) => (t, x, rs.map(_._3).sum, rs.map(_._4).sum, rs.map(_._5).sum) }
+      .sortBy(r => (r._1, r._2))
+
+  // Raw (type, variant, x6) — the anova/brownForsythe contract.
+  private lazy val raw3: Seq[(String, Long, Long)] =
+    (0 until 600).map(i => (s"t${i % 3}", v(i + 11, 3), (v(i, 997) + 1L) * 1000000L + v(i + 5, 999983)))
+  private lazy val raw2: Seq[(String, Long, Long)] =
+    raw3.map { case (t, vr, x) => (t, vr % 2, x) }
+
+  // ----------------------------------------------------------- helpers
+
+  private def rowsOf(df: DataFrame): Seq[Row] = df.collect().toSeq
+
+  // ========================================================== cliffDelta
+  test("cliffDelta: ints exact, delta bitwise vs pure-JVM chain") {
+    val got = rowsOf(graft.queries.Relational10.cliffDelta(
+      coll2.toDF("event_type", "value", "c1", "c2")))
+    val want = coll2.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs0) =>
+      val rs = rs0.sortBy(_._2)
+      val n1 = rs.map(_._3).sum; val n2 = rs.map(_._4).sum
+      var cum2 = 0L; var nGt = BigInt(0); var nTies = BigInt(0)
+      rs.foreach { case (_, _, c1, c2) =>
+        cum2 += c2
+        nGt += BigInt(c1) * (cum2 - c2); nTies += BigInt(c1) * c2
+      }
+      val pairs = BigInt(n1) * n2
+      val nLt = pairs - nGt - nTies
+      val delta = if (pairs == 0) None
+        else Some(d2(nGt - nLt) / d2(pairs))
+      val mag = delta.map(d => math.abs(d) match {
+        case a if a < 0.147 => "negligible"
+        case a if a < 0.33 => "small"
+        case a if a < 0.474 => "medium"
+        case _ => "large"
+      })
+      (t, n1, n2, nGt, nLt, nTies, delta, mag)
+    }
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (r, (t, n1, n2, g, l, ti, delta, mag)) =>
+      assert(r.getString(0) == t && r.getLong(1) == n1 && r.getLong(2) == n2)
+      assert(BigInt(r.getLong(3)) == g && BigInt(r.getLong(4)) == l &&
+        BigInt(r.getLong(5)) == ti, s"$t pair counts")
+      assertDouble(r.get(6), delta, s"$t delta")
+      assert(Option(r.getString(7)) == mag, s"$t magnitude")
+    }
+  }
+
+  // ================================================================ auc
+  test("auc: AUC and Gini bitwise vs pure-JVM chain") {
+    val got = rowsOf(graft.queries.Relational11.auc(
+      coll2.toDF("event_type", "value", "c1", "c2")))
+    val want = coll2.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs0) =>
+      val rs = rs0.sortBy(_._2)
+      val n1 = rs.map(_._3).sum; val n2 = rs.map(_._4).sum
+      var cum2 = 0L; var nGt = BigInt(0); var nTies = BigInt(0)
+      rs.foreach { case (_, _, c1, c2) =>
+        cum2 += c2; nGt += BigInt(c1) * (cum2 - c2); nTies += BigInt(c1) * c2
+      }
+      val p2 = BigInt(2) * n1 * n2
+      val auc = if (p2 > 0) Some(d2(BigInt(2) * nGt + nTies) / d2(p2)) else None
+      (t, n1, n2, auc, auc.map(a => 2.0 * a - 1.0))
+    }
+    got.zip(want).foreach { case (r, (t, n1, n2, auc, gini)) =>
+      assert(r.getString(0) == t && r.getLong(1) == n1 && r.getLong(2) == n2)
+      assertDouble(r.get(3), auc, s"$t auc")
+      assertDouble(r.get(4), gini, s"$t gini")
+    }
+  }
+
+  // ====================================================== kruskalWallis
+  test("kruskalWallis: rank sums exact, H and H_adj bitwise vs pure-JVM chain") {
+    val got = rowsOf(graft.queries.Relational11.kruskalWallis(
+      coll3.map { case (t, x, c0, c1, c2) => (t, x, c0, c1, c2, c0 + c1 + c2) }
+        .toDF("event_type", "value", "c0", "c1", "c2", "cnt")))
+    val want = coll3.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs0) =>
+      val rs = rs0.sortBy(_._2)
+      var cum = 0L
+      var r0 = BigInt(0); var r1 = BigInt(0); var r2 = BigInt(0); var tt = BigInt(0)
+      rs.foreach { case (_, _, c0, c1, c2) =>
+        val cnt = c0 + c1 + c2; cum += cnt
+        val rnk2 = BigInt((cum - cnt) * 2 + cnt + 1)
+        r0 += BigInt(c0) * rnk2; r1 += BigInt(c1) * rnk2; r2 += BigInt(c2) * rnk2
+        tt += (BigInt(cnt) * cnt - 1) * cnt
+      }
+      val n0 = rs.map(_._3).sum; val n1 = rs.map(_._4).sum; val n2 = rs.map(_._5).sum
+      val n = n0 + n1 + n2
+      def term(r: BigInt, nk: Long): Double =
+        if (nk > 0) d2(r * r) / nk.toDouble else 0.0
+      val sumTerm = term(r0, n0) + term(r1, n1) + term(r2, n2)
+      val h = 3.0 * sumTerm / (n.toDouble * (n + 1).toDouble) - 3.0 * (n + 1).toDouble
+      val nnn = BigInt(n) * n * n - n
+      val c = 1.0 - d2(tt) / d2(nnn)
+      (t, n0, n1, n2, r0, r1, r2,
+        if (n > 1) Some(h) else None,
+        if (n > 1 && c > 0.0) Some(h / c) else None)
+    }
+    got.zip(want).foreach { case (r, (t, n0, n1, n2, r0, r1, r2, h, hAdj)) =>
+      assert(r.getString(0) == t && r.getLong(1) == n0 && r.getLong(2) == n1 && r.getLong(3) == n2)
+      assert(BigInt(r.getLong(4)) == r0 && BigInt(r.getLong(5)) == r1 &&
+        BigInt(r.getLong(6)) == r2, s"$t rank sums")
+      assertDouble(r.get(7), h, s"$t h")
+      assertDouble(r.get(8), hAdj, s"$t h_adj")
+    }
+  }
+
+  // ============================================================== anova
+  test("anova: means and F bitwise vs pure-JVM chain") {
+    val got = rowsOf(graft.queries.Relational11.anova(
+      raw3.toDF("event_type", "variant", "x6")))
+    val want = raw3.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      def grp(k: Long) = rs.filter(_._2 == k)
+      val ns = (0 to 2).map(k => grp(k).size.toLong)
+      val sums = (0 to 2).map(k => grp(k).map(r => BigInt(r._3)).sum)
+      val ss = rs.map(r => BigInt(r._3) * r._3).sum
+      val nT = ns.sum
+      def mean(r: BigInt, nk: Long): Option[Double] =
+        if (nk > 0) Some(d2(r) / nk.toDouble / 1000000.0) else None
+      def term(r: BigInt, nk: Long): Double =
+        if (nk > 0) d2(r * r) / nk.toDouble else 0.0
+      val sumRTerm = term(sums(0), ns(0)) + term(sums(1), ns(1)) + term(sums(2), ns(2))
+      val g = sums.sum
+      val between = sumRTerm - d2(g * g) / nT.toDouble
+      val within = d2(ss) - sumRTerm
+      val f = (nT - 3).toDouble / 2.0 * between / within
+      (t, ns, mean(sums(0), ns(0)), mean(sums(1), ns(1)), mean(sums(2), ns(2)),
+        if (ns.forall(_ > 0) && nT > 3 && within > 0.0) Some(f) else None)
+    }
+    got.zip(want).foreach { case (r, (t, ns, m0, m1, m2, f)) =>
+      assert(r.getString(0) == t && (1 to 3).map(r.getLong) == ns)
+      assertDouble(r.get(4), m0, s"$t mean0")
+      assertDouble(r.get(5), m1, s"$t mean1")
+      assertDouble(r.get(6), m2, s"$t mean2")
+      assertDouble(r.get(7), f, s"$t f_anova")
+    }
+  }
+
+  // ====================================================== brownForsythe
+  test("brownForsythe: medians exact, F bitwise vs pure-JVM chain") {
+    val got = rowsOf(graft.queries.Relational11.brownForsythe(
+      raw2.toDF("event_type", "variant", "x6")))
+    val want = raw2.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      // percentile_disc(0.5): smallest value with cumulative share >= 0.5
+      def med(xs: Seq[Long]): Long = {
+        val s = xs.sorted; s((math.ceil(0.5 * s.size) - 1).toInt)
+      }
+      def grp(k: Long) = rs.filter(_._2 == k).map(_._3)
+      val (g0, g1) = (grp(0), grp(1))
+      val (m0, m1) = (med(g0), med(g1))
+      val z0 = g0.map(x => math.abs(x - m0)); val z1 = g1.map(x => math.abs(x - m1))
+      val (n0, n1) = (g0.size.toLong, g1.size.toLong)
+      val r0 = z0.map(BigInt(_)).sum; val r1 = z1.map(BigInt(_)).sum
+      val s0 = z0.map(z => BigInt(z) * z).sum; val s1 = z1.map(z => BigInt(z) * z).sum
+      val nT = n0 + n1
+      def term(r: BigInt, nk: Long): Double =
+        if (nk > 0) d2(r * r) / nk.toDouble else 0.0
+      val sumRTerm = term(r0, n0) + term(r1, n1)
+      val g = r0 + r1
+      val between = sumRTerm - d2(g * g) / nT.toDouble
+      val within = d2(s0 + s1) - sumRTerm
+      val f = (nT - 2).toDouble * between / within
+      (t, n0, n1, m0, m1,
+        if (n0 > 0 && n1 > 0 && nT > 2 && within > 0.0) Some(f) else None)
+    }
+    got.zip(want).foreach { case (r, (t, n0, n1, m0, m1, f)) =>
+      assert(r.getString(0) == t && r.getLong(1) == n0 && r.getLong(2) == n1)
+      assert(r.getLong(3) == m0 && r.getLong(4) == m1, s"$t medians")
+      assertDouble(r.get(5), f, s"$t f_bf")
+    }
+  }
+
+  // ====================================================== brunnerMunzel
+  test("brunnerMunzel: p_hat, W and df bitwise vs pure-JVM chain") {
+    val got = rowsOf(graft.queries.Relational10.brunnerMunzel(
+      coll2.toDF("event_type", "value", "c1", "c2")))
+    val want = coll2.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs0) =>
+      val rs = rs0.sortBy(_._2)
+      var cum1 = 0L; var cum2 = 0L
+      var t1 = BigInt(0); var t2 = BigInt(0); var b1 = BigInt(0); var b2 = BigInt(0)
+      rs.foreach { case (_, _, c1, c2) =>
+        cum1 += c1; cum2 += c2
+        val cnt = c1 + c2
+        val p2 = BigInt((cum1 + cum2 - cnt) * 2 + cnt + 1)
+        val w1 = BigInt((cum1 - c1) * 2 + c1 + 1)
+        val w2 = BigInt((cum2 - c2) * 2 + c2 + 1)
+        val d1 = p2 - w1; val d2v = p2 - w2
+        t1 += BigInt(c1) * p2; t2 += BigInt(c2) * p2
+        b1 += BigInt(c1) * d1 * d1; b2 += BigInt(c2) * d2v * d2v
+      }
+      val n1 = rs.map(_._3).sum; val n2 = rs.map(_._4).sum
+      val a1 = t1 - BigInt(n1) * (n1 + 1); val a2 = t2 - BigInt(n2) * (n2 + 1)
+      val s1num = BigInt(n1) * b1 - a1 * a1; val s2num = BigInt(n2) * b2 - a2 * a2
+      val v1 = d2(s1num) / (4.0 * n1.toDouble * (n1 - 1).toDouble)
+      val v2 = d2(s2num) / (4.0 * n2.toDouble * (n2 - 1).toDouble)
+      val m1 = d2(t1) / (2.0 * n1.toDouble); val m2 = d2(t2) / (2.0 * n2.toDouble)
+      val nv1 = n1.toDouble * v1; val nv2 = n2.toDouble * v2
+      val pHat = (m2 - (n2 + 1).toDouble / 2.0) / n1.toDouble
+      val wBm = n1.toDouble * n2.toDouble * (m2 - m1) /
+        ((n1 + n2).toDouble * math.sqrt(nv1 + nv2))
+      val dfW = (nv1 + nv2) * (nv1 + nv2) /
+        (nv1 * nv1 / (n1 - 1).toDouble + nv2 * nv2 / (n2 - 1).toDouble)
+      val ok = n1 > 1 && n2 > 1
+      (t, n1, n2,
+        if (n1 > 0 && n2 > 0) Some(pHat) else None,
+        if (ok && nv1 + nv2 > 0.0) Some(wBm) else None,
+        if (ok && nv1 + nv2 > 0.0 && nv1 > 0.0 && nv2 > 0.0) Some(dfW) else None)
+    }
+    got.zip(want).foreach { case (r, (t, n1, n2, pHat, wBm, dfW)) =>
+      assert(r.getString(0) == t && r.getLong(1) == n1 && r.getLong(2) == n2)
+      assertDouble(r.get(3), pHat, s"$t p_hat")
+      assertDouble(r.get(4), wBm, s"$t w_bm")
+      assertDouble(r.get(5), dfW, s"$t df_welch")
+    }
+  }
+
+  // ============================================================ permTest
+  test("permTest: md5-bit assignment replayed, p_value bitwise vs pure-JVM chain") {
+    val r9 = 9 // bits 0..9: observed + 9 permutations — small but real
+    val raw = (0 until 400).map(i =>
+      (s"t${i % 2}", s"u${v(i, 37)}", (v(i, 500) + 1L) * 1000000L))
+    val got = rowsOf(graft.queries.Relational11.permTest(
+      raw.toDF("event_type", "user_id", "x6"), r9))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(u: String): Long = {
+      val hex = md.digest(u.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val want = raw.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      def split(r: Int): (Long, Long, BigInt, BigInt) = {
+        var n0 = 0L; var n1 = 0L; var s0 = BigInt(0); var s1 = BigInt(0)
+        rs.foreach { case (_, u, x) =>
+          if (((h60(u) >> r) & 1L) == 0L) { n0 += 1; s0 += x }
+          else { n1 += 1; s1 += x }
+        }
+        (n0, n1, s0, s1)
+      }
+      val (n0o, n1o, s0o, s1o) = split(0)
+      val aO = (s0o * n1o - s1o * n0o).abs
+      var nExceed = 0L
+      (1 to r9).foreach { r =>
+        val (n0, n1, s0, s1) = split(r)
+        val ex = if (n0 > 0 && n1 > 0) {
+          val aR = (s0 * n1 - s1 * n0).abs
+          if (aR * (BigInt(n0o) * n1o) >= aO * (BigInt(n0) * n1)) 1L else 0L
+        } else 1L
+        nExceed += ex
+      }
+      val meanDiff = if (n0o > 0 && n1o > 0)
+        Some((d2(s0o) / n0o.toDouble - d2(s1o) / n1o.toDouble) / 1000000.0)
+        else None
+      val p = (nExceed + 1).toDouble / (r9 + 1).toDouble
+      (t, n0o, n1o, meanDiff, r9.toLong, nExceed, Some(p))
+    }
+    got.zip(want).foreach { case (r, (t, n0, n1, md_, nPerm, nEx, p)) =>
+      assert(r.getString(0) == t && r.getLong(1) == n0 && r.getLong(2) == n1)
+      assertDouble(r.get(3), md_, s"$t mean_diff")
+      assert(r.getLong(4) == nPerm && r.getLong(5) == nEx, s"$t exceedances")
+      assertDouble(r.get(6), p, s"$t p_value")
+    }
+  }
+
+  // =============================================================== cuped
+  test("cuped: theta, diffs and var_reduction bitwise vs pure-JVM chain") {
+    val perUser = (0 until 300).map { i =>
+      val x = (v(i, 200) + 1L) * 1000000L
+      // y correlated with x plus deterministic noise
+      (s"t${i % 2}", v(i + 3, 2), x, x / 2 + v(i + 9, 100) * 1000000L)
+    }
+    val got = rowsOf(graft.queries.Relational11.cuped(
+      perUser.toDF("event_type", "variant", "x", "y")))
+    val want = perUser.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      def grp(k: Long) = rs.filter(_._2 == k)
+      val n0 = grp(0).size.toLong; val n1 = grp(1).size.toLong
+      val sx0 = grp(0).map(r => BigInt(r._3)).sum; val sx1 = grp(1).map(r => BigInt(r._3)).sum
+      val sy0 = grp(0).map(r => BigInt(r._4)).sum; val sy1 = grp(1).map(r => BigInt(r._4)).sum
+      val sxy = rs.map(r => BigInt(r._3) * r._4).sum
+      val sxx = rs.map(r => BigInt(r._3) * r._3).sum
+      val syy = rs.map(r => BigInt(r._4) * r._4).sum
+      val n = BigInt(n0 + n1)
+      val numTh = n * sxy - (sx0 + sx1) * (sy0 + sy1)
+      val denTh = n * sxx - (sx0 + sx1) * (sx0 + sx1)
+      val denY = n * syy - (sy0 + sy1) * (sy0 + sy1)
+      val theta = if (denTh > 0) Some(d2(numTh) / d2(denTh)) else None
+      def mean(s: BigInt, nk: Long): Double = d2(s) / nk.toDouble / 1000000.0
+      val both = n0 > 0 && n1 > 0
+      val diffRaw = if (both) Some(mean(sy1, n1) - mean(sy0, n0)) else None
+      val diffCuped = if (both && denTh > 0)
+        Some(diffRaw.get - theta.get * (mean(sx1, n1) - mean(sx0, n0))) else None
+      val varRed = if (denTh > 0 && denY > 0)
+        Some(d2(numTh) * d2(numTh) / (d2(denTh) * d2(denY))) else None
+      (t, n0, n1, theta, diffRaw, diffCuped, varRed)
+    }
+    got.zip(want).foreach { case (r, (t, n0, n1, th, dr, dc, vr)) =>
+      assert(r.getString(0) == t && r.getLong(1) == n0 && r.getLong(2) == n1)
+      assertDouble(r.get(3), th, s"$t theta")
+      assertDouble(r.get(4), dr, s"$t diff_raw")
+      assertDouble(r.get(5), dc, s"$t diff_cuped")
+      assertDouble(r.get(6), vr, s"$t var_reduction")
+    }
+  }
+}
