@@ -11,7 +11,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Relational2.queries ++ Relational3.queries ++ Relational4.queries ++
-      Relational5.queries ++ Relational6.queries ++ Relational7.queries ++ Relational8.queries ++ Relational9.queries ++ Relational10.queries ++ Relational11.queries ++ GraphQ.queries ++ Events.queries ++
+      Relational5.queries ++ Relational6.queries ++ Relational7.queries ++ Relational8.queries ++ Relational9.queries ++ Relational10.queries ++ Relational11.queries ++ Relational12.queries ++ GraphQ.queries ++ Events.queries ++
       Etl.queries ++ Etl2.queries ++ Etl3.queries ++ Etl4.queries ++
       Text.queries ++ Text2.queries ++ Web.queries ++ DedupQ.queries ++ Similarity.queries ++ Similarity2.queries ++ Modal.queries ++ Modal2.queries ++ Modal3.queries ++ Modal4.queries ++ N2k.queries
 
@@ -19,7 +19,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Relational2.oracle ++ Relational3.oracle ++ Relational4.oracle ++
-      Relational5.oracle ++ Relational6.oracle ++ Relational7.oracle ++ Relational8.oracle ++ Relational9.oracle ++ Relational10.oracle ++ Relational11.oracle ++ GraphQ.oracle ++ Events.oracle ++
+      Relational5.oracle ++ Relational6.oracle ++ Relational7.oracle ++ Relational8.oracle ++ Relational9.oracle ++ Relational10.oracle ++ Relational11.oracle ++ Relational12.oracle ++ GraphQ.oracle ++ Events.oracle ++
       Etl.oracle ++ Etl2.oracle ++ Etl3.oracle ++ Etl4.oracle ++
       Text.oracle ++ Text2.oracle ++ Web.oracle ++ DedupQ.oracle ++ Similarity.oracle ++ Similarity2.oracle ++ Modal.oracle ++ Modal2.oracle ++ Modal3.oracle ++ Modal4.oracle ++ N2k.oracle
 }

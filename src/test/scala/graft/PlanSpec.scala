@@ -1313,4 +1313,16 @@ class PlanSpec extends AnyFunSuite {
       assert(salted >= 3, s"composite (band, salt) strip keys expected ($salted):\n${full.take(4000)}")
     } finally System.clearProperty("graft.lint.noCheckpoint")
   }
+
+  test("q_sketch_quantile: answer path reads only the O(B)-row store — no cartesian, bounded frames broadcast") {
+    val p = plan(Relational12.qSketchQuantile(spark, dir))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the percentile frame and per-type totals broadcast into the merged
+    // sketch; the only sort-merge-eligible frames are <=|types|*B rows
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"bounded frames must broadcast:\n${p.take(3000)}")
+    // the merge+answer side scans the STORE parquet, not the events fact
+    // (the exact percentile cross-check is the only fact consumer there)
+    assert(p.contains("graft_qsketch_store"), p.take(3000))
+  }
 }
