@@ -317,6 +317,48 @@ class ExperimentBitsProbeSpec extends AnyFunSuite {
     }
   }
 
+  // ========================================================== welchTtest
+  test("welchTtest: means, t, df and effect sizes bitwise vs pure-JVM chain") {
+    val got = rowsOf(graft.queries.Relational12.welchTtest(
+      raw2.toDF("event_type", "variant", "x6")))
+    val want = raw2.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      def grp(k: Long) = rs.filter(_._2 == k).map(_._3)
+      val (g0, g1) = (grp(0), grp(1))
+      val (n0, n1) = (g0.size.toLong, g1.size.toLong)
+      val s0 = g0.map(BigInt(_)).sum; val s1 = g1.map(BigInt(_)).sum
+      val q0 = g0.map(x => BigInt(x) * x).sum; val q1 = g1.map(x => BigInt(x) * x).sum
+      val v0 = BigInt(n0) * q0 - s0 * s0; val v1 = BigInt(n1) * q1 - s1 * s1
+      val t0 = d2(v0) / (n0.toDouble * (n0 - 1).toDouble) / n0.toDouble
+      val t1 = d2(v1) / (n1.toDouble * (n1 - 1).toDouble) / n1.toDouble
+      val m0x = d2(s0) / n0.toDouble; val m1x = d2(s1) / n1.toDouble
+      val tW = (m1x - m0x) / math.sqrt(t0 + t1)
+      val dfW = (t0 + t1) * (t0 + t1) /
+        (t0 * t0 / (n0 - 1).toDouble + t1 * t1 / (n1 - 1).toDouble)
+      val sp2 = (d2(v0) / n0.toDouble + d2(v1) / n1.toDouble) /
+        (n0 + n1 - 2).toDouble
+      val dCoh = (m1x - m0x) / math.sqrt(sp2)
+      val gHed = dCoh * (1.0 - 3.0 / (4.0 * (n0 + n1).toDouble - 9.0))
+      val ok = n0 > 1 && n1 > 1
+      val sig = ok && t0 + t1 > 0.0
+      (t, n0, n1,
+        if (n0 > 0) Some(m0x / 1000000.0) else None,
+        if (n1 > 0) Some(m1x / 1000000.0) else None,
+        if (sig) Some(tW) else None,
+        if (sig && t0 > 0.0 && t1 > 0.0) Some(dfW) else None,
+        if (ok && sp2 > 0.0) Some(dCoh) else None,
+        if (ok && sp2 > 0.0) Some(gHed) else None)
+    }
+    got.zip(want).foreach { case (r, (t, n0, n1, m0, m1, tW, dfW, d, g)) =>
+      assert(r.getString(0) == t && r.getLong(1) == n0 && r.getLong(2) == n1)
+      assertDouble(r.get(3), m0, s"$t mean0")
+      assertDouble(r.get(4), m1, s"$t mean1")
+      assertDouble(r.get(5), tW, s"$t t_welch")
+      assertDouble(r.get(6), dfW, s"$t df_welch")
+      assertDouble(r.get(7), d, s"$t cohens_d")
+      assertDouble(r.get(8), g, s"$t hedges_g")
+    }
+  }
+
   // =============================================================== cuped
   test("cuped: theta, diffs and var_reduction bitwise vs pure-JVM chain") {
     val perUser = (0 until 300).map { i =>

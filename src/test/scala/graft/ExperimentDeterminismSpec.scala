@@ -105,4 +105,16 @@ class ExperimentDeterminismSpec extends AnyFunSuite {
     }.toDF("event_type", "variant", "x", "y")
     invariant(users, graft.queries.Relational11.cuped)
   }
+
+  test("welchTtest and sketchQuantile are partition-invariant") {
+    val ev = (0 until 600).map { i =>
+      (s"t${i % 3}", v(i + 11, 2), 100000L + v(i, 997) * 1000L)
+    }.toDF("event_type", "variant", "x6")
+    invariant(ev, graft.queries.Relational12.welchTtest)
+    val sk = (0 until 600).map { i =>
+      (s"t${i % 3}", v(i + 5, 9).toLong, 100000L + v(i, 997) * 1000L)
+    }.toDF("event_type", "day", "x6")
+    invariant(sk, (d: DataFrame) =>
+      graft.queries.Relational12.sketchQuantile(d, None))
+  }
 }

@@ -1325,4 +1325,18 @@ class PlanSpec extends AnyFunSuite {
     // (the exact percentile cross-check is the only fact consumer there)
     assert(p.contains("graft_qsketch_store"), p.take(3000))
   }
+
+  test("q_welch_ttest: all moments ride ONE map-side-partial aggregation — no join, no window") {
+    val p = plan(Relational12.qWelchTtest(spark, dir))
+    assert(!p.contains("Window") && !p.contains("Join"), p.take(3000))
+    val aggShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(event_type"))
+    assert(aggShuffles <= 1, s"one keyed shuffle expected ($aggShuffles):\n${p.take(3000)}")
+  }
+
+  test("q_lift_gains: decile boundaries broadcast into the fact — no sort-merge, no cartesian") {
+    val p = plan(Relational12.qLiftGains(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"cut points must broadcast into the scoring pass:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }

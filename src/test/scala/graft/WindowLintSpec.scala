@@ -159,6 +159,8 @@ class WindowLintSpec extends AnyFunSuite {
       "8-tap lag chain over the |priorities|×|months| monthly frame"),
     "q_growth_acct" -> (Seq("GLOBAL"),
       "day-over-day lag on the ≤|days| daily rollup"),
+    "q_lift_gains" -> (Seq("(grp)"),
+      "cumulative gains over the ≤|priorities|×10 decile frame"),
     "q_ltv" -> (Seq("(cohort_week)"),
       "cumulative revenue over the |cohorts|×|weeks| cohort frame"),
     "q_mom_yoy" -> (Seq("GLOBAL"),
