@@ -69,6 +69,39 @@ object Relational12 {
     sketchQuantile(ev, Some(out))
   }
 
+  /** One slice's sketch rows from a (event_type, day, x6, lo, w) frame —
+    * the bin layout (lo, w) rides as columns so the INCREMENTAL path can
+    * pin it independently of any one slice's value range. Shared by the
+    * gate (layout from the corpus bounds pass) and appendSliceSketch
+    * (layout pinned by the store's metric contract). */
+  private[graft] def sliceSketch(evWithLayout: DataFrame): DataFrame =
+    evWithLayout
+      .withColumn("bucket", expr("(x6 - lo) div w"))
+      .groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), max(col("lo")).as("lo"), max(col("w")).as("w"))
+
+  /** INCREMENTAL ingest: roll ONE slice's raw rows into its sketch and
+    * append it to the store, replacing only that slice's partition
+    * (dynamic partition overwrite — re-ingesting a late-arriving day is
+    * idempotent). (lo, w) is the store's PINNED bin layout: at 100 TB the
+    * layout is a metric contract fixed up front, so no append ever
+    * rescans or re-bins previous slices — O(|slice|) per ingest, the
+    * q_sketch_setops/d_incremental store discipline. Values outside the
+    * pinned range clamp into the edge buckets (the layout owner's
+    * documented trade; the bound then widens to the edge bucket's true
+    * span, which `within_bound` would surface). */
+  private[graft] def appendSliceSketch(evDay: DataFrame, store: String,
+      lo: Long, w: Long): Unit = {
+    val b = QSketchBuckets
+    sliceSketch(evDay
+      .withColumn("x6", greatest(lit(lo), least(col("x6"), lit(lo + w * b - 1))))
+      .withColumn("lo", lit(lo)).withColumn("w", lit(w)))
+      .repartition(col("day"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(store)
+  }
+
   /** The sketch-store-merge-answer core over any (event_type, day,
     * x6 BIGINT) frame — factored out so SketchQuantileSpec plants frames
     * with chosen slicings; `store = None` skips the physical roundtrip
@@ -80,11 +113,8 @@ object Relational12 {
     val b = QSketchBuckets
     val bounds = ev.agg(min(col("x6")).as("lo"), max(col("x6")).as("hi"))
     // the per-slice sketch: O(B) rows per (type, day), all-integer
-    val sketch = ev.crossJoin(broadcast(bounds))
-      .withColumn("w", expr(s"(hi - lo) div $b + 1"))
-      .withColumn("bucket", expr("(x6 - lo) div w"))
-      .groupBy(col("event_type"), col("day"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"), max(col("lo")).as("lo"), max(col("w")).as("w"))
+    val sketch = sliceSketch(ev.crossJoin(broadcast(bounds))
+      .withColumn("w", expr(s"(hi - lo) div $b + 1")))
     // STORE: the rollup a pipeline persists per ingest slice —
     // day-clustered first so each slice directory is ONE file (without
     // it every shuffle partition writes a sliver into every day)...

@@ -80,6 +80,31 @@ class SketchQuantileSpec extends AnyFunSuite {
     assert(dirs == 5, s"expected 5 day= slice dirs, found $dirs")
   }
 
+  test("incremental append: slice-at-a-time ingest equals the batch store; re-ingest idempotent") {
+    val f = frame(2000, 5)
+    // the pinned bin layout — at 100 TB a metric contract, here the
+    // frame's own bounds so batch and incremental share it exactly
+    val Row(lo: Long, hi: Long) = f.agg(min(col("x6")), max(col("x6"))).head()
+    val w = (hi - lo) / graft.queries.Relational12.QSketchBuckets + 1
+    val store = java.nio.file.Files.createTempDirectory("qsketch_inc").toString
+    (0 until 5).foreach { d =>
+      graft.queries.Relational12.appendSliceSketch(
+        f.filter(col("day") === d), store, lo, w)
+    }
+    val batch = graft.queries.Relational12.sliceSketch(
+      f.withColumn("lo", lit(lo)).withColumn("w", lit(w)))
+    def rows(df: DataFrame): Seq[String] =
+      df.select(col("event_type"), col("day").cast("long"), col("bucket"),
+        col("cnt"), col("lo"), col("w")).collect().map(_.toString).sorted.toSeq
+    assert(rows(spark.read.parquet(store)) == rows(batch),
+      "five appends must reconstruct the batch store exactly")
+    // late re-ingest of one day: dynamic partition overwrite is idempotent
+    graft.queries.Relational12.appendSliceSketch(
+      f.filter(col("day") === 2), store, lo, w)
+    assert(rows(spark.read.parquet(store)) == rows(batch),
+      "re-appending a day must replace, not duplicate, its partition")
+  }
+
   test("single-value type: all percentiles collapse to the value, err 0") {
     val f = (0 until 50).map(i => ("only", (i % 3).toLong, 7000000L))
       .toDF("event_type", "day", "x6")
