@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Ckpt._
 
 /** Round-15 analytics batch: the mergeable-sketch STORE family's quantile
   * member (VERDICT r14 "Next round" #8 — the per-partition
@@ -446,13 +447,102 @@ object Relational12 {
        |ORDER BY o_orderpriority, decile""".stripMargin
   }
 
+  // ---------------------------------------------------------- q_median_ci
+
+  /** q_median_ci: the MEDIAN with its DISTRIBUTION-FREE 95% confidence
+    * interval per event type — the honest way to report a skewed
+    * metric's center ("median latency 120ms [112, 131]"): the CI is a
+    * pair of ORDER STATISTICS (ranks l = ⌊(n − 1.96√n)/2⌋ and
+    * u = n + 1 − l, the binomial normal approximation — no normality
+    * assumption on the DATA, the classic sign-test inversion), so it
+    * needs no variance estimate and is exact-integer comparable across
+    * engines. Complements q_quantiles_disc (point estimates only) and
+    * q_welch_ttest (mean-based, needs moments).
+    *
+    * ALL THREE lookups (median rank m = ⌈n/2⌉, l, u) ride ONE
+    * BandedRank.withPrefixSums pass over the collapsed (type, value,
+    * count) frame — the q_weighted_median crossing trick (cum − cnt < r
+    * ≤ cum selects the rank-r value), never a per-type sort. The ranks
+    * are the one pinned double chain (√n is correctly rounded in both
+    * engines, so ⌊·⌋ lands identically); everything after is integers.
+    *
+    * Scale shape: one (type, value) collapse (map-side partial), one
+    * banded prefix, one ≤|types|-row rollup — the q_mann_whitney shape. */
+  def qMedianCi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,6)") * lit(1000000L))
+          .cast("long").as("x6"))
+    medianCi(ev)
+  }
+
+  /** The order-statistic core over any (event_type, x6 BIGINT) frame. */
+  private[graft] def medianCi(ev: DataFrame): DataFrame = {
+    val g = ev.groupBy(col("event_type"), col("x6"))
+      .agg(count(lit(1)).as("cnt"))
+      .cpEager // consumed by the banded prefix's independent stages
+    val c = graft.operators.BandedRank.withPrefixSums(
+      g, Seq("event_type"), "x6", Seq("cnt" -> "cum"))
+    val tot = g.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"))
+    val nD = col("n").cast(D)
+    val ranks = tot.select(col("event_type"), col("n"),
+      greatest(lit(1L),
+        floor((nD - lit(1.96) * sqrt(nD)) / lit(2.0)).cast("long")).as("r_lo"),
+      expr("(n + 1) div 2").as("r_med"))
+      .withColumn("r_hi", col("n") + 1L - col("r_lo"))
+    def at(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      min(when(col("cum") - col("cnt") < r && r <= col("cum"), col("x6")))
+    c.join(broadcast(ranks), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(col("r_lo")).as("r_lo"), max(col("r_hi")).as("r_hi"),
+        at(col("r_med")).as("med_x6"),
+        at(col("r_lo")).as("lo_x6"), at(col("r_hi")).as("hi_x6"))
+      .select(col("event_type"), col("n"), col("r_lo"), col("r_hi"),
+        (col("med_x6").cast(D) / lit(1000000.0)).as("median_value"),
+        (col("lo_x6").cast(D) / lit(1000000.0)).as("ci_lo_value"),
+        (col("hi_x6").cast(D) / lit(1000000.0)).as("ci_hi_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val qMedianCiSql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (SELECT event_type, x6, CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM ev GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, x6, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY x6
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM g),
+      |t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM g GROUP BY 1),
+      |r AS (
+      |  SELECT event_type, n,
+      |    GREATEST(1, CAST(floor((CAST(n AS DOUBLE) - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS r_lo,
+      |    (n + 1) // 2 AS r_med,
+      |    n + 1 - GREATEST(1, CAST(floor((CAST(n AS DOUBLE) - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS r_hi
+      |  FROM t)
+      |SELECT c.event_type, MAX(r.n) AS n,
+      |  MAX(r.r_lo) AS r_lo, MAX(r.r_hi) AS r_hi,
+      |  CAST(MIN(CASE WHEN c.cum - c.cnt < r.r_med AND r.r_med <= c.cum THEN c.x6 END) AS DOUBLE) / 1000000.0 AS median_value,
+      |  CAST(MIN(CASE WHEN c.cum - c.cnt < r.r_lo AND r.r_lo <= c.cum THEN c.x6 END) AS DOUBLE) / 1000000.0 AS ci_lo_value,
+      |  CAST(MIN(CASE WHEN c.cum - c.cnt < r.r_hi AND r.r_hi <= c.cum THEN c.x6 END) AS DOUBLE) / 1000000.0 AS ci_hi_value
+      |FROM c JOIN r ON c.event_type = r.event_type
+      |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_quantile" -> (qSketchQuantile _),
     "q_welch_ttest" -> (qWelchTtest _),
-    "q_lift_gains" -> (qLiftGains _))
+    "q_lift_gains" -> (qLiftGains _),
+    "q_median_ci" -> (qMedianCi _))
 
   val oracle: Map[String, String] = Map(
     "q_sketch_quantile" -> qSketchQuantileSql,
     "q_welch_ttest" -> qWelchTtestSql,
-    "q_lift_gains" -> qLiftGainsSql)
+    "q_lift_gains" -> qLiftGainsSql,
+    "q_median_ci" -> qMedianCiSql)
 }

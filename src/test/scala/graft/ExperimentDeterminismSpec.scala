@@ -117,4 +117,11 @@ class ExperimentDeterminismSpec extends AnyFunSuite {
     invariant(sk, (d: DataFrame) =>
       graft.queries.Relational12.sketchQuantile(d, None))
   }
+
+  test("medianCi is partition-invariant") {
+    val ev = (0 until 700).map { i =>
+      (s"t${i % 3}", 100000L + v(i, 997) * 1000L)
+    }.toDF("event_type", "x6")
+    invariant(ev, graft.queries.Relational12.medianCi)
+  }
 }
