@@ -112,7 +112,19 @@ object Relational12 {
       store: Option[String]): DataFrame = {
     val s = ev.sparkSession
     val b = QSketchBuckets
-    val bounds = ev.agg(min(col("x6")).as("lo"), max(col("x6")).as("hi"))
+    // exact cross-check (dropped at scale — the sketch path never sorts);
+    // it carries the per-type min/max so the GLOBAL bounds roll up from
+    // this 5-row frame instead of paying a second full fact scan.
+    // Eager-checkpointed: it feeds BOTH the sketch write (via bounds) and
+    // the final join — lazy would recompute the percentile pass per
+    // consumer (the §5 checkpoint discipline).
+    val exact = ev.groupBy(col("event_type")).agg(
+      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY x6)").as("e50"),
+      expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY x6)").as("e90"),
+      expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY x6)").as("e99"),
+      min(col("x6")).as("tlo"), max(col("x6")).as("thi"))
+      .cpEager
+    val bounds = exact.agg(min(col("tlo")).as("lo"), max(col("thi")).as("hi"))
     // the per-slice sketch: O(B) rows per (type, day), all-integer
     val sketch = sliceSketch(ev.crossJoin(broadcast(bounds))
       .withColumn("w", expr(s"(hi - lo) div $b + 1")))
@@ -138,11 +150,6 @@ object Relational12 {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val ps = s.range(1).select(
       explode(array(lit(50), lit(90), lit(99))).as("p"))
-    // exact cross-check (dropped at scale — the sketch path never sorts)
-    val exact = ev.groupBy(col("event_type")).agg(
-      expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY x6)").as("e50"),
-      expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY x6)").as("e90"),
-      expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY x6)").as("e99"))
     val r = expr("(p * n + 99) div 100") // = ceil(p·n/100), exact
     val sel = cum.join(broadcast(tot), "event_type")
       .crossJoin(broadcast(ps))
