@@ -155,15 +155,81 @@ object Modal4 {
       |  CAST((400 + (doc_id % 5) * 200) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms
       |FROM documents WHERE doc_id % 4 = 2 ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- m_jpeg_meta
+
+  /** m_jpeg_meta: JPEG/JFIF SEGMENT METADATA — the m_png_meta/m_wav_meta
+    * sibling for the remaining major still-image container: real JPEGs
+    * (JDK ImageIO-written grayscale, dimensions varying by formula)
+    * walked by a real marker-aligned segment iterator
+    * (multimodal/Jpeg.meta — APP0/JFIF fields, SOFn frame header,
+    * entropy-scan skip with stuffed-byte/RSTn awareness, EOI check) with
+    * NO entropy decode. The oracle replays the generator formulas
+    * (w = 8 + id%9, h = 8 + (id÷9)%7, grayscale ⇒ 1 component) plus the
+    * JFIF constants the JDK writer pins (version 1.02, aspect-ratio
+    * density unit 0, 1×1), so a parser off-by-one in any offset breaks
+    * the hash.
+    *
+    * Scale shape: one narrow mapPartitions pass (the multimodal decode
+    * seam), 11 small values per blob leave the executor. */
+  def mJpegMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 1)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + (id / 9) % 7).toInt
+          md.reset()
+          val hx = md.digest(id.toString.getBytes("UTF-8"))
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var j = 0
+          while (j < w * h) {
+            val v = (hx(j % 16) & 0xff)
+            img.getRaster.setSample(j % w, j / w, 0, v)
+            j += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          val m = graft.multimodal.Jpeg.meta(bos.toByteArray)
+            .getOrElse(sys.error(s"unparseable JPEG container for doc $id"))
+          (id, m.width.toLong, m.height.toLong, m.components.toLong,
+            m.bits.toLong, m.sofCode == 0xc0, m.jfifMajor.toLong,
+            m.jfifMinor.toLong, m.densityUnit.toLong, m.xDensity.toLong,
+            m.yDensity.toLong, m.hasEoi)
+        }
+      }.toDF("doc_id", "width", "height", "n_components", "bits",
+        "baseline", "jfif_major", "jfif_minor", "density_unit",
+        "x_density", "y_density", "has_eoi")
+      .orderBy(col("doc_id"))
+  }
+
+  val mJpegMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(8 + doc_id % 9 AS BIGINT) AS width,
+      |  CAST(8 + (doc_id // 9) % 7 AS BIGINT) AS height,
+      |  CAST(1 AS BIGINT) AS n_components, CAST(8 AS BIGINT) AS bits,
+      |  TRUE AS baseline,
+      |  CAST(1 AS BIGINT) AS jfif_major, CAST(2 AS BIGINT) AS jfif_minor,
+      |  CAST(0 AS BIGINT) AS density_unit,
+      |  CAST(1 AS BIGINT) AS x_density, CAST(1 AS BIGINT) AS y_density,
+      |  TRUE AS has_eoi
+      |FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_aspect_bucket" -> mAspectBucket _,
     "m_wav_meta"      -> mWavMeta _,
+    "m_jpeg_meta"     -> mJpegMeta _,
     "st_bus_hourly"   -> stBusHourly _,
   )
 
   val oracle: Map[String, String] = Map(
     "m_aspect_bucket" -> mAspectBucketSql,
     "m_wav_meta"      -> mWavMetaSql,
+    "m_jpeg_meta"     -> mJpegMetaSql,
     "st_bus_hourly"   -> stBusHourlySql,
   )
 }

@@ -433,4 +433,60 @@ class MultimodalSpec extends AnyFunSuite {
     // cut INSIDE the data chunk header: nothing data-sized parses; None
     assert(graft.multimodal.Audio.wavMeta(full.take(dataOff + 4)).isEmpty)
   }
+
+  test("Jpeg.meta: real JDK-written JPEG parses dims/JFIF exactly; truncation and corruption return None, never over-read") {
+    import graft.multimodal.Jpeg
+    val img = new java.awt.image.BufferedImage(20, 13,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 13; x <- 0 until 20)
+      img.getRaster.setSample(x, y, 0, (x * 13 + y) % 256)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpg = bos.toByteArray
+    val m = Jpeg.meta(jpg).get
+    assert(m.width == 20 && m.height == 13, "SOF dims big-endian at +7/+5")
+    assert(m.components == 1 && m.bits == 8, "grayscale baseline frame")
+    assert(m.sofCode == 0xc0, "JDK writer emits baseline SOF0")
+    assert(m.jfifMajor == 1 && m.jfifMinor == 2, "JFIF 1.02 pinned by the JDK writer")
+    assert(m.densityUnit == 0 && m.xDensity == 1 && m.yDensity == 1,
+      "aspect-ratio density 1x1")
+    assert(m.hasEoi)
+
+    // cut before EOI: the walker must notice the missing trailer, not
+    // report a complete file (a petabyte census keys repair jobs on this)
+    assert(Jpeg.meta(jpg.dropRight(1)).isEmpty)
+    // cut mid-SOF: bounds check, not an ArrayIndexOutOfBounds
+    val sofAt = jpg.indices.find(i =>
+      (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc0).get
+    assert(Jpeg.meta(jpg.take(sofAt + 6)).isEmpty)
+    // not a JPEG at all
+    assert(Jpeg.meta(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Jpeg.meta(Array.empty[Byte]).isEmpty)
+  }
+
+  test("Jpeg.meta: stuffed 0xFF00 and RSTn bytes inside the entropy scan never terminate it; SOF2 reports progressive") {
+    import graft.multimodal.Jpeg
+    // hand-built container: the walker reads structure only (no Huffman),
+    // so a fake scan exercises the stuffed-byte/restart skip logic exactly
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] = {
+      val len = payload.length + 2
+      Array(0xff.toByte, marker.toByte, (len >> 8).toByte, (len & 0xff).toByte) ++ payload
+    }
+    val app0 = seg(0xe0, "JFIF".getBytes("ISO-8859-1") ++ Array[Byte](
+      0, 1, 2, 0, 0, 1, 0, 1, 0, 0))
+    val sof2 = seg(0xc2, Array[Byte](8, 0, 9, 0, 17, 1, 0x11, 0)) // 17x9 progressive, 1 comp
+    val sos = seg(0xda, Array[Byte](1, 0, 0, 0, 63, 0))
+    val scan = Array[Byte](
+      0x12, 0xff.toByte, 0x00, 0x34,            // stuffed byte: NOT a marker
+      0xff.toByte, 0xd3.toByte, 0x56,           // RST3: scan continues
+      0xff.toByte, 0x00, 0x78)                  // second stuffed byte
+    val whole = Array(0xff.toByte, 0xd8.toByte) ++ app0 ++ sof2 ++ sos ++
+      scan ++ Array(0xff.toByte, 0xd9.toByte)
+    val m = Jpeg.meta(whole).get
+    assert(m.width == 17 && m.height == 9 && m.components == 1)
+    assert(m.sofCode == 0xc2, "progressive SOF2 surfaces for codec routing")
+    assert(m.hasEoi, "the scan skip must land on the real EOI, not a stuffed byte")
+    // same container without the EOI: the scan runs off the end -> None
+    assert(Jpeg.meta(whole.dropRight(2)).isEmpty)
+  }
 }
