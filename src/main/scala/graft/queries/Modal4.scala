@@ -219,10 +219,84 @@ object Modal4 {
       |  TRUE AS has_eoi
       |FROM documents WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- m_exif_meta
+
+  /** m_exif_meta: EXIF TIFF-IFD METADATA — the structured layer above
+    * m_jpeg_meta's segment census: real JDK-written JPEGs carrying a
+    * spec-conforming APP1/Exif block (built by multimodal/Exif.build —
+    * the m_png_meta injector pattern; the JDK has no EXIF writer) walked
+    * back by a real endian-aware TIFF directory parser (Exif.meta: II
+    * AND MM byte orders — alternating by doc id so both paths run every
+    * round — typed entries with the inline-vs-offset rule, RATIONAL and
+    * ASCII payloads at offsets, the Exif sub-IFD pointer hop).
+    * `dims_match` re-parses the SPLICED container with Jpeg.meta and
+    * compares the SOF truth against the metadata CLAIM — the
+    * orientation/dimension audit a vision pipeline runs before trusting
+    * any EXIF field, and the proof the splice keeps the JPEG parseable.
+    *
+    * Scale shape: one narrow mapPartitions pass (the multimodal decode
+    * seam), 10 small values per blob leave the executor. */
+  def mExifMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 3)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + (id / 9) % 7).toInt
+          md.reset()
+          val hx = md.digest(id.toString.getBytes("UTF-8"))
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var j = 0
+          while (j < w * h) {
+            img.getRaster.setSample(j % w, j / w, 0, hx(j % 16) & 0xff)
+            j += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          val dt = f"2026:08:${1 + id % 28}%02d ${id % 24}%02d:00:00"
+          val app1 = graft.multimodal.Exif.build(
+            little = id % 2 == 0, orientation = (1 + id % 8).toInt,
+            xresNum = 72 + id % 5, xresDen = 1 + id % 3,
+            dateTime = dt, pixelW = w.toLong, pixelH = h.toLong)
+          val spliced = graft.multimodal.Exif.spliceApp1(bos.toByteArray, app1)
+          val e = graft.multimodal.Exif.meta(spliced)
+            .getOrElse(sys.error(s"unparseable EXIF block for doc $id"))
+          val sof = graft.multimodal.Jpeg.meta(spliced)
+            .getOrElse(sys.error(s"splice broke the JPEG container for doc $id"))
+          (id, e.byteOrder, e.orientation.toLong, e.xresNum, e.xresDen,
+            e.dateTime, e.pixelW, e.pixelH, e.ifd0Entries.toLong,
+            e.pixelW == sof.width.toLong && e.pixelH == sof.height.toLong)
+        }
+      }.toDF("doc_id", "byte_order", "orientation", "xres_num", "xres_den",
+        "date_time", "pixel_w", "pixel_h", "n_ifd0", "dims_match")
+      .orderBy(col("doc_id"))
+  }
+
+  val mExifMetaSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+      |  CAST(72 + doc_id % 5 AS BIGINT) AS xres_num,
+      |  CAST(1 + doc_id % 3 AS BIGINT) AS xres_den,
+      |  '2026:08:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+      |    || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+      |    || ':00:00' AS date_time,
+      |  CAST(8 + doc_id % 9 AS BIGINT) AS pixel_w,
+      |  CAST(8 + (doc_id // 9) % 7 AS BIGINT) AS pixel_h,
+      |  CAST(4 AS BIGINT) AS n_ifd0,
+      |  TRUE AS dims_match
+      |FROM documents WHERE doc_id % 4 = 3 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_aspect_bucket" -> mAspectBucket _,
     "m_wav_meta"      -> mWavMeta _,
     "m_jpeg_meta"     -> mJpegMeta _,
+    "m_exif_meta"     -> mExifMeta _,
     "st_bus_hourly"   -> stBusHourly _,
   )
 
@@ -230,6 +304,7 @@ object Modal4 {
     "m_aspect_bucket" -> mAspectBucketSql,
     "m_wav_meta"      -> mWavMetaSql,
     "m_jpeg_meta"     -> mJpegMetaSql,
+    "m_exif_meta"     -> mExifMetaSql,
     "st_bus_hourly"   -> stBusHourlySql,
   )
 }

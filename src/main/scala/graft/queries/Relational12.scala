@@ -541,15 +541,179 @@ object Relational12 {
       |FROM c JOIN r ON c.event_type = r.event_type
       |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q_cmh
+
+  /** The five market segments, SORTED — each pivots to a FIXED column so
+    * every cross-stratum float sum has one written order in both engines
+    * (the q_anova fixed-k discipline; a SUM over per-stratum doubles
+    * would be partial-aggregation-order-dependent). */
+  val CmhSegments: Seq[String] =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** q_cmh: COCHRAN–MANTEL–HAENSZEL stratified 2×2 test + the MH pooled
+    * odds ratio — the confounder-adjusted association readout that
+    * completes q_simpson's diagnosis (q_simpson DETECTS aggregation
+    * paradoxes; CMH is the remedy: test the treatment↔outcome link
+    * WITHIN strata and pool only the within-stratum evidence, so a
+    * segment-mix confound can never manufacture or mask an effect).
+    * Treatment = the md5 customer split (the q_abtest machinery), outcome
+    * = urgent/high order priority, strata = the 5 market segments.
+    *
+    * EXACT INTEGER CORE: the 2×2 cell counts a/b/c/d per stratum are the
+    * only aggregation — ONE map-side-partial pass over orders with the
+    * ≤|customers|-row dimension broadcast in. Everything after is a
+    * pinned chain over the one pivoted row: E_k = n1·m1/n and the
+    * variance term V_k = n1·n0·m1·m0/(n²(n−1)) from exact DECIMAL
+    * products (the 4-count product passes 2⁶³ at ~10⁹ rows/stratum, so
+    * it assembles in DECIMAL(38,0) and the oracle VARCHAR-routes it —
+    * the §6 rule), the continuity-corrected χ² = (|Σa−ΣE|−½)²/ΣV with
+    * the five-term sums WRITTEN OUT in segment order, and
+    * OR_MH = Σ(a·d/n)/Σ(b·c/n) the same way. Per-stratum rows carry the
+    * exact 2×2 and the stratum odds ratio; the pooled columns repeat via
+    * a 1-row broadcast (≤5-row output).
+    *
+    * Scale shape: one broadcast join + one map-side-partial aggregation;
+    * no window, no shuffle beyond the 20-cell rollup. */
+  def qCmh(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val base = Tables.orders(s, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("segment"),
+        (conv(substring(md5(col("o_custkey").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2).as("treat"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("resp"))
+    cmh(base)
+  }
+
+  /** The CMH core over any (segment ∈ CmhSegments, treat ∈ {0,1},
+    * resp BOOLEAN) frame — factored out for ExperimentBitsProbeSpec. */
+  private[graft] def cmh(base: DataFrame): DataFrame = {
+    def cell(k: Int, t: Int, r: Boolean): org.apache.spark.sql.Column =
+      sum(when(col("segment") === CmhSegments(k) &&
+        col("treat") === t && col("resp") === r, 1L).otherwise(0L))
+    val cells = (0 until 5).flatMap { k =>
+      Seq(cell(k, 1, true).as(s"a$k"), cell(k, 1, false).as(s"b$k"),
+        cell(k, 0, true).as(s"c$k"), cell(k, 0, false).as(s"d$k"))
+    }
+    val piv = base.groupBy().agg(cells.head, cells.tail: _*)
+    def nD(c: org.apache.spark.sql.Column) = c.cast(D)
+    def n(k: Int) = col(s"a$k") + col(s"b$k") + col(s"c$k") + col(s"d$k")
+    // E_k and V_k: exact DECIMAL products, one double chain each.
+    // V_k's guard n_k > 1 keeps the 0/0 of an empty stratum out; an
+    // absent stratum contributes 0 to every pooled sum on both engines.
+    def e(k: Int) = when(n(k) > 0L,
+      ((col(s"a$k") + col(s"b$k")).cast(d19) *
+        (col(s"a$k") + col(s"c$k")).cast(d19)).cast(d38).cast(D) / nD(n(k)))
+      .otherwise(lit(0.0))
+    def v(k: Int) = when(n(k) > 1L,
+      (((col(s"a$k") + col(s"b$k")).cast(d19) *
+        (col(s"c$k") + col(s"d$k")).cast(d19)).cast(d38) *
+        ((col(s"a$k") + col(s"c$k")).cast(d19) *
+          (col(s"b$k") + col(s"d$k")).cast(d19)).cast(d38)).cast(D) /
+        (nD(n(k)) * nD(n(k)) * nD(n(k) - 1L)))
+      .otherwise(lit(0.0))
+    def rr(k: Int) = when(n(k) > 0L,
+      (col(s"a$k").cast(d19) * col(s"d$k").cast(d19)).cast(d38).cast(D) / nD(n(k)))
+      .otherwise(lit(0.0))
+    def ss(k: Int) = when(n(k) > 0L,
+      (col(s"b$k").cast(d19) * col(s"c$k").cast(d19)).cast(d38).cast(D) / nD(n(k)))
+      .otherwise(lit(0.0))
+    val sumA = col("a0") + col("a1") + col("a2") + col("a3") + col("a4")
+    val sumE = e(0) + e(1) + e(2) + e(3) + e(4)
+    val sumV = v(0) + v(1) + v(2) + v(3) + v(4)
+    val sumR = rr(0) + rr(1) + rr(2) + rr(3) + rr(4)
+    val sumS = ss(0) + ss(1) + ss(2) + ss(3) + ss(4)
+    val dev = abs(sumA.cast(D) - sumE) - lit(0.5)
+    // continuity correction clamps at 0: |Σa−ΣE| < ½ means χ² = 0
+    val devC = greatest(dev, lit(0.0))
+    val chi = when(sumV > 0.0, devC * devC / sumV)
+    val global = piv.select(
+      chi.as("cmh_chi2"),
+      (coalesce(chi, lit(0.0)) > lit(3.841)).as("significant"),
+      when(sumS > 0.0, sumR / sumS).as("or_mh"))
+    val perSeg = base.groupBy(col("segment")).agg(
+      sum(when(col("treat") === 1 && col("resp"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("treat") === 1 && !col("resp"), 1L).otherwise(0L)).as("b"),
+      sum(when(col("treat") === 0 && col("resp"), 1L).otherwise(0L)).as("c"),
+      sum(when(col("treat") === 0 && !col("resp"), 1L).otherwise(0L)).as("d"))
+      .withColumn("or_stratum",
+        when(col("b") * col("c") > 0L,
+          (col("a").cast(d19) * col("d").cast(d19)).cast(d38).cast(D) /
+            (col("b").cast(d19) * col("c").cast(d19)).cast(d38).cast(D)))
+    perSeg.crossJoin(broadcast(global)).orderBy(col("segment"))
+  }
+
+  val qCmhSql: String = {
+    val segs = CmhSegments
+    val cells = segs.zipWithIndex.map { case (sg, k) =>
+      s"""    CAST(SUM(CASE WHEN segment = '$sg' AND treat = 1 AND resp THEN 1 ELSE 0 END) AS BIGINT) AS a$k,
+         |    CAST(SUM(CASE WHEN segment = '$sg' AND treat = 1 AND NOT resp THEN 1 ELSE 0 END) AS BIGINT) AS b$k,
+         |    CAST(SUM(CASE WHEN segment = '$sg' AND treat = 0 AND resp THEN 1 ELSE 0 END) AS BIGINT) AS c$k,
+         |    CAST(SUM(CASE WHEN segment = '$sg' AND treat = 0 AND NOT resp THEN 1 ELSE 0 END) AS BIGINT) AS d$k""".stripMargin
+    }.mkString(",\n")
+    def n(k: Int) = s"(a$k + b$k + c$k + d$k)"
+    // each pooled term: HUGEINT product -> VARCHAR -> DOUBLE (§6 rule)
+    def e(k: Int) =
+      s"CASE WHEN ${n(k)} > 0 THEN CAST(CAST(CAST(a$k + b$k AS HUGEINT) * (a$k + c$k) AS VARCHAR) AS DOUBLE) / CAST(${n(k)} AS DOUBLE) ELSE 0.0 END"
+    def v(k: Int) =
+      s"CASE WHEN ${n(k)} > 1 THEN CAST(CAST(CAST(a$k + b$k AS HUGEINT) * (c$k + d$k) * (a$k + c$k) * (b$k + d$k) AS VARCHAR) AS DOUBLE) / (CAST(${n(k)} AS DOUBLE) * CAST(${n(k)} AS DOUBLE) * CAST(${n(k)} - 1 AS DOUBLE)) ELSE 0.0 END"
+    def rr(k: Int) =
+      s"CASE WHEN ${n(k)} > 0 THEN CAST(CAST(CAST(a$k AS HUGEINT) * d$k AS VARCHAR) AS DOUBLE) / CAST(${n(k)} AS DOUBLE) ELSE 0.0 END"
+    def ss(k: Int) =
+      s"CASE WHEN ${n(k)} > 0 THEN CAST(CAST(CAST(b$k AS HUGEINT) * c$k AS VARCHAR) AS DOUBLE) / CAST(${n(k)} AS DOUBLE) ELSE 0.0 END"
+    val sumA = (0 until 5).map(k => s"a$k").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT c.c_mktsegment AS segment,
+       |    ('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 15))::BIGINT % 2 AS treat,
+       |    o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS resp
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+       |piv AS (
+       |  SELECT
+       |$cells
+       |  FROM base),
+       |k AS (
+       |  SELECT
+       |    ${(0 until 5).map(e).mkString(" + ")} AS sum_e,
+       |    ${(0 until 5).map(v).mkString(" + ")} AS sum_v,
+       |    ${(0 until 5).map(rr).mkString(" + ")} AS sum_r,
+       |    ${(0 until 5).map(ss).mkString(" + ")} AS sum_s,
+       |    CAST($sumA AS DOUBLE) AS sum_a
+       |  FROM piv),
+       |g AS (
+       |  SELECT
+       |    CASE WHEN sum_v > 0.0 THEN
+       |      GREATEST(abs(sum_a - sum_e) - 0.5, 0.0) * GREATEST(abs(sum_a - sum_e) - 0.5, 0.0) / sum_v END AS cmh_chi2,
+       |    COALESCE(CASE WHEN sum_v > 0.0 THEN
+       |      GREATEST(abs(sum_a - sum_e) - 0.5, 0.0) * GREATEST(abs(sum_a - sum_e) - 0.5, 0.0) / sum_v END, 0.0) > 3.841 AS significant,
+       |    CASE WHEN sum_s > 0.0 THEN sum_r / sum_s END AS or_mh
+       |  FROM k),
+       |seg AS (
+       |  SELECT segment,
+       |    CAST(SUM(CASE WHEN treat = 1 AND resp THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(SUM(CASE WHEN treat = 1 AND NOT resp THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(SUM(CASE WHEN treat = 0 AND resp THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(SUM(CASE WHEN treat = 0 AND NOT resp THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM base GROUP BY segment)
+       |SELECT seg.segment, seg.a, seg.b, seg.c, seg.d,
+       |  CASE WHEN seg.b * seg.c > 0 THEN
+       |    CAST(CAST(CAST(seg.a AS HUGEINT) * seg.d AS VARCHAR) AS DOUBLE)
+       |      / CAST(CAST(CAST(seg.b AS HUGEINT) * seg.c AS VARCHAR) AS DOUBLE) END AS or_stratum,
+       |  g.cmh_chi2, g.significant, g.or_mh
+       |FROM seg CROSS JOIN g ORDER BY seg.segment""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_quantile" -> (qSketchQuantile _),
     "q_welch_ttest" -> (qWelchTtest _),
     "q_lift_gains" -> (qLiftGains _),
-    "q_median_ci" -> (qMedianCi _))
+    "q_median_ci" -> (qMedianCi _),
+    "q_cmh" -> (qCmh _))
 
   val oracle: Map[String, String] = Map(
     "q_sketch_quantile" -> qSketchQuantileSql,
     "q_welch_ttest" -> qWelchTtestSql,
     "q_lift_gains" -> qLiftGainsSql,
-    "q_median_ci" -> qMedianCiSql)
+    "q_median_ci" -> qMedianCiSql,
+    "q_cmh" -> qCmhSql)
 }

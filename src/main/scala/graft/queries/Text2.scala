@@ -1038,7 +1038,90 @@ object Text2 {
        |  CAST(vocab AS DOUBLE) / CAST(n_docs AS DOUBLE) AS vocab_per_doc
        |FROM voc JOIN nd USING (pct) ORDER BY pct""".stripMargin
 
+  // ------------------------------------------------------- t_sample_pps
+
+  /** Target draw count for t_sample_pps (the realized sample is k or
+    * k+1: with W = Σw and integer step = W div k, the grid anchor+j·step
+    * fits k points below k·step ≤ W and one more iff W mod k > anchor). */
+  val SamplePpsK = 20
+
+  /** t_sample_pps: SYSTEMATIC PPS SAMPLING — the weighted companion to
+    * t_sample_stratified's exact-k uniform draw: documents sampled with
+    * probability proportional to their BYTE WEIGHT (token-budget eval
+    * sets, dedup audit panels, and cost-weighted QA draws all want "pick
+    * by bytes, not by row"), via the classic systematic grid over the
+    * cumulative weight axis: anchor + j·step for j ≥ 0, step = W div k.
+    * A document is drawn once per grid point inside its byte interval —
+    * a doc heavier than step is drawn MULTIPLE times (n_hits > 1, the
+    * honest PPS-with-replacement semantics for whale docs).
+    *
+    * ENTIRELY INTEGER: weights, the cumulative axis, step, anchor and
+    * the hit-count formula f(x) = (x − anchor − 1) div step + 1 (x >
+    * anchor, else 0) are all BIGINT div/compare — no RNG, no float, no
+    * ln/pow (libm calls are not cross-engine reproducible; integer
+    * systematic PPS is), so the draw is deterministic, engine- and
+    * partitioning-independent, and hash-checkable.
+    *
+    * Scale shape: the cumulative axis is BandedRank.withPrefixSums over
+    * doc_id order (band-partitioned running sums — never a one-reducer
+    * corpus sort; the DuckDB oracle keeps the flat window as the
+    * exactness cross-check), one 1-row total broadcast, and a narrow
+    * integer filter — output is ~k rows at ANY corpus size. */
+  def tSamplePps(s: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("w_bytes"))
+    ppsHits(w, SamplePpsK).orderBy(col("doc_id"))
+  }
+
+  /** The systematic-PPS core over any (doc_id BIGINT distinct, w_bytes
+    * BIGINT ≥ 0) frame — factored out so SamplePpsSpec plants weight
+    * frames (whale docs, exact-boundary weights) directly. */
+  private[graft] def ppsHits(wIn: DataFrame, k: Int): DataFrame = {
+    val w = wIn.select(col("doc_id"), col("w_bytes"), lit(0).as("g"))
+      .cpLazy // consumed 3x: bounds, band subtotals, final banded join
+    val cum = graft.operators.BandedRank
+      .withPrefixSums(w, Seq("g"), "doc_id", Seq(("w_bytes", "cum_bytes")))
+    val tot = w.agg(sum(col("w_bytes")).cast("long").as("tot"))
+      .select(col("tot"),
+        expr(s"tot div $k").as("step"),
+        expr(s"(tot div $k) div 2").as("anchor"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("n_hits",
+        when(col("step") > 0L && col("cum_bytes") > col("anchor"),
+          expr("(cum_bytes - anchor - 1) div step") + lit(1L)).otherwise(lit(0L))
+          - when(col("step") > 0L && col("cum_bytes") - col("w_bytes") > col("anchor"),
+            expr("(cum_bytes - w_bytes - anchor - 1) div step") + lit(1L))
+            .otherwise(lit(0L)))
+      .filter(col("n_hits") > 0L)
+      .select(col("doc_id"), col("w_bytes"), col("cum_bytes"), col("n_hits"))
+  }
+
+  val tSamplePpsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS w_bytes FROM documents),
+       |c AS (
+       |  SELECT doc_id, w_bytes,
+       |    CAST(SUM(w_bytes) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes
+       |  FROM w),
+       |p AS (
+       |  SELECT CAST(SUM(w_bytes) AS BIGINT) // $SamplePpsK AS step,
+       |    (CAST(SUM(w_bytes) AS BIGINT) // $SamplePpsK) // 2 AS anchor
+       |  FROM w),
+       |h AS (
+       |  SELECT c.doc_id, c.w_bytes, c.cum_bytes,
+       |    (CASE WHEN p.step > 0 AND c.cum_bytes > p.anchor
+       |          THEN (c.cum_bytes - p.anchor - 1) // p.step + 1 ELSE 0 END
+       |     - CASE WHEN p.step > 0 AND c.cum_bytes - c.w_bytes > p.anchor
+       |           THEN (c.cum_bytes - c.w_bytes - p.anchor - 1) // p.step + 1 ELSE 0 END
+       |    ) AS n_hits
+       |  FROM c CROSS JOIN p)
+       |SELECT doc_id, w_bytes, cum_bytes, CAST(n_hits AS BIGINT) AS n_hits
+       |FROM h WHERE n_hits > 0 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_sample_pps"    -> tSamplePps _,
     "t_vocab_growth"  -> tVocabGrowth _,
     "t_code_fence"    -> tCodeFence _,
     "t_len_hist"      -> tLenHist _,
@@ -1061,6 +1144,7 @@ object Text2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_sample_pps"    -> tSamplePpsSql,
     "t_vocab_growth"  -> tVocabGrowthSql,
     "t_code_fence"    -> tCodeFenceSql,
     "t_len_hist"      -> tLenHistSql,

@@ -398,4 +398,51 @@ class ExperimentBitsProbeSpec extends AnyFunSuite {
       assertDouble(r.get(6), vr, s"$t var_reduction")
     }
   }
+
+  // ================================================================= cmh
+  test("cmh: exact 2x2 cells, chi2/OR_MH bitwise vs pure-JVM chain; absent stratum contributes zero") {
+    val segs = graft.queries.Relational12.CmhSegments
+    def frame(nSegs: Int): Seq[(String, Long, Boolean)] =
+      (0 until 600).map(i => (segs((i % nSegs)), v(i + 3, 2), v(i + 11, 2) == 1L))
+    for (nSegs <- Seq(5, 4)) { // 4 = MACHINERY absent: its pooled terms must be 0
+      val base = frame(nSegs)
+      val got = rowsOf(graft.queries.Relational12.cmh(
+        base.toDF("segment", "treat", "resp")))
+      final case class C(a: Long, b: Long, c: Long, d: Long)
+      val cells = segs.map { sg =>
+        val rs = base.filter(_._1 == sg)
+        C(rs.count(r => r._2 == 1 && r._3), rs.count(r => r._2 == 1 && !r._3),
+          rs.count(r => r._2 == 0 && r._3), rs.count(r => r._2 == 0 && !r._3))
+      }
+      def n(c: C) = c.a + c.b + c.c + c.d
+      def e(c: C) = if (n(c) > 0) d2(BigInt(c.a + c.b) * (c.a + c.c)) / n(c).toDouble else 0.0
+      def vv(c: C) = if (n(c) > 1)
+        d2((BigInt(c.a + c.b) * (c.c + c.d)) * (BigInt(c.a + c.c) * (c.b + c.d))) /
+          (n(c).toDouble * n(c).toDouble * (n(c) - 1).toDouble) else 0.0
+      def rr(c: C) = if (n(c) > 0) d2(BigInt(c.a) * c.d) / n(c).toDouble else 0.0
+      def ss(c: C) = if (n(c) > 0) d2(BigInt(c.b) * c.c) / n(c).toDouble else 0.0
+      // five-term sums in WRITTEN segment order (the fixed-k discipline)
+      val sumA = cells.map(_.a).sum
+      val sumE = e(cells(0)) + e(cells(1)) + e(cells(2)) + e(cells(3)) + e(cells(4))
+      val sumV = vv(cells(0)) + vv(cells(1)) + vv(cells(2)) + vv(cells(3)) + vv(cells(4))
+      val sumR = rr(cells(0)) + rr(cells(1)) + rr(cells(2)) + rr(cells(3)) + rr(cells(4))
+      val sumS = ss(cells(0)) + ss(cells(1)) + ss(cells(2)) + ss(cells(3)) + ss(cells(4))
+      val devC = math.max(math.abs(sumA.toDouble - sumE) - 0.5, 0.0)
+      val chi = if (sumV > 0.0) Some(devC * devC / sumV) else None
+      val orMh = if (sumS > 0.0) Some(sumR / sumS) else None
+      assert(got.size == math.min(nSegs, 5), "one row per PRESENT stratum")
+      got.foreach { r =>
+        val sg = r.getString(0)
+        val c = cells(segs.indexOf(sg))
+        assert(r.getLong(1) == c.a && r.getLong(2) == c.b &&
+          r.getLong(3) == c.c && r.getLong(4) == c.d, s"$sg cells")
+        val orS = if (c.b * c.c > 0)
+          Some(d2(BigInt(c.a) * c.d) / d2(BigInt(c.b) * c.c)) else None
+        assertDouble(r.get(5), orS, s"$sg or_stratum")
+        assertDouble(r.get(6), chi, s"$sg cmh_chi2")
+        assert(r.getBoolean(7) == chi.exists(_ > 3.841), s"$sg significant")
+        assertDouble(r.get(8), orMh, s"$sg or_mh")
+      }
+    }
+  }
 }

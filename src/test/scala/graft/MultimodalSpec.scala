@@ -489,4 +489,54 @@ class MultimodalSpec extends AnyFunSuite {
     // same container without the EOI: the scan runs off the end -> None
     assert(Jpeg.meta(whole.dropRight(2)).isEmpty)
   }
+
+  test("Exif: builder->walker roundtrip in BOTH byte orders; crafted counts/offsets and truncation return None") {
+    import graft.multimodal.{Exif, Jpeg}
+    val dt = "2026:08:05 14:00:00"
+    for (little <- Seq(true, false)) {
+      val app1 = Exif.build(little, orientation = 6, xresNum = 300L,
+        xresDen = 4L, dateTime = dt, pixelW = 640L, pixelH = 480L)
+      // wrap in a minimal JPEG shell and walk through meta()
+      val shell = Array(0xff.toByte, 0xd8.toByte) ++ app1 ++
+        Array(0xff.toByte, 0xd9.toByte)
+      val m = Exif.meta(shell).get
+      assert(m.byteOrder == (if (little) "II" else "MM"))
+      assert(m.orientation == 6 && m.xresNum == 300L && m.xresDen == 4L)
+      assert(m.dateTime == dt, "ASCII payload at offset, NUL stripped")
+      assert(m.pixelW == 640L && m.pixelH == 480L, "sub-IFD hop resolved")
+      assert(m.ifd0Entries == 4)
+
+      val tiff = app1.drop(4 + 6) // strip marker+len+"Exif\\0\\0"
+      assert(Exif.fromTiff(tiff).isDefined)
+      // truncations into every needed region: never a crash, always a
+      // clean None (cutting only the trailing unread next-IFD pointer
+      // still parses — the walker reads exactly what it needs)
+      for (cut <- Seq(4, 8, 20, 60, 80, 110))
+        assert(Exif.fromTiff(tiff.take(cut)).isEmpty, s"cut=$cut")
+      assert(Exif.fromTiff(tiff.take(116)).isDefined,
+        "all referenced bytes present: the unread tail is not required")
+      // crafted IFD entry count (65535): clamped, not walked off the end
+      val crafted = tiff.clone()
+      if (little) { crafted(8) = 0xff.toByte; crafted(9) = 0xff.toByte }
+      else { crafted(8) = 0xff.toByte; crafted(9) = 0xff.toByte }
+      assert(Exif.fromTiff(crafted).isEmpty)
+      // crafted RATIONAL offset past the buffer: bounds check -> None
+      val badRat = tiff.clone()
+      val ratPtr = 10 + 12 + 8 // IFD0 + 1 entry + tag/type/count of XResolution
+      badRat(ratPtr) = 0x7f; badRat(ratPtr + 1) = 0x7f.toByte
+      badRat(ratPtr + 2) = 0x7f.toByte; badRat(ratPtr + 3) = 0x7f.toByte
+      assert(Exif.fromTiff(badRat).isEmpty)
+    }
+    // a real spliced JPEG keeps BOTH walkers working (the gate's dims_match)
+    val img = new java.awt.image.BufferedImage(20, 13,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val spliced = Exif.spliceApp1(bos.toByteArray,
+      Exif.build(little = true, 1, 72L, 1L, dt, 20L, 13L))
+    assert(Jpeg.meta(spliced).exists(j => j.width == 20 && j.height == 13))
+    assert(Exif.meta(spliced).exists(e => e.pixelW == 20L && e.pixelH == 13L))
+    // no EXIF present: walk reaches the scan and declines
+    assert(Exif.meta(bos.toByteArray).isEmpty)
+  }
 }
