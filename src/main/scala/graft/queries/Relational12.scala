@@ -703,17 +703,212 @@ object Relational12 {
        |FROM seg CROSS JOIN g ORDER BY seg.segment""".stripMargin
   }
 
+  // --------------------------------------------------------------- q_tost
+
+  /** Equivalence margin for q_tost: ±0.05 value units, as exact micros. */
+  val TostMarginMicros = 50000L
+
+  /** q_tost: TWO ONE-SIDED TESTS equivalence readout per event type on
+    * the md5 split — the experiment family's missing verdict direction:
+    * q_welch_ttest asks "is there a difference?"; TOST asks "is the
+    * difference PROVABLY INSIDE ±δ?" (the do-no-harm launch check — a
+    * non-significant t is NOT evidence of equivalence, absence-of-
+    * evidence fallacy). Same exact Welch moments (n_k, Σx6, Σx6² in
+    * DECIMAL(38,0), variance numerators exact), the two shifted
+    * statistics t_lo = (Δ+δ)/se and t_hi = (Δ−δ)/se each ONE pinned
+    * chain in micro space, and the large-sample 1.645 one-sided
+    * criterion (the q_abtest fixed-z convention — no CDF, no libm):
+    * equivalent ⇔ t_lo > 1.645 AND t_hi < −1.645.
+    *
+    * Scale shape: ONE map-side-partial aggregation, ≤|types|-row chain. */
+  def qTost(s: SparkSession, dir: String): DataFrame = {
+    val micro = (col("value").cast("decimal(18,6)") * lit(1000000L))
+      .cast("long")
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2)
+      .select(col("event_type"), col("variant"), micro.as("x6"))
+    tost(ev)
+  }
+
+  /** The TOST core over any (event_type, variant ∈ {0,1}, x6 BIGINT
+    * micros) frame — factored out for ExperimentBitsProbeSpec. */
+  private[graft] def tost(ev: DataFrame): DataFrame = {
+    def cSum(k: Int): org.apache.spark.sql.Column =
+      sum(when(col("variant") === k, col("x6").cast(d19))
+        .otherwise(lit(0L).cast(d19))).cast(d38)
+    def cSq(k: Int): org.apache.spark.sql.Column =
+      sum(when(col("variant") === k,
+        (col("x6").cast(d19) * col("x6").cast(d19)).cast(d38))
+        .otherwise(lit(0L).cast(d38))).cast(d38)
+    val a = ev.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        cSum(0).as("s0"), cSum(1).as("s1"),
+        cSq(0).as("q0"), cSq(1).as("q1"))
+    val v0 = (col("n0").cast(d19) * col("q0") - col("s0") * col("s0")).cast(d38)
+    val v1 = (col("n1").cast(d19) * col("q1") - col("s1") * col("s1")).cast(d38)
+    def nD(c: org.apache.spark.sql.Column) = c.cast(D)
+    val t0 = v0.cast(D) / (nD(col("n0")) * nD(col("n0") - 1L)) / nD(col("n0"))
+    val t1 = v1.cast(D) / (nD(col("n1")) * nD(col("n1") - 1L)) / nD(col("n1"))
+    val diff = col("s1").cast(D) / nD(col("n1")) -
+      col("s0").cast(D) / nD(col("n0"))
+    val se = sqrt(t0 + t1)
+    val tLo = (diff + lit(TostMarginMicros.toDouble)) / se
+    val tHi = (diff - lit(TostMarginMicros.toDouble)) / se
+    val ok = col("n0") > 1L && col("n1") > 1L && (t0 + t1) > 0.0
+    a.select(col("event_type"), col("n0"), col("n1"),
+        when(ok, diff / lit(1000000.0)).as("diff"),
+        when(ok, tLo).as("t_lo"),
+        when(ok, tHi).as("t_hi"),
+        (when(ok, tLo).otherwise(lit(0.0)) > lit(1.645) &&
+          when(ok, tHi).otherwise(lit(0.0)) < lit(-1.645)).as("equivalent"))
+      .orderBy(col("event_type"))
+  }
+
+  val qTostSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant,
+       |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6
+       |  FROM events WHERE value IS NOT NULL),
+       |a AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN variant = 0 THEN CAST(x6 AS HUGEINT) ELSE 0 END) AS HUGEINT) AS s0,
+       |    CAST(SUM(CASE WHEN variant = 1 THEN CAST(x6 AS HUGEINT) ELSE 0 END) AS HUGEINT) AS s1,
+       |    CAST(SUM(CASE WHEN variant = 0 THEN CAST(x6 AS HUGEINT) * x6 ELSE 0 END) AS HUGEINT) AS q0,
+       |    CAST(SUM(CASE WHEN variant = 1 THEN CAST(x6 AS HUGEINT) * x6 ELSE 0 END) AS HUGEINT) AS q1
+       |  FROM ev GROUP BY event_type),
+       |k AS (
+       |  SELECT event_type, n0, n1,
+       |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / CAST(n1 AS DOUBLE)
+       |      - CAST(CAST(s0 AS VARCHAR) AS DOUBLE) / CAST(n0 AS DOUBLE) AS diffx,
+       |    CAST(CAST(CAST(n0 AS HUGEINT) * q0 - s0 * s0 AS VARCHAR) AS DOUBLE)
+       |      / (CAST(n0 AS DOUBLE) * CAST(n0 - 1 AS DOUBLE)) / CAST(n0 AS DOUBLE) AS t0,
+       |    CAST(CAST(CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS VARCHAR) AS DOUBLE)
+       |      / (CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) / CAST(n1 AS DOUBLE) AS t1
+       |  FROM a),
+       |t AS (
+       |  SELECT event_type, n0, n1,
+       |    n0 > 1 AND n1 > 1 AND t0 + t1 > 0.0 AS ok, diffx,
+       |    (diffx + $TostMarginMicros.0) / sqrt(t0 + t1) AS t_lo_raw,
+       |    (diffx - $TostMarginMicros.0) / sqrt(t0 + t1) AS t_hi_raw
+       |  FROM k)
+       |SELECT event_type, n0, n1,
+       |  CASE WHEN ok THEN diffx / 1000000.0 END AS diff,
+       |  CASE WHEN ok THEN t_lo_raw END AS t_lo,
+       |  CASE WHEN ok THEN t_hi_raw END AS t_hi,
+       |  COALESCE(CASE WHEN ok THEN t_lo_raw END, 0.0) > 1.645
+       |    AND COALESCE(CASE WHEN ok THEN t_hi_raw END, 0.0) < -1.645 AS equivalent
+       |FROM t ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------- q_rate_test
+
+  /** q_rate_test: TWO-SAMPLE EVENT-RATE TEST per event type on the md5
+    * split — the counts member of the family's metric-type ladder
+    * (q_abtest proportions, q_welch_ttest means, this: events per user):
+    * the conditional binomial form — given c = c0+c1 total events and
+    * exposure shares, under H0 the treated count is Binomial(c, p) with
+    * p = u1/(u0+u1), so z = (c1 − c·p)/√(c·p·(1−p)) — exact integer
+    * counts and exposures (c_k from the rollup, u_k an exact distinct),
+    * p/E/V/z ONE pinned chain, the fixed-z 1.96 criterion (no CDF).
+    *
+    * Scale shape: one map-side-partial count rollup + one two-level
+    * distinct-user aggregation (the q_dau_mau shape) — both keyed by
+    * (type, variant); a ≤|types|-row chain after. */
+  def qRateTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("variant",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2)
+      .select(col("event_type"), col("variant"), col("user_id"))
+    rateTest(ev)
+  }
+
+  /** The rate-test core over any (event_type, variant ∈ {0,1}, user_id)
+    * frame — factored out for ExperimentBitsProbeSpec. */
+  private[graft] def rateTest(ev: DataFrame): DataFrame = {
+    val counts = ev.groupBy(col("event_type")).agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c1"))
+    // exact exposure: distinct users per (type, variant) — two-level agg
+    val users = ev.select(col("event_type"), col("variant"), col("user_id"))
+      .distinct()
+      .groupBy(col("event_type")).agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("u0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("u1"))
+    def nD(c: org.apache.spark.sql.Column) = c.cast(D)
+    val c = col("c0") + col("c1")
+    val p = nD(col("u1")) / nD(col("u0") + col("u1"))
+    val e = nD(c) * p
+    val v = nD(c) * p * (lit(1.0) - p)
+    val z = (nD(col("c1")) - e) / sqrt(v)
+    val ok = col("u0") > 0L && col("u1") > 0L && c > 0L
+    counts.join(users, "event_type")
+      .select(col("event_type"), col("c0"), col("c1"), col("u0"), col("u1"),
+        when(col("u0") > 0L, nD(col("c0")) / nD(col("u0"))).as("rate0"),
+        when(col("u1") > 0L, nD(col("c1")) / nD(col("u1"))).as("rate1"),
+        when(ok && v > 0.0, z).as("z_rate"),
+        (when(ok && v > 0.0, abs(z)).otherwise(lit(0.0)) > lit(1.96))
+          .as("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  val qRateTestSql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS variant,
+      |    user_id
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM ev GROUP BY event_type),
+      |u AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS u0,
+      |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u1
+      |  FROM (SELECT DISTINCT event_type, variant, user_id FROM ev)
+      |  GROUP BY event_type),
+      |k AS (
+      |  SELECT c.event_type, c0, c1, u0, u1,
+      |    CAST(u1 AS DOUBLE) / CAST(u0 + u1 AS DOUBLE) AS p,
+      |    u0 > 0 AND u1 > 0 AND c0 + c1 > 0 AS ok
+      |  FROM c JOIN u ON c.event_type = u.event_type),
+      |t AS (
+      |  SELECT event_type, c0, c1, u0, u1, ok,
+      |    CASE WHEN u0 > 0 THEN CAST(c0 AS DOUBLE) / CAST(u0 AS DOUBLE) END AS rate0,
+      |    CASE WHEN u1 > 0 THEN CAST(c1 AS DOUBLE) / CAST(u1 AS DOUBLE) END AS rate1,
+      |    CAST(c0 + c1 AS DOUBLE) * p * (1.0 - p) AS v,
+      |    (CAST(c1 AS DOUBLE) - CAST(c0 + c1 AS DOUBLE) * p)
+      |      / sqrt(CAST(c0 + c1 AS DOUBLE) * p * (1.0 - p)) AS z
+      |  FROM k)
+      |SELECT event_type, c0, c1, u0, u1, rate0, rate1,
+      |  CASE WHEN ok AND v > 0.0 THEN z END AS z_rate,
+      |  COALESCE(CASE WHEN ok AND v > 0.0 THEN abs(z) END, 0.0) > 1.96 AS significant
+      |FROM t ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_quantile" -> (qSketchQuantile _),
     "q_welch_ttest" -> (qWelchTtest _),
     "q_lift_gains" -> (qLiftGains _),
     "q_median_ci" -> (qMedianCi _),
-    "q_cmh" -> (qCmh _))
+    "q_cmh" -> (qCmh _),
+    "q_tost" -> (qTost _),
+    "q_rate_test" -> (qRateTest _))
 
   val oracle: Map[String, String] = Map(
     "q_sketch_quantile" -> qSketchQuantileSql,
     "q_welch_ttest" -> qWelchTtestSql,
     "q_lift_gains" -> qLiftGainsSql,
     "q_median_ci" -> qMedianCiSql,
-    "q_cmh" -> qCmhSql)
+    "q_cmh" -> qCmhSql,
+    "q_tost" -> qTostSql,
+    "q_rate_test" -> qRateTestSql)
 }

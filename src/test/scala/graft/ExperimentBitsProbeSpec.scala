@@ -445,4 +445,70 @@ class ExperimentBitsProbeSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ================================================================ tost
+  test("tost: diff/t_lo/t_hi bitwise vs pure-JVM chain; equivalence criterion") {
+    val got = rowsOf(graft.queries.Relational12.tost(
+      raw2.toDF("event_type", "variant", "x6")))
+    val margin = graft.queries.Relational12.TostMarginMicros.toDouble
+    val want = raw2.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      def grp(k: Long) = rs.filter(_._2 == k).map(_._3)
+      val (g0, g1) = (grp(0), grp(1))
+      val (n0, n1) = (g0.size.toLong, g1.size.toLong)
+      val s0 = g0.map(BigInt(_)).sum; val s1 = g1.map(BigInt(_)).sum
+      val q0 = g0.map(x => BigInt(x) * x).sum; val q1 = g1.map(x => BigInt(x) * x).sum
+      val v0 = BigInt(n0) * q0 - s0 * s0; val v1 = BigInt(n1) * q1 - s1 * s1
+      val t0 = d2(v0) / (n0.toDouble * (n0 - 1).toDouble) / n0.toDouble
+      val t1 = d2(v1) / (n1.toDouble * (n1 - 1).toDouble) / n1.toDouble
+      val diffx = d2(s1) / n1.toDouble - d2(s0) / n0.toDouble
+      val se = math.sqrt(t0 + t1)
+      val ok = n0 > 1 && n1 > 1 && t0 + t1 > 0.0
+      val tLo = (diffx + margin) / se
+      val tHi = (diffx - margin) / se
+      (t, n0, n1,
+        if (ok) Some(diffx / 1000000.0) else None,
+        if (ok) Some(tLo) else None,
+        if (ok) Some(tHi) else None,
+        (if (ok) tLo else 0.0) > 1.645 && (if (ok) tHi else 0.0) < -1.645)
+    }
+    got.zip(want).foreach { case (r, (t, n0, n1, df, lo, hi, eq)) =>
+      assert(r.getString(0) == t && r.getLong(1) == n0 && r.getLong(2) == n1)
+      assertDouble(r.get(3), df, s"$t diff")
+      assertDouble(r.get(4), lo, s"$t t_lo")
+      assertDouble(r.get(5), hi, s"$t t_hi")
+      assert(r.getBoolean(6) == eq, s"$t equivalent")
+    }
+  }
+
+  // ============================================================ rateTest
+  test("rateTest: counts/exposures exact, z bitwise vs pure-JVM chain") {
+    val ev = (0 until 600).map { i =>
+      (s"t${i % 3}", v(i + 11, 2), s"u${v(i, 60)}")
+    }
+    val got = rowsOf(graft.queries.Relational12.rateTest(
+      ev.toDF("event_type", "variant", "user_id")))
+    val want = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      val c0 = rs.count(_._2 == 0L).toLong; val c1 = rs.count(_._2 == 1L).toLong
+      val u0 = rs.filter(_._2 == 0L).map(_._3).distinct.size.toLong
+      val u1 = rs.filter(_._2 == 1L).map(_._3).distinct.size.toLong
+      val p = u1.toDouble / (u0 + u1).toDouble
+      val c = (c0 + c1).toDouble
+      val vv = c * p * (1.0 - p)
+      val z = (c1.toDouble - c * p) / math.sqrt(vv)
+      val ok = u0 > 0 && u1 > 0 && c0 + c1 > 0
+      (t, c0, c1, u0, u1,
+        if (u0 > 0) Some(c0.toDouble / u0.toDouble) else None,
+        if (u1 > 0) Some(c1.toDouble / u1.toDouble) else None,
+        if (ok && vv > 0.0) Some(z) else None,
+        (if (ok && vv > 0.0) math.abs(z) else 0.0) > 1.96)
+    }
+    got.zip(want).foreach { case (r, (t, c0, c1, u0, u1, r0, r1, z, sig)) =>
+      assert(r.getString(0) == t && r.getLong(1) == c0 && r.getLong(2) == c1 &&
+        r.getLong(3) == u0 && r.getLong(4) == u1)
+      assertDouble(r.get(5), r0, s"$t rate0")
+      assertDouble(r.get(6), r1, s"$t rate1")
+      assertDouble(r.get(7), z, s"$t z_rate")
+      assert(r.getBoolean(8) == sig, s"$t significant")
+    }
+  }
 }
