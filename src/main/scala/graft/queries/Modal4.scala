@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.OracleParity.x6
 import graft.streaming.Streaming
+import graft.Ckpt._
 
 /** Round-12 multimodal/streaming additions: the aspect-ratio bucketing a
   * vision-training pipeline shards batches by, and the message-bus source
@@ -292,12 +293,103 @@ object Modal4 {
       |  TRUE AS dims_match
       |FROM documents WHERE doc_id % 4 = 3 ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ st_quantile
+
+  /** st_quantile's pinned bin layout: [0, 512) value units in 64 equal
+    * buckets (w = 8·10⁶ micros) — covers the event value range with the
+    * clamp as the out-of-contract catch. */
+  val StQLo = 0L
+  val StQW = 8000000L
+  val StQBuckets = 64
+
+  /** st_quantile: STREAMING QUANTILE SKETCH readout — per-hour p50/p95
+    * per event type answered from Streaming.hourlySketch's O(B)-counter
+    * window state (batch-applied here; StreamingSpec drives the same
+    * transform under a watermark on a real stream). The streaming twist
+    * on q_sketch_quantile: the bin layout is PINNED up front (no bounds
+    * pass exists in a stream — the metric-contract form), so per-hour
+    * state is 64 integer counters per type, mergeable across any span.
+    * Rank selection and interpolation mirror q_sketch_quantile's pinned
+    * chain; the per-(hour, type) answer window is ≤B bucket-ordered rows
+    * (the BandedRank-bounded class) at ANY corpus scale.
+    *
+    * Scale shape: one streaming-compatible (hour, type, bucket) count
+    * rollup over the fact; everything after runs on sketch rows. */
+  def stQuantile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = graft.streaming.Streaming.hourlySketch(
+      Tables.events(s, dir), withWatermark = false, StQLo, StQW, StQBuckets)
+      .cpLazy // consumed 2x: totals + the cum window
+    val tot = sk.groupBy(col("hour_start_us"), col("event_type"))
+      .agg(sum(col("cnt")).as("n"))
+    val cum = sk.withColumn("cum",
+      sum(col("cnt")).over(
+        Window.partitionBy(col("hour_start_us"), col("event_type"))
+          .orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ps = s.range(1).select(explode(array(lit(50), lit(95))).as("p"))
+    val est = ((lit(StQLo) + col("bucket") * lit(StQW)).cast("double") +
+      (col("r") - (col("cum") - col("cnt"))).cast("double") /
+        col("cnt").cast("double") * lit(StQW.toDouble)) / lit(1000000.0)
+    cum.join(tot, Seq("hour_start_us", "event_type"))
+      .crossJoin(broadcast(ps))
+      .withColumn("r", expr("(p * n + 99) div 100")) // ceil(p·n/100), exact
+      .filter(col("cum") - col("cnt") < col("r") && col("r") <= col("cum"))
+      .withColumn("est", est)
+      .groupBy(col("hour_start_us"), col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("p") === 50, col("est"))).as("est_p50"),
+        max(when(col("p") === 95, col("est"))).as("est_p95"))
+      .orderBy(col("hour_start_us"), col("event_type"))
+  }
+
+  val stQuantileSql: String =
+    s"""WITH ev AS (
+       |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us,
+       |    event_type,
+       |    GREATEST($StQLo, LEAST(
+       |      CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT),
+       |      ${StQLo + StQW * StQBuckets - 1})) AS x6c
+       |  FROM events WHERE value IS NOT NULL),
+       |sk AS (
+       |  SELECT hour_start_us, event_type, (x6c - $StQLo) // $StQW AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM ev GROUP BY 1, 2, 3),
+       |c AS (
+       |  SELECT hour_start_us, event_type, bucket, cnt,
+       |    CAST(SUM(cnt) OVER (PARTITION BY hour_start_us, event_type
+       |      ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum
+       |  FROM sk),
+       |t AS (SELECT hour_start_us, event_type, CAST(SUM(cnt) AS BIGINT) AS n
+       |      FROM sk GROUP BY 1, 2),
+       |sel AS (
+       |  SELECT c.hour_start_us, c.event_type, t.n, p.p,
+       |    (p.p * t.n + 99) // 100 AS r, c.bucket, c.cnt, c.cum
+       |  FROM c JOIN t ON c.hour_start_us = t.hour_start_us
+       |    AND c.event_type = t.event_type
+       |  CROSS JOIN (SELECT unnest([50, 95]) AS p) p
+       |  WHERE c.cum - c.cnt < (p.p * t.n + 99) // 100
+       |    AND (p.p * t.n + 99) // 100 <= c.cum)
+       |SELECT hour_start_us, event_type, MAX(n) AS n,
+       |  MAX(CASE WHEN p = 50 THEN
+       |    (CAST($StQLo + bucket * $StQW AS DOUBLE)
+       |      + CAST(r - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE) * ${StQW.toDouble})
+       |      / 1000000.0 END) AS est_p50,
+       |  MAX(CASE WHEN p = 95 THEN
+       |    (CAST($StQLo + bucket * $StQW AS DOUBLE)
+       |      + CAST(r - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE) * ${StQW.toDouble})
+       |      / 1000000.0 END) AS est_p95
+       |FROM sel GROUP BY hour_start_us, event_type
+       |ORDER BY hour_start_us, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_aspect_bucket" -> mAspectBucket _,
     "m_wav_meta"      -> mWavMeta _,
     "m_jpeg_meta"     -> mJpegMeta _,
     "m_exif_meta"     -> mExifMeta _,
     "st_bus_hourly"   -> stBusHourly _,
+    "st_quantile"     -> stQuantile _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -306,5 +398,6 @@ object Modal4 {
     "m_jpeg_meta"     -> mJpegMetaSql,
     "m_exif_meta"     -> mExifMetaSql,
     "st_bus_hourly"   -> stBusHourlySql,
+    "st_quantile"     -> stQuantileSql,
   )
 }

@@ -43,6 +43,35 @@ object Streaming {
   def slidingAgg(events: DataFrame, withWatermark: Boolean): DataFrame =
     windowedAgg(events, "2 hours", "1 hour", "win_start_us", withWatermark)
 
+  /** Per-hour FIXED-BIN QUANTILE SKETCH — the q_sketch_quantile store
+    * rollup as a streaming state shape: each hour's state is O(buckets)
+    * integer counters per event type, windows emit mergeable sketch rows
+    * on watermark close, and a downstream reader answers any percentile
+    * over any hour span from the stored rows alone. The bin layout
+    * (lo, w, buckets) is PINNED up front — a streaming job cannot run a
+    * bounds pass, which is exactly the metric-contract form
+    * q_sketch_quantile's store path prescribes for production; values
+    * outside the pinned range clamp into the edge buckets. */
+  def hourlySketch(events: DataFrame, withWatermark: Boolean,
+      lo: Long, w: Long, buckets: Int): DataFrame = {
+    val withTs = events
+      .filter(col("value").isNotNull)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withColumn("x6",
+        (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long"))
+      .withColumn("x6c",
+        greatest(lit(lo), least(col("x6"), lit(lo + w * buckets - 1))))
+      .withColumn("bucket", expr(s"(x6c - $lo) div $w"))
+    val wm = if (withWatermark) withTs.withWatermark("event_time", "2 hours")
+      else withTs
+    wm.groupBy(window(col("event_time"), "1 hour"), col("event_type"),
+        col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("hour_start_us"),
+        col("event_type"), col("bucket"), col("cnt"))
+  }
+
   /** Per-window top-k event types: the rank step over the windowed-count
     * aggregate (hourlyAgg's output shape). The aggregate is the stateful
     * streaming part; ranking within an hour is stateless once that hour's

@@ -43,6 +43,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch), "every emitted window must match the batch result")
   }
 
+  test("watermarked hourly quantile sketch: streamed sketch rows == batch sketch rows") {
+    import graft.queries.Modal4.{StQLo, StQW, StQBuckets}
+    val stream = spark.readStream.schema(eventsSchema).parquet(streamDir)
+    val q = Streaming.hourlySketch(stream, withWatermark = true,
+        StQLo, StQW, StQBuckets)
+      .writeStream.outputMode("append").format("memory").queryName("sketch_out").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("sketch_out")
+      .select("hour_start_us", "event_type", "bucket", "cnt")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = Streaming.hourlySketch(Tables.events(spark, dir),
+        withWatermark = false, StQLo, StQW, StQBuckets)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty, "watermark must have closed some windows")
+    assert(streamed.subsetOf(batch),
+      "every emitted (hour, type, bucket) counter must match the batch sketch")
+    // the streaming state really is O(B) per (hour, type): no bucket id
+    // outside the pinned layout may ever appear
+    assert(streamed.forall { case (_, _, b, _) => b >= 0 && b < StQBuckets })
+  }
+
   test("streaming metric anomaly: watermark-closed flags match the batch band rule") {
     val ev = Tables.events(spark, dir).withColumn("us", expr("ts div 1000"))
     val day = expr("us div 86400000000")
