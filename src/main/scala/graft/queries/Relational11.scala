@@ -609,7 +609,10 @@ object Relational11 {
       .orderBy(col("event_type"))
   }
 
-  val qPermTestSql: String =
+  /** The permutation core's CTE chain (ev → s → obs → perm → rolled),
+    * shared by qPermTestSql and qBhFdrSql so the two oracles can never
+    * drift apart on the exceedance arithmetic. */
+  private[graft] val permCoreCtes: String =
     s"""WITH ev AS (
       |  SELECT event_type,
       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h,
@@ -644,7 +647,10 @@ object Relational11 {
       |    CAST(SUM(exceed) AS BIGINT) AS n_exceed,
       |    MIN(n0_o) AS n0, MIN(n1_o) AS n1,
       |    MIN(s0_o) AS s0, MIN(s1_o) AS s1
-      |  FROM perm GROUP BY event_type)
+      |  FROM perm GROUP BY event_type)""".stripMargin
+
+  val qPermTestSql: String =
+    s"""$permCoreCtes
       |SELECT event_type, n0, n1,
       |  -- micro sums stay under 2^64 at test SFs but pass it at scale:
       |  -- VARCHAR-route (SURVEY §6 r14 rule)
@@ -884,6 +890,76 @@ object Relational11 {
       |  2.0 * auc - 1.0 AS gini
       |FROM f ORDER BY o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------------ q_bh_fdr
+
+  /** q_bh_fdr: BENJAMINI–HOCHBERG FDR control across the experiment
+    * family's per-type permutation p-values — the multiple-testing
+    * readout the toolkit was missing: a dashboard running the family's
+    * tests over every event type inflates its false-positive rate
+    * unless the per-type verdicts pass a step-up correction. The
+    * permutation p-values are EXACT RATIONALS ((k+1)/(R+1) from
+    * q_perm_test's md5-bit machinery), so the whole BH procedure is
+    * INTEGER arithmetic: p_(i) ≤ i·α/m  ⇔  20·m·(k_i+1) ≤ i·(R+1) at
+    * α = 1/20 — no CDF, no float ever decides a rejection; the step-up
+    * cutoff i_max broadcasts back and rejects ranks 1..i_max. p_value
+    * and bh_threshold are emitted as pinned display chains beside the
+    * integer verdict.
+    *
+    * Scale shape: the permutation fan-out is the cost (the q_perm_test
+    * shape); BH itself runs on the ≤|types|-row frame — a GLOBAL rank
+    * window over |types| rows (allowlisted with that bound) plus two
+    * 1-row broadcasts. */
+  def qBhFdr(s: SparkSession, dir: String): DataFrame = {
+    val micro = (col("value").cast("decimal(18,6)") * lit(1000000L))
+      .cast("long")
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("user_id"), micro.as("x6"))
+    bhFdr(permTest(ev, PermTestR))
+  }
+
+  /** The BH step-up over any permTest result frame — factored out so
+    * BhFdrSpec plants (n_perm, n_exceed) panels directly. */
+  private[graft] def bhFdr(res: DataFrame): DataFrame = {
+    val base = res
+      .select(col("event_type"), col("n_perm"), col("n_exceed"), col("p_value"))
+      .cpLazy // consumed 3x: the rank frame, m, and the i_max scan
+    // p = (k+1)/(R+1) with R identical across types, so ordering by
+    // n_exceed IS ordering by p; event_type breaks ties deterministically
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_exceed"), col("event_type"))
+    val ranked = base.withColumn("rnk", row_number().over(w).cast("long"))
+    val m = base.agg(count(lit(1)).as("m"))
+    val withM = ranked.crossJoin(broadcast(m))
+    val cond = lit(20L) * col("m") * (col("n_exceed") + lit(1L)) <=
+      col("rnk") * (col("n_perm") + lit(1L))
+    val iMax = withM.filter(cond).agg(max(col("rnk")).as("i_max"))
+    withM.crossJoin(broadcast(iMax))
+      .select(col("event_type"), col("n_perm"), col("n_exceed"),
+        col("p_value"), col("rnk"), col("m"),
+        (col("rnk").cast(DoubleType) /
+          (lit(20.0) * col("m").cast(DoubleType))).as("bh_threshold"),
+        coalesce(col("rnk") <= col("i_max"), lit(false)).as("rejected"))
+      .orderBy(col("event_type"))
+  }
+
+  val qBhFdrSql: String =
+    s"""$permCoreCtes,
+      |pr AS (
+      |  SELECT event_type, n_perm, n_exceed,
+      |    CAST(n_exceed + 1 AS DOUBLE) / CAST(n_perm + 1 AS DOUBLE) AS p_value,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_exceed, event_type) AS BIGINT) AS rnk
+      |  FROM rolled),
+      |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pr),
+      |im AS (
+      |  SELECT MAX(CASE WHEN 20 * mm.m * (pr.n_exceed + 1)
+      |      <= pr.rnk * (pr.n_perm + 1) THEN pr.rnk END) AS i_max
+      |  FROM pr CROSS JOIN mm)
+      |SELECT pr.event_type, pr.n_perm, pr.n_exceed, pr.p_value, pr.rnk, mm.m,
+      |  CAST(pr.rnk AS DOUBLE) / (20.0 * CAST(mm.m AS DOUBLE)) AS bh_threshold,
+      |  COALESCE(pr.rnk <= im.i_max, FALSE) AS rejected
+      |FROM pr CROSS JOIN mm CROSS JOIN im ORDER BY pr.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kruskal_wallis" -> qKruskalWallis _,
     "q_kendall_tau"    -> qKendallTau _,
@@ -892,6 +968,7 @@ object Relational11 {
     "q_perm_test"      -> qPermTest _,
     "q_cuped"          -> qCuped _,
     "q_auc"            -> qAuc _,
+    "q_bh_fdr"         -> qBhFdr _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -902,5 +979,6 @@ object Relational11 {
     "q_perm_test"      -> qPermTestSql,
     "q_cuped"          -> qCupedSql,
     "q_auc"            -> qAucSql,
+    "q_bh_fdr"         -> qBhFdrSql,
   )
 }

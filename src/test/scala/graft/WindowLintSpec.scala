@@ -147,6 +147,8 @@ class WindowLintSpec extends AnyFunSuite {
       "remainder ranking over the ≤|nations| quota frame"),
     "q_backlog" -> (Seq("GLOBAL"),
       "running order/ship sums on the bounded calendar day frame"),
+    "q_bh_fdr" -> (Seq("GLOBAL", "GLOBAL"),
+      "BH step-up rank over the ≤|types| p-value frame (planned twice: the i_max scan and the output both consume it)"),
     "q_bollinger" -> (Seq("GLOBAL", "GLOBAL"),
       "rolling mean/stddev over the bounded day frame"),
     "q_changepoint" -> (Seq("GLOBAL", "GLOBAL"),
