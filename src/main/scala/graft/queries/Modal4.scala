@@ -383,11 +383,71 @@ object Modal4 {
        |FROM sel GROUP BY hour_start_us, event_type
        |ORDER BY hour_start_us, event_type""".stripMargin
 
+  // ------------------------------------------------------------ m_id3_meta
+
+  /** m_id3_meta: ID3v2.3 TAG METADATA — the audio-tag sibling of
+    * m_exif_meta: spec-conforming v2.3 tags (built by multimodal/Id3 —
+    * the injector pattern) prepended to opaque audio payloads and walked
+    * back by a real frame iterator (syncsafe header size, 4-byte frame
+    * ids, plain big-endian v2.3 frame sizes, the encoding byte on text
+    * frames, padding stop, every offset bounds-checked against both the
+    * buffer AND the declared tag size). The title/artist/album/duration
+    * census an audio pipeline runs before routing anything to a decoder;
+    * the oracle replays the generator formulas INCLUDING the byte-exact
+    * tag size (header + 5 frames + padding — any framing off-by-one
+    * breaks the hash).
+    *
+    * Scale shape: one narrow mapPartitions pass, 9 small values per blob
+    * leave the executor. */
+  def mId3Meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 4 === 0)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val tag = graft.multimodal.Id3.build(
+            title = s"Track $id", artist = s"artist_${id % 17}",
+            album = s"album_${id % 7}", track = 1 + id % 12,
+            lenMs = 30000 + (id % 7) * 1000)
+          md.reset()
+          val payload = md.digest(id.toString.getBytes("UTF-8")) // opaque audio
+          val m = graft.multimodal.Id3.meta(tag ++ payload)
+            .getOrElse(sys.error(s"unparseable ID3 tag for doc $id"))
+          (id, m.version.toLong, m.tagBytes, m.nFrames.toLong,
+            m.title, m.artist, m.album, m.track, m.lenMs)
+        }
+      }.toDF("doc_id", "version", "tag_bytes", "n_frames",
+        "title", "artist", "album", "track", "len_ms")
+      .orderBy(col("doc_id"))
+  }
+
+  val mId3MetaSql: String =
+    """SELECT doc_id, CAST(3 AS BIGINT) AS version,
+      |  -- 10 header + 16 padding + 5 frames x (10 hdr + 1 enc) + texts
+      |  CAST(10 + 16 + 55
+      |    + length('Track ' || CAST(doc_id AS VARCHAR))
+      |    + length('artist_' || CAST(doc_id % 17 AS VARCHAR))
+      |    + length('album_' || CAST(doc_id % 7 AS VARCHAR))
+      |    + length(CAST(1 + doc_id % 12 AS VARCHAR))
+      |    + length(CAST(30000 + (doc_id % 7) * 1000 AS VARCHAR))
+      |    AS BIGINT) AS tag_bytes,
+      |  CAST(5 AS BIGINT) AS n_frames,
+      |  'Track ' || CAST(doc_id AS VARCHAR) AS title,
+      |  'artist_' || CAST(doc_id % 17 AS VARCHAR) AS artist,
+      |  'album_' || CAST(doc_id % 7 AS VARCHAR) AS album,
+      |  CAST(1 + doc_id % 12 AS BIGINT) AS track,
+      |  CAST(30000 + (doc_id % 7) * 1000 AS BIGINT) AS len_ms
+      |FROM documents WHERE doc_id % 4 = 0 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_aspect_bucket" -> mAspectBucket _,
     "m_wav_meta"      -> mWavMeta _,
     "m_jpeg_meta"     -> mJpegMeta _,
     "m_exif_meta"     -> mExifMeta _,
+    "m_id3_meta"      -> mId3Meta _,
     "st_bus_hourly"   -> stBusHourly _,
     "st_quantile"     -> stQuantile _,
   )
@@ -397,6 +457,7 @@ object Modal4 {
     "m_wav_meta"      -> mWavMetaSql,
     "m_jpeg_meta"     -> mJpegMetaSql,
     "m_exif_meta"     -> mExifMetaSql,
+    "m_id3_meta"      -> mId3MetaSql,
     "st_bus_hourly"   -> stBusHourlySql,
     "st_quantile"     -> stQuantileSql,
   )

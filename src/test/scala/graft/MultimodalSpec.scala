@@ -539,4 +539,36 @@ class MultimodalSpec extends AnyFunSuite {
     // no EXIF present: walk reaches the scan and declines
     assert(Exif.meta(bos.toByteArray).isEmpty)
   }
+
+  test("Id3: builder->walker roundtrip; crafted sizes, bad ids, wrong versions and truncation return None") {
+    import graft.multimodal.Id3
+    val tag = Id3.build("My Title", "An Artist", "The Album", 7L, 31000L)
+    val withAudio = tag ++ Array.fill[Byte](64)(0x55) // walker must stop at the tag
+    val m = Id3.meta(withAudio).get
+    assert(m.version == 3 && m.nFrames == 5)
+    assert(m.title == "My Title" && m.artist == "An Artist" && m.album == "The Album")
+    assert(m.track == 7L && m.lenMs == 31000L)
+    assert(m.tagBytes == tag.length.toLong,
+      "declared syncsafe size must equal the built tag exactly")
+
+    // truncations inside header and frames: clean None, never an overrun
+    for (cut <- Seq(2, 9, 12, 30, tag.length - 20))
+      assert(Id3.meta(withAudio.take(cut)).isEmpty, s"cut=$cut")
+    // crafted frame size that runs past the declared tag end
+    val bad = withAudio.clone()
+    bad(14) = 0x7f // TIT2's size high byte -> huge
+    assert(Id3.meta(bad).isEmpty)
+    // a non-[A-Z0-9] frame id means desync: decline, don't guess
+    val badId = withAudio.clone(); badId(10) = '~'
+    assert(Id3.meta(badId).isEmpty)
+    // v2.4 uses syncsafe FRAME sizes — parsing it as v2.3 would mis-frame,
+    // so the walker declines the version outright
+    val v24 = withAudio.clone(); v24(3) = 4
+    assert(Id3.meta(v24).isEmpty)
+    // syncsafe header bytes must keep the high bit clear
+    val badSync = withAudio.clone(); badSync(6) = 0x80.toByte
+    assert(Id3.meta(badSync).isEmpty)
+    // not a tag at all
+    assert(Id3.meta(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
