@@ -1339,4 +1339,62 @@ class PlanSpec extends AnyFunSuite {
       s"cut points must broadcast into the scoring pass:\n${p.take(3000)}")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q_cmh: customer dim broadcasts into orders; cells ride map-side-partial aggs; pooled stat broadcasts back") {
+    val p = plan(Relational12.qCmh(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer dim must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"the 2x2 cells must partial-aggregate map-side:\n${p.take(3000)}")
+  }
+
+  test("q_tost / q_rate_test: moments and counts ride map-side-partial aggregations — no sort-merge") {
+    for (df <- Seq(Relational12.qTost(spark, dir),
+        Relational12.qRateTest(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        p.take(3000))
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        p.take(3000))
+    }
+  }
+
+  test("t_sample_pps: the cumulative axis is band-partitioned; step/anchor broadcast — no global sort window") {
+    System.setProperty("graft.lint.noCheckpoint", "true")
+    try {
+      val p = plan(graft.queries.Text2.tSamplePps(spark, dir))
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+      // the running sum partitions by (g, __band), never an unkeyed global
+      val bandWins = p.linesIterator.count(l =>
+        l.contains("Window") && l.contains("__band"))
+      assert(bandWins >= 1, s"band-partitioned prefix window expected:\n${p.take(4000)}")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+        s"band offsets and the 1-row step/anchor must broadcast:\n${p.take(3000)}")
+    } finally System.clearProperty("graft.lint.noCheckpoint")
+  }
+
+  test("st_quantile: the sketch rollup partial-aggregates; answer windows key on (hour, type)") {
+    System.setProperty("graft.lint.noCheckpoint", "true")
+    try {
+      val p = plan(graft.queries.Modal4.stQuantile(spark, dir))
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"the (hour, type, bucket) rollup must partial-aggregate:\n${p.take(3000)}")
+      val keyedWins = p.linesIterator.count(l =>
+        l.contains("Window") && l.contains("hour_start_us"))
+      assert(keyedWins >= 1, s"(hour, type)-keyed cum window expected:\n${p.take(4000)}")
+    } finally System.clearProperty("graft.lint.noCheckpoint")
+  }
+
+  test("q_bh_fdr: the fan-out rides the perm-test shape; BH frames broadcast — no sort-merge") {
+    System.setProperty("graft.lint.noCheckpoint", "true")
+    try {
+      val p = plan(graft.queries.Relational11.qBhFdr(spark, dir))
+      assert(!p.contains("CartesianProduct"), p.take(3000))
+      assert(!p.contains("SortMergeJoin"), p.take(3000))
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+        s"m and i_max must broadcast back into the <=|types| frame:\n${p.take(3000)}")
+    } finally System.clearProperty("graft.lint.noCheckpoint")
+  }
 }
