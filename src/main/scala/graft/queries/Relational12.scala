@@ -894,7 +894,75 @@ object Relational12 {
       |  COALESCE(CASE WHEN ok AND v > 0.0 THEN abs(z) END, 0.0) > 1.96 AS significant
       |FROM t ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------ q_overdispersion
+
+  /** q_overdispersion: the VARIANCE-TO-MEAN dispersion index of per-user
+    * event counts per type — the assumption audit for q_rate_test (its
+    * conditional binomial is exact under user-exchangeability but the
+    * POISSON reading of "rate" breaks when counts are overdispersed:
+    * heavy users concentrate events, D ≫ 1, and a naive rate z overstates
+    * significance; this gate is the warning light that says "trust the
+    * user-level tests, not per-event ones").
+    *
+    * EXACT INTEGER CORE: per-user counts c_u from one (type, user)
+    * rollup; n, Σc, Σc² from a second map-side-partial pass (the
+    * q_dau_mau two-level shape — both shuffles are keyed). The index
+    * D = Var/mean = (n·Σc² − (Σc)²) / ((n−1)·Σc) assembles from exact
+    * DECIMAL products (oracle HUGEINT + VARCHAR routes), and the
+    * large-sample z = (D−1)·√((n−1)/2) is ONE pinned chain with the
+    * fixed 1.96 criterion (no CDF).
+    *
+    * Scale shape: two stacked keyed aggregations, ≤|types|-row chain. */
+  def qOverdispersion(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    def nD(c: org.apache.spark.sql.Column) = c.cast(D)
+    val a = perUser.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_users"),
+      sum(col("c")).as("sc"),
+      sum((col("c").cast(d19) * col("c").cast(d19)).cast(d38))
+        .cast(d38).as("sc2"))
+    val varNum = (col("n_users").cast(d19) * col("sc2") -
+      (col("sc").cast(d19) * col("sc").cast(d19)).cast(d38)).cast(d38)
+    val dIdx = varNum.cast(D) / (nD(col("n_users") - 1L) * nD(col("sc")))
+    val z = (dIdx - lit(1.0)) * sqrt(nD(col("n_users") - 1L) / lit(2.0))
+    val ok = col("n_users") > 1L && col("sc") > 0L
+    a.select(col("event_type"), col("n_users"), col("sc").as("n_events"),
+        when(ok, nD(col("sc")) / nD(col("n_users"))).as("mean_per_user"),
+        when(ok, dIdx).as("dispersion"),
+        when(ok, z).as("z_dispersion"),
+        (when(ok, z).otherwise(lit(0.0)) > lit(1.96)).as("overdispersed"))
+      .orderBy(col("event_type"))
+  }
+
+  val qOverdispersionSql: String =
+    """WITH pu AS (
+      |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(SUM(c) AS BIGINT) AS sc,
+      |    CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sc2
+      |  FROM pu GROUP BY 1),
+      |k AS (
+      |  SELECT event_type, n_users, sc,
+      |    -- the c² sum passes 2^64 at scale: VARCHAR-route (§6 r14 rule)
+      |    CAST(CAST(CAST(n_users AS HUGEINT) * sc2
+      |        - CAST(sc AS HUGEINT) * sc AS VARCHAR) AS DOUBLE)
+      |      / (CAST(n_users - 1 AS DOUBLE) * CAST(sc AS DOUBLE)) AS d_idx,
+      |    n_users > 1 AND sc > 0 AS ok
+      |  FROM a)
+      |SELECT event_type, n_users, sc AS n_events,
+      |  CASE WHEN ok THEN CAST(sc AS DOUBLE) / CAST(n_users AS DOUBLE) END AS mean_per_user,
+      |  CASE WHEN ok THEN d_idx END AS dispersion,
+      |  CASE WHEN ok THEN (d_idx - 1.0) * sqrt(CAST(n_users - 1 AS DOUBLE) / 2.0) END AS z_dispersion,
+      |  COALESCE(CASE WHEN ok THEN
+      |    (d_idx - 1.0) * sqrt(CAST(n_users - 1 AS DOUBLE) / 2.0) END, 0.0) > 1.96 AS overdispersed
+      |FROM k ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_overdispersion" -> (qOverdispersion _),
     "q_sketch_quantile" -> (qSketchQuantile _),
     "q_welch_ttest" -> (qWelchTtest _),
     "q_lift_gains" -> (qLiftGains _),
@@ -904,6 +972,7 @@ object Relational12 {
     "q_rate_test" -> (qRateTest _))
 
   val oracle: Map[String, String] = Map(
+    "q_overdispersion" -> qOverdispersionSql,
     "q_sketch_quantile" -> qSketchQuantileSql,
     "q_welch_ttest" -> qWelchTtestSql,
     "q_lift_gains" -> qLiftGainsSql,
