@@ -961,7 +961,247 @@ object Relational12 {
       |    (d_idx - 1.0) * sqrt(CAST(n_users - 1 AS DOUBLE) / 2.0) END, 0.0) > 1.96 AS overdispersed
       |FROM k ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------ q_boot_ci
+
+  /** Bootstrap replicates: bits 1..59 of the 60-bit md5 hash (bit 0 is
+    * q_perm_test's observed split — reusing the hash keeps ONE digest
+    * per row across the whole family). */
+  val BootR = 59
+
+  /** q_boot_ci: HALF-SAMPLE BOOTSTRAP confidence interval for each event
+    * type's mean — the 100 TB bootstrap: classical resampling needs a
+    * with-replacement shuffle per replicate, which cannot run over a
+    * petabyte fact; the multiplier form rides ONE pass. Replicate r
+    * weights each user 0 or 2 by bit r of its md5 hash (the
+    * "double-or-nothing" multiplier of Owen & Eckles' online bootstrap;
+    * E[w] = 1, Var[w] = 1) — a replicate mean is then the mean over a
+    * random HALF-SAMPLE, whose variance ≈ σ²/n matches the full-sample
+    * sampling variance (the classic random-group identity), so the
+    * percentile CI over the 59 replicate means is variance-correct with
+    * NO distributional assumption — the sibling q_median_ci gives the
+    * same guarantee for the median by order statistics.
+    *
+    * Determinism: each replicate mean is exact-integer Σx6/count
+    * (DECIMAL sums, one pinned division); the 2.5/97.5 percentile
+    * SELECTION runs by rank over (mean, r) — the r tiebreak makes the
+    * order total, so equal replicate means cannot reorder across
+    * engines. Scale shape: the q_perm_test fan-out verbatim (one md5
+    * per ROW, 59× conditional partial aggregation, map-side combined),
+    * then a ≤|types|·59-row keyed rank window. */
+  def qBootCi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val micro = (col("value").cast("decimal(18,6)") * lit(1000000L))
+      .cast("long")
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .select(col("event_type"), col("h"), micro.as("x6"))
+    bootCi(ev)
+  }
+
+  /** The bootstrap core over any (event_type, h 60-bit hash, x6 BIGINT
+    * micros) frame — factored out for ExperimentBitsProbeSpec. */
+  private[graft] def bootCi(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // replicate r selects rows whose bit r is 1 (the weight-2 half; the
+    // 2s cancel in the ratio, so the mean is the selected-half mean)
+    val rep = ev
+      .withColumn("r", explode(sequence(lit(1), lit(BootR))))
+      .filter(expr("shiftright(h, r) % 2 = 1"))
+      .groupBy(col("event_type"), col("r"))
+      .agg(count(lit(1)).as("n_sel"),
+        sum(col("x6").cast(d19)).cast(d38).as("s_sel"))
+      .withColumn("mean_r",
+        col("s_sel").cast(D) / col("n_sel").cast(D) / lit(1000000.0))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("mean_r"), col("r"))
+    val ranked = rep.withColumn("rnk", row_number().over(w))
+      .cpLazy // consumed 2x: the count frame and the two rank lookups
+    val cnt = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rep"))
+    // percentile_disc ranks: lo = ceil(0.025·R), hi = ceil(0.975·R)
+    val full = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("x6").cast(d19)).cast(d38).cast(D) /
+          count(lit(1)).cast(D) / lit(1000000.0)).as("mean_full"))
+    ranked.join(broadcast(cnt), "event_type")
+      .withColumn("r_lo", expr("(n_rep * 25 + 999) div 1000"))
+      .withColumn("r_hi", expr("(n_rep * 975 + 999) div 1000"))
+      .filter(col("rnk") === col("r_lo") || col("rnk") === col("r_hi"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_rep")).as("n_rep"),
+        min(when(col("rnk") === col("r_lo"), col("mean_r"))).as("ci_lo"),
+        min(when(col("rnk") === col("r_hi"), col("mean_r"))).as("ci_hi"))
+      .join(broadcast(full), "event_type")
+      .select(col("event_type"), col("n"), col("mean_full"),
+        col("n_rep"), col("ci_lo"), col("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  val qBootCiSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+       |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6
+       |  FROM events WHERE value IS NOT NULL),
+       |rep AS (
+       |  SELECT event_type, t.r, CAST(COUNT(*) AS BIGINT) AS n_sel,
+       |    CAST(SUM(CAST(x6 AS HUGEINT)) AS HUGEINT) AS s_sel
+       |  FROM ev, generate_series(1, $BootR) AS t(r)
+       |  WHERE ((h >> t.r) & 1) = 1
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT event_type, r,
+       |    CAST(CAST(s_sel AS VARCHAR) AS DOUBLE) / CAST(n_sel AS DOUBLE)
+       |      / 1000000.0 AS mean_r,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY CAST(CAST(s_sel AS VARCHAR) AS DOUBLE) / CAST(n_sel AS DOUBLE)
+       |        / 1000000.0, r) AS BIGINT) AS rnk,
+       |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_rep
+       |  FROM rep),
+       |full_m AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(CAST(CAST(SUM(CAST(x6 AS HUGEINT)) AS HUGEINT) AS VARCHAR) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_full
+       |  FROM ev GROUP BY 1),
+       |sel AS (
+       |  SELECT event_type, MAX(n_rep) AS n_rep,
+       |    MIN(CASE WHEN rnk = (n_rep * 25 + 999) // 1000 THEN mean_r END) AS ci_lo,
+       |    MIN(CASE WHEN rnk = (n_rep * 975 + 999) // 1000 THEN mean_r END) AS ci_hi
+       |  FROM m GROUP BY event_type)
+       |SELECT s.event_type, f.n, f.mean_full, s.n_rep, s.ci_lo, s.ci_hi
+       |FROM sel s JOIN full_m f ON s.event_type = f.event_type
+       |ORDER BY s.event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q_did
+
+  /** The period boundary for q_did: events in the second half of the
+    * observed range are "post". Midpoint = lo + (hi − lo) div 2 over
+    * epoch-us — exact integers from one bounds pass. */
+
+  /** q_did: DIFFERENCE-IN-DIFFERENCES per event type — the
+    * quasi-experiment member of the family (when randomization is
+    * impossible, the md5 "treatment" group's pre→post change nets out
+    * the control group's secular trend): DiD = (m̄_t1 − m̄_t0) −
+    * (m̄_c1 − m̄_c0), with the large-sample SE from the four cells'
+    * exact variance numerators (the Welch machinery, four ways) and the
+    * fixed-z 1.96 criterion.
+    *
+    * EXACT INTEGER CORE: one bounds pass fixes the epoch-us midpoint
+    * (integer div); the four (group × period) cells' n/Σx6/Σx6² ride
+    * ONE map-side-partial aggregation with cells as FIXED columns (the
+    * q_anova discipline), every emitted double one pinned chain.
+    * Scale shape: one bounds pass + one aggregation, ≤|types|-row
+    * chain. */
+  def qDid(s: SparkSession, dir: String): DataFrame = {
+    val micro = (col("value").cast("decimal(18,6)") * lit(1000000L))
+      .cast("long")
+    val ev0 = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), micro.as("x6"))
+    val bounds = ev0.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+      .select(expr("lo + (hi - lo) div 2").as("mid"))
+    val ev = ev0.crossJoin(broadcast(bounds))
+      .withColumn("g",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 2)
+      .withColumn("p", (col("ts_us") >= col("mid")).cast("int"))
+    did(ev)
+  }
+
+  /** The DiD core over any (event_type, g ∈ {0,1}, p ∈ {0,1}, x6 BIGINT
+    * micros) frame — factored out for ExperimentBitsProbeSpec. */
+  private[graft] def did(ev: DataFrame): DataFrame = {
+    def cell(g: Int, p: Int) = col("g") === g && col("p") === p
+    def nC(g: Int, p: Int) =
+      sum(when(cell(g, p), 1L).otherwise(0L)).as(s"n$g$p")
+    def sC(g: Int, p: Int) =
+      sum(when(cell(g, p), col("x6").cast(d19)).otherwise(lit(0L).cast(d19)))
+        .cast(d38).as(s"s$g$p")
+    def qC(g: Int, p: Int) =
+      sum(when(cell(g, p), (col("x6").cast(d19) * col("x6").cast(d19)).cast(d38))
+        .otherwise(lit(0L).cast(d38))).cast(d38).as(s"q$g$p")
+    val aggs = Seq(nC(0, 0), nC(0, 1), nC(1, 0), nC(1, 1),
+      sC(0, 0), sC(0, 1), sC(1, 0), sC(1, 1),
+      qC(0, 0), qC(0, 1), qC(1, 0), qC(1, 1))
+    val a = ev.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+    def nD(c: org.apache.spark.sql.Column) = c.cast(D)
+    def m(g: Int, p: Int) = col(s"s$g$p").cast(D) / nD(col(s"n$g$p"))
+    // per-cell mean-variance term: V/(n(n−1))/n  (micro², the Welch form)
+    def t(g: Int, p: Int) = {
+      val n = col(s"n$g$p")
+      ((n.cast(d19) * col(s"q$g$p") - col(s"s$g$p") * col(s"s$g$p")).cast(d38)
+        .cast(D)) / (nD(n) * nD(n - 1L)) / nD(n)
+    }
+    val did = (m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0))
+    val se = sqrt(t(0, 0) + t(0, 1) + t(1, 0) + t(1, 1))
+    val ok = (col("n00") > 1L) && (col("n01") > 1L) &&
+      (col("n10") > 1L) && (col("n11") > 1L)
+    val z = did / se
+    a.select(col("event_type"),
+        col("n00"), col("n01"), col("n10"), col("n11"),
+        when(ok, did / lit(1000000.0)).as("did"),
+        when(ok && se > 0.0, z).as("z_did"),
+        (when(ok && se > 0.0, abs(z)).otherwise(lit(0.0)) > lit(1.96))
+          .as("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  val qDidSql: String =
+    """WITH ev0 AS (
+      |  SELECT event_type, user_id, epoch_us(ts) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6
+      |  FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) // 2 AS mid FROM ev0),
+      |ev AS (
+      |  SELECT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS g,
+      |    CASE WHEN ts_us >= b.mid THEN 1 ELSE 0 END AS p, x6
+      |  FROM ev0 CROSS JOIN b),
+      |a AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CASE WHEN g = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+      |    CAST(SUM(CASE WHEN g = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(SUM(CASE WHEN g = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(SUM(CASE WHEN g = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(SUM(CASE WHEN g = 0 AND p = 0 THEN CAST(x6 AS HUGEINT) ELSE 0 END) AS HUGEINT) AS s00,
+      |    CAST(SUM(CASE WHEN g = 0 AND p = 1 THEN CAST(x6 AS HUGEINT) ELSE 0 END) AS HUGEINT) AS s01,
+      |    CAST(SUM(CASE WHEN g = 1 AND p = 0 THEN CAST(x6 AS HUGEINT) ELSE 0 END) AS HUGEINT) AS s10,
+      |    CAST(SUM(CASE WHEN g = 1 AND p = 1 THEN CAST(x6 AS HUGEINT) ELSE 0 END) AS HUGEINT) AS s11,
+      |    CAST(SUM(CASE WHEN g = 0 AND p = 0 THEN CAST(x6 AS HUGEINT) * x6 ELSE 0 END) AS HUGEINT) AS q00,
+      |    CAST(SUM(CASE WHEN g = 0 AND p = 1 THEN CAST(x6 AS HUGEINT) * x6 ELSE 0 END) AS HUGEINT) AS q01,
+      |    CAST(SUM(CASE WHEN g = 1 AND p = 0 THEN CAST(x6 AS HUGEINT) * x6 ELSE 0 END) AS HUGEINT) AS q10,
+      |    CAST(SUM(CASE WHEN g = 1 AND p = 1 THEN CAST(x6 AS HUGEINT) * x6 ELSE 0 END) AS HUGEINT) AS q11
+      |  FROM ev GROUP BY event_type),
+      |k AS (
+      |  SELECT event_type, n00, n01, n10, n11,
+      |    (CAST(CAST(s11 AS VARCHAR) AS DOUBLE) / CAST(n11 AS DOUBLE)
+      |      - CAST(CAST(s10 AS VARCHAR) AS DOUBLE) / CAST(n10 AS DOUBLE))
+      |    - (CAST(CAST(s01 AS VARCHAR) AS DOUBLE) / CAST(n01 AS DOUBLE)
+      |      - CAST(CAST(s00 AS VARCHAR) AS DOUBLE) / CAST(n00 AS DOUBLE)) AS didx,
+      |    CAST(CAST(CAST(n00 AS HUGEINT) * q00 - s00 * s00 AS VARCHAR) AS DOUBLE)
+      |      / (CAST(n00 AS DOUBLE) * CAST(n00 - 1 AS DOUBLE)) / CAST(n00 AS DOUBLE)
+      |    + CAST(CAST(CAST(n01 AS HUGEINT) * q01 - s01 * s01 AS VARCHAR) AS DOUBLE)
+      |      / (CAST(n01 AS DOUBLE) * CAST(n01 - 1 AS DOUBLE)) / CAST(n01 AS DOUBLE)
+      |    + CAST(CAST(CAST(n10 AS HUGEINT) * q10 - s10 * s10 AS VARCHAR) AS DOUBLE)
+      |      / (CAST(n10 AS DOUBLE) * CAST(n10 - 1 AS DOUBLE)) / CAST(n10 AS DOUBLE)
+      |    + CAST(CAST(CAST(n11 AS HUGEINT) * q11 - s11 * s11 AS VARCHAR) AS DOUBLE)
+      |      / (CAST(n11 AS DOUBLE) * CAST(n11 - 1 AS DOUBLE)) / CAST(n11 AS DOUBLE) AS var_sum,
+      |    n00 > 1 AND n01 > 1 AND n10 > 1 AND n11 > 1 AS ok
+      |  FROM a)
+      |SELECT event_type, n00, n01, n10, n11,
+      |  CASE WHEN ok THEN didx / 1000000.0 END AS did,
+      |  CASE WHEN ok AND sqrt(var_sum) > 0.0 THEN didx / sqrt(var_sum) END AS z_did,
+      |  COALESCE(CASE WHEN ok AND sqrt(var_sum) > 0.0 THEN
+      |    abs(didx / sqrt(var_sum)) END, 0.0) > 1.96 AS significant
+      |FROM k ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boot_ci" -> (qBootCi _),
+    "q_did" -> (qDid _),
     "q_overdispersion" -> (qOverdispersion _),
     "q_sketch_quantile" -> (qSketchQuantile _),
     "q_welch_ttest" -> (qWelchTtest _),
@@ -972,6 +1212,8 @@ object Relational12 {
     "q_rate_test" -> (qRateTest _))
 
   val oracle: Map[String, String] = Map(
+    "q_boot_ci" -> qBootCiSql,
+    "q_did" -> qDidSql,
     "q_overdispersion" -> qOverdispersionSql,
     "q_sketch_quantile" -> qSketchQuantileSql,
     "q_welch_ttest" -> qWelchTtestSql,

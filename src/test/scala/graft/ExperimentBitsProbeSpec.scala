@@ -511,4 +511,72 @@ class ExperimentBitsProbeSpec extends AnyFunSuite {
       assert(r.getBoolean(8) == sig, s"$t significant")
     }
   }
+
+  // ================================================================= did
+  test("did: four-cell exact moments, DiD/z bitwise vs pure-JVM chain") {
+    val ev = (0 until 600).map { i =>
+      (s"t${i % 3}", v(i + 11, 2), v(i + 17, 2).toInt,
+        (v(i, 997) + 1L) * 1000000L + v(i + 5, 999983))
+    }
+    val got = rowsOf(graft.queries.Relational12.did(
+      ev.toDF("event_type", "g", "p", "x6")))
+    val want = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      def cell(g: Long, p: Int) = rs.filter(r => r._2 == g && r._3 == p).map(_._4)
+      def mom(g: Long, p: Int) = {
+        val xs = cell(g, p)
+        (xs.size.toLong, xs.map(BigInt(_)).sum, xs.map(x => BigInt(x) * x).sum)
+      }
+      val (n00, s00, q00) = mom(0, 0); val (n01, s01, q01) = mom(0, 1)
+      val (n10, s10, q10) = mom(1, 0); val (n11, s11, q11) = mom(1, 1)
+      def m(ss: BigInt, n: Long) = d2(ss) / n.toDouble
+      def tt(n: Long, ss: BigInt, q: BigInt) =
+        d2(BigInt(n) * q - ss * ss) / (n.toDouble * (n - 1).toDouble) / n.toDouble
+      val didx = (m(s11, n11) - m(s10, n10)) - (m(s01, n01) - m(s00, n00))
+      val se = math.sqrt(tt(n00, s00, q00) + tt(n01, s01, q01)
+        + tt(n10, s10, q10) + tt(n11, s11, q11))
+      val ok = n00 > 1 && n01 > 1 && n10 > 1 && n11 > 1
+      (t, n00, n01, n10, n11,
+        if (ok) Some(didx / 1000000.0) else None,
+        if (ok && se > 0.0) Some(didx / se) else None,
+        (if (ok && se > 0.0) math.abs(didx / se) else 0.0) > 1.96)
+    }
+    got.zip(want).foreach { case (r, (t, n00, n01, n10, n11, dd, z, sig)) =>
+      assert(r.getString(0) == t && r.getLong(1) == n00 && r.getLong(2) == n01 &&
+        r.getLong(3) == n10 && r.getLong(4) == n11)
+      assertDouble(r.get(5), dd, s"$t did")
+      assertDouble(r.get(6), z, s"$t z_did")
+      assert(r.getBoolean(7) == sig, s"$t significant")
+    }
+  }
+
+  // ============================================================== bootCi
+  test("bootCi: replicate means and the percentile selection bitwise vs pure-JVM replay") {
+    val R = graft.queries.Relational12.BootR
+    val ev = (0 until 600).map { i =>
+      (s"t${i % 3}", ((i + 1) * 0x9E3779B97F4A7C15L) >>> 4, (v(i, 997) + 1L) * 1000000L)
+    }
+    val got = rowsOf(graft.queries.Relational12.bootCi(
+      ev.toDF("event_type", "h", "x6")))
+    val want = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      val reps = (1 to R).flatMap { r =>
+        val sel = rs.filter(x => ((x._2 >> r) & 1L) == 1L).map(_._3)
+        if (sel.isEmpty) None
+        else Some((r.toLong, d2(sel.map(BigInt(_)).sum) / sel.size.toDouble / 1000000.0))
+      }
+      val nRep = reps.size.toLong
+      val sorted = reps.sortBy(x => (x._2, x._1))
+      def at(rank: Long) = sorted((rank - 1).toInt)._2
+      val rLo = (nRep * 25 + 999) / 1000
+      val rHi = (nRep * 975 + 999) / 1000
+      val n = rs.size.toLong
+      val meanFull = d2(rs.map(x => BigInt(x._3)).sum) / n.toDouble / 1000000.0
+      (t, n, meanFull, nRep, at(rLo), at(rHi))
+    }
+    got.zip(want).foreach { case (r, (t, n, mf, nRep, lo, hi)) =>
+      assert(r.getString(0) == t && r.getLong(1) == n && r.getLong(3) == nRep)
+      assertDouble(r.get(2), Some(mf), s"$t mean_full")
+      assertDouble(r.get(4), Some(lo), s"$t ci_lo")
+      assertDouble(r.get(5), Some(hi), s"$t ci_hi")
+    }
+  }
 }
