@@ -151,6 +151,8 @@ class WindowLintSpec extends AnyFunSuite {
       "BH step-up rank over the ≤|types| p-value frame (planned twice: the i_max scan and the output both consume it)"),
     "q_bollinger" -> (Seq("GLOBAL", "GLOBAL"),
       "rolling mean/stddev over the bounded day frame"),
+    "q_boot_ci" -> (Seq("(event_type)"),
+      "replicate rank over the ≤|types|×59 replicate-mean frame (R = BootR, fixed)"),
     "q_changepoint" -> (Seq("GLOBAL", "GLOBAL"),
       "prefix sums + totals over the bounded day frame"),
     "q_cusum" -> (Seq("GLOBAL", "GLOBAL"),
