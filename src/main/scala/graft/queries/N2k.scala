@@ -93,7 +93,12 @@ object N2k {
       // at 100 TB the fact side shrinks by orders of magnitude before
       // the (broadcastable) parent key set sees it
       val childAgg = child.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-      childAgg.join(parent, keys, "left")
+      // r15 opt: the parent side is the DISTINCT dimension key set — small
+      // by construction at any scale — but the planner can't see that
+      // through the checkpoint + distinct + filter and was choosing TEN
+      // SortMergeJoins (20 exchanges + sorts). Explicit broadcast is the
+      // guide §3.1 rule: hint when post-filter estimates are wrong.
+      childAgg.join(broadcast(parent), keys, "left")
         .agg(coalesce(sum(col("__n")), lit(0L)).as("n_child"),
           coalesce(sum(when(col("__p").isNull, col("__n"))), lit(0L)).as("n_orphans"))
         .select(lit(c).as("child_table"), lit(p).as("parent_table"),

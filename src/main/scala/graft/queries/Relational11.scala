@@ -315,10 +315,11 @@ object Relational11 {
       .agg(
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("variant") === 0, col("z").cast(d19))
-          .otherwise(lit(0L).cast(d19))).cast(d38).as("r0"),
-        sum(when(col("variant") === 1, col("z").cast(d19))
-          .otherwise(lit(0L).cast(d19))).cast(d38).as("r1"),
+        // long |dev| sums, widen-late (the q_perm_test rule; |z| ≤ |x6| max)
+        sum(when(col("variant") === 0, col("z")).otherwise(0L))
+          .cast(d38).as("r0"),
+        sum(when(col("variant") === 1, col("z")).otherwise(0L))
+          .cast(d38).as("r1"),
         sum(when(col("variant") === 0, (col("z").cast(d19) * col("z").cast(d19)).cast(d38))
           .otherwise(lit(0L).cast(d38))).cast(d38).as("s0"),
         sum(when(col("variant") === 1, (col("z").cast(d19) * col("z").cast(d19)).cast(d38))
@@ -420,9 +421,9 @@ object Relational11 {
   /** The F core over any (event_type, variant ∈ {0,1,2}, x6 BIGINT
     * micros) frame — factored out so AnovaSpec plants hand samples. */
   private[graft] def anova(ev: DataFrame): DataFrame = {
+    // long micro sums, widen-late (the q_perm_test rule)
     def cSum(k: Int): Column =
-      sum(when(col("variant") === k, col("x6").cast(d19))
-        .otherwise(lit(0L).cast(d19))).cast(d38)
+      sum(when(col("variant") === k, col("x6")).otherwise(0L)).cast(d38)
     val a = ev.groupBy(col("event_type"))
       .agg(
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),

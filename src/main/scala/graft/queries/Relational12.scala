@@ -270,9 +270,10 @@ object Relational12 {
   /** The Welch core over any (event_type, variant ∈ {0,1}, x6 BIGINT
     * micros) frame — factored out for ExperimentBitsProbeSpec. */
   private[graft] def welchTtest(ev: DataFrame): DataFrame = {
+    // LONG conditional micro sums widened to DECIMAL(38,0) post-agg (the
+    // q_perm_test widen-late rule — same Σ|x6| < 2⁶³ headroom contract)
     def cSum(k: Int): org.apache.spark.sql.Column =
-      sum(when(col("variant") === k, col("x6").cast(d19))
-        .otherwise(lit(0L).cast(d19))).cast(d38)
+      sum(when(col("variant") === k, col("x6")).otherwise(0L)).cast(d38)
     def cSq(k: Int): org.apache.spark.sql.Column =
       sum(when(col("variant") === k,
         (col("x6").cast(d19) * col("x6").cast(d19)).cast(d38))
@@ -736,9 +737,10 @@ object Relational12 {
   /** The TOST core over any (event_type, variant ∈ {0,1}, x6 BIGINT
     * micros) frame — factored out for ExperimentBitsProbeSpec. */
   private[graft] def tost(ev: DataFrame): DataFrame = {
+    // LONG conditional micro sums widened to DECIMAL(38,0) post-agg (the
+    // q_perm_test widen-late rule — same Σ|x6| < 2⁶³ headroom contract)
     def cSum(k: Int): org.apache.spark.sql.Column =
-      sum(when(col("variant") === k, col("x6").cast(d19))
-        .otherwise(lit(0L).cast(d19))).cast(d38)
+      sum(when(col("variant") === k, col("x6")).otherwise(0L)).cast(d38)
     def cSq(k: Int): org.apache.spark.sql.Column =
       sum(when(col("variant") === k,
         (col("x6").cast(d19) * col("x6").cast(d19)).cast(d38))
@@ -1011,8 +1013,13 @@ object Relational12 {
       .withColumn("r", explode(sequence(lit(1), lit(BootR))))
       .filter(expr("shiftright(h, r) % 2 = 1"))
       .groupBy(col("event_type"), col("r"))
+      // LONG micro sums in the hot 59× fan-out, widened to DECIMAL(38,0)
+      // on the ≤|types|·59-row frame — the q_perm_test widen-late rule
+      // (same Σ|x6| < 2⁶³ headroom contract; ANSI long overflow is as
+      // loud as the decimal one). r15 opt: this gate shipped with the
+      // decimal sum the rule exists to avoid.
       .agg(count(lit(1)).as("n_sel"),
-        sum(col("x6").cast(d19)).cast(d38).as("s_sel"))
+        sum(col("x6")).cast(d38).as("s_sel"))
       .withColumn("mean_r",
         col("s_sel").cast(D) / col("n_sel").cast(D) / lit(1000000.0))
     val w = Window.partitionBy(col("event_type"))
@@ -1024,7 +1031,7 @@ object Relational12 {
     // percentile_disc ranks: lo = ceil(0.025·R), hi = ceil(0.975·R)
     val full = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
-        (sum(col("x6").cast(d19)).cast(d38).cast(D) /
+        (sum(col("x6")).cast(d38).cast(D) /
           count(lit(1)).cast(D) / lit(1000000.0)).as("mean_full"))
     ranked.join(broadcast(cnt), "event_type")
       .withColumn("r_lo", expr("(n_rep * 25 + 999) div 1000"))
@@ -1118,9 +1125,8 @@ object Relational12 {
     def cell(g: Int, p: Int) = col("g") === g && col("p") === p
     def nC(g: Int, p: Int) =
       sum(when(cell(g, p), 1L).otherwise(0L)).as(s"n$g$p")
-    def sC(g: Int, p: Int) =
-      sum(when(cell(g, p), col("x6").cast(d19)).otherwise(lit(0L).cast(d19)))
-        .cast(d38).as(s"s$g$p")
+    def sC(g: Int, p: Int) = // long micro sums, widen-late (q_perm_test rule)
+      sum(when(cell(g, p), col("x6")).otherwise(0L)).cast(d38).as(s"s$g$p")
     def qC(g: Int, p: Int) =
       sum(when(cell(g, p), (col("x6").cast(d19) * col("x6").cast(d19)).cast(d38))
         .otherwise(lit(0L).cast(d38))).cast(d38).as(s"q$g$p")

@@ -434,15 +434,24 @@ object Relational8 {
     * degree counts both directions, and the spectrum buckets by exact
     * binary magnitude (t_zipf's length(bin(d))−1 — never a float log2).
     *
-    * Scale shape: edge generation is the q_triangles wedge stage
-    * (fan-out bounded by order size), then two map-side-partial
-    * aggregations to ≤64 rows. */
+    * Scale shape (r15 opt): ONE scan — per-order sorted part sets expand
+    * to a<b pairs in-task (fan-out bounded by order size, the q_triangles
+    * wedge bound) instead of the old self-join, and both endpoints of an
+    * edge explode in one pass instead of the old `edges.u UNION ALL
+    * edges.v`, whose two branches each re-ran the join+distinct subtree
+    * (the guide §7.2 duplicated-subtree trap — the plan carried TWO
+    * BroadcastHashJoins and TWO distinct exchanges for one edge set).
+    * 5 exchanges + double compute → 3 map-side-partial aggregations;
+    * identical edge set (sorted-set i<j expansion ≡ a.p < b.p on the
+    * distinct parts of an order), then ≤64 output rows. */
   def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-    val edges = li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-    val deg = edges.select(col("u").as("x")).unionAll(edges.select(col("v").as("x")))
+    val edges = li.groupBy(col("o")).agg(array_sort(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps) - i - 1), y -> struct(x AS u, y AS v))))"))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v")).distinct()
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
     deg.select((length(bin(col("d"))) - 1).cast("long").as("d_bucket"))
       .groupBy(col("d_bucket")).agg(count(lit(1)).as("n_vertices"))

@@ -50,6 +50,26 @@ class SplitSumSpec extends AnyFunSuite {
     compare(rows)
   }
 
+  test("xsum/xavg: bit-equal to the direct decimal-sum forms they replace") {
+    import graft.functions.OracleParity.{xsum, xavg}
+    val d18 = DecimalType(18, 6)
+    // nulls, negatives, near-ceiling magnitudes, fp-noisy fractions
+    // (an over-DECIMAL(18,6) value raises under ANSI in BOTH forms, so
+    // that regime has no silent-divergence surface to pin)
+    val df = Seq(("a", 1.1), ("a", -2.37e7), ("a", 9.9e11), ("a", 0.3333333),
+      ("b", 1e-7), ("b", 0.0), ("c", Double.NaN)).toDF("g", "v")
+      .select($"g", when(isnan($"v"), lit(null)).otherwise($"v").as("v"))
+    val direct = df.groupBy($"g").agg(
+      sum($"v".cast(d18)).cast(DoubleType).as("s"),
+      (sum($"v".cast(d18)).cast(DoubleType) / count($"v".cast(d18)).cast(DoubleType)).as("m"))
+      .orderBy($"g")
+    val opt = df.groupBy($"g").agg(xsum($"v").as("s"), xavg($"v").as("m")).orderBy($"g")
+    def bits(r: org.apache.spark.sql.Row) = (r.getString(0),
+      Option(r.get(1)).map(x => java.lang.Double.doubleToLongBits(x.asInstanceOf[Double])),
+      Option(r.get(2)).map(x => java.lang.Double.doubleToLongBits(x.asInstanceOf[Double])))
+    assert(direct.collect().map(bits).toSeq == opt.collect().map(bits).toSeq)
+  }
+
   test("q_corr shape: derived doubles are bit-equal to the decimal-sum chain") {
     val d18 = DecimalType(18, 6)
     val df = Seq(("x", 1.1, 2.37), ("x", 3.14159, 0.005), ("x", 1e5, 99999.99),
