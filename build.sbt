@@ -32,4 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // JVM flags, parameterized (r15): default to the throughput collector —
+  // measured 17–19% faster across a 15-gate bench subset than the G1
+  // default (26.1/26.4 s vs 31.2/32.4 s, both orders) on this batch
+  // workload's 8 g heap, where pause times don't matter. A deployment
+  // with much larger heaps (or latency SLOs) overrides via
+  // SPARK_GRAFT_JVM_OPTS, which REPLACES this default so a different
+  // collector can be selected without a duplicate-GC-flag JVM error.
+  sys.env.get("SPARK_GRAFT_JVM_OPTS")
+    .map(_.split(" ").filter(_.nonEmpty).toSeq)
+    .getOrElse(Seq("-XX:+UseParallelGC"))
