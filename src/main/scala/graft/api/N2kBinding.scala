@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.OracleParity
@@ -321,6 +321,225 @@ object N2kBinding {
       requireValidKeys(t, w2, o2, "import 2")
     }
     out
+  }
+
+  /** requireValidKeys for the one-pass path: same bounded-deadline poll,
+    * but the metric name carries the window and the fallback re-validates
+    * the window's extract (identical rule to the two-phase path). */
+  private def requireValidKeysMetric(t: Table, span: DataFrame, cond: Column,
+      obs: org.apache.spark.sql.Observation, which: String, metric: String): Unit = {
+    import org.apache.spark.sql.graftshim.ObservationBridge
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var metrics = ObservationBridge.getOrEmpty(obs)
+    while (metrics.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(25); metrics = ObservationBridge.getOrEmpty(obs)
+    }
+    val nullKeys = metrics.get(metric) match {
+      case Some(n: Long) => n
+      case Some(null)    => 0L // sum over an empty span
+      case _ => // metric lost — validate the slow way rather than skip
+        Validate.report(extract(t, span.filter(cond)),
+            t.keyCols.map(k => Validate.Rule(s"${t.name}_${k}_nonnull", col(k).isNotNull)))
+          .filter(col("n_violations") > 0).count()
+    }
+    require(nullKeys == 0L,
+      s"validation failed: ${t.name} $which has $nullKeys null-key rows")
+  }
+
+  /** r16 optimization — the ONE-PASS two-import summary (guide §1.1
+    * first-principles passes, §2.4 remove shuffles, §3 joins). From a
+    * PRISTINE store, import 1 inserts everything, so the state import 2
+    * merges against IS the window-1 extract: each table's two-import
+    * outcome is a pure function of its key's per-window presence and
+    * per-window attribute values — exactly the `FULL JOIN` of the two
+    * extracts the DuckDB oracle's mergeSql replays. That function is
+    * computable in ONE aggregation over the shared span with per-window
+    * conditional aggregates (`max(when(w, attr))`, `count(when(w, 1))`,
+    * conditional xsum): no empty-state merge, no full-outer join, no
+    * second span scan per table. Plan per table: span scan → hash
+    * aggregate (map-side partial) → summary projection. Probed at sf0.1
+    * local[32]: chains 3.0 s (pooled two-extract+merge path) → ~1.0 s.
+    *
+    * Equivalence notes (N2kOnePassSpec pins both): the attr-difference
+    * decision uses null-safe `<=>` directly — the comparison mergeSql
+    * itself makes (`IS DISTINCT FROM`); UpsertMerge's md5 attr-hash
+    * equality decides identically on any non-colliding input. Attribute
+    * values per window ride `max(when(w, a))`, which equals the window's
+    * DISTINCT attr under the store's unique-key contract (the same
+    * contract the full-outer merge requires — duplicate keys would
+    * cross-join there). The no-NA-keys validation rides the same job as
+    * observe() metrics on the pre-aggregation rows, split per window, so
+    * a violation still aborts the import with nothing stored.
+    *
+    * `in1`/`in2` are the two windows' membership predicates over the
+    * span (must cover the span: every row in at least one window —
+    * e_store_n2k's overlapping [Lo1,Hi1)/[Lo2,Hi2) carve does).
+    * Flows that write a database keep the two-phase
+    * prepareImport/commitImport path; importPairSummary remains the
+    * reference two-extract implementation the spec compares against. */
+  def importPairSummaryOnePass(span: DataFrame, in1: Column, in2: Column): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(Graph.size, 16))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val chains = Graph.toList.map { t =>
+        Future {
+          val obs = new org.apache.spark.sql.Observation()
+          val proj = onePassSummary(t, span, in1, in2, Some(obs)).localCheckpoint()
+          requireValidKeysMetric(t, span, in1, obs, "import 1", "null_keys_1")
+          requireValidKeysMetric(t, span, in2, obs, "import 2", "null_keys_2")
+          proj
+        }
+      }
+      Await.result(Future.sequence(chains), PoolTimeout)
+        .reduce(_ unionByName _)
+        .repartition(1).sortWithinPartitions(col("table_name"), col("nk"))
+    } finally pool.shutdownNow()
+  }
+
+  /** Single-job variant of importPairSummaryOnePass: the 14 one-pass
+    * aggregations are branches of ONE union plan materialized by ONE
+    * action. With the two-extract+merge chains this lost to the pool
+    * (Catalyst optimizing one ~14× plan single-threaded beat 14
+    * concurrent plannings — see importPairSummaryFused); the one-pass
+    * chains are ~4× smaller plans, so the trade is re-measured here. */
+  def importPairSummaryOnePassFused(span: DataFrame, in1: Column, in2: Column): DataFrame = {
+    val chains = Graph.map { t =>
+      val obs = new org.apache.spark.sql.Observation()
+      (t, obs, onePassSummary(t, span, in1, in2, Some(obs)))
+    }
+    val out = chains.map(_._3).reduce(_ unionByName _)
+      .repartition(1).sortWithinPartitions(col("table_name"), col("nk"))
+      .localCheckpoint()
+    chains.foreach { case (t, o, _) =>
+      requireValidKeysMetric(t, span, in1, o, "import 1", "null_keys_1")
+      requireValidKeysMetric(t, span, in2, o, "import 2", "null_keys_2")
+    }
+    out
+  }
+
+  /** One table's two-import summary rows from ONE aggregation over the
+    * span (see importPairSummaryOnePass). Package-visible so
+    * N2kOnePassSpec can compare it per-table against the two-extract
+    * merge path. */
+  private[graft] def onePassSummary(t: Table, span: DataFrame, in1: Column,
+      in2: Column, obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val (w1, w2) = (col("__w1"), col("__w2"))
+    def flag(w: Column, nm: String) = max(when(w, lit(1))).as(nm)
+    def cnt(w: Column, nm: String) = count(when(w, lit(1))).as(nm)
+    // per-window attr pair + its IS-DISTINCT-FROM comparison
+    def attrPair(a: Column, nm: String): Seq[Column] =
+      Seq(max(when(w1, a)).as(s"__${nm}_1"), max(when(w2, a)).as(s"__${nm}_2"))
+    def attrDiff(nms: String*): Column =
+      nms.map(nm => !(col(s"__${nm}_1") <=> col(s"__${nm}_2"))).reduce(_ || _)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val pFlag1 = col("__p_1").isNotNull
+    val pFlag2 = col("__p_2").isNotNull
+    val pN1 = col("__n_1") > 0L
+    val pN2 = col("__n_2") > 0L
+
+    // (row-level key/measure projection, aggregate columns, presence
+    // predicates, attr-difference) per table shape
+    val (proj, aggs, p1, p2, diff): (Seq[Column], Seq[Column], Column, Column, Column) = {
+      val tok = split(col("p_type"), " ").getItem(0)
+      t.name match {
+        case "language" =>
+          (Seq(lower(tok).as("lang_code"), tok.as("__a")),
+            Seq(flag(w1, "__p_1"), flag(w2, "__p_2")) ++ attrPair(col("__a"), "a"),
+            pFlag1, pFlag2, attrDiff("a"))
+        case "datasource" =>
+          (Seq(col("l_suppkey").as("ds_key"), col("s_name").as("__a")),
+            Seq(flag(w1, "__p_1"), flag(w2, "__p_2")) ++ attrPair(col("__a"), "a"),
+            pFlag1, pFlag2, attrDiff("a"))
+        case "species" =>
+          (Seq(col("l_partkey").as("sp_key"), col("p_name").as("__a"),
+            col("p_type").as("__b")),
+            Seq(flag(w1, "__p_1"), flag(w2, "__p_2")) ++
+              attrPair(col("__a"), "a") ++ attrPair(col("__b"), "b"),
+            pFlag1, pFlag2, attrDiff("a", "b"))
+        case "species_group" =>
+          (Seq(col("sg_brand")),
+            Seq(flag(w1, "__p_1"), flag(w2, "__p_2")), pFlag1, pFlag2, lit(false))
+        case "location" =>
+          (Seq(col("n_nationkey").as("loc_key"), col("n_name").as("__a")),
+            Seq(flag(w1, "__p_1"), flag(w2, "__p_2")) ++ attrPair(col("__a"), "a"),
+            pFlag1, pFlag2, attrDiff("a"))
+        case "location_group" =>
+          (Seq(col("r_regionkey").as("lg_key"), col("r_name").as("__a")),
+            Seq(flag(w1, "__p_1"), flag(w2, "__p_2")) ++ attrPair(col("__a"), "a"),
+            pFlag1, pFlag2, attrDiff("a"))
+        case "dataset" =>
+          // dset_name derives from the key, so the two windows' attrs are
+          // equal whenever both are present — attrDiff is identically false
+          (Seq(col("ship_yr").as("dset_key")),
+            Seq(flag(w1, "__p_1"), flag(w2, "__p_2")), pFlag1, pFlag2, lit(false))
+        case "species_group_species" =>
+          (Seq(col("sg_brand"), col("l_partkey").as("sp_key")),
+            Seq(flag(w1, "__p_1"), flag(w2, "__p_2")), pFlag1, pFlag2, lit(false))
+        case "location_group_location" =>
+          (Seq(col("r_regionkey").as("lg_key"), col("n_nationkey").as("loc_key")),
+            Seq(flag(w1, "__p_1"), flag(w2, "__p_2")), pFlag1, pFlag2, lit(false))
+        case "analysis" =>
+          (Seq(col("sg_brand"), col("ship_yr"), rev.as("__rev")),
+            Seq(cnt(w1, "__n_1"), cnt(w2, "__n_2"),
+              OracleParity.xsum(when(w1, col("__rev"))).as("__rev_1"),
+              OracleParity.xsum(when(w2, col("__rev"))).as("__rev_2")),
+            pN1, pN2, !(col("__n_1") <=> col("__n_2")) ||
+              !(col("__rev_1") <=> col("__rev_2")))
+        case "anomaly" =>
+          (Seq(col("sg_brand"), col("ship_yr"), (col("l_returnflag") === "R").as("__r")),
+            Seq(cnt(w1, "__n_1"), cnt(w2, "__n_2"),
+              cnt(w1 && col("__r"), "__nr_1"), cnt(w2 && col("__r"), "__nr_2")),
+            pN1 && col("__nr_1").cast("double") / col("__n_1").cast("double") > AnomalyRatio,
+            pN2 && col("__nr_2").cast("double") / col("__n_2").cast("double") > AnomalyRatio,
+            !(col("__nr_1") <=> col("__nr_2")))
+        case "analysis_dataset" =>
+          (Seq(col("sg_brand"), col("ship_yr"), col("ship_yr").as("dset_key")),
+            Seq(flag(w1, "__p_1"), flag(w2, "__p_2")), pFlag1, pFlag2, lit(false))
+        case "observation" =>
+          (Seq(col("l_partkey").as("sp_key"), col("n_nationkey").as("loc_key"),
+            col("ship_yr")),
+            Seq(cnt(w1, "__n_1"), cnt(w2, "__n_2")),
+            pN1, pN2, !(col("__n_1") <=> col("__n_2")))
+        case "result" =>
+          (Seq(col("sg_brand"), col("ship_yr"), col("l_returnflag").as("rf"),
+            rev.as("__rev")),
+            Seq(cnt(w1, "__n_1"), cnt(w2, "__n_2"),
+              OracleParity.xsum(when(w1, col("__rev"))).as("__est_1"),
+              OracleParity.xsum(when(w2, col("__rev"))).as("__est_2")),
+            pN1, pN2, !(col("__n_1") <=> col("__n_2")) ||
+              !(col("__est_1") <=> col("__est_2")))
+      }
+    }
+
+    // window-membership flags ride the row projection (computed BEFORE
+    // the key projection drops the carve column); the no-NA-keys
+    // validation (split per window, so the abort names its import) rides
+    // the same job as observe() metrics — nothing extra is scanned
+    val keyNull = t.keyCols.map(col(_).isNull).reduce(_ || _)
+    val flagged0 = span.select(proj ++ Seq(in1.as("__w1"), in2.as("__w2")): _*)
+    val flagged = obs match {
+      case Some(o) => flagged0.observe(o,
+        sum(when(keyNull && w1, 1L).otherwise(0L)).as("null_keys_1"),
+        sum(when(keyNull && w2, 1L).otherwise(0L)).as("null_keys_2"))
+      case None => flagged0
+    }
+    val agg = flagged.groupBy(t.keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val missing = if (t.stamped) UpsertMerge.Despawn else UpsertMerge.Keep
+    val action = when(!p1, lit(UpsertMerge.Insert))
+      .when(!p2, lit(missing))
+      .when(diff, lit(UpsertMerge.Update))
+      .otherwise(lit(UpsertMerge.Keep))
+    val (f, l, d) =
+      if (t.stamped) (when(!p1, lit(2L)).otherwise(lit(1L)),
+        when(!p2, lit(1L)).otherwise(lit(2L)), !p2)
+      else (lit(null).cast("long"), lit(null).cast("long"), lit(null).cast("boolean"))
+    val nk = concat_ws(":", t.keyCols.map(c => col(c).cast("string")): _*)
+    agg.filter(p1 || p2)
+      .select(lit(t.name).as("table_name"), nk.as("nk"),
+        StableId.stableId(t.keyCols.map(col)).as("sid"),
+        action.as("action"), f.as("first_imported"), l.as("last_imported"),
+        d.as("despawned"))
   }
 
   /** Phase 2: merge prepared extracts into the state. The per-table

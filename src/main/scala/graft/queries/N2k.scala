@@ -46,12 +46,15 @@ object N2k {
     // the two overlapping windows carve out of the ONE shared span (the
     // reference stages each export in the database; at 100 TB this is a
     // staging-table write, not a localCheckpoint)
-    val (w1, w2) = windows(s, dir)
-    // fused per-table chains: extract₁ ∥ extract₂ → merge₁ → merge₂ →
-    // summary projection, concurrent across tables with no phase barrier
-    // (importPairSummary's doc has the cost shape; the two-phase
-    // prepareImport/commitImport path remains the database-writing API)
-    N2kBinding.importPairSummary(w1, w2)
+    val sp = span(s, dir)
+    // r16 opt: from a pristine store the two-import outcome is ONE
+    // aggregation per table over the shared span with per-window
+    // conditional aggregates (importPairSummaryOnePass's doc has the
+    // equivalence argument; N2kOnePassSpec pins it against the
+    // two-extract merge path, which remains the database-writing API)
+    N2kBinding.importPairSummaryOnePass(sp,
+      col("o_orderdate") < lit(Hi1).cast("timestamp_ntz"),
+      col("o_orderdate") >= lit(Lo2).cast("timestamp_ntz"))
   }
 
   /** The FK edges of the n2kresult graph: (child table, parent table,
