@@ -34,5 +34,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("nfc_normalize"), info("nfc_normalize"),
       (es: Seq[Expression]) => VectorExpressions.NfcNormalize(es.head)))
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // SplitSum's codegen long half-sums (sum(c >> 24) / sum(c & mask))
+    // rely on Spark's ANSI overflow errors to fail LOUDLY when a caller
+    // exceeds the documented magnitude contract; with ansi.enabled=false
+    // an out-of-contract Σ would wrap silently and reassemble a
+    // plausible-but-wrong exact decimal — worse than the decimal
+    // accumulator it replaces, which never wraps in either mode. Enforce
+    // the dependency at analysis: any plan carrying a SplitSum-shaped
+    // aggregate under ANSI-off is rejected (r15 VERDICT "what's wrong"
+    // #1; SplitSumSpec pins both directions). Cost: one conf read per
+    // query — the plan is only traversed when ANSI is actually off.
+    e.injectCheckRule { session => plan =>
+      import org.apache.spark.sql.catalyst.expressions.{Literal, ShiftRight}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      if (!session.conf.get("spark.sql.ansi.enabled", "true").toBoolean &&
+          plan.exists {
+            case agg: Aggregate => agg.aggregateExpressions.exists(_.exists {
+              case s: Sum => s.child match {
+                case ShiftRight(_, Literal(v, _)) =>
+                  v == graft.operators.SplitSum.Shift
+                case _ => false
+              }
+              case _ => false
+            })
+            case _ => false
+          })
+        throw new IllegalStateException(
+          "SplitSum aggregates require spark.sql.ansi.enabled=true: the exact " +
+            "decimal total is reassembled from plain long half-sums, and only " +
+            "ANSI mode turns an out-of-contract overflow into an error instead " +
+            "of a silent wraparound. Enable ANSI or use the decimal-sum form.")
+    }
   }
 }

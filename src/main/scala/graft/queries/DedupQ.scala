@@ -863,13 +863,27 @@ object DedupQ {
     val heads = Tables.documents(s, dir)
       .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
       .withColumn("blk", substring(col("head"), 1, 4))
-    val a = heads.select(col("doc_id").as("a_id"), col("head").as("ha"), col("blk"))
-    val b = heads.select(col("doc_id").as("b_id"), col("head").as("hb"), col("blk").as("blk2"))
-    // threshold-banded DP: O(len·k) per pair instead of O(len²), exact for
-    // distances within the bound (out-of-bound pairs report -1 and die)
-    a.join(b, col("blk") === col("blk2") &&
-        col("a_id") < col("b_id") &&
-        abs(length(col("ha")) - length(col("hb"))) <= 2)
+    // r16 opt (guide §7.2 duplicated-subtree trap, §2.4): the old
+    // self-join planned the heads subtree TWICE (two scans of the wide
+    // text column, two exchanges, one join); per-block sorted doc sets
+    // now expand to a<b pairs in-task — the q_degree_dist idiom — so the
+    // fact is scanned ONCE and the only exchange is the block rollup.
+    // Identical pair set: doc_id is unique, structs sort by doc_id first,
+    // i<j expansion ≡ a_id < b_id within a block. Fan-out is bounded by
+    // the block-size cap the ±2 length guard and 4-char prefix give; at
+    // 100 TB extend the block key with a length bucket and salt hot
+    // prefixes — the shape stays one keyed rollup.
+    heads.groupBy(col("blk"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("head")))).as("ds"))
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), " +
+          "y -> struct(x.doc_id AS a_id, x.head AS ha, y.doc_id AS b_id, y.head AS hb))))"))
+        .as("e"))
+      .select(col("e.a_id").as("a_id"), col("e.ha").as("ha"),
+        col("e.b_id").as("b_id"), col("e.hb").as("hb"))
+      .filter(abs(length(col("ha")) - length(col("hb"))) <= 2)
+      // threshold-banded DP: O(len·k) per pair instead of O(len²), exact
+      // for distances within the bound (out-of-bound pairs report -1 and die)
       .withColumn("dist", levenshtein(col("ha"), col("hb"), 2))
       .filter(col("dist").between(0, 2))
       .select(col("a_id"), col("b_id"), col("dist"))

@@ -101,6 +101,10 @@ object N2k {
       // through the checkpoint + distinct + filter and was choosing TEN
       // SortMergeJoins (20 exchanges + sorts). Explicit broadcast is the
       // guide §3.1 rule: hint when post-filter estimates are wrong.
+      // NOTE the unconditional hint removes the planner's SMJ fallback: a
+      // dimension key set past the 8 GB/512M-row broadcast cap FAILS the
+      // gate rather than degrading — accepted under the pre-existing
+      // "broadcastable parent key set" contract this comment documents.
       childAgg.join(broadcast(parent), keys, "left")
         .agg(coalesce(sum(col("__n")), lit(0L)).as("n_child"),
           coalesce(sum(when(col("__p").isNull, col("__n"))), lit(0L)).as("n_orphans"))

@@ -315,7 +315,10 @@ object Relational11 {
       .agg(
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
-        // long |dev| sums, widen-late (the q_perm_test rule; |z| ≤ |x6| max)
+        // long |dev| sums, widen-late (the q_perm_test rule). |z| =
+        // |x6 − med6| can reach 2·max|x6| (value and median at opposite
+        // range ends), so the headroom contract here is Σz ≤ n·2·max|x6|
+        // < 2⁶³ — HALF the rows the plain Σ|x6| < 2⁶³ rule admits.
         sum(when(col("variant") === 0, col("z")).otherwise(0L))
           .cast(d38).as("r0"),
         sum(when(col("variant") === 1, col("z")).otherwise(0L))

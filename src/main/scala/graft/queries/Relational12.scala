@@ -390,16 +390,22 @@ object Relational12 {
         (col("o_totalprice").cast("decimal(18,6)") * lit(100L))
           .cast("long").as("cents"),
         when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
-    val cuts = base.groupBy(col("grp")).agg(expr(
-      "percentile(cents, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))")
+    // r16 opt (guide §1.2 fewer passes): ONE (grp, cents) histogram feeds
+    // both the boundary percentile (frequency argument — value-identical
+    // buffer, bit-identical cuts) and the decile rollup — two fact scans
+    // become one plus a domain-bounded frame (OptProbe IDENTICAL=true).
+    val hist = base.groupBy(col("grp"), col("cents"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pos_n")).localCheckpoint()
+    val cuts = hist.groupBy(col("grp")).agg(expr(
+      "percentile(cents, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D), cnt)")
       .cast("array<double>").as("th"))
     // ascending bucket 1..10 = 1 + #boundaries strictly below, then flip
     val asc = expr(
       "1L + aggregate(th, 0L, (a, t) -> a + (CASE WHEN cents > t THEN 1L ELSE 0L END))")
-    val perDecile = base.join(broadcast(cuts), "grp")
+    val perDecile = hist.join(broadcast(cuts), "grp")
       .withColumn("decile", lit(11L) - asc)
       .groupBy(col("grp"), col("decile"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("pos")).as("n_pos"))
+      .agg(sum(col("cnt")).as("n_rows"), sum(col("pos_n")).as("n_pos"))
     val w = Window.partitionBy(col("grp")).orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = perDecile.groupBy(col("grp"))
@@ -1029,10 +1035,17 @@ object Relational12 {
     val cnt = ranked.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rep"))
     // percentile_disc ranks: lo = ceil(0.025·R), hi = ceil(0.975·R)
+    // Full-frame mean: unlike the 59× fan-out above there is NO selection
+    // halving here, so a bare long Σx6 would tighten the per-type row
+    // contract to n·max|x6| < 2⁶³ — route it through SplitSum instead
+    // (same exact integer total, codegen long halves, ~10²⁶ headroom).
+    val fullAggs = Seq(count(lit(1)).as("n")) ++
+      graft.operators.SplitSum.aggs(col("x6"), "sf")
     val full = ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        (sum(col("x6")).cast(d38).cast(D) /
-          count(lit(1)).cast(D) / lit(1000000.0)).as("mean_full"))
+      .agg(fullAggs.head, fullAggs.tail: _*)
+      .select(col("event_type"), col("n"),
+        (graft.operators.SplitSum.total("sf").cast(D) /
+          col("n").cast(D) / lit(1000000.0)).as("mean_full"))
     ranked.join(broadcast(cnt), "event_type")
       .withColumn("r_lo", expr("(n_rep * 25 + 999) div 1000"))
       .withColumn("r_hi", expr("(n_rep * 975 + 999) div 1000"))

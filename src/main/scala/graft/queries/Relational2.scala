@@ -147,13 +147,22 @@ object Relational2 {
     * formula both engines). At 100 TB you'd reach for approx_percentile;
     * the exact form is the oracle-checkable baseline. */
   def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    // r16 opt (guide §4): the three l_quantity percentiles share ONE
+    // array-percentile buffer instead of three separate value-count maps —
+    // identical values (same getPercentiles over the same buffer, one
+    // formula application per percentage; OptProbe IDENTICAL=true,
+    // 1.09 -> 1.03 s at sf0.1). The price map stays per-row: collapsing to
+    // (value, count) + the frequency argument was measured SLOWER for the
+    // near-distinct price column (583k distinct of 600k rows; 0.69 ->
+    // 0.79 s) — that rewrite only pays on low-cardinality columns.
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_quantity, 0.25)").as("q25"),
-        expr("percentile(l_quantity, 0.5)").as("q50"),
-        expr("percentile(l_quantity, 0.75)").as("q75"),
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("eq"),
         expr("percentile(l_extendedprice, 0.9)").as("price_q90"))
+      .select(col("l_returnflag"),
+        expr("get(eq, 0)").as("q25"), expr("get(eq, 1)").as("q50"),
+        expr("get(eq, 2)").as("q75"), col("price_q90"))
       .orderBy(col("l_returnflag"))
 
   val qQuantilesSql: String =
@@ -219,8 +228,10 @@ object Relational2 {
     // exact decimal reassembled post-agg) instead of per-row Decimal
     // accumulation — measured 1.95 s → 1.45 s at sf0.1, value-identical
     // (SplitSumSpec pins the identity; the per-row scale-6 rounding casts
-    // are unchanged, so every emitted double is bit-equal). Micro-unit
-    // magnitudes ≤ 5·10^12 sit far inside SplitSum's documented bounds.
+    // are unchanged, so every emitted double is bit-equal). Worst-case
+    // micro-units are the syy moment's: extendedprice ≲ 1.1·10^5 squared
+    // × 10^6 ≈ 1.2·10^16 ≈ 2^54 — n·max|c| < 2^87 still allows ~10^9
+    // rows/group, inside SplitSum's documented bounds.
     def micro(c: org.apache.spark.sql.Column, t: DecimalType) =
       (c.cast(t) * lit(1000000L)).cast("long")
     val moments = Seq(

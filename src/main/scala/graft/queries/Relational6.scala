@@ -298,17 +298,35 @@ object Relational6 {
 
   def qHistogramEqd(s: SparkSession, dir: String, approx: Boolean): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
-    val pct = if (approx) "percentile_approx" else "percentile"
-    val acc = if (approx) ", 10000" else "" // rank error ~1e-4 ≪ bucket width
-    val th = li.agg(expr(
-      s"$pct(x, array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D)$acc)")
-      .cast("array<double>").as("th"))
-    li.crossJoin(broadcast(th))
-      .withColumn("bucket",
-        expr("1 + aggregate(th, 0, (a, t) -> a + (CASE WHEN x > t THEN 1 ELSE 0 END))"))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
-      .orderBy(col("bucket"))
+    // r16 opt (guide §1.2 fewer passes): the exact path collapses to ONE
+    // (x, count) value histogram; the boundary percentile rides the
+    // frequency argument (value-identical buffer => bit-identical
+    // boundaries) and the bucketing pass rides the SAME histogram — two
+    // fact scans become one plus a domain-bounded frame (OptProbe
+    // IDENTICAL=true). The approx toggle keeps the per-row form:
+    // percentile_approx has no frequency argument.
+    if (approx) {
+      val th = li.agg(expr(
+        "percentile_approx(x, array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D), 10000)")
+        .cast("array<double>").as("th")) // rank error ~1e-4 ≪ bucket width
+      li.crossJoin(broadcast(th))
+        .withColumn("bucket",
+          expr("1 + aggregate(th, 0, (a, t) -> a + (CASE WHEN x > t THEN 1 ELSE 0 END))"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .orderBy(col("bucket"))
+    } else {
+      val hist = li.groupBy(col("x")).agg(count(lit(1)).as("cnt")).localCheckpoint()
+      val th = hist.agg(expr(
+        "percentile(x, array(0.125D, 0.25D, 0.375D, 0.5D, 0.625D, 0.75D, 0.875D), cnt)")
+        .cast("array<double>").as("th"))
+      hist.crossJoin(broadcast(th))
+        .withColumn("bucket",
+          expr("1 + aggregate(th, 0, (a, t) -> a + (CASE WHEN x > t THEN 1 ELSE 0 END))"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("cnt")).as("n"), min(col("x")).as("lo"), max(col("x")).as("hi"))
+        .orderBy(col("bucket"))
+    }
   }
 
   val qHistogramEqdSql: String =
