@@ -1379,6 +1379,12 @@ object Text {
         (size(col("toks")) >= 15 &&
           size(filter(col("toks"), t => t.isin(Stopwords.map(x => x: Any): _*))) * 16
             >= size(col("toks"))).cast("int").as("seed_lbl"))
+      // r16 opt (guide §7.2 duplicated subtrees): seed feeds the
+      // classifier's three consumers (mass totals, per-token votes, the
+      // scoring join) AND the final label join — unchecked, the
+      // scan+tokenize+stopword subtree planned FOUR times. One lazy
+      // checkpoint makes "one exploded token pass" actually true.
+      .cpLazy
     val scored = graft.operators.QualityClassifier
       .scores(seed, "doc_id", "toks", "seed_lbl")
     seed.select(col("doc_id"), col("seed_lbl"))
