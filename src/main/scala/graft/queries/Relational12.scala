@@ -390,22 +390,22 @@ object Relational12 {
         (col("o_totalprice").cast("decimal(18,6)") * lit(100L))
           .cast("long").as("cents"),
         when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("pos"))
-    // r16 opt (guide §1.2 fewer passes): ONE (grp, cents) histogram feeds
-    // both the boundary percentile (frequency argument — value-identical
-    // buffer, bit-identical cuts) and the decile rollup — two fact scans
-    // become one plus a domain-bounded frame (OptProbe IDENTICAL=true).
-    val hist = base.groupBy(col("grp"), col("cents"))
-      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pos_n")).localCheckpoint()
-    val cuts = hist.groupBy(col("grp")).agg(expr(
-      "percentile(cents, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D), cnt)")
+    // r16 NOTE: the (grp, cents) histogram+frequency rewrite was measured
+    // and REVERTED — cents is near-distinct (149,939 distinct of 150,000
+    // orders at sf0.1), so the collapse collapses nothing: it added a
+    // corpus-sized checkpoint + an extra aggregation to save one cheap
+    // scan (isolated bench 0.90 -> 1.3-1.5 s, control-normalized +45%).
+    // Same negative as the percentile price columns (OPTIMIZATION_r16.md).
+    val cuts = base.groupBy(col("grp")).agg(expr(
+      "percentile(cents, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))")
       .cast("array<double>").as("th"))
     // ascending bucket 1..10 = 1 + #boundaries strictly below, then flip
     val asc = expr(
       "1L + aggregate(th, 0L, (a, t) -> a + (CASE WHEN cents > t THEN 1L ELSE 0L END))")
-    val perDecile = hist.join(broadcast(cuts), "grp")
+    val perDecile = base.join(broadcast(cuts), "grp")
       .withColumn("decile", lit(11L) - asc)
       .groupBy(col("grp"), col("decile"))
-      .agg(sum(col("cnt")).as("n_rows"), sum(col("pos_n")).as("n_pos"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("pos")).as("n_pos"))
     val w = Window.partitionBy(col("grp")).orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = perDecile.groupBy(col("grp"))
